@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = Sessions.builder("8").appName("graft-test").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class CoreQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query has a unique name and runs non-empty at sf0.001") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size, "duplicate query names")
+    SparkEntry.registry.foreach { q =>
+      val n = q.fn(spark, TestSpark.sf).count()
+      assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("oracle column names match spark output column names") {
+    // The driver sorts columns by name before hashing — a name mismatch
+    // fails the gate even with identical values. Cheap static guard: every
+    // oracled query's Spark schema fields appear in its SQL text.
+    SparkEntry.registry.filter(_.oracle.isDefined).foreach { q =>
+      val cols = q.fn(spark, TestSpark.sf).schema.fieldNames
+      val sql = q.oracle.get.toLowerCase
+      cols.foreach { c =>
+        assert(sql.contains(c.toLowerCase),
+          s"${q.name}: output column '$c' not mentioned in oracle SQL")
+      }
+    }
+  }
+
+  test("q02 aggregate values are exact at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q02_agg_pricing")(spark, TestSpark.sf)
+    val row = df.filter(col("l_returnflag") === "A").collect().head
+    val n = row.getAs[Long]("n")
+    assert(n > 0)
+    // avg consistency: sum_qty / n ≈ avg_qty
+    val sumQty = row.getAs[Double]("sum_qty")
+    val avgQty = row.getAs[Double]("avg_qty")
+    assert(math.abs(sumQty / n - avgQty) < 1e-2)
+  }
+
+  test("q32 as-of join semantics: click_ts <= purchase_ts") {
+    val df = SparkEntry.queries("q32_asof_join")(spark, TestSpark.sf)
+    val bad = df.filter(df("c_us") > df("p_us")).count()
+    assert(bad == 0)
+  }
+}
