@@ -1,0 +1,53 @@
+package graft
+
+import graft.lineage.{LineageExtractor, LineageListener}
+
+/** Usage example + manual smoke for the lineage analyzer:
+  * `sbt "runMain graft.LineageDemo [sfDir]"` — installs the listener, runs
+  * a query, prints the lineage graph, column lineage and the physical
+  * (AQE-final) graph with pushed-down filters.
+  */
+object LineageDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = Sessions.get()
+    val listener = LineageListener.install(spark)
+
+    val df = SparkEntry.queries("q19_multijoin_agg")(spark, sfDir)
+    df.collect()
+
+    val deadline = System.currentTimeMillis() + 10000
+    while (listener.reports.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+
+    listener.reports.headOption match {
+      case Some((fn, rep)) =>
+        println(s"=== listener captured '$fn' ===")
+        println(s"inputs:  ${rep.inputs.map(m => s"${m.name}(${m.columns.size} cols)").mkString(", ")}")
+        println(s"outputs: ${if (rep.outputs.isEmpty) "<none - read query>" else rep.outputs.mkString(", ")}")
+        println("--- logical lineage graph ---")
+        println(rep.graph.treeString)
+        println("--- column lineage ---")
+        rep.columnLineage.toSeq.sortBy(_._1).foreach { case (c, refs) =>
+          println(s"  $c <- ${refs.toSeq.sortBy(_.toString).mkString(", ")}")
+        }
+      case None => println("!!! listener captured nothing")
+    }
+
+    println("--- physical lineage graph (AQE-final, simplified) ---")
+    val phys = LineageExtractor.fromPhysical(df.queryExecution.executedPlan)
+      .transformUp(LineageExtractor.Rules.removePartialAggregates)
+      .transformUp(LineageExtractor.Rules.removeExchanges)
+    println(phys.treeString)
+
+    // shared-scan DAG demo: self-join renders the second visit as "..."
+    import org.apache.spark.sql.functions.col
+    val n1 = Tables(spark, sfDir, "nation").select(col("n_nationkey"), col("n_name"))
+    val n2 = Tables(spark, sfDir, "nation").select(col("n_nationkey"), col("n_name"))
+    val selfJoin = n1.join(n2.withColumnRenamed("n_name", "n2"), Seq("n_nationkey"))
+    println("--- shared-scan DAG (self-join; revisit rendered as ...) ---")
+    println(LineageExtractor.fromLogical(selfJoin.queryExecution.optimizedPlan).treeString)
+
+    spark.stop()
+  }
+}

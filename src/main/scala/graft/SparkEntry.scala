@@ -9,7 +9,8 @@ object SparkEntry {
   def registry: Seq[Q] = queries_all
 
   private lazy val queries_all: Seq[Q] =
-    graft.queries.CoreQueries.all
+    graft.queries.CoreQueries.all ++
+      graft.queries.LineageQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,288 @@
+package graft.lineage
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, HashAggregateExec}
+import org.apache.spark.sql.execution.command.DataWritingCommandExec
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InsertIntoHadoopFsRelationCommand, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.QueryExecution
+
+/** QueryExecution → lineage. The Spark-native replacement for the whole
+  * reference pipeline (SURVEY §3): Hive's hook + GraphWalker + graph
+  * stitching vanish because a Spark plan is already one tree, and the
+  * string-keyed `SchemaMapping` heuristics
+  * (`/root/reference/hivehook/.../qinfo/SchemaMapping.scala:74-135`,
+  * incl. the author-flagged join fallback at `:116-122`) are replaced by
+  * chasing Catalyst's globally-unique `ExprId`s.
+  */
+object LineageExtractor {
+
+  // ---------------------------------------------------------------- naming
+
+  /** Best-effort relation name: catalog table if present, else the last
+    * path segment without extension (reference keys entities by storage
+    * location for the same reason, `PostExecHook.scala:43-50`).
+    */
+  private def relationName(path: String): String = {
+    val base = path.stripSuffix("/").split('/').lastOption.getOrElse(path)
+    val noExt = if (base.contains('.')) base.substring(0, base.lastIndexOf('.')) else base
+    noExt
+  }
+
+  private def tableMeta(r: LogicalRelation): TableMeta = {
+    val (path, fmt) = r.relation match {
+      case h: HadoopFsRelation =>
+        (h.location.rootPaths.headOption.map(_.toString).getOrElse("<unknown>"),
+          h.fileFormat.toString)
+      case other => (other.toString, other.getClass.getSimpleName)
+    }
+    val name = r.catalogTable.map(_.identifier.table).getOrElse(relationName(path))
+    TableMeta(name, path, r.output.map(_.name), fmt)
+  }
+
+  private def tableMeta(r: DataSourceV2Relation): TableMeta =
+    TableMeta(r.table.name(), r.table.name(), r.output.map(_.name), "v2")
+
+  // --------------------------------------------------- column lineage (§3.5)
+
+  /** Bottom-up `Map[ExprId → Set[ColumnRef]]`. At leaves, seed from relation
+    * output; `Project`/`Aggregate`/`Window`/`Generate` map each produced
+    * `NamedExpression` to the union of its references' lineage; `Union` and
+    * `Expand` are the genuinely positional cases; everything else passes
+    * attributes through unchanged (same ExprId — that is the whole trick).
+    */
+  def attributeLineage(plan: LogicalPlan): Map[ExprId, Set[ColumnRef]] = {
+    val memo = mutable.Map.empty[ExprId, Set[ColumnRef]]
+
+    def refLineage(e: Expression): Set[ColumnRef] = {
+      val direct = e.references.iterator
+        .flatMap(a => memo.getOrElse(a.exprId, Set.empty[ColumnRef])).toSet
+      // expressions may embed subquery plans (scalar/IN/EXISTS): their
+      // output lineage contributes too
+      val sub = e.collect { case s: SubqueryExpression =>
+        walk(s.plan)
+        s.plan.output.flatMap(a => memo.getOrElse(a.exprId, Set.empty[ColumnRef]))
+      }.flatten.toSet
+      direct ++ sub
+    }
+
+    def walk(p: LogicalPlan): Unit = {
+      p.children.foreach(walk)
+      p match {
+        case r: LogicalRelation =>
+          val t = tableMeta(r).name
+          r.output.foreach(a => memo(a.exprId) = Set(ColumnRef(t, a.name)))
+        case r: DataSourceV2Relation =>
+          val t = tableMeta(r).name
+          r.output.foreach(a => memo(a.exprId) = Set(ColumnRef(t, a.name)))
+        case l: LocalRelation =>
+          l.output.foreach(a => memo(a.exprId) = Set(ColumnRef("<inline>", a.name)))
+        case r: Range =>
+          r.output.foreach(a => memo(a.exprId) = Set(ColumnRef("<range>", a.name)))
+        case Project(list, _) =>
+          list.foreach(ne => memo(ne.exprId) = refLineage(ne))
+        case a: Aggregate =>
+          a.aggregateExpressions.foreach(ne => memo(ne.exprId) = refLineage(ne))
+        case w: Window =>
+          w.windowExpressions.foreach(ne => memo(ne.exprId) = refLineage(ne))
+        case g: Generate =>
+          val src = refLineage(g.generator)
+          g.generatorOutput.foreach(a => memo(a.exprId) = src)
+        case e: Expand =>
+          // cube/rollup/grouping-sets/distinct-agg: output i is the
+          // positional union over all projections' i-th expression
+          e.output.zipWithIndex.foreach { case (a, i) =>
+            val srcs = e.projections.iterator.map(_(i)).flatMap(refLineage).toSet
+            memo(a.exprId) = memo.getOrElse(a.exprId, Set.empty) ++ srcs
+          }
+        case u: Union =>
+          // the one genuinely positional operator in Spark (SURVEY §3.5)
+          u.output.zipWithIndex.foreach { case (a, i) =>
+            memo(a.exprId) = u.children.iterator
+              .flatMap(c => memo.getOrElse(c.output(i).exprId, Set.empty[ColumnRef]))
+              .toSet
+          }
+        case f: Filter =>
+          refLineage(f.condition): Unit // force subquery walks inside conditions
+        case _ => () // Join/Sort/Limit/Distinct/...: ExprIds flow through
+      }
+    }
+    walk(plan)
+    memo.toMap
+  }
+
+  /** Final-output column lineage keyed by user-facing column name. */
+  def columnLineage(plan: LogicalPlan): Map[String, Set[ColumnRef]] = {
+    val attr = attributeLineage(plan)
+    plan.output.map(a => a.name -> attr.getOrElse(a.exprId, Set.empty[ColumnRef])).toMap
+  }
+
+  // ----------------------------------------------------- graph construction
+
+  private def exprsDetail(es: Seq[Expression]): String =
+    es.map(_.sql).mkString(", ") match {
+      case s if s.length > 160 => s.take(157) + "..."
+      case s => s
+    }
+
+  /** Logical plan → lineage DAG. Structural ids; identical leaf scans are
+    * merged so the graph is a true DAG (reference shares scan nodes via its
+    * id memo, `OperatorGraphBuilder.scala:89-92`; Spark trees duplicate
+    * them — SURVEY §3.4a).
+    */
+  def fromLogical(plan: LogicalPlan): LNode = {
+    val scanMemo = mutable.Map.empty[String, LNode]
+
+    def build(p: LogicalPlan, id: String): LNode = {
+      val kids = p.children.zipWithIndex.map { case (c, i) => build(c, s"$id.$i") }
+      def n(kind: String, detail: String) = LNode(id, kind, detail, kids)
+      p match {
+        case r: LogicalRelation =>
+          val m = tableMeta(r)
+          val key = s"${m.name}|${m.columns.mkString(",")}"
+          scanMemo.getOrElseUpdate(key,
+            LNode(id, "Scan", s"${m.name} [${m.columns.mkString(", ")}]", Nil))
+        case r: DataSourceV2Relation =>
+          val m = tableMeta(r)
+          scanMemo.getOrElseUpdate(s"v2|${m.name}",
+            LNode(id, "Scan", s"${m.name} [${m.columns.mkString(", ")}]", Nil))
+        case l: LocalRelation => n("InlineData", s"[${l.output.map(_.name).mkString(", ")}]")
+        case Project(list, _) => n("Project", exprsDetail(list))
+        case f: Filter => n("Filter", f.condition.sql)
+        case j: Join =>
+          val cond = j.condition.map(_.sql).getOrElse("true")
+          n("Join", s"${j.joinType.sql} on $cond")
+        case a: Aggregate =>
+          n("Aggregate", s"keys=[${exprsDetail(a.groupingExpressions)}] " +
+            s"aggs=[${exprsDetail(a.aggregateExpressions)}]")
+        case w: Window => n("Window", exprsDetail(w.windowExpressions))
+        case g: Generate => n("Generate", g.generator.sql)
+        case e: Expand => n("Expand", s"${e.projections.size} projections")
+        case u: Union => n("Union", "")
+        case s: Sort => n("Sort", exprsDetail(s.order))
+        case _: GlobalLimit | _: LocalLimit => n("Limit", "")
+        case d: Distinct => n("Distinct", "")
+        case i: InsertIntoHadoopFsRelationCommand =>
+          n("WriteFile", i.outputPath.toString)
+        case other => n(other.nodeName, "")
+      }
+    }
+    build(plan, "0")
+  }
+
+  /** Physical plan → lineage DAG, AQE-aware. Unwraps
+    * `AdaptiveSparkPlanExec`/`QueryStageExec` to the final plan — the Spark
+    * analog of the reference walking only `done()` tasks of a
+    * ConditionalTask (`TaskInfo.scala:38,64`, SURVEY §2.4) — and strips
+    * codegen wrappers. Scan nodes surface pushed filters + read schema
+    * (reference TableScan `filterExpr`/`neededColumns`,
+    * `OperatorInfo.scala:67-74`).
+    */
+  def fromPhysical(plan: SparkPlan): LNode = {
+    val scanMemo = mutable.Map.empty[String, LNode]
+
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec => unwrap(q.plan)
+      case r: ReusedExchangeExec => unwrap(r.child)
+      case w: WholeStageCodegenExec => unwrap(w.child)
+      case i: InputAdapter => unwrap(i.child)
+      case other => other
+    }
+
+    def build(p0: SparkPlan, id: String): LNode = {
+      val p = unwrap(p0)
+      val kids = p.children.zipWithIndex.map { case (c, i) => build(c, s"$id.$i") }
+      def n(kind: String, detail: String) = LNode(id, kind, detail, kids)
+      p match {
+        case s: FileSourceScanExec =>
+          val name = s.tableIdentifier.map(_.table)
+            .getOrElse(relationName(s.relation.location.rootPaths.headOption
+              .map(_.toString).getOrElse("<unknown>")))
+          val pushed = s.metadata.getOrElse("PushedFilters", "[]")
+          val schema = s.metadata.getOrElse("ReadSchema", "")
+          scanMemo.getOrElseUpdate(s"$name|$pushed|$schema",
+            LNode(id, "Scan", s"$name pushed=$pushed read=$schema", Nil))
+        case agg: BaseAggregateExec =>
+          val modes = agg.aggregateExpressions.map(_.mode).distinct.mkString(",")
+          val m = if (agg.aggregateExpressions.isEmpty) "Keys" else modes
+          n("Aggregate", s"mode=$m keys=[${exprsDetail(agg.groupingExpressions)}]")
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          n("Exchange", e.outputPartitioning.toString.take(120))
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          n("BroadcastExchange", "")
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          n(j.nodeName, s"${j.joinType.sql} on ${j.condition.map(_.sql).getOrElse(exprsDetail(j.leftKeys) + " = " + exprsDetail(j.rightKeys))}")
+        case f: FilterExec => n("Filter", f.condition.sql)
+        case pr: ProjectExec => n("Project", exprsDetail(pr.projectList))
+        case w: DataWritingCommandExec => n("WriteFile", w.cmd.nodeName)
+        case other => n(other.nodeName, "")
+      }
+    }
+    build(plan, "0")
+  }
+
+  // ------------------------------------------------------------- full report
+
+  /** Inputs/outputs + graph + column lineage for one execution (the
+    * reference's whole `PostExecHook.run`, `PostExecHook.scala:17-81`).
+    */
+  def report(qe: QueryExecution): LineageReport = {
+    val plan = qe.optimizedPlan
+    val inputs = mutable.LinkedHashMap.empty[String, TableMeta]
+    plan.foreach {
+      case r: LogicalRelation => val m = tableMeta(r); inputs.getOrElseUpdate(m.name, m)
+      case r: DataSourceV2Relation => val m = tableMeta(r); inputs.getOrElseUpdate(m.name, m)
+      case _ => ()
+    }
+    val outputs = plan.collect {
+      case i: InsertIntoHadoopFsRelationCommand => i.outputPath.toString
+    }
+    LineageReport(
+      graph = fromLogical(plan),
+      columnLineage = columnLineage(plan),
+      inputs = inputs.values.toSeq,
+      outputs = outputs)
+  }
+
+  /** Lineage-graph simplification rules (reference §4.2): same shape as
+    * `RemoveOperatorsRule` — match a parent, splice out matching children,
+    * preserving the single-input assumption
+    * (`/root/reference/hivehook/.../transform/rules/RemoveOperatorsRule.scala:11-34`).
+    */
+  object Rules {
+    /** Remove partial-mode aggregates from a physical lineage graph
+      * (reference `RemoveMapSideGroupByRule`, `RemoveOperatorsRule.scala:56-68`).
+      */
+    val removePartialAggregates: PartialFunction[LNode, LNode] = {
+      case n if n.children.exists(c => c.kind == "Aggregate" && c.detail.contains("mode=Partial")) =>
+        n.copy(children = n.children.map { c =>
+          if (c.kind == "Aggregate" && c.detail.contains("mode=Partial")) {
+            require(c.children.size == 1, s"partial aggregate with ${c.children.size} children")
+            c.children.head
+          } else c
+        })
+    }
+
+    /** Remove Exchange bookkeeping nodes so only logical dataflow remains
+      * (reference strips intermediate scans/sinks similarly;
+      * `RemoveOperatorsRule.scala:45-54`).
+      */
+    val removeExchanges: PartialFunction[LNode, LNode] = {
+      case n if n.children.exists(c => c.kind == "Exchange" || c.kind == "BroadcastExchange") =>
+        n.copy(children = n.children.map { c =>
+          if (c.kind == "Exchange" || c.kind == "BroadcastExchange") {
+            require(c.children.size == 1, s"exchange with ${c.children.size} children")
+            c.children.head
+          } else c
+        })
+    }
+  }
+}

@@ -1,0 +1,150 @@
+package graft.lineage
+
+import scala.collection.mutable
+
+/** A source column reference: the terminal of every lineage chain.
+  * Reference analog: `Column(tabAlias, name)` in
+  * `/root/reference/hivehook/src/main/scala/org/sparklinedata/hive/hook/qinfo/SchemaMapping.scala:5-9`.
+  */
+final case class ColumnRef(table: String, column: String) {
+  override def toString: String = s"$table.$column"
+}
+
+/** Catalog snapshot of one input relation (reference analog: `TableDef`,
+  * `/root/reference/core/src/main/scala/org/sparklinedata/hive/metadata/TableDef.scala:3-33`).
+  */
+final case class TableMeta(
+    name: String,
+    path: String,
+    columns: Seq[String],
+    format: String)
+
+/** Immutable lineage-graph node. The reference hand-rolls a Catalyst-style
+  * TreeNode with DAG-aware memoized transformUp
+  * (`/root/reference/hivehook/src/main/scala/org/sparklinedata/hive/lineage/GraphNode.scala:37-87`);
+  * here the same semantics are ~60 lines because nodes are plain case
+  * classes: a query lineage graph is a DAG (one scan feeding two joins), so
+  * both traversal and rewriting are memoized per node `id` — a shared
+  * subtree is visited/rewritten once and stays shared afterwards.
+  *
+  * `id` is a stable structural id assigned at build time (Spark plan nodes
+  * have no Hive-style operatorId; see SURVEY §3.3) so golden renderings are
+  * deterministic. DAG-merged scans keep the id of their first occurrence.
+  */
+final case class LNode(
+    id: String,
+    kind: String,
+    detail: String,
+    children: Seq[LNode]) {
+
+  /** Pre/post-order DFS; `pre` fires on revisits, children+post are skipped
+    * on revisit (reference `Node.traverse`,
+    * `/root/reference/hivehook/.../hook/Node.scala:23-31`).
+    */
+  def traverse(pre: LNode => Unit, post: LNode => Unit = _ => ()): Unit = {
+    val visited = mutable.Set.empty[String]
+    def go(n: LNode): Unit = {
+      pre(n)
+      if (visited.add(n.id)) {
+        n.children.foreach(go)
+        post(n)
+      }
+    }
+    go(this)
+  }
+
+  def collect[T](pf: PartialFunction[LNode, T]): Seq[T] = {
+    val out = mutable.ArrayBuffer.empty[T]
+    traverse(n => if (pf.isDefinedAt(n)) out += pf(n))
+    out.toSeq
+  }
+
+  def find(p: LNode => Boolean): Option[LNode] = collect { case n if p(n) => n }.headOption
+
+  /** Bottom-up rewrite, memoized per node id so shared subtrees rewrite
+    * once and remain shared (reference `GraphNode.transformUp`,
+    * `GraphNode.scala:37-87`). The rule sees a node whose children are
+    * already rewritten.
+    */
+  def transformUp(rule: PartialFunction[LNode, LNode]): LNode = {
+    val memo = mutable.Map.empty[String, LNode]
+    def go(n: LNode): LNode = memo.getOrElseUpdate(n.id, {
+      val withNewChildren = {
+        val kids = n.children.map(go)
+        if (kids == n.children) n else n.copy(children = kids)
+      }
+      rule.applyOrElse(withNewChildren, identity[LNode])
+    })
+    go(this)
+  }
+
+  /** Number of distinct nodes in the DAG. */
+  def size: Int = { var c = 0; traverse(_ => (), _ => c += 1); c }
+
+  /** Indented, cycle-safe rendering; a revisited shared subtree prints as
+    * `...` (reference `Node.printNode`, `Node.scala:67-97`).
+    */
+  def treeString: String = {
+    val sb = new StringBuilder
+    val visited = mutable.Set.empty[String]
+    def go(n: LNode, depth: Int): Unit = {
+      val pad = "  " * depth
+      if (!visited.add(n.id)) {
+        sb.append(s"$pad${n.kind} [${n.id}] ...\n")
+      } else {
+        val d = if (n.detail.isEmpty) "" else s" ${n.detail}"
+        sb.append(s"$pad${n.kind} [${n.id}]$d\n")
+        n.children.foreach(go(_, depth + 1))
+      }
+    }
+    go(this, 0)
+    sb.result()
+  }
+
+  /** JSON rendering (nodes + edges, DAG-safe). */
+  def toJson: String = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val nodes = mutable.LinkedHashMap.empty[String, LNode]
+    traverse(n => if (!nodes.contains(n.id)) nodes(n.id) = n)
+    val nodeJson = nodes.values.map { n =>
+      s"""{"id":"${esc(n.id)}","kind":"${esc(n.kind)}","detail":"${esc(n.detail)}"}"""
+    }.mkString("[", ",", "]")
+    val edges = mutable.ArrayBuffer.empty[(String, String)]
+    traverse(n => n.children.foreach(c => edges += ((n.id, c.id))))
+    val edgeJson = edges.distinct.map { case (a, b) =>
+      s"""{"from":"${esc(a)}","to":"${esc(b)}"}"""
+    }.mkString("[", ",", "]")
+    s"""{"nodes":$nodeJson,"edges":$edgeJson}"""
+  }
+}
+
+/** The full lineage result for one executed query (reference output:
+  * plan tree + lineage graph + schema mappings,
+  * `/root/reference/hivehook/.../hook/PostExecHook.scala:73-79`).
+  *
+  * @param columnLineage final output column name → set of source columns
+  * @param inputs        input relations (tables/paths) the query read
+  * @param outputs       output sinks (paths/tables) the query wrote, if any
+  */
+final case class LineageReport(
+    graph: LNode,
+    columnLineage: Map[String, Set[ColumnRef]],
+    inputs: Seq[TableMeta],
+    outputs: Seq[String]) {
+
+  def columnLineageJson: String = {
+    val entries = columnLineage.toSeq.sortBy(_._1).map { case (col, refs) =>
+      val rs = refs.toSeq.sortBy(r => (r.table, r.column))
+        .map(r => s"""{"table":"${r.table}","column":"${r.column}"}""")
+        .mkString("[", ",", "]")
+      s""""$col":$rs"""
+    }
+    entries.mkString("{", ",", "}")
+  }
+}

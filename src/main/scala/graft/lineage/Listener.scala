@@ -1,0 +1,47 @@
+package graft.lineage
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Driver-side lineage capture for every successful query — the Spark
+  * replacement for the reference's Hive post-exec hook
+  * (`/root/reference/hivehook/.../hook/PostExecHook.scala:15-81`,
+  * `ExecuteWithHookContext`): register once, receive every
+  * `QueryExecution` after it finishes, extract lineage from metadata only.
+  * Like the reference hook this runs single-threaded per callback on the
+  * driver and never touches data, so overhead is a few plan traversals
+  * (<ms) regardless of data scale.
+  */
+final class LineageListener extends QueryExecutionListener {
+
+  private val buf = new ConcurrentLinkedQueue[(String, LineageReport)]()
+
+  def reports: Seq[(String, LineageReport)] = buf.asScala.toSeq
+
+  def clear(): Unit = buf.clear()
+
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+    try buf.add(funcName -> LineageExtractor.report(qe))
+    catch {
+      case e: Throwable =>
+        // lineage must never fail the query path
+        System.err.println(s"[lineage] extraction failed for $funcName: ${e.getMessage}")
+    }
+  }
+
+  override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+}
+
+object LineageListener {
+  /** Register a fresh listener on the session and return it. */
+  def install(spark: SparkSession): LineageListener = {
+    val l = new LineageListener
+    spark.listenerManager.register(l)
+    l
+  }
+}

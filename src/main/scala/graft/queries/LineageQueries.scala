@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.lineage.LineageExtractor
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The lineage analyzer exposed through the correctness gate: each query
+  * runs the extractor on a known plan and returns its column/table lineage
+  * as rows; the oracle pins the expected lineage as constant SQL. This is
+  * the reference's core capability (SURVEY §0) behind the same
+  * `queries()`/`oracleSql` contract as the exec surface.
+  */
+object LineageQueries {
+
+  private def lineageDf(s: SparkSession, df: DataFrame): DataFrame = {
+    val rows = LineageExtractor.columnLineage(df.queryExecution.optimizedPlan)
+      .toSeq.flatMap { case (out, refs) =>
+        refs.toSeq.map(r => (out, r.table, r.column))
+      }
+    s.createDataFrame(rows).toDF("out_col", "src_table", "src_col")
+      .orderBy("out_col", "src_table", "src_col")
+  }
+
+  def all: Seq[Q] = Seq(
+    // reference q1 scenario: bare projection+filter over one table
+    Q("lx01_lineage_scan_project",
+      (s, dir) => {
+        import s.implicits._
+        val df = Tables(s, dir, "lineitem")
+          .filter($"l_quantity" > 40)
+          .select($"l_orderkey", $"l_extendedprice")
+        lineageDf(s, df)
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('l_extendedprice', 'lineitem', 'l_extendedprice'),
+             |  ('l_orderkey', 'lineitem', 'l_orderkey'))
+             |  AS t(out_col, src_table, src_col)
+             |ORDER BY out_col, src_table, src_col""".stripMargin)),
+
+    // reference q27 scenario: lineage through 4 joins + group-by + 4 avgs
+    Q("lx02_lineage_multijoin",
+      (s, dir) => {
+        val df = CoreQueries.all.find(_.name == "q19_multijoin_agg").get.fn(s, dir)
+        lineageDf(s, df)
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('avg_disc', 'lineitem', 'l_discount'),
+             |  ('avg_price', 'lineitem', 'l_extendedprice'),
+             |  ('avg_qty', 'lineitem', 'l_quantity'),
+             |  ('avg_tax', 'lineitem', 'l_tax'),
+             |  ('n_name', 'nation', 'n_name'),
+             |  ('p_brand', 'part', 'p_brand'))
+             |  AS t(out_col, src_table, src_col)
+             |ORDER BY out_col, src_table, src_col""".stripMargin)),
+
+    // derived-expression + union lineage: positional union, compound exprs
+    Q("lx03_lineage_union_expr",
+      (s, dir) => {
+        import s.implicits._
+        val a = Tables(s, dir, "lineitem")
+          .select(($"l_extendedprice" * (lit(1) - $"l_discount")).as("amount"))
+        val b = Tables(s, dir, "orders").select($"o_totalprice".as("amount"))
+        lineageDf(s, a.union(b))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('amount', 'lineitem', 'l_discount'),
+             |  ('amount', 'lineitem', 'l_extendedprice'),
+             |  ('amount', 'orders', 'o_totalprice'))
+             |  AS t(out_col, src_table, src_col)
+             |ORDER BY out_col, src_table, src_col""".stripMargin)),
+
+    // input-entity lineage: which relations did the query read
+    // (reference inputs/outputs conversion, PostExecHook.scala:42-61)
+    Q("lx04_lineage_inputs",
+      (s, dir) => {
+        val df = CoreQueries.all.find(_.name == "q19_multijoin_agg").get.fn(s, dir)
+        val inputs = LineageExtractor.report(df.queryExecution).inputs
+        s.createDataFrame(inputs.map(m => (m.name, m.columns.size)))
+          .toDF("table_name", "n_cols")
+          .orderBy("table_name")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('customer', 5), ('lineitem', 11), ('nation', 3),
+             |  ('orders', 6), ('part', 6))
+             |  AS t(table_name, n_cols)
+             |ORDER BY table_name""".stripMargin))
+  )
+}

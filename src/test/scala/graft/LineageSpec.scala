@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lineage._
+
+class LineageSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def lin(df: org.apache.spark.sql.DataFrame): Map[String, Set[ColumnRef]] =
+    LineageExtractor.columnLineage(df.queryExecution.optimizedPlan)
+
+  test("q1-analog: scan-project-filter column lineage (FIXTURES §3)") {
+    import spark.implicits._
+    val df = Tables(spark, sf, "lineitem")
+      .filter($"l_quantity" > 40)
+      .select($"l_orderkey", $"l_extendedprice")
+    assert(lin(df) == Map(
+      "l_orderkey" -> Set(ColumnRef("lineitem", "l_orderkey")),
+      "l_extendedprice" -> Set(ColumnRef("lineitem", "l_extendedprice"))))
+  }
+
+  test("q27-analog: multi-join + avg lineage resolves each avg to one lineitem column") {
+    val df = SparkEntry.queries("q19_multijoin_agg")(spark, sf)
+    val l = lin(df)
+    assert(l("avg_qty") == Set(ColumnRef("lineitem", "l_quantity")))
+    assert(l("avg_price") == Set(ColumnRef("lineitem", "l_extendedprice")))
+    assert(l("avg_disc") == Set(ColumnRef("lineitem", "l_discount")))
+    assert(l("avg_tax") == Set(ColumnRef("lineitem", "l_tax")))
+    assert(l("p_brand") == Set(ColumnRef("part", "p_brand")))
+    assert(l("n_name") == Set(ColumnRef("nation", "n_name")))
+  }
+
+  test("derived expression lineage: sum(x*(1-y)) references both source columns") {
+    import spark.implicits._
+    val df = Tables(spark, sf, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
+    assert(lin(df)("rev") == Set(
+      ColumnRef("lineitem", "l_extendedprice"), ColumnRef("lineitem", "l_discount")))
+  }
+
+  test("join of two relations sharing column names (reference SchemaMapping @todo case)") {
+    // The reference's join fallback guesses parent by column-name uniqueness
+    // (/root/reference/hivehook/.../qinfo/SchemaMapping.scala:116-122);
+    // ExprId chasing must distinguish same-named columns of different tables.
+    val tmp = java.nio.file.Files.createTempDirectory("linj").toString
+    spark.range(5).select(col("id").as("k"), col("id").cast("string").as("v"))
+      .write.mode("overwrite").parquet(s"$tmp/ta.parquet")
+    spark.range(5).select(col("id").as("k"), col("id").cast("string").as("v"))
+      .write.mode("overwrite").parquet(s"$tmp/tb.parquet")
+    val a = spark.read.parquet(s"$tmp/ta.parquet")
+    val b = spark.read.parquet(s"$tmp/tb.parquet")
+    val j = a.join(b, a("k") === b("k")).select(a("v").as("va"), b("v").as("vb"))
+    val l = lin(j)
+    assert(l("va") == Set(ColumnRef("ta", "v")))
+    assert(l("vb") == Set(ColumnRef("tb", "v")))
+  }
+
+  test("union lineage is positional (SURVEY §3.5)") {
+    import spark.implicits._
+    val u = Tables(spark, sf, "customer").select($"c_name".as("name"))
+      .union(Tables(spark, sf, "supplier").select($"s_name".as("name")))
+    assert(lin(u)("name") == Set(
+      ColumnRef("customer", "c_name"), ColumnRef("supplier", "s_name")))
+  }
+
+  test("generate/explode lineage maps generator output to its input") {
+    import spark.implicits._
+    val df = Tables(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("token"), $"doc_id")
+    val l = lin(df)
+    assert(l("token") == Set(ColumnRef("documents", "text")))
+    assert(l("doc_id") == Set(ColumnRef("documents", "doc_id")))
+  }
+
+  test("window function lineage includes partition/order references") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal")
+    val df = Tables(spark, sf, "customer")
+      .select($"c_custkey", row_number().over(w).as("rn"))
+    val l = lin(df)
+    assert(l("rn") == Set(
+      ColumnRef("customer", "c_nationkey"), ColumnRef("customer", "c_acctbal")))
+  }
+
+  test("rollup (Expand) lineage: group keys keep their source, aggs theirs") {
+    import spark.implicits._
+    val df = Tables(spark, sf, "customer")
+      .rollup($"c_mktsegment", $"c_nationkey")
+      .agg(sum($"c_acctbal").as("bal"))
+    val l = lin(df)
+    assert(l("bal") == Set(ColumnRef("customer", "c_acctbal")))
+    assert(l("c_mktsegment") == Set(ColumnRef("customer", "c_mktsegment")))
+  }
+
+  test("scalar-subquery lineage flows from the subquery's inputs") {
+    import spark.implicits._
+    val p = Tables(spark, sf, "part")
+    val th = p.agg(avg($"p_retailprice").as("a"))
+    val df = p.crossJoin(broadcast(th)).filter($"p_retailprice" > $"a")
+      .select($"p_partkey", $"a")
+    assert(lin(df)("a") == Set(ColumnRef("part", "p_retailprice")))
+  }
+
+  test("shared scans merge into a DAG node; transformUp rewrites it once") {
+    import spark.implicits._
+    val l1 = Tables(spark, sf, "nation").select($"n_nationkey", $"n_name")
+    val l2 = Tables(spark, sf, "nation").select($"n_nationkey", $"n_name")
+    val j = l1.join(l2.withColumnRenamed("n_name", "n2"), Seq("n_nationkey"))
+    val g = LineageExtractor.fromLogical(j.queryExecution.optimizedPlan)
+    val scanIds = g.collect { case n if n.kind == "Scan" => n.id }
+    assert(scanIds.distinct.size == 1, s"expected one merged scan, got $scanIds")
+    // the rendering marks the revisited shared subtree with "..."
+    assert(g.treeString.contains("..."))
+    var hits = 0
+    g.transformUp { case n if n.kind == "Scan" => hits += 1; n.copy(detail = "X") }
+    assert(hits == 1, "shared scan must be rewritten exactly once (memoized transformUp)")
+  }
+
+  test("physical lineage: pushed filters surfaced, partial aggs and exchanges removable") {
+    val df = SparkEntry.queries("q19_multijoin_agg")(spark, sf)
+    df.collect() // force AQE final plan
+    val g = LineageExtractor.fromPhysical(df.queryExecution.executedPlan)
+    val scans = g.collect { case n if n.kind == "Scan" => n.detail }
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.contains("pushed=[")), s"no pushed filters in $scans")
+    assert(g.collect { case n if n.kind.contains("Join") => n }.nonEmpty)
+    val simplified = g.transformUp(LineageExtractor.Rules.removePartialAggregates)
+      .transformUp(LineageExtractor.Rules.removeExchanges)
+    assert(simplified.collect { case n if n.detail.contains("mode=Partial") => n }.isEmpty)
+    assert(simplified.collect { case n if n.kind.endsWith("Exchange") => n }.isEmpty)
+  }
+
+  test("listener captures reports with inputs, graph and column lineage") {
+    val listener = LineageListener.install(spark)
+    try {
+      SparkEntry.queries("q03_join_inner_agg")(spark, sf).collect()
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.reports.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val (_, rep) = listener.reports.head
+      assert(rep.inputs.map(_.name).toSet == Set("customer", "orders", "lineitem"))
+      assert(rep.columnLineage("revenue").contains(ColumnRef("lineitem", "l_extendedprice")))
+      assert(rep.graph.collect { case n if n.kind == "Scan" => n }.size == 3)
+      assert(rep.columnLineageJson.contains("\"revenue\""))
+      assert(rep.graph.toJson.contains("\"edges\""))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("write-side lineage captures the output path") {
+    val tmp = java.nio.file.Files.createTempDirectory("linw").toString
+    val listener = LineageListener.install(spark)
+    try {
+      Tables(spark, sf, "region").write.mode("overwrite").parquet(s"$tmp/out.parquet")
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.reports.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val reps = listener.reports
+      assert(reps.exists(_._2.outputs.exists(_.contains("out.parquet"))),
+        s"no output captured: ${reps.map(_._2.outputs)}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("lineage invariant: every output column's sources are scanned columns") {
+    // property-style sweep over the whole query corpus
+    SparkEntry.registry.foreach { q =>
+      val df = q.fn(spark, sf)
+      val plan = df.queryExecution.optimizedPlan
+      val inputCols: Set[ColumnRef] = plan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          val name = r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              val p = h.location.rootPaths.head.toString
+              val base = p.stripSuffix("/").split('/').last
+              if (base.contains('.')) base.substring(0, base.lastIndexOf('.')) else base
+            case _ => "?"
+          }
+          r.output.map(a => ColumnRef(name, a.name))
+      }.flatten.toSet
+      val l = LineageExtractor.columnLineage(plan)
+      l.foreach { case (out, srcs) =>
+        val external = srcs.filterNot(s => s.table == "<inline>" || s.table == "<range>")
+        assert(external.subsetOf(inputCols),
+          s"${q.name}/$out: ${external -- inputCols} not among scanned columns")
+      }
+    }
+  }
+}

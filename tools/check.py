@@ -31,7 +31,8 @@ def main(sf_dir: str, out_dir: str) -> None:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_rowsonly = 0
-    for qdir in sorted(glob.glob(f"{out_dir}/q*") + glob.glob(f"{out_dir}/[dstm]*_*")):
+    import os
+    for qdir in sorted(p for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p)):
         name = qdir.split("/")[-1]
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
