@@ -10,7 +10,8 @@ object SparkEntry {
 
   private lazy val queries_all: Seq[Q] =
     graft.queries.CoreQueries.all ++
-      graft.queries.LineageQueries.all
+      graft.queries.LineageQueries.all ++
+      graft.queries.PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

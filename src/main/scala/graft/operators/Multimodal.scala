@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed per-partition in batches.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * deterministic fake (parse our own 8-byte header + payload stats); the
+  * Spark-side plumbing — binary schema, typed Dataset, mapPartitions batch
+  * shape, partition sizing — is real and is what matters at 100 TB:
+  * binary payloads dominate row size, so `spark.sql.files.maxPartitionBytes`
+  * and per-partition batching (not per-row calls) control memory and
+  * decode-library amortization on a real cluster.
+  */
+object Multimodal {
+
+  /** A media row: id + opaque payload (fake "image": 8-byte header of two
+    * big-endian int32 (width, height) followed by the raw payload). */
+  final case class MediaRecord(media_id: Long, content: Array[Byte])
+
+  /** Decoded metadata produced by the (stubbed) decoder. */
+  final case class MediaMeta(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      n_payload: Long,
+      mean_byte: Double)
+
+  /** Fabricate a binary "image" column from the documents table:
+    * header(width = n_chars % 1024, height = doc_id % 768) ++ utf8(text).
+    * Pure column ops — the binary is materialized distributed, never on
+    * the driver. */
+  def fabricate(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      concat(
+        to_binary(lpad(hex((col("n_chars") % 1024).cast("int")), 8, "0"), lit("hex")),
+        to_binary(lpad(hex((col("doc_id") % 768).cast("int")), 8, "0"), lit("hex")),
+        encode(col("text"), "UTF-8")).as("content"))
+
+  /** The decode step: per-partition batched iteration (the shape a real
+    * codec binding needs — amortize native-lib init per partition, not per
+    * row). Decoding itself is a deterministic stand-in for e.g. libjpeg:
+    * parse the header, aggregate payload bytes. */
+  def decode(media: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition init happens here (real codecs: allocate decoder once)
+      it.map { rec =>
+        val bb = java.nio.ByteBuffer.wrap(rec.content)
+        val width = bb.getInt(0)
+        val height = bb.getInt(4)
+        val payload = rec.content.drop(8)
+        val mean =
+          if (payload.isEmpty) 0.0
+          else payload.foldLeft(0L)((s, b) => s + (b & 0xFF)).toDouble / payload.length
+        MediaMeta(rec.media_id, width, height, payload.length.toLong,
+          math.rint(mean * 10000) / 10000)
+      }
+    }
+  }
+
+  /** End-to-end: fabricate → typed decode → metadata DataFrame. */
+  def decodePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    decode(fabricate(docs).as[MediaRecord]).toDF()
+  }
+}

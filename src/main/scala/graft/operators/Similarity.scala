@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  *  - `bruteForceTopK` is the exact baseline: broadcast the (small) query
+  *    set against the corpus — one map-side pass over the corpus, a
+  *    per-query top-k window; no corpus shuffle. Exact, O(|Q|·n·d).
+  *  - `srpTopK` is the scale path: sign-random-projection LSH buckets
+  *    (deterministic hyperplanes from a fixed seed). Corpus is bucketed
+  *    once (could be written bucketed-by-signature for reuse); queries
+  *    probe only their own bucket — at 100 TB this turns a full scan per
+  *    query into a bucket-sized scan, trading recall for cost.
+  *
+  * All vector math uses codegen'd higher-order functions (`zip_with` +
+  * `aggregate`) in double precision — no UDFs, no driver collection.
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<float>/array<double> columns,
+    * computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (s, x) => s + x))
+    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (s, x) => s + x))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbors for each query vector. Ranking uses the rounded
+    * cosine plus id tiebreak so results are deterministic across engines. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+    val c = corpus.select(col(idCol).as("n_id"), col(embCol).as("n_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 5))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rn"))
+  }
+
+  /** Deterministic random hyperplanes: `nBits` × `dim`, components from
+    * a seeded PRNG (public SRP-LSH construction). */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits, dim)(rnd.nextGaussian())
+  }
+
+  /** SRP signature: bit i = sign(v · h_i). Expressed as a literal-array
+    * dot product — constant-folded planes, codegen'd row math. */
+  def srpSignature(emb: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(emb, planeCol, (x, y) => x.cast("double") * y),
+        lit(0.0), (s, x) => s + x)
+      when(dot > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Bucketed ANN: queries probe only their own SRP bucket; candidates are
+    * ranked by exact cosine. Approximate — recall depends on nBits. */
+  def srpTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int, dim: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(nBits, dim)
+    val c = corpus.select(col(idCol).as("n_id"), col(embCol).as("n_emb"),
+      srpSignature(col(embCol), planes).as("bucket"))
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"),
+      srpSignature(col(embCol), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 5))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rn"))
+  }
+}

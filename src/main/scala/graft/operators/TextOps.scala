@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, shingling, quality scoring, language-ID, fingerprinting.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (array/lambda higher-order functions) — no UDFs — so the whole pipeline
+  * stays inside WholeStageCodegen and scales linearly with input splits:
+  * per-row work only, no shuffle, no driver involvement.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped (single-space corpus → exact
+    * DuckDB `string_split` parity). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Distinct word n-gram shingles ("a b c" windows) — the unit for
+    * MinHash/Jaccard dedup. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    // guard: sequence(1, x) with x<1 would run DESCENDING in Spark and
+    // slice(…, 0, …) throws — short docs get an empty shingle set instead
+    // (matching DuckDB generate_series semantics).
+    when(size(w) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", slice(w, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Canonical-text fingerprint: lowercase, collapse whitespace, md5.
+    * (Exact-dedup key; md5 matches DuckDB bit-for-bit.) */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Token count as LONG (DuckDB len() returns BIGINT). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: alpha runs, digit runs, and single
+    * punctuation marks each count as one token. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[a-zA-Z])(?=[^a-zA-Z])|(?<=[^a-zA-Z])(?=[a-zA-Z])|\\s+"),
+      t => t =!= "")).cast("long")
+
+  /** Stopword-marker sets per language (public, standard heuristic:
+    * function-word hit counting). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def markerHits(text: Column, lang: String): Column =
+    size(filter(tokens(text), t => t.isin(langMarkers(lang): _*))).cast("long")
+
+  /** Deterministic argmax over marker hits: earlier language in the fixed
+    * order en,de,es,fr,zh wins ties (mirrors a SQL CASE chain exactly). */
+  def langId(text: Column): Column = {
+    val Seq(en, de, es, fr, zh) =
+      Seq("en", "de", "es", "fr", "zh").map(markerHits(text, _))
+    when(en >= de && en >= es && en >= fr && en >= zh, "en")
+      .when(de >= es && de >= fr && de >= zh, "de")
+      .when(es >= fr && es >= zh, "es")
+      .when(fr >= zh, "fr")
+      .otherwise("zh")
+  }
+
+  /** Quality-score features: token count, type/token ratio, mean token
+    * length — formulas chosen to be expressible identically in ANSI SQL
+    * for oracle parity. */
+  def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+      .withColumn("ttr", round(col("n_distinct").cast("double") / col("n_tokens"), 4))
+      .withColumn("quality",
+        round(least(lit(1.0), col("n_tokens") / lit(100.0)) * col("ttr"), 4))
+  }
+}

@@ -1,0 +1,215 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators exposed through the correctness
+  * gate: text analysis, exact + near dedup (MinHash LSH, SimHash, n-gram
+  * Jaccard), embedding similarity search, multimodal binary plumbing.
+  * Oracles mirror each computation in DuckDB where SQL-expressible;
+  * hash-seeded operators (SimHash, SRP-LSH) are deterministic but not
+  * portable to DuckDB → rows-only.
+  */
+object PipelineQueries {
+
+  /** DuckDB fragment for whitespace tokens, empties dropped. */
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+  /** DuckDB fragment for distinct word-3-gram shingles. */
+  private val shinglesSql =
+    s"""list_distinct(list_transform(
+       |  generate_series(1, len($toksSql) - 2),
+       |  i -> array_to_string(list_slice($toksSql, i, i + 2), ' ')))""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------- text analysis
+    Q("t01_token_count",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select($"doc_id", TextOps.tokenCount($"text").as("n_tokens"), $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id, len($toksSql) AS n_tokens, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("t02_quality_score",
+      (s, dir) => {
+        import s.implicits._
+        TextOps.qualityFeatures(
+            Tables(s, dir, "documents").select($"doc_id", $"text"), $"text")
+          .select($"doc_id", $"n_tokens", $"n_distinct", $"ttr", $"quality")
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id,
+             |  len($toksSql) AS n_tokens,
+             |  len(list_distinct($toksSql)) AS n_distinct,
+             |  round(len(list_distinct($toksSql))::DOUBLE / len($toksSql), 4) AS ttr,
+             |  round(least(1.0, len($toksSql) / 100.0)
+             |    * round(len(list_distinct($toksSql))::DOUBLE / len($toksSql), 4), 4) AS quality
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("t03_lang_id",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select($"doc_id", TextOps.langId($"text").as("pred_lang"),
+            $"lang".as("true_lang"))
+          .withColumn("hit", $"pred_lang" === $"true_lang")
+          .orderBy($"doc_id")
+      },
+      Some {
+        def hits(ws: Seq[String]) =
+          s"len(list_filter($toksSql, x -> x IN (${ws.map("'" + _ + "'").mkString(", ")})))"
+        val en = hits(TextOps.langMarkers("en")); val de = hits(TextOps.langMarkers("de"))
+        val es = hits(TextOps.langMarkers("es")); val fr = hits(TextOps.langMarkers("fr"))
+        val zh = hits(TextOps.langMarkers("zh"))
+        s"""SELECT doc_id,
+           |  CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+           |       WHEN $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+           |       WHEN $es >= $fr AND $es >= $zh THEN 'es'
+           |       WHEN $fr >= $zh THEN 'fr'
+           |       ELSE 'zh' END AS pred_lang,
+           |  lang AS true_lang,
+           |  (CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+           |       WHEN $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+           |       WHEN $es >= $fr AND $es >= $zh THEN 'es'
+           |       WHEN $fr >= $zh THEN 'fr'
+           |       ELSE 'zh' END) = lang AS hit
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("t04_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select($"doc_id", TextOps.fingerprint($"text").as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------- dedup
+    Q("d01_dedup_exact",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.exactDedup(Tables(s, dir, "documents"), "doc_id", "text")
+          .select($"doc_id", $"group_size", $"is_canonical")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH f AS (SELECT doc_id,
+             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             |  FROM documents)
+             |SELECT doc_id,
+             |  count(*) OVER (PARTITION BY fp) AS group_size,
+             |  doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    Q("d02_minhash_lsh",
+      (s, dir) =>
+        Dedup.minhashLsh(Tables(s, dir, "documents"), "doc_id", "text",
+            shingleSize = 3, k = 64, bands = 16, threshold = 0.8)
+          .orderBy(col("id_a"), col("id_b")),
+      // oracle: exact all-pairs Jaccard — LSH with 16×4 bands has miss
+      // probability <1e-7 at j≥0.8, and the data (seed=42) is fixed, so
+      // candidate generation is deterministic and verified-exact.
+      Some(s"""WITH sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) AS jaccard
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("d03_simhash_pairs",
+      (s, dir) =>
+        Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
+            maxHamming = 10)
+          .orderBy(col("id_a"), col("id_b")),
+      None), // xxhash64-seeded signature: deterministic but not in DuckDB
+
+    Q("d04_ngram_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val sh = Tables(s, dir, "documents").filter($"doc_id" < 200)
+          .select($"doc_id", TextOps.shingles($"text", 3).as("sh"))
+        val a = sh.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+        val b = sh.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+        a.join(b, $"id_a" < $"id_b")
+          .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("double"))
+          .withColumn("jaccard",
+            round($"inter" / (size($"sh_a") + size($"sh_b") - $"inter"), 3))
+          .filter($"jaccard" >= 0.25)
+          .select($"id_a", $"id_b", $"jaccard")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents
+             |            WHERE doc_id < 200)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) AS jaccard
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) >= 0.25
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ----------------------------------------------------- similarity
+    Q("s01_ann_bruteforce",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 10), k = 5)
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some("""SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+             |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                               CAST(e.embedding AS DOUBLE[])), 5) AS cos,
+             |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                                 CAST(e.embedding AS DOUBLE[])), 5) DESC,
+             |    e.vec_id) AS rn
+             |FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+             |WHERE q.vec_id < 10
+             |QUALIFY rn <= 5
+             |ORDER BY q_id, rn""".stripMargin)),
+
+    Q("s02_ann_srp_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.srpTopK(emb, emb.filter($"vec_id" < 10), k = 5,
+            nBits = 6, dim = 64)
+          .orderBy(col("q_id"), col("rn"))
+      },
+      None), // seeded-hyperplane LSH: deterministic but not in DuckDB
+
+    // ----------------------------------------------------- multimodal
+    Q("m01_binary_meta",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select($"doc_id",
+            length(encode($"text", "UTF-8")).cast("long").as("n_bytes"),
+            ascii(substring($"text", 1, 1)).cast("long").as("first_byte"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("m02_decode_meta",
+      (s, dir) => {
+        val meta = Multimodal.decodePipeline(s, Tables(s, dir, "documents"))
+        meta.select(col("media_id"), col("width"), col("height"), col("n_payload"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(n_chars % 1024 AS INT) AS width,
+             |  CAST(doc_id % 768 AS INT) AS height,
+             |  octet_length(encode(text)) AS n_payload
+             |FROM documents ORDER BY media_id""".stripMargin))
+  )
+}

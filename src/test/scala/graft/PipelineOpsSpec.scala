@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("shingles: short docs get empty sets, no descending-sequence blowup") {
+    import spark.implicits._
+    val df = Seq((1L, "one two"), (2L, "one two three four")).toDF("id", "text")
+    val rows = df.select($"id", TextOps.shingles($"text", 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows(1L).isEmpty)
+    assert(rows(2L) == Seq("one two three", "two three four"))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    import spark.implicits._
+    val df = Seq(Tuple1("A  b\tC"), Tuple1("a b c")).toDF("text")
+      .select(TextOps.fingerprint($"text").as("fp"))
+    assert(df.distinct().count() == 1)
+  }
+
+  test("minhash LSH recall: finds exactly the exact-Jaccard pairs at sf0.001") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+    val got = Dedup.minhashLsh(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact all-pairs ground truth (feasible at this SF)
+    val sh = docs.select($"doc_id", TextOps.shingles($"text", 3).as("sh"))
+    val a = sh.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+    val b = sh.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+    val exact = a.join(b, $"id_a" < $"id_b")
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("double"))
+      .withColumn("j", round($"inter" / (size($"sh_a") + size($"sh_b") - $"inter"), 3))
+      .filter($"j" >= 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    assert(got == exact, s"LSH missed ${exact -- got}, extra ${got -- exact}")
+  }
+
+  test("simhash: identical text → identical signature; near-dup → small hamming") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark join filter scan merge sort window batch stream"),
+      (2L, "spark join filter scan merge sort window batch stream"),
+      (3L, "spark join filter scan merge sort window batch streaming"))
+      .toDF("id", "text")
+    val pairs = Dedup.simhashPairs(df, "id", "text", maxHamming = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.get((1L, 3L)).forall(_ <= 10))
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine($"a", $"b").as("same"),
+      Similarity.cosine($"a", $"c").as("orth")).collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("brute-force ANN: k rows per query, valid ranks, descending cos") {
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings")
+    val res = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3), 5).collect()
+    val byQ = res.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 3)
+    byQ.values.foreach { rows =>
+      assert(rows.length == 5)
+      val sorted = rows.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("SRP ANN results are a subset of brute-force candidate space") {
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings")
+    val res = Similarity.srpTopK(emb, emb.filter($"vec_id" < 10), 5, 6, 64).collect()
+    assert(res.nonEmpty)
+    res.foreach(r => assert(r.getAs[Double]("cos") <= 1.0 + 1e-9))
+  }
+
+  test("multimodal decode: header roundtrip + payload stats") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents").limit(50)
+    val meta = Multimodal.decodePipeline(spark, docs)
+    val joined = meta.join(docs, meta("media_id") === docs("doc_id"))
+    val bad = joined.filter(
+      col("width") =!= (col("n_chars") % 1024).cast("int") ||
+        col("height") =!= (col("doc_id") % 768).cast("int") ||
+        col("mean_byte") < 0 || col("mean_byte") > 255).count()
+    assert(bad == 0)
+    assert(meta.count() == 50)
+  }
+
+  test("langId emits only known languages, deterministic") {
+    import spark.implicits._
+    val preds = Tables(spark, sf, "documents")
+      .select(TextOps.langId($"text").as("p")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "de", "es", "fr", "zh")))
+  }
+}
