@@ -11,7 +11,8 @@ object SparkEntry {
   private lazy val queries_all: Seq[Q] =
     graft.queries.CoreQueries.all ++
       graft.queries.LineageQueries.all ++
-      graft.queries.PipelineQueries.all
+      graft.queries.PipelineQueries.all ++
+      graft.queries.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

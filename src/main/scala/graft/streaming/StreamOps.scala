@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table: file-source
+  * reads, watermarked window aggregation, and custom sessionization state
+  * via `flatMapGroupsWithState` (SURVEY §2.6: absent from the reference —
+  * engine-surface stretch scope).
+  *
+  * Scale design: state is keyed by `user_id`, so the state store shards
+  * with the shuffle partitioning; watermarks bound state size (events
+  * older than the watermark are finalized and dropped). The same code
+  * runs against a Kafka source by swapping `readStream.parquet` for
+  * `readStream.format("kafka")`.
+  */
+object StreamOps {
+
+  /** events schema as stored (ts = TIMESTAMP(NANOS) read as long; file
+    * streams require an explicit schema). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of the events parquet (nanos → micros timestamp, same
+    * conversion as the batch path in Tables.apply). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsRawSchema)
+      // file streams require a directory source; select just the events
+      // file(s) from the scale-factor dir
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Watermarked sliding-window aggregation. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+
+  final case class Ev(event_id: Long, sec: Long, user_id: Long)
+  final case class SessionOut(
+      user_id: Long, session_id: Long, n_events: Long, start_sec: Long, end_sec: Long)
+  final case class SessState(nSessions: Long)
+
+  /** Stateful sessionization: gap > `gapSec` starts a new session. Emits
+    * every session of the batch (single-batch file input ⇒ complete,
+    * deterministic output identical to the batch window-function
+    * formulation in q27_sessionize).
+    */
+  def sessionize(events: DataFrame, gapSec: Long = 1800): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val evs = events
+      .select(col("event_id"), unix_timestamp(col("ts")).as("sec"), col("user_id"))
+      .as[Ev]
+
+    def fn(userId: Long, it: Iterator[Ev], state: GroupState[SessState])
+        : Iterator[SessionOut] = {
+      val evsSorted = it.toSeq.sortBy(e => (e.sec, e.event_id))
+      if (evsSorted.isEmpty) Iterator.empty
+      else {
+        val base = state.getOption.map(_.nSessions).getOrElse(0L)
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        var sid = base
+        var n = 0L
+        var start = 0L
+        var last = Long.MinValue
+        evsSorted.foreach { e =>
+          if (last == Long.MinValue || e.sec - last > gapSec) {
+            if (n > 0) out += SessionOut(userId, sid, n, start, last)
+            sid += 1; n = 0; start = e.sec
+          }
+          n += 1; last = e.sec
+        }
+        if (n > 0) out += SessionOut(userId, sid, n, start, last)
+        state.update(SessState(sid))
+        out.iterator
+      }
+    }
+
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Run a streaming DataFrame to completion against finite file input via
+    * a memory sink; returns the materialized result table. */
+  def runToMemory(
+      spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
