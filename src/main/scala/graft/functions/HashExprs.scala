@@ -1,0 +1,294 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the hot per-row signature math of the
+  * dedup/similarity operators. The Column-DSL formulations (64 interpreted
+  * `aggregate`/`transform` passes per row) dominate the benchmark; a single
+  * tight JVM loop per row is 1-2 orders faster and keeps the surrounding
+  * plan codegen-friendly (one opaque call vs. a forest of lambda nodes).
+  */
+object HashExprs {
+
+  /** 64-bit SimHash over an array of 64-bit token hashes: bit i of the
+    * signature is set iff the count of inputs with bit i set exceeds half.
+    * Null elements are ignored.
+    */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val h = arr.getLong(i)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(sig)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExprs.simhash64Eval($c)")
+
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  }
+
+  /** Codegen entry point for [[SimHash64]]. */
+  def simhash64Eval(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** k-entry MinHash signature over an array of element hashes, using the
+    * classic universal family g_j(x) = a_j·mix(x) + b_j (odd a_j, seeded,
+    * wrapping arithmetic) with a finalizer mix so nearby inputs decorrelate.
+    */
+  case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+
+    protected override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(
+        MinHashSig.signature(input.asInstanceOf[ArrayData], k))
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.functions.HashExprs.minhashSigEval($c, $k))")
+
+    override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  }
+
+  /** Codegen entry point for [[MinHashSig]] (static forwarders only exist
+    * on the top-level object). */
+  def minhashSigEval(arr: ArrayData, k: Int): Array[Long] = MinHashSig.signature(arr, k)
+
+  object MinHashSig {
+    private val MaxK = 512
+    // deterministic hash-family coefficients, fixed seed
+    private val coeffs: Array[(Long, Long)] = {
+      val rnd = new scala.util.Random(42L)
+      Array.fill(MaxK)((rnd.nextLong() | 1L, rnd.nextLong()))
+    }
+
+    @inline private def mix(x0: Long): Long = {
+      // splitmix64 finalizer (public domain constant mix)
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+
+    def signature(arr: ArrayData, k: Int): Array[Long] = {
+      require(k <= MaxK, s"k=$k exceeds $MaxK")
+      val n = arr.numElements()
+      val mins = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val m = mix(arr.getLong(i))
+          var j = 0
+          while (j < k) {
+            val v = coeffs(j)._1 * m + coeffs(j)._2
+            if (v < mins(j)) mins(j) = v
+            j += 1
+          }
+        }
+        i += 1
+      }
+      mins
+    }
+  }
+
+  /** Cosine similarity of two float/double arrays, accumulated in double
+    * in element order (parity with the HOF formulation and DuckDB). */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_sim"
+
+    private lazy val leftElem = left.dataType.asInstanceOf[ArrayType].elementType
+    private lazy val rightElem = right.dataType.asInstanceOf[ArrayType].elementType
+
+    private def get(arr: ArrayData, i: Int, t: DataType): Double = t match {
+      case FloatType => arr.getFloat(i).toDouble
+      case DoubleType => arr.getDouble(i)
+      case IntegerType => arr.getInt(i).toDouble
+      case LongType => arr.getLong(i).toDouble
+      case _ => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+
+    protected override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = get(a, i, leftElem)
+        val y = get(b, i, rightElem)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+  }
+
+  /** Tokenize on single spaces, hash each token (FNV-1a 64 over UTF-8),
+    * combine each n-token window order-sensitively, and return the SORTED
+    * distinct shingle hashes — the whole shingle pipeline in one JVM pass
+    * (the Column-DSL chain split→filter→transform→concat_ws→slice→distinct
+    * built ~300 intermediate strings/arrays per row and dominated the
+    * dedup benchmark). Sorted output enables two-pointer set ops
+    * ([[SortedJaccard]]).
+    */
+  case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hashes"
+
+    protected override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(shingleHashesEval(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n))
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.functions.HashExprs.shingleHashesEval($c, $n))")
+
+    override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  }
+
+  /** Codegen entry point for [[ShingleHashes]]. */
+  def shingleHashesEval(text: org.apache.spark.unsafe.types.UTF8String, n: Int): Array[Long] = {
+    val bytes = text.getBytes
+    // FNV-1a per token, single scan, no String allocation
+    val tokenHashes = new java.util.ArrayList[java.lang.Long](64)
+    var h = 0xCBF29CE484222325L
+    var inToken = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == ' ') {
+        if (inToken) { tokenHashes.add(h); h = 0xCBF29CE484222325L; inToken = false }
+      } else {
+        h = (h ^ (b & 0xFF)) * 0x100000001B3L
+        inToken = true
+      }
+      i += 1
+    }
+    if (inToken) tokenHashes.add(h)
+    val m = tokenHashes.size
+    if (m < n) return Array.emptyLongArray
+    val out = new Array[Long](m - n + 1)
+    var w = 0
+    while (w <= m - n) {
+      var c = 0xCBF29CE484222325L
+      var j = 0
+      while (j < n) {
+        c = (c ^ tokenHashes.get(w + j).longValue()) * 0x100000001B3L
+        j += 1
+      }
+      out(w) = c
+      w += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedupe of the sorted array
+    var len = 0
+    var r = 0
+    while (r < out.length) {
+      if (len == 0 || out(r) != out(len - 1)) { out(len) = out(r); len += 1 }
+      r += 1
+    }
+    if (len == out.length) out else java.util.Arrays.copyOf(out, len)
+  }
+
+  /** Exact Jaccard of two SORTED distinct long arrays (two-pointer
+    * intersection, O(m+n), no hashing). */
+  case class SortedJaccard(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "sorted_jaccard"
+
+    protected override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Double.valueOf(sortedJaccardEval(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.HashExprs.sortedJaccardEval($a, $b)")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedJaccard =
+      copy(left = l, right = r)
+  }
+
+  /** Codegen entry point for [[SortedJaccard]]. */
+  def sortedJaccardEval(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
+  // ------------------------------------------------------- Column surface
+
+  def simhash64(hashes: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(hashes)))
+
+  def shingle_hashes(text: Column, n: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(text), n))
+
+  def sorted_jaccard(a: Column, b: Column): Column =
+    Bridge.column(SortedJaccard(Bridge.expression(a), Bridge.expression(b)))
+
+  def minhash_sig(hashes: Column, k: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(hashes), k))
+
+  def cosine_sim(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.HashExprs
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -8,19 +9,20 @@ import org.apache.spark.sql.functions._
   * Spark's shuffle model:
   *
   *  - exact dedup: one hash-groupBy (single shuffle on the fingerprint);
-  *  - MinHash+LSH near-dedup: per-row signature computation (codegen'd
-  *    higher-order functions, no UDFs), band-bucket shuffle to generate
-  *    candidates, then exact Jaccard verification on candidates only —
-  *    the classic shingle→minhash→band→bucket-join pipeline that avoids
-  *    the all-pairs O(n²) cross join entirely, so it scales to 100 TB:
-  *    cost is O(n·k) map-side plus a shuffle keyed by (band, bucket);
+  *  - MinHash+LSH near-dedup: per-row signatures via a custom Catalyst
+  *    expression (single JVM loop/row — the Column-DSL HOF formulation was
+  *    the benchmark hotspot), one shuffle keyed by (band, bucket) that
+  *    both applies the skew cap and expands in-bucket candidate pairs
+  *    map-side, then exact-Jaccard verification with the (tiny) candidate
+  *    set broadcast — the classic shingle→minhash→band→bucket pipeline
+  *    with no O(n²) cross join and no windowed re-shuffle, so it scales
+  *    to 100 TB: O(n·k) map work + one bucket shuffle + one pair shuffle;
   *  - SimHash near-dedup: 64-bit signature, banded by 16-bit chunks
-  *    (pigeonhole: hamming distance ≤ 3 ⇒ at least one of 4 chunks equal).
+  *    (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 chunks equal).
   *
-  * Skew note (100 TB): boilerplate/empty documents hash to identical
-  * signatures and create mega-buckets; `maxBucket` caps the candidate
-  * explosion (pairs within an over-full bucket are dropped and should be
-  * handled by the exact-dedup pass that precedes near-dedup).
+  * Skew note (100 TB): boilerplate/empty documents produce identical
+  * signatures and mega-buckets; `maxBucket` drops those buckets (their
+  * members are exact-dup-like and belong to the exact-dedup pass).
   */
 object Dedup {
 
@@ -33,15 +35,10 @@ object Dedup {
       .withColumn("is_canonical", col(idCol) === min(col(idCol)).over(w))
   }
 
-  /** MinHash signature of `k` hashes over distinct shingles. Each hash_j =
-    * min over shingles of xxhash64(shingle_hash, j) — per-row, codegen'd,
-    * no shuffle. */
-  def minhashSignature(shingleCol: Column, k: Int): Column = {
-    val hashes = transform(shingleCol, s => xxhash64(s))
-    array((0 until k).map { j =>
-      array_min(transform(hashes, h => xxhash64(h, lit(j))))
-    }: _*)
-  }
+  /** MinHash signature of `k` hashes over distinct shingles — custom
+    * Catalyst expression, one pass per row. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    HashExprs.minhash_sig(transform(shingleCol, s => xxhash64(s)), k)
 
   /** LSH band keys: `bands` hashes, each over `rowsPerBand` consecutive
     * signature entries. */
@@ -52,6 +49,18 @@ object Dedup {
         xxhash64((0 until rowsPerBand)
           .map(r => element_at(sigCol, b * rowsPerBand + r + 1)): _*).as("bucket"))
     }: _*)
+
+  /** In-bucket candidate pairs: group members per (band,bucket), cap skew,
+    * expand ordered pairs from the member list (map-side after the one
+    * groupBy shuffle). */
+  private def bucketPairs(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
 
   /** Near-duplicate pairs via MinHash LSH with exact-Jaccard verification.
     *
@@ -64,50 +73,45 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleSize: Int = 3,
-      k: Int = 64,
+      k: Int = 128,
       bands: Int = 16,
       threshold: Double = 0.8,
       maxBucket: Int = 1000): DataFrame = {
+    // band tuning: r = k/bands rows per band. r=8,b=16 keeps the candidate
+    // (false-positive) rate ~1e-4 of all pairs while missing a true j≥0.9
+    // pair with probability (1-0.9^8)^16 ≈ 1e-4 — at lower r the background
+    // similarity of natural corpora floods verification with candidates.
     val rowsPerBand = k / bands
+    // the whole tokenize→hash→shingle→distinct pipeline is ONE custom
+    // expression producing sorted long arrays (the Column-DSL chain built
+    // ~300 intermediate strings/arrays per row and was recomputed on every
+    // reuse of this subtree); signatures, banding and exact verification
+    // all run on the long arrays (hash collisions perturb Jaccard with
+    // p≈2^-64)
     val sh = docs
-      .select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .select(col(idCol).as("id"),
+        HashExprs.shingle_hashes(col(textCol), shingleSize).as("shh"))
+      .filter(size(col("shh")) > 0)
     val banded = sh
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("sig", HashExprs.minhash_sig(col("shh"), k))
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val smallBuckets = banded
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bsize") <= maxBucket)
-    val a = smallBuckets.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = smallBuckets.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val withSets = candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-    withSets
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+    val candidates = bucketPairs(banded, maxBucket)
+    // candidate pairs are tiny vs the corpus: broadcast them into the
+    // first shingle join; the second join shuffles only the slim
+    // (id, long-array) projection
+    sh.select(col("id").as("id_a"), col("shh").as("sh_a"))
+      .join(broadcast(candidates), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
-        round(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 3))
+        round(HashExprs.sorted_jaccard(col("sh_a"), col("sh_b")), 3))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over tokens: bit i is set iff the signed sum of token
-    * hash bits at position i is positive. Per-row only (explode-free:
-    * aggregate over the token array). */
-  def simhash(textCol: Column): Column = {
-    val hashes = transform(TextOps.tokens(textCol), t => xxhash64(t))
-    val bitSums = (0 until 64).map { i =>
-      aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-    }
-    bitSums.zipWithIndex.map { case (s, i) =>
-      when(s > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-  }
+  /** 64-bit SimHash over tokens — custom Catalyst expression, one pass. */
+  def simhash(textCol: Column): Column =
+    HashExprs.simhash64(transform(TextOps.tokens(textCol), t => xxhash64(t)))
 
   /** SimHash near-dup candidates: band the 64-bit signature into four
     * 16-bit chunks (hamming ≤ 3 guarantees a shared chunk), bucket-join,
@@ -116,19 +120,19 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded = sigs.select(col("id"),
       explode(array((0 until 4).map { c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("key"))
+        struct(lit(c).as("band"),
+          shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("bucket"))
       }: _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.chunk").as("chunk"), col("bk.key").as("key"))
-    val a = banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val candidates = bucketPairs(banded, maxBucket)
+    sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(broadcast(candidates), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

@@ -22,15 +22,10 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity between two array<float>/array<double> columns,
-    * computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, x) => s + x)
-    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (s, x) => s + x))
-    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (s, x) => s + x))
-    dot / (na * nb)
-  }
+    * accumulated in double in element order (custom Catalyst expression —
+    * one JVM loop per row instead of three interpreted HOF passes). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.HashExprs.cosine_sim(a, b)
 
   /** Exact top-k neighbors for each query vector. Ranking uses the rounded
     * cosine plus id tiebreak so results are deterministic across engines. */

@@ -110,7 +110,7 @@ object PipelineQueries {
     Q("d02_minhash_lsh",
       (s, dir) =>
         Dedup.minhashLsh(Tables(s, dir, "documents"), "doc_id", "text",
-            shingleSize = 3, k = 64, bands = 16, threshold = 0.8)
+            shingleSize = 3, k = 128, bands = 16, threshold = 0.8)
           .orderBy(col("id_a"), col("id_b")),
       // oracle: exact all-pairs Jaccard — LSH with 16×4 bands has miss
       // probability <1e-7 at j≥0.8, and the data (seed=42) is fixed, so

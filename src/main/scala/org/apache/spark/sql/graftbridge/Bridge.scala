@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `new Column(Expression)` constructor (Column
+  * is ColumnNode-backed for Connect); classic sessions expose the
+  * conversion via `private[sql] ExpressionUtils`. This bridge lives in the
+  * sql package namespace to lift that into our library — the standard
+  * pattern for Catalyst-extending libraries.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
