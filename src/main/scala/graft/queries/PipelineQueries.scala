@@ -134,14 +134,13 @@ object PipelineQueries {
     Q("d04_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
+        import graft.functions.HashExprs
         val sh = Tables(s, dir, "documents").filter($"doc_id" < 200)
-          .select($"doc_id", TextOps.shingles($"text", 3).as("sh"))
+          .select($"doc_id", HashExprs.shingle_hashes($"text", 3).as("sh"))
         val a = sh.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
         val b = sh.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
         a.join(b, $"id_a" < $"id_b")
-          .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("double"))
-          .withColumn("jaccard",
-            round($"inter" / (size($"sh_a") + size($"sh_b") - $"inter"), 3))
+          .withColumn("jaccard", round(HashExprs.sorted_jaccard($"sh_a", $"sh_b"), 3))
           .filter($"jaccard" >= 0.25)
           .select($"id_a", $"id_b", $"jaccard")
           .orderBy($"id_a", $"id_b")

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.{Q, Tables}
+
+/** SQL front-end surface: the same engine driven through `spark.sql` over
+  * registered temp views (the reference consumed parsed+executed HiveQL;
+  * this is the Spark analog of that entry point — parser → analyzer →
+  * same Catalyst pipeline, same lineage extraction).
+  */
+object SqlQueries {
+
+  private def sql(s: org.apache.spark.sql.SparkSession, dir: String, text: String) = {
+    Tables.registerAll(s, dir)
+    s.sql(text)
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // TPC-H Q5 shape: 5-way join through region, SQL text end-to-end
+    Q("sq01_sql_region_revenue",
+      (s, dir) => sql(s, dir,
+        """SELECT n_name,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          |  count(*) AS n
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      Some("""SELECT n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  count(*) AS n
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // correlated subquery in SQL (TPC-H Q17 shape: per-part average)
+    Q("sq02_sql_correlated",
+      (s, dir) => sql(s, dir,
+        """SELECT l.l_partkey AS partkey,
+          |  round(sum(l.l_extendedprice), 2) AS total
+          |FROM lineitem l
+          |WHERE l.l_quantity > (
+          |  SELECT avg(l2.l_quantity) * 1.6 FROM lineitem l2
+          |  WHERE l2.l_partkey = l.l_partkey)
+          |GROUP BY l.l_partkey
+          |HAVING count(*) >= 2
+          |ORDER BY partkey""".stripMargin),
+      Some("""SELECT l.l_partkey AS partkey,
+             |  round(sum(l.l_extendedprice), 2) AS total
+             |FROM lineitem l
+             |WHERE l.l_quantity > (
+             |  SELECT avg(l2.l_quantity) * 1.6 FROM lineitem l2
+             |  WHERE l2.l_partkey = l.l_partkey)
+             |GROUP BY l.l_partkey
+             |HAVING count(*) >= 2
+             |ORDER BY partkey""".stripMargin)),
+
+    // CTE + window in SQL text
+    Q("sq03_sql_cte_window",
+      (s, dir) => sql(s, dir,
+        """WITH monthly AS (
+          |  SELECT o_custkey, date_format(o_orderdate, 'yyyy-MM') AS ym,
+          |    round(sum(o_totalprice), 2) AS m_total
+          |  FROM orders GROUP BY o_custkey, date_format(o_orderdate, 'yyyy-MM'))
+          |SELECT o_custkey, ym, m_total,
+          |  round(sum(m_total) OVER (PARTITION BY o_custkey ORDER BY ym
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+          |FROM monthly ORDER BY o_custkey, ym""".stripMargin),
+      Some("""WITH monthly AS (
+             |  SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS ym,
+             |    round(sum(o_totalprice), 2) AS m_total
+             |  FROM orders GROUP BY o_custkey, strftime(o_orderdate, '%Y-%m'))
+             |SELECT o_custkey, ym, m_total,
+             |  round(sum(m_total) OVER (PARTITION BY o_custkey ORDER BY ym
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+             |FROM monthly ORDER BY o_custkey, ym""".stripMargin))
+  )
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lineage._
+
+/** Golden renderings + lineage through UDFs and SQL text (SURVEY §5
+  * rebuild strategy items 2 and 4).
+  */
+class LineageGoldenSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("golden: q1-analog logical lineage tree rendering is stable") {
+    import spark.implicits._
+    val df = Tables(spark, sf, "lineitem")
+      .filter($"l_quantity" > 40)
+      .select($"l_orderkey", $"l_extendedprice")
+    val got = LineageExtractor.fromLogical(df.queryExecution.optimizedPlan).treeString
+    val expected =
+      """Project [0] l_orderkey, l_extendedprice
+        |  Filter [0.0] ((l_quantity IS NOT NULL) AND (l_quantity > 40.0D))
+        |    Scan [0.0.0] lineitem [l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate]
+        |""".stripMargin
+    assert(got == expected)
+  }
+
+  test("lineage flows through a Scala UDF generically (SURVEY §2.6)") {
+    import spark.implicits._
+    val double_it = udf((x: Double) => x * 2)
+    val df = Tables(spark, sf, "part")
+      .select($"p_partkey", double_it($"p_retailprice").as("px2"))
+    val l = LineageExtractor.columnLineage(df.queryExecution.optimizedPlan)
+    assert(l("px2") == Set(ColumnRef("part", "p_retailprice")))
+  }
+
+  test("lineage of SQL-text queries (parser entry point)") {
+    Tables.registerAll(spark, sf)
+    val df = spark.sql(
+      """SELECT n_name, round(sum(c_acctbal), 2) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)
+    val l = LineageExtractor.columnLineage(df.queryExecution.optimizedPlan)
+    assert(l("bal") == Set(ColumnRef("customer", "c_acctbal")))
+    assert(l("n_name") == Set(ColumnRef("nation", "n_name")))
+  }
+
+  test("lineage through SQL CTE and correlated subquery") {
+    Tables.registerAll(spark, sf)
+    val df = spark.sql(
+      """WITH big AS (SELECT o_custkey, o_totalprice FROM orders
+        |             WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders))
+        |SELECT o_custkey, round(sum(o_totalprice), 2) AS t FROM big GROUP BY o_custkey""".stripMargin)
+    val l = LineageExtractor.columnLineage(df.queryExecution.optimizedPlan)
+    assert(l("t") == Set(ColumnRef("orders", "o_totalprice")))
+    assert(l("o_custkey") == Set(ColumnRef("orders", "o_custkey")))
+  }
+
+  test("column lineage JSON round-trips through a stable rendering") {
+    import spark.implicits._
+    val df = Tables(spark, sf, "region").select($"r_name")
+    val rep = LineageExtractor.report(df.queryExecution)
+    assert(rep.columnLineageJson ==
+      """{"r_name":[{"table":"region","column":"r_name"}]}""")
+  }
+}
