@@ -5,7 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = Sessions.builder("8").appName("graft-test").getOrCreate()
+    val s = Sessions.builder("8").appName("graft-test")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the 100 TB design rules: partition
+  * pruning reaches the scan, bucketed joins avoid shuffles, filters push
+  * into parquet.
+  */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def finalPlan(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => finalPlan(a.executedPlan)
+    case q: QueryStageExec => finalPlan(q.plan)
+    case other => other
+  }
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val self = finalPlan(p)
+    val here = if (pf.isDefinedAt(self)) Seq(pf(self)) else Nil
+    here ++ self.children.flatMap(c => collectAll(c)(pf))
+  }
+
+  test("partitioned write + read prunes partitions at the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables(spark, sf, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus")
+      .parquet(s"$tmp/orders_part")
+    val df = spark.read.parquet(s"$tmp/orders_part")
+      .filter(col("o_orderstatus") === "F")
+      .agg(count(lit(1)))
+    df.collect()
+    val scans = collectAll(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.nonEmpty,
+      "partition filter must prune at the scan, not post-filter")
+    // only the matching partition directory is read
+    assert(scans.head.relation.location.listFiles(
+      scans.head.partitionFilters, Nil).forall(
+      _.files.forall(_.getPath.toString.contains("o_orderstatus=F"))))
+  }
+
+  test("bucketed tables join without a shuffle") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    // the in-memory catalog forgets tables between JVMs but their managed
+    // locations persist — clear them or CTAS refuses to reuse the path
+    Seq("b_orders", "b_customer").foreach { t =>
+      val d = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(d)
+      }
+    }
+    Tables(spark, sf, "orders")
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("b_orders")
+    Tables(spark, sf, "customer")
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("b_customer")
+    // disable broadcast so the join would otherwise shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_orders").join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      j.collect()
+      val exchanges = collectAll(j.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec => e
+      }
+      // the join itself must be shuffle-free (bucket co-location); the only
+      // allowed exchange is the final single-partition aggregation
+      val joinInputExchanges = exchanges.filterNot(
+        _.outputPartitioning.numPartitions <= 8)
+      assert(exchanges.size <= 1,
+        s"expected at most the post-agg exchange, got ${exchanges.size}")
+      assert(joinInputExchanges.size <= 1)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("predicate pushdown reaches every parquet scan in the corpus") {
+    import spark.implicits._
+    val df = Tables(spark, sf, "lineitem").filter($"l_quantity" > 45)
+      .select($"l_orderkey")
+    df.collect()
+    val scans = collectAll(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    val meta = scans.head.metadata
+    assert(meta("PushedFilters").contains("GreaterThan(l_quantity,45"))
+    assert(meta("ReadSchema").contains("l_orderkey") &&
+      !meta("ReadSchema").contains("l_comment"))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("q10_topk")(spark, sf)
+    df.collect()
+    val kinds = collectAll(df.queryExecution.executedPlan) { case p => p.nodeName }
+    assert(kinds.exists(_.contains("TakeOrderedAndProject")), kinds.mkString(","))
+    assert(!kinds.exists(_ == "SortExec"), "global sort found for a limit query")
+  }
+}
