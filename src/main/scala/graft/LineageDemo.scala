@@ -40,6 +40,30 @@ object LineageDemo {
       .transformUp(LineageExtractor.Rules.removeExchanges)
     println(phys.treeString)
 
+    // expression rewrite into source terms (reference SchemaMapping.map)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    import org.apache.spark.sql.functions.lit
+    val aliased = Tables(spark, sfDir, "lineitem")
+      .select((org.apache.spark.sql.functions.col("l_extendedprice")
+        * (lit(1) - org.apache.spark.sql.functions.col("l_discount"))).as("net"))
+      .filter(org.apache.spark.sql.functions.col("net") > 1000)
+    val aPlan = aliased.queryExecution.analyzed
+    val cond = aPlan.collectFirst { case f: LFilter => f.condition }.get
+    println("--- filter condition rewritten to source terms ---")
+    println(s"  original:  ${cond.sql}")
+    println(s"  rewritten: ${LineageExtractor.rewriteToSourceSql(cond, aPlan)}")
+
+    // partition-level lineage over a partitioned copy of orders
+    val tmp = java.nio.file.Files.createTempDirectory("graft_demo").toString
+    Tables(spark, sfDir, "orders").write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(s"$tmp/orders_bystatus")
+    val pq = spark.read.parquet(s"$tmp/orders_bystatus")
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+      .agg(org.apache.spark.sql.functions.count(lit(1)))
+    pq.collect()
+    println("--- partition-level input lineage (pruned) ---")
+    println(s"  ${LineageExtractor.partitionLineage(pq.queryExecution.executedPlan)}")
+
     // shared-scan DAG demo: self-join renders the second visit as "..."
     import org.apache.spark.sql.functions.col
     val n1 = Tables(spark, sfDir, "nation").select(col("n_nationkey"), col("n_name"))

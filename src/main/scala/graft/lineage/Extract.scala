@@ -229,6 +229,98 @@ object LineageExtractor {
     build(plan, "0")
   }
 
+  // ------------------------------------------- expression rewrite (§2.7 #7)
+
+  /** Rewrite an expression tree into source-column terms: every attribute
+    * that resolves to exactly one source column is renamed
+    * `table.column` (reference `SchemaMapping.map`,
+    * `/root/reference/hivehook/.../qinfo/SchemaMapping.scala:32-70`, which
+    * rewrites Hive `ExprNodeDesc` trees the same way — recursively,
+    * preserving function calls and types untouched).
+    */
+  def rewriteToSource(e: Expression, plan: LogicalPlan): Expression = {
+    val attr = attributeLineage(plan)
+    // defining expressions of every alias in the plan, so derived columns
+    // inline recursively (qty_net -> price * (1 - discount) -> source terms)
+    val defs = mutable.Map.empty[ExprId, Expression]
+    plan.foreach {
+      case p: Project =>
+        p.projectList.foreach {
+          case al @ Alias(child, _) => defs(al.exprId) = child
+          case _ => ()
+        }
+      case a: Aggregate =>
+        a.aggregateExpressions.foreach {
+          case al @ Alias(child, _) => defs(al.exprId) = child
+          case _ => ()
+        }
+      case w: Window =>
+        w.windowExpressions.foreach {
+          case al @ Alias(child, _) => defs(al.exprId) = child
+          case _ => ()
+        }
+      case _ => ()
+    }
+    def go(expr: Expression, depth: Int): Expression = expr.transform {
+      case a: AttributeReference if defs.contains(a.exprId) && depth < 20 =>
+        go(defs(a.exprId), depth + 1)
+      case a: AttributeReference =>
+        attr.get(a.exprId) match {
+          case Some(refs) if refs.size == 1 =>
+            val r = refs.head
+            a.withName(s"${r.table}.${r.column}")
+          case _ => a
+        }
+    }
+    go(e, 0)
+  }
+
+  /** Convenience: the rewritten expression rendered as SQL. */
+  def rewriteToSourceSql(e: Expression, plan: LogicalPlan): String =
+    rewriteToSource(e, plan).sql
+
+  // ------------------------------------------- partition-level lineage
+
+  /** Partition-level input lineage: for each parquet scan of a partitioned
+    * relation, the partition directories that survive pruning (reference
+    * analog: `PartitionDef` inputs resolved per scan,
+    * `OperatorInfo.scala:76-95`). Table-scans of unpartitioned data map to
+    * an empty list. Metadata-only (file-index listing, no data read).
+    */
+  def partitionLineage(plan: SparkPlan): Map[String, Seq[String]] = {
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec => unwrap(q.plan)
+      case r: ReusedExchangeExec => unwrap(r.child)
+      case w: WholeStageCodegenExec => unwrap(w.child)
+      case i: InputAdapter => unwrap(i.child)
+      case other => other
+    }
+    val out = mutable.LinkedHashMap.empty[String, Seq[String]]
+    def walk(p0: SparkPlan): Unit = {
+      val p = unwrap(p0)
+      p match {
+        case s: FileSourceScanExec =>
+          val name = s.tableIdentifier.map(_.table).getOrElse(
+            relationName(s.relation.location.rootPaths.headOption
+              .map(_.toString).getOrElse("<unknown>")))
+          val partSchema = s.relation.partitionSchema
+          val parts =
+            if (partSchema.isEmpty) Seq.empty[String]
+            else s.relation.location.listFiles(s.partitionFilters, Nil).map { pd =>
+              partSchema.fields.zipWithIndex.map { case (f, i) =>
+                s"${f.name}=${pd.values.get(i, f.dataType)}"
+              }.mkString("/")
+            }
+          out(name) = parts
+        case _ => ()
+      }
+      p.children.foreach(walk)
+    }
+    walk(plan)
+    out.toMap
+  }
+
   // ------------------------------------------------------------- full report
 
   /** Inputs/outputs + graph + column lineage for one execution (the
