@@ -155,6 +155,38 @@ object PipelineQueries {
              |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) >= 0.25
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("d05_embedding_nn",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.Similarity
+        // embedding-cosine near-dup: canonical nearest-neighbor assignment
+        // over a bounded block (vec_id < 1000 ⇒ constant cost across SF;
+        // the unbounded scale path is the SRP-bucketed variant in s02)
+        val emb = Tables(s, dir, "embeddings").filter($"vec_id" < 1000)
+          .select($"vec_id", $"embedding")
+        val a = emb.select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+        val b = emb.select($"vec_id".as("n_id"), $"embedding".as("n_emb"))
+        val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
+        a.crossJoin(b).filter($"q_id" =!= $"n_id")
+          .withColumn("cos", round(Similarity.cosine($"q_emb", $"n_emb"), 5))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"q_id", $"n_id", $"cos")
+          .orderBy($"q_id")
+      },
+      Some("""SELECT q_id, n_id, cos FROM (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                                 CAST(b.embedding AS DOUBLE[])), 5) AS cos,
+             |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             |      round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                                   CAST(b.embedding AS DOUBLE[])), 5) DESC,
+             |      b.vec_id) AS rn
+             |  FROM embeddings a JOIN embeddings b
+             |    ON a.vec_id <> b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000)
+             |WHERE rn = 1 ORDER BY q_id""".stripMargin)),
+
     // ----------------------------------------------------- similarity
     Q("s01_ann_bruteforce",
       (s, dir) => {

@@ -38,6 +38,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(a.subsetOf(c))
   }
 
+  test("streaming lineage listener captures source and sink per batch") {
+    val l = graft.streaming.StreamLineageListener.install(spark)
+    try {
+      SparkEntry.queries("st01_stream_hourly")(spark, sf).collect()
+      val deadline = System.currentTimeMillis() + 10000
+      while (l.lineages.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val lin = l.lineages
+      assert(lin.nonEmpty)
+      assert(lin.exists(_.sources.exists(_.contains("FileStreamSource"))), lin)
+      assert(lin.exists(_.sink.contains("Memory")), lin)
+    } finally spark.streams.removeListener(l)
+  }
+
   test("streaming lineage: plan definition exposes the streaming source") {
     val df = StreamOps.hourlyCounts(StreamOps.readEvents(spark, sf))
     val g = graft.lineage.LineageExtractor.fromLogical(df.queryExecution.analyzed)
