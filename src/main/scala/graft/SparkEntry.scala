@@ -14,7 +14,8 @@ object SparkEntry {
       graft.queries.LineageQueries.all ++
       graft.queries.PipelineQueries.all ++
       graft.queries.StreamQueries.all ++
-      graft.queries.SqlQueries.all
+      graft.queries.SqlQueries.all ++
+      graft.queries.SourceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

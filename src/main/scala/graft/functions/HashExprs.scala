@@ -121,18 +121,22 @@ object HashExprs {
       val mins = Array.fill(k)(Long.MaxValue)
       var i = 0
       while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val m = mix(arr.getLong(i))
-          var j = 0
-          while (j < k) {
-            val v = coeffs(j)._1 * m + coeffs(j)._2
-            if (v < mins(j)) mins(j) = v
-            j += 1
-          }
-        }
+        if (!arr.isNullAt(i)) updateMins(mins, arr.getLong(i), k)
         i += 1
       }
       mins
+    }
+
+    /** Fold one element hash into a k-mins buffer (shared with
+      * [[MinHashSetAgg]]). */
+    def updateMins(mins: Array[Long], x: Long, k: Int): Unit = {
+      val m = mix(x)
+      var j = 0
+      while (j < k) {
+        val v = coeffs(j)._1 * m + coeffs(j)._2
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
     }
   }
 
@@ -275,6 +279,74 @@ object HashExprs {
     inter.toDouble / (na + nb - inter)
   }
 
+  /** Group-level MinHash sketch as a `TypedImperativeAggregate` (SURVEY
+    * §7.3 stretch item): aggregates any column into a k-entry signature of
+    * the group's value SET; the fraction of equal signature entries
+    * between two groups estimates their set Jaccard with standard error
+    * ~sqrt(j(1-j)/k). Mergeable (elementwise min) ⇒ map-side partials
+    * combine like any native aggregate, so group sketches over 100 TB cost
+    * one shuffle of k longs per group.
+    */
+  case class MinHashSetAgg(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]] {
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_set_agg"
+
+    override def createAggregationBuffer(): Array[Long] = Array.fill(k)(Long.MaxValue)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(v, child.dataType, 42L)
+        MinHashSig.updateMins(buf, h, k)
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var j = 0
+      while (j < k) { if (b2(j) < b1(j)) b1(j) = b2(j); j += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 * k)
+      buf.foreach(bb.putLong)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      Array.fill(k)(bb.getLong)
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): MinHashSetAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): MinHashSetAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): MinHashSetAgg =
+      copy(child = cs.head)
+  }
+
+  /** Estimated Jaccard between two [[MinHashSetAgg]] signatures: fraction
+    * of equal entries. */
+  def minhash_est_jaccard(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions._
+    aggregate(
+      zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (s, x) => s + x).cast("double") / size(a)
+  }
+
   // ------------------------------------------------------- Column surface
 
   def simhash64(hashes: Column): Column =
@@ -291,4 +363,7 @@ object HashExprs {
 
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
+  def minhash_set_agg(c: Column, k: Int): Column =
+    Bridge.column(MinHashSetAgg(Bridge.expression(c), k).toAggregateExpression())
 }

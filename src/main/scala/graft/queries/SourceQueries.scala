@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source-format surface beyond parquet: CSV, JSON, ORC round trips
+  * (the reference's fixtures scanned ORC tables — SURVEY §5). Each query
+  * copies a table into the format under test, reads it back through the
+  * format's reader, and aggregates; the oracle runs on the original
+  * parquet, so any format-conversion bug breaks the hash.
+  */
+object SourceQueries {
+
+  private val ordersSlim = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType)))
+
+  def all: Seq[Q] = Seq(
+
+    Q("q43_csv_source",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        Tables(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+          .write.mode("overwrite").option("header", "true").csv(s"$tmp/orders_csv")
+        s.read.schema(ordersSlim).option("header", "true").csv(s"$tmp/orders_csv")
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"),
+            max($"o_orderkey").as("max_key"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total, max(o_orderkey) AS max_key
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    Q("q44_json_source",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+        Tables(s, dir, "customer")
+          .write.mode("overwrite").json(s"$tmp/customer_json")
+        s.read.json(s"$tmp/customer_json")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"), round(sum($"c_acctbal"), 2).as("bal"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    Q("q45_orc_source",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        Tables(s, dir, "orders").write.mode("overwrite").orc(s"$tmp/orders_orc")
+        s.read.orc(s"$tmp/orders_orc")
+          .groupBy(date_format($"o_orderdate", "yyyy-MM").as("ym"))
+          .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+          .orderBy($"ym")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin)),
+
+    // group-level set similarity: exact pairwise token-set Jaccard between
+    // languages (the estimator counterpart is MinHashSetAgg, spec-tested)
+    Q("q46_group_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val tok = Tables(s, dir, "documents")
+          .select($"lang", explode(split($"text", " ")).as("token"))
+          .filter($"token" =!= "").distinct()
+        val counts = tok.groupBy($"lang").agg(count(lit(1)).as("n"))
+        val inter = tok.select($"lang".as("lang_a"), $"token")
+          .join(tok.select($"lang".as("lang_b"), $"token"), Seq("token"))
+          .filter($"lang_a" < $"lang_b")
+          .groupBy($"lang_a", $"lang_b").agg(count(lit(1)).as("ni"))
+        inter
+          .join(counts.select($"lang".as("lang_a"), $"n".as("na")), Seq("lang_a"))
+          .join(counts.select($"lang".as("lang_b"), $"n".as("nb")), Seq("lang_b"))
+          .select($"lang_a", $"lang_b",
+            round($"ni" / ($"na" + $"nb" - $"ni"), 4).as("jaccard"))
+          .orderBy($"lang_a", $"lang_b")
+      },
+      Some("""WITH tok AS (
+             |  SELECT DISTINCT lang, token FROM (
+             |    SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+             |  WHERE token <> ''),
+             |counts AS (SELECT lang, count(*) AS n FROM tok GROUP BY lang),
+             |inter AS (
+             |  SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS ni
+             |  FROM tok a JOIN tok b ON a.token = b.token AND a.lang < b.lang
+             |  GROUP BY a.lang, b.lang)
+             |SELECT lang_a, lang_b,
+             |  round(ni / (ca.n + cb.n - ni), 4) AS jaccard
+             |FROM inter
+             |JOIN counts ca ON ca.lang = lang_a
+             |JOIN counts cb ON cb.lang = lang_b
+             |ORDER BY lang_a, lang_b""".stripMargin))
+  )
+}
