@@ -11,6 +11,7 @@ object SparkEntry {
   private lazy val queries_all: Seq[Q] =
     graft.queries.CoreQueries.all ++
       graft.queries.ExtraQueries.all ++
+      graft.queries.Extra2Queries.all ++
       graft.queries.LineageQueries.all ++
       graft.queries.PipelineQueries.all ++
       graft.queries.StreamQueries.all ++

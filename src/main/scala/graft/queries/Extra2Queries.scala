@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third coverage wave: as-of join with tolerance, RANGE window frames,
+  * unpivot/melt, semi-structured JSON extraction.
+  */
+object Extra2Queries {
+
+  def all: Seq[Q] = Seq(
+
+    // ---- as-of join with a time tolerance (pandas merge_asof semantics:
+    //      latest click ≤ purchase ts AND within 1 hour) ----
+    Q("q47_asof_tolerance",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "events")
+          .filter($"event_type".isin("click", "purchase"))
+          .select($"event_id", $"user_id", $"ts", $"event_type")
+          .withColumn("kind", when($"event_type" === "click", 0).otherwise(1))
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"kind", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        e.withColumn("click_ts",
+            last(when($"kind" === 0, $"ts"), ignoreNulls = true).over(w))
+          .filter($"kind" === 1 && $"click_ts".isNotNull)
+          .select($"event_id", $"user_id",
+            unix_micros($"ts").as("p_us"), unix_micros($"click_ts").as("c_us"))
+          .filter($"p_us" - $"c_us" <= 3600L * 1000000L)
+          .orderBy($"event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
+             |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- RANGE window frame (value-based, not row-based) ----
+    Q("q48_range_frame",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_totalprice")
+          .rangeBetween(-50000L, Window.currentRow)
+        Tables(s, dir, "orders")
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+            count(lit(1)).over(w).as("n_within_50k"))
+          .select($"o_custkey", $"o_orderkey", round($"o_totalprice", 2).as("price"),
+            $"n_within_50k")
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+             |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+             |    RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_within_50k
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- unpivot/melt (wide → long) ----
+    Q("q49_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_quantity", $"l_discount", $"l_tax")
+          .unpivot(
+            Array($"l_returnflag"),
+            Array($"l_quantity", $"l_discount", $"l_tax"),
+            "measure", "value")
+          .groupBy($"l_returnflag", $"measure")
+          .agg(round(sum($"value"), 2).as("total"))
+          .orderBy($"l_returnflag", $"measure")
+      },
+      Some("""SELECT l_returnflag, measure, round(sum(value), 2) AS total FROM (
+             |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+             |  UNION ALL
+             |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+             |  UNION ALL
+             |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+             |GROUP BY l_returnflag, measure ORDER BY l_returnflag, measure""".stripMargin)),
+
+    // ---- semi-structured: JSON field extraction from events.props ----
+    Q("q50_json_extract",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .select($"event_type",
+            get_json_object($"props", "$.k").cast("long").as("k"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"), max($"k").as("max_k"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+}
