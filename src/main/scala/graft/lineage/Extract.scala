@@ -336,6 +336,20 @@ object LineageExtractor {
     }
     val outputs = plan.collect {
       case i: InsertIntoHadoopFsRelationCommand => i.outputPath.toString
+      case c: org.apache.spark.sql.execution.command.CreateDataSourceTableAsSelectCommand =>
+        c.table.identifier.unquotedString
+      case a: AppendData =>
+        a.table match {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+            r.table.name()
+          case other => other.nodeName
+        }
+      case o: OverwriteByExpression =>
+        o.table match {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+            r.table.name()
+          case other => other.nodeName
+        }
     }
     LineageReport(
       graph = fromLogical(plan),

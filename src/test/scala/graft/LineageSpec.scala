@@ -165,6 +165,21 @@ class LineageSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("write-side lineage captures saveAsTable outputs") {
+    val listener = LineageListener.install(spark)
+    try {
+      spark.sql("DROP TABLE IF EXISTS lin_out_tbl")
+      val d = new java.io.File("/tmp/graft_warehouse/lin_out_tbl")
+      if (d.exists()) { def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit }; rm(d) }
+      Tables(spark, sf, "region").write.mode("overwrite").saveAsTable("lin_out_tbl")
+      val deadline = System.currentTimeMillis() + 10000
+      while (!listener.reports.exists(_._2.outputs.nonEmpty) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(listener.reports.exists(_._2.outputs.exists(_.contains("lin_out_tbl"))),
+        s"outputs: ${listener.reports.map(_._2.outputs)}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("lineage invariant: every output column's sources are scanned columns") {
     // property-style sweep over the whole query corpus
     SparkEntry.registry.foreach { q =>
