@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** SQL registration for the custom expressions, so `spark.sql` text can
+  * call them directly (`SELECT simhash64(...), sorted_jaccard(...) ...`).
+  *
+  * Two entry points:
+  *  - `GraftFunctions.register(spark)` — runtime registration on an
+  *    existing session;
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` — config-time
+  *    injection for sessions built elsewhere (spark-submit, notebooks).
+  */
+object GraftFunctions {
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> { es => HashExprs.SimHash64(es.head) },
+    "minhash_sig" -> { es =>
+      HashExprs.MinHashSig(es.head, es(1).eval().asInstanceOf[Number].intValue()) },
+    "shingle_hashes" -> { es =>
+      HashExprs.ShingleHashes(es.head, es(1).eval().asInstanceOf[Number].intValue()) },
+    "sorted_jaccard" -> { es => HashExprs.SortedJaccard(es.head, es(1)) },
+    "cosine_sim" -> { es => HashExprs.CosineSim(es.head, es(1)) },
+    "minhash_set_agg" -> { es =>
+      HashExprs.MinHashSetAgg(es.head, es(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression() })
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}
+
+/** `spark.sql.extensions` hook. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions.HashExprs", name),
+        builder))
+    }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+
+class SqlFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("custom expressions are callable from SQL text after registration") {
+    GraftFunctions.register(spark)
+    Tables.registerAll(spark, TestSpark.sf)
+    val row = spark.sql(
+      """SELECT
+        |  sorted_jaccard(shingle_hashes(text, 3), shingle_hashes(text, 3)) AS self_j,
+        |  simhash64(transform(split(text, ' '), t -> xxhash64(t))) AS sig,
+        |  size(minhash_sig(shingle_hashes(text, 3), 32)) AS k
+        |FROM documents LIMIT 1""".stripMargin).collect().head
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getLong(1) != 0L)
+    assert(row.getInt(2) == 32)
+  }
+
+  test("minhash_set_agg works in SQL group-by") {
+    GraftFunctions.register(spark)
+    Tables.registerAll(spark, TestSpark.sf)
+    val rows = spark.sql(
+      """SELECT lang, size(minhash_set_agg(source, 16)) AS k
+        |FROM documents GROUP BY lang""".stripMargin).collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(1) == 16))
+  }
+}
