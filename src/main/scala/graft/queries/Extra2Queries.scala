@@ -92,6 +92,71 @@ object Extra2Queries {
       Some("""SELECT event_type, count(*) AS n,
              |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
              |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- regexp + LIKE pattern surface (RE2-safe syntax only) ----
+    Q("q51_regexp_like",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "part")
+          .select(
+            $"p_partkey",
+            regexp_count($"p_type", lit("[aeiou]")).cast("long").as("n_vowels"),
+            regexp_extract($"p_name", "b[a-z]+", 0).as("first_b_word"),
+            $"p_type".like("%BRASS%").as("is_brass"),
+            $"p_name".startsWith("al").as("starts_al"),
+            $"p_name".endsWith("d").as("ends_d"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  len(regexp_extract_all(p_type, '[aeiou]')) AS n_vowels,
+             |  coalesce(regexp_extract(p_name, 'b[a-z]+'), '') AS first_b_word,
+             |  p_type LIKE '%BRASS%' AS is_brass,
+             |  p_name LIKE 'al%' AS starts_al,
+             |  p_name LIKE '%d' AS ends_d
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // ---- TPC-H Q4 shape: correlated EXISTS with inequality + interval ----
+    Q("q52_exists_interval",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables(s, dir, "orders")
+        val l = Tables(s, dir, "lineitem")
+          .filter($"l_quantity" > 0).select($"l_orderkey", $"l_shipdate")
+        o.join(l,
+            o("o_orderkey") === l("l_orderkey") &&
+              l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 80 DAYS"),
+            "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_quantity > 0
+             |                AND l_shipdate > o_orderdate + INTERVAL 80 DAY)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- TPC-H Q22 shape: scalar subquery + anti join + aggregation ----
+    Q("q53_rich_no_orders",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders")
+        val avgBal = c.filter($"c_acctbal" > 0)
+          .agg(avg($"c_acctbal").as("a"))
+        val rich = c.crossJoin(broadcast(avgBal)).filter($"c_acctbal" > $"a")
+        rich.join(o.filter($"o_totalprice" > 400000),
+            rich("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("n"), round(sum($"c_acctbal"), 2).as("bal"))
+          .orderBy($"c_nationkey")
+      },
+      Some("""SELECT c_nationkey, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+             |FROM customer
+             |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
   )
 }

@@ -50,6 +50,37 @@ object StreamQueries {
              |SELECT user_id, session_id, count(*) AS n_events,
              |  min(sec) AS start_sec, max(sec) AS end_sec
              |FROM sess GROUP BY user_id, session_id
-             |ORDER BY user_id, session_id""".stripMargin))
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // stream-stream inner join: purchases matched to same-user clicks in
+    // the preceding hour (watermarks bound the join state at scale; on a
+    // single-batch replay the result equals the batch join exactly)
+    Q("st03_stream_join",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val ev = StreamOps.readEvents(s, dir)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "2 hours")
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+        val joined = p.join(c,
+          p("user_id") === c("c_user") &&
+            c("c_ts") >= p("p_ts") - expr("INTERVAL 1 HOUR") &&
+            c("c_ts") <= p("p_ts"))
+        StreamOps.runToMemory(s, joined, "st03_out", OutputMode.Append())
+          .select(col("p_id"), col("c_id"),
+            unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+          .orderBy(col("p_id"), col("c_id"))
+      },
+      Some("""SELECT p.event_id AS p_id, c.event_id AS c_id,
+             |  epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id
+             |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+             |ORDER BY p_id, c_id""".stripMargin))
   )
 }
