@@ -111,6 +111,11 @@ object LineageExtractor {
           }
         case f: Filter =>
           refLineage(f.condition): Unit // force subquery walks inside conditions
+        case leaf: LeafNode =>
+          // streaming relations, catalog leaves etc.: seed generically by
+          // node name so lineage chains terminate at the source columns
+          leaf.output.foreach(a =>
+            memo.getOrElseUpdate(a.exprId, Set(ColumnRef(leaf.nodeName, a.name))))
         case _ => () // Join/Sort/Limit/Distinct/...: ExprIds flow through
       }
     }

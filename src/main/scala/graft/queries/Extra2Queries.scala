@@ -157,6 +157,78 @@ object Extra2Queries {
              |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
              |  AND NOT EXISTS (SELECT 1 FROM orders
              |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
-             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // ---- grouping() markers distinguish rollup total rows from data
+    //      rows whose key happens to collide with the sentinel ----
+    Q("q54_grouping_marker",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "customer")
+          .rollup($"c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            grouping($"c_mktsegment").cast("long").as("is_total"))
+          .select(
+            coalesce($"c_mktsegment", lit("TOTAL")).as("seg"),
+            $"is_total", $"n")
+          .orderBy($"is_total", $"seg")
+      },
+      Some("""SELECT coalesce(c_mktsegment, 'TOTAL') AS seg,
+             |  CAST(grouping(c_mktsegment) AS BIGINT) AS is_total, count(*) AS n
+             |FROM customer GROUP BY ROLLUP (c_mktsegment)
+             |ORDER BY is_total, seg""".stripMargin)),
+
+    // ---- null-semantics battery: count(col) vs count(*), sum over
+    //      all-null groups, null-safe comparisons, coalesce chains ----
+    Q("q55_null_semantics",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders")
+          .withColumn("maybe", when($"o_totalprice" > 250000, $"o_totalprice"))
+          .groupBy($"o_orderstatus")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count($"maybe").as("n_nonnull"),
+            round(coalesce(sum($"maybe"), lit(0.0)), 2).as("sum_maybe"),
+            round(coalesce(avg($"maybe"), lit(-1.0)), 4).as("avg_maybe"),
+            sum(when($"maybe".isNull, 1L).otherwise(0L)).as("n_null"),
+            count(when($"maybe" <=> lit(null), 1)).as("n_nullsafe_eq"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  count(*) AS n_rows,
+             |  count(maybe) AS n_nonnull,
+             |  round(coalesce(sum(maybe), 0), 2) AS sum_maybe,
+             |  round(coalesce(avg(maybe), -1), 4) AS avg_maybe,
+             |  sum(CASE WHEN maybe IS NULL THEN 1 ELSE 0 END) AS n_null,
+             |  count(CASE WHEN maybe IS NOT DISTINCT FROM NULL THEN 1 END) AS n_nullsafe_eq
+             |FROM (SELECT o_orderstatus,
+             |        CASE WHEN o_totalprice > 250000 THEN o_totalprice END AS maybe
+             |      FROM orders)
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---- decimal arithmetic: exact fixed-point aggregation internally,
+    //      cast to double only for the cross-engine compare ----
+    Q("q56_decimal_agg",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .select($"l_returnflag",
+            $"l_extendedprice".cast("decimal(18,2)").as("price_d"),
+            $"l_discount".cast("decimal(18,4)").as("disc_d"))
+          .groupBy($"l_returnflag")
+          .agg(
+            round(sum($"price_d").cast("double"), 2).as("sum_price"),
+            round(sum($"price_d" * (lit(1).cast("decimal(18,4)") - $"disc_d"))
+              .cast("double"), 2).as("sum_net"),
+            round(avg($"disc_d").cast("double"), 6).as("avg_disc"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_net,
+             |  round(CAST(avg(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 6) AS avg_disc
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }

@@ -84,6 +84,28 @@ object LineageQueries {
              |  ('customer', 5), ('lineitem', 11), ('nation', 3),
              |  ('orders', 6), ('part', 6))
              |  AS t(table_name, n_cols)
-             |ORDER BY table_name""".stripMargin))
+             |ORDER BY table_name""".stripMargin)),
+
+    // lineage of a streaming pipeline DEFINITION (pre-start plan): the
+    // windowed aggregation's outputs resolve to the streaming source cols
+    Q("lx05_lineage_streaming",
+      (s, dir) => {
+        val agg = graft.streaming.StreamOps.hourlyCounts(
+          graft.streaming.StreamOps.readEvents(s, dir))
+        val rows = LineageExtractor
+          .columnLineage(agg.queryExecution.analyzed)
+          .toSeq.flatMap { case (out, refs) =>
+            refs.toSeq.map(r => (out, r.column))
+          }
+        s.createDataFrame(rows).toDF("out_col", "src_col")
+          .orderBy("out_col", "src_col")
+      },
+      // (count(1) has no column references, so `n` emits no lineage rows)
+      Some("""SELECT * FROM (VALUES
+             |  ('event_type', 'event_type'),
+             |  ('sum_v', 'value'),
+             |  ('window', 'ts'))
+             |  AS t(out_col, src_col)
+             |ORDER BY out_col, src_col""".stripMargin))
   )
 }

@@ -198,7 +198,10 @@ class LineageSpec extends AnyFunSuite {
       }.flatten.toSet
       val l = LineageExtractor.columnLineage(plan)
       l.foreach { case (out, srcs) =>
-        val external = srcs.filterNot(s => s.table == "<inline>" || s.table == "<range>")
+        // constrain only refs that claim parquet-table origin; generic
+        // leaves (inline data, ranges, memory-sink reads of streaming
+        // results) are legitimate non-file sources
+        val external = srcs.filter(s => Tables.names.contains(s.table))
         assert(external.subsetOf(inputCols),
           s"${q.name}/$out: ${external -- inputCols} not among scanned columns")
       }
