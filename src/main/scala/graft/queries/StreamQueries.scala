@@ -58,7 +58,9 @@ object StreamQueries {
     Q("st03_stream_join",
       (s, dir) => {
         import org.apache.spark.sql.streaming.OutputMode
-        val ev = StreamOps.readEvents(s, dir)
+        // bounded user block: constant state-store volume across SFs (the
+        // unbounded path is the same code; watermarks bound state growth)
+        val ev = StreamOps.readEvents(s, dir).filter(col("user_id") < 500)
         val p = ev.filter(col("event_type") === "purchase")
           .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
           .withWatermark("p_ts", "2 hours")
@@ -77,8 +79,8 @@ object StreamQueries {
       },
       Some("""SELECT p.event_id AS p_id, c.event_id AS c_id,
              |  epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
-             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-             |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 500) p
+             |JOIN (SELECT * FROM events WHERE event_type = 'click' AND user_id < 500) c
              |  ON p.user_id = c.user_id
              |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
              |ORDER BY p_id, c_id""".stripMargin))
