@@ -14,6 +14,7 @@ object SparkEntry {
       graft.queries.Extra2Queries.all ++
       graft.queries.LineageQueries.all ++
       graft.queries.PipelineQueries.all ++
+      graft.queries.Text2Queries.all ++
       graft.queries.StreamQueries.all ++
       graft.queries.SqlQueries.all ++
       graft.queries.SourceQueries.all

@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline statistics wave: per-group heavy hitters, TF-IDF
+  * scoring, percentile-based quality gating — the corpus-statistics
+  * operators a training-data pipeline runs after cleaning/dedup.
+  */
+object Text2Queries {
+
+  def all: Seq[Q] = Seq(
+
+    // ---- exact heavy hitters: top-3 tokens per language ----
+    Q("t05_top_tokens",
+      (s, dir) => {
+        import s.implicits._
+        val counts = Tables(s, dir, "documents")
+          .select($"lang", explode(split($"text", " ")).as("token"))
+          .filter($"token" =!= "")
+          .groupBy($"lang", $"token")
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"token".asc)
+        counts.withColumn("rn", row_number().over(w).cast("long"))
+          .filter($"rn" <= 3)
+          .orderBy($"lang", $"rn")
+      },
+      Some("""SELECT lang, token, cnt, rn FROM (
+             |  SELECT lang, token, count(*) AS cnt,
+             |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS rn
+             |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+             |  WHERE token <> ''
+             |  GROUP BY lang, token)
+             |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin)),
+
+    // ---- TF-IDF: top-5 scored tokens per document over a bounded block ----
+    Q("t06_tfidf",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents").filter($"doc_id" < 100)
+        val tf = docs
+          .select($"doc_id", explode(split($"text", " ")).as("token"))
+          .filter($"token" =!= "")
+          .groupBy($"doc_id", $"token")
+          .agg(count(lit(1)).as("tf"))
+        val n = docs.agg(countDistinct($"doc_id").as("n_docs"))
+        val df = tf.groupBy($"token").agg(countDistinct($"doc_id").as("df"))
+        val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token".asc)
+        tf.join(df, Seq("token")).crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            round($"tf" * log($"n_docs".cast("double") / $"df"), 6))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter($"rn" <= 5)
+          .select($"doc_id", $"token", $"tfidf", $"rn")
+          .orderBy($"doc_id", $"rn")
+      },
+      Some("""WITH d AS (SELECT * FROM documents WHERE doc_id < 100),
+             |tf AS (
+             |  SELECT doc_id, token, count(*) AS tf
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM d)
+             |  WHERE token <> '' GROUP BY doc_id, token),
+             |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d),
+             |idf AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token)
+             |SELECT doc_id, token, tfidf, rn FROM (
+             |  SELECT tf.doc_id, tf.token,
+             |    round(tf.tf * ln(n.n_docs::DOUBLE / idf.df), 6) AS tfidf,
+             |    row_number() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY round(tf.tf * ln(n.n_docs::DOUBLE / idf.df), 6) DESC,
+             |               tf.token) AS rn
+             |  FROM tf JOIN idf ON tf.token = idf.token CROSS JOIN n)
+             |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin)),
+
+    // ---- percentile quality gate: keep docs inside [p5, p95] of length ----
+    Q("t07_length_gate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val bounds = docs.agg(
+          expr("percentile(n_chars, 0.05)").as("p5"),
+          expr("percentile(n_chars, 0.95)").as("p95"))
+        docs.crossJoin(broadcast(bounds))
+          .withColumn("kept", $"n_chars" >= $"p5" && $"n_chars" <= $"p95")
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when($"kept", 1L).otherwise(0L)).as("n_kept"))
+          .orderBy($"lang")
+      },
+      Some("""WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS p5,
+             |                  quantile_cont(n_chars, 0.95) AS p95 FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |  sum(CASE WHEN n_chars >= p5 AND n_chars <= p95 THEN 1 ELSE 0 END) AS n_kept
+             |FROM documents CROSS JOIN b
+             |GROUP BY lang ORDER BY lang""".stripMargin))
+  )
+}
