@@ -141,11 +141,17 @@ object HashExprs {
   }
 
   /** Cosine similarity of two float/double arrays, accumulated in double
-    * in element order (parity with the HOF formulation and DuckDB). */
+    * in element order (parity with the HOF formulation and DuckDB).
+    *
+    * Mismatched lengths return null (a silent truncation would drop rows
+    * through rounded-filter pipelines without surfacing the data problem);
+    * a zero-norm vector also returns null (0/0 has no defined cosine).
+    */
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression
       with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def prettyName: String = "cosine_sim"
 
     private lazy val leftElem = left.dataType.asInstanceOf[ArrayType].elementType
@@ -162,7 +168,8 @@ object HashExprs {
     protected override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      val n = a.numElements()
+      if (n != b.numElements()) return null
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
@@ -171,7 +178,8 @@ object HashExprs {
         dot += x * y; na += x * x; nb += y * y
         i += 1
       }
-      java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+      if (na == 0.0 || nb == 0.0) null
+      else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
     }
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =

@@ -53,9 +53,14 @@ final case class LNode(
     go(this)
   }
 
+  /** Per-node collection: a shared subtree contributes once regardless of
+    * how many edges reach it, consistent with `size` (traverse's `pre`
+    * fires per edge; dedupe here so counting queries aren't inflated).
+    */
   def collect[T](pf: PartialFunction[LNode, T]): Seq[T] = {
     val out = mutable.ArrayBuffer.empty[T]
-    traverse(n => if (pf.isDefinedAt(n)) out += pf(n))
+    val seen = mutable.Set.empty[String]
+    traverse(n => if (seen.add(n.id) && pf.isDefinedAt(n)) out += pf(n))
     out.toSeq
   }
 

@@ -90,7 +90,7 @@ object Extra2Queries {
           .orderBy($"event_type")
       },
       Some("""SELECT event_type, count(*) AS n,
-             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
@@ -200,7 +200,7 @@ object Extra2Queries {
              |  count(maybe) AS n_nonnull,
              |  round(coalesce(sum(maybe), 0), 2) AS sum_maybe,
              |  round(coalesce(avg(maybe), -1), 4) AS avg_maybe,
-             |  sum(CASE WHEN maybe IS NULL THEN 1 ELSE 0 END) AS n_null,
+             |  CAST(sum(CASE WHEN maybe IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
              |  count(CASE WHEN maybe IS NOT DISTINCT FROM NULL THEN 1 END) AS n_nullsafe_eq
              |FROM (SELECT o_orderstatus,
              |        CASE WHEN o_totalprice > 250000 THEN o_totalprice END AS maybe

@@ -110,11 +110,14 @@ object PipelineQueries {
     Q("d02_minhash_lsh",
       (s, dir) =>
         Dedup.minhashLsh(Tables(s, dir, "documents"), "doc_id", "text",
-            shingleSize = 3, k = 128, bands = 16, threshold = 0.8)
+            shingleSize = 3, k = 128, bands = 32, threshold = 0.8)
           .orderBy(col("id_a"), col("id_b")),
-      // oracle: exact all-pairs Jaccard — LSH with 16×4 bands has miss
-      // probability <1e-7 at j≥0.8, and the data (seed=42) is fixed, so
-      // candidate generation is deterministic and verified-exact.
+      // oracle: exact all-pairs Jaccard at j≥0.8. Candidates are verified
+      // with exact Jaccard, so false positives never reach the output; the
+      // only risk is an LSH miss. With b=32 bands of r=4 rows the miss
+      // probability for a true j=0.8 pair is (1-0.8^4)^32 ≈ 4.8e-8 (and
+      // lower for j>0.8), so the gate holds for any SF/seed, not just this
+      // dataset. (b=16×r=8 would be ~5% per pair at j=0.8 — too leaky.)
       Some(s"""WITH sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents)
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |  round(len(list_intersect(a.sh, b.sh))::DOUBLE

@@ -44,8 +44,8 @@ object StreamQueries {
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |sess AS (
              |  SELECT user_id, sec,
-             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
              |  FROM g)
              |SELECT user_id, session_id, count(*) AS n_events,
              |  min(sec) AS start_sec, max(sec) AS end_sec

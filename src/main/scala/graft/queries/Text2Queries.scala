@@ -90,7 +90,7 @@ object Text2Queries {
       Some("""WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS p5,
              |                  quantile_cont(n_chars, 0.95) AS p95 FROM documents)
              |SELECT lang, count(*) AS n_docs,
-             |  sum(CASE WHEN n_chars >= p5 AND n_chars <= p95 THEN 1 ELSE 0 END) AS n_kept
+             |  CAST(sum(CASE WHEN n_chars >= p5 AND n_chars <= p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
              |FROM documents CROSS JOIN b
              |GROUP BY lang ORDER BY lang""".stripMargin))
   )

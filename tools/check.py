@@ -61,12 +61,16 @@ def main(sf_dir: str, out_dir: str) -> None:
             n_fail += 1
             continue
         bad = None
+        dtype_warn = []
         for c in g.columns:
             gc, ec = g[c], e[c]
+            # the driver's hash is dtype-sensitive: an int64 Spark column
+            # vs a float64 oracle column (DuckDB HUGEINT sum) hash-differs
+            # even when values match. Flag any numeric-kind mismatch.
+            if gc.dtype != ec.dtype and (gc.dtype.kind in "iuf" or ec.dtype.kind in "iuf"):
+                dtype_warn.append(f"{c}:{gc.dtype}!={ec.dtype}")
             try:
                 same = (gc.isna() & ec.isna()) | (gc == ec)
-                # value-equal across int32/int64/float dtypes is fine;
-                # this mirrors a value-hash, not a dtype-hash
                 if not bool(same.all()):
                     bad = c
                     break
@@ -74,7 +78,11 @@ def main(sf_dir: str, out_dir: str) -> None:
                 if not gc.astype(str).equals(ec.astype(str)):
                     bad = c
                     break
-        if bad is None:
+        if bad is None and dtype_warn:
+            print(f"FAIL {name}: dtype mismatch would break driver hash: "
+                  f"{', '.join(dtype_warn)}")
+            n_fail += 1
+        elif bad is None:
             print(f"PASS {name}: {len(g)} rows")
             n_pass += 1
         else:
