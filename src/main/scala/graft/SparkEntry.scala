@@ -10,6 +10,7 @@ object SparkEntry {
 
   private lazy val queries_all: Seq[Q] =
     graft.queries.CoreQueries.all ++
+      graft.queries.Core2Queries.all ++
       graft.queries.ExtraQueries.all ++
       graft.queries.Extra2Queries.all ++
       graft.queries.LineageQueries.all ++
