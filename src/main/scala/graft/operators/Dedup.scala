@@ -137,4 +137,51 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Connected components over an undirected edge list `(id_a, id_b)`:
+    * iterative min-label propagation — each round every node adopts the
+    * minimum label in its closed neighborhood (one shuffle per round),
+    * converging in O(component diameter) rounds. Near-dup clusters have
+    * tiny diameters (pairs/triangles), so 2–3 rounds in practice; for
+    * adversarially long chains at 100 TB swap the round body for the
+    * large-star/small-star contractions (Kiveris et al., "Connected
+    * Components in MapReduce"), which is the same join skeleton applied
+    * to a contracted edge set.
+    *
+    * `localCheckpoint` truncates the growing lineage each round (an
+    * unchecked iterative plan re-executes every prior round at each
+    * action and overflows the optimizer at scale).
+    *
+    * @return (id, label) — label = min node id reachable; one row per
+    *         node that appears in `edges`.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.alias("cur")
+        .join(nbrMin.alias("nbr"), Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("cur.label"),
+            coalesce(col("nbr_label"), col("cur.label"))).as("label"))
+        .localCheckpoint()
+      changed = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
 }

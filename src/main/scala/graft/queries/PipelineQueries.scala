@@ -127,6 +127,40 @@ object PipelineQueries {
              |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // near-dup clustering: LSH pairs → connected components (min-label
+    // propagation; see Dedup.connectedComponents for the scale story).
+    // Oracle: transitive closure of the exact all-pairs j≥0.8 edge set via
+    // a recursive CTE, labeled by min reachable doc_id.
+    Q("d06_dedup_clusters",
+      (s, dir) => {
+        val pairs = Dedup.minhashLsh(Tables(s, dir, "documents"), "doc_id",
+          "text", shingleSize = 3, k = 128, bands = 32, threshold = 0.8)
+        val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+        val sizes = cc.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, Seq("label"))
+          .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+            col("cluster_size"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+             |e AS (
+             |  SELECT a.doc_id AS ia, b.doc_id AS ib
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+             |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+             |sym AS (SELECT ia AS s, ib AS d FROM e
+             |        UNION ALL SELECT ib, ia FROM e),
+             |reach(src, dst) AS (
+             |  SELECT s, s FROM sym
+             |  UNION
+             |  SELECT r.src, sym.d FROM reach r JOIN sym ON r.dst = sym.s),
+             |cc AS (SELECT src AS doc_id, min(dst) AS cluster_id
+             |       FROM reach GROUP BY src)
+             |SELECT doc_id, cluster_id,
+             |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+             |FROM cc ORDER BY doc_id""".stripMargin)),
+
     Q("d03_simhash_pairs",
       (s, dir) =>
         Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",

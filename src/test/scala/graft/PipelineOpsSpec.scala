@@ -110,4 +110,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(preds.subsetOf(Set("en", "de", "es", "fr", "zh")))
   }
+
+  test("connected components: chain forces multi-round label propagation") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, isolated pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: label direction independent of edge order") {
+    import spark.implicits._
+    // edges listed high-to-low: min label must still win
+    val edges = Seq((9L, 7L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
 }
