@@ -67,4 +67,27 @@ object Multimodal {
     import spark.implicits._
     decode(fabricate(docs).as[MediaRecord]).toDF()
   }
+
+  /** Fixed-stride frame sampling over an opaque payload — the "video"
+    * analog of [[decode]]: one row per frame with a content digest. The
+    * explode happens map-side (no shuffle: frame count is computed from
+    * the payload length column, frames are sliced lazily), so a 100 TB
+    * corpus fans out to frames without materializing payload copies; a
+    * real pipeline would swap the `md5(slice)` for the codec call and keep
+    * exactly this plan shape.
+    */
+  def frameSample(docs: DataFrame, frameBytes: Int = 64): DataFrame =
+    docs
+      .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
+      .filter(octet_length(col("payload")) > 0)
+      .withColumn("n_frames",
+        ceil(octet_length(col("payload")).cast("double") / frameBytes).cast("long"))
+      .select(col("media_id"), col("payload"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        md5(expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+          .as("frame_md5"),
+        octet_length(
+          expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+          .cast("long").as("frame_len"))
 }

@@ -80,4 +80,53 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rn"))
   }
+
+  /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells
+    * around a deterministic centroid subset (every `centEvery`-th vector —
+    * a seedless stand-in for k-means, keeping the oracle SQL-expressible),
+    * then answer each query from its `nProbe` nearest cells only.
+    *
+    * Scale shape: centroids are tiny and broadcast twice (assignment +
+    * probe); the corpus is scanned once for assignment (the n×|cent|
+    * expansion is map-local until the one shuffle on `n_id`); the probe
+    * join touches only `nProbe/|cent|` of the corpus per query. At 100 TB
+    * the assignment would be written out partitioned by cell so repeated
+    * query batches skip it entirely (partition pruning on `c_id`).
+    *
+    * All ranking uses round(cos, 5) + id tiebreaks — deterministic across
+    * engines, exact-match verifiable against the same construction in SQL.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
+      centEvery: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cent = corpus.filter(col(idCol) % centEvery === 0)
+      .select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+    val wAssign = Window.partitionBy(col("n_id"))
+      .orderBy(col("ccos").desc, col("c_id").asc)
+    val assign = corpus
+      .select(col(idCol).as("n_id"), col(embCol).as("n_emb"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", round(cosine(col("n_emb"), col("c_emb")), 5))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("n_id"), col("n_emb"), col("c_id"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("c_id").asc)
+    val probe = queries
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", round(cosine(col("q_emb"), col("c_emb")), 5))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("c_id"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    assign.join(broadcast(probe), Seq("c_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 5))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rn"))
+  }
 }

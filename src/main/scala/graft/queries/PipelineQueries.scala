@@ -244,6 +244,48 @@ object PipelineQueries {
              |QUALIFY rn <= 5
              |ORDER BY q_id, rn""".stripMargin)),
 
+    // IVF ANN: Voronoi cells around every-25th vector, probe the 2 nearest
+    // cells per query. The oracle replicates the construction exactly (the
+    // operator's semantics are deterministic, so IVF's recall loss is part
+    // of the contract, not noise).
+    Q("s03_ann_ivf",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter($"vec_id" < 10), k = 5,
+            nProbe = 2, centEvery = 25)
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some("""WITH cent AS (
+             |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+             |  FROM embeddings WHERE vec_id % 25 = 0),
+             |assign AS (
+             |  SELECT n_id, n_emb, c_id FROM (
+             |    SELECT e.vec_id AS n_id, CAST(e.embedding AS DOUBLE[]) AS n_emb,
+             |      c_id,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |                                     c_emb), 5) DESC, c_id) AS arn
+             |    FROM embeddings e CROSS JOIN cent)
+             |  WHERE arn = 1),
+             |probe AS (
+             |  SELECT q_id, q_emb, c_id FROM (
+             |    SELECT q.vec_id AS q_id, CAST(q.embedding AS DOUBLE[]) AS q_emb,
+             |      c_id,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                                     c_emb), 5) DESC, c_id) AS prn
+             |    FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 10)
+             |  WHERE prn <= 2)
+             |SELECT q_id, n_id, cos, rn FROM (
+             |  SELECT p.q_id, a.n_id,
+             |    round(list_cosine_similarity(p.q_emb, a.n_emb), 5) AS cos,
+             |    row_number() OVER (PARTITION BY p.q_id ORDER BY
+             |      round(list_cosine_similarity(p.q_emb, a.n_emb), 5) DESC,
+             |      a.n_id) AS rn
+             |  FROM probe p JOIN assign a ON p.c_id = a.c_id AND a.n_id <> p.q_id)
+             |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
+
     Q("s02_ann_srp_lsh",
       (s, dir) => {
         import s.implicits._
@@ -278,6 +320,29 @@ object PipelineQueries {
              |  CAST(n_chars % 1024 AS INT) AS width,
              |  CAST(doc_id % 768 AS INT) AS height,
              |  octet_length(encode(text)) AS n_payload
-             |FROM documents ORDER BY media_id""".stripMargin))
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // frame sampling: payload → fixed 64-byte frames, digest per frame
+    // (documents text is ASCII, so byte stride == char stride and the
+    // DuckDB substr/md5 formulation is byte-identical)
+    Q("m03_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.frameSample(
+            Tables(s, dir, "documents").filter($"doc_id" < 200), 64)
+          .orderBy($"media_id", $"frame_idx")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+             |  FROM documents WHERE doc_id < 200),
+             |f AS (
+             |  SELECT media_id, text,
+             |    unnest(range(0, CAST(ceil(n::DOUBLE / 64) AS BIGINT))) AS frame_idx
+             |  FROM p WHERE n > 0)
+             |SELECT media_id, frame_idx,
+             |  md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5,
+             |  octet_length(encode(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)))
+             |    AS frame_len
+             |FROM f ORDER BY media_id, frame_idx""".stripMargin))
   )
 }

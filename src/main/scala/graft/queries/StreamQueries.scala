@@ -83,6 +83,21 @@ object StreamQueries {
              |JOIN (SELECT * FROM events WHERE event_type = 'click' AND user_id < 500) c
              |  ON p.user_id = c.user_id
              |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
-             |ORDER BY p_id, c_id""".stripMargin))
+             |ORDER BY p_id, c_id""".stripMargin)),
+
+    // streaming dedup: distinct (user_id, event_type) keys with
+    // watermark-evicted state, then a batch rollup of the deduped keys
+    Q("st04_stream_dedup",
+      (s, dir) => {
+        val keys = StreamOps.dedupKeys(StreamOps.readEvents(s, dir),
+          Seq("user_id", "event_type"))
+        StreamOps.runToMemory(s, keys, "st04_out", OutputMode.Append())
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n_users
+             |FROM (SELECT DISTINCT user_id, event_type FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -92,6 +92,44 @@ object Text2Queries {
              |SELECT lang, count(*) AS n_docs,
              |  CAST(sum(CASE WHEN n_chars >= p5 AND n_chars <= p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
              |FROM documents CROSS JOIN b
-             |GROUP BY lang ORDER BY lang""".stripMargin))
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- BPE-ish tokenization: regex piece extraction (word / number /
+    //      punctuation classes, then greedy ≤4-char chunks as a stand-in
+    //      for merge-table pieces). Per-row codegen'd regex — one corpus
+    //      scan, no shuffle before the final sort. ----
+    Q("t08_regex_tokens",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select($"doc_id",
+            size(regexp_extract_all(lower($"text"),
+              lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_units"),
+            size(regexp_extract_all(lower($"text"),
+              lit("[a-z]{1,4}"), lit(0))).cast("long").as("n_pieces"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             |    AS n_units,
+             |  len(regexp_extract_all(lower(text), '[a-z]{1,4}')) AS n_pieces
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- PII-style redaction: mask digits, count masked chars, verify
+    //      the masked payload round-trips (redaction is the first pass of
+    //      any release pipeline; here over the JSON props column). ----
+    Q("t09_redact",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events").filter($"event_id" < 2000)
+          .select($"event_id",
+            regexp_replace($"props", "[0-9]", "#").as("redacted"),
+            regexp_count($"props", lit("[0-9]")).cast("long").as("n_masked"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+             |  regexp_replace(props, '[0-9]', '#', 'g') AS redacted,
+             |  len(regexp_extract_all(props, '[0-9]')) AS n_masked
+             |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin))
   )
 }

@@ -90,6 +90,20 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Streaming exact dedup on a key subset: watermarked state eviction via
+    * `dropDuplicatesWithinWatermark` (keys older than the watermark are
+    * dropped from the state store — bounded state at 100 TB, unlike plain
+    * `dropDuplicates`, whose state grows without bound). Only the key
+    * columns are emitted: the first-arrival payload of a duplicate key
+    * depends on scheduling order, the key set does not.
+    */
+  def dedupKeys(events: DataFrame, keys: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+      .select(keys.map(col): _*)
+
   /** Run a streaming DataFrame to completion against finite file input via
     * a memory sink; returns the materialized result table. */
   def runToMemory(
