@@ -106,6 +106,52 @@ object LineageQueries {
              |  ('sum_v', 'value'),
              |  ('window', 'ts'))
              |  AS t(out_col, src_col)
-             |ORDER BY out_col, src_col""".stripMargin))
+             |ORDER BY out_col, src_col""".stripMargin)),
+
+    // lineage pierces a two-level temp-view chain (views inline in the
+    // optimized plan, so derived columns resolve to base-table columns —
+    // the reference resolves through Hive views the same way)
+    Q("lx06_lineage_views",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lx6_base")
+        s.sql("""SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS net
+                |FROM lx6_base WHERE l_quantity > 10""".stripMargin)
+          .createOrReplaceTempView("lx6_v1")
+        val df = s.sql(
+          "SELECT l_orderkey, sum(net) AS total FROM lx6_v1 GROUP BY l_orderkey")
+        lineageDf(s, df)
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('l_orderkey', 'lineitem', 'l_orderkey'),
+             |  ('total', 'lineitem', 'l_discount'),
+             |  ('total', 'lineitem', 'l_extendedprice'))
+             |  AS t(out_col, src_table, src_col)
+             |ORDER BY out_col, src_table, src_col""".stripMargin)),
+
+    // expression rewrite into source terms (reference SchemaMapping.map):
+    // each derived output column's defining expression, inlined down to
+    // base-table columns and rendered as SQL
+    Q("lx07_lineage_rewrite",
+      (s, dir) => {
+        import org.apache.spark.sql.catalyst.expressions.Alias
+        import org.apache.spark.sql.catalyst.plans.logical.Project
+        import s.implicits._
+        val base = Tables(s, dir, "lineitem")
+          .select($"l_orderkey",
+            ($"l_extendedprice" * (lit(1) - $"l_discount")).as("net"))
+        val df = base.select($"l_orderkey", ($"net" * lit(1.1)).as("gross"))
+        val plan = df.queryExecution.analyzed
+        val rows = plan.asInstanceOf[Project].projectList.collect {
+          case al: Alias =>
+            (al.name,
+              LineageExtractor.rewriteToSourceSql(al.child, plan).replace("`", ""))
+        }
+        s.createDataFrame(rows).toDF("out_col", "src_sql").orderBy("out_col")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('gross',
+             |   '((lineitem.l_extendedprice * (CAST(1 AS DOUBLE) - lineitem.l_discount)) * 1.1D)'))
+             |  AS t(out_col, src_sql)
+             |ORDER BY out_col""".stripMargin))
   )
 }
