@@ -156,9 +156,13 @@ object Dedup {
     *         node that appears in `edges`.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // materialize the edge set once: it is joined every round, and an
+    // expensive upstream (e.g. the whole LSH pipeline) must not re-execute
+    // per iteration
     val sym = edges
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()

@@ -204,12 +204,14 @@ object PipelineQueries {
           .select($"vec_id", $"embedding")
         val a = emb.select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
         val b = emb.select($"vec_id".as("n_id"), $"embedding".as("n_emb"))
-        val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
+        // argmax via max(struct(cos, -n_id)): partial-aggregates map-side,
+        // so only |Q| rows shuffle — vs a window sort moving all |Q|×n
+        // scored pairs (same (cos desc, n_id asc) tie order)
         a.crossJoin(b).filter($"q_id" =!= $"n_id")
           .withColumn("cos", round(Similarity.cosine($"q_emb", $"n_emb"), 5))
-          .withColumn("rn", row_number().over(w))
-          .filter($"rn" === 1)
-          .select($"q_id", $"n_id", $"cos")
+          .groupBy($"q_id")
+          .agg(max(struct($"cos", (-$"n_id").as("neg_id"))).as("m"))
+          .select($"q_id", (-$"m.neg_id").as("n_id"), $"m.cos".as("cos"))
           .orderBy($"q_id")
       },
       Some("""SELECT q_id, n_id, cos FROM (

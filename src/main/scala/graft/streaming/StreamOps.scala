@@ -105,17 +105,29 @@ object StreamOps {
       .select(keys.map(col): _*)
 
   /** Run a streaming DataFrame to completion against finite file input via
-    * a memory sink; returns the materialized result table. */
+    * a memory sink; returns the materialized result table.
+    *
+    * Stateful operators allocate one state store per shuffle partition,
+    * each with per-batch snapshot/maintenance cost; replaying a bounded
+    * file source on one node wants few, fat partitions (a production
+    * cluster sizes this to sustained throughput instead — it is a
+    * deployment knob, not a semantics change). Restored after the run.
+    */
   def runToMemory(
       spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode): DataFrame = {
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt))
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 }
