@@ -229,6 +229,54 @@ object Extra2Queries {
              |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
              |    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_net,
              |  round(CAST(avg(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 6) AS avg_disc
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- higher-order array functions (codegen'd HOFs, no UDFs):
+    //      sort / slice / transform / filter / aggregate over per-group
+    //      collected arrays ----
+    Q("q66_array_hof",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .groupBy($"l_orderkey")
+          .agg(array_sort(collect_list(round($"l_extendedprice", 2))).as("arr"))
+          .select($"l_orderkey",
+            size($"arr").cast("long").as("n"),
+            round(try_element_at($"arr", lit(1)), 2).as("lo"),
+            round(try_element_at($"arr", lit(3)), 2).as("third"),
+            round(aggregate($"arr", lit(0.0), (acc, x) => acc + x), 2).as("total"),
+            size(filter($"arr", x => x > 30000)).cast("long").as("n_big"),
+            round(try_element_at(transform($"arr", x => x + 100.0), lit(1)), 2)
+              .as("lo_boosted"))
+          .orderBy($"l_orderkey")
+      },
+      Some("""WITH g AS (
+             |  SELECT l_orderkey, list_sort(list(round(l_extendedprice, 2))) AS arr
+             |  FROM lineitem GROUP BY l_orderkey)
+             |SELECT l_orderkey, len(arr) AS n,
+             |  round(arr[1], 2) AS lo,
+             |  round(arr[3], 2) AS third,
+             |  round(list_sum(arr), 2) AS total,
+             |  len(list_filter(arr, x -> x > 30000)) AS n_big,
+             |  round(arr[1] + 100.0, 2) AS lo_boosted
+             |FROM g ORDER BY l_orderkey""".stripMargin)),
+
+    // ---- catalog-table source: CTAS into the session catalog, read back
+    //      through `spark.table` (metastore-resolved relation; the same
+    //      lineage path as Hive tables in the reference) ----
+    Q("q67_catalog_table",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders").filter($"o_totalprice" > 200000)
+          .write.mode("overwrite").saveAsTable("graft_cat_orders")
+        s.table("graft_cat_orders")
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders WHERE o_totalprice > 200000
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

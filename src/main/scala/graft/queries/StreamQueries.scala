@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.Q
+import graft.{Q, Tables}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -98,6 +98,26 @@ object StreamQueries {
       },
       Some("""SELECT event_type, count(*) AS n_users
              |FROM (SELECT DISTINCT user_id, event_type FROM events)
-             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // stream-static join: stateless per-batch enrichment against a batch
+    // dimension (broadcast per micro-batch — no state store, unlike
+    // stream-stream joins; the canonical lookup-table pattern)
+    Q("st05_stream_static_join",
+      (s, dir) => {
+        val dim = Tables(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+        val ev = StreamOps.readEvents(s, dir)
+          .withColumn("nk", col("user_id") % 25)
+          .join(broadcast(dim), Seq("nk"))
+        val agg = StreamOps.runToMemory(s, ev, "st05_out", OutputMode.Append())
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+          .orderBy(col("n_name"))
+        agg
+      },
+      Some("""SELECT n_name, count(*) AS n, round(sum(value), 2) AS sum_v
+             |FROM events JOIN nation ON n_nationkey = user_id % 25
+             |GROUP BY n_name ORDER BY n_name""".stripMargin))
   )
 }
