@@ -27,6 +27,17 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.HashExprs.cosine_sim(a, b)
 
+  /** Per-query top-k of scored pairs via the bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]]): each map partition reduces to ≤k rows
+    * per query BEFORE the exchange — a window row_number() would shuffle
+    * and sort every scored pair. Emits (q_id, n_id, cos, rn). */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.top_k_by(col("cos"), col("n_id"), k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), col("col.id").as("n_id"), col("col.score").as("cos"),
+        (col("pos") + 1).cast("long").as("rn"))
+
   /** Exact top-k neighbors for each query vector. Ranking uses the rounded
     * cosine plus id tiebreak so results are deterministic across engines. */
   def bruteForceTopK(
@@ -37,10 +48,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 5))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rn"))
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic random hyperplanes: `nBits` × `dim`, components from
@@ -75,10 +83,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 5))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rn"))
+    topKPerQuery(scored, k)
   }
 
   /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells
@@ -102,31 +107,27 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val cent = corpus.filter(col(idCol) % centEvery === 0)
       .select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
-    val wAssign = Window.partitionBy(col("n_id"))
-      .orderBy(col("ccos").desc, col("c_id").asc)
+    // cell assignment: argmax via max(struct(cos, -c_id)) — partial-aggs
+    // map-side, so only n rows (not n×|cent|) reach the exchange
     val assign = corpus
       .select(col(idCol).as("n_id"), col(embCol).as("n_emb"))
       .crossJoin(broadcast(cent))
       .withColumn("ccos", round(cosine(col("n_emb"), col("c_emb")), 5))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("n_id"), col("n_emb"), col("c_id"))
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("ccos").desc, col("c_id").asc)
+      .groupBy(col("n_id"))
+      .agg(max(struct(col("ccos"), (-col("c_id")).as("neg"))).as("m"),
+        first(col("n_emb")).as("n_emb"))
+      .select(col("n_id"), col("n_emb"), (-col("m.neg")).as("c_id"))
     val probe = queries
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
       .crossJoin(broadcast(cent))
       .withColumn("ccos", round(cosine(col("q_emb"), col("c_emb")), 5))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nProbe)
-      .select(col("q_id"), col("q_emb"), col("c_id"))
-    val wTop = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id").asc)
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.top_k_by(col("ccos"), col("c_id"), nProbe)
+        .as("tk"), first(col("q_emb")).as("q_emb"))
+      .select(col("q_id"), col("q_emb"), explode(col("tk.id")).as("c_id"))
     assign.join(broadcast(probe), Seq("c_id"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 5))
-      .withColumn("rn", row_number().over(wTop).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rn"))
+      .transform(topKPerQuery(_, k))
   }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TopKAgg
+
+class TopKAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("keeps the k best, higher score first, ties to the smaller id") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1.0, 1L), ("a", 3.0, 2L), ("a", 3.0, 3L), ("a", 2.0, 4L),
+      ("b", 5.0, 9L))
+      .toDF("g", "s", "id")
+    val got = df.groupBy($"g")
+      .agg(TopKAgg.top_k_by($"s", $"id", 2).as("tk"))
+      .select($"g", $"tk.score".as("ss"), $"tk.id".as("ids"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getSeq[Long](2))).toMap
+    assert(got("a") == (Seq(3.0, 3.0), Seq(2L, 3L)))
+    assert(got("b") == (Seq(5.0), Seq(9L))) // k larger than group: all rows
+  }
+
+  test("null scores/ids are skipped; partial merge across partitions agrees") {
+    import spark.implicits._
+    val rows = (1L to 1000L).map(i => ("g", i.toDouble % 97, i)) :+
+      (("g", Double.box(null.asInstanceOf[Double]).doubleValue, 0L))
+    val df = rows.toDF("g", "s", "id")
+      .withColumn("s", when($"id" === 0L, lit(null)).otherwise($"s"))
+      .repartition(13) // force non-trivial partial/merge paths
+    val got = df.groupBy($"g")
+      .agg(TopKAgg.top_k_by($"s", $"id", 3).as("tk"))
+      .select(posexplode($"tk"))
+      .select($"col.score", $"col.id")
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    // score = id % 97 → best score 96 at ids 96, 193, 290 (smallest first)
+    assert(got.toSeq == Seq((96.0, 96L), (96.0, 193L), (96.0, 290L)))
+  }
+}
