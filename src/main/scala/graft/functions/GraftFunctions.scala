@@ -24,6 +24,10 @@ object GraftFunctions {
     "cosine_sim" -> { es => HashExprs.CosineSim(es.head, es(1)) },
     "minhash_set_agg" -> { es =>
       HashExprs.MinHashSetAgg(es.head, es(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression() },
+    "top_k_by" -> { es =>
+      TopKAgg.TopKByScore(es.head, es(1),
+          es(2).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression() })
 
   def register(spark: SparkSession): Unit =

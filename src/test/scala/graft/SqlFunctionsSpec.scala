@@ -29,4 +29,19 @@ class SqlFunctionsSpec extends AnyFunSuite {
         |FROM documents GROUP BY lang""".stripMargin).collect()
     assert(rows.nonEmpty && rows.forall(_.getInt(1) == 16))
   }
+
+  test("top_k_by works in SQL group-by") {
+    GraftFunctions.register(spark)
+    Tables.registerAll(spark, TestSpark.sf)
+    val rows = spark.sql(
+      """SELECT o_orderstatus, top_k_by(o_totalprice, o_orderkey, 3) AS tk
+        |FROM orders GROUP BY o_orderstatus""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tk = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(tk.size == 3)
+      // best-first: scores non-increasing
+      assert(tk.map(_.getDouble(0)).sliding(2).forall(p => p(0) >= p(1)))
+    }
+  }
 }
