@@ -13,6 +13,7 @@ object SparkEntry {
       graft.queries.Core2Queries.all ++
       graft.queries.ExtraQueries.all ++
       graft.queries.Extra2Queries.all ++
+      graft.queries.Extra3Queries.all ++
       graft.queries.LineageQueries.all ++
       graft.queries.PipelineQueries.all ++
       graft.queries.Text2Queries.all ++

@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Fourth coverage wave: salted skew joins behind the gate, MapType
+  * surface, datetime function battery, typed Dataset ops.
+  */
+object Extra3Queries {
+
+  /** Typed row for the Dataset surface (q71). */
+  final case class OrderT(o_orderkey: Long, o_totalprice: Double, o_orderstatus: String)
+
+  def all: Seq[Q] = Seq(
+
+    // ---- salted join produces results identical to the plain join (the
+    //      skew treatment changes partitioning, not semantics): hot keys
+    //      spread over 8 sub-keys, small side replicated 8× ----
+    Q("q68_salted_join",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.SkewOps
+        val l = Tables(s, dir, "lineitem")
+          .select($"l_suppkey", $"l_extendedprice")
+        val sup = Tables(s, dir, "supplier")
+          .select($"s_suppkey", $"s_nationkey")
+        SkewOps.saltedJoin(l, sup, "l_suppkey", "s_suppkey", salt = 8)
+          .groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice"), 2).as("total"))
+          .orderBy($"s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n,
+             |  round(sum(l_extendedprice), 2) AS total
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    // ---- MapType surface: token→count map per document via
+    //      map_from_entries, exploded back with map_keys cardinality ----
+    Q("q69_map_ops",
+      (s, dir) => {
+        import s.implicits._
+        val tok = Tables(s, dir, "documents").filter($"doc_id" < 50)
+          .select($"doc_id", explode(split($"text", " ")).as("token"))
+          .filter($"token" =!= "")
+          .groupBy($"doc_id", $"token")
+          .agg(count(lit(1)).as("cnt"))
+        tok.groupBy($"doc_id")
+          .agg(map_from_entries(array_sort(collect_list(struct($"token", $"cnt"))))
+            .as("m"))
+          .select($"doc_id", size(map_keys($"m")).cast("long").as("n_distinct"),
+            explode($"m").as(Seq("token", "cnt")))
+          .orderBy($"doc_id", $"token")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, token, count(*) AS cnt
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |        FROM documents WHERE doc_id < 50)
+             |  WHERE token <> '' GROUP BY doc_id, token),
+             |d AS (SELECT doc_id, count(*) AS n_distinct FROM tok GROUP BY doc_id)
+             |SELECT t.doc_id, d.n_distinct, t.token, t.cnt
+             |FROM tok t JOIN d ON t.doc_id = d.doc_id
+             |ORDER BY t.doc_id, t.token""".stripMargin)),
+
+    // ---- datetime function battery: quarter / ISO weekday / last_day /
+    //      add_months / datediff (formatted or integer outputs only — no
+    //      raw timestamps in the compare) ----
+    Q("q70_datetime_funcs",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders").filter($"o_orderkey" < 2000)
+          .select($"o_orderkey",
+            quarter($"o_orderdate").cast("long").as("qtr"),
+            (weekday($"o_orderdate") + 1).cast("long").as("isodow"),
+            date_format(last_day($"o_orderdate"), "yyyy-MM-dd").as("month_end"),
+            date_format(add_months($"o_orderdate", 2), "yyyy-MM-dd").as("plus2m"),
+            datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long")
+              .as("days_since"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  quarter(o_orderdate) AS qtr,
+             |  isodow(o_orderdate) AS isodow,
+             |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+             |  strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m,
+             |  date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- typed Dataset surface: case-class encoder, typed filter + map
+    //      (the Dataset[T] path compiles to the same Catalyst plan —
+    //      deserialization only at the lambda boundary) ----
+    Q("q71_typed_ops",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Tables(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+          .as[OrderT]
+          .filter(_.o_totalprice > 100000)
+          .map(o => (o.o_orderkey, o.o_orderstatus,
+            math.floor(o.o_totalprice / 1000.0).toLong))
+          .toDF("o_orderkey", "o_orderstatus", "k_price")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS k_price
+             |FROM orders WHERE o_totalprice > 100000
+             |ORDER BY o_orderkey""".stripMargin))
+  )
+}
