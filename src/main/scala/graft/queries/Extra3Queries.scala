@@ -104,6 +104,55 @@ object Extra3Queries {
       Some("""SELECT o_orderkey, o_orderstatus,
              |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS k_price
              |FROM orders WHERE o_totalprice > 100000
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- partitioned layout: write partitioned by a key, read back one
+    //      partition — the filter prunes to a single directory at the
+    //      file-index level (the 100 TB pattern: lake partitioned by
+    //      date/type, queries touch only their slice) ----
+    Q("q72_partitioned_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+        Tables(s, dir, "events")
+          .withColumn("us", unix_micros($"ts"))
+          .select($"event_id", $"user_id", $"event_type", $"value", $"us")
+          .write.mode("overwrite").partitionBy("event_type")
+          .parquet(s"$tmp/events_by_type")
+        s.read.parquet(s"$tmp/events_by_type")
+          .filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+          .filter($"n" >= 3)
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+             |FROM events WHERE event_type = 'purchase'
+             |GROUP BY user_id HAVING count(*) >= 3
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- bucketed layout: both sides bucketed on the join key → the
+    //      sort-merge join runs with NO exchange (pre-shuffled storage;
+    //      asserted in ScaleSpec, exercised here end-to-end) ----
+    Q("q73_bucketed_join",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders")
+          .write.mode("overwrite").bucketBy(8, "o_custkey")
+          .sortBy("o_custkey").saveAsTable("graft_bkt_orders")
+        Tables(s, dir, "customer")
+          .write.mode("overwrite").bucketBy(8, "c_custkey")
+          .sortBy("c_custkey").saveAsTable("graft_bkt_customer")
+        s.table("graft_bkt_orders")
+          .join(s.table("graft_bkt_customer"),
+            $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }
