@@ -1,0 +1,172 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.LongType
+
+/** Native as-of join: for each left row, the single latest right row of
+  * the same `by` key with `rightTime <= leftTime` (optionally within
+  * `toleranceUs`). Inner semantics: unmatched left rows are dropped.
+  *
+  * The reference has no such operator (SURVEY §2.6 absence list); the
+  * union+window encoding (q32/q47) costs one union-wide shuffle + sort +
+  * a running `last(ignoreNulls)` over BOTH streams interleaved. This
+  * operator is the plan Spark would want at 100 TB: co-partition the two
+  * sides on the key (two exchanges, each only its own columns), sort
+  * within partitions, then a single forward merge scan — no interleaved
+  * mega-column union, no window buffering, O(1) state per key.
+  *
+  * Wired Spark-first: logical [[AsOfJoin]] node → [[AsOfJoinStrategy]] →
+  * [[AsOfJoinExec]], injectable via `SparkSessionExtensions` or
+  * `spark.experimental.extraStrategies` (see [[AsOf.join]]).
+  *
+  * v1 constraints (checked at construction): time columns are LongType
+  * (epoch micros — convert timestamps with `unix_micros`); the `by` keys
+  * evaluate to immutable boxed values (any integral/floating/boolean
+  * type — NOT strings, whose UTF8String buffers are reused).
+  */
+final case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftBy: Expression,
+    rightBy: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    toleranceUs: Option[Long])
+    extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      l: LogicalPlan, r: LogicalPlan): AsOfJoin = copy(left = l, right = r)
+}
+
+/** Planner strategy: one physical implementation, always applicable. */
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lb, rb, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lb, rb, lt, rt, tol) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge as-of join. Children are hash-clustered on the `by` key and
+  * sorted by (key, time); the merge keeps at most one buffered right row
+  * (the current best candidate) per in-flight key.
+  */
+final case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftBy: Expression,
+    rightBy: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    toleranceUs: Option[Long])
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftBy)) :: ClusteredDistribution(Seq(rightBy)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(SortOrder(leftBy, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(leftTime, org.apache.spark.sql.catalyst.expressions.Ascending)) ::
+      Seq(SortOrder(rightBy, org.apache.spark.sql.catalyst.expressions.Ascending),
+        SortOrder(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending)) :: Nil
+
+  require(leftTime.dataType == LongType && rightTime.dataType == LongType,
+    "as-of time columns must be LongType epoch micros (use unix_micros)")
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lByB = BindReferences.bindReference(leftBy, left.output)
+    val rByB = BindReferences.bindReference(rightBy, right.output)
+    val lTimeB = BindReferences.bindReference(leftTime, left.output)
+    val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    val keyOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(leftBy.dataType)
+    val tol = toleranceUs
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val rBuf = rIt.buffered
+
+      var candRow: InternalRow = null
+      var candTime = 0L
+      var candKey: Any = null
+
+      lIt.flatMap { l =>
+        val kL = lByB.eval(l)
+        val tL = lTimeB.eval(l).asInstanceOf[Long]
+        // consume right rows that are "behind or at" (kL, tL)
+        var advance = true
+        while (advance && rBuf.hasNext) {
+          val r = rBuf.head
+          val rk = rByB.eval(r)
+          val c = keyOrd.compare(rk, kL)
+          if (c < 0) { rBuf.next() } // earlier key: discard
+          else if (c == 0) {
+            val rt = rTimeB.eval(r).asInstanceOf[Long]
+            if (rt <= tL) {
+              candRow = r.copy() // rows are reused by the child iterator
+              candTime = rt
+              candKey = kL
+              rBuf.next()
+            } else advance = false
+          } else advance = false
+        }
+        val matched = candRow != null && keyOrd.compare(candKey, kL) == 0 &&
+          tol.forall(t => tL - candTime <= t)
+        if (matched) Iterator.single(resultProj(joined(l, candRow)))
+        else Iterator.empty
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      l: SparkPlan, r: SparkPlan): AsOfJoinExec = copy(left = l, right = r)
+}
+
+/** DataFrame-level API. */
+object AsOf {
+
+  /** As-of join `left` to `right` on `by` equality with the latest
+    * `rightTime <= leftTime` (within `toleranceUs` if set). The right side
+    * is re-aliased internally so self-derived inputs can't collide on
+    * attribute ids; columns must already have distinct names across the
+    * two sides.
+    */
+  def join(
+      left: DataFrame, right: DataFrame,
+      by: (String, String), time: (String, String),
+      toleranceUs: Option[Long] = None): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    // fresh exprIds on the right: both sides often derive from one scan
+    val r2 = right.select(right.columns.map(c => right(c).as(c)).toSeq: _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r2.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    val node = AsOfJoin(lPlan, rPlan,
+      attr(lPlan, by._1), attr(rPlan, by._2),
+      attr(lPlan, time._1), attr(rPlan, time._2), toleranceUs)
+    Bridge.ofRows(spark, node)
+  }
+
+  /** Column handle helper for tests. */
+  def colOf(df: DataFrame, name: String): Column = df(name)
+}

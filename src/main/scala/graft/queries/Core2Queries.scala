@@ -279,6 +279,57 @@ object Core2Queries {
              |    AS third_price
              |FROM orders
              |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
-             |ORDER BY o_orderstatus, o_orderkey""".stripMargin))
+             |ORDER BY o_orderstatus, o_orderkey""".stripMargin)),
+
+    // ---- native as-of join: custom LogicalPlan → Strategy → sort-merge
+    //      SparkPlan (graft.plans.AsOfJoin). Same semantics/oracle as the
+    //      union+window q32, but the plan is two per-side exchanges + one
+    //      forward merge scan ----
+    Q("q74_asof_native",
+      (s, dir) => {
+        import s.implicits._
+        import graft.plans.AsOf
+        val e = t(s, dir, "events")
+          .filter($"event_type".isin("click", "purchase"))
+        val p = e.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", unix_micros($"ts").as("p_us"))
+        val c = e.filter($"event_type" === "click")
+          .select($"user_id".as("c_user"), unix_micros($"ts").as("c_us"))
+        AsOf.join(p, c, ("user_id", "c_user"), ("p_us", "c_us"))
+          .select($"event_id", $"user_id", $"p_us", $"c_us")
+          .orderBy($"event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
+             |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- native as-of with tolerance (merge scan + post-filter inside
+    //      the operator, not a separate Filter over a wider join) ----
+    Q("q75_asof_native_tolerance",
+      (s, dir) => {
+        import s.implicits._
+        import graft.plans.AsOf
+        val e = t(s, dir, "events")
+          .filter($"event_type".isin("click", "purchase"))
+          .filter($"user_id" < 500)
+        val p = e.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", unix_micros($"ts").as("p_us"))
+        val c = e.filter($"event_type" === "click")
+          .select($"user_id".as("c_user"), unix_micros($"ts").as("c_us"))
+        AsOf.join(p, c, ("user_id", "c_user"), ("p_us", "c_us"),
+            toleranceUs = Some(3600L * 1000000L))
+          .select($"event_id", $"user_id", $"p_us", $"c_us")
+          .orderBy($"event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+             |           WHERE event_type = 'purchase' AND user_id < 500),
+             |     c AS (SELECT user_id, ts FROM events
+             |           WHERE event_type = 'click' AND user_id < 500)
+             |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
+             |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+             |ORDER BY event_id""".stripMargin))
   )
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.AsOf
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("tiny: latest right <= left time per key, inner semantics, tolerance") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 90L, "c1"), (1L, 100L, "c2"), (1L, 150L, "c3"),
+      (3L, 10L, "c4"))
+      .toDF("rk", "rt", "rtag")
+    val got = AsOf.join(l, r, ("k", "rk"), ("t", "rt"))
+      .select($"tag", $"rtag").collect().map(x => (x.getString(0), x.getString(1)))
+    // p1@100: c2@100 (<= inclusive, latest). p2@200: c3@150. p3: no key-2 row.
+    assert(got.toSet == Set(("p1", "c2"), ("p2", "c3")))
+
+    val tol = AsOf.join(l, r, ("k", "rk"), ("t", "rt"), toleranceUs = Some(30L))
+      .select($"tag", $"rtag").collect().map(x => (x.getString(0), x.getString(1)))
+    // p2@200 vs c3@150 is 50 > 30 → dropped
+    assert(tol.toSet == Set(("p1", "c2")))
+  }
+
+  test("matches the union+window formulation on the events table") {
+    import spark.implicits._
+    val e = Tables(spark, sf, "events")
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    // native
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("p_user"),
+        unix_micros($"ts").as("p_us"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), unix_micros($"ts").as("c_us"))
+    val native = AsOf.join(p, c, ("p_user", "c_user"), ("p_us", "c_us"))
+      .select($"p_id", $"p_us", $"c_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // union+window reference formulation (q32)
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"kind", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ref = e.withColumn("kind", when($"event_type" === "click", 0).otherwise(1))
+      .withColumn("click_ts", last(when($"kind" === 0, $"ts"), ignoreNulls = true).over(w))
+      .filter($"kind" === 1 && $"click_ts".isNotNull)
+      .select($"event_id", unix_micros($"ts"), unix_micros($"click_ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(native == ref)
+  }
+
+  test("physical plan is the custom exec over two sorted exchanges") {
+    import spark.implicits._
+    val l = Seq((1L, 100L)).toDF("k", "t")
+    val r = Seq((1L, 90L)).toDF("rk", "rt")
+    val df = AsOf.join(l, r, ("k", "rk"), ("t", "rt"))
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("AsOfJoinExec") || phys.contains("AsOfJoin"), phys)
+  }
+}
