@@ -176,6 +176,11 @@ object LineageExtractor {
         case d: Distinct => n("Distinct", "")
         case i: InsertIntoHadoopFsRelationCommand =>
           n("WriteFile", i.outputPath.toString)
+        case aj: graft.plans.AsOfJoin =>
+          val tol = aj.toleranceUs.map(t => s" tol=${t}us").getOrElse("")
+          n("AsOfJoin",
+            s"by ${aj.leftBy.sql}=${aj.rightBy.sql} " +
+              s"at ${aj.rightTime.sql}<=${aj.leftTime.sql}$tol")
         case other => n(other.nodeName, "")
       }
     }

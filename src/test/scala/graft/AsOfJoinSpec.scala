@@ -53,6 +53,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(native == ref)
   }
 
+  test("lineage flows through the custom node to source columns") {
+    import spark.implicits._
+    import graft.lineage.LineageExtractor
+    val e = Tables(spark, sf, "events")
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("p_us"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), unix_micros($"ts").as("c_us"))
+    val df = AsOf.join(p, c, ("user_id", "c_user"), ("p_us", "c_us"))
+    val lin = LineageExtractor.columnLineage(df.queryExecution.analyzed)
+    assert(lin("c_us").map(_.column) == Set("ts"))
+    assert(lin("event_id").map(_.column) == Set("event_id"))
+    val tree = LineageExtractor.fromLogical(df.queryExecution.analyzed).treeString
+    assert(tree.contains("AsOfJoin"), tree)
+  }
+
   test("physical plan is the custom exec over two sorted exchanges") {
     import spark.implicits._
     val l = Seq((1L, 100L)).toDF("k", "t")
