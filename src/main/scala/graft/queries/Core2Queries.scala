@@ -330,6 +330,28 @@ object Core2Queries {
              |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
              |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
              |WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- native sliding windows in batch (window(ts, 2h, 1h)): each
+    //      event lands in two overlapping windows; the oracle is the
+    //      equivalent two-shifted-truncations union ----
+    Q("q76_sliding_window",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_v"))
+          .select(date_format($"window.start", "yyyy-MM-dd HH").as("ws"),
+            $"event_type", $"n", $"sum_v")
+          .orderBy($"ws", $"event_type")
+      },
+      Some("""WITH w AS (
+             |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS ws,
+             |    event_type, value FROM events
+             |  UNION ALL
+             |  SELECT strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR,
+             |      '%Y-%m-%d %H'), event_type, value FROM events)
+             |SELECT ws, event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+             |FROM w GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin))
   )
 }

@@ -267,6 +267,7 @@ object Extra2Queries {
     Q("q67_catalog_table",
       (s, dir) => {
         import s.implicits._
+        Extra3Queries.freshTable(s, "graft_cat_orders")
         Tables(s, dir, "orders").filter($"o_totalprice" > 200000)
           .write.mode("overwrite").saveAsTable("graft_cat_orders")
         s.table("graft_cat_orders")

@@ -11,6 +11,21 @@ object Extra3Queries {
   /** Typed row for the Dataset surface (q71). */
   final case class OrderT(o_orderkey: Long, o_totalprice: Double, o_orderstatus: String)
 
+  /** Drop a managed table AND its possibly-orphaned warehouse location (a
+    * fresh JVM has a fresh in-memory catalog, but the previous run's
+    * directory survives — `overwrite` alone then fails with
+    * LOCATION_ALREADY_EXISTS). */
+  def freshTable(s: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = java.nio.file.Paths.get(wh, name)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   def all: Seq[Q] = Seq(
 
     // ---- salted join produces results identical to the plain join (the
@@ -137,6 +152,8 @@ object Extra3Queries {
     Q("q73_bucketed_join",
       (s, dir) => {
         import s.implicits._
+        freshTable(s, "graft_bkt_orders")
+        freshTable(s, "graft_bkt_customer")
         Tables(s, dir, "orders")
           .write.mode("overwrite").bucketBy(8, "o_custkey")
           .sortBy("o_custkey").saveAsTable("graft_bkt_orders")
