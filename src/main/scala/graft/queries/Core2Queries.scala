@@ -352,6 +352,32 @@ object Core2Queries {
              |  SELECT strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR,
              |      '%Y-%m-%d %H'), event_type, value FROM events)
              |SELECT ws, event_type, count(*) AS n, round(sum(value), 2) AS sum_v
-             |FROM w GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin))
+             |FROM w GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin)),
+
+    // ---- posexplode_outer: generator null semantics — rows with empty
+    //      arrays survive with null (pos, token), unlike plain explode ----
+    Q("q77_posexplode_outer",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 20)
+          .select($"doc_id",
+            when($"n_chars" > 900, split($"text", " "))
+              .otherwise(array().cast("array<string>")).as("toks"))
+          .select($"doc_id", posexplode_outer($"toks"))
+          .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("token"))
+          .orderBy($"doc_id", $"pos")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CASE WHEN n_chars > 900 THEN string_split(text, ' ')
+             |         ELSE [] END AS toks
+             |  FROM documents WHERE doc_id < 20),
+             |e AS (
+             |  SELECT doc_id, unnest(toks) AS token,
+             |    generate_subscripts(toks, 1) - 1 AS pos
+             |  FROM d)
+             |SELECT d.doc_id, e.pos, e.token
+             |FROM d LEFT JOIN e ON d.doc_id = e.doc_id
+             |ORDER BY d.doc_id, e.pos""".stripMargin))
   )
 }

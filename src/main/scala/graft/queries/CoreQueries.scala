@@ -575,15 +575,24 @@ object CoreQueries {
 
     // ---- approx distinct (HLL sketch; no exact oracle possible →
     //      rows-only check by design) ----
+    // HLL sketches differ across engines, so the gate checks the estimate
+    // against the exact count with a 5% bound — deterministic on fixed
+    // data (Spark's HLL++ is seedless), and a real oracle instead of
+    // rows-only
     Q("q29_approx_distinct",
       (s, dir) => {
         import s.implicits._
         t(s, dir, "lineitem")
           .groupBy($"l_returnflag")
-          .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+          .agg(approx_count_distinct($"l_partkey", 0.01).as("approx"),
+            countDistinct($"l_partkey").as("exact_n"))
+          .select($"l_returnflag", $"exact_n",
+            (abs($"approx" - $"exact_n") <= $"exact_n" * 0.05).as("within_5pct"))
           .orderBy($"l_returnflag")
       },
-      None),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_n,
+             |  true AS within_5pct
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ---- pivot (conditional aggregation) ----
     Q("q30_pivot",

@@ -130,6 +130,34 @@ object Text2Queries {
       Some("""SELECT event_id,
              |  regexp_replace(props, '[0-9]', '#', 'g') AS redacted,
              |  len(regexp_extract_all(props, '[0-9]')) AS n_masked
-             |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin))
+             |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin)),
+
+    // ---- deterministic hash sampling + train/val/test split: the
+    //      content-addressed assignment every training pipeline needs
+    //      (stable under reshuffles/re-runs, unlike rand()-based
+    //      TABLESAMPLE). Hash = first 8 md5 hex chars of the id. ----
+    Q("t10_hash_split",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .withColumn("bucket",
+            (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+              .cast("long") % 100).as("bucket"))
+          .select($"doc_id", $"bucket",
+            when($"bucket" < 80, "train")
+              .when($"bucket" < 90, "val")
+              .otherwise("test").as("split"),
+            ($"bucket" < 10).as("in_10pct_sample"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, bucket,
+             |  CASE WHEN bucket < 80 THEN 'train'
+             |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+             |  bucket < 10 AS in_10pct_sample
+             |FROM (SELECT doc_id,
+             |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+             |          AS bucket
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin))
   )
 }
