@@ -378,6 +378,33 @@ object Core2Queries {
              |  FROM d)
              |SELECT d.doc_id, e.pos, e.token
              |FROM d LEFT JOIN e ON d.doc_id = e.doc_id
-             |ORDER BY d.doc_id, e.pos""".stripMargin))
+             |ORDER BY d.doc_id, e.pos""".stripMargin)),
+
+    // ---- native interval join (graft.plans.IntervalJoin): all same-user
+    //      clicks in the hour before each purchase via a sliding buffer —
+    //      the batch analog of the st03 stream-stream join, without the
+    //      equi-join-then-filter same-key blowup ----
+    Q("q78_interval_native",
+      (s, dir) => {
+        import s.implicits._
+        import graft.plans.Interval
+        val e = t(s, dir, "events")
+        val p = e.filter($"event_type" === "purchase")
+          .select($"event_id".as("p_id"), $"user_id", unix_micros($"ts").as("p_us"))
+        val c = e.filter($"event_type" === "click")
+          .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+            unix_micros($"ts").as("c_us"))
+        Interval.join(p, c, ("user_id", "c_user"), ("p_us", "c_us"),
+            windowUs = 3600L * 1000000L)
+          .select($"p_id", $"c_id", $"p_us", $"c_us")
+          .orderBy($"p_id", $"c_id")
+      },
+      Some("""SELECT p.event_id AS p_id, c.event_id AS c_id,
+             |  epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id
+             |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+             |ORDER BY p_id, c_id""".stripMargin))
   )
 }

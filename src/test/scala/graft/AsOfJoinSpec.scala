@@ -69,6 +69,43 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(tree.contains("AsOfJoin"), tree)
   }
 
+  test("interval join: window bounds inclusive, buffer resets across keys") {
+    import spark.implicits._
+    import graft.plans.Interval
+    val l = Seq((1L, 1000L, "p1"), (1L, 1500L, "p2"), (2L, 1000L, "p3"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 400L, "c1"), (1L, 500L, "c2"), (1L, 1000L, "c3"),
+      (1L, 1400L, "c4"), (2L, 999L, "c5"))
+      .toDF("rk", "rt", "rtag")
+    val got = Interval.join(l, r, ("k", "rk"), ("t", "rt"), windowUs = 500L)
+      .select($"tag", $"rtag").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    // p1@1000 win [500,1000]: c2, c3. p2@1500 win [1000,1500]: c3, c4.
+    // p3 key 2 @1000 win [500,1000]: c5 only (key-1 rows must not leak).
+    assert(got == Set(("p1", "c2"), ("p1", "c3"),
+      ("p2", "c3"), ("p2", "c4"), ("p3", "c5")))
+  }
+
+  test("interval join matches the equi-join + filter formulation on events") {
+    import spark.implicits._
+    import graft.plans.Interval
+    val e = Tables(spark, sf, "events")
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", unix_micros($"ts").as("p_us"))
+    val c = e.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+        unix_micros($"ts").as("c_us"))
+    val native = Interval.join(p, c, ("user_id", "c_user"), ("p_us", "c_us"),
+        windowUs = 3600L * 1000000L)
+      .select($"p_id", $"c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ref = p.join(c, $"user_id" === $"c_user" &&
+        $"c_us" >= $"p_us" - 3600L * 1000000L && $"c_us" <= $"p_us")
+      .select($"p_id", $"c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == ref && native.nonEmpty)
+  }
+
   test("physical plan is the custom exec over two sorted exchanges") {
     import spark.implicits._
     val l = Seq((1L, 100L)).toDF("k", "t")
