@@ -161,6 +161,50 @@ object PipelineQueries {
              |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
              |FROM cc ORDER BY doc_id""".stripMargin)),
 
+    // the dedup "action": per cluster, keep the longest document (ties →
+    // lowest doc_id) and map every member to its canonical — the
+    // downstream filter is then `doc_id = canonical_id`
+    Q("d07_dedup_canonical",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+        val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+          shingleSize = 3, k = 128, bands = 32, threshold = 0.8)
+        val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+        val members = cc.join(docs.select(col("doc_id"), col("n_chars")),
+          cc("id") === col("doc_id"))
+        val w = Window.partitionBy(col("label"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        members
+          .withColumn("canonical_id", first(col("doc_id")).over(w))
+          .select(col("doc_id"), col("canonical_id"),
+            (col("doc_id") === col("canonical_id")).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+             |e AS (
+             |  SELECT a.doc_id AS ia, b.doc_id AS ib
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+             |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+             |sym AS (SELECT ia AS s, ib AS d FROM e
+             |        UNION ALL SELECT ib, ia FROM e),
+             |reach(src, dst) AS (
+             |  SELECT s, s FROM sym
+             |  UNION
+             |  SELECT r.src, sym.d FROM reach r JOIN sym ON r.dst = sym.s),
+             |cc AS (SELECT src AS doc_id, min(dst) AS label
+             |       FROM reach GROUP BY src),
+             |m AS (SELECT cc.doc_id, cc.label, d.n_chars
+             |      FROM cc JOIN documents d ON cc.doc_id = d.doc_id)
+             |SELECT doc_id,
+             |  first_value(doc_id) OVER (PARTITION BY label
+             |    ORDER BY n_chars DESC, doc_id) AS canonical_id,
+             |  doc_id = first_value(doc_id) OVER (PARTITION BY label
+             |    ORDER BY n_chars DESC, doc_id) AS keep
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
     Q("d03_simhash_pairs",
       (s, dir) =>
         Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",

@@ -158,6 +158,43 @@ object Text2Queries {
              |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
              |          AS bucket
              |      FROM documents)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- document quality classifier: fixed-weight linear model over
+    //      length/diversity features + threshold decision (deterministic
+    //      "model inference" as a relational plan — the shape a learned
+    //      filter takes in a data pipeline; weights would come from
+    //      training, the execution is identical) ----
+    Q("t11_quality_classifier",
+      (s, dir) => {
+        import s.implicits._
+        val toks = split($"text", " ")
+        Tables(s, dir, "documents")
+          .withColumn("n_tokens", size(filter(toks, t => t =!= "")).cast("double"))
+          .withColumn("ttr",
+            size(array_distinct(filter(toks, t => t =!= ""))).cast("double")
+              / $"n_tokens")
+          .select($"doc_id",
+            round(least(lit(1.0), $"n_tokens" / 120.0) * 0.4
+              + $"ttr" * 0.4
+              + least(lit(1.0), $"n_chars" / 1000.0) * 0.2, 6).as("score"))
+          .withColumn("accept", $"score" >= 0.55)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, n_chars,
+             |    len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE
+             |      AS n_tokens,
+             |    len(list_distinct(list_filter(string_split(text, ' '),
+             |      x -> x <> '')))::DOUBLE AS n_distinct
+             |  FROM documents)
+             |SELECT doc_id,
+             |  round(least(1.0, n_tokens / 120.0) * 0.4
+             |    + (n_distinct / n_tokens) * 0.4
+             |    + least(1.0, n_chars / 1000.0) * 0.2, 6) AS score,
+             |  round(least(1.0, n_tokens / 120.0) * 0.4
+             |    + (n_distinct / n_tokens) * 0.4
+             |    + least(1.0, n_chars / 1000.0) * 0.2, 6) >= 0.55 AS accept
+             |FROM f ORDER BY doc_id""".stripMargin))
   )
 }
