@@ -389,6 +389,32 @@ object PipelineQueries {
              |  md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5,
              |  octet_length(encode(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)))
              |    AS frame_len
-             |FROM f ORDER BY media_id, frame_idx""".stripMargin))
+             |FROM f ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // binary ingestion: text sink → whole-file binaryFile source (the
+    // path raw image/audio payloads take into the engine: one row per
+    // file, content as bytes). Digest + size checked against the
+    // byte-exact reconstruction of what the sink wrote.
+    Q("m04_binaryfile_source",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bin").toString
+        Tables(s, dir, "documents").filter($"doc_id" < 100)
+          .orderBy($"doc_id").select($"text")
+          .coalesce(1)
+          .write.mode("overwrite").text(s"$tmp/corpus")
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "part-*")
+          .load(s"$tmp/corpus")
+          .select(md5($"content").as("content_md5"),
+            length($"content").cast("long").as("n_bytes"))
+      },
+      // the written file is exactly the doc texts in doc_id order, each
+      // line '\n'-terminated (ASCII ⇒ byte-identical reconstruction)
+      Some("""SELECT
+             |  md5(string_agg(text || chr(10), '' ORDER BY doc_id)) AS content_md5,
+             |  octet_length(encode(string_agg(text || chr(10), '' ORDER BY doc_id)))
+             |    AS n_bytes
+             |FROM documents WHERE doc_id < 100""".stripMargin))
   )
 }

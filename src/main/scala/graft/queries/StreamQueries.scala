@@ -118,6 +118,21 @@ object StreamQueries {
       },
       Some("""SELECT n_name, count(*) AS n, round(sum(value), 2) AS sum_v
              |FROM events JOIN nation ON n_nationkey = user_id % 25
-             |GROUP BY n_name ORDER BY n_name""".stripMargin))
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // foreachBatch sink: per-micro-batch parquet append (the arbitrary
+    // sink path), then a batch rollup over what landed on disk
+    Q("st06_foreach_batch",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_feb").toString
+        val ev = StreamOps.readEvents(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        StreamOps.runForeachBatchToParquet(s, ev, s"$tmp/out")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

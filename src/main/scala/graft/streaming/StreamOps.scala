@@ -104,6 +104,22 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
       .select(keys.map(col): _*)
 
+  /** Run a stream through a `foreachBatch` sink that appends each
+    * micro-batch to a parquet directory — the arbitrary-sink escape hatch
+    * (upserts, JDBC, multi-table writes) exercised with a file target;
+    * returns the materialized output. */
+  def runForeachBatchToParquet(
+      spark: SparkSession, df: DataFrame, outPath: String): DataFrame = {
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(outPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
+  }
+
   /** Run a streaming DataFrame to completion against finite file input via
     * a memory sink; returns the materialized result table.
     *
