@@ -170,6 +170,30 @@ object Extra3Queries {
       Some("""SELECT c_mktsegment, count(*) AS n,
              |  round(sum(o_totalprice), 2) AS total
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- fuzzy/encoding scalar battery: edit distance (typo-tolerant
+    //      matching for data cleaning), character translation, field
+    //      splitting, base64 round-trip ----
+    Q("q79_fuzzy_encoding",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "part").filter($"p_partkey" < 500)
+          .select($"p_partkey",
+            levenshtein($"p_name", $"p_type").cast("long").as("edit_dist"),
+            translate($"p_name", "aeiou", "AEIOU").as("vowel_caps"),
+            split_part($"p_type", lit(" "), lit(1)).as("first_word"),
+            base64(encode($"p_brand", "UTF-8")).as("brand_b64"),
+            decode(unbase64(base64(encode($"p_name", "UTF-8"))), "UTF-8")
+              .as("roundtrip"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  levenshtein(p_name, p_type) AS edit_dist,
+             |  translate(p_name, 'aeiou', 'AEIOU') AS vowel_caps,
+             |  split_part(p_type, ' ', 1) AS first_word,
+             |  to_base64(encode(p_brand)) AS brand_b64,
+             |  p_name AS roundtrip
+             |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin))
   )
 }
