@@ -380,6 +380,62 @@ object Core2Queries {
              |FROM d LEFT JOIN e ON d.doc_id = e.doc_id
              |ORDER BY d.doc_id, e.pos""".stripMargin)),
 
+    // ---- TPC-H Q7 shape: volume shipping between two nation groups,
+    //      year extraction in the join output, dual broadcast dims ----
+    Q("q80_volume_shipping",
+      (s, dir) => {
+        import s.implicits._
+        val n1 = t(s, dir, "nation").select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
+        val n2 = t(s, dir, "nation").select($"n_nationkey".as("ck"), $"n_name".as("cust_nation"))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .join(broadcast(n1), $"s_nationkey" === $"sk")
+          .join(broadcast(n2), $"c_nationkey" === $"ck")
+          .filter($"supp_nation".isin("NATION_1", "NATION_2") &&
+            $"cust_nation".isin("NATION_1", "NATION_2") &&
+            $"supp_nation" =!= $"cust_nation")
+          .groupBy($"supp_nation", $"cust_nation",
+            year($"l_shipdate").cast("long").as("l_year"))
+          .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+          .orderBy($"supp_nation", $"cust_nation", $"l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |  year(l_shipdate) AS l_year,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+             |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+             |  AND n1.n_name <> n2.n_name
+             |GROUP BY supp_nation, cust_nation, l_year
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // ---- TPC-H Q11 shape: group value vs a fraction of the global total
+    //      (grouped HAVING against a broadcast scalar subquery) ----
+    Q("q81_important_stock",
+      (s, dir) => {
+        import s.implicits._
+        val l = t(s, dir, "lineitem")
+        val total = l.agg(sum($"l_extendedprice" * $"l_quantity").as("grand"))
+        l.groupBy($"l_partkey")
+          .agg(sum($"l_extendedprice" * $"l_quantity").as("value"))
+          .crossJoin(broadcast(total))
+          .filter($"value" > $"grand" * 0.0005)
+          .select($"l_partkey", round($"value", 2).as("value"))
+          .orderBy($"l_partkey")
+      },
+      Some("""SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS value
+             |FROM lineitem GROUP BY l_partkey
+             |HAVING sum(l_extendedprice * l_quantity) >
+             |  (SELECT sum(l_extendedprice * l_quantity) * 0.0005 FROM lineitem)
+             |ORDER BY l_partkey""".stripMargin)),
+
     // ---- native interval join (graft.plans.IntervalJoin): all same-user
     //      clicks in the hour before each purchase via a sliding buffer —
     //      the batch analog of the st03 stream-stream join, without the
