@@ -393,8 +393,8 @@ object Core2Queries {
           .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
           .join(broadcast(n1), $"s_nationkey" === $"sk")
           .join(broadcast(n2), $"c_nationkey" === $"ck")
-          .filter($"supp_nation".isin("NATION_1", "NATION_2") &&
-            $"cust_nation".isin("NATION_1", "NATION_2") &&
+          .filter($"supp_nation".isin("NATION_11", "NATION_18", "NATION_19", "NATION_20") &&
+            $"cust_nation".isin("NATION_11", "NATION_18", "NATION_19", "NATION_20") &&
             $"supp_nation" =!= $"cust_nation")
           .groupBy($"supp_nation", $"cust_nation",
             year($"l_shipdate").cast("long").as("l_year"))
@@ -410,8 +410,8 @@ object Core2Queries {
              |JOIN customer ON o_custkey = c_custkey
              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-             |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-             |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+             |WHERE n1.n_name IN ('NATION_11', 'NATION_18', 'NATION_19', 'NATION_20')
+             |  AND n2.n_name IN ('NATION_11', 'NATION_18', 'NATION_19', 'NATION_20')
              |  AND n1.n_name <> n2.n_name
              |GROUP BY supp_nation, cust_nation, l_year
              |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
