@@ -139,18 +139,22 @@ object Dedup {
   }
 
   /** Connected components over an undirected edge list `(id_a, id_b)`:
-    * iterative min-label propagation — each round every node adopts the
-    * minimum label in its closed neighborhood (one shuffle per round),
-    * converging in O(component diameter) rounds. Near-dup clusters have
-    * tiny diameters (pairs/triangles), so 2–3 rounds in practice; for
-    * adversarially long chains at 100 TB swap the round body for the
-    * large-star/small-star contractions (Kiveris et al., "Connected
-    * Components in MapReduce"), which is the same join skeleton applied
-    * to a contracted edge set.
+    * per round, every node takes the minimum label in its closed
+    * neighborhood, then labels are SHORTCUT one hop (`label :=
+    * label-of-label`, pointer doubling) — together this converges in
+    * O(log diameter) rounds, so `maxIter = 25` handles astronomically
+    * long chains, not just the tiny diameters of near-dup clusters.
+    * Plain propagation alone would need O(diameter) rounds and silently
+    * mislabel any component longer than the iteration cap; if the cap is
+    * somehow still hit, this throws rather than returning wrong labels.
     *
-    * `localCheckpoint` truncates the growing lineage each round (an
-    * unchecked iterative plan re-executes every prior round at each
-    * action and overflows the optimizer at scale).
+    * Each round is two shuffles (neighbor-min groupBy, shortcut join);
+    * `localCheckpoint` truncates the growing lineage (an unchecked
+    * iterative plan re-executes every prior round at each action and
+    * overflows the optimizer at scale). The large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce")
+    * is the same join skeleton applied to a shrinking edge set — the
+    * upgrade path if round COST (not count) ever dominates.
     *
     * @return (id, label) — label = min node id reachable; one row per
     *         node that appears in `edges`.
@@ -173,11 +177,19 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels.alias("cur")
+      val propagated = labels.alias("cur")
         .join(nbrMin.alias("nbr"), Seq("id"), "left_outer")
         .select(col("id"),
           least(col("cur.label"),
             coalesce(col("nbr_label"), col("cur.label"))).as("label"))
+      // pointer doubling: follow the label one hop (labels form a forest
+      // rooted at each component minimum, so label-of-label is monotone
+      // non-increasing and halves path lengths every round)
+      val next = propagated.alias("a")
+        .join(propagated.select(col("id").as("label"), col("label").as("ll"))
+          .alias("b"), Seq("label"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint()
       changed = next.alias("n")
         .join(labels.alias("o"), Seq("id"))
@@ -186,6 +198,8 @@ object Dedup {
       labels = next
       i += 1
     }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
 }

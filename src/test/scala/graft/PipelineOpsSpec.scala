@@ -131,4 +131,14 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
+
+  test("connected components: 300-node chain converges (pointer doubling)") {
+    import spark.implicits._
+    // diameter 299 ≫ maxIter: plain propagation would mislabel; the
+    // shortcut step must close it in O(log n) rounds
+    val edges = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 300 && got.forall(_._2 == 1L))
+  }
 }
