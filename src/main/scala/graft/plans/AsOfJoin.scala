@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
-  ClusteredDistribution, Distribution, Partitioning}
+  Distribution, Partitioning, StatefulOpClusteredDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.LongType
@@ -73,8 +73,13 @@ final case class AsOfJoinExec(
   override def output: Seq[Attribute] = left.output ++ right.output
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  // exact, non-coalescible hash partitioning on BOTH sides (the same
+  // guarantee streaming stateful operators use): zipPartitions alignment
+  // must survive AQE — plain ClusteredDistribution would allow AQE to
+  // coalesce the two shuffles into different partition ranges
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftBy)) :: ClusteredDistribution(Seq(rightBy)) :: Nil
+    StatefulOpClusteredDistribution(Seq(leftBy), conf.numShufflePartitions) ::
+      StatefulOpClusteredDistribution(Seq(rightBy), conf.numShufflePartitions) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(SortOrder(leftBy, org.apache.spark.sql.catalyst.expressions.Ascending),

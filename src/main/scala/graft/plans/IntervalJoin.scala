@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
-  ClusteredDistribution, Distribution, Partitioning}
+  Distribution, Partitioning, StatefulOpClusteredDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.LongType
@@ -64,8 +64,10 @@ final case class IntervalJoinExec(
   override def output: Seq[Attribute] = left.output ++ right.output
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  // exact, non-coalescible partitioning — see AsOfJoinExec for rationale
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftBy)) :: ClusteredDistribution(Seq(rightBy)) :: Nil
+    StatefulOpClusteredDistribution(Seq(leftBy), conf.numShufflePartitions) ::
+      StatefulOpClusteredDistribution(Seq(rightBy), conf.numShufflePartitions) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(SortOrder(leftBy, Ascending), SortOrder(leftTime, Ascending)) ::
