@@ -212,6 +212,50 @@ object PipelineQueries {
           .orderBy(col("id_a"), col("id_b")),
       None), // xxhash64-seeded signature: deterministic but not in DuckDB
 
+    // portable SimHash: same majority-bit signature as d03 but with
+    // md5-derived 32-bit token hashes, so the WHOLE pipeline — hash →
+    // signature → hamming pairs — replicates in SQL and gets a full
+    // oracle (d03 keeps the xxhash64 version + banding scale path)
+    Q("d08_simhash_portable",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.HashExprs
+        val toks = filter(split($"text", " "), t => t =!= "")
+        val hashes = transform(toks,
+          t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+        val sigs = Tables(s, dir, "documents").filter($"doc_id" < 200)
+          .select($"doc_id", HashExprs.simhash64(hashes).as("sig"))
+        val a = sigs.select($"doc_id".as("id_a"), $"sig".as("sig_a"))
+        val b = sigs.select($"doc_id".as("id_b"), $"sig".as("sig_b"))
+        a.join(b, $"id_a" < $"id_b")
+          .withColumn("hamming",
+            bit_count($"sig_a".bitwiseXOR($"sig_b")).cast("long"))
+          .filter($"hamming" <= 3)
+          .select($"id_a", $"id_b", $"hamming")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents WHERE doc_id < 200),
+             |t AS (
+             |  SELECT doc_id, ('0x' || substr(md5(unnest(toks)), 1, 8))::BIGINT AS h,
+             |    len(toks) AS n
+             |  FROM d),
+             |bits AS (
+             |  SELECT doc_id, b,
+             |    CASE WHEN 2 * sum((h >> b) & 1) > any_value(n) THEN 1::BIGINT
+             |         ELSE 0::BIGINT END AS bit
+             |  FROM t CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
+             |  GROUP BY doc_id, b),
+             |sig AS (
+             |  SELECT doc_id, CAST(sum(bit << b) AS BIGINT) AS sig
+             |  FROM bits GROUP BY doc_id)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("d04_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
