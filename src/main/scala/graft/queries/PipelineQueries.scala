@@ -376,6 +376,10 @@ object PipelineQueries {
              |  FROM probe p JOIN assign a ON p.c_id = a.c_id AND a.n_id <> p.q_id)
              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
 
+    // the hyperplanes come from a seeded PRNG, but they are CONSTANTS —
+    // embedding them as literals into generated oracle SQL makes even
+    // seeded LSH hash-verifiable (signature, bucket join, ranking all
+    // replicated; double arithmetic is sequential in both engines)
     Q("s02_ann_srp_lsh",
       (s, dir) => {
         import s.implicits._
@@ -384,7 +388,27 @@ object PipelineQueries {
             nBits = 6, dim = 64)
           .orderBy(col("q_id"), col("rn"))
       },
-      None), // seeded-hyperplane LSH: deterministic but not in DuckDB
+      Some {
+        val planes = Similarity.hyperplanes(6, 64)
+        val sigSql = planes.zipWithIndex.map { case (p, i) =>
+          val lst = p.map(_.toString).mkString("[", ", ", "]")
+          s"""(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+             |    $lst) > 0 THEN ${1L << i} ELSE 0 END)""".stripMargin
+        }.mkString("\n  + ")
+        s"""WITH sig AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+           |    CAST($sigSql AS BIGINT) AS bucket
+           |  FROM embeddings)
+           |SELECT q_id, n_id, cos, rn FROM (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |    round(list_cosine_similarity(q.emb, c.emb), 5) AS cos,
+           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |      round(list_cosine_similarity(q.emb, c.emb), 5) DESC,
+           |      c.vec_id) AS rn
+           |  FROM sig q JOIN sig c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 10)
+           |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+      }),
 
     // ----------------------------------------------------- multimodal
     Q("m01_binary_meta",
