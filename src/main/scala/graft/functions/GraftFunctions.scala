@@ -26,6 +26,7 @@ object GraftFunctions {
       HashExprs.MinHashSetAgg(es.head, es(1).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression() },
     "top_k_by" -> { es =>
+      require(es(2).foldable, "top_k_by k must be a literal")
       TopKAgg.TopKByScore(es.head, es(1),
           es(2).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression() })

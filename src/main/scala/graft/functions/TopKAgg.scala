@@ -41,6 +41,23 @@ object TopKAgg {
       inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
 
+    require(k > 0, s"top_k_by k must be positive, got $k")
+
+    // analysis-time validation (runs after resolution — an eager require
+    // would throw on unresolved columns): update() casts eval results, so
+    // reject wrong types before execution
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      if (score.dataType != DoubleType) {
+        TypeCheckResult.TypeCheckFailure(
+          s"top_k_by score must be DOUBLE, got ${score.dataType}")
+      } else if (id.dataType != LongType) {
+        TypeCheckResult.TypeCheckFailure(
+          s"top_k_by id must be BIGINT, got ${id.dataType}")
+      } else TypeCheckResult.TypeCheckSuccess
+    }
+
     override def children: Seq[Expression] = Seq(score, id)
     override def nullable: Boolean = false
     override def dataType: DataType = ArrayType(

@@ -74,13 +74,16 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       k: Int = 128,
-      bands: Int = 16,
+      bands: Int = 32,
       threshold: Double = 0.8,
       maxBucket: Int = 1000): DataFrame = {
-    // band tuning: r = k/bands rows per band. r=8,b=16 keeps the candidate
-    // (false-positive) rate ~1e-4 of all pairs while missing a true j≥0.9
-    // pair with probability (1-0.9^8)^16 ≈ 1e-4 — at lower r the background
-    // similarity of natural corpora floods verification with candidates.
+    // band tuning: r = k/bands rows per band. The default r=4,b=32 misses
+    // a true j=0.8 pair with probability (1-0.8^4)^32 ≈ 5e-8 (lower for
+    // higher j) — safe at the default threshold. Candidates are verified
+    // with exact Jaccard, so extra background collisions cost only
+    // verification work; raise `bands`' divisor (fewer, longer bands,
+    // e.g. b=16,r=8) only when the threshold is ≥0.9 and verification
+    // volume dominates.
     val rowsPerBand = k / bands
     // the whole tokenize→hash→shingle→distinct pipeline is ONE custom
     // expression producing sorted long arrays (the Column-DSL chain built
@@ -177,11 +180,14 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbr_label"))
+      // materialize: the shortcut step self-joins this frame — without a
+      // checkpoint the neighbor-min aggregation executes twice per round
       val propagated = labels.alias("cur")
         .join(nbrMin.alias("nbr"), Seq("id"), "left_outer")
         .select(col("id"),
           least(col("cur.label"),
             coalesce(col("nbr_label"), col("cur.label"))).as("label"))
+        .localCheckpoint()
       // pointer doubling: follow the label one hop (labels form a forest
       // rooted at each component minimum, so label-of-label is monotone
       // non-increasing and halves path lengths every round)

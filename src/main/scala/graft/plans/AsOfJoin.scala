@@ -89,6 +89,7 @@ final case class AsOfJoinExec(
 
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     "as-of time columns must be LongType epoch micros (use unix_micros)")
+  PlanChecks.requireImmutableKeyType(leftBy, rightBy, "as-of")
 
   protected override def doExecute(): RDD[InternalRow] = {
     val lByB = BindReferences.bindReference(leftBy, left.output)
@@ -112,27 +113,33 @@ final case class AsOfJoinExec(
       lIt.flatMap { l =>
         val kL = lByB.eval(l)
         val tL = lTimeB.eval(l).asInstanceOf[Long]
-        // consume right rows that are "behind or at" (kL, tL)
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val r = rBuf.head
-          val rk = rByB.eval(r)
-          val c = keyOrd.compare(rk, kL)
-          if (c < 0) { rBuf.next() } // earlier key: discard
-          else if (c == 0) {
-            val rt = rTimeB.eval(r).asInstanceOf[Long]
-            if (rt <= tL) {
-              candRow = r.copy() // rows are reused by the child iterator
-              candTime = rt
-              candKey = kL
-              rBuf.next()
-            } else advance = false
-          } else advance = false
+        if (kL == null) Iterator.empty // SQL equi-join semantics: drop nulls
+        else {
+          // consume right rows that are "behind or at" (kL, tL)
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val r = rBuf.head
+            val rk = rByB.eval(r)
+            if (rk == null) { rBuf.next() } // null keys never match
+            else {
+              val c = keyOrd.compare(rk, kL)
+              if (c < 0) { rBuf.next() } // earlier key: discard
+              else if (c == 0) {
+                val rt = rTimeB.eval(r).asInstanceOf[Long]
+                if (rt <= tL) {
+                  candRow = r.copy() // rows are reused by the child iterator
+                  candTime = rt
+                  candKey = kL
+                  rBuf.next()
+                } else advance = false
+              } else advance = false
+            }
+          }
+          val matched = candRow != null && keyOrd.compare(candKey, kL) == 0 &&
+            tol.forall(t => tL - candTime <= t)
+          if (matched) Iterator.single(resultProj(joined(l, candRow)))
+          else Iterator.empty
         }
-        val matched = candRow != null && keyOrd.compare(candKey, kL) == 0 &&
-          tol.forall(t => tL - candTime <= t)
-        if (matched) Iterator.single(resultProj(joined(l, candRow)))
-        else Iterator.empty
       }
     }
   }
@@ -153,24 +160,10 @@ object AsOf {
   def join(
       left: DataFrame, right: DataFrame,
       by: (String, String), time: (String, String),
-      toleranceUs: Option[Long] = None): DataFrame = {
-    val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+      toleranceUs: Option[Long] = None): DataFrame =
+    JoinBuild(left, right, by, time, AsOfJoinStrategy) {
+      case (lp, rp, lb, rb, lt, rt) => AsOfJoin(lp, rp, lb, rb, lt, rt, toleranceUs)
     }
-    // fresh exprIds on the right: both sides often derive from one scan
-    val r2 = right.select(right.columns.map(c => right(c).as(c)).toSeq: _*)
-    val lPlan = left.queryExecution.analyzed
-    val rPlan = r2.queryExecution.analyzed
-    def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
-    val node = AsOfJoin(lPlan, rPlan,
-      attr(lPlan, by._1), attr(rPlan, by._2),
-      attr(lPlan, time._1), attr(rPlan, time._2), toleranceUs)
-    Bridge.ofRows(spark, node)
-  }
 
   /** Column handle helper for tests. */
   def colOf(df: DataFrame, name: String): Column = df(name)

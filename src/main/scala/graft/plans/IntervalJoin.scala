@@ -75,6 +75,7 @@ final case class IntervalJoinExec(
 
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     "interval-join time columns must be LongType epoch micros")
+  PlanChecks.requireImmutableKeyType(leftBy, rightBy, "interval")
 
   protected override def doExecute(): RDD[InternalRow] = {
     val lByB = BindReferences.bindReference(leftBy, left.output)
@@ -97,30 +98,38 @@ final case class IntervalJoinExec(
       lIt.flatMap { l =>
         val kL = lByB.eval(l)
         val tL = lTimeB.eval(l).asInstanceOf[Long]
-        if (bufKey == null || keyOrd.compare(bufKey, kL) != 0) {
-          window.clear() // new key: previous key's rows can never match
-          bufKey = kL
+        if (kL == null) Iterator.empty // SQL equi-join semantics: drop nulls
+        else {
+          if (bufKey == null || keyOrd.compare(bufKey, kL) != 0) {
+            window.clear() // new key: previous key's rows can never match
+            bufKey = kL
+          }
+          // admit right rows with rt <= tL of this key; discard earlier
+          // keys and null keys (never match)
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val r = rBuf.head
+            val rk = rByB.eval(r)
+            if (rk == null) { rBuf.next() }
+            else {
+              val c = keyOrd.compare(rk, kL)
+              if (c < 0) { rBuf.next() }
+              else if (c == 0) {
+                val rt = rTimeB.eval(r).asInstanceOf[Long]
+                if (rt <= tL) { window.addLast((rt, r.copy())); rBuf.next() }
+                else advance = false
+              } else advance = false
+            }
+          }
+          // evict rows older than the window start
+          while (!window.isEmpty && window.peekFirst()._1 < tL - win) {
+            window.removeFirst()
+          }
+          // lazy: Iterator.flatMap drains this before advancing `l`, and the
+          // SparkPlan row contract permits reusing the projection buffer
+          import scala.jdk.CollectionConverters._
+          window.iterator().asScala.map { case (_, r) => resultProj(joined(l, r)) }
         }
-        // admit right rows with rt <= tL of this key; discard earlier keys
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val r = rBuf.head
-          val c = keyOrd.compare(rByB.eval(r), kL)
-          if (c < 0) { rBuf.next() }
-          else if (c == 0) {
-            val rt = rTimeB.eval(r).asInstanceOf[Long]
-            if (rt <= tL) { window.addLast((rt, r.copy())); rBuf.next() }
-            else advance = false
-          } else advance = false
-        }
-        // evict rows older than the window start
-        while (!window.isEmpty && window.peekFirst()._1 < tL - win) {
-          window.removeFirst()
-        }
-        // lazy: Iterator.flatMap drains this before advancing `l`, and the
-        // SparkPlan row contract permits reusing the projection buffer
-        import scala.jdk.CollectionConverters._
-        window.iterator().asScala.map { case (_, r) => resultProj(joined(l, r)) }
       }
     }
   }
@@ -134,20 +143,8 @@ object Interval {
   def join(
       left: DataFrame, right: DataFrame,
       by: (String, String), time: (String, String),
-      windowUs: Long): DataFrame = {
-    val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(IntervalJoinStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ IntervalJoinStrategy
+      windowUs: Long): DataFrame =
+    JoinBuild(left, right, by, time, IntervalJoinStrategy) {
+      case (lp, rp, lb, rb, lt, rt) => IntervalJoin(lp, rp, lb, rb, lt, rt, windowUs)
     }
-    val r2 = right.select(right.columns.map(c => right(c).as(c)).toSeq: _*)
-    val lPlan = left.queryExecution.analyzed
-    val rPlan = r2.queryExecution.analyzed
-    def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
-    Bridge.ofRows(spark, IntervalJoin(lPlan, rPlan,
-      attr(lPlan, by._1), attr(rPlan, by._2),
-      attr(lPlan, time._1), attr(rPlan, time._2), windowUs))
-  }
 }

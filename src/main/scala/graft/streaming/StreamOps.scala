@@ -96,6 +96,11 @@ object StreamOps {
     * `dropDuplicates`, whose state grows without bound). Only the key
     * columns are emitted: the first-arrival payload of a duplicate key
     * depends on scheduling order, the key set does not.
+    *
+    * NOTE: equals a batch DISTINCT only when every recurrence of a key
+    * falls within the watermark horizon of its first arrival (true for the
+    * single-file single-batch replay the gate runs); beyond the horizon a
+    * key is re-emitted by design — that is the state/exactness trade.
     */
   def dedupKeys(events: DataFrame, keys: Seq[String],
       watermark: String = "2 hours"): DataFrame =
@@ -107,7 +112,12 @@ object StreamOps {
   /** Run a stream through a `foreachBatch` sink that appends each
     * micro-batch to a parquet directory — the arbitrary-sink escape hatch
     * (upserts, JDBC, multi-table writes) exercised with a file target;
-    * returns the materialized output. */
+    * returns the materialized output.
+    *
+    * `outPath` must be fresh per run: append mode plus no checkpoint means
+    * a rerun (or a production batch retry) double-writes — a durable
+    * deployment passes `checkpointLocation` and makes the batch write
+    * idempotent (e.g. overwrite-by-batch-id partitions). */
   def runForeachBatchToParquet(
       spark: SparkSession, df: DataFrame, outPath: String): DataFrame = {
     val q = df.writeStream

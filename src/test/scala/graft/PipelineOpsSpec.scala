@@ -28,7 +28,7 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("minhash LSH recall: finds exactly the exact-Jaccard pairs at sf0.001") {
     import spark.implicits._
     val docs = Tables(spark, sf, "documents")
-    val got = Dedup.minhashLsh(docs, "doc_id", "text", 3, 128, 16, 0.8)
+    val got = Dedup.minhashLsh(docs, "doc_id", "text", 3, 128, 32, 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // exact all-pairs ground truth (feasible at this SF)
     val sh = docs.select($"doc_id", TextOps.shingles($"text", 3).as("sh"))
