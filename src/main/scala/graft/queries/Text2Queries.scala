@@ -195,6 +195,38 @@ object Text2Queries {
              |  round(least(1.0, n_tokens / 120.0) * 0.4
              |    + (n_distinct / n_tokens) * 0.4
              |    + least(1.0, n_chars / 1000.0) * 0.2, 6) >= 0.55 AS accept
-             |FROM f ORDER BY doc_id""".stripMargin))
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // ---- stratified sampling (sampleBy analog) with content-addressed
+    //      hashing: per-language keep fractions, reproducible under
+    //      reshuffles/re-runs; summarized per stratum ----
+    Q("t12_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        val frac = when($"lang" === "en", 10)
+          .when($"lang" === "de", 25)
+          .when($"lang" === "es", 50)
+          .otherwise(100)
+        Tables(s, dir, "documents")
+          .withColumn("bucket",
+            conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+              .cast("long") % 100)
+          .withColumn("kept", $"bucket" < frac)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"kept", 1L).otherwise(0L)).as("n_sampled"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN bucket < CASE lang WHEN 'en' THEN 10
+             |                                        WHEN 'de' THEN 25
+             |                                        WHEN 'es' THEN 50
+             |                                        ELSE 100 END
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+             |FROM (SELECT lang,
+             |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+             |          AS bucket
+             |      FROM documents)
+             |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }
