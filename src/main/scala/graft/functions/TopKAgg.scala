@@ -1,7 +1,5 @@
 package graft.functions
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -21,15 +19,58 @@ import org.apache.spark.sql.types._
   * at 100 TB a |Q|×n scored cross product shrinks to |Q|×k before any
   * network movement. Same determinism contract as the window formulation
   * (round scores upstream; id tiebreak).
+  *
+  * The buffer is a hand-rolled binary heap over two parallel primitive
+  * arrays — `TypedImperativeAggregate.update` runs once per input row
+  * outside codegen, so the buffer op must be allocation-free: a
+  * `PriorityQueue[(Double, Long)]` boxed a tuple per offer and compared
+  * through an interpreted Ordering, which measurably dominated the ANN
+  * benchmark profiles.
   */
 object TopKAgg {
 
-  private val pairOrd: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
-    /** Max element = WORST kept pair (lowest score, then largest id), so
-      * the PriorityQueue head is the eviction candidate. */
-    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
-      val c = java.lang.Double.compare(b._1, a._1)
-      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+  /** Bounded "keep the k best" heap on parallel primitive arrays. The heap
+    * is ordered by WORSENESS (root = lowest score, then largest id), so
+    * the root is the eviction candidate and `offer` is O(log k) with zero
+    * allocation. */
+  final class TopKHeap(val k: Int) {
+    val scores = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var size = 0
+
+    /** (s1,i1) ranks strictly worse than (s2,i2). */
+    @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+      s1 < s2 || (s1 == s2 && i1 > i2)
+
+    def offer(s: Double, i: Long): Unit = {
+      if (size < k) {
+        var n = size
+        size += 1
+        // sift up: parents must be worse-or-equal than children
+        while (n > 0 && worse(s, i, scores((n - 1) >> 1), ids((n - 1) >> 1))) {
+          scores(n) = scores((n - 1) >> 1); ids(n) = ids((n - 1) >> 1)
+          n = (n - 1) >> 1
+        }
+        scores(n) = s; ids(n) = i
+      } else if (worse(scores(0), ids(0), s, i)) {
+        // beats the current worst: replace the root, sift the hole down
+        var n = 0
+        var done = false
+        while (!done) {
+          val l = 2 * n + 1
+          if (l >= size) done = true
+          else {
+            var c = l // the worse of the two children
+            val r = l + 1
+            if (r < size && worse(scores(r), ids(r), scores(l), ids(l))) c = r
+            if (worse(scores(c), ids(c), s, i)) {
+              scores(n) = scores(c); ids(n) = ids(c)
+              n = c
+            } else done = true
+          }
+        }
+        scores(n) = s; ids(n) = i
+      }
     }
   }
 
@@ -39,7 +80,7 @@ object TopKAgg {
       k: Int,
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+      extends TypedImperativeAggregate[TopKHeap] {
 
     require(k > 0, s"top_k_by k must be positive, got $k")
 
@@ -67,57 +108,50 @@ object TopKAgg {
       containsNull = false)
     override def prettyName: String = "top_k_by_score"
 
-    override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
-      mutable.PriorityQueue.empty[(Double, Long)](pairOrd)
+    override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
 
-    private def offer(
-        buf: mutable.PriorityQueue[(Double, Long)], p: (Double, Long)): Unit = {
-      if (buf.size < k) buf.enqueue(p)
-      else if (pairOrd.compare(p, buf.head) < 0) { buf.dequeue(); buf.enqueue(p) }
-    }
-
-    override def update(
-        buf: mutable.PriorityQueue[(Double, Long)],
-        input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
+    override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
       val s = score.eval(input)
       val i = id.eval(input)
       if (s != null && i != null) {
-        offer(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+        buf.offer(s.asInstanceOf[Double], i.asInstanceOf[Long])
       }
       buf
     }
 
-    override def merge(
-        b1: mutable.PriorityQueue[(Double, Long)],
-        b2: mutable.PriorityQueue[(Double, Long)])
-        : mutable.PriorityQueue[(Double, Long)] = {
-      b2.foreach(offer(b1, _))
+    override def merge(b1: TopKHeap, b2: TopKHeap): TopKHeap = {
+      var j = 0
+      while (j < b2.size) { b1.offer(b2.scores(j), b2.ids(j)); j += 1 }
       b1
     }
 
-    override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-      val worstFirst = buf.dequeueAll // ordered by priority = worst first
-      new GenericArrayData(worstFirst.reverseIterator.map { case (s, i) =>
-        InternalRow(s, i)
-      }.toArray[Any])
+    override def eval(buf: TopKHeap): Any = {
+      // once per GROUP, not per row — sorting a k-sized copy is fine
+      val idx = Array.range(0, buf.size).sortWith { (a, b) =>
+        buf.scores(a) > buf.scores(b) ||
+          (buf.scores(a) == buf.scores(b) && buf.ids(a) < buf.ids(b))
+      }
+      new GenericArrayData(idx.map { j =>
+        InternalRow(buf.scores(j), buf.ids(j)): Any
+      })
     }
 
-    override def serialize(
-        buf: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
-      val items = buf.toArray
-      val bb = java.nio.ByteBuffer.allocate(4 + 16 * items.length)
-      bb.putInt(items.length)
-      items.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    override def serialize(buf: TopKHeap): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.size)
+      bb.putInt(buf.size)
+      var j = 0
+      while (j < buf.size) {
+        bb.putDouble(buf.scores(j)); bb.putLong(buf.ids(j)); j += 1
+      }
       bb.array()
     }
 
-    override def deserialize(
-        bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long)] = {
+    override def deserialize(bytes: Array[Byte]): TopKHeap = {
       val bb = java.nio.ByteBuffer.wrap(bytes)
       val n = bb.getInt
       val buf = createAggregationBuffer()
       var j = 0
-      while (j < n) { buf.enqueue((bb.getDouble, bb.getLong)); j += 1 }
+      while (j < n) { buf.offer(bb.getDouble, bb.getLong); j += 1 }
       buf
     }
 

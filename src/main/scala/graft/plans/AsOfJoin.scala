@@ -4,12 +4,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+  Attribute, Expression, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   Distribution, Partitioning, StatefulOpClusteredDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
-import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.LongType
 
 /** Native as-of join: for each left row, the single latest right row of
@@ -92,50 +91,68 @@ final case class AsOfJoinExec(
   PlanChecks.requireImmutableKeyType(leftBy, rightBy, "as-of")
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val lByB = BindReferences.bindReference(leftBy, left.output)
-    val rByB = BindReferences.bindReference(rightBy, right.output)
-    val lTimeB = BindReferences.bindReference(leftTime, left.output)
-    val rTimeB = BindReferences.bindReference(rightTime, right.output)
-    val keyOrd = org.apache.spark.sql.catalyst.util.TypeUtils
-      .getInterpretedOrdering(leftBy.dataType)
+    val lSchema = left.output
+    val rSchema = right.output
+    val lByE = leftBy
+    val rByE = rightBy
+    val lTimeE = leftTime
+    val rTimeE = rightTime
+    val keyRead = KeyCodec.reader(leftBy.dataType)
     val tol = toleranceUs
     val outAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      // codegen'd [key, time] extraction — one projection call per input
+      // row; the merge loop below then runs on primitive longs only (no
+      // boxed eval, no interpreted Ordering)
+      val lExtract = UnsafeProjection.create(Seq(lByE, lTimeE), lSchema)
+      val rExtract = UnsafeProjection.create(Seq(rByE, rTimeE), rSchema)
       val joined = new JoinedRow
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val rBuf = rIt.buffered
 
+      // decoded (key, time) of the right head row, computed ONCE per right
+      // row rather than re-evaluated against every left row
+      var headValid = false
+      var headKey = 0L
+      var headTime = 0L
+      // rows with null key or null time never match (SQL comparison
+      // semantics — a null timestamp must not unbox to epoch 0)
+      def loadHead(): Boolean = {
+        while (!headValid && rBuf.hasNext) {
+          val kt = rExtract(rBuf.head)
+          if (kt.isNullAt(0) || kt.isNullAt(1)) rBuf.next()
+          else {
+            headKey = keyRead(kt, 0); headTime = kt.getLong(1); headValid = true
+          }
+        }
+        headValid
+      }
+
       var candRow: InternalRow = null
       var candTime = 0L
-      var candKey: Any = null
+      var candKey = 0L
 
       lIt.flatMap { l =>
-        val kL = lByB.eval(l)
-        val tL = lTimeB.eval(l).asInstanceOf[Long]
-        if (kL == null) Iterator.empty // SQL equi-join semantics: drop nulls
+        val kt = lExtract(l)
+        if (kt.isNullAt(0) || kt.isNullAt(1)) Iterator.empty
         else {
+          val kL = keyRead(kt, 0)
+          val tL = kt.getLong(1)
           // consume right rows that are "behind or at" (kL, tL)
           var advance = true
-          while (advance && rBuf.hasNext) {
-            val r = rBuf.head
-            val rk = rByB.eval(r)
-            if (rk == null) { rBuf.next() } // null keys never match
-            else {
-              val c = keyOrd.compare(rk, kL)
-              if (c < 0) { rBuf.next() } // earlier key: discard
-              else if (c == 0) {
-                val rt = rTimeB.eval(r).asInstanceOf[Long]
-                if (rt <= tL) {
-                  candRow = r.copy() // rows are reused by the child iterator
-                  candTime = rt
-                  candKey = kL
-                  rBuf.next()
-                } else advance = false
+          while (advance && loadHead()) {
+            if (headKey < kL) { rBuf.next(); headValid = false }
+            else if (headKey == kL) {
+              if (headTime <= tL) {
+                candRow = rBuf.next().copy() // child iterators reuse rows
+                candTime = headTime
+                candKey = headKey
+                headValid = false
               } else advance = false
-            }
+            } else advance = false
           }
-          val matched = candRow != null && keyOrd.compare(candKey, kL) == 0 &&
+          val matched = candRow != null && candKey == kL &&
             tol.forall(t => tL - candTime <= t)
           if (matched) Iterator.single(resultProj(joined(l, candRow)))
           else Iterator.empty
@@ -161,7 +178,7 @@ object AsOf {
       left: DataFrame, right: DataFrame,
       by: (String, String), time: (String, String),
       toleranceUs: Option[Long] = None): DataFrame =
-    JoinBuild(left, right, by, time, AsOfJoinStrategy) {
+    JoinBuild(left, right, by, time) {
       case (lp, rp, lb, rb, lt, rt) => AsOfJoin(lp, rp, lb, rb, lt, rt, toleranceUs)
     }
 

@@ -4,13 +4,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder,
-  UnsafeProjection}
+  Ascending, Attribute, Expression, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   Distribution, Partitioning, StatefulOpClusteredDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
-import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.LongType
 
 /** Native interval join: all (left, right) pairs of the same `by` key with
@@ -78,48 +76,67 @@ final case class IntervalJoinExec(
   PlanChecks.requireImmutableKeyType(leftBy, rightBy, "interval")
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val lByB = BindReferences.bindReference(leftBy, left.output)
-    val rByB = BindReferences.bindReference(rightBy, right.output)
-    val lTimeB = BindReferences.bindReference(leftTime, left.output)
-    val rTimeB = BindReferences.bindReference(rightTime, right.output)
-    val keyOrd = org.apache.spark.sql.catalyst.util.TypeUtils
-      .getInterpretedOrdering(leftBy.dataType)
+    val lSchema = left.output
+    val rSchema = right.output
+    val lByE = leftBy
+    val rByE = rightBy
+    val lTimeE = leftTime
+    val rTimeE = rightTime
+    val keyRead = KeyCodec.reader(leftBy.dataType)
     val win = windowUs
     val outAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      // codegen'd [key, time] extraction; primitive-long merge loop — see
+      // AsOfJoinExec for the rationale
+      val lExtract = UnsafeProjection.create(Seq(lByE, lTimeE), lSchema)
+      val rExtract = UnsafeProjection.create(Seq(rByE, rTimeE), rSchema)
       val joined = new JoinedRow
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val rBuf = rIt.buffered
       // buffered right rows of the current key, (time, row), time-ascending
       val window = new java.util.ArrayDeque[(Long, InternalRow)]()
-      var bufKey: Any = null
+      var bufValid = false
+      var bufKey = 0L
+
+      // decoded (key, time) of the right head row, computed once per right
+      // row; null key/time rows never match (SQL comparison semantics — a
+      // null timestamp must not unbox to epoch 0)
+      var headValid = false
+      var headKey = 0L
+      var headTime = 0L
+      def loadHead(): Boolean = {
+        while (!headValid && rBuf.hasNext) {
+          val kt = rExtract(rBuf.head)
+          if (kt.isNullAt(0) || kt.isNullAt(1)) rBuf.next()
+          else {
+            headKey = keyRead(kt, 0); headTime = kt.getLong(1); headValid = true
+          }
+        }
+        headValid
+      }
 
       lIt.flatMap { l =>
-        val kL = lByB.eval(l)
-        val tL = lTimeB.eval(l).asInstanceOf[Long]
-        if (kL == null) Iterator.empty // SQL equi-join semantics: drop nulls
+        val kt = lExtract(l)
+        if (kt.isNullAt(0) || kt.isNullAt(1)) Iterator.empty
         else {
-          if (bufKey == null || keyOrd.compare(bufKey, kL) != 0) {
+          val kL = keyRead(kt, 0)
+          val tL = kt.getLong(1)
+          if (!bufValid || bufKey != kL) {
             window.clear() // new key: previous key's rows can never match
             bufKey = kL
+            bufValid = true
           }
-          // admit right rows with rt <= tL of this key; discard earlier
-          // keys and null keys (never match)
+          // admit right rows of this key with rt <= tL; discard earlier keys
           var advance = true
-          while (advance && rBuf.hasNext) {
-            val r = rBuf.head
-            val rk = rByB.eval(r)
-            if (rk == null) { rBuf.next() }
-            else {
-              val c = keyOrd.compare(rk, kL)
-              if (c < 0) { rBuf.next() }
-              else if (c == 0) {
-                val rt = rTimeB.eval(r).asInstanceOf[Long]
-                if (rt <= tL) { window.addLast((rt, r.copy())); rBuf.next() }
-                else advance = false
+          while (advance && loadHead()) {
+            if (headKey < kL) { rBuf.next(); headValid = false }
+            else if (headKey == kL) {
+              if (headTime <= tL) {
+                window.addLast((headTime, rBuf.next().copy()))
+                headValid = false
               } else advance = false
-            }
+            } else advance = false
           }
           // evict rows older than the window start
           while (!window.isEmpty && window.peekFirst()._1 < tL - win) {
@@ -144,7 +161,7 @@ object Interval {
       left: DataFrame, right: DataFrame,
       by: (String, String), time: (String, String),
       windowUs: Long): DataFrame =
-    JoinBuild(left, right, by, time, IntervalJoinStrategy) {
+    JoinBuild(left, right, by, time) {
       case (lp, rp, lb, rb, lt, rt) => IntervalJoin(lp, rp, lb, rb, lt, rt, windowUs)
     }
 }

@@ -106,6 +106,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(native == ref && native.nonEmpty)
   }
 
+  test("null keys and null times never match (SQL comparison semantics)") {
+    import spark.implicits._
+    import graft.plans.Interval
+    // a null timestamp must NOT behave like epoch 0 on either side
+    val l = Seq((Option(1L), Option(100L), "p1"), (Option(1L), None, "pNullT"),
+      (Option.empty[Long], Option(100L), "pNullK")).toDF("k", "t", "tag")
+    val r = Seq((Option(1L), Option(90L), "c1"), (Option(1L), None, "cNullT"),
+      (Option.empty[Long], Option(80L), "cNullK")).toDF("rk", "rt", "rtag")
+    val asOf = AsOf.join(l, r, ("k", "rk"), ("t", "rt"))
+      .select($"tag", $"rtag").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(asOf == Set(("p1", "c1")))
+    val interval = Interval.join(l, r, ("k", "rk"), ("t", "rt"), windowUs = 50L)
+      .select($"tag", $"rtag").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(interval == Set(("p1", "c1")))
+  }
+
   test("physical plan is the custom exec over two sorted exchanges") {
     import spark.implicits._
     val l = Seq((1L, 100L)).toDF("k", "t")

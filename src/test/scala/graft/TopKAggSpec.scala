@@ -23,6 +23,20 @@ class TopKAggSpec extends AnyFunSuite {
     assert(got("b") == (Seq(5.0), Seq(9L))) // k larger than group: all rows
   }
 
+  test("heap agrees with sort on random streams (insert and evict paths)") {
+    val rnd = new scala.util.Random(7)
+    for (k <- Seq(1, 2, 5, 16); n <- Seq(0, 1, 5, 500)) {
+      val pairs = Array.fill(n)((rnd.nextInt(50).toDouble, rnd.nextLong() % 1000))
+      val heap = new TopKAgg.TopKHeap(k)
+      pairs.foreach { case (s, i) => heap.offer(s, i) }
+      val got = (0 until heap.size)
+        .map(j => (heap.scores(j), heap.ids(j)))
+        .sortBy { case (s, i) => (-s, i) }
+      val want = pairs.toSeq.sortBy { case (s, i) => (-s, i) }.take(k)
+      assert(got == want, s"k=$k n=$n")
+    }
+  }
+
   test("null scores/ids are skipped; partial merge across partitions agrees") {
     import spark.implicits._
     val rows = (1L to 1000L).map(i => ("g", i.toDouble % 97, i)) :+
