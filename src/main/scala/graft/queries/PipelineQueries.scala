@@ -205,12 +205,43 @@ object PipelineQueries {
              |    ORDER BY n_chars DESC, doc_id) AS keep
              |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // banded SimHash at maxHamming=3 is EXHAUSTIVE (pigeonhole: 4 chunks,
+    // ≤3 differing bits ⇒ one chunk equal), so with the skew cap lifted
+    // the bucketed pipeline must equal the all-pairs filter — which is
+    // exactly what the oracle computes, over portable 63-bit md5-derived
+    // token hashes (same bit math as the Spark side; verified to match
+    // bit-for-bit). The xxhash64 default stays the operator's fast path.
     Q("d03_simhash_pairs",
       (s, dir) =>
         Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
-            maxHamming = 10)
+            maxHamming = 3, maxBucket = Int.MaxValue,
+            tokenHash = Dedup.portableTokenHash63)
+          .withColumn("hamming", col("hamming").cast("long"))
           .orderBy(col("id_a"), col("id_b")),
-      None), // xxhash64-seeded signature: deterministic but not in DuckDB
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, $toksSql AS toks FROM documents
+             |  WHERE len($toksSql) > 0),
+             |t AS (
+             |  SELECT doc_id,
+             |    (('0x' || substr(md5(unnest(toks)), 1, 8))::BIGINT & 2147483647)
+             |      * 4294967296
+             |      + ('0x' || substr(md5(unnest(toks)), 9, 8))::BIGINT AS h,
+             |    len(toks) AS n
+             |  FROM d),
+             |bits AS (
+             |  SELECT doc_id, b,
+             |    CASE WHEN 2 * sum((h >> b) & 1) > any_value(n) THEN 1::BIGINT
+             |         ELSE 0::BIGINT END AS bit
+             |  FROM t CROSS JOIN (SELECT unnest(range(0, 63)) AS b)
+             |  GROUP BY doc_id, b),
+             |sig AS (
+             |  SELECT doc_id, CAST(sum(bit << b) AS BIGINT) AS sig
+             |  FROM bits GROUP BY doc_id)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // portable SimHash: same majority-bit signature as d03 but with
     // md5-derived 32-bit token hashes, so the WHOLE pipeline — hash →
@@ -223,7 +254,10 @@ object PipelineQueries {
         val toks = filter(split($"text", " "), t => t =!= "")
         val hashes = transform(toks,
           t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+        // empty-token docs: the oracle's unnest-based sig CTE omits them,
+        // so the Spark side must too (their sig=0 would be meaningless)
         val sigs = Tables(s, dir, "documents").filter($"doc_id" < 200)
+          .filter(size(toks) > 0)
           .select($"doc_id", HashExprs.simhash64(hashes).as("sig"))
         val a = sigs.select($"doc_id".as("id_a"), $"sig".as("sig_a"))
         val b = sigs.select($"doc_id".as("id_b"), $"sig".as("sig_b"))
