@@ -44,8 +44,28 @@ object LineageExtractor {
       case other => (other.toString, other.getClass.getSimpleName)
     }
     val name = r.catalogTable.map(_.identifier.table).getOrElse(relationName(path))
-    TableMeta(name, path, r.output.map(_.name), fmt)
+    // catalog-managed inputs surface their ownership/timestamps (reference
+    // TableDef.owner/createTime/lastAccessTime); path-based reads have none
+    TableMeta(name, path, r.output.map(_.name), fmt,
+      owner = r.catalogTable.map(_.owner).getOrElse(""),
+      createTime = r.catalogTable.map(_.createTime).getOrElse(-1L),
+      lastAccessTime = r.catalogTable.map(_.lastAccessTime).getOrElse(-1L))
   }
+
+  /** A view input: identity + the original and analyzer-expanded SQL
+    * (reference `TableDef.viewOriginalText`/`viewExpandedText`,
+    * `TableDef.scala:3-33`). */
+  private def viewMeta(v: View): TableMeta =
+    TableMeta(
+      name = v.desc.identifier.table,
+      path = v.desc.identifier.unquotedString,
+      columns = v.desc.schema.fieldNames.toSeq,
+      format = if (v.isTempView) "temp_view" else "view",
+      owner = v.desc.owner,
+      createTime = v.desc.createTime,
+      lastAccessTime = v.desc.lastAccessTime,
+      viewOriginalText = v.desc.viewOriginalText.orElse(v.desc.viewText),
+      viewExpandedText = v.desc.viewText)
 
   private def tableMeta(r: DataSourceV2Relation): TableMeta =
     TableMeta(r.table.name(), r.table.name(), r.output.map(_.name), "v2")
@@ -343,6 +363,24 @@ object LineageExtractor {
       case r: LogicalRelation => val m = tableMeta(r); inputs.getOrElseUpdate(m.name, m)
       case r: DataSourceV2Relation => val m = tableMeta(r); inputs.getOrElseUpdate(m.name, m)
       case _ => ()
+    }
+    // views are inlined away by the optimizer — their identity + SQL text
+    // live only in the ANALYZED plan's View nodes (the reference records
+    // view inputs with original+expanded SQL the same way)
+    qe.analyzed.foreach {
+      case v: View => val m = viewMeta(v); inputs.getOrElseUpdate(m.name, m)
+      case _ => ()
+    }
+    // partition-level input entities: attach the post-pruning partition
+    // list of each partitioned scan to its TableMeta (metadata listing
+    // only — planning the physical scan reads no data)
+    val partsByName =
+      try partitionLineage(qe.executedPlan)
+      catch { case _: Throwable => Map.empty[String, Seq[String]] }
+    partsByName.foreach { case (name, parts) =>
+      if (parts.nonEmpty) {
+        inputs.updateWith(name)(_.map(_.copy(partitions = parts.sorted)))
+      }
     }
     val outputs = plan.collect {
       case i: InsertIntoHadoopFsRelationCommand => i.outputPath.toString

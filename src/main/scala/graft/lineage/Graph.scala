@@ -11,13 +11,31 @@ final case class ColumnRef(table: String, column: String) {
 }
 
 /** Catalog snapshot of one input relation (reference analog: `TableDef`,
-  * `/root/reference/core/src/main/scala/org/sparklinedata/hive/metadata/TableDef.scala:3-33`).
+  * `/root/reference/core/src/main/scala/org/sparklinedata/hive/metadata/TableDef.scala:3-33`,
+  * which carries owner, create/lastAccess time and the view's
+  * original+expanded SQL; `PartitionDef`s are resolved per scan,
+  * `ConvertHelper.scala:82-91`).
+  *
+  * @param owner       catalog owner ("" when the relation is path-based)
+  * @param createTime  epoch millis, -1 when unknown
+  * @param lastAccessTime epoch millis, -1 when unknown
+  * @param viewOriginalText the SQL the user wrote, for view inputs
+  * @param viewExpandedText the analyzer-expanded SQL, for view inputs
+  * @param partitions  partition directories this query actually reads
+  *                    (post-pruning), `part=val[/part2=val2]` form; empty
+  *                    for unpartitioned inputs
   */
 final case class TableMeta(
     name: String,
     path: String,
     columns: Seq[String],
-    format: String)
+    format: String,
+    owner: String = "",
+    createTime: Long = -1L,
+    lastAccessTime: Long = -1L,
+    viewOriginalText: Option[String] = None,
+    viewExpandedText: Option[String] = None,
+    partitions: Seq[String] = Nil)
 
 /** Immutable lineage-graph node. The reference hand-rolls a Catalyst-style
   * TreeNode with DAG-aware memoized transformUp
@@ -151,5 +169,36 @@ final case class LineageReport(
       s""""$col":$rs"""
     }
     entries.mkString("{", ",", "}")
+  }
+
+  /** Input entities with their catalog snapshot — what a consumer reads to
+    * answer "who owns this input / which partitions did we touch / what
+    * was the view's SQL" (the reference's `TableDef`/`PartitionDef`
+    * payload). */
+  def inputsJson: String = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    inputs.map { m =>
+      val base = Seq(
+        s""""name":"${esc(m.name)}"""",
+        s""""path":"${esc(m.path)}"""",
+        s""""format":"${esc(m.format)}"""",
+        s""""columns":${m.columns.map(c => "\"" + esc(c) + "\"").mkString("[", ",", "]")}""")
+      val cat = Seq(
+        if (m.owner.nonEmpty) Some(s""""owner":"${esc(m.owner)}"""") else None,
+        if (m.createTime >= 0) Some(s""""createTime":${m.createTime}""") else None,
+        if (m.lastAccessTime >= 0) Some(s""""lastAccessTime":${m.lastAccessTime}""") else None,
+        m.viewOriginalText.map(t => s""""viewOriginalText":"${esc(t)}""""),
+        m.viewExpandedText.map(t => s""""viewExpandedText":"${esc(t)}""""),
+        if (m.partitions.nonEmpty)
+          Some(s""""partitions":${m.partitions.map(p => "\"" + esc(p) + "\"").mkString("[", ",", "]")}""")
+        else None).flatten
+      (base ++ cat).mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
   }
 }

@@ -128,6 +128,65 @@ object LineageQueries {
              |  AS t(out_col, src_table, src_col)
              |ORDER BY out_col, src_table, src_col""".stripMargin)),
 
+    // partition-level input entities (reference PartitionDef inputs,
+    // ConvertHelper.scala:82-91): a pruned read of a partitioned layout
+    // reports exactly the partitions the scan touches, as first-class
+    // entries on the input's TableMeta
+    Q("lx08_lineage_partitions",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_lx8").toString
+        Tables(s, dir, "events")
+          .withColumn("us", unix_micros($"ts"))
+          .select($"event_id", $"user_id", $"event_type", $"value", $"us")
+          .write.mode("overwrite").partitionBy("event_type")
+          .parquet(s"$tmp/events_by_type")
+        val df = s.read.parquet(s"$tmp/events_by_type")
+          .filter($"event_type".isin("click", "purchase"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"))
+        val report = LineageExtractor.report(df.queryExecution)
+        val rows = report.inputs.flatMap(m => m.partitions.map(p => (m.name, p)))
+        s.createDataFrame(rows).toDF("table_name", "partition")
+          .orderBy("table_name", "partition")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('events_by_type', 'event_type=click'),
+             |  ('events_by_type', 'event_type=purchase'))
+             |  AS t(table_name, partition)
+             |ORDER BY table_name, partition""".stripMargin)),
+
+    // view inputs carry their ORIGINAL SQL in the report (reference
+    // TableDef.viewOriginalText/viewExpandedText, TableDef.scala:3-33):
+    // the optimizer inlines views away, so the report resolves them from
+    // the analyzed plan's View nodes
+    Q("lx09_lineage_view_meta",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lx9_base")
+        s.sql("DROP VIEW IF EXISTS lx9_v")
+        s.sql("CREATE TEMPORARY VIEW lx9_v AS " +
+          "SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS net " +
+          "FROM lx9_base WHERE l_quantity > 10")
+        val df = s.sql(
+          "SELECT l_orderkey, sum(net) AS total FROM lx9_v GROUP BY l_orderkey")
+        val report = LineageExtractor.report(df.queryExecution)
+        val rows = report.inputs
+          .filter(m => m.name == "lineitem" || m.format.endsWith("view"))
+          .map(m => (m.name, m.format.endsWith("view"),
+            m.viewOriginalText.getOrElse("")))
+        s.createDataFrame(rows).toDF("input_name", "is_view", "view_sql")
+          .orderBy("input_name")
+      },
+      // lx9_base is a dataset-API temp view: a real view input, but only
+      // SQL-defined views carry original text
+      Some("""SELECT * FROM (VALUES
+             |  ('lineitem', false, ''),
+             |  ('lx9_base', true, ''),
+             |  ('lx9_v', true,
+             |   'SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS net FROM lx9_base WHERE l_quantity > 10'))
+             |  AS t(input_name, is_view, view_sql)
+             |ORDER BY input_name""".stripMargin)),
+
     // expression rewrite into source terms (reference SchemaMapping.map):
     // each derived output column's defining expression, inlined down to
     // base-table columns and rendered as SQL

@@ -56,4 +56,34 @@ class LineageRewriteSpec extends AnyFunSuite {
     val parts2 = LineageExtractor.partitionLineage(df2.queryExecution.executedPlan)
     assert(parts2 == Map("region" -> Seq()))
   }
+
+  test("report surfaces catalog owner/timestamps and pruned partitions") {
+    import spark.implicits._
+    graft.queries.Extra3Queries.freshTable(spark, "graft_meta_nation")
+    Tables(spark, sf, "nation").write.mode("overwrite")
+      .saveAsTable("graft_meta_nation")
+    val df = spark.table("graft_meta_nation").filter($"n_regionkey" === 1)
+    val rep = LineageExtractor.report(df.queryExecution)
+    val m = rep.inputs.find(_.name == "graft_meta_nation").get
+    // catalog-managed: creation timestamp captured (owner flows through
+    // the same CatalogTable path but the in-memory catalog leaves it "")
+    assert(m.createTime > 0L, m)
+    assert(rep.inputsJson.contains("\"createTime\""), rep.inputsJson)
+
+    // partitioned read: the report's input entity lists ONLY the pruned
+    // partitions, as first-class entries (not just the table grain)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_meta_part").toString
+    Tables(spark, sf, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      .write.mode("overwrite").partitionBy("o_orderstatus")
+      .parquet(s"$tmp/orders_bystatus")
+    val pruned = spark.read.parquet(s"$tmp/orders_bystatus")
+      .filter($"o_orderstatus" === "F")
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+    val prep = LineageExtractor.report(pruned.queryExecution)
+    val pm = prep.inputs.find(_.name == "orders_bystatus").get
+    assert(pm.partitions == Seq("o_orderstatus=F"), pm)
+    assert(prep.inputsJson.contains("\"partitions\":[\"o_orderstatus=F\"]"),
+      prep.inputsJson)
+  }
 }
