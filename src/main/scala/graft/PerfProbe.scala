@@ -33,6 +33,36 @@ object PerfProbe {
       Dedup.minhashLsh(docs, "doc_id", "text", 3, 128, 32, 0.8).count())
     time("lsh b=16 r=8 (warm)")(
       Dedup.minhashLsh(docs, "doc_id", "text", 3, 128, 16, 0.8).count())
+
+    // connected-components contraction probe, two adversarial shapes:
+    //  - chain-heavy (worst case for DIAMETER): edge count stays ~n, the
+    //    win is O(log n) rounds instead of O(n) propagation rounds;
+    //  - clique-heavy (the near-dup shape LSH actually emits, worst case
+    //    for VOLUME): k²/2 pair edges collapse to k-1 star edges in the
+    //    first round, so per-round shuffle volume plummets — the point of
+    //    star contraction over label propagation, which re-joins the FULL
+    //    edge set every round.
+    import spark.implicits._
+    val chains = (0 until 64).flatMap { c =>
+      val base = c * 10000L
+      (0L until 999L).map(i => (base + i + 1, base + i)) // 64 chains × 1000
+    }
+    val cliques = (0 until 32).flatMap { c =>
+      val base = 10000000L + c * 1000L
+      for (i <- 0L until 40L; j <- 0L until i) yield (base + i, base + j)
+    }
+    val (_, chainTrace) = time("cc chains 64×1000")(
+      Dedup.connectedComponentsStats(
+        chains.toDF("id_a", "id_b").repartition(32), maxIter = 25))
+    println(s"[probe] cc chain rounds=${chainTrace.size} " +
+      s"edges/round=${chainTrace.mkString(", ")}")
+    val (labels, cliqueTrace) = time("cc cliques 32×40")(
+      Dedup.connectedComponentsStats(
+        cliques.toDF("id_a", "id_b").repartition(32), maxIter = 25))
+    println(s"[probe] cc clique rounds=${cliqueTrace.size} " +
+      s"edges/round=${cliqueTrace.mkString(", ")} (input=${cliques.size})")
+    println(s"[probe] cc components=${labels.select(col("label")).distinct().count()}" +
+      s" nodes=${labels.count()}")
     spark.stop()
   }
 }

@@ -238,18 +238,50 @@ object LineageExtractor {
               .map(_.toString).getOrElse("<unknown>")))
           val pushed = s.metadata.getOrElse("PushedFilters", "[]")
           val schema = s.metadata.getOrElse("ReadSchema", "")
-          scanMemo.getOrElseUpdate(s"$name|$pushed|$schema",
-            LNode(id, "Scan", s"$name pushed=$pushed read=$schema", Nil))
+          // partition pruning predicates are a separate channel from the
+          // pushed data filters (reference prints scan filterExpr +
+          // neededColumns per node, OperatorInfo.scala:67-74)
+          val parts =
+            if (s.partitionFilters.isEmpty) ""
+            else s" partFilters=[${exprsDetail(s.partitionFilters)}]"
+          scanMemo.getOrElseUpdate(s"$name|$pushed|$schema|$parts",
+            LNode(id, "Scan", s"$name pushed=$pushed read=$schema$parts", Nil))
         case agg: BaseAggregateExec =>
           val modes = agg.aggregateExpressions.map(_.mode).distinct.mkString(",")
           val m = if (agg.aggregateExpressions.isEmpty) "Keys" else modes
-          n("Aggregate", s"mode=$m keys=[${exprsDetail(agg.groupingExpressions)}]")
+          val fns =
+            if (agg.aggregateExpressions.isEmpty) ""
+            else s" aggs=[${exprsDetail(agg.aggregateExpressions.map(_.aggregateFunction))}]"
+          n("Aggregate", s"mode=$m keys=[${exprsDetail(agg.groupingExpressions)}]$fns")
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
           n("Exchange", e.outputPartitioning.toString.take(120))
         case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
-          n("BroadcastExchange", "")
+          n("BroadcastExchange", b.mode.getClass.getSimpleName)
+        case j: org.apache.spark.sql.execution.joins.HashJoin =>
+          val extra = j.condition.map(c => s" cond ${c.sql}").getOrElse("")
+          n(j.nodeName, s"${j.joinType.sql} build=${j.buildSide} keys " +
+            s"${exprsDetail(j.leftKeys)} = ${exprsDetail(j.rightKeys)}$extra")
         case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
-          n(j.nodeName, s"${j.joinType.sql} on ${j.condition.map(_.sql).getOrElse(exprsDetail(j.leftKeys) + " = " + exprsDetail(j.rightKeys))}")
+          val keys =
+            if (j.leftKeys.isEmpty) ""
+            else s"keys ${exprsDetail(j.leftKeys)} = ${exprsDetail(j.rightKeys)}"
+          val cond = j.condition.map(c =>
+            (if (keys.isEmpty) "on " else " cond ") + c.sql).getOrElse("")
+          n(j.nodeName, s"${j.joinType.sql} $keys$cond")
+        case aj: graft.plans.AsOfJoinExec =>
+          val tol = aj.toleranceUs.map(t => s" tol=${t}us").getOrElse("")
+          n("AsOfJoin", s"by ${aj.leftBy.sql}=${aj.rightBy.sql} " +
+            s"at ${aj.rightTime.sql}<=${aj.leftTime.sql}$tol")
+        case ij: graft.plans.IntervalJoinExec =>
+          n("IntervalJoin", s"by ${ij.leftBy.sql}=${ij.rightBy.sql} " +
+            s"window=${ij.windowUs}us")
+        case s: SortExec => n("Sort", exprsDetail(s.sortOrder))
+        case t: TakeOrderedAndProjectExec =>
+          n("TakeOrderedAndProject",
+            s"limit=${t.limit} order=[${exprsDetail(t.sortOrder)}]")
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          n("Window", exprsDetail(w.windowExpression))
+        case g: GenerateExec => n("Generate", g.generator.sql)
         case f: FilterExec => n("Filter", f.condition.sql)
         case pr: ProjectExec => n("Project", exprsDetail(pr.projectList))
         case w: DataWritingCommandExec => n("WriteFile", w.cmd.nodeName)

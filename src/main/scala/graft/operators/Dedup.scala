@@ -166,27 +166,6 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Connected components over an undirected edge list `(id_a, id_b)`:
-    * per round, every node takes the minimum label in its closed
-    * neighborhood, then labels are SHORTCUT one hop (`label :=
-    * label-of-label`, pointer doubling) — together this converges in
-    * O(log diameter) rounds, so `maxIter = 25` handles astronomically
-    * long chains, not just the tiny diameters of near-dup clusters.
-    * Plain propagation alone would need O(diameter) rounds and silently
-    * mislabel any component longer than the iteration cap; if the cap is
-    * somehow still hit, this throws rather than returning wrong labels.
-    *
-    * Each round is two shuffles (neighbor-min groupBy, shortcut join);
-    * `localCheckpoint` truncates the growing lineage (an unchecked
-    * iterative plan re-executes every prior round at each action and
-    * overflows the optimizer at scale). The large-star/small-star
-    * contraction (Kiveris et al., "Connected Components in MapReduce")
-    * is the same join skeleton applied to a shrinking edge set — the
-    * upgrade path if round COST (not count) ever dominates.
-    *
-    * @return (id, label) — label = min node id reachable; one row per
-    *         node that appears in `edges`.
-    */
   /** Release the cached blocks behind a superseded `localCheckpoint`.
     * Non-blocking: the blocks are dropped asynchronously while the next
     * round runs. A released checkpoint CANNOT be recomputed (its lineage
@@ -196,69 +175,94 @@ object Dedup {
     org.apache.spark.sql.graftbridge.Bridge.checkpointRdds(df)
       .foreach(_.unpersist(blocking = false))
 
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    // materialize the edge set once: it is joined every round, and an
-    // expensive upstream (e.g. the whole LSH pipeline) must not re-execute
-    // per iteration
-    val sym = edges
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+  /** Connected components over an undirected edge list `(id_a, id_b)` —
+    * see [[connectedComponentsStats]] for the algorithm and guarantees. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame =
+    connectedComponentsStats(edges, maxIter)._1
+
+  /** Large-star: every node links its LARGER neighbors to the minimum of
+    * its closed neighborhood. Expressed as groupBy-min + join (no
+    * collect_list — neighbor lists of hot nodes would be a skew hazard at
+    * scale). Input and output edges are canonically (hi, lo) oriented. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("cu"), least(col("mn"), col("cu")).as("m"))
+    sym.filter(col("v") > col("u"))
+      .join(mins, col("u") === col("cu"))
+      .select(col("v").as("u"), col("m").as("v")) // m <= u < v: canonical
+      .distinct()
+  }
+
+  /** Small-star: orient edges high→low; every node links its smaller
+    * neighbors (and itself) to its minimum neighbor. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val joined = e.join(mins, Seq("u"))
+    joined.select(col("v").as("u"), col("m").as("v"))
+      .union(joined.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v")) // (m, m) self-link
+      .distinct()
+  }
+
+  /** Connected components via alternating large-star/small-star edge
+    * CONTRACTION (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): each round rewrites the edge set toward stars rooted at
+    * component minima, converging in O(log n) practical rounds. Unlike
+    * label propagation — whose every round joins the FULL edge set — the
+    * working set here shrinks as components contract (a near-dup cluster
+    * of k docs enters as ~k²/2 LSH pair edges and collapses to k-1 star
+    * edges after one round), so per-round shuffle volume decreases; the
+    * returned trace exposes that for perf probes.
+    *
+    * Every round is localCheckpointed (the alternation self-references;
+    * an unchecked plan doubles per round) and superseded checkpoints are
+    * released immediately — only the final edge set stays cached for the
+    * caller (see [[releaseCheckpoint]]). If the cap is hit this throws
+    * rather than returning wrong labels.
+    *
+    * @return (labels, perRoundEdgeCounts); labels = (id, label) with
+    *         label = min reachable node id, one row per node in `edges`.
+    */
+  def connectedComponentsStats(
+      edges: DataFrame, maxIter: Int = 25): (DataFrame, Seq[Long]) = {
+    var cur = edges
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint()
+    val trace = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var curCount = cur.count()
+    var converged = false
+    var i = 0
     try {
-      var labels = sym.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
-        .localCheckpoint()
-      var changed = 1L
-      var i = 0
-      try {
-        while (changed > 0 && i < maxIter) {
-          val nbrMin = sym
-            .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-            .groupBy(col("dst").as("id"))
-            .agg(min(col("label")).as("nbr_label"))
-          // materialize: the shortcut step self-joins this frame — without a
-          // checkpoint the neighbor-min aggregation executes twice per round
-          val propagated = labels.alias("cur")
-            .join(nbrMin.alias("nbr"), Seq("id"), "left_outer")
-            .select(col("id"),
-              least(col("cur.label"),
-                coalesce(col("nbr_label"), col("cur.label"))).as("label"))
-            .localCheckpoint()
-          // pointer doubling: follow the label one hop (labels form a forest
-          // rooted at each component minimum, so label-of-label is monotone
-          // non-increasing and halves path lengths every round)
-          val next = propagated.alias("a")
-            .join(propagated.select(col("id").as("label"), col("label").as("ll"))
-              .alias("b"), Seq("label"), "left_outer")
-            .select(col("id"),
-              least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-            .localCheckpoint()
-          changed = next.alias("n")
-            .join(labels.alias("o"), Seq("id"))
-            .filter(col("n.label") =!= col("o.label"))
-            .count()
-          // both checkpoints are eager, so everything derived from the
-          // superseded round is already materialized — release it now.
-          // Leaving this to the ContextCleaner pins O(rounds) block sets
-          // per call in a shared session (measured: a 13× slowdown of
-          // UNRELATED queries later in the same session).
-          releaseCheckpoint(propagated)
-          releaseCheckpoint(labels)
-          labels = next
-          i += 1
-        }
-        require(changed == 0,
-          s"connectedComponents did not converge in $maxIter rounds")
-        labels
-      } catch {
-        case e: Throwable => releaseCheckpoint(labels); throw e
+      while (!converged && i < maxIter) {
+        val ls = largeStar(cur).localCheckpoint()
+        val ss = smallStar(ls).localCheckpoint()
+        releaseCheckpoint(ls) // eager checkpoints: ls is fully consumed
+        val n = ss.count()
+        trace += n
+        // fixpoint = star graphs (stable under both operations); both
+        // sides are canonically oriented, so set equality is count match
+        // + empty anti-join
+        converged = n == curCount &&
+          ss.join(cur, Seq("u", "v"), "left_anti").isEmpty
+        releaseCheckpoint(cur)
+        cur = ss
+        curCount = n
+        i += 1
       }
-    } finally {
-      // the edge set is only read inside the loop; the result plan reads
-      // the final labels checkpoint alone. That last (id,label) block set
-      // must stay cached for the caller to consume — it is reclaimed by
-      // the ContextCleaner once the caller drops the frame.
-      releaseCheckpoint(sym)
+      require(converged,
+        s"connectedComponents did not converge in $maxIter rounds")
+      // stars: (member, center) + the centers themselves
+      val labels = cur.select(col("u").as("id"), col("v").as("label"))
+        .union(cur.select(col("v").as("id"), col("v").as("label")).distinct())
+        .distinct()
+      (labels, trace.toSeq)
+    } catch {
+      case e: Throwable => releaseCheckpoint(cur); throw e
     }
   }
 }

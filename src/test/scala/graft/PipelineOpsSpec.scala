@@ -132,13 +132,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Map(7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
 
-  test("connected components: 300-node chain converges (pointer doubling)") {
+  test("connected components: 300-node chain converges (star contraction)") {
     import spark.implicits._
-    // diameter 299 ≫ maxIter: plain propagation would mislabel; the
-    // shortcut step must close it in O(log n) rounds
+    // diameter 299 ≫ maxIter: per-round propagation would mislabel; the
+    // large-star/small-star alternation must close it in O(log n) rounds
     val edges = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val got = Dedup.connectedComponents(edges).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     assert(got.length == 300 && got.forall(_._2 == 1L))
+  }
+
+  test("connected components: dense components contract the edge set") {
+    import spark.implicits._
+    // two 20-cliques (190 edges each) + duplicate/reversed noise edges:
+    // after contraction the working set must be ~2×19 star edges, and the
+    // per-round trace must be non-increasing after its first entry
+    val clique = (off: Long) =>
+      for (i <- 0L until 20L; j <- 0L until i) yield (off + i, off + j)
+    val edges = (clique(0L) ++ clique(100L) ++ Seq((1L, 0L), (0L, 1L)))
+      .toDF("id_a", "id_b")
+    val (labels, trace) = Dedup.connectedComponentsStats(edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 40)
+    assert(got.forall { case (id, l) => l == (if (id < 100) 0L else 100L) })
+    assert(trace.head <= 40, s"first round should contract cliques: $trace")
+    assert(trace.zip(trace.tail).forall { case (a, b) => b <= a }, trace)
   }
 }
