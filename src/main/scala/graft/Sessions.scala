@@ -13,10 +13,10 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      // custom planner strategies (as-of / interval joins) — installed the
-      // idiomatic way; JoinBuild keeps a synchronized fallback for foreign
-      // sessions built without this config
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // custom SQL functions + planner strategies (as-of / interval
+      // joins), installed the idiomatic way; JoinBuild keeps a
+      // synchronized fallback for foreign sessions without this config
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // testdata events.ts is parquet TIMESTAMP(NANOS) — surface as long,
       // Tables converts to micros timestamp (see Tables.apply).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
