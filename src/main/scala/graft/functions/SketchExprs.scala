@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Query side of Spark's count-min sketch: the built-in
+  * `count_min_sketch(col, eps, conf, seed)` aggregate produces a serialized
+  * sketch, but Spark ships no SQL-level way to READ it — estimates require
+  * driver code. [[CmsEstimate]] closes that gap as an expression, so
+  * heavy-hitter checks stay inside the plan: build the sketch once (one
+  * shuffle of W×D counters, constant size regardless of input rows),
+  * broadcast the single sketch row against the probe keys, estimate
+  * per key. The sketch family complement to HLL (q29) and MinHashSetAgg.
+  *
+  * The reference has no sketch surface (SURVEY §2.6 absence list); this is
+  * part of the large-scale-pipeline extension set.
+  */
+object SketchExprs {
+
+  /** `cms_estimate(sketch BINARY, item BIGINT) -> BIGINT` — the sketch's
+    * estimated count of `item`. Guarantees (per CMS): estimate >= true
+    * count, and <= true + eps*N with probability >= confidence.
+    *
+    * Deserialization is cached per (identical) sketch byte array, so
+    * probing many keys against one broadcast sketch parses it once per
+    * task rather than once per row. Codegen fallback: probe-side rows are
+    * few by construction (the sketch row is a one-row broadcast).
+    */
+  case class CmsEstimate(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+
+    override def prettyName: String = "cms_estimate"
+    override def dataType: DataType = LongType
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      if (left.dataType != BinaryType) {
+        TypeCheckResult.TypeCheckFailure(
+          s"cms_estimate sketch must be BINARY, got ${left.dataType}")
+      } else if (right.dataType != LongType) {
+        TypeCheckResult.TypeCheckFailure(
+          s"cms_estimate item must be BIGINT, got ${right.dataType}")
+      } else TypeCheckResult.TypeCheckSuccess
+    }
+
+    // one-slot deserialization cache; reference equality is enough because
+    // a broadcast sketch is the same array instance within a task
+    @transient private var cachedBytes: Array[Byte] = _
+    @transient private var cachedSketch: CountMinSketch = _
+
+    override def nullSafeEval(sketchBytes: Any, item: Any): Any = {
+      val bytes = sketchBytes.asInstanceOf[Array[Byte]]
+      if (!(bytes eq cachedBytes)) {
+        cachedSketch = CountMinSketch.readFrom(bytes)
+        cachedBytes = bytes
+      }
+      cachedSketch.estimateCount(java.lang.Long.valueOf(item.asInstanceOf[Long]))
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): CmsEstimate = copy(left = l, right = r)
+  }
+
+  def cms_estimate(sketch: Column, item: Column): Column =
+    Bridge.column(CmsEstimate(Bridge.expression(sketch), Bridge.expression(item)))
+}

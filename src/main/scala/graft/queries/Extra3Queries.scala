@@ -194,6 +194,53 @@ object Extra3Queries {
              |  split_part(p_type, ' ', 1) AS first_word,
              |  to_base64(encode(p_brand)) AS brand_b64,
              |  p_name AS roundtrip
-             |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin))
+             |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin)),
+
+    // ---- count-min sketch heavy hitters: ONE constant-size sketch per
+    //      table scan (vs a full groupBy of every key), probed in-plan by
+    //      the custom cms_estimate expression; the CMS bound
+    //      (true <= est <= true + eps*N, seeded ⇒ deterministic) is the
+    //      gated property, with the exact counts alongside ----
+    Q("q82_cms_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.SketchExprs.cms_estimate
+        val l = Tables(s, dir, "lineitem").select($"l_suppkey")
+        val sk = l.agg(
+          expr("count_min_sketch(l_suppkey, 0.0001d, 0.99d, 42)").as("sk"),
+          count(lit(1)).as("n"))
+        val truth = l.groupBy($"l_suppkey").agg(count(lit(1)).as("true_cnt"))
+        truth.filter($"l_suppkey" <= 10)
+          .crossJoin(broadcast(sk))
+          .withColumn("est", cms_estimate($"sk", $"l_suppkey"))
+          .select($"l_suppkey", $"true_cnt",
+            ($"est" >= $"true_cnt" &&
+              $"est" <= $"true_cnt" + ceil($"n" * 0.0001).cast("long")).as("ok"))
+          .orderBy($"l_suppkey")
+      },
+      Some("""SELECT l_suppkey, count(*) AS true_cnt, true AS ok
+             |FROM lineitem WHERE l_suppkey <= 10
+             |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
+    // ---- approx percentile (t-digest-family sketch) gated within a
+    //      1% band of the exact interpolated percentile, q29-style ----
+    Q("q83_approx_percentile",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            percentile($"l_extendedprice", lit(0.5)).as("exact_p50"),
+            percentile_approx($"l_extendedprice", lit(0.5), lit(10000))
+              .as("approx"))
+          .select($"l_returnflag", round($"exact_p50", 2).as("exact_p50"),
+            (abs($"approx" - $"exact_p50") <= $"exact_p50" * 0.01)
+              .as("within_1pct"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+             |  true AS within_1pct
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }

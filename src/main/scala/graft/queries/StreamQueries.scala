@@ -85,6 +85,53 @@ object StreamQueries {
              |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
              |ORDER BY p_id, c_id""".stripMargin)),
 
+    // LEFT OUTER stream-stream interval join: matched pairs emit like
+    // st03; an UNMATCHED purchase emits its null-padded row only once the
+    // global watermark (min over both streams' max-ts − delay) passes its
+    // timestamp, proving no future click can still join — purchases
+    // younger than the final watermark stay in state and never emit.
+    // That watermark-eviction rule IS the gated semantics: the oracle
+    // reproduces it as p.ts < least(max p.ts, max c.ts) − 2h.
+    Q("st07_stream_join_outer",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val ev = StreamOps.readEvents(s, dir).filter(col("user_id") < 500)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "2 hours")
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+        val joined = p.join(c,
+          p("user_id") === c("c_user") &&
+            c("c_ts") >= p("p_ts") - expr("INTERVAL 1 HOUR") &&
+            c("c_ts") <= p("p_ts"),
+          "left_outer")
+        StreamOps.runToMemory(s, joined, "st07_out", OutputMode.Append())
+          .select(col("p_id"), col("c_id"),
+            unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+          .orderBy(asc_nulls_first("p_id"), asc_nulls_first("c_id"))
+      },
+      Some("""WITH p AS (SELECT * FROM events
+             |           WHERE event_type = 'purchase' AND user_id < 500),
+             |     c AS (SELECT * FROM events
+             |           WHERE event_type = 'click' AND user_id < 500),
+             |     wm AS (SELECT least((SELECT max(ts) FROM p),
+             |                         (SELECT max(ts) FROM c))
+             |                   - INTERVAL 2 HOUR AS w)
+             |SELECT p.event_id AS p_id, c.event_id AS c_id,
+             |  epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
+             |FROM p JOIN c ON p.user_id = c.user_id
+             |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+             |UNION ALL
+             |SELECT p.event_id, NULL, epoch_us(p.ts), NULL
+             |FROM p
+             |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+             |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts)
+             |  AND p.ts < (SELECT w FROM wm)
+             |ORDER BY p_id NULLS FIRST, c_id NULLS FIRST""".stripMargin)),
+
     // streaming dedup: distinct (user_id, event_type) keys with
     // watermark-evicted state, then a batch rollup of the deduped keys
     Q("st04_stream_dedup",

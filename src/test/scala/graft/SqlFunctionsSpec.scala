@@ -44,4 +44,22 @@ class SqlFunctionsSpec extends AnyFunSuite {
       assert(tk.map(_.getDouble(0)).sliding(2).forall(p => p(0) >= p(1)))
     }
   }
+
+  test("cms_estimate reads count_min_sketch output within its error bound") {
+    GraftFunctions.register(spark)
+    Tables.registerAll(spark, TestSpark.sf)
+    val rows = spark.sql(
+      """WITH sk AS (SELECT count_min_sketch(o_custkey, 0.001d, 0.99d, 7) AS s,
+        |                   count(*) AS n
+        |            FROM orders),
+        |     truth AS (SELECT o_custkey, count(*) AS cnt
+        |               FROM orders GROUP BY o_custkey)
+        |SELECT t.cnt, cms_estimate(sk.s, t.o_custkey) AS est, sk.n
+        |FROM truth t CROSS JOIN sk""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cnt, est, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(est >= cnt && est <= cnt + math.ceil(n * 0.001).toLong, r)
+    }
+  }
 }
