@@ -222,6 +222,35 @@ object Extra3Queries {
              |FROM lineitem WHERE l_suppkey <= 10
              |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
 
+    // ---- fuzzy self-match (entity resolution): edit-distance <= 2 pairs
+    //      without O(n²) — LOSSLESS length-band blocking (|len(a)-len(b)|
+    //      <= k is necessary for lev <= k), expressed as an equi-join on
+    //      exploded candidate lengths so it shuffles instead of
+    //      nested-looping; exact levenshtein verification on candidates
+    //      only. At 100 TB the blocker would add q-gram keys; the length
+    //      band alone already bounds each bucket to one length class. ----
+    Q("q84_fuzzy_match",
+      (s, dir) => {
+        import s.implicits._
+        val sup = Tables(s, dir, "supplier")
+        val a = sup.select($"s_suppkey".as("id_a"), $"s_name".as("name_a"),
+          length($"s_name").as("la"))
+        val b = sup.select($"s_suppkey".as("id_b"), $"s_name".as("name_b"),
+          length($"s_name").as("lb"))
+        a.withColumn("lb", explode(sequence($"la" - 2, $"la" + 2)))
+          .join(b, Seq("lb"))
+          .filter($"id_a" < $"id_b")
+          .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
+          .filter($"dist" <= 2)
+          .select($"id_a", $"id_b", $"dist")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+             |  levenshtein(a.s_name, b.s_name) AS dist
+             |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+             |WHERE levenshtein(a.s_name, b.s_name) <= 2
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- approx percentile (t-digest-family sketch) gated within a
     //      1% band of the exact interpolated percentile, q29-style ----
     Q("q83_approx_percentile",
