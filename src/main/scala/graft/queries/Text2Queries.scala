@@ -227,6 +227,52 @@ object Text2Queries {
              |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
              |          AS bucket
              |      FROM documents)
-             |GROUP BY lang ORDER BY lang""".stripMargin))
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- bigram language-model scoring (CCNet-style quality filter):
+    //      per-doc mean log2 P(w2|w1) under an add-one-smoothed corpus
+    //      bigram model. Corpus stats are two shuffles (bigram + prefix
+    //      counts), the vocab size is one broadcast scalar, and scoring
+    //      joins each doc's bigrams back against the (relatively small)
+    //      count tables — at 100 TB the count tables would be written out
+    //      once and reused across scoring runs. ----
+    Q("t13_bigram_lm",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val toks = filter(split($"text", " "), t => t =!= "")
+        val base = docs.select($"doc_id", toks.as("toks"))
+          .filter(size($"toks") >= 2)
+          .select($"doc_id",
+            slice($"toks", lit(1), size($"toks") - 1).as("h"),
+            slice($"toks", lit(2), size($"toks") - 1).as("t"))
+        val bigrams = base
+          .select($"doc_id", explode(arrays_zip($"h", $"t")).as("bg"))
+          .select($"doc_id", $"bg.h".as("w1"), $"bg.t".as("w2"))
+        val cnt = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+        val c1 = bigrams.groupBy($"w1").agg(count(lit(1)).as("c1"))
+        val vocab = docs.select(explode(toks).as("t"))
+          .agg(countDistinct($"t").as("v"))
+        bigrams.join(cnt, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .groupBy($"doc_id")
+          .agg(round(avg(log2(($"c" + 1.0) / ($"c1" + $"v"))), 4).as("lm_score"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 2),
+             |big AS (SELECT doc_id,
+             |    unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS bg
+             |  FROM d2),
+             |bg2 AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM big),
+             |cnt AS (SELECT w1, w2, count(*) AS c FROM bg2 GROUP BY w1, w2),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM bg2 GROUP BY w1),
+             |v AS (SELECT count(DISTINCT t) AS v
+             |      FROM (SELECT unnest(toks) AS t FROM d))
+             |SELECT doc_id, round(avg(log2((c + 1.0) / (c1 + v))), 4) AS lm_score
+             |FROM bg2 JOIN cnt USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
