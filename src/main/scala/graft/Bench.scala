@@ -61,8 +61,17 @@ object Bench {
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // full JSON-string escaping: Spark exception messages embed plan
+    // fragments with tabs/newlines — any raw control char would make the
+    // one output line unparseable exactly when a failure must be reported
+    def jesc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val errs = results.flatMap(_._3).map { case (k, m) =>
-      "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\n]", " ") + "\""
+      "\"" + k + "\":\"" + jesc(m) + "\""
     }.mkString("{", ",", "}")
     val total = fmt(results.collect { case (_, v, _) if v >= 0 => v }.sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")

@@ -48,14 +48,16 @@ object SketchExprs {
       } else TypeCheckResult.TypeCheckSuccess
     }
 
-    // one-slot deserialization cache; reference equality is enough because
-    // a broadcast sketch is the same array instance within a task
+    // one-slot deserialization cache. Content-compared, NOT reference-
+    // compared: UnsafeRow.getBinary copies into a fresh array per access,
+    // so `eq` would never hit; Arrays.equals is a memcmp — orders of
+    // magnitude cheaper than re-parsing the sketch per probe row.
     @transient private var cachedBytes: Array[Byte] = _
     @transient private var cachedSketch: CountMinSketch = _
 
     override def nullSafeEval(sketchBytes: Any, item: Any): Any = {
       val bytes = sketchBytes.asInstanceOf[Array[Byte]]
-      if (!(bytes eq cachedBytes)) {
+      if (cachedBytes == null || !java.util.Arrays.equals(bytes, cachedBytes)) {
         cachedSketch = CountMinSketch.readFrom(bytes)
         cachedBytes = bytes
       }

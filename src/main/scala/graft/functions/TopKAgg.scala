@@ -38,9 +38,14 @@ object TopKAgg {
     val ids = new Array[Long](k)
     var size = 0
 
-    /** (s1,i1) ranks strictly worse than (s2,i2). */
-    @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 < s2 || (s1 == s2 && i1 > i2)
+    /** (s1,i1) ranks strictly worse than (s2,i2). Double.compare (not
+      * primitive `<`) so NaN scores order deterministically (greatest,
+      * like the SQL sort order) instead of making the kept set depend on
+      * arrival order. */
+    @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c < 0 || (c == 0 && i1 > i2)
+    }
 
     def offer(s: Double, i: Long): Unit = {
       if (size < k) {
@@ -128,8 +133,8 @@ object TopKAgg {
     override def eval(buf: TopKHeap): Any = {
       // once per GROUP, not per row — sorting a k-sized copy is fine
       val idx = Array.range(0, buf.size).sortWith { (a, b) =>
-        buf.scores(a) > buf.scores(b) ||
-          (buf.scores(a) == buf.scores(b) && buf.ids(a) < buf.ids(b))
+        val c = java.lang.Double.compare(buf.scores(a), buf.scores(b))
+        c > 0 || (c == 0 && buf.ids(a) < buf.ids(b))
       }
       new GenericArrayData(idx.map { j =>
         InternalRow(buf.scores(j), buf.ids(j)): Any

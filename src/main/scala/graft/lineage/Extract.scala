@@ -408,7 +408,11 @@ object LineageExtractor {
     // only — planning the physical scan reads no data)
     val partsByName =
       try partitionLineage(qe.executedPlan)
-      catch { case _: Throwable => Map.empty[String, Seq[String]] }
+      catch {
+        // a plan that cannot be physically planned (pure command, etc.)
+        // degrades to table-grain inputs; fatal errors must propagate
+        case scala.util.control.NonFatal(_) => Map.empty[String, Seq[String]]
+      }
     partsByName.foreach { case (name, parts) =>
       if (parts.nonEmpty) {
         inputs.updateWith(name)(_.map(_.copy(partitions = parts.sorted)))

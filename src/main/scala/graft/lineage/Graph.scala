@@ -126,13 +126,7 @@ final case class LNode(
 
   /** JSON rendering (nodes + edges, DAG-safe). */
   def toJson: String = {
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    import LNode.esc
     val nodes = mutable.LinkedHashMap.empty[String, LNode]
     traverse(n => if (!nodes.contains(n.id)) nodes(n.id) = n)
     val nodeJson = nodes.values.map { n =>
@@ -144,6 +138,17 @@ final case class LNode(
       s"""{"from":"${esc(a)}","to":"${esc(b)}"}"""
     }.mkString("[", ",", "]")
     s"""{"nodes":$nodeJson,"edges":$edgeJson}"""
+  }
+}
+
+object LNode {
+  /** The one JSON-string escaper for every rendering in this package. */
+  private[lineage] def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 }
 
@@ -176,13 +181,7 @@ final case class LineageReport(
     * was the view's SQL" (the reference's `TableDef`/`PartitionDef`
     * payload). */
   def inputsJson: String = {
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    import LNode.esc
     inputs.map { m =>
       val base = Seq(
         s""""name":"${esc(m.name)}"""",

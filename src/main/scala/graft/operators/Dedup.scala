@@ -227,42 +227,70 @@ object Dedup {
     */
   def connectedComponentsStats(
       edges: DataFrame, maxIter: Int = 25): (DataFrame, Seq[Long]) = {
-    var cur = edges
+    // one materialization of the (possibly expensive) upstream; every
+    // derivation below reads this checkpoint, never `edges` again
+    val canon = edges
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
-      .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    val trace = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var curCount = cur.count()
-    var converged = false
-    var i = 0
     try {
-      while (!converged && i < maxIter) {
-        val ls = largeStar(cur).localCheckpoint()
-        val ss = smallStar(ls).localCheckpoint()
-        releaseCheckpoint(ls) // eager checkpoints: ls is fully consumed
-        val n = ss.count()
-        trace += n
-        // fixpoint = star graphs (stable under both operations); both
-        // sides are canonically oriented, so set equality is count match
-        // + empty anti-join
-        converged = n == curCount &&
-          ss.join(cur, Seq("u", "v"), "left_anti").isEmpty
-        releaseCheckpoint(cur)
-        cur = ss
-        curCount = n
-        i += 1
+      // nodes whose ONLY edges are self-loops still get a label row (the
+      // output contract is one row per node in `edges`); tiny, but must
+      // outlive `canon`, hence its own checkpoint
+      val selfLoopNodes = canon.filter(col("u") === col("v"))
+        .select(col("u").as("id")).distinct().localCheckpoint()
+      var cur: DataFrame = canon.filter(col("u") =!= col("v"))
+      var curIsOwnCheckpoint = false // round-0 cur is a view over canon
+      val trace = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var curCount = cur.count()
+      var converged = curCount == 0L
+      var i = 0
+      try {
+        while (!converged && i < maxIter) {
+          val ls = largeStar(cur).localCheckpoint()
+          val ss = smallStar(ls).localCheckpoint()
+          releaseCheckpoint(ls) // eager checkpoints: ls is fully consumed
+          val n = ss.count()
+          trace += n
+          // fixpoint = star graphs (stable under both operations); both
+          // sides are canonically oriented, so set equality is count match
+          // + empty anti-join
+          converged = n == curCount &&
+            ss.join(cur, Seq("u", "v"), "left_anti").isEmpty
+          if (curIsOwnCheckpoint) releaseCheckpoint(cur)
+          cur = ss
+          curIsOwnCheckpoint = true
+          curCount = n
+          i += 1
+        }
+        require(converged,
+          s"connectedComponents did not converge in $maxIter rounds")
+        if (!curIsOwnCheckpoint) {
+          // zero-round path (no non-self-loop edges): the result must not
+          // read the canon checkpoint, which is released on exit
+          cur = cur.localCheckpoint()
+          curIsOwnCheckpoint = true
+        }
+        // stars: (member, center) + the centers themselves + isolated
+        // self-loop nodes not already present as star members/centers
+        val starLabels = cur.select(col("u").as("id"), col("v").as("label"))
+          .union(cur.select(col("v").as("id"), col("v").as("label")).distinct())
+          .distinct()
+        val isolated = selfLoopNodes
+          .join(starLabels, Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("label"))
+        (starLabels.union(isolated), trace.toSeq)
+      } catch {
+        case e: Throwable =>
+          if (curIsOwnCheckpoint) releaseCheckpoint(cur)
+          releaseCheckpoint(selfLoopNodes)
+          throw e
       }
-      require(converged,
-        s"connectedComponents did not converge in $maxIter rounds")
-      // stars: (member, center) + the centers themselves
-      val labels = cur.select(col("u").as("id"), col("v").as("label"))
-        .union(cur.select(col("v").as("id"), col("v").as("label")).distinct())
-        .distinct()
-      (labels, trace.toSeq)
-    } catch {
-      case e: Throwable => releaseCheckpoint(cur); throw e
+    } finally {
+      // the result plan reads only the final round's checkpoint and the
+      // (tiny) self-loop node set — the canonical edge set can go now
+      releaseCheckpoint(canon)
     }
   }
 }

@@ -87,10 +87,15 @@ object GraftStrategies {
     Seq(AsOfJoinStrategy, IntervalJoinStrategy)
 
   def install(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
-    val cur = spark.experimental.extraStrategies
-    val missing = all.filterNot(cur.contains)
+    // planner.strategies already folds in BOTH the extension-injected
+    // strategies and extraStrategies — checking it (not just
+    // extraStrategies) keeps sessions built with graft.GraftExtensions
+    // from consulting every strategy twice per plan node
+    val have = spark.sessionState.planner.strategies
+    val missing = all.filterNot(have.contains)
     if (missing.nonEmpty) {
-      spark.experimental.extraStrategies = cur ++ missing
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies ++ missing
     }
   }
 }

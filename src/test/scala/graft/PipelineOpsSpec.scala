@@ -142,6 +142,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.length == 300 && got.forall(_._2 == 1L))
   }
 
+  test("connected components: self-loop-only nodes still get a label row") {
+    import spark.implicits._
+    // contract: one row per node in `edges` — including a node whose only
+    // edge is (a, a), e.g. identity edges a caller unions in to guarantee
+    // every doc is labeled
+    val edges = Seq((1L, 2L), (5L, 5L), (2L, 2L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+    // degenerate: ONLY self-loops (zero contraction rounds)
+    val onlySelf = Seq((7L, 7L)).toDF("id_a", "id_b")
+    val got2 = Dedup.connectedComponents(onlySelf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(7L -> 7L))
+  }
+
   test("connected components: dense components contract the edge set") {
     import spark.implicits._
     // two 20-cliques (190 edges each) + duplicate/reversed noise edges:
