@@ -222,6 +222,45 @@ object Extra3Queries {
              |FROM lineitem WHERE l_suppkey <= 10
              |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
 
+    // ---- FILTER-clause aggregation + ordered listagg (Spark 4) ----
+    Q("q85_filter_listagg",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "nation")
+          .groupBy($"n_regionkey")
+          .agg(
+            expr("count(*) FILTER (WHERE n_nationkey % 2 = 0)").as("n_even"),
+            expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+              .as("names"))
+          .orderBy($"n_regionkey")
+      },
+      Some("""SELECT n_regionkey,
+             |  count(*) FILTER (WHERE n_nationkey % 2 = 0) AS n_even,
+             |  string_agg(n_name, ',' ORDER BY n_name) AS names
+             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    // ---- try_* arithmetic: errors become NULL instead of failing the
+    //      job (the ANSI-safe cleaning surface for dirty data) ----
+    Q("q86_try_arithmetic",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem").filter($"l_orderkey" < 500)
+          .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
+            round(expr("try_divide(l_extendedprice, l_linenumber - 1)"), 4)
+              .as("per_prior_line"), // line 1 divides by zero -> NULL
+            expr("try_add(CAST(9223372036854775807 AS BIGINT), l_orderkey + 1)")
+              .as("overflowed"), // orderkey >= 0 ⇒ always overflows -> NULL
+            expr("try_cast(l_returnflag AS BIGINT)").as("not_a_number"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |  round(l_extendedprice / nullif(l_linenumber - 1, 0), 4)
+             |    AS per_prior_line,
+             |  CAST(NULL AS BIGINT) AS overflowed,
+             |  try_cast(l_returnflag AS BIGINT) AS not_a_number
+             |FROM lineitem WHERE l_orderkey < 500
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // ---- fuzzy self-match (entity resolution): edit-distance <= 2 pairs
     //      without O(n²) — LOSSLESS length-band blocking (|len(a)-len(b)|
     //      <= k is necessary for lev <= k), expressed as an equi-join on
