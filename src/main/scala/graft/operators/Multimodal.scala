@@ -90,4 +90,44 @@ object Multimodal {
         octet_length(
           expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
           .cast("long").as("frame_len"))
+
+  /** Size-aware bin packing: assign each row a `bucket` so every bucket's
+    * payload bytes stay within `budgetBytes` (+ at most one row's
+    * overshoot — the classic next-fit bound). Multimodal rows vary by
+    * orders of magnitude (thumbnails vs videos), so count-based
+    * partitioning produces straggler tasks and OOM-prone writes; packing
+    * by cumulative size fixes both (`repartition($"bucket")` before the
+    * write, or write partitioned by it).
+    *
+    * Distributed prefix sum, no driver collection and no global window:
+    * range-partition by `idCol`, cumsum WITHIN each partition (parallel
+    * window), then add per-partition offsets computed by a window over
+    * the partition-totals frame — which has one row per partition, so its
+    * single-task window is metadata-sized at any data scale. Equals the
+    * sequential cumsum over id order exactly (range partitions are
+    * id-ordered).
+    */
+  def packBySize(
+      df: DataFrame, idCol: String, bytesCol: String,
+      budgetBytes: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetBytes > 0, s"budgetBytes must be positive, got $budgetBytes")
+    val ranged = df.repartitionByRange(col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    val offsets = ranged.groupBy(col("_pid"))
+      .agg(sum(col(bytesCol)).as("_t"))
+      .withColumn("_off",
+        coalesce(sum(col("_t")).over(
+          Window.orderBy(col("_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    ranged
+      .withColumn("_cum",
+        sum(col(bytesCol)).over(
+          Window.partitionBy(col("_pid")).orderBy(col(idCol))))
+      .join(broadcast(offsets), Seq("_pid"))
+      .withColumn("bucket",
+        expr(s"(_cum + _off - $bytesCol) div $budgetBytes"))
+      .drop("_pid", "_cum", "_off")
+  }
 }

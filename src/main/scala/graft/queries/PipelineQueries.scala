@@ -517,6 +517,36 @@ object PipelineQueries {
              |  md5(string_agg(text || chr(10), '' ORDER BY doc_id)) AS content_md5,
              |  octet_length(encode(string_agg(text || chr(10), '' ORDER BY doc_id)))
              |    AS n_bytes
-             |FROM documents WHERE doc_id < 100""".stripMargin))
+             |FROM documents WHERE doc_id < 100""".stripMargin)),
+
+    // ---- size-aware bin packing: variable-size binary rows packed into
+    //      byte-budget buckets via a distributed prefix sum (the oracle
+    //      recomputes the identical sequential cumsum), next-fit bound
+    //      asserted per bucket ----
+    Q("m05_pack_by_size",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        val sized = Tables(s, dir, "documents")
+          .select($"doc_id",
+            length(encode($"text", "UTF-8")).cast("long").as("n_bytes"))
+        Multimodal.packBySize(sized, "doc_id", "n_bytes", budgetBytes = 65536L)
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_rows"), sum($"n_bytes").as("total_bytes"),
+            max($"n_bytes").as("max_bytes"))
+          .select($"bucket", $"n_rows", $"total_bytes",
+            ($"total_bytes" <= lit(65536L) + $"max_bytes").as("within_budget"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |    octet_length(encode(text))::BIGINT AS n_bytes FROM documents),
+             |c AS (SELECT doc_id, n_bytes,
+             |    sum(n_bytes) OVER (ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum FROM s)
+             |SELECT CAST((cum - n_bytes) // 65536 AS BIGINT) AS bucket,
+             |  count(*) AS n_rows,
+             |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+             |  true AS within_budget
+             |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 }
