@@ -201,6 +201,9 @@ object LineageExtractor {
           n("AsOfJoin",
             s"by ${aj.leftBy.sql}=${aj.rightBy.sql} " +
               s"at ${aj.rightTime.sql}<=${aj.leftTime.sql}$tol")
+        case ij: graft.plans.IntervalJoin =>
+          n("IntervalJoin",
+            s"by ${ij.leftBy.sql}=${ij.rightBy.sql} window=${ij.windowUs}us")
         case other => n(other.nodeName, "")
       }
     }

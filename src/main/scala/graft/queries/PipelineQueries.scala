@@ -290,6 +290,44 @@ object PipelineQueries {
              |WHERE bit_count(xor(a.sig, b.sig)) <= 3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- benchmark decontamination: flag corpus docs whose shingle set
+    //      overlaps a benchmark set above a threshold (the screening step
+    //      every training corpus runs against eval sets). Shingle-hash
+    //      equi-join — the benchmark side is tiny and broadcast; the
+    //      corpus side streams through map-side, no all-pairs. ----
+    Q("d09_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.HashExprs
+        val sh = Tables(s, dir, "documents")
+          .select($"doc_id", HashExprs.shingle_hashes($"text", 3).as("sh"))
+          .filter(size($"sh") > 0)
+        val bench = sh.filter($"doc_id" < 25)
+          .select($"doc_id".as("bench_id"), explode($"sh").as("h"))
+        val corpus = sh.filter($"doc_id" >= 25)
+          .select($"doc_id", size($"sh").cast("long").as("n_sh"),
+            explode($"sh").as("h"))
+        corpus.join(broadcast(bench), Seq("h"))
+          .groupBy($"doc_id", $"n_sh", $"bench_id")
+          .agg(count(lit(1)).as("overlap"))
+          .groupBy($"doc_id", $"n_sh")
+          .agg(max($"overlap").as("max_overlap"))
+          .select($"doc_id",
+            round($"max_overlap" / $"n_sh", 3).as("contamination"))
+          .filter($"contamination" >= 0.2)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents
+             |            WHERE len($shinglesSql) > 0),
+             |b AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id < 25),
+             |c AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh WHERE doc_id >= 25),
+             |m AS (SELECT c.doc_id,
+             |        round(max(len(list_intersect(c.sh, b.sh)))::DOUBLE
+             |          / any_value(n_sh), 3) AS contamination
+             |      FROM c CROSS JOIN b GROUP BY c.doc_id)
+             |SELECT doc_id, contamination FROM m
+             |WHERE contamination >= 0.2 ORDER BY doc_id""".stripMargin)),
+
     Q("d04_ngram_jaccard",
       (s, dir) => {
         import s.implicits._

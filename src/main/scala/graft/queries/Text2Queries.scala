@@ -273,6 +273,54 @@ object Text2Queries {
              |      FROM (SELECT unnest(toks) AS t FROM d))
              |SELECT doc_id, round(avg(log2((c + 1.0) / (c1 + v))), 4) AS lm_score
              |FROM bg2 JOIN cnt USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- repetition signals (Gopher-style quality rules): duplicate-
+    //      token fraction and the share of bigrams taken by the single
+    //      most frequent bigram — high values mark boilerplate/spam.
+    //      All per-row array math + one per-doc bigram count. ----
+    Q("t14_repetition",
+      (s, dir) => {
+        import s.implicits._
+        val toks = filter(split($"text", " "), t => t =!= "")
+        val base = Tables(s, dir, "documents")
+          .select($"doc_id", toks.as("toks"))
+          .filter(size($"toks") >= 2)
+          .select($"doc_id", $"toks",
+            size($"toks").cast("long").as("n"),
+            size(array_distinct($"toks")).cast("long").as("nd"))
+        val top = base
+          .select($"doc_id", $"n",
+            explode(arrays_zip(
+              slice($"toks", lit(1), size($"toks") - 1),
+              slice($"toks", lit(2), size($"toks") - 1))).as("bg"))
+          .groupBy($"doc_id", $"n", $"bg")
+          .agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id", $"n")
+          .agg(max($"c").as("topc"))
+        base.select($"doc_id", $"n", $"nd")
+          .join(top.select($"doc_id", $"topc"), Seq("doc_id"))
+          .select($"doc_id",
+            round(lit(1.0) - $"nd".cast("double") / $"n", 4).as("dup_token_frac"),
+            round($"topc".cast("double") / ($"n" - 1), 4).as("top_bigram_frac"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |d2 AS (SELECT doc_id, toks, len(toks) AS n,
+             |    len(list_distinct(toks)) AS nd
+             |  FROM d WHERE len(toks) >= 2),
+             |big AS (SELECT doc_id, n,
+             |    unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS bg
+             |  FROM d2),
+             |cnt AS (SELECT doc_id, n, bg, count(*) AS c
+             |        FROM big GROUP BY doc_id, n, bg),
+             |top AS (SELECT doc_id, max(c) AS topc FROM cnt GROUP BY doc_id)
+             |SELECT d2.doc_id,
+             |  round(1 - nd::DOUBLE / n, 4) AS dup_token_frac,
+             |  round(topc::DOUBLE / (n - 1), 4) AS top_bigram_frac
+             |FROM d2 JOIN top ON d2.doc_id = top.doc_id
+             |ORDER BY d2.doc_id""".stripMargin))
   )
 }

@@ -124,6 +124,32 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(interval == Set(("p1", "c1")))
   }
 
+  test("string keys are rejected at construction (mutable UTF8String)") {
+    import spark.implicits._
+    import graft.plans.Interval
+    val l = Seq(("a", 100L)).toDF("k", "t")
+    val r = Seq(("a", 90L)).toDF("rk", "rt")
+    val e1 = intercept[Exception] {
+      AsOf.join(l, r, ("k", "rk"), ("t", "rt")).collect()
+    }
+    assert(e1.getMessage.contains("hash strings to a long"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Interval.join(l, r, ("k", "rk"), ("t", "rt"), windowUs = 10L).collect()
+    }
+    assert(e2.getMessage.contains("hash strings to a long"), e2.getMessage)
+  }
+
+  test("lineage renders the interval-join logical node with its window") {
+    import spark.implicits._
+    import graft.plans.Interval
+    import graft.lineage.LineageExtractor
+    val l = Seq((1L, 100L)).toDF("k", "t")
+    val r = Seq((1L, 90L)).toDF("rk", "rt")
+    val df = Interval.join(l, r, ("k", "rk"), ("t", "rt"), windowUs = 50L)
+    val tree = LineageExtractor.fromLogical(df.queryExecution.analyzed).treeString
+    assert(tree.contains("IntervalJoin") && tree.contains("window=50us"), tree)
+  }
+
   test("physical plan is the custom exec over two sorted exchanges") {
     import spark.implicits._
     val l = Seq((1L, 100L)).toDF("k", "t")
