@@ -130,4 +130,43 @@ object Similarity {
       .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 5))
       .transform(topKPerQuery(_, k))
   }
+
+  /** IVF with a PERSISTED layout: the cell assignment is written once,
+    * partitioned by cell id, and each query batch probes the layout with
+    * a broadcast join on `c_id` — so the scan touches only the probed
+    * cells' partitions (dynamic partition pruning; at 100 TB this is the
+    * serving path: assignment cost is paid once, every subsequent batch
+    * reads `nProbe/|cells|` of the corpus). Same ranking contract as
+    * [[ivfTopK]] — identical output, different physical story.
+    */
+  def ivfTopKFromLayout(
+      corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
+      centEvery: Int, layoutDir: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val cent = corpus.filter(col(idCol) % centEvery === 0)
+      .select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+    corpus
+      .select(col(idCol).as("n_id"), col(embCol).as("n_emb"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", round(cosine(col("n_emb"), col("c_emb")), 5))
+      .groupBy(col("n_id"))
+      .agg(max(struct(col("ccos"), (-col("c_id")).as("neg"))).as("m"),
+        first(col("n_emb")).as("n_emb"))
+      .select(col("n_id"), col("n_emb"), (-col("m.neg")).as("c_id"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(layoutDir)
+    val layout = spark.read.parquet(layoutDir)
+    val probe = queries
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", round(cosine(col("q_emb"), col("c_emb")), 5))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.top_k_by(col("ccos"), col("c_id"), nProbe)
+        .as("tk"), first(col("q_emb")).as("q_emb"))
+      .select(col("q_id"), col("q_emb"), explode(col("tk.id")).as("c_id"))
+    layout.join(broadcast(probe), Seq("c_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 5))
+      .transform(topKPerQuery(_, k))
+  }
 }

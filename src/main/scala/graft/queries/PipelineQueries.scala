@@ -448,6 +448,70 @@ object PipelineQueries {
              |  FROM probe p JOIN assign a ON p.c_id = a.c_id AND a.n_id <> p.q_id)
              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
 
+    // IVF over a PERSISTED cell-partitioned layout: the probe join prunes
+    // the scan down to the probed cells' partitions. Output contract (and
+    // oracle) identical to s03 — what changes is the physical story.
+    Q("s04_ann_ivf_layout",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+        Similarity.ivfTopKFromLayout(emb, emb.filter($"vec_id" < 10), k = 5,
+            nProbe = 2, centEvery = 25, layoutDir = s"$tmp/ivf_layout")
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some("""WITH cent AS (
+             |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+             |  FROM embeddings WHERE vec_id % 25 = 0),
+             |assign AS (
+             |  SELECT n_id, n_emb, c_id FROM (
+             |    SELECT e.vec_id AS n_id, CAST(e.embedding AS DOUBLE[]) AS n_emb,
+             |      c_id,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |                                     c_emb), 5) DESC, c_id) AS arn
+             |    FROM embeddings e CROSS JOIN cent)
+             |  WHERE arn = 1),
+             |probe AS (
+             |  SELECT q_id, q_emb, c_id FROM (
+             |    SELECT q.vec_id AS q_id, CAST(q.embedding AS DOUBLE[]) AS q_emb,
+             |      c_id,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                                     c_emb), 5) DESC, c_id) AS prn
+             |    FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 10)
+             |  WHERE prn <= 2)
+             |SELECT q_id, n_id, cos, rn FROM (
+             |  SELECT p.q_id, a.n_id,
+             |    round(list_cosine_similarity(p.q_emb, a.n_emb), 5) AS cos,
+             |    row_number() OVER (PARTITION BY p.q_id ORDER BY
+             |      round(list_cosine_similarity(p.q_emb, a.n_emb), 5) DESC,
+             |      a.n_id) AS rn
+             |  FROM probe p JOIN assign a ON p.c_id = a.c_id AND a.n_id <> p.q_id)
+             |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
+
+    // ---- incremental (batch-over-corpus) dedup: a new ingestion batch
+    //      checks its fingerprints against the existing corpus only —
+    //      the daily-ingest shape, where the corpus side is a bloom/
+    //      fingerprint store and no corpus self-join happens ----
+    Q("d10_incremental_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val corpusFp = docs.filter($"doc_id" < 400)
+          .select(TextOps.fingerprint($"text").as("fp")).distinct()
+        docs.filter($"doc_id" >= 400)
+          .select($"doc_id", TextOps.fingerprint($"text").as("fp"))
+          .join(corpusFp.withColumn("hit", lit(1L)), Seq("fp"), "left_outer")
+          .select($"doc_id", $"hit".isNotNull.as("dup_of_corpus"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) IN
+             |    (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             |     FROM documents WHERE doc_id < 400) AS dup_of_corpus
+             |FROM documents WHERE doc_id >= 400 ORDER BY doc_id""".stripMargin)),
+
     // the hyperplanes come from a seeded PRNG, but they are CONSTANTS —
     // embedding them as literals into generated oracle SQL makes even
     // seeded LSH hash-verifiable (signature, bucket join, ranking all
