@@ -112,6 +112,9 @@ object Multimodal {
       budgetBytes: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgetBytes > 0, s"budgetBytes must be positive, got $budgetBytes")
+    val reserved = Seq("_pid", "_cum", "_off", "bucket")
+    require(!df.columns.exists(reserved.contains),
+      s"packBySize reserves columns ${reserved.mkString(", ")}; rename them first")
     val ranged = df.repartitionByRange(col(idCol))
       .withColumn("_pid", spark_partition_id())
     val offsets = ranged.groupBy(col("_pid"))
@@ -122,12 +125,19 @@ object Multimodal {
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_pid"), col("_off"))
     ranged
+      // ROWS frame, not the default RANGE frame: RANGE treats idCol ties
+      // as peers and hands each the whole tie group's cumsum, which
+      // breaks the next-fit bound. With duplicate ids the bound still
+      // holds under ROWS, but bucket assignment within a tie group
+      // follows partition-internal order — pass a unique id for
+      // run-to-run reproducible assignments.
       .withColumn("_cum",
         sum(col(bytesCol)).over(
-          Window.partitionBy(col("_pid")).orderBy(col(idCol))))
+          Window.partitionBy(col("_pid")).orderBy(col(idCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .join(broadcast(offsets), Seq("_pid"))
       .withColumn("bucket",
-        expr(s"(_cum + _off - $bytesCol) div $budgetBytes"))
+        expr(s"(_cum + _off - `$bytesCol`) div $budgetBytes"))
       .drop("_pid", "_cum", "_off")
   }
 }

@@ -101,51 +101,17 @@ object Similarity {
     * All ranking uses round(cos, 5) + id tiebreaks — deterministic across
     * engines, exact-match verifiable against the same construction in SQL.
     */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
-      centEvery: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val cent = corpus.filter(col(idCol) % centEvery === 0)
+  /** Deterministic centroid subset (every `centEvery`-th vector). */
+  private def ivfCentroids(
+      corpus: DataFrame, centEvery: Int, idCol: String, embCol: String): DataFrame =
+    corpus.filter(col(idCol) % centEvery === 0)
       .select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
-    // cell assignment: argmax via max(struct(cos, -c_id)) — partial-aggs
-    // map-side, so only n rows (not n×|cent|) reach the exchange
-    val assign = corpus
-      .select(col(idCol).as("n_id"), col(embCol).as("n_emb"))
-      .crossJoin(broadcast(cent))
-      .withColumn("ccos", round(cosine(col("n_emb"), col("c_emb")), 5))
-      .groupBy(col("n_id"))
-      .agg(max(struct(col("ccos"), (-col("c_id")).as("neg"))).as("m"),
-        first(col("n_emb")).as("n_emb"))
-      .select(col("n_id"), col("n_emb"), (-col("m.neg")).as("c_id"))
-    val probe = queries
-      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
-      .crossJoin(broadcast(cent))
-      .withColumn("ccos", round(cosine(col("q_emb"), col("c_emb")), 5))
-      .groupBy(col("q_id"))
-      .agg(graft.functions.TopKAgg.top_k_by(col("ccos"), col("c_id"), nProbe)
-        .as("tk"), first(col("q_emb")).as("q_emb"))
-      .select(col("q_id"), col("q_emb"), explode(col("tk.id")).as("c_id"))
-    assign.join(broadcast(probe), Seq("c_id"))
-      .filter(col("n_id") =!= col("q_id"))
-      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 5))
-      .transform(topKPerQuery(_, k))
-  }
 
-  /** IVF with a PERSISTED layout: the cell assignment is written once,
-    * partitioned by cell id, and each query batch probes the layout with
-    * a broadcast join on `c_id` — so the scan touches only the probed
-    * cells' partitions (dynamic partition pruning; at 100 TB this is the
-    * serving path: assignment cost is paid once, every subsequent batch
-    * reads `nProbe/|cells|` of the corpus). Same ranking contract as
-    * [[ivfTopK]] — identical output, different physical story.
-    */
-  def ivfTopKFromLayout(
-      corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
-      centEvery: Int, layoutDir: String,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    val cent = corpus.filter(col(idCol) % centEvery === 0)
-      .select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+  /** Cell assignment: argmax via max(struct(cos, -c_id)) — partial-aggs
+    * map-side, so only n rows (not n×|cent|) reach the exchange. */
+  private def ivfAssign(
+      corpus: DataFrame, cent: DataFrame,
+      idCol: String, embCol: String): DataFrame =
     corpus
       .select(col(idCol).as("n_id"), col(embCol).as("n_emb"))
       .crossJoin(broadcast(cent))
@@ -154,9 +120,12 @@ object Similarity {
       .agg(max(struct(col("ccos"), (-col("c_id")).as("neg"))).as("m"),
         first(col("n_emb")).as("n_emb"))
       .select(col("n_id"), col("n_emb"), (-col("m.neg")).as("c_id"))
-      .write.mode("overwrite").partitionBy("c_id").parquet(layoutDir)
-    val layout = spark.read.parquet(layoutDir)
-    val probe = queries
+
+  /** Per-query probe cells: the `nProbe` nearest centroids. */
+  private def ivfProbe(
+      queries: DataFrame, cent: DataFrame, nProbe: Int,
+      idCol: String, embCol: String): DataFrame =
+    queries
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
       .crossJoin(broadcast(cent))
       .withColumn("ccos", round(cosine(col("q_emb"), col("c_emb")), 5))
@@ -164,9 +133,41 @@ object Similarity {
       .agg(graft.functions.TopKAgg.top_k_by(col("ccos"), col("c_id"), nProbe)
         .as("tk"), first(col("q_emb")).as("q_emb"))
       .select(col("q_id"), col("q_emb"), explode(col("tk.id")).as("c_id"))
-    layout.join(broadcast(probe), Seq("c_id"))
+
+  /** Rank the probed cells' members by exact cosine per query. */
+  private def ivfRank(
+      assign: DataFrame, probe: DataFrame, k: Int): DataFrame =
+    assign.join(broadcast(probe), Seq("c_id"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 5))
       .transform(topKPerQuery(_, k))
+
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
+      centEvery: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cent = ivfCentroids(corpus, centEvery, idCol, embCol)
+    ivfRank(ivfAssign(corpus, cent, idCol, embCol),
+      ivfProbe(queries, cent, nProbe, idCol, embCol), k)
+  }
+
+  /** IVF with a PERSISTED layout: the cell assignment is written once,
+    * partitioned by cell id, and each query batch probes the layout with
+    * a broadcast join on `c_id` — so the scan touches only the probed
+    * cells' partitions (dynamic partition pruning; at 100 TB this is the
+    * serving path: assignment cost is paid once, every subsequent batch
+    * reads `nProbe/|cells|` of the corpus). Shares every ranking stage
+    * with [[ivfTopK]], so the outputs are identical by construction.
+    */
+  def ivfTopKFromLayout(
+      corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
+      centEvery: Int, layoutDir: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val cent = ivfCentroids(corpus, centEvery, idCol, embCol)
+    ivfAssign(corpus, cent, idCol, embCol)
+      .write.mode("overwrite").partitionBy("c_id").parquet(layoutDir)
+    val layout = spark.read.parquet(layoutDir)
+    ivfRank(layout, ivfProbe(queries, cent, nProbe, idCol, embCol), k)
   }
 }

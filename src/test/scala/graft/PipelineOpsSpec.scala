@@ -142,6 +142,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.length == 300 && got.forall(_._2 == 1L))
   }
 
+  test("packBySize: next-fit bound holds, including under duplicate ids") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // duplicate ids: a RANGE-framed cumsum would give all three rows the
+    // tie-group total and blow the bound (regression for the ROWS frame)
+    val dup = Seq((1L, 40000L), (1L, 40000L), (1L, 40000L))
+      .toDF("id", "n_bytes")
+    val packed = Multimodal.packBySize(dup, "id", "n_bytes", 64000L)
+      .groupBy($"bucket")
+      .agg(sum($"n_bytes").as("total"), max($"n_bytes").as("mx"))
+      .collect()
+    assert(packed.nonEmpty)
+    packed.foreach(r => assert(r.getLong(1) <= 64000L + r.getLong(2), r))
+    // reserved-name collision is rejected up front
+    val bad = Seq((1L, 2L, 3L)).toDF("id", "n_bytes", "bucket")
+    intercept[IllegalArgumentException] {
+      Multimodal.packBySize(bad, "id", "n_bytes", 100L)
+    }
+  }
+
   test("connected components: self-loop-only nodes still get a label row") {
     import spark.implicits._
     // contract: one row per node in `edges` — including a node whose only
