@@ -26,6 +26,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Cache a frame that the enclosing pipeline references more than once.
+    *
+    * The LSH pipelines below reference their signature stage from three
+    * branches (banding + both verification joins); without this, Spark
+    * re-plans the subtree per branch and the corpus is scanned and
+    * re-shingled 3× per run — at any scale, signature extraction is the
+    * dominant map cost, so the 3× is a 3× on the whole job. MEMORY_AND_DISK
+    * keeps lineage intact (evicted blocks recompute — correctness never
+    * depends on the cache) while the `CacheManager` substitutes the cached
+    * relation into every branch, so the scan+shingle pass runs once.
+    *
+    * Lifetime: blocks are freed by the ContextCleaner once the frame is
+    * unreferenced, or explicitly via `spark.catalog.clearCache()`. At
+    * 100 TB, prefer writing signatures to a table once and joining against
+    * that (the incremental-dedup shape, d10) — the cache path is for
+    * single-job runs where signatures fit the executors' spill tier.
+    */
+  private def materializeOnce(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Exact duplicate marking: rows flagged canonical iff they carry the
     * lowest id for their normalized-text fingerprint. One shuffle. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -91,10 +111,10 @@ object Dedup {
     // reuse of this subtree); signatures, banding and exact verification
     // all run on the long arrays (hash collisions perturb Jaccard with
     // p≈2^-64)
-    val sh = docs
+    val sh = materializeOnce(docs
       .select(col(idCol).as("id"),
         HashExprs.shingle_hashes(col(textCol), shingleSize).as("shh"))
-      .filter(size(col("shh")) > 0)
+      .filter(size(col("shh")) > 0))
     val banded = sh
       .withColumn("sig", HashExprs.minhash_sig(col("shh"), k))
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
@@ -148,9 +168,9 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucket: Int = 1000,
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val sigs = docs
+    val sigs = materializeOnce(docs
       .filter(size(TextOps.tokens(col(textCol))) > 0)
-      .select(col(idCol).as("id"), simhash(col(textCol), tokenHash).as("sig"))
+      .select(col(idCol).as("id"), simhash(col(textCol), tokenHash).as("sig")))
     val banded = sigs.select(col("id"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("band"),
