@@ -1,68 +1,151 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Ad-hoc stage timing for the dedup hot path (not part of the gate).
-  * `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.PerfProbe"`.
+/** Perf probe for the native as-of / interval joins: measures the regime
+  * where the custom execs beat the DataFrame encodings they replace, on a
+  * deterministic synthetic dataset with a HOT KEY and a WIDE right payload
+  * — the shape where the encodings' costs explode and sf0.1 events (small,
+  * uniform keys, 1-column payload) can't show the difference.
+  *
+  *  - As-of: the union+window encoding (q32/q47 shape) needs one
+  *    `last(..., ignoreNulls)` window aggregate PER RIGHT PAYLOAD COLUMN
+  *    over the interleaved union of both sides; the native exec carries
+  *    the whole right row through one merge scan. Probe: 8 payload cols.
+  *  - Interval: the equi-join + time-filter encoding materializes every
+  *    same-key pair before filtering — quadratic in the hot key; the
+  *    native exec's sliding buffer admits and evicts each right row once.
+  *
+  * Each variant runs twice (JIT/codegen warm) and reports the best; both
+  * variants' row counts are asserted equal so the comparison is honest.
+  * `sbt "runMain graft.PerfProbe [outFile]"` → PERF_PROBE.md.
   */
 object PerfProbe {
-  def main(args: Array[String]): Unit = {
-    val spark = Sessions.get()
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    def time[T](n: String)(f: => T): T = {
-      val t0 = System.nanoTime
-      val r = f
-      println(f"[probe] $n%-28s ${(System.nanoTime - t0) / 1e9}%.2f s")
-      r
-    }
-    import graft.functions.HashExprs
-    import graft.operators.Dedup
-    val docs = Tables(spark, dir, "documents")
-    time("docs count")(docs.count())
-    val sh = docs.select(col("doc_id").as("id"),
-      HashExprs.shingle_hashes(col("text"), 3).as("shh"))
-      .filter(size(col("shh")) > 0)
-    time("shingle arrays")(sh.count())
-    time("signatures k=128")(
-      sh.withColumn("sig", HashExprs.minhash_sig(col("shh"), 128)).count())
-    time("lsh b=16 r=8")(
-      Dedup.minhashLsh(docs, "doc_id", "text", 3, 128, 16, 0.8).count())
-    time("lsh b=32 r=4")(
-      Dedup.minhashLsh(docs, "doc_id", "text", 3, 128, 32, 0.8).count())
-    time("lsh b=32 r=4 (warm)")(
-      Dedup.minhashLsh(docs, "doc_id", "text", 3, 128, 32, 0.8).count())
-    time("lsh b=16 r=8 (warm)")(
-      Dedup.minhashLsh(docs, "doc_id", "text", 3, 128, 16, 0.8).count())
 
-    // connected-components contraction probe, two adversarial shapes:
-    //  - chain-heavy (worst case for DIAMETER): edge count stays ~n, the
-    //    win is O(log n) rounds instead of O(n) propagation rounds;
-    //  - clique-heavy (the near-dup shape LSH actually emits, worst case
-    //    for VOLUME): k²/2 pair edges collapse to k-1 star edges in the
-    //    first round, so per-round shuffle volume plummets — the point of
-    //    star contraction over label propagation, which re-joins the FULL
-    //    edge set every round.
+  /** Deterministic pseudo-random spread of `n` rows: ~half land on hot
+    * key 0, the rest on 997 uniform keys; times scatter over `spanUs`. */
+  private def side(
+      spark: SparkSession, n: Long, spanUs: Long, idOffset: Long): DataFrame =
+    spark.range(n).select(
+      (col("id") + idOffset).as("rid"),
+      when(col("id") % 2 === 0, 0L).otherwise(col("id") % 997L).as("key"),
+      (((col("id") * 7919L) + (col("id") * col("id")) % 104729L) % spanUs)
+        .as("t"))
+
+  private def time2(label: String)(build: => DataFrame): (String, Double, Long) = {
+    var best = Double.MaxValue
+    var rows = 0L
+    for (_ <- 1 to 2) {
+      val t0 = System.nanoTime()
+      rows = build.count()
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    (label, best, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/root/repo/PERF_PROBE.md")
+    val spark = Sessions.get()
     import spark.implicits._
-    val chains = (0 until 64).flatMap { c =>
-      val base = c * 10000L
-      (0L until 999L).map(i => (base + i + 1, base + i)) // 64 chains × 1000
+
+    // ---- as-of: 2M x 2M, hot key with ~1M rows per side, 8-col payload
+    val spanUs = 3600L * 1000000L
+    val nAsof = 2000000L
+    val pSide = side(spark, nAsof, spanUs, 0L)
+      .select($"rid".as("p_id"), $"key", $"t".as("p_us"))
+    val payloads = (1 to 8).map(i => ($"rid" * i).as(s"pay$i"))
+    val cSide = side(spark, nAsof, spanUs, nAsof)
+      .select(Seq($"rid".as("c_id"), $"key".as("c_key"), $"t".as("c_us")) ++
+        payloads: _*)
+
+    val payNames = (1 to 8).map(i => s"pay$i")
+    val asofNative = time2("asof_native") {
+      graft.plans.AsOf.join(pSide, cSide, ("key", "c_key"), ("p_us", "c_us"))
+        .select(Seq($"p_id", $"c_id", $"c_us") ++ payNames.map(col): _*)
     }
-    val cliques = (0 until 32).flatMap { c =>
-      val base = 10000000L + c * 1000L
-      for (i <- 0L until 40L; j <- 0L until i) yield (base + i, base + j)
+    val asofWindow = time2("asof_window_encoding") {
+      // q32/q47 shape generalized to the full payload: interleave both
+      // sides, one running last() PER carried right column
+      val u = pSide.select(Seq($"p_id".as("rid"), $"key", $"p_us".as("t"),
+          lit(1).as("kind"), lit(null).cast("long").as("c_id")) ++
+          payNames.map(n => lit(null).cast("long").as(n)): _*)
+        .unionByName(cSide.select(Seq($"c_id".as("rid"), $"c_key".as("key"),
+          $"c_us".as("t"), lit(0).as("kind"), $"c_id") ++
+          payNames.map(col): _*), allowMissingColumns = false)
+      val w = Window.partitionBy($"key").orderBy($"t", $"kind", $"rid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val carried = Seq("c_us2" -> $"t", "m_cid" -> $"c_id") ++
+        payNames.map(n => s"m_$n" -> col(n))
+      val withCarried = carried.foldLeft(u) { case (df, (alias, c)) =>
+        df.withColumn(alias, last(when($"kind" === 0, c), ignoreNulls = true).over(w))
+      }
+      withCarried
+        .filter($"kind" === 1 && $"c_us2".isNotNull)
+        .select(Seq($"rid".as("p_id"), $"m_cid".as("c_id"),
+          $"c_us2".as("c_us")) ++ payNames.map(n => col(s"m_$n").as(n)): _*)
     }
-    val (_, chainTrace) = time("cc chains 64×1000")(
-      Dedup.connectedComponentsStats(
-        chains.toDF("id_a", "id_b").repartition(32), maxIter = 25))
-    println(s"[probe] cc chain rounds=${chainTrace.size} " +
-      s"edges/round=${chainTrace.mkString(", ")}")
-    val (labels, cliqueTrace) = time("cc cliques 32×40")(
-      Dedup.connectedComponentsStats(
-        cliques.toDF("id_a", "id_b").repartition(32), maxIter = 25))
-    println(s"[probe] cc clique rounds=${cliqueTrace.size} " +
-      s"edges/round=${cliqueTrace.mkString(", ")} (input=${cliques.size})")
-    println(s"[probe] cc components=${labels.select(col("label")).distinct().count()}" +
-      s" nodes=${labels.count()}")
+
+    // ---- interval: 400k x 400k, hot key ~200k per side -> the equi-join
+    //      encoding enumerates ~4e10 hot-key pair candidates before the
+    //      time filter (even broadcast-parallelized that work is
+    //      quadratic); the native buffer admits and evicts each right row
+    //      once and only materializes in-window pairs
+    val nInt = 400000L
+    val winUs = spanUs / 500L // ~window density 100 on the hot key
+    val pInt = side(spark, nInt, spanUs, 0L)
+      .select($"rid".as("p_id"), $"key", $"t".as("p_us"))
+    val cInt = side(spark, nInt, spanUs, nInt)
+      .select($"rid".as("c_id"), $"key".as("c_key"), $"t".as("c_us"))
+
+    val intNative = time2("interval_native") {
+      graft.plans.Interval.join(pInt, cInt, ("key", "c_key"), ("p_us", "c_us"),
+        windowUs = winUs)
+        .select($"p_id", $"c_id")
+    }
+    val intTheta = time2("interval_theta_encoding") {
+      pInt.join(cInt, $"key" === $"c_key" &&
+        $"c_us" >= $"p_us" - winUs && $"c_us" <= $"p_us")
+        .select($"p_id", $"c_id")
+    }
+
+    val results = Seq(asofNative, asofWindow, intNative, intTheta)
+    require(asofNative._3 == asofWindow._3,
+      s"as-of row mismatch: native ${asofNative._3} vs window ${asofWindow._3}")
+    require(intNative._3 == intTheta._3,
+      s"interval row mismatch: native ${intNative._3} vs theta ${intTheta._3}")
+
+    val sb = new StringBuilder
+    sb.append("# PERF_PROBE — native as-of / interval joins vs their encodings\n\n")
+    sb.append(s"Generated by `graft.PerfProbe` (local[${
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}], best of 2 runs each,\n")
+    sb.append("row counts asserted equal between variants).\n\n")
+    sb.append("Dataset: deterministic synthetic; ~50% of rows on one hot key,\n")
+    sb.append("rest uniform over 997 keys. As-of: 2M x 2M rows, 8 right payload\n")
+    sb.append("columns. Interval: 400k x 400k rows, window = span/500 (~400\n")
+    sb.append("in-window rows on the hot key; ~4e10 same-key pair candidates\n")
+    sb.append("for the equi-join encoding vs ~8e7 in-window pairs).\n\n")
+    sb.append("| variant | best sec | output rows |\n|---|---|---|\n")
+    results.foreach { case (l, s, r) =>
+      sb.append(f"| $l | $s%.2f | $r |\n")
+    }
+    sb.append(f"""
+      |As-of speedup native/window: ${asofWindow._2 / asofNative._2}%.2fx.
+      |Interval speedup native/theta: ${intTheta._2 / intNative._2}%.2fx.
+      |
+      |Why the gap grows with scale: the window encoding pays one
+      |`last(ignoreNulls)` running aggregate per carried right column over
+      |the union of BOTH sides (hot-key partition sorted in one task); the
+      |equi-join encoding materializes every same-key pair (quadratic in the
+      |hot key) before the time filter drops them. The native execs shuffle
+      |each side once on the key, sort within partitions, and stream a
+      |forward merge with O(1)/O(window) state — per-row cost independent of
+      |payload width and key skew beyond the sort itself.
+      |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
+    results.foreach { case (l, s, r) => println(f"[probe] $l%-28s $s%8.2fs  $r rows") }
+    println(s"wrote $out")
     spark.stop()
   }
 }

@@ -102,60 +102,80 @@ final case class AsOfJoinExec(
     val outAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
-      // codegen'd [key, time] extraction — one projection call per input
-      // row; the merge loop below then runs on primitive longs only (no
-      // boxed eval, no interpreted Ordering)
-      val lExtract = UnsafeProjection.create(Seq(lByE, lTimeE), lSchema)
-      val rExtract = UnsafeProjection.create(Seq(rByE, rTimeE), rSchema)
-      val joined = new JoinedRow
-      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
-      val rBuf = rIt.buffered
+      // One fused iterator per partition — the flatMap formulation
+      // allocated an Iterator per LEFT ROW (the dominant per-row cost once
+      // extraction is codegen'd); here the whole merge is a single
+      // hasNext/next state machine with zero per-row allocation on the
+      // no-match path and one buffer copy per admitted right row.
+      new Iterator[InternalRow] {
+        // codegen'd [key, time] extraction — one projection call per input
+        // row; the merge loop below then runs on primitive longs only (no
+        // boxed eval, no interpreted Ordering)
+        private val lExtract = UnsafeProjection.create(Seq(lByE, lTimeE), lSchema)
+        private val rExtract = UnsafeProjection.create(Seq(rByE, rTimeE), rSchema)
+        private val joined = new JoinedRow
+        private val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+        private val rBuf = rIt.buffered
+        // tolerance as a primitive: candTime <= tL always holds, so the
+        // MaxValue sentinel can't overflow the subtraction
+        private val tolUs = tol.getOrElse(Long.MaxValue)
 
-      // decoded (key, time) of the right head row, computed ONCE per right
-      // row rather than re-evaluated against every left row
-      var headValid = false
-      var headKey = 0L
-      var headTime = 0L
-      // rows with null key or null time never match (SQL comparison
-      // semantics — a null timestamp must not unbox to epoch 0)
-      def loadHead(): Boolean = {
-        while (!headValid && rBuf.hasNext) {
-          val kt = rExtract(rBuf.head)
-          if (kt.isNullAt(0) || kt.isNullAt(1)) rBuf.next()
-          else {
-            headKey = keyRead(kt, 0); headTime = kt.getLong(1); headValid = true
+        // decoded (key, time) of the right head row, computed ONCE per
+        // right row rather than re-evaluated against every left row
+        private var headValid = false
+        private var headKey = 0L
+        private var headTime = 0L
+        // rows with null key or null time never match (SQL comparison
+        // semantics — a null timestamp must not unbox to epoch 0)
+        private def loadHead(): Boolean = {
+          while (!headValid && rBuf.hasNext) {
+            val kt = rExtract(rBuf.head)
+            if (kt.isNullAt(0) || kt.isNullAt(1)) rBuf.next()
+            else {
+              headKey = keyRead(kt, 0); headTime = kt.getLong(1); headValid = true
+            }
+          }
+          headValid
+        }
+
+        private var candRow: InternalRow = null
+        private var candTime = 0L
+        private var candKey = 0L
+        // next emitted row, or null when not yet computed; resultProj
+        // reuses its buffer, which the SparkPlan row contract permits
+        private var out: InternalRow = null
+
+        private def advanceToMatch(): Unit = {
+          while (out == null && lIt.hasNext) {
+            val l = lIt.next()
+            val kt = lExtract(l)
+            if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
+              val kL = keyRead(kt, 0)
+              val tL = kt.getLong(1)
+              // consume right rows that are "behind or at" (kL, tL)
+              var advance = true
+              while (advance && loadHead()) {
+                if (headKey < kL) { rBuf.next(); headValid = false }
+                else if (headKey == kL) {
+                  if (headTime <= tL) {
+                    candRow = rBuf.next().copy() // child iterators reuse rows
+                    candTime = headTime
+                    candKey = headKey
+                    headValid = false
+                  } else advance = false
+                } else advance = false
+              }
+              if (candRow != null && candKey == kL && tL - candTime <= tolUs) {
+                out = resultProj(joined(l, candRow))
+              }
+            }
           }
         }
-        headValid
-      }
 
-      var candRow: InternalRow = null
-      var candTime = 0L
-      var candKey = 0L
-
-      lIt.flatMap { l =>
-        val kt = lExtract(l)
-        if (kt.isNullAt(0) || kt.isNullAt(1)) Iterator.empty
-        else {
-          val kL = keyRead(kt, 0)
-          val tL = kt.getLong(1)
-          // consume right rows that are "behind or at" (kL, tL)
-          var advance = true
-          while (advance && loadHead()) {
-            if (headKey < kL) { rBuf.next(); headValid = false }
-            else if (headKey == kL) {
-              if (headTime <= tL) {
-                candRow = rBuf.next().copy() // child iterators reuse rows
-                candTime = headTime
-                candKey = headKey
-                headValid = false
-              } else advance = false
-            } else advance = false
-          }
-          val matched = candRow != null && candKey == kL &&
-            tol.forall(t => tL - candTime <= t)
-          if (matched) Iterator.single(resultProj(joined(l, candRow)))
-          else Iterator.empty
+        override def hasNext: Boolean = { advanceToMatch(); out != null }
+        override def next(): InternalRow = {
+          advanceToMatch()
+          val r = out; out = null; r
         }
       }
     }

@@ -87,65 +87,120 @@ final case class IntervalJoinExec(
     val outAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
-      // codegen'd [key, time] extraction; primitive-long merge loop — see
-      // AsOfJoinExec for the rationale
-      val lExtract = UnsafeProjection.create(Seq(lByE, lTimeE), lSchema)
-      val rExtract = UnsafeProjection.create(Seq(rByE, rTimeE), rSchema)
-      val joined = new JoinedRow
-      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
-      val rBuf = rIt.buffered
-      // buffered right rows of the current key, (time, row), time-ascending
-      val window = new java.util.ArrayDeque[(Long, InternalRow)]()
-      var bufValid = false
-      var bufKey = 0L
+      // One fused iterator per partition: the flatMap formulation
+      // allocated an Iterator + a boxed (Long, InternalRow) tuple per
+      // buffered row per left row; here the window is a primitive-long
+      // ring buffer with a parallel row array, and emission indexes into
+      // it directly — zero allocation per emitted pair.
+      new Iterator[InternalRow] {
+        // codegen'd [key, time] extraction; primitive-long merge loop —
+        // see AsOfJoinExec for the rationale
+        private val lExtract = UnsafeProjection.create(Seq(lByE, lTimeE), lSchema)
+        private val rExtract = UnsafeProjection.create(Seq(rByE, rTimeE), rSchema)
+        private val joined = new JoinedRow
+        private val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+        private val rBuf = rIt.buffered
 
-      // decoded (key, time) of the right head row, computed once per right
-      // row; null key/time rows never match (SQL comparison semantics — a
-      // null timestamp must not unbox to epoch 0)
-      var headValid = false
-      var headKey = 0L
-      var headTime = 0L
-      def loadHead(): Boolean = {
-        while (!headValid && rBuf.hasNext) {
-          val kt = rExtract(rBuf.head)
-          if (kt.isNullAt(0) || kt.isNullAt(1)) rBuf.next()
-          else {
-            headKey = keyRead(kt, 0); headTime = kt.getLong(1); headValid = true
+        // ring buffer of right rows for the current key, time-ascending;
+        // capacity tracks peak in-window density, never shrinks
+        private var bufTimes = new Array[Long](16)
+        private var bufRows = new Array[InternalRow](16)
+        private var bufStart = 0
+        private var bufLen = 0
+        private var bufValid = false
+        private var bufKey = 0L
+        private def bufClear(): Unit = {
+          java.util.Arrays.fill(bufRows.asInstanceOf[Array[AnyRef]], null)
+          bufStart = 0; bufLen = 0
+        }
+        private def bufAdd(t: Long, r: InternalRow): Unit = {
+          if (bufLen == bufTimes.length) {
+            val nt = new Array[Long](bufLen * 2)
+            val nr = new Array[InternalRow](bufLen * 2)
+            var i = 0
+            while (i < bufLen) {
+              val s = (bufStart + i) % bufLen
+              nt(i) = bufTimes(s); nr(i) = bufRows(s); i += 1
+            }
+            bufTimes = nt; bufRows = nr; bufStart = 0
+          }
+          val idx = (bufStart + bufLen) % bufTimes.length
+          bufTimes(idx) = t; bufRows(idx) = r; bufLen += 1
+        }
+        private def bufDropFirst(): Unit = {
+          bufRows(bufStart) = null
+          bufStart = (bufStart + 1) % bufTimes.length
+          bufLen -= 1
+        }
+
+        // decoded (key, time) of the right head row, computed once per
+        // right row; null key/time rows never match (SQL comparison
+        // semantics — a null timestamp must not unbox to epoch 0)
+        private var headValid = false
+        private var headKey = 0L
+        private var headTime = 0L
+        private def loadHead(): Boolean = {
+          while (!headValid && rBuf.hasNext) {
+            val kt = rExtract(rBuf.head)
+            if (kt.isNullAt(0) || kt.isNullAt(1)) rBuf.next()
+            else {
+              headKey = keyRead(kt, 0); headTime = kt.getLong(1); headValid = true
+            }
+          }
+          headValid
+        }
+
+        // current left row being emitted against the window (null =
+        // needs a new left row) and the next window slot to emit
+        private var curL: InternalRow = null
+        private var emitIdx = 0
+        private var out: InternalRow = null
+
+        private def advance(): Unit = {
+          while (out == null) {
+            if (curL != null && emitIdx < bufLen) {
+              out = resultProj(
+                joined(curL, bufRows((bufStart + emitIdx) % bufTimes.length)))
+              emitIdx += 1
+            } else if (lIt.hasNext) {
+              curL = null
+              val l = lIt.next()
+              val kt = lExtract(l)
+              if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
+                val kL = keyRead(kt, 0)
+                val tL = kt.getLong(1)
+                if (!bufValid || bufKey != kL) {
+                  bufClear() // new key: previous key's rows can never match
+                  bufKey = kL
+                  bufValid = true
+                }
+                // admit right rows of this key with rt <= tL; discard
+                // earlier keys
+                var advanceR = true
+                while (advanceR && loadHead()) {
+                  if (headKey < kL) { rBuf.next(); headValid = false }
+                  else if (headKey == kL) {
+                    if (headTime <= tL) {
+                      bufAdd(headTime, rBuf.next().copy())
+                      headValid = false
+                    } else advanceR = false
+                  } else advanceR = false
+                }
+                // evict rows older than the window start
+                while (bufLen > 0 && bufTimes(bufStart) < tL - win) bufDropFirst()
+                // `l` stays live until its matches are drained; the child
+                // only reuses the buffer on the NEXT lIt.next(), which
+                // happens after emitIdx reaches bufLen
+                if (bufLen > 0) { curL = l; emitIdx = 0 }
+              }
+            } else return
           }
         }
-        headValid
-      }
 
-      lIt.flatMap { l =>
-        val kt = lExtract(l)
-        if (kt.isNullAt(0) || kt.isNullAt(1)) Iterator.empty
-        else {
-          val kL = keyRead(kt, 0)
-          val tL = kt.getLong(1)
-          if (!bufValid || bufKey != kL) {
-            window.clear() // new key: previous key's rows can never match
-            bufKey = kL
-            bufValid = true
-          }
-          // admit right rows of this key with rt <= tL; discard earlier keys
-          var advance = true
-          while (advance && loadHead()) {
-            if (headKey < kL) { rBuf.next(); headValid = false }
-            else if (headKey == kL) {
-              if (headTime <= tL) {
-                window.addLast((headTime, rBuf.next().copy()))
-                headValid = false
-              } else advance = false
-            } else advance = false
-          }
-          // evict rows older than the window start
-          while (!window.isEmpty && window.peekFirst()._1 < tL - win) {
-            window.removeFirst()
-          }
-          // lazy: Iterator.flatMap drains this before advancing `l`, and the
-          // SparkPlan row contract permits reusing the projection buffer
-          import scala.jdk.CollectionConverters._
-          window.iterator().asScala.map { case (_, r) => resultProj(joined(l, r)) }
+        override def hasNext: Boolean = { advance(); out != null }
+        override def next(): InternalRow = {
+          advance()
+          val r = out; out = null; r
         }
       }
     }
