@@ -151,23 +151,98 @@ object Similarity {
       ivfProbe(queries, cent, nProbe, idCol, embCol), k)
   }
 
-  /** IVF with a PERSISTED layout: the cell assignment is written once,
-    * partitioned by cell id, and each query batch probes the layout with
-    * a broadcast join on `c_id` — so the scan touches only the probed
-    * cells' partitions (dynamic partition pruning; at 100 TB this is the
-    * serving path: assignment cost is paid once, every subsequent batch
-    * reads `nProbe/|cells|` of the corpus). Shares every ranking stage
-    * with [[ivfTopK]], so the outputs are identical by construction.
+  /** Build the persisted IVF layout: cell assignment written partitioned
+    * by cell id. Skipped when a completed layout (`_SUCCESS` marker) is
+    * already present — the whole point of the layout is that assignment
+    * cost is paid ONCE and every later query batch only probes.
+    */
+  def ivfBuildLayout(
+      corpus: DataFrame, centEvery: Int, layoutDir: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val path = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      val cent = ivfCentroids(corpus, centEvery, idCol, embCol)
+      ivfAssign(corpus, cent, idCol, embCol)
+        .write.mode("overwrite").partitionBy("c_id").parquet(layoutDir)
+    }
+  }
+
+  /** IVF over a PERSISTED layout: probes the cell-partitioned assignment
+    * with a broadcast join on `c_id`, so the scan touches only the probed
+    * cells' partitions (partition pruning; at 100 TB this is the serving
+    * path: every batch reads `nProbe/|cells|` of the corpus). Builds the
+    * layout only if absent — steady-state calls measure probe cost alone.
+    * Shares every ranking stage with [[ivfTopK]], so the outputs are
+    * identical by construction.
     */
   def ivfTopKFromLayout(
       corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
       centEvery: Int, layoutDir: String,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
+    ivfBuildLayout(corpus, centEvery, layoutDir, idCol, embCol)
     val cent = ivfCentroids(corpus, centEvery, idCol, embCol)
-    ivfAssign(corpus, cent, idCol, embCol)
-      .write.mode("overwrite").partitionBy("c_id").parquet(layoutDir)
     val layout = spark.read.parquet(layoutDir)
     ivfRank(layout, ivfProbe(queries, cent, nProbe, idCol, embCol), k)
+  }
+
+  /** Lloyd-refined IVF centroids: start from the deterministic modulo
+    * subset (same init as [[ivfCentroids]]), then run `iters` k-means
+    * iterations as DataFrame jobs — assign every vector to its nearest
+    * centroid (broadcast, map-side), recompute each cell's mean by
+    * (cell, dimension) partial aggregation. Plain means serve as cosine
+    * centroids (cosine normalizes magnitudes away).
+    *
+    * Scale shape per iteration: one corpus pass for assignment (the
+    * n×|cent| expansion is map-local), one n×d-row shuffle keyed by
+    * (c_id, pos) with map-side partial sums. At 100 TB you'd train on a
+    * sample (`corpus.sample(...)`) — centroid quality converges long
+    * before the full corpus is seen — and run assignment once at the end;
+    * the training loop itself is unchanged.
+    *
+    * Not SQL-oracle-expressible (iterative); gated by the recall spec
+    * (`SimilaritySpec`), which checks trained cells recall >= modulo
+    * cells at equal nProbe on clustered data.
+    */
+  def ivfCentroidsTrained(
+      corpus: DataFrame, centEvery: Int, iters: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"),
+      col(embCol).cast("array<double>").as("n_emb"))
+    var cent = ivfCentroids(corpus, centEvery, idCol, embCol)
+      .select(col("c_id"), col("c_emb").cast("array<double>").as("c_emb"))
+    for (_ <- 1 to iters) {
+      val assigned = c.crossJoin(broadcast(cent))
+        .withColumn("ccos", cosine(col("n_emb"), col("c_emb")))
+        .groupBy(col("n_id"))
+        .agg(max(struct(col("ccos"), (-col("c_id")).as("neg"))).as("m"),
+          first(col("n_emb")).as("n_emb"))
+        .select((-col("m.neg")).as("c_id"), col("n_emb"))
+      // per-(cell, dim) mean — partial-aggregated map-side, so the
+      // exchange carries |cent|·d rows, not n·d
+      cent = assigned
+        .select(col("c_id"), posexplode(col("n_emb")).as(Seq("pos", "v")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(avg(col("v")).as("mv"))
+        .groupBy(col("c_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+        .select(col("c_id"), col("pm.mv").as("c_emb"))
+    }
+    cent
+  }
+
+  /** IVF with Lloyd-trained cells — the production default ([[ivfTopK]]'s
+    * modulo cells exist to stay SQL-oracle-expressible; trained cells give
+    * strictly better recall on clustered real embeddings). */
+  def ivfTopKTrained(
+      corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
+      centEvery: Int, iters: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cent = ivfCentroidsTrained(corpus, centEvery, iters, idCol, embCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ivfRank(ivfAssign(corpus, cent, idCol, embCol),
+      ivfProbe(queries, cent, nProbe, idCol, embCol), k)
   }
 }

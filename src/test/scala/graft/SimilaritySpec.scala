@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** IVF recall: Lloyd-trained cells must match or beat the modulo-subset
+  * cells at equal nProbe on CLUSTERED data — the shape real embedding
+  * corpora have and the one where untrained cells lose (a cluster split
+  * across arbitrary Voronoi cells drops its members' neighbors out of the
+  * probed set).
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Deterministic clustered corpus: `nClusters` seeded Gaussian centers
+    * in `dim` dims, `perCluster` points each = center + small noise.
+    * Cluster membership alternates with vec_id (id % nClusters), so the
+    * every-Nth modulo "centroids" are scattered across clusters rather
+    * than aligned with them — the honest hard case for untrained cells. */
+  private def clustered(
+      nClusters: Int, perCluster: Int, dim: Int): DataFrame = {
+    val rnd = new scala.util.Random(7L)
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian() * 5.0)
+    val rows = (0 until nClusters * perCluster).map { id =>
+      val c = id % nClusters
+      val v = centers(c).map(x => (x + rnd.nextGaussian() * 0.3).toFloat)
+      (id.toLong, v)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  /** Mean recall@k of `got` against brute-force ground truth. */
+  private def recallAt(got: DataFrame, truth: DataFrame, k: Int): Double = {
+    val g = got.select("q_id", "n_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val t = truth.select("q_id", "n_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val per = t.map { case (q, ids) =>
+      g.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size
+    }
+    per.sum / per.size
+  }
+
+  test("trained IVF cells recall >= modulo cells at equal nProbe") {
+    val corpus = clustered(nClusters = 8, perCluster = 100, dim = 16)
+      .persist()
+    val queries = corpus.filter(col("vec_id") % 37 === 1).limit(12)
+    val k = 10
+    val truth = Similarity.bruteForceTopK(corpus, queries, k)
+    // centEvery=100 -> 8 cells from 800 vectors, same count both variants
+    val modulo = Similarity.ivfTopK(corpus, queries, k, nProbe = 1,
+      centEvery = 100)
+    val trained = Similarity.ivfTopKTrained(corpus, queries, k, nProbe = 1,
+      centEvery = 100, iters = 3)
+    val rMod = recallAt(modulo, truth, k)
+    val rTrn = recallAt(trained, truth, k)
+    info(f"recall@$k modulo=$rMod%.3f trained=$rTrn%.3f")
+    assert(rTrn >= rMod,
+      f"trained cells ($rTrn%.3f) must not lose to modulo cells ($rMod%.3f)")
+    // on well-separated clusters, trained cells should essentially solve
+    // the problem at nProbe=1
+    assert(rTrn >= 0.95, f"trained recall $rTrn%.3f below 0.95")
+    corpus.unpersist()
+  }
+
+  test("layout build is skipped when a completed layout exists") {
+    val corpus = clustered(nClusters = 4, perCluster = 50, dim = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec")
+      .resolve("layout").toString
+    Similarity.ivfBuildLayout(corpus, centEvery = 50, layoutDir = dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val t1 = fs.getFileStatus(p).getModificationTime
+    // second build must be a no-op (same mtime), not an overwrite
+    Similarity.ivfBuildLayout(corpus, centEvery = 50, layoutDir = dir)
+    assert(fs.getFileStatus(p).getModificationTime == t1)
+    // and the probe path over the layout returns rows
+    val queries = corpus.filter(col("vec_id") < 3)
+    val res = Similarity.ivfTopKFromLayout(corpus, queries, k = 5,
+      nProbe = 2, centEvery = 50, layoutDir = dir)
+    assert(res.count() > 0)
+  }
+}
