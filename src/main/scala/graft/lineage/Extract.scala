@@ -438,11 +438,31 @@ object LineageExtractor {
           case other => other.nodeName
         }
     }
+    // database-grain snapshot for every database a catalog-managed input
+    // or view lives in (reference DbDef, DbDef.scala:4-12) — resolved
+    // through the session catalog, deduped, stable order
+    val dbNames = mutable.LinkedHashSet.empty[String]
+    plan.foreach {
+      case r: LogicalRelation =>
+        r.catalogTable.flatMap(_.identifier.database).foreach(dbNames += _)
+      case _ => ()
+    }
+    qe.analyzed.foreach {
+      case v: View => v.desc.identifier.database.foreach(dbNames += _)
+      case _ => ()
+    }
+    val catalog = qe.sparkSession.sessionState.catalog
+    val databases = dbNames.toSeq.filter(catalog.databaseExists).map { n =>
+      val d = catalog.getDatabaseMetadata(n)
+      DbMeta(d.name, d.properties.getOrElse("owner", ""), d.description,
+        d.locationUri.toString, d.properties - "owner")
+    }
     LineageReport(
       graph = fromLogical(plan),
       columnLineage = columnLineage(plan),
       inputs = inputs.values.toSeq,
-      outputs = outputs)
+      outputs = outputs,
+      databases = databases)
   }
 
   /** Lineage-graph simplification rules (reference §4.2): same shape as

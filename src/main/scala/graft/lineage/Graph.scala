@@ -37,6 +37,21 @@ final case class TableMeta(
     viewExpandedText: Option[String] = None,
     partitions: Seq[String] = Nil)
 
+/** Database-grain catalog snapshot for the databases the query's
+  * catalog-managed inputs live in (reference analog: `DbDef`,
+  * `/root/reference/core/src/main/scala/org/sparklinedata/hive/metadata/DbDef.scala:4-12`,
+  * which carries name/owner/description/params per database). Spark's
+  * `CatalogDatabase` has no owner field but records the creating user
+  * under the `owner` property — surfaced here as a first-class field,
+  * with `params` holding the remaining properties.
+  */
+final case class DbMeta(
+    name: String,
+    owner: String,
+    description: String,
+    locationUri: String,
+    params: Map[String, String])
+
 /** Immutable lineage-graph node. The reference hand-rolls a Catalyst-style
   * TreeNode with DAG-aware memoized transformUp
   * (`/root/reference/hivehook/src/main/scala/org/sparklinedata/hive/lineage/GraphNode.scala:37-87`);
@@ -164,7 +179,8 @@ final case class LineageReport(
     graph: LNode,
     columnLineage: Map[String, Set[ColumnRef]],
     inputs: Seq[TableMeta],
-    outputs: Seq[String]) {
+    outputs: Seq[String],
+    databases: Seq[DbMeta] = Nil) {
 
   def columnLineageJson: String = {
     val entries = columnLineage.toSeq.sortBy(_._1).map { case (col, refs) =>
@@ -198,6 +214,20 @@ final case class LineageReport(
           Some(s""""partitions":${m.partitions.map(p => "\"" + esc(p) + "\"").mkString("[", ",", "]")}""")
         else None).flatten
       (base ++ cat).mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+  }
+
+  /** Database entities of the catalog-managed inputs (the reference's
+    * `DbDef` payload). */
+  def databasesJson: String = {
+    import LNode.esc
+    databases.map { d =>
+      val params = d.params.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+        .mkString("{", ",", "}")
+      s"""{"name":"${esc(d.name)}","owner":"${esc(d.owner)}",""" +
+        s""""description":"${esc(d.description)}",""" +
+        s""""locationUri":"${esc(d.locationUri)}","params":$params}"""
     }.mkString("[", ",", "]")
   }
 }

@@ -187,6 +187,36 @@ object LineageQueries {
              |  AS t(input_name, is_view, view_sql)
              |ORDER BY input_name""".stripMargin)),
 
+    // database-grain metadata on the report (reference DbDef,
+    // DbDef.scala:4-12: name/owner/description/params per database;
+    // Spark's CatalogDatabase carries no owner, so the snapshot is
+    // name/description/location/properties): a catalog-managed input
+    // surfaces its database's catalog entry
+    Q("lx10_lineage_database_meta",
+      (s, dir) => {
+        import s.implicits._
+        Extra3Queries.freshTable(s, "graft_lx10_region")
+        Tables(s, dir, "region")
+          .write.mode("overwrite").saveAsTable("graft_lx10_region")
+        val df = s.table("graft_lx10_region")
+          .groupBy($"r_name").agg(count(lit(1)).as("n"))
+        val report = LineageExtractor.report(df.queryExecution)
+        val rows = report.databases.map { d =>
+          // owner is the creating OS user — environment-specific, so the
+          // gate pins its presence, not its value
+          (d.name, d.owner.nonEmpty, d.description,
+            d.locationUri.endsWith("spark-warehouse"), d.params.size.toLong)
+        }
+        s.createDataFrame(rows)
+          .toDF("db_name", "has_owner", "description", "default_location",
+            "n_params")
+          .orderBy("db_name")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('default', true, 'default database', true, CAST(0 AS BIGINT)))
+             |  AS t(db_name, has_owner, description, default_location, n_params)
+             |ORDER BY db_name""".stripMargin)),
+
     // expression rewrite into source terms (reference SchemaMapping.map):
     // each derived output column's defining expression, inlined down to
     // base-table columns and rendered as SQL
