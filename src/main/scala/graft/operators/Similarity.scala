@@ -233,6 +233,42 @@ object Similarity {
     cent
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023, public):
+    * cluster the corpus into IVF cells, compare embeddings ONLY within a
+    * cell, and drop every vector that has a lower-id in-cell neighbor
+    * with cosine >= `threshold`. The cells bound the quadratic: per-cell
+    * all-pairs is the SemDeDup design point, with |cells| scaled so a
+    * cell holds ~10-100k vectors at 100 TB — the cross-cell comparisons
+    * an exact pass would make are precisely what the method trades away.
+    *
+    * Shapes: one corpus pass for assignment (broadcast centroids), the
+    * assignment persisted once (self-join + keep-marking all read the
+    * cache), one c_id-keyed shuffle for the within-cell self-join, and a
+    * broadcast anti-join of the (small) dropped set. Returns
+    * (n_id, keep) — keep = false iff a lower-id in-cell near-duplicate
+    * exists. Modulo centroids keep it SQL-oracle-expressible (s05);
+    * production would pass [[ivfCentroidsTrained]] cells via the same
+    * assignment machinery.
+    */
+  def semanticDedup(
+      corpus: DataFrame, threshold: Double, centEvery: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cent = ivfCentroids(corpus, centEvery, idCol, embCol)
+    val assign = ivfAssign(corpus, cent, idCol, embCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assign.select(col("n_id"), col("n_emb"), col("c_id"))
+    val b = assign.select(col("n_id").as("m_id"), col("n_emb").as("m_emb"),
+      col("c_id"))
+    val dropped = a.join(b, Seq("c_id"))
+      .filter(col("m_id") < col("n_id"))
+      .filter(round(cosine(col("n_emb"), col("m_emb")), 5) >= threshold)
+      .select(col("n_id")).distinct()
+    assign.select(col("n_id"))
+      .join(dropped, Seq("n_id"), "left_anti")
+      .withColumn("keep", lit(true))
+      .unionByName(dropped.withColumn("keep", lit(false)))
+  }
+
   /** IVF with Lloyd-trained cells — the production default ([[ivfTopK]]'s
     * modulo cells exist to stay SQL-oracle-expressible; trained cells give
     * strictly better recall on clustered real embeddings). */

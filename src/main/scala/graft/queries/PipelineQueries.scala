@@ -499,6 +499,34 @@ object PipelineQueries {
              |  FROM probe p JOIN assign a ON p.c_id = a.c_id AND a.n_id <> p.q_id)
              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
 
+    // SemDeDup-style semantic dedup: embedding-cluster-bounded near-dup
+    // removal — within-cell cosine >= threshold against a lower id drops
+    // the doc. Oracle = the same modulo-cell assignment + NOT EXISTS over
+    // within-cell pairs (exact because both sides build identical cells).
+    Q("s05_semantic_dedup",
+      (s, dir) =>
+        Similarity.semanticDedup(Tables(s, dir, "embeddings"),
+            threshold = 0.35, centEvery = 25)
+          .orderBy(col("n_id")),
+      Some("""WITH cent AS (
+             |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+             |  FROM embeddings WHERE vec_id % 25 = 0),
+             |assign AS (
+             |  SELECT n_id, n_emb, c_id FROM (
+             |    SELECT e.vec_id AS n_id, CAST(e.embedding AS DOUBLE[]) AS n_emb,
+             |      c_id,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |                                     c_emb), 5) DESC, c_id) AS arn
+             |    FROM embeddings e CROSS JOIN cent)
+             |  WHERE arn = 1)
+             |SELECT a.n_id,
+             |  NOT EXISTS (SELECT 1 FROM assign b
+             |    WHERE b.c_id = a.c_id AND b.n_id < a.n_id
+             |      AND round(list_cosine_similarity(a.n_emb, b.n_emb), 5) >= 0.35)
+             |    AS keep
+             |FROM assign a ORDER BY n_id""".stripMargin)),
+
     // ---- incremental (batch-over-corpus) dedup: a new ingestion batch
     //      checks its fingerprints against the existing corpus only —
     //      the daily-ingest shape, where the corpus side is a bloom/

@@ -321,6 +321,27 @@ object Text2Queries {
              |  round(1 - nd::DOUBLE / n, 4) AS dup_token_frac,
              |  round(topc::DOUBLE / (n - 1), 4) AS top_bigram_frac
              |FROM d2 JOIN top ON d2.doc_id = top.doc_id
-             |ORDER BY d2.doc_id""".stripMargin))
+             |ORDER BY d2.doc_id""".stripMargin)),
+
+    // ---- temperature-scaled domain mixing (XLM-R/mC4 alpha-sampling):
+    //      p_d ∝ n_d^0.3 per language, realized as a deterministic
+    //      md5-draw keep decision at targetFrac=0.5 of the corpus ----
+    Q("t15_domain_mixing",
+      (s, dir) =>
+        graft.operators.Mixing.temperatureSample(
+            Tables(s, dir, "documents"), domainCol = "lang",
+            idCol = "doc_id", alpha = 0.3, targetFrac = 0.5)
+          .orderBy(col("doc_id")),
+      Some("""WITH c AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY lang),
+             |t AS (SELECT sum(n_d) AS n_tot, sum(pow(n_d, 0.3)) AS z FROM c),
+             |r AS (SELECT lang,
+             |    round(least(1.0,
+             |      0.5 * n_tot * (pow(n_d, 0.3) / z) / n_d), 6) AS rate
+             |  FROM c CROSS JOIN t)
+             |SELECT d.doc_id, d.lang, r.rate,
+             |  (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |     % 1000000) / 1000000.0 < r.rate AS keep
+             |FROM documents d JOIN r USING (lang)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }
