@@ -36,7 +36,8 @@ object Bench {
     "d07_dedup_canonical", "d08_simhash_portable",
     "d09_decontaminate", "d10_incremental_dedup",
     "s01_ann_bruteforce", "s02_ann_srp_lsh", "s03_ann_ivf",
-    "s04_ann_ivf_layout", "s05_semantic_dedup", "m05_pack_by_size",
+    "s04_ann_ivf_layout", "s05_semantic_dedup", "s06_embedding_quantize",
+    "m05_pack_by_size",
     "t06_tfidf", "t13_bigram_lm", "t15_domain_mixing",
     // SQL replay + streaming
     "sq01_sql_region_revenue", "sq02_sql_correlated", "sq03_sql_cte_window",

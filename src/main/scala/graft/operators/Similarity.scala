@@ -233,6 +233,22 @@ object Similarity {
     cent
   }
 
+  /** Symmetric per-vector int8 quantization (max-abs scaling — the
+    * standard embedding-storage compression): `q_i = round(x_i / scale)`,
+    * `scale = max|x| / 127`. 4× smaller than float32 at ~1e-3 cosine
+    * error; at 100 TB the quantized column is what gets stored and
+    * shipped, with `scale` alongside for dequantization. Map-only. */
+  def quantizeInt8(emb: Column): Column = {
+    val scale = aggregate(emb, lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0
+    struct(
+      scale.as("scale"),
+      transform(emb, x => round(x / scale).cast("int")).as("q"))
+  }
+
+  /** Dequantize an int8-quantized vector back to doubles. */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, v => v.cast("double") * scale)
+
   /** SemDeDup-style semantic deduplication (Abbas et al., 2023, public):
     * cluster the corpus into IVF cells, compare embeddings ONLY within a
     * cell, and drop every vector that has a lower-id in-cell neighbor

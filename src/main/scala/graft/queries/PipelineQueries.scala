@@ -527,6 +527,37 @@ object PipelineQueries {
              |    AS keep
              |FROM assign a ORDER BY n_id""".stripMargin)),
 
+    // int8 embedding quantization round-trip: per-vector max-abs scale,
+    // quantized checksum, and reconstruction cosine — the 4x storage
+    // compression path for embedding columns, verified value-exactly
+    // against the same arithmetic in SQL.
+    Q("s06_embedding_quantize",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        e.withColumn("qs", Similarity.quantizeInt8(col("emb")))
+          .select(col("vec_id"), round(col("qs.scale"), 6).as("scale"),
+            aggregate(col("qs.q"), lit(0L), (a, v) => a + v).as("qsum"),
+            round(Similarity.cosine(col("emb"),
+              Similarity.dequantize(col("qs.q"), col("qs.scale"))), 5).as("cos"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |s AS (
+             |  SELECT vec_id, emb,
+             |    list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+             |  FROM e),
+             |q AS (
+             |  SELECT vec_id, emb, scale,
+             |    list_transform(emb, x -> CAST(round(x / scale) AS INT)) AS qv
+             |  FROM s)
+             |SELECT vec_id, round(scale, 6) AS scale,
+             |  CAST(list_sum(qv) AS BIGINT) AS qsum,
+             |  round(list_cosine_similarity(emb,
+             |    list_transform(qv, v -> v * scale)), 5) AS cos
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
     // ---- incremental (batch-over-corpus) dedup: a new ingestion batch
     //      checks its fingerprints against the existing corpus only —
     //      the daily-ingest shape, where the corpus side is a bloom/

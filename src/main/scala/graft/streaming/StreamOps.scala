@@ -144,7 +144,11 @@ object StreamOps {
       mode: OutputMode): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(8, prev.toInt))
+    // state-store instances (and their per-batch commits) scale with the
+    // stateful operator's shuffle partition count; 4 is plenty for the
+    // replay volumes here and halves the fixed per-batch cost vs 8 — a
+    // real cluster sizes this to state volume, not core count
+    spark.conf.set(key, math.min(4, prev.toInt))
     try {
       val q = df.writeStream
         .outputMode(mode)
