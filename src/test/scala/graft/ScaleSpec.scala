@@ -104,6 +104,41 @@ class ScaleSpec extends AnyFunSuite {
       !meta("ReadSchema").contains("l_comment"))
   }
 
+  test("d02 reads the corpus through ONE cached signature stage") {
+    // regression guard for the round-3 defect: the signature subtree was
+    // re-planned per branch, scanning + re-shingling documents 3x. With
+    // materializeOnce, every branch must read the cache — no documents
+    // file scan may appear in the executed plan (the single build scan
+    // lives inside the cached relation, not the query tree).
+    val df = SparkEntry.queries("d02_minhash_lsh")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val docScans = collectAll(plan) {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("documents")) => s
+    }
+    assert(docScans.isEmpty,
+      s"documents scanned ${docScans.size}x outside the cache")
+    val cacheReads = collectAll(plan) {
+      case p if p.nodeName.contains("InMemoryTableScan") => p
+    }
+    assert(cacheReads.size >= 2,
+      s"expected the signature cache read from multiple branches, got ${cacheReads.size}")
+  }
+
+  test("s04 probes the IVF layout with dynamic partition pruning") {
+    val df = SparkEntry.queries("s04_ann_ivf_layout")(spark, sf)
+    df.collect()
+    val layoutScans = collectAll(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("ivf_layout")) => s
+    }
+    assert(layoutScans.nonEmpty, "no layout scan found")
+    assert(layoutScans.exists(_.metadata.get("PartitionFilters")
+        .exists(_.contains("dynamicpruning"))),
+      layoutScans.map(_.metadata.getOrElse("PartitionFilters", "?")).mkString("; "))
+  }
+
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {
     val df = SparkEntry.queries("q10_topk")(spark, sf)
     df.collect()
