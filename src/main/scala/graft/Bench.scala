@@ -38,7 +38,7 @@ object Bench {
     "s01_ann_bruteforce", "s02_ann_srp_lsh", "s03_ann_ivf",
     "s04_ann_ivf_layout", "s05_semantic_dedup", "s06_embedding_quantize",
     "m05_pack_by_size",
-    "t06_tfidf", "t13_bigram_lm", "t15_domain_mixing",
+    "t06_tfidf", "t13_bigram_lm", "t15_domain_mixing", "t16_domain_cap",
     // SQL replay + streaming
     "sq01_sql_region_revenue", "sq02_sql_correlated", "sq03_sql_cte_window",
     "st01_stream_hourly", "st03_stream_join", "st07_stream_join_outer")

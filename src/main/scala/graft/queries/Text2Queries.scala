@@ -342,6 +342,34 @@ object Text2Queries {
              |  (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
              |     % 1000000) / 1000000.0 < r.rate AS keep
              |FROM documents d JOIN r USING (lang)
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- per-domain capping (RefinedWeb-style: at most N docs per
+    //      source domain, chosen by a deterministic hash order so
+    //      reruns/engines agree). The bounded-heap TopKAgg keeps <= N
+    //      rows per domain BEFORE the exchange — a window row_number
+    //      would shuffle and sort the whole corpus ----
+    Q("t16_domain_cap",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables(s, dir, "documents").select($"doc_id", $"source",
+          // deterministic priority draw; negated because TopKAgg keeps
+          // highest scores (ties -> lower doc_id, same as the SQL order)
+          (-conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+            .cast("double")).as("negu"))
+        d.groupBy($"source")
+          .agg(graft.functions.TopKAgg.top_k_by($"negu", $"doc_id", 10).as("tk"))
+          .select($"source", posexplode($"tk"))
+          .select($"source", $"col.id".as("doc_id"),
+            ($"pos" + 1).cast("long").as("rn"))
+          .orderBy($"source", $"rn")
+      },
+      Some("""SELECT source, doc_id, rn FROM (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source ORDER BY
+             |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+             |      doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 10 ORDER BY source, rn""".stripMargin))
   )
 }
