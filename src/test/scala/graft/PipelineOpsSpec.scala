@@ -194,4 +194,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(trace.head <= 40, s"first round should contract cliques: $trace")
     assert(trace.zip(trace.tail).forall { case (a, b) => b <= a }, trace)
   }
+
+  test("temperature sampling: alpha < 1 upweights low-resource domains") {
+    import spark.implicits._
+    // 900 docs of domain "big", 100 of "small" — at alpha=0.3 the small
+    // domain's keep RATE must exceed the big one's (that's the point of
+    // temperature sampling), and every rate must be a valid probability
+    val docs = (0 until 1000)
+      .map(i => (i.toLong, if (i < 900) "big" else "small"))
+      .toDF("doc_id", "dom")
+    val rates = Mixing.temperatureSample(docs, "dom", "doc_id",
+        alpha = 0.3, targetFrac = 0.5)
+      .select($"dom", $"rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("small") > rates("big"),
+      s"small-domain rate must exceed big-domain rate: $rates")
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0), rates.toString)
+    // kept fraction tracks the target loosely (hash draw is uniform)
+    val kept = Mixing.temperatureSample(docs, "dom", "doc_id", 0.3, 0.5)
+      .filter($"keep").count()
+    assert(kept > 300 && kept < 700, s"kept $kept of 1000 at target 0.5")
+  }
+
+  test("semantic dedup: every dropped doc has a kept lower-id witness in its cell") {
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings")
+    val res = Similarity.semanticDedup(emb, threshold = 0.2, centEvery = 25)
+    val keep = res.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keep.size == emb.count(), "one decision per vector")
+    assert(keep.values.exists(identity) && keep.values.exists(!_),
+      "threshold 0.2 should split the corpus into kept and dropped")
+    // the lowest id in any cell has no lower-id witness, so it is always
+    // kept — in particular the globally lowest id
+    val minId = keep.keys.min
+    assert(keep(minId), "the globally lowest id can have no lower-id witness")
+  }
 }
