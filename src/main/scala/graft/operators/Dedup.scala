@@ -123,13 +123,18 @@ object Dedup {
     // candidate pairs are tiny vs the corpus: broadcast them into the
     // first shingle join; the second join shuffles only the slim
     // (id, long-array) projection
-    sh.select(col("id").as("id_a"), col("shh").as("sh_a"))
-      .join(broadcast(candidates), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        round(HashExprs.sorted_jaccard(col("sh_a"), col("sh_b")), 3))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // the verified pair list is also cached: it is tiny relative to the
+    // corpus, downstream consumers (clustering d06, canonical selection
+    // d07) iterate over it, and a pipeline that runs pairs->clusters->
+    // canonical in one session must not re-run the verification joins
+    materializeOnce(
+      sh.select(col("id").as("id_a"), col("shh").as("sh_a"))
+        .join(broadcast(candidates), Seq("id_a"))
+        .join(sh.select(col("id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
+        .withColumn("jaccard",
+          round(HashExprs.sorted_jaccard(col("sh_a"), col("sh_b")), 3))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard")))
   }
 
   /** 64-bit SimHash over tokens — custom Catalyst expression, one pass.

@@ -113,17 +113,30 @@ class ScaleSpec extends AnyFunSuite {
     val df = SparkEntry.queries("d02_minhash_lsh")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan
-    val docScans = collectAll(plan) {
+    def docScans(p: SparkPlan): Int = collectAll(p) {
       case s: FileSourceScanExec
           if s.metadata.get("Location").exists(_.contains("documents")) => s
+    }.size
+    assert(docScans(plan) == 0,
+      "documents scanned directly in the query tree (cache bypassed)")
+    // walk the cache hierarchy (pair cache -> signature cache): each
+    // cached relation builds once, and exactly ONE of them may contain
+    // the raw documents scan
+    val seen = scala.collection.mutable.Set.empty[SparkPlan]
+    def caches(p: SparkPlan): Seq[SparkPlan] = collectAll(p) {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        m.relation.cachedPlan
     }
-    assert(docScans.isEmpty,
-      s"documents scanned ${docScans.size}x outside the cache")
-    val cacheReads = collectAll(plan) {
-      case p if p.nodeName.contains("InMemoryTableScan") => p
+    def walk(p: SparkPlan): Unit = caches(p).foreach { cp =>
+      if (seen.add(cp)) walk(cp)
     }
-    assert(cacheReads.size >= 2,
-      s"expected the signature cache read from multiple branches, got ${cacheReads.size}")
+    walk(plan)
+    assert(seen.nonEmpty, "no cached relation found in the d02 plan")
+    val rawScanningCaches = seen.toSeq.map(docScans).count(_ > 0)
+    assert(rawScanningCaches == 1,
+      s"expected exactly one cache to own the documents scan, got $rawScanningCaches")
+    assert(seen.toSeq.map(docScans).sum == 1,
+      "the corpus must be scanned exactly once across the cache hierarchy")
   }
 
   test("s04 probes the IVF layout with dynamic partition pruning") {
