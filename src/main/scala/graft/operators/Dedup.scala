@@ -183,12 +183,14 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     val candidates = bucketPairs(banded, maxBucket)
-    sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
-      .join(broadcast(candidates), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    // pair list cached for pipeline reuse — same rationale as minhashLsh
+    materializeOnce(
+      sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+        .join(broadcast(candidates), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        .filter(col("hamming") <= maxHamming)
+        .select("id_a", "id_b", "hamming"))
   }
 
   /** Release the cached blocks behind a superseded `localCheckpoint`.
