@@ -163,6 +163,39 @@ object Extra3Queries {
              |GROUP BY user_id HAVING count(*) >= 3
              |ORDER BY user_id""".stripMargin)),
 
+    // ---- dynamic partition overwrite (the Hive INSERT OVERWRITE ...
+    //      PARTITION analog, reference-world core op): an update batch
+    //      rewrites ONLY the partitions it contains — at 100 TB the
+    //      daily restatement touches one day's directories, not the
+    //      table. Here the 'click' partition is restated to high-value
+    //      clicks; 'purchase'/'view' partitions keep their original rows
+    //      (proving untouched partitions survive the overwrite) ----
+    Q("q87_dynamic_partition_overwrite",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_dpo").toString
+        val path = s"$tmp/events_dpo"
+        val base = Tables(s, dir, "events")
+          .withColumn("us", unix_micros($"ts"))
+          .select($"event_id", $"user_id", $"event_type", $"value", $"us")
+        base.write.mode("overwrite").partitionBy("event_type").parquet(path)
+        base.filter($"event_type" === "click" && $"value" > 50)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("event_type").parquet(path)
+        s.read.parquet(path)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+             |FROM (SELECT event_type, value FROM events
+             |      WHERE event_type <> 'click'
+             |      UNION ALL
+             |      SELECT event_type, value FROM events
+             |      WHERE event_type = 'click' AND value > 50)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- bucketed layout: both sides bucketed on the join key → the
     //      sort-merge join runs with NO exchange (pre-shuffled storage;
     //      asserted in ScaleSpec, exercised here end-to-end) ----

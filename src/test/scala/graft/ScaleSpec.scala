@@ -152,6 +152,29 @@ class ScaleSpec extends AnyFunSuite {
       layoutScans.map(_.metadata.getOrElse("PartitionFilters", "?")).mkString("; "))
   }
 
+  test("dynamic partition overwrite leaves untouched partitions' files alone") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpo_spec").toString
+    val path = s"$tmp/t"
+    val base = Tables(spark, sf, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    base.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    def files(part: String): Map[String, Long] = {
+      val d = new java.io.File(s"$path/event_type=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val purchaseBefore = files("purchase")
+    val clickBefore = files("click")
+    base.filter($"event_type" === "click" && $"value" > 50)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(path)
+    assert(files("purchase") == purchaseBefore,
+      "purchase partition was rewritten by a click-only overwrite")
+    assert(files("click") != clickBefore, "click partition was not restated")
+  }
+
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {
     val df = SparkEntry.queries("q10_topk")(spark, sf)
     df.collect()
