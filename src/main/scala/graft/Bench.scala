@@ -58,7 +58,8 @@ object Bench {
     // JIT/codegen/classloading position effects — round-3's "regressions"
     // (sq03 3.1x, st01 2.1x) were exactly this kind of one-shot noise.
     // The min is the plan's cost; the first rep absorbs the cold start.
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ > 0).getOrElse(2)
     val results = names.map { name =>
       var best = Double.MaxValue
       var err: Option[String] = None

@@ -445,6 +445,8 @@ object LineageExtractor {
     plan.foreach {
       case r: LogicalRelation =>
         r.catalogTable.flatMap(_.identifier.database).foreach(dbNames += _)
+      case r: DataSourceV2Relation =>
+        r.identifier.foreach(_.namespace().lastOption.foreach(dbNames += _))
       case _ => ()
     }
     qe.analyzed.foreach {

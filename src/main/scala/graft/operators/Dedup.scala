@@ -37,8 +37,11 @@ object Dedup {
     * depends on the cache) while the `CacheManager` substitutes the cached
     * relation into every branch, so the scan+shingle pass runs once.
     *
-    * Lifetime: blocks are freed by the ContextCleaner once the frame is
-    * unreferenced, or explicitly via `spark.catalog.clearCache()`. At
+    * Lifetime: CacheManager holds the cached relation for the SESSION —
+    * these entries are deliberate cross-query reuse (pairs feed
+    * clustering and canonical selection), and the caller releases them
+    * with `df.unpersist()` or `spark.catalog.clearCache()` when the
+    * pipeline is done; they are NOT garbage-collected on their own. At
     * 100 TB, prefer writing signatures to a table once and joining against
     * that (the incremental-dedup shape, d10) — the cache path is for
     * single-job runs where signatures fit the executors' spill tier.

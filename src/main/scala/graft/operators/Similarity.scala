@@ -162,10 +162,29 @@ object Similarity {
     val spark = corpus.sparkSession
     val path = new org.apache.hadoop.fs.Path(layoutDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+    // layout identity: a completed write (_SUCCESS) is only reusable if
+    // it was built for the SAME logical corpus and cell count — probing a
+    // stale layout with fresh centroids would silently return wrong
+    // neighbors. semanticHash pins the corpus PLAN (source paths,
+    // filters, projection); data rewritten in place under the same path
+    // is the caller's cache-invalidation to signal (delete the dir or
+    // key it by file identity, as the s04 gate does).
+    val ident = s"graft-ivf-v1 centEvery=$centEvery " +
+      s"corpus=${corpus.queryExecution.analyzed.semanticHash()}"
+    val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
+    def identMatches: Boolean =
+      fs.exists(identPath) && {
+        val in = fs.open(identPath)
+        try new String(in.readAllBytes(), "UTF-8") == ident
+        finally in.close()
+      }
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")) ||
+        !identMatches) {
       val cent = ivfCentroids(corpus, centEvery, idCol, embCol)
       ivfAssign(corpus, cent, idCol, embCol)
         .write.mode("overwrite").partitionBy("c_id").parquet(layoutDir)
+      val out = fs.create(identPath, true)
+      try out.write(ident.getBytes("UTF-8")) finally out.close()
     }
   }
 
@@ -222,13 +241,20 @@ object Similarity {
         .select((-col("m.neg")).as("c_id"), col("n_emb"))
       // per-(cell, dim) mean — partial-aggregated map-side, so the
       // exchange carries |cent|·d rows, not n·d
-      cent = assigned
+      val updated = assigned
         .select(col("c_id"), posexplode(col("n_emb")).as(Seq("pos", "v")))
         .groupBy(col("c_id"), col("pos"))
         .agg(avg(col("v")).as("mv"))
         .groupBy(col("c_id"))
         .agg(sort_array(collect_list(struct(col("pos"), col("mv")))).as("pm"))
-        .select(col("c_id"), col("pm.mv").as("c_emb"))
+        .select(col("c_id"), col("pm.mv").as("new_emb"))
+      // a cell that attracted no vectors keeps its previous centroid —
+      // groupBy would silently drop it and shrink the cell count below
+      // what the caller sized nProbe against
+      cent = cent.select(col("c_id"), col("c_emb").as("old_emb"))
+        .join(updated, Seq("c_id"), "left")
+        .select(col("c_id"),
+          coalesce(col("new_emb"), col("old_emb")).as("c_emb"))
     }
     cent
   }
@@ -238,12 +264,19 @@ object Similarity {
     * `scale = max|x| / 127`. 4× smaller than float32 at ~1e-3 cosine
     * error; at 100 TB the quantized column is what gets stored and
     * shipped, with `scale` alongside for dequantization. Map-only. */
-  def quantizeInt8(emb: Column): Column = {
-    val scale = aggregate(emb, lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0
-    struct(
-      scale.as("scale"),
-      transform(emb, x => round(x / scale).cast("int")).as("q"))
-  }
+  def quantizeInt8(emb: Column): Column =
+    // the max-abs reduction runs ONCE via aggregate's finish lambda —
+    // inlining it into the per-element transform would re-evaluate the
+    // whole-array aggregate per element (O(d²) per row). Zero vectors
+    // quantize to all-zero q with scale 0 instead of NaN-poisoning.
+    aggregate(emb, lit(0.0), (a, x) => greatest(a, abs(x)), m => {
+      val scale = m / 127.0
+      struct(
+        scale.as("scale"),
+        transform(emb, x =>
+          when(m === 0.0, lit(0)).otherwise(round(x / scale).cast("int")))
+          .as("q"))
+    })
 
   /** Dequantize an int8-quantized vector back to doubles. */
   def dequantize(q: Column, scale: Column): Column =
@@ -259,8 +292,9 @@ object Similarity {
     *
     * Shapes: one corpus pass for assignment (broadcast centroids), the
     * assignment persisted once (self-join + keep-marking all read the
-    * cache), one c_id-keyed shuffle for the within-cell self-join, and a
-    * broadcast anti-join of the (small) dropped set. Returns
+    * cache), one c_id-keyed shuffle for the within-cell self-join, and
+    * an anti-join of the persisted dropped set (broadcast by AQE when
+    * its runtime size allows). Returns
     * (n_id, keep) — keep = false iff a lower-id in-cell near-duplicate
     * exists. Modulo centroids keep it SQL-oracle-expressible (s05);
     * production would pass [[ivfCentroidsTrained]] cells via the same
@@ -275,10 +309,16 @@ object Similarity {
     val a = assign.select(col("n_id"), col("n_emb"), col("c_id"))
     val b = assign.select(col("n_id").as("m_id"), col("n_emb").as("m_emb"),
       col("c_id"))
+    // dropped is consumed twice (anti-join + union) — persist so the
+    // within-cell O(cell²) self-join runs once. It is an ids-only
+    // projection; no broadcast hint, because at aggressive thresholds it
+    // can be a large fraction of the corpus — AQE broadcasts it when its
+    // runtime size allows
     val dropped = a.join(b, Seq("c_id"))
       .filter(col("m_id") < col("n_id"))
       .filter(round(cosine(col("n_emb"), col("m_emb")), 5) >= threshold)
       .select(col("n_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assign.select(col("n_id"))
       .join(dropped, Seq("n_id"), "left_anti")
       .withColumn("keep", lit(true))

@@ -173,8 +173,11 @@ object Extra3Queries {
     Q("q87_dynamic_partition_overwrite",
       (s, dir) => {
         import s.implicits._
-        val tmp = java.nio.file.Files.createTempDirectory("graft_dpo").toString
-        val path = s"$tmp/events_dpo"
+        // stable per-source path: every run overwrites the same layout
+        // instead of leaking a fresh temp copy of events per invocation
+        val key = java.lang.Long.toHexString(
+          java.util.Arrays.hashCode(dir.getBytes("UTF-8")).toLong & 0xFFFFFFFFL)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_dpo_$key/events_dpo"
         val base = Tables(s, dir, "events")
           .withColumn("us", unix_micros($"ts"))
           .select($"event_id", $"user_id", $"event_type", $"value", $"us")
@@ -202,12 +205,19 @@ object Extra3Queries {
     Q("q73_bucketed_join",
       (s, dir) => {
         import s.implicits._
-        buildTableOnce(s, "graft_bkt_orders", dir) {
+        // key freshness on the source files' identity (path+mtime+size),
+        // not the path alone — a regenerated fixture must rebuild
+        def srcKey(t: String): String = {
+          val p = java.nio.file.Paths.get(dir, s"$t.parquet")
+          s"$p:${java.nio.file.Files.getLastModifiedTime(p).toMillis}:${
+            java.nio.file.Files.size(p)}"
+        }
+        buildTableOnce(s, "graft_bkt_orders", srcKey("orders")) {
           Tables(s, dir, "orders")
             .write.mode("overwrite").bucketBy(8, "o_custkey")
             .sortBy("o_custkey").saveAsTable("graft_bkt_orders")
         }
-        buildTableOnce(s, "graft_bkt_customer", dir) {
+        buildTableOnce(s, "graft_bkt_customer", srcKey("customer")) {
           Tables(s, dir, "customer")
             .write.mode("overwrite").bucketBy(8, "c_custkey")
             .sortBy("c_custkey").saveAsTable("graft_bkt_customer")

@@ -462,8 +462,12 @@ object PipelineQueries {
         val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
         val ident = s"$src:${java.nio.file.Files.getLastModifiedTime(src).toMillis}:${
           java.nio.file.Files.size(src)}"
-        val key = java.lang.Integer.toHexString(
-          java.util.Arrays.hashCode(ident.getBytes("UTF-8")))
+        // md5-wide key (a 32-bit hash can collide two corpus identities
+        // onto one layout); ivfBuildLayout's _graft_ident check guards
+        // centEvery/plan identity on top
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(ident.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
         val layout = s"${sys.props("java.io.tmpdir")}/graft_ivf_layout_$key"
         Similarity.ivfTopKFromLayout(emb, emb.filter($"vec_id" < 10), k = 5,
             nProbe = 2, centEvery = 25, layoutDir = layout)
