@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators: multi-dimensional clustering for scan
+  * pruning. Parquet keeps min/max statistics per row group; Spark's
+  * pushed filters skip row groups whose stats exclude the predicate. A
+  * single-dimension sort gives perfect pruning on that dimension and
+  * none on any other; interleaving the bits of two dimensions (Morton /
+  * Z-order — the public technique behind Delta/Iceberg OPTIMIZE ZORDER)
+  * makes files cover small rectangles in (a, b) space, so a box
+  * predicate on EITHER or BOTH dimensions skips most files. At 100 TB
+  * the difference is reading a few row groups vs a full dimension slice.
+  */
+object Layout {
+
+  /** Morton z-value of two non-negative int columns: interleaves the low
+    * `bits` bits of each (a in even positions, b in odd). Pure shift/or
+    * column arithmetic — codegen'd, no UDF.
+    *
+    * The inputs MUST occupy comparable bit-widths: if one dimension's
+    * domain uses far more bits than the other's, its high bits dominate
+    * every coarse z-range split and the curve degenerates into a
+    * single-dimension sort (measured: an 11-bit vs 4-bit pair gave ZERO
+    * pruning on the narrow dimension). [[zorderWrite]] range-normalizes
+    * both dimensions first for exactly this reason. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      (shiftright(a, i).bitwiseAND(1).cast("long") * (1L << (2 * i)))
+        .bitwiseOR(
+          shiftright(b, i).bitwiseAND(1).cast("long") * (1L << (2 * i + 1)))
+    }.reduce(_.bitwiseOR(_))
+
+  private val NormBits = 8
+
+  /** Write `df` z-ordered on (aCol, bCol): each dimension is min/max
+    * scaled to an equal 8-bit width (the published construction —
+    * without it the wider domain's high bits dominate and the curve
+    * degenerates to a single-dim sort), the scaled values interleave
+    * into a 16-bit z-value, and the frame is range-partitioned by it
+    * into `files` output files, sorted within each — so every file owns
+    * a compact z-range = a small rectangle of (a, b) space, giving tight
+    * per-row-group min/max on BOTH columns. The min/max pre-pass is one
+    * cheap agg over the two columns; the write was scanning everything
+    * anyway. */
+  def zorderWrite(
+      df: DataFrame, aCol: String, bCol: String, files: Int,
+      path: String): Unit = {
+    val r = df.agg(
+      min(col(aCol)).cast("double"), max(col(aCol)).cast("double"),
+      min(col(bCol)).cast("double"), max(col(bCol)).cast("double")).first()
+    val top = (1 << NormBits) - 1
+    def norm(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else ((c.cast("double") - lo) * top / (hi - lo)).cast("long")
+    df.withColumn("__z", zValue(
+        norm(col(aCol), r.getDouble(0), r.getDouble(1)),
+        norm(col(bCol), r.getDouble(2), r.getDouble(3)), NormBits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

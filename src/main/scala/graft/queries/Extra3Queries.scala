@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.operators.Layout
 import org.apache.spark.sql.functions._
 
 /** Fourth coverage wave: salted skew joins behind the gate, MapType
@@ -198,6 +199,34 @@ object Extra3Queries {
              |      SELECT event_type, value FROM events
              |      WHERE event_type = 'click' AND value > 50)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- Z-order (Morton) clustered layout: files own compact
+    //      rectangles of (l_partkey, l_suppkey) space, so parquet
+    //      min/max stats prune a box predicate on EITHER dimension
+    //      (pruning ratios asserted in ScaleSpec; exercised here
+    //      end-to-end with a content oracle) ----
+    Q("q88_zorder_layout",
+      (s, dir) => {
+        import s.implicits._
+        val key = java.lang.Long.toHexString(
+          java.util.Arrays.hashCode(dir.getBytes("UTF-8")).toLong & 0xFFFFFFFFL)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_zorder_$key/lineitem_z"
+        Layout.zorderWrite(
+          Tables(s, dir, "lineitem")
+            .select($"l_partkey", $"l_suppkey", $"l_extendedprice"),
+          "l_partkey", "l_suppkey", files = 32, path = path)
+        s.read.parquet(path)
+          .filter($"l_partkey".between(800, 999) && $"l_suppkey".between(40, 49))
+          .groupBy($"l_suppkey")
+          .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice"), 2).as("total"))
+          .orderBy($"l_suppkey")
+      },
+      Some("""SELECT l_suppkey, count(*) AS n,
+             |  round(sum(l_extendedprice), 2) AS total
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 800 AND 999
+             |  AND l_suppkey BETWEEN 40 AND 49
+             |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
 
     // ---- bucketed layout: both sides bucketed on the join key → the
     //      sort-merge join runs with NO exchange (pre-shuffled storage;

@@ -152,6 +152,44 @@ class ScaleSpec extends AnyFunSuite {
       layoutScans.map(_.metadata.getOrElse("PartitionFilters", "?")).mkString("; "))
   }
 
+  test("z-order layout prunes row groups on BOTH dimensions") {
+    import spark.implicits._
+    val li = Tables(spark, sf, "lineitem")
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice")
+    val total = li.count()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_z_spec").toString
+    operators.Layout.zorderWrite(li, "l_partkey", "l_suppkey", 32, s"$tmp/z")
+    // single-dimension baseline: perfectly sorted by partkey
+    li.withColumn("__k", $"l_partkey")
+      .repartitionByRange(32, $"__k").sortWithinPartitions($"__k").drop("__k")
+      .write.mode("overwrite").parquet(s"$tmp/p")
+    def scanned(path: String, cond: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(path).filter(cond)
+      assert(df.count() > 0, "probe box matched no rows — bad bounds")
+      df.collect()
+      collectAll(df.queryExecution.executedPlan) {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+    }
+    // ~10% box per dimension, derived from the data's actual ranges (key
+    // domains scale with SF)
+    val (pMax, sMax) = li.agg(max($"l_partkey"), max($"l_suppkey"))
+      .as[(Long, Long)].first()
+    val suppBox = $"l_suppkey".between(sMax * 4 / 10, sMax * 5 / 10)
+    val zSupp = scanned(s"$tmp/z", suppBox)
+    val pSupp = scanned(s"$tmp/p", suppBox)
+    // the partkey-sorted layout cannot prune a suppkey predicate (every
+    // file spans the full suppkey range); the z-layout must skip most
+    // row groups for the same predicate
+    assert(pSupp >= (total * 0.95).toLong, s"baseline unexpectedly pruned: $pSupp")
+    assert(zSupp <= (total * 0.7).toLong,
+      s"z-layout read $zSupp of $total rows for a ~10% suppkey box")
+    // and it still prunes the OTHER dimension too
+    val zPart = scanned(s"$tmp/z", $"l_partkey".between(pMax * 4 / 10, pMax * 5 / 10))
+    assert(zPart <= (total * 0.7).toLong,
+      s"z-layout read $zPart of $total rows for a ~10% partkey box")
+  }
+
   test("dynamic partition overwrite leaves untouched partitions' files alone") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_dpo_spec").toString
