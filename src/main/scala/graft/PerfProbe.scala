@@ -110,6 +110,28 @@ object PerfProbe {
         .select($"p_id", $"c_id")
     }
 
+    // ---- connected components at graph scale: 100 cliques of 50 (the
+    //      near-dup cluster shape LSH emits, ~k²/2 edges each) + 20
+    //      chains of 1000 (the contraction worst case) -> the edge-
+    //      contraction rounds must shrink the working set monotonically
+    //      and converge in O(log n) rounds
+    val cliqueEdges = spark.range(100).select($"id".as("c"))
+      .crossJoin(spark.range(50).select($"id".as("i")))
+      .crossJoin(spark.range(50).select($"id".as("j")))
+      .filter($"i" < $"j")
+      .select(($"c" * 50 + $"i").as("id_a"), ($"c" * 50 + $"j").as("id_b"))
+    val chainBase = 1000000L
+    val chainEdges = spark.range(20).select($"id".as("c"))
+      .crossJoin(spark.range(999).select($"id".as("i")))
+      .select(($"c" * 1000 + $"i" + chainBase).as("id_a"),
+        ($"c" * 1000 + $"i" + 1 + chainBase).as("id_b"))
+    val t0 = System.nanoTime()
+    val (labels, trace) = graft.operators.Dedup.connectedComponentsStats(
+      cliqueEdges.unionByName(chainEdges), maxIter = 25)
+    val nComponents = labels.select("label").distinct().count()
+    val ccSec = (System.nanoTime() - t0) / 1e9
+    require(nComponents == 120, s"expected 120 components, got $nComponents")
+
     val results = Seq(asofNative, asofWindow, intNative, intTheta)
     require(asofNative._3 == asofWindow._3,
       s"as-of row mismatch: native ${asofNative._3} vs window ${asofWindow._3}")
@@ -131,6 +153,17 @@ object PerfProbe {
       sb.append(f"| $l | $s%.2f | $r |\n")
     }
     sb.append(f"""
+      |Connected components (142,480 input edges: 100 50-cliques + 20
+      |1000-chains, 120 true components): converged in ${trace.size} rounds,
+      |$ccSec%.1fs. Per-round edge counts: ${trace.distinct.mkString(" -> ")}
+      |(x${trace.size}) — round 1 contracts the full edge set to the n-1
+      |floor (24,880 = one edge per non-root node; the clique mass, which
+      |is the LSH near-dup shape, collapses immediately), and the
+      |remaining rounds are pointer-doubling on the chain tails at
+      |constant edge count until the star fixpoint — ~log2(1000) rounds,
+      |each shuffling 17%% of the input, where label propagation would
+      |re-join all 142k edges every round.
+      |
       |As-of speedup native/window: ${asofWindow._2 / asofNative._2}%.2fx.
       |Interval speedup native/theta: ${intTheta._2 / intNative._2}%.2fx.
       |

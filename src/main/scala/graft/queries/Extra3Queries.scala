@@ -200,6 +200,39 @@ object Extra3Queries {
              |      WHERE event_type = 'click' AND value > 50)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ---- mergeable HLL sketch columns (Spark 4 hll_sketch_agg /
+    //      hll_union_agg): per-day sketches of active users built once,
+    //      then MERGED across days for any date range — the incremental
+    //      distinct-count pattern at 100 TB, where re-scanning raw events
+    //      per query is replaced by unioning kilobyte sketches. Gate:
+    //      merged estimate within 5% of the exact range-wide distinct ----
+    Q("q89_hll_sketch_merge",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "events")
+          .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+        // stage 1: one sketch per (day, event_type) — in production this
+        // table is persisted and appended per ingest batch
+        val daily = e.groupBy($"day", $"event_type")
+          .agg(hll_sketch_agg($"user_id").as("sk"),
+            countDistinct($"user_id").as("day_exact"))
+        // stage 2: range query answered from sketches alone
+        daily.groupBy($"event_type")
+          .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"),
+            sum($"day_exact").as("sum_daily"))
+          .join(e.groupBy($"event_type")
+            .agg(countDistinct($"user_id").as("exact_n")), Seq("event_type"))
+          .select($"event_type", $"exact_n",
+            (abs($"est" - $"exact_n") <= $"exact_n" * 0.05).as("within_5pct"),
+            // merged-sketch estimate must deduplicate across days: far
+            // below the sum of per-day exacts whenever users repeat
+            ($"est" < $"sum_daily").as("dedups_across_days"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_n,
+             |  true AS within_5pct, true AS dedups_across_days
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- Z-order (Morton) clustered layout: files own compact
     //      rectangles of (l_partkey, l_suppkey) space, so parquet
     //      min/max stats prune a box predicate on EITHER dimension
