@@ -562,6 +562,51 @@ object PipelineQueries {
              |    list_transform(qv, v -> v * scale)), 5) AS cos
              |FROM q ORDER BY vec_id""".stripMargin)),
 
+    // End-to-end training-data prep: quality gate -> exact-dedup
+    // canonical selection -> temperature domain mixing -> per-language
+    // corpus stats. One composed job — the full operator-family chain a
+    // pipeline user runs, oracled as a single CTE chain (mixing rates are
+    // computed on the POST-filter, POST-dedup corpus on both sides).
+    Q("p01_training_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val gated = docs
+          .withColumn("n_toks", size(TextOps.tokens($"text")))
+          .filter($"n_chars" >= 100 && $"n_toks" >= 20)
+        val canonical = Dedup.exactDedup(gated, "doc_id", "text")
+          .filter($"is_canonical")
+          .select($"doc_id", $"lang", $"n_toks")
+        val keptIds = graft.operators.Mixing.temperatureSample(
+            canonical, "lang", "doc_id", alpha = 0.3, targetFrac = 0.5)
+          .filter($"keep").select($"doc_id")
+        canonical.join(keptIds, Seq("doc_id"), "left_semi")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+          .orderBy($"lang")
+      },
+      Some(s"""WITH gated AS (
+             |  SELECT doc_id, lang, len($toksSql) AS n_toks,
+             |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+             |  FROM documents WHERE n_chars >= 100 AND len($toksSql) >= 20),
+             |canonical AS (
+             |  SELECT doc_id, lang, n_toks FROM (
+             |    SELECT doc_id, lang, n_toks,
+             |      doc_id = min(doc_id) OVER (PARTITION BY fp) AS keep
+             |    FROM gated) WHERE keep),
+             |c AS (SELECT lang, count(*) AS n_d FROM canonical GROUP BY lang),
+             |t AS (SELECT sum(n_d) AS n_tot, sum(pow(n_d, 0.3)) AS z FROM c),
+             |r AS (SELECT lang,
+             |    round(least(1.0, 0.5 * n_tot * (pow(n_d, 0.3) / z) / n_d), 6)
+             |      AS rate
+             |  FROM c CROSS JOIN t)
+             |SELECT d.lang, count(*) AS n_docs,
+             |  CAST(sum(d.n_toks) AS BIGINT) AS n_tokens
+             |FROM canonical d JOIN r USING (lang)
+             |WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |         % 1000000) / 1000000.0 < r.rate
+             |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
+
     // ---- incremental (batch-over-corpus) dedup: a new ingestion batch
     //      checks its fingerprints against the existing corpus only —
     //      the daily-ingest shape, where the corpus side is a bloom/
