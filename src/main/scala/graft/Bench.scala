@@ -34,7 +34,7 @@ object Bench {
     "d01_dedup_exact", "d02_minhash_lsh", "d03_simhash_pairs",
     "d04_ngram_jaccard", "d05_embedding_nn", "d06_dedup_clusters",
     "d07_dedup_canonical", "d08_simhash_portable",
-    "d09_decontaminate", "d10_incremental_dedup",
+    "d09_decontaminate", "d10_incremental_dedup", "p01_training_pipeline",
     "s01_ann_bruteforce", "s02_ann_srp_lsh", "s03_ann_ivf",
     "s04_ann_ivf_layout", "s05_semantic_dedup", "s06_embedding_quantize",
     "m05_pack_by_size",

@@ -244,12 +244,16 @@ object Extra3Queries {
         val key = java.lang.Long.toHexString(
           java.util.Arrays.hashCode(dir.getBytes("UTF-8")).toLong & 0xFFFFFFFFL)
         val path = s"${sys.props("java.io.tmpdir")}/graft_zorder_$key/lineitem_z"
-        Layout.zorderWrite(
-          Tables(s, dir, "lineitem")
-            .select($"l_partkey", $"l_suppkey", $"l_extendedprice"),
-          "l_partkey", "l_suppkey", files = 32, path = path)
+        val li = Tables(s, dir, "lineitem")
+          .select($"l_partkey", $"l_suppkey", $"l_extendedprice")
+        Layout.zorderWrite(li, "l_partkey", "l_suppkey", files = 32, path = path)
+        // ~10% probe box per dimension, derived from the data so the
+        // query is meaningful at every SF (key domains scale with SF)
+        val (pMax, sMax) = li.agg(max($"l_partkey"), max($"l_suppkey"))
+          .as[(Long, Long)].first()
         s.read.parquet(path)
-          .filter($"l_partkey".between(800, 999) && $"l_suppkey".between(40, 49))
+          .filter($"l_partkey".between(pMax * 4 / 10, pMax * 5 / 10) &&
+            $"l_suppkey".between(sMax * 4 / 10, sMax * 5 / 10))
           .groupBy($"l_suppkey")
           .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice"), 2).as("total"))
           .orderBy($"l_suppkey")
@@ -257,8 +261,10 @@ object Extra3Queries {
       Some("""SELECT l_suppkey, count(*) AS n,
              |  round(sum(l_extendedprice), 2) AS total
              |FROM lineitem
-             |WHERE l_partkey BETWEEN 800 AND 999
-             |  AND l_suppkey BETWEEN 40 AND 49
+             |WHERE l_partkey BETWEEN (SELECT max(l_partkey) * 4 // 10 FROM lineitem)
+             |                    AND (SELECT max(l_partkey) * 5 // 10 FROM lineitem)
+             |  AND l_suppkey BETWEEN (SELECT max(l_suppkey) * 4 // 10 FROM lineitem)
+             |                    AND (SELECT max(l_suppkey) * 5 // 10 FROM lineitem)
              |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
 
     // ---- bucketed layout: both sides bucketed on the join key → the
