@@ -82,6 +82,38 @@ object SqlQueries {
              |SELECT o_custkey, ym, m_total,
              |  round(sum(m_total) OVER (PARTITION BY o_custkey ORDER BY ym
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
-             |FROM monthly ORDER BY o_custkey, ym""".stripMargin))
+             |FROM monthly ORDER BY o_custkey, ym""".stripMargin)),
+
+    // LATERAL correlated subquery in FROM (Spark 4 + DuckDB both speak
+    // it): per-customer top-2 orders — the dependent-join surface
+    Q("sq04_sql_lateral",
+      (s, dir) => sql(s, dir,
+        """SELECT c.c_custkey, t.o_orderkey, t.price
+          |FROM customer c, LATERAL (
+          |  SELECT o_orderkey, round(o_totalprice, 2) AS price
+          |  FROM orders WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |WHERE c.c_custkey < 20
+          |ORDER BY c.c_custkey, t.price DESC, t.o_orderkey""".stripMargin),
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.price
+             |FROM customer c, LATERAL (
+             |  SELECT o_orderkey, round(o_totalprice, 2) AS price
+             |  FROM orders WHERE o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+             |WHERE c.c_custkey < 20
+             |ORDER BY c.c_custkey, t.price DESC, t.o_orderkey""".stripMargin)),
+
+    // GROUP BY ALL (modern shorthand both engines support): grouping keys
+    // inferred from the non-aggregate select items
+    Q("sq05_sql_group_by_all",
+      (s, dir) => sql(s, dir,
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  round(sum(l_quantity), 2) AS qty
+          |FROM lineitem GROUP BY ALL
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  round(sum(l_quantity), 2) AS qty
+             |FROM lineitem GROUP BY ALL
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin))
   )
 }
