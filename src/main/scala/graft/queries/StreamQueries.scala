@@ -180,6 +180,36 @@ object StreamQueries {
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // streaming sketch aggregation: per-(day, type) approximate distinct
+    // users maintained in stream state (HLL++ registers merge
+    // order-insensitively, so the streamed estimate is deterministic);
+    // gated q29-style — the estimate must land within 5% of the exact
+    // batch distinct over the replayed input
+    Q("st08_stream_approx_distinct",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val agg = StreamOps.readEvents(s, dir)
+          .withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"))
+        val res = StreamOps.runToMemory(s, agg, "st08_out", OutputMode.Complete())
+          .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("approx"))
+        val exact = graft.Tables(s, dir, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_n"))
+        res.join(exact, Seq("day", "event_type"))
+          .select(col("day"), col("event_type"), col("exact_n"),
+            (abs(col("approx") - col("exact_n")) <= col("exact_n") * 0.05)
+              .as("within_5pct"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |  event_type, count(DISTINCT user_id) AS exact_n,
+             |  true AS within_5pct
+             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
   )
 }
