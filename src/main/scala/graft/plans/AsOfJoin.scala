@@ -39,9 +39,14 @@ final case class AsOfJoin(
     rightBy: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    toleranceUs: Option[Long])
+    toleranceUs: Option[Long],
+    outer: Boolean = false)
     extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+  // left-outer semantics keep every left row; unmatched right columns are
+  // null, so their attributes must be marked nullable
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true))
+                    else right.output)
   override protected def withNewChildrenInternal(
       l: LogicalPlan, r: LogicalPlan): AsOfJoin = copy(left = l, right = r)
 }
@@ -49,8 +54,8 @@ final case class AsOfJoin(
 /** Planner strategy: one physical implementation, always applicable. */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lb, rb, lt, rt, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lb, rb, lt, rt, tol) :: Nil
+    case AsOfJoin(l, r, lb, rb, lt, rt, tol, outer) =>
+      AsOfJoinExec(planLater(l), planLater(r), lb, rb, lt, rt, tol, outer) :: Nil
     case _ => Nil
   }
 }
@@ -66,10 +71,13 @@ final case class AsOfJoinExec(
     rightBy: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    toleranceUs: Option[Long])
+    toleranceUs: Option[Long],
+    outer: Boolean = false)
     extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true))
+                    else right.output)
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   // exact, non-coalescible hash partitioning on BOTH sides (the same
@@ -100,6 +108,8 @@ final case class AsOfJoinExec(
     val keyRead = KeyCodec.reader(leftBy.dataType)
     val tol = toleranceUs
     val outAttrs = output
+    val isOuter = outer
+    val rWidth = right.output.length
 
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       // One fused iterator per partition — the flatMap formulation
@@ -145,6 +155,11 @@ final case class AsOfJoinExec(
         // reuses its buffer, which the SparkPlan row contract permits
         private var out: InternalRow = null
 
+        // left-outer: unmatched left rows (including null key/time, per
+        // SQL comparison semantics) join an all-null right side
+        private val nullRight =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rWidth)
+
         private def advanceToMatch(): Unit = {
           while (out == null && lIt.hasNext) {
             val l = lIt.next()
@@ -167,7 +182,11 @@ final case class AsOfJoinExec(
               }
               if (candRow != null && candKey == kL && tL - candTime <= tolUs) {
                 out = resultProj(joined(l, candRow))
+              } else if (isOuter) {
+                out = resultProj(joined(l, nullRight))
               }
+            } else if (isOuter) {
+              out = resultProj(joined(l, nullRight))
             }
           }
         }
@@ -192,14 +211,17 @@ object AsOf {
     * `rightTime <= leftTime` (within `toleranceUs` if set). The right side
     * is re-aliased internally so self-derived inputs can't collide on
     * attribute ids; columns must already have distinct names across the
-    * two sides.
+    * two sides. `outer = true` gives pandas-merge_asof LEFT OUTER
+    * semantics: unmatched left rows are kept with a null right side.
     */
   def join(
       left: DataFrame, right: DataFrame,
       by: (String, String), time: (String, String),
-      toleranceUs: Option[Long] = None): DataFrame =
+      toleranceUs: Option[Long] = None,
+      outer: Boolean = false): DataFrame =
     JoinBuild(left, right, by, time) {
-      case (lp, rp, lb, rb, lt, rt) => AsOfJoin(lp, rp, lb, rb, lt, rt, toleranceUs)
+      case (lp, rp, lb, rb, lt, rt) =>
+        AsOfJoin(lp, rp, lb, rb, lt, rt, toleranceUs, outer)
     }
 
   /** Column handle helper for tests. */

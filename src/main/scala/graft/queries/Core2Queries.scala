@@ -332,6 +332,28 @@ object Core2Queries {
              |WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- native LEFT OUTER as-of (pandas merge_asof default): every
+    //      purchase kept, unmatched ones carry a null click time ----
+    Q("q90_asof_native_outer",
+      (s, dir) => {
+        import s.implicits._
+        import graft.plans.AsOf
+        val e = t(s, dir, "events")
+          .filter($"event_type".isin("click", "purchase"))
+        val p = e.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", unix_micros($"ts").as("p_us"))
+        val c = e.filter($"event_type" === "click")
+          .select($"user_id".as("c_user"), unix_micros($"ts").as("c_us"))
+        AsOf.join(p, c, ("user_id", "c_user"), ("p_us", "c_us"), outer = true)
+          .select($"event_id", $"user_id", $"p_us", $"c_us")
+          .orderBy($"event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY event_id""".stripMargin)),
+
     // ---- native sliding windows in batch (window(ts, 2h, 1h)): each
     //      event lands in two overlapping windows; the oracle is the
     //      equivalent two-shifted-truncations union ----

@@ -28,6 +28,25 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(tol.toSet == Set(("p1", "c2")))
   }
 
+  test("left-outer as-of keeps unmatched (and null-key/time) left rows") {
+    import spark.implicits._
+    val l = Seq((Some(1L), Some(100L), "p1"), (Some(2L), Some(50L), "p2"),
+      (None, Some(10L), "pNullKey"), (Some(1L), None, "pNullTime"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 90L, "c1"), (3L, 10L, "c4")).toDF("rk", "rt", "rtag")
+    val got = AsOf.join(l, r, ("k", "rk"), ("t", "rt"), outer = true)
+      .select($"tag", $"rtag").collect()
+      .map(x => (x.getString(0), Option(x.getString(1)))).toSet
+    // every left row survives; only p1 has a match; null key/time rows
+    // never match (SQL comparison semantics) but are still kept
+    assert(got == Set(("p1", Some("c1")), ("p2", None),
+      ("pNullKey", None), ("pNullTime", None)))
+    // inner mode on the same data keeps only the match
+    val inner = AsOf.join(l, r, ("k", "rk"), ("t", "rt"))
+      .select($"tag").collect().map(_.getString(0)).toSet
+    assert(inner == Set("p1"))
+  }
+
   test("matches the union+window formulation on the events table") {
     import spark.implicits._
     val e = Tables(spark, sf, "events")
