@@ -34,17 +34,20 @@ final case class IntervalJoin(
     rightBy: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    windowUs: Long)
+    windowUs: Long,
+    outer: Boolean = false)
     extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true))
+                    else right.output)
   override protected def withNewChildrenInternal(
       l: LogicalPlan, r: LogicalPlan): IntervalJoin = copy(left = l, right = r)
 }
 
 object IntervalJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case IntervalJoin(l, r, lb, rb, lt, rt, w) =>
-      IntervalJoinExec(planLater(l), planLater(r), lb, rb, lt, rt, w) :: Nil
+    case IntervalJoin(l, r, lb, rb, lt, rt, w, outer) =>
+      IntervalJoinExec(planLater(l), planLater(r), lb, rb, lt, rt, w, outer) :: Nil
     case _ => Nil
   }
 }
@@ -56,10 +59,13 @@ final case class IntervalJoinExec(
     rightBy: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    windowUs: Long)
+    windowUs: Long,
+    outer: Boolean = false)
     extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true))
+                    else right.output)
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   // exact, non-coalescible partitioning — see AsOfJoinExec for rationale
@@ -85,6 +91,8 @@ final case class IntervalJoinExec(
     val keyRead = KeyCodec.reader(leftBy.dataType)
     val win = windowUs
     val outAttrs = output
+    val isOuter = outer
+    val rWidth = right.output.length
 
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       // One fused iterator per partition: the flatMap formulation
@@ -156,6 +164,11 @@ final case class IntervalJoinExec(
         private var emitIdx = 0
         private var out: InternalRow = null
 
+        // left-outer: unmatched left rows (including null key/time, per
+        // SQL comparison semantics) join an all-null right side
+        private val nullRight =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rWidth)
+
         private def advance(): Unit = {
           while (out == null) {
             if (curL != null && emitIdx < bufLen) {
@@ -192,6 +205,9 @@ final case class IntervalJoinExec(
                 // only reuses the buffer on the NEXT lIt.next(), which
                 // happens after emitIdx reaches bufLen
                 if (bufLen > 0) { curL = l; emitIdx = 0 }
+                else if (isOuter) out = resultProj(joined(l, nullRight))
+              } else if (isOuter) {
+                out = resultProj(joined(l, nullRight))
               }
             } else return
           }
@@ -210,13 +226,16 @@ final case class IntervalJoinExec(
       l: SparkPlan, r: SparkPlan): IntervalJoinExec = copy(left = l, right = r)
 }
 
-/** DataFrame-level API (see [[AsOf.join]] for the shared conventions). */
+/** DataFrame-level API (see [[AsOf.join]] for the shared conventions;
+  * `outer = true` keeps match-less left rows with a null right side). */
 object Interval {
   def join(
       left: DataFrame, right: DataFrame,
       by: (String, String), time: (String, String),
-      windowUs: Long): DataFrame =
+      windowUs: Long,
+      outer: Boolean = false): DataFrame =
     JoinBuild(left, right, by, time) {
-      case (lp, rp, lb, rb, lt, rt) => IntervalJoin(lp, rp, lb, rb, lt, rt, windowUs)
+      case (lp, rp, lb, rb, lt, rt) =>
+        IntervalJoin(lp, rp, lb, rb, lt, rt, windowUs, outer)
     }
 }

@@ -354,6 +354,31 @@ object Core2Queries {
              |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- native LEFT OUTER interval join: purchases with NO click in
+    //      the preceding hour still appear, with a null click side ----
+    Q("q91_interval_native_outer",
+      (s, dir) => {
+        import s.implicits._
+        import graft.plans.Interval
+        val e = t(s, dir, "events")
+        val p = e.filter($"event_type" === "purchase")
+          .select($"event_id".as("p_id"), $"user_id", unix_micros($"ts").as("p_us"))
+        val c = e.filter($"event_type" === "click")
+          .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+            unix_micros($"ts").as("c_us"))
+        Interval.join(p, c, ("user_id", "c_user"), ("p_us", "c_us"),
+            windowUs = 3600L * 1000000L, outer = true)
+          .select($"p_id", $"c_id", $"p_us", $"c_us")
+          .orderBy($"p_id", $"c_id")
+      },
+      Some("""SELECT p.event_id AS p_id, c.event_id AS c_id,
+             |  epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id
+             |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+             |ORDER BY p_id, c_id NULLS FIRST""".stripMargin)),
+
     // ---- native sliding windows in batch (window(ts, 2h, 1h)): each
     //      event lands in two overlapping windows; the oracle is the
     //      equivalent two-shifted-truncations union ----

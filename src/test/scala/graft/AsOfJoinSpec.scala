@@ -47,6 +47,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(inner == Set("p1"))
   }
 
+  test("left-outer interval join emits null-right for window-less left rows") {
+    import spark.implicits._
+    import graft.plans.Interval
+    val l = Seq((1L, 100L, "p1"), (1L, 500L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 90L, "c1"), (1L, 95L, "c2")).toDF("rk", "rt", "rtag")
+    val got = Interval.join(l, r, ("k", "rk"), ("t", "rt"),
+        windowUs = 50L, outer = true)
+      .select($"tag", $"rtag").collect()
+      .map(x => (x.getString(0), Option(x.getString(1)))).toSet
+    // p1@100 window [50,100]: c1, c2. p2@500 window [450,500]: none.
+    // p3 key 2: none. Both still appear under outer.
+    assert(got == Set(("p1", Some("c1")), ("p1", Some("c2")),
+      ("p2", None), ("p3", None)))
+  }
+
   test("matches the union+window formulation on the events table") {
     import spark.implicits._
     val e = Tables(spark, sf, "events")
