@@ -32,6 +32,19 @@ object Layout {
           shiftright(b, i).bitwiseAND(1).cast("long") * (1L << (2 * i + 1)))
     }.reduce(_.bitwiseOR(_))
 
+  /** N-dimensional Morton z-value: bit `i` of dimension `j` lands at
+    * position `i*n + j` (round-robin interleave; `zValue(a,b)` ==
+    * `zValueN(Seq(a,b))`). Same comparable-bit-width caveat as
+    * [[zValue]] — normalize dimensions first. Total bits (`bits * n`)
+    * must fit a long. */
+  def zValueN(dims: Seq[Column], bits: Int = 16): Column = {
+    val n = dims.size
+    require(n >= 2 && bits * n <= 63, s"zValueN: $n dims x $bits bits")
+    (for { i <- 0 until bits; (d, j) <- dims.zipWithIndex } yield
+      shiftright(d, i).bitwiseAND(1).cast("long") * (1L << (i * n + j))
+    ).reduce(_.bitwiseOR(_))
+  }
+
   private val NormBits = 8
 
   /** Write `df` z-ordered on (aCol, bCol): each dimension is min/max

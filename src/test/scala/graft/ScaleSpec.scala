@@ -190,6 +190,23 @@ class ScaleSpec extends AnyFunSuite {
       s"z-layout read $zPart of $total rows for a ~10% partkey box")
   }
 
+  test("zValueN generalizes zValue and orders locally") {
+    import spark.implicits._
+    val df = Seq((5L, 9L, 3L)).toDF("a", "b", "c")
+    val r = df.select(
+      operators.Layout.zValue($"a", $"b", 8).as("z2"),
+      operators.Layout.zValueN(Seq($"a", $"b"), 8).as("zn2"),
+      operators.Layout.zValueN(Seq($"a", $"b", $"c"), 8).as("zn3")).first()
+    assert(r.getLong(0) == r.getLong(1), "2-dim zValueN must equal zValue")
+    // hand-computed 3-dim interleave of (101, 1001, 011):
+    // bit positions j + 3i for dim j
+    val expected = (0 until 8).map { i =>
+      (((5L >> i) & 1L) << (3 * i)) | (((9L >> i) & 1L) << (3 * i + 1)) |
+        (((3L >> i) & 1L) << (3 * i + 2))
+    }.reduce(_ | _)
+    assert(r.getLong(2) == expected)
+  }
+
   test("dynamic partition overwrite leaves untouched partitions' files alone") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_dpo_spec").toString
