@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Morton z-value of two non-negative int columns: interleaves the low
-    * `bits` bits of each (a in even positions, b in odd). Pure shift/or
-    * column arithmetic — codegen'd, no UDF.
+    * `bits` bits of each (a in even positions, b in odd) — the 2-dim
+    * case of [[zValueN]], sharing its bit-budget guard.
     *
     * The inputs MUST occupy comparable bit-widths: if one dimension's
     * domain uses far more bits than the other's, its high bits dominate
@@ -26,11 +26,7 @@ object Layout {
     * pruning on the narrow dimension). [[zorderWrite]] range-normalizes
     * both dimensions first for exactly this reason. */
   def zValue(a: Column, b: Column, bits: Int = 16): Column =
-    (0 until bits).map { i =>
-      (shiftright(a, i).bitwiseAND(1).cast("long") * (1L << (2 * i)))
-        .bitwiseOR(
-          shiftright(b, i).bitwiseAND(1).cast("long") * (1L << (2 * i + 1)))
-    }.reduce(_.bitwiseOR(_))
+    zValueN(Seq(a, b), bits)
 
   /** N-dimensional Morton z-value: bit `i` of dimension `j` lands at
     * position `i*n + j` (round-robin interleave; `zValue(a,b)` ==
@@ -57,12 +53,23 @@ object Layout {
     * per-row-group min/max on BOTH columns. The min/max pre-pass is one
     * cheap agg over the two columns; the write was scanning everything
     * anyway. */
+  /** Min/max of both clustering dimensions, as computed (and returned)
+    * by [[zorderWrite]] so callers probing the layout reuse the ranges
+    * instead of re-scanning for them. */
+  final case class ZRanges(aMin: Double, aMax: Double, bMin: Double, bMax: Double)
+
   def zorderWrite(
       df: DataFrame, aCol: String, bCol: String, files: Int,
-      path: String): Unit = {
+      path: String): ZRanges = {
     val r = df.agg(
       min(col(aCol)).cast("double"), max(col(aCol)).cast("double"),
       min(col(bCol)).cast("double"), max(col(bCol)).cast("double")).first()
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // empty input (or an all-null dimension): nothing to order — write
+      // the frame as-is rather than NPE on the missing range
+      df.write.mode("overwrite").parquet(path)
+      return ZRanges(0, 0, 0, 0)
+    }
     val top = (1 << NormBits) - 1
     def norm(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
@@ -74,5 +81,6 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+    ZRanges(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
   }
 }

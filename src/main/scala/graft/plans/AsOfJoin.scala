@@ -13,7 +13,9 @@ import org.apache.spark.sql.types.LongType
 
 /** Native as-of join: for each left row, the single latest right row of
   * the same `by` key with `rightTime <= leftTime` (optionally within
-  * `toleranceUs`). Inner semantics: unmatched left rows are dropped.
+  * `toleranceUs`). Inner semantics by default (unmatched left rows are
+  * dropped); `outer = true` keeps them with an all-null right side
+  * (pandas merge_asof LEFT OUTER).
   *
   * The reference has no such operator (SURVEY §2.6 absence list); the
   * union+window encoding (q32/q47) costs one union-wide shuffle + sort +

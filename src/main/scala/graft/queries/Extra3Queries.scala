@@ -224,13 +224,16 @@ object Extra3Queries {
             .agg(countDistinct($"user_id").as("exact_n")), Seq("event_type"))
           .select($"event_type", $"exact_n",
             (abs($"est" - $"exact_n") <= $"exact_n" * 0.05).as("within_5pct"),
-            // merged-sketch estimate must deduplicate across days: far
-            // below the sum of per-day exacts whenever users repeat
-            ($"est" < $"sum_daily").as("dedups_across_days"))
+            // the merged estimate tracks the deduplicated range-wide
+            // distinct, never the per-day sum: est <= exact*1.05 and
+            // exact <= sum_daily, so the 1.05 bound is GUARANTEED given
+            // within_5pct (a strict est < sum_daily would be
+            // data-dependent — false whenever no user repeats days)
+            ($"est" <= $"sum_daily" * 1.05).as("bounded_by_daily_sum"))
           .orderBy($"event_type")
       },
       Some("""SELECT event_type, count(DISTINCT user_id) AS exact_n,
-             |  true AS within_5pct, true AS dedups_across_days
+             |  true AS within_5pct, true AS bounded_by_daily_sum
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ---- Z-order (Morton) clustered layout: files own compact
@@ -246,11 +249,12 @@ object Extra3Queries {
         val path = s"${sys.props("java.io.tmpdir")}/graft_zorder_$key/lineitem_z"
         val li = Tables(s, dir, "lineitem")
           .select($"l_partkey", $"l_suppkey", $"l_extendedprice")
-        Layout.zorderWrite(li, "l_partkey", "l_suppkey", files = 32, path = path)
-        // ~10% probe box per dimension, derived from the data so the
+        // ~10% probe box per dimension from the ranges the layout write
+        // already computed (no second bounds scan); data-derived so the
         // query is meaningful at every SF (key domains scale with SF)
-        val (pMax, sMax) = li.agg(max($"l_partkey"), max($"l_suppkey"))
-          .as[(Long, Long)].first()
+        val ranges = Layout.zorderWrite(
+          li, "l_partkey", "l_suppkey", files = 32, path = path)
+        val (pMax, sMax) = (ranges.aMax.toLong, ranges.bMax.toLong)
         s.read.parquet(path)
           .filter($"l_partkey".between(pMax * 4 / 10, pMax * 5 / 10) &&
             $"l_suppkey".between(sMax * 4 / 10, sMax * 5 / 10))

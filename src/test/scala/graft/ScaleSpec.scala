@@ -165,8 +165,7 @@ class ScaleSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$tmp/p")
     def scanned(path: String, cond: org.apache.spark.sql.Column): Long = {
       val df = spark.read.parquet(path).filter(cond)
-      assert(df.count() > 0, "probe box matched no rows — bad bounds")
-      df.collect()
+      assert(df.collect().nonEmpty, "probe box matched no rows — bad bounds")
       collectAll(df.queryExecution.executedPlan) {
         case s: FileSourceScanExec => s.metrics("numOutputRows").value
       }.sum
