@@ -64,17 +64,37 @@ object Bench {
       var best = Double.MaxValue
       var err: Option[String] = None
       for (_ <- 1 to reps if err.isEmpty) {
+        // CacheManager isolation: queries that persist internally
+        // (minhash/simhash signature stages, semantic dedup) would
+        // otherwise (a) hand rep 2 a cache HIT — the min would measure a
+        // lookup, not the plan — and (b) leak their cached relations into
+        // every later query's memory budget (the round-4 driver run shows
+        // d06/d07 at 6x their isolated cost, measured downstream of eight
+        // cache-holding d-queries). Clearing per rep keeps every number a
+        // cold-cache plan cost, comparable across rounds; on-disk
+        // build-once layouts (s04/q73/q87/q88) are files + catalog
+        // entries, not CacheManager state, so their steady-state probe
+        // semantics survive.
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { all(name)(spark, sfDir).count() }
         catch { case e: Throwable =>
           err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(80)}")
         }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        if (err.isEmpty) best = math.min(best, (System.nanoTime() - t0) / 1e9)
       }
-      (name, if (err.isEmpty) best else -1.0, err.map(name -> _))
+      // a query that succeeded on an earlier rep but failed on a later one
+      // (flaky I/O) still has a valid measurement: keep the best time and
+      // report the rep failure separately instead of flagging the whole
+      // query as broken with -1
+      val partial = err.filter(_ => best != Double.MaxValue)
+      val fatal = err.filter(_ => best == Double.MaxValue)
+      (name, if (best != Double.MaxValue) best else -1.0,
+        fatal.map(name -> _), partial.map(name -> _))
     }
+    spark.catalog.clearCache()
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // full JSON-string escaping: Spark exception messages embed plan
     // fragments with tabs/newlines — any raw control char would make the
@@ -88,8 +108,13 @@ object Bench {
     val errs = results.flatMap(_._3).map { case (k, m) =>
       "\"" + k + "\":\"" + jesc(m) + "\""
     }.mkString("{", ",", "}")
-    val total = fmt(results.collect { case (_, v, _) if v >= 0 => v }.sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // rep failures that still produced a measurement (usually empty, so
+    // the JSON line stays inside the tail budget in the common case)
+    val flaky = results.flatMap(_._4).map { case (k, m) =>
+      "\"" + k + "\":\"" + jesc(m) + "\""
+    }.mkString("{", ",", "}")
+    val total = fmt(results.collect { case (_, v, _, _) if v >= 0 => v }.sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

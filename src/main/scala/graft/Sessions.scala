@@ -2,6 +2,33 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Per-process scratch root under java.io.tmpdir for derived on-disk
+  * layouts (IVF cell layout, z-order files, dynamic-partition tables,
+  * warehouse). Keyed by pid: the build-once `_SUCCESS`/`_graft_ident`
+  * checks those layouts rely on are not atomic ACROSS processes, so two
+  * concurrent JVMs sharing a source-keyed path could probe a
+  * half-overwritten layout. A pid component keeps the path stable within
+  * a process (build-once amortization holds for bench reps and session
+  * reuse) while giving each JVM its own directory. Cleaned on JVM exit.
+  */
+object Scratch {
+  lazy val root: String = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-p${ProcessHandle.current().pid()}")
+    java.nio.file.Files.createDirectories(p)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: java.io.IOException => () })
+      catch { case _: java.io.IOException => () }
+    }))
+    p.toString
+  }
+
+  def dir(name: String): String = s"$root/$name"
+}
+
 /** Shared session construction so Verify / Bench / tests agree on the
   * configs that affect correctness and scale behavior.
   */
@@ -10,6 +37,10 @@ object Sessions {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // saveAsTable targets (bucketed-layout queries) land in per-process
+      // scratch, not a shared ./spark-warehouse — same cross-JVM race
+      // rationale as Scratch; static conf, so it must be set here
+      .config("spark.sql.warehouse.dir", Scratch.dir("warehouse"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")

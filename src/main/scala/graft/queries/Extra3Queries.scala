@@ -178,7 +178,7 @@ object Extra3Queries {
         // instead of leaking a fresh temp copy of events per invocation
         val key = java.lang.Long.toHexString(
           java.util.Arrays.hashCode(dir.getBytes("UTF-8")).toLong & 0xFFFFFFFFL)
-        val path = s"${sys.props("java.io.tmpdir")}/graft_dpo_$key/events_dpo"
+        val path = s"${graft.Scratch.dir(s"graft_dpo_$key")}/events_dpo"
         val base = Tables(s, dir, "events")
           .withColumn("us", unix_micros($"ts"))
           .select($"event_id", $"user_id", $"event_type", $"value", $"us")
@@ -246,7 +246,7 @@ object Extra3Queries {
         import s.implicits._
         val key = java.lang.Long.toHexString(
           java.util.Arrays.hashCode(dir.getBytes("UTF-8")).toLong & 0xFFFFFFFFL)
-        val path = s"${sys.props("java.io.tmpdir")}/graft_zorder_$key/lineitem_z"
+        val path = s"${graft.Scratch.dir(s"graft_zorder_$key")}/lineitem_z"
         val li = Tables(s, dir, "lineitem")
           .select($"l_partkey", $"l_suppkey", $"l_extendedprice")
         // ~10% probe box per dimension from the ranges the layout write

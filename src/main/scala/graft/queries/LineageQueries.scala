@@ -201,11 +201,17 @@ object LineageQueries {
         val df = s.table("graft_lx10_region")
           .groupBy($"r_name").agg(count(lit(1)).as("n"))
         val report = LineageExtractor.report(df.queryExecution)
+        // "default location" = the session's configured warehouse root
+        // (whatever it is — Sessions points it at per-process scratch),
+        // not the literal ./spark-warehouse name
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+          .replaceFirst("^file:/*", "/").stripSuffix("/")
         val rows = report.databases.map { d =>
           // owner is the creating OS user — environment-specific, so the
           // gate pins its presence, not its value
           (d.name, d.owner.nonEmpty, d.description,
-            d.locationUri.endsWith("spark-warehouse"), d.params.size.toLong)
+            d.locationUri.replaceFirst("^file:/*", "/").stripSuffix("/") == wh,
+            d.params.size.toLong)
         }
         s.createDataFrame(rows)
           .toDF("db_name", "has_owner", "description", "default_location",

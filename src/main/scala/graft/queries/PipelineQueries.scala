@@ -468,7 +468,7 @@ object PipelineQueries {
         val key = java.security.MessageDigest.getInstance("MD5")
           .digest(ident.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(16)
-        val layout = s"${sys.props("java.io.tmpdir")}/graft_ivf_layout_$key"
+        val layout = graft.Scratch.dir(s"graft_ivf_layout_$key")
         Similarity.ivfTopKFromLayout(emb, emb.filter($"vec_id" < 10), k = 5,
             nProbe = 2, centEvery = 25, layoutDir = layout)
           .orderBy(col("q_id"), col("rn"))
