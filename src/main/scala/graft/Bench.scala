@@ -30,6 +30,7 @@ object Bench {
     "q74_asof_native", "q75_asof_native_tolerance", "q78_interval_native",
     "q80_volume_shipping", "q81_important_stock",
     "q82_cms_heavy_hitters", "q84_fuzzy_match", "q89_hll_sketch_merge",
+    "q92_bloom_prune",
     // dedup / similarity / text pipeline
     "d01_dedup_exact", "d02_minhash_lsh", "d03_simhash_pairs",
     "d04_ngram_jaccard", "d05_embedding_nn", "d06_dedup_clusters",
@@ -39,9 +40,11 @@ object Bench {
     "s04_ann_ivf_layout", "s05_semantic_dedup", "s06_embedding_quantize",
     "m05_pack_by_size",
     "t06_tfidf", "t13_bigram_lm", "t15_domain_mixing", "t16_domain_cap",
+    "t17_quality_quantile_gate", "t18_priority_sample",
     // SQL replay + streaming
     "sq01_sql_region_revenue", "sq02_sql_correlated", "sq03_sql_cte_window",
-    "st01_stream_hourly", "st03_stream_join", "st07_stream_join_outer")
+    "st01_stream_hourly", "st03_stream_join", "st07_stream_join_outer",
+    "st09_stream_latest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

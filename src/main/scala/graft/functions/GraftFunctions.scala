@@ -30,7 +30,16 @@ object GraftFunctions {
       require(es(2).foldable, "top_k_by k must be a literal")
       TopKAgg.TopKByScore(es.head, es(1),
           es(2).eval().asInstanceOf[Number].intValue())
-        .toAggregateExpression() })
+        .toAggregateExpression() },
+    "bloom_agg" -> { es =>
+      require(es(1).foldable && es(2).foldable,
+        "bloom_agg numBits and numHashes must be literals")
+      BloomExprs.BloomAgg(es.head,
+          es(1).eval().asInstanceOf[Number].intValue(),
+          es(2).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression() },
+    "bloom_might_contain" -> { es =>
+      BloomExprs.BloomMightContain(es.head, es(1)) })
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

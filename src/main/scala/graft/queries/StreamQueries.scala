@@ -210,6 +210,26 @@ object StreamQueries {
       Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
              |  event_type, count(DISTINCT user_id) AS exact_n,
              |  true AS within_5pct
-             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
+
+    // ---- CDC-style latest-value snapshot: one state row per entity,
+    //      Update-mode emits only changed keys (StreamOps.latestSnapshot).
+    //      Single-batch file replay ⇒ the emitted set IS the batch argmax
+    //      per user, which the oracle computes with a window ----
+    Q("st09_stream_latest",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        import s.implicits._
+        val snap = StreamOps.latestSnapshot(StreamOps.readEvents(s, dir))
+        StreamOps.runToMemory(s, snap.toDF(), "st09_out", OutputMode.Update())
+          .select($"user_id", $"event_id", $"value")
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, event_id, value FROM (
+             |  SELECT user_id, event_id, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events)
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin))
   )
 }

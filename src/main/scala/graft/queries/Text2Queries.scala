@@ -370,6 +370,62 @@ object Text2Queries {
              |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
              |      doc_id) AS rn
              |  FROM documents)
-             |WHERE rn <= 10 ORDER BY source, rn""".stripMargin))
+             |WHERE rn <= 10 ORDER BY source, rn""".stripMargin)),
+
+    // ---- adaptive per-domain quality gate: drop each language's bottom
+    //      quartile by length. Computed as tiny per-domain thresholds
+    //      (one agg over |domains| groups) broadcast back onto the
+    //      corpus — NOT a percent_rank window, which would shuffle and
+    //      sort the full corpus by domain and collapse under domain skew
+    //      (one giant 'en' partition at 100 TB) ----
+    Q("t17_quality_quantile_gate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val thr = docs.groupBy($"lang")
+          .agg(round(percentile($"n_chars", lit(0.25)), 6).as("p25"))
+        docs.join(broadcast(thr), Seq("lang"))
+          .select($"doc_id", $"lang", $"p25",
+            ($"n_chars" >= $"p25").as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH thr AS (
+             |  SELECT lang, round(quantile_cont(n_chars, 0.25), 6) AS p25
+             |  FROM documents GROUP BY lang)
+             |SELECT doc_id, lang, p25, n_chars >= p25 AS keep
+             |FROM documents JOIN thr USING (lang)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- weighted sampling without replacement (priority sampling,
+    //      Duffield-Lund-Thorup): per-doc priority w/u with weight
+    //      w = n_chars and a deterministic md5 uniform draw u; the n
+    //      highest priorities per language are the sample. Longer docs
+    //      are proportionally likelier, reruns/engines agree exactly
+    //      (integer inputs + one IEEE division — no libm). The bounded
+    //      heap keeps <= n rows per language BEFORE the exchange, so the
+    //      corpus is never shuffled (t16's cap idiom, weighted) ----
+    Q("t18_priority_sample",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables(s, dir, "documents").select($"doc_id", $"lang",
+          ($"n_chars".cast("double") /
+            (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+              .cast("long") + 1).cast("double")).as("prio"))
+        d.groupBy($"lang")
+          .agg(graft.functions.TopKAgg.top_k_by($"prio", $"doc_id", 20).as("tk"))
+          .select($"lang", posexplode($"tk"))
+          .select($"lang", $"col.id".as("doc_id"),
+            ($"pos" + 1).cast("long").as("rn"))
+          .orderBy($"lang", $"rn")
+      },
+      Some("""SELECT lang, doc_id, rn FROM (
+             |  SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang ORDER BY
+             |      CAST(n_chars AS DOUBLE) /
+             |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             |             ::BIGINT + 1 AS DOUBLE) DESC,
+             |      doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin))
   )
 }

@@ -58,4 +58,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(g.treeString.contains("Aggregate"))
     assert(g.collect { case n => n.kind }.nonEmpty)
   }
+
+  test("latest snapshot emits a key only when its latest value changes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // (user_id, micros, event_id, value)
+    val ms = MemoryStream[(Long, Long, Long, Double)]
+    val events = ms.toDF()
+      .select($"_1".as("user_id"), timestamp_micros($"_2").as("ts"),
+        $"_3".as("event_id"), $"_4".as("value"))
+    val q = StreamOps.latestSnapshot(events).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("latest_inc_test").start()
+    try {
+      ms.addData((1L, 1000L, 1L, 10.0), (2L, 1000L, 2L, 5.0))
+      q.processAllAvailable()
+      val batch1 = spark.table("latest_inc_test").collect()
+      assert(batch1.length == 2)
+      // user 1: NEWER event (must re-emit); user 2: LATE event older than
+      // the stored row (must be absorbed silently)
+      ms.addData((1L, 2000L, 3L, 20.0), (2L, 500L, 4L, 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("latest_inc_test")
+        .select($"user_id", $"event_id", $"value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.length == 3, rows.mkString(", "))
+      // the cumulative update log ends at the correct snapshot
+      assert(rows.contains((1L, 3L, 20.0)))
+      assert(rows.count(_._1 == 2L) == 1 && rows.contains((2L, 2L, 5.0)))
+    } finally q.stop()
+  }
 }
