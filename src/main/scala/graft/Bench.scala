@@ -35,12 +35,13 @@ object Bench {
     "d01_dedup_exact", "d02_minhash_lsh", "d03_simhash_pairs",
     "d04_ngram_jaccard", "d05_embedding_nn", "d06_dedup_clusters",
     "d07_dedup_canonical", "d08_simhash_portable",
-    "d09_decontaminate", "d10_incremental_dedup", "p01_training_pipeline",
+    "d09_decontaminate", "d10_incremental_dedup", "d11_span_dedup",
+    "p01_training_pipeline",
     "s01_ann_bruteforce", "s02_ann_srp_lsh", "s03_ann_ivf",
     "s04_ann_ivf_layout", "s05_semantic_dedup", "s06_embedding_quantize",
     "m05_pack_by_size",
     "t06_tfidf", "t13_bigram_lm", "t15_domain_mixing", "t16_domain_cap",
-    "t17_quality_quantile_gate", "t18_priority_sample",
+    "t17_quality_quantile_gate", "t18_priority_sample", "t19_chunking",
     // SQL replay + streaming
     "sq01_sql_region_revenue", "sq02_sql_correlated", "sq03_sql_cte_window",
     "st01_stream_hourly", "st03_stream_join", "st07_stream_join_outer",

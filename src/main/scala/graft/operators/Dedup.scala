@@ -58,6 +58,56 @@ object Dedup {
       .withColumn("is_canonical", col(idCol) === min(col(idCol)).over(w))
   }
 
+  /** Duplicated-span statistics — the exact-substring dedup signal of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), Spark-shaped. Suffix arrays don't distribute; fingerprints
+    * of fixed-width NON-overlapping token windows give the same per-doc
+    * contamination signal in one map pass. A window duplicated across
+    * documents marks boilerplate / copied spans that survive whole-doc
+    * dedup.
+    *
+    * Plan shape (scales to 100 TB): one map pass explodes the windows and
+    * fingerprints them (the token array is never shuffled); ONE shuffle
+    * compacts to (fp, doc_id) grain; a window over fp supplies the
+    * distinct-doc count at that already-compacted grain; a final doc-grain
+    * aggregate. The corpus is scanned once — no self-join, no second
+    * evaluation of the tokenize/hash stage.
+    *
+    * @return (doc_id, n_segments, dup_segments, dup_fraction), one row
+    *         per document with at least one full window.
+    */
+  def spanDupStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 20): DataFrame = {
+    require(window > 0, "window must be positive")
+    val segs = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") >= window) // partial tail windows are dropped
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), (col("n_tok") / window).cast("long") - 1))
+          .as("i"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("i") * window + 1).cast("int"), lit(window))))
+          .as("fp"))
+    val perDocFp = segs.groupBy(col("fp"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    // rows are (fp, doc) grain, so a plain count over the fp frame IS the
+    // distinct-doc count — no second distinct aggregation needed
+    val w = Window.partitionBy(col("fp"))
+    perDocFp
+      .withColumn("n_docs", count(lit(1)).over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_segments"),
+        sum(when(col("n_docs") > 1, col("c")).otherwise(lit(0L)))
+          .as("dup_segments"))
+      .withColumn("dup_fraction",
+        round(col("dup_segments").cast("double") / col("n_segments"), 6))
+  }
+
   /** MinHash signature of `k` hashes over distinct shingles — custom
     * Catalyst expression, one pass per row. */
   def minhashSignature(shingleCol: Column, k: Int): Column =

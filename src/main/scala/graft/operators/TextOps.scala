@@ -41,6 +41,50 @@ object TextOps {
   /** Token count as LONG (DuckDB len() returns BIGINT). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Sliding-window token chunking (RAG / training-sequence prep): each
+    * document yields overlapping windows of `chunkSize` tokens advancing
+    * by `stride`; the final window may be shorter. Pure map-side explode
+    * — no shuffle — and each chunk row carries a fingerprint rather than
+    * the chunk text, so the exploded width stays bounded (callers that
+    * need the text re-slice from the stored doc by `tok_start`/
+    * `chunk_len`). Zero-token documents yield no chunks.
+    *
+    * Chunk count: 1 for n ≤ chunkSize, else 1 + ⌈(n − chunkSize) /
+    * stride⌉ — every token is covered and no window starts past the end.
+    *
+    * @return (doc_id, chunk_id, tok_start, chunk_len, fp); tok_start is
+    *         1-based.
+    */
+  def chunk(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    require(stride <= chunkSize,
+      "stride > chunkSize would skip tokens between consecutive chunks")
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      // guard BEFORE sequence(): n_chunks must be >= 1 or Spark's
+      // sequence(0, -1) would step DOWNWARD instead of yielding empty
+      .filter(col("n_tok") > 0)
+      .withColumn("n_chunks",
+        when(col("n_tok") <= chunkSize, lit(1L))
+          .otherwise(lit(1L) +
+            ((col("n_tok") - chunkSize + stride - 1) / stride).cast("long")))
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride + 1).as("tok_start"),
+        least(lit(chunkSize.toLong), col("n_tok") - col("chunk_id") * stride)
+          .as("chunk_len"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"),
+            lit(chunkSize)))).as("fp"))
+  }
+
   /** BPE-ish subword count: alpha runs, digit runs, and single
     * punctuation marks each count as one token. */
   def subwordCount(text: Column): Column =

@@ -742,6 +742,33 @@ object PipelineQueries {
     //      byte-budget buckets via a distributed prefix sum (the oracle
     //      recomputes the identical sequential cumsum), next-fit bound
     //      asserted per bucket ----
+    // ---- duplicated-span stats: exact-substring dedup signal over
+    // fixed 20-token windows (Lee et al. 2022, Spark-shaped) ----
+    Q("d11_span_dedup",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Dedup
+          .spanDupStats(Tables(s, dir, "documents"), "doc_id", "text", window = 20)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents
+             |), segs AS (
+             |  SELECT doc_id, md5(array_to_string(toks[(i*20+1):(i*20+20)], ' ')) AS fp
+             |  FROM t, LATERAL (SELECT unnest(generate_series(0,
+             |    CAST(len(toks) // 20 AS BIGINT) - 1)) AS i) g
+             |  WHERE len(toks) >= 20
+             |), dup AS (
+             |  SELECT fp FROM segs GROUP BY fp HAVING count(DISTINCT doc_id) > 1
+             |)
+             |SELECT s.doc_id,
+             |  count(*) AS n_segments,
+             |  count(d.fp) AS dup_segments,
+             |  round(count(d.fp) * 1.0 / count(*), 6) AS dup_fraction
+             |FROM segs s LEFT JOIN dup d ON s.fp = d.fp
+             |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
+
     Q("m05_pack_by_size",
       (s, dir) => {
         import s.implicits._

@@ -426,6 +426,35 @@ object Text2Queries {
              |             ::BIGINT + 1 AS DOUBLE) DESC,
              |      doc_id) AS rn
              |  FROM documents)
-             |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin))
+             |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)),
+
+    // ---- sliding-window chunking: overlapping 64-token windows at
+    //      stride 48 (RAG / training-sequence prep); map-side explode,
+    //      fingerprint carried instead of chunk text ----
+    Q("t19_chunking",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextOps
+          .chunk(Tables(s, dir, "documents"), "doc_id", "text",
+            chunkSize = 64, stride = 48)
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents
+             |), n AS (
+             |  SELECT doc_id, toks, len(toks) AS n_tok,
+             |    CASE WHEN len(toks) = 0 THEN 0
+             |         WHEN len(toks) <= 64 THEN 1
+             |         ELSE 1 + CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT)
+             |    END AS n_chunks
+             |  FROM t
+             |)
+             |SELECT doc_id, i AS chunk_id,
+             |  i*48 + 1 AS tok_start,
+             |  least(CAST(64 AS BIGINT), n_tok - i*48) AS chunk_len,
+             |  md5(array_to_string(toks[(i*48+1):(i*48+64)], ' ')) AS fp
+             |FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) g
+             |ORDER BY doc_id, chunk_id""".stripMargin))
   )
 }
