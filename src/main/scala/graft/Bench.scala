@@ -51,9 +51,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.get()
     val all = SparkEntry.queries
-    val names =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) all.keys.toSeq.sorted
-      else headline.filter(all.contains)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      // local iteration: comma-separated name prefixes (driver never sets it)
+      case Some(pfx) =>
+        val ps = pfx.split(",").toSeq
+        all.keys.toSeq.sorted.filter(n => ps.exists(n.startsWith))
+      case None =>
+        if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) all.keys.toSeq.sorted
+        else headline.filter(all.contains)
+    }
     // Warm the JVM/codegen once on the smallest SF so per-query numbers
     // measure the plan, not first-call classloading.
     try all(names.head)(spark, sfDir).count()
