@@ -217,6 +217,61 @@ final case class LineageReport(
     }.mkString("[", ",", "]")
   }
 
+  /** OpenLineage RunEvent rendering (public spec:
+    * https://openlineage.io/spec — RunEvent, SchemaDatasetFacet on inputs,
+    * ColumnLineageDatasetFacet on outputs), so the report plugs into any
+    * OpenLineage consumer (Marquez, Atlan, DataHub) without an adapter.
+    *
+    * `runId`/`eventTime` come from the caller so renderings stay
+    * deterministic and golden-testable. A query with no file/table sink
+    * (collect-terminated) gets a synthetic output dataset
+    * `<jobName>.result` so its column mapping still exports.
+    */
+  def openLineageJson(
+      jobNamespace: String,
+      jobName: String,
+      runId: String,
+      eventTime: String,
+      eventType: String = "COMPLETE"): String = {
+    import LNode.esc
+    val producer = "urn:graft:spark-lineage"
+    val specUrl = "https://openlineage.io/spec/2-0-2/OpenLineage.json"
+    // dataset identity per the OL naming convention: catalog-managed
+    // relations live in the session catalog's namespace, path-based
+    // relations in the `file` namespace under their location
+    def dsId(m: TableMeta): (String, String) =
+      if (m.owner.nonEmpty || m.path.isEmpty) ("spark_catalog", m.name)
+      else ("file", m.path)
+    val inputsJ = inputs.map { m =>
+      val (ns, nm) = dsId(m)
+      val fields = m.columns.map(c => s"""{"name":"${esc(c)}"}""")
+        .mkString("[", ",", "]")
+      s"""{"namespace":"${esc(ns)}","name":"${esc(nm)}","facets":{""" +
+        s""""schema":{"_producer":"$producer","_schemaURL":"$specUrl#/$$defs/SchemaDatasetFacet","fields":$fields}}}"""
+    }.mkString("[", ",", "]")
+    val colLineageFacet = {
+      val fields = columnLineage.toSeq.sortBy(_._1).map { case (out, refs) =>
+        val ins = refs.toSeq.sortBy(r => (r.table, r.column)).map { r =>
+          val (ns, nm) = inputs.find(_.name == r.table).map(dsId)
+            .getOrElse(("spark_catalog", r.table))
+          s"""{"namespace":"${esc(ns)}","name":"${esc(nm)}","field":"${esc(r.column)}"}"""
+        }.mkString("[", ",", "]")
+        s""""${esc(out)}":{"inputFields":$ins}"""
+      }.mkString("{", ",", "}")
+      s""""columnLineage":{"_producer":"$producer","_schemaURL":"$specUrl#/$$defs/ColumnLineageDatasetFacet","fields":$fields}"""
+    }
+    val outNames = if (outputs.nonEmpty) outputs else Seq(s"$jobName.result")
+    val outputsJ = outNames.map { o =>
+      val ns = if (o.startsWith("/") || o.contains("://")) "file" else "spark_catalog"
+      s"""{"namespace":"$ns","name":"${esc(o)}","facets":{$colLineageFacet}}"""
+    }.mkString("[", ",", "]")
+    s"""{"eventType":"${esc(eventType)}","eventTime":"${esc(eventTime)}",""" +
+      s""""run":{"runId":"${esc(runId)}"},""" +
+      s""""job":{"namespace":"${esc(jobNamespace)}","name":"${esc(jobName)}"},""" +
+      s""""inputs":$inputsJ,"outputs":$outputsJ,""" +
+      s""""producer":"$producer","schemaURL":"$specUrl#/$$defs/RunEvent"}"""
+  }
+
   /** Database entities of the catalog-managed inputs (the reference's
     * `DbDef` payload). */
   def databasesJson: String = {

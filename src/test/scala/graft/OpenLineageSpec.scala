@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lineage.LineageExtractor
+
+/** OpenLineage RunEvent export: well-formed JSON, spec-shaped structure,
+  * and column lineage that round-trips through the facet.
+  */
+class OpenLineageSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def event(): JValue = {
+    val df = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val rep = LineageExtractor.report(df.queryExecution)
+    JsonMethods.parse(rep.openLineageJson(
+      jobNamespace = "graft-tests", jobName = "q_priority_qty",
+      runId = "00000000-0000-0000-0000-000000000001",
+      eventTime = "2026-01-01T00:00:00Z"))
+  }
+
+  test("emits a spec-shaped RunEvent with schema facets on inputs") {
+    val ev = event()
+    assert((ev \ "eventType") == JString("COMPLETE"))
+    assert((ev \ "job" \ "name") == JString("q_priority_qty"))
+    assert((ev \ "run" \ "runId") ==
+      JString("00000000-0000-0000-0000-000000000001"))
+    val JArray(ins) = (ev \ "inputs"): @unchecked
+    assert(ins.size == 2)
+    val schemaFieldNames = ins.flatMap { i =>
+      val JArray(fs) = (i \ "facets" \ "schema" \ "fields"): @unchecked
+      fs.map(f => (f \ "name").values.toString)
+    }
+    assert(schemaFieldNames.contains("l_quantity"))
+    assert(schemaFieldNames.contains("o_orderpriority"))
+    // every facet carries the spec-required provenance pair
+    ins.foreach { i =>
+      assert((i \ "facets" \ "schema" \ "_producer") != JNothing)
+      assert((i \ "facets" \ "schema" \ "_schemaURL") != JNothing)
+    }
+  }
+
+  test("column lineage rides the output dataset; collect gets a synthetic sink") {
+    val ev = event()
+    val JArray(outs) = (ev \ "outputs"): @unchecked
+    assert(outs.size == 1)
+    // no write sink in the plan -> synthetic <jobName>.result dataset
+    assert((outs.head \ "name") == JString("q_priority_qty.result"))
+    val fields = outs.head \ "facets" \ "columnLineage" \ "fields"
+    val qtyIns = (fields \ "qty" \ "inputFields").asInstanceOf[JArray].arr
+    assert(qtyIns.map(f => (f \ "field").values.toString) == List("l_quantity"))
+    // input refs point at the same dataset identity the inputs section uses
+    val JArray(ins) = (ev \ "inputs"): @unchecked
+    val inNames = ins.map(i => (i \ "name").values.toString).toSet
+    qtyIns.foreach(f => assert(inNames.contains((f \ "name").values.toString)))
+  }
+}
