@@ -36,7 +36,7 @@ object Bench {
     "d04_ngram_jaccard", "d05_embedding_nn", "d06_dedup_clusters",
     "d07_dedup_canonical", "d08_simhash_portable",
     "d09_decontaminate", "d10_incremental_dedup", "d11_span_dedup",
-    "p01_training_pipeline",
+    "d12_span_scrub", "p01_training_pipeline",
     "s01_ann_bruteforce", "s02_ann_srp_lsh", "s03_ann_ivf",
     "s04_ann_ivf_layout", "s05_semantic_dedup", "s06_embedding_quantize",
     "m05_pack_by_size",

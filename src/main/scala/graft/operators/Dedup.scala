@@ -108,6 +108,63 @@ object Dedup {
         round(col("dup_segments").cast("double") / col("n_segments"), 6))
   }
 
+  /** Span-level scrub: REMOVE cross-document duplicated windows and
+    * reassemble the text (the operation [[spanDupStats]] measures — Lee
+    * et al. 2022 delete duplicated spans rather than whole documents).
+    * Windows are the same fixed-width token segments as [[spanDupStats]];
+    * the trailing partial window is always kept (it is never compared).
+    *
+    * Plan shape (100 TB): ONE corpus scan explodes segments carrying
+    * their text; duplication is decided by `min(doc) != max(doc)` over
+    * the fp window — O(1) state per fingerprint partition, no
+    * collect_set, so boilerplate windows shared by millions of docs
+    * cost nothing extra; reassembly is one doc-grain aggregate. Two
+    * corpus-volume shuffles total (fp grain, then doc grain) — the floor
+    * for a global dup decision plus per-doc reassembly.
+    *
+    * @return (doc_id, n_removed, clean_text); clean_text is null when
+    *         every window was removed and no tail existed. Zero-token
+    *         documents are excluded (nothing to scrub).
+    */
+  def spanScrub(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 20): DataFrame = {
+    require(window > 0, "window must be positive")
+    val segs = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("nf", (col("n") / window).cast("long"))
+      .select(col("doc_id"), col("toks"), col("n"), col("nf"),
+        explode(sequence(lit(0L), ((col("n") + (window - 1)) / window).cast("long") - 1))
+          .as("i"))
+      .withColumn("txt",
+        concat_ws(" ", slice(col("toks"), (col("i") * window + 1).cast("int"), lit(window))))
+      // the tail (i == nf, present only when n > nf*window) gets a
+      // per-doc unique fp so the fp window never groups tails together
+      .withColumn("is_tail", col("i") === col("nf"))
+      .withColumn("fp",
+        when(col("is_tail"), concat(lit("tail:"), col("doc_id").cast("string")))
+          .otherwise(md5(col("txt"))))
+      .select(col("doc_id"), col("i"), col("txt"), col("fp"), col("is_tail"))
+    val w = Window.partitionBy(col("fp"))
+    segs
+      .withColumn("removed",
+        !col("is_tail") && min(col("doc_id")).over(w) =!= max(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("removed"), lit(1L)).otherwise(lit(0L))).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(!col("removed"), struct(col("i"), col("txt"))))),
+            s => s.getField("txt")),
+          " ").as("joined"))
+      .select(col("doc_id"), col("n_removed"),
+        when(length(col("joined")) > 0, col("joined")).as("clean_text"))
+  }
+
   /** MinHash signature of `k` hashes over distinct shingles — custom
     * Catalyst expression, one pass per row. */
   def minhashSignature(shingleCol: Column, k: Int): Column =

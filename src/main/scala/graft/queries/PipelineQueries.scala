@@ -769,6 +769,44 @@ object PipelineQueries {
              |FROM segs s LEFT JOIN dup d ON s.fp = d.fp
              |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
 
+    // ---- span-level scrub: REMOVE the cross-doc duplicated windows d11
+    // measures and reassemble the text (Lee et al. delete spans, not
+    // documents); trailing partial windows are always kept ----
+    Q("d12_span_scrub",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Dedup
+          .spanScrub(Tables(s, dir, "documents"), "doc_id", "text", window = 20)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents
+             |), base AS (
+             |  SELECT doc_id, toks, len(toks) AS n, len(toks) // 20 AS nf
+             |  FROM t WHERE len(toks) > 0
+             |), segs AS (
+             |  SELECT doc_id, i,
+             |    array_to_string(toks[(i*20+1):(i*20+20)], ' ') AS txt,
+             |    CASE WHEN i = nf THEN 'tail:' || doc_id
+             |         ELSE md5(array_to_string(toks[(i*20+1):(i*20+20)], ' ')) END AS fp,
+             |    (i = nf) AS is_tail
+             |  FROM base, LATERAL (SELECT unnest(generate_series(0,
+             |    CAST((n + 19) // 20 AS BIGINT) - 1)) AS i) g
+             |), dup AS (
+             |  SELECT fp FROM segs WHERE NOT is_tail
+             |  GROUP BY fp HAVING count(DISTINCT doc_id) > 1
+             |), marked AS (
+             |  SELECT s.doc_id, s.i, s.txt,
+             |    (d.fp IS NOT NULL AND NOT s.is_tail) AS removed
+             |  FROM segs s LEFT JOIN dup d ON s.fp = d.fp
+             |)
+             |SELECT doc_id,
+             |  CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             |  nullif(string_agg(CASE WHEN NOT removed THEN txt END, ' ' ORDER BY i), '')
+             |    AS clean_text
+             |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("m05_pack_by_size",
       (s, dir) => {
         import s.implicits._

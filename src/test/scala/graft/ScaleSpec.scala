@@ -229,6 +229,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(files("click") != clickBefore, "click partition was not restated")
   }
 
+  test("d11 span stats scan the corpus exactly once (no self-join)") {
+    // the naive encoding joins the segment stage against its own dup
+    // aggregate — two evaluations of tokenize+md5 over the corpus. The
+    // window-over-fp shape must keep it to ONE documents scan.
+    val df = graft.operators.Dedup.spanDupStats(
+      Tables(spark, sf, "documents"), "doc_id", "text", window = 20)
+    df.collect()
+    val scans = collectAll(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("documents")) => s
+    }
+    assert(scans.size == 1, s"expected 1 documents scan, got ${scans.size}")
+  }
+
+  test("t19 chunking is map-only: zero exchanges") {
+    val df = graft.operators.TextOps.chunk(
+      Tables(spark, sf, "documents"), "doc_id", "text", 64, 48)
+    df.collect()
+    val shuffles = collectAll(df.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"chunking must not shuffle, found ${shuffles.size} exchanges")
+  }
+
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {
     val df = SparkEntry.queries("q10_topk")(spark, sf)
     df.collect()

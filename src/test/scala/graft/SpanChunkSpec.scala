@@ -48,6 +48,40 @@ class SpanChunkSpec extends AnyFunSuite {
       Seq((1L, 2L, 0L)))
   }
 
+  test("spanScrub: removes shared windows everywhere, keeps tails") {
+    val shared = words(20, "s")
+    val d = docs(
+      1L -> (shared + " " + words(20, "a") + " tail1 tail2"),
+      2L -> (shared + " " + words(20, "b")),
+      3L -> words(5, "t"))
+    val out = Dedup.spanScrub(d, "doc_id", "text", window = 20)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq(
+        (1L, 1L, words(20, "a") + " tail1 tail2"), // shared gone, tail kept
+        (2L, 1L, words(20, "b")),
+        (3L, 0L, words(5, "t")))) // sub-window doc passes through
+  }
+
+  test("spanScrub: fully-duplicated doc with no tail yields null text") {
+    val shared = words(20, "s")
+    val out = Dedup.spanScrub(docs(1L -> shared, 2L -> shared),
+      "doc_id", "text", window = 20).orderBy("doc_id").collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(1) == 1L)
+      assert(r.isNullAt(2))
+    }
+  }
+
+  test("spanScrub: within-doc repeats survive (cross-doc only)") {
+    val rep = words(20, "r")
+    val out = Dedup.spanScrub(docs(1L -> (rep + " " + rep)),
+      "doc_id", "text", window = 20).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 0L, rep + " " + rep)))
+  }
+
   test("chunk: boundary counts and final-chunk coverage") {
     val d = docs(1L -> words(64), 2L -> words(65), 3L -> words(112),
       4L -> words(113), 5L -> "", 6L -> words(1))
