@@ -39,7 +39,8 @@ object GraftFunctions {
           es(2).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression() },
     "bloom_might_contain" -> { es =>
-      BloomExprs.BloomMightContain(es.head, es(1)) })
+      BloomExprs.BloomMightContain(es.head, es(1)) },
+    "jaro_winkler" -> { es => StringSim.JaroWinkler(es.head, es(1)) })
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

@@ -485,6 +485,28 @@ object Extra3Queries {
              |  round(sum(l_extendedprice), 2) AS total
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE o_totalprice > 400000
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- Jaro-Winkler similarity: custom codegen'd Expression vs
+    //      DuckDB's built-in, over a bounded part-name block (scale path
+    //      for fuzzy matching = q84's length-band blocking with this as
+    //      the verifier) ----
+    Q("q93_jaro_winkler",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.StringSim
+        val p = Tables(s, dir, "part").filter($"p_partkey" < 100)
+        val a = p.select($"p_partkey".as("id_a"), $"p_name".as("name_a"))
+        val b = p.select($"p_partkey".as("id_b"), $"p_name".as("name_b"))
+        a.crossJoin(b).filter($"id_a" < $"id_b")
+          .select($"id_a", $"id_b",
+            round(StringSim.jaro_winkler($"name_a", $"name_b"), 4).as("jw"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             |  round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+             |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+             |WHERE a.p_partkey < 100 AND b.p_partkey < 100
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }
