@@ -507,6 +507,50 @@ object Extra3Queries {
              |  round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
              |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
              |WHERE a.p_partkey < 100 AND b.p_partkey < 100
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- Spark 4 VARIANT surface: ingest nested JSON payloads as
+    //      semi-structured VARIANT, extract typed fields with
+    //      variant_get path expressions, aggregate. The JSON text is
+    //      built from order columns on BOTH sides so the gate checks the
+    //      parse->path-extract->cast pipeline, not string formatting ----
+    Q("q94_variant_json",
+      (s, dir) => {
+        import s.implicits._
+        val v = Tables(s, dir, "orders")
+          .select(parse_json(to_json(struct(
+            $"o_orderkey".as("k"),
+            struct($"o_custkey".as("id")).as("cust"),
+            $"o_totalprice".as("price"),
+            $"o_orderstatus".as("status")))).as("v"))
+          .select(
+            variant_get($"v", "$.status", "string").as("status"),
+            variant_get($"v", "$.cust.id", "bigint").as("cust_id"),
+            variant_get($"v", "$.price", "double").as("price"))
+        v.filter($"price" > 100000)
+          .groupBy($"status")
+          .agg(count(lit(1)).as("n"),
+            countDistinct($"cust_id").as("n_cust"),
+            round(sum($"price"), 2).as("total"))
+          .orderBy($"status")
+      },
+      Some("""WITH j AS (
+             |  SELECT to_json(struct_pack(
+             |    k := o_orderkey,
+             |    cust := struct_pack(id := o_custkey),
+             |    price := o_totalprice,
+             |    status := o_orderstatus)) AS v
+             |  FROM orders
+             |), x AS (
+             |  SELECT json_extract_string(v, '$.status') AS status,
+             |    CAST(json_extract(v, '$.cust.id') AS BIGINT) AS cust_id,
+             |    CAST(json_extract(v, '$.price') AS DOUBLE) AS price
+             |  FROM j
+             |)
+             |SELECT status, count(*) AS n,
+             |  count(DISTINCT cust_id) AS n_cust,
+             |  round(sum(price), 2) AS total
+             |FROM x WHERE price > 100000
+             |GROUP BY status ORDER BY status""".stripMargin))
   )
 }
