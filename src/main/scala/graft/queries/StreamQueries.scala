@@ -230,6 +230,33 @@ object StreamQueries {
              |    row_number() OVER (PARTITION BY user_id
              |      ORDER BY ts DESC, event_id DESC) AS rn
              |  FROM events)
-             |WHERE rn = 1 ORDER BY user_id""".stripMargin))
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- Spark 4 transformWithState: per-user MapState[type -> count]
+    //      profile, RocksDB state store (the only provider the operator
+    //      supports); single-batch replay => state equals the batch
+    //      group-count exactly ----
+    Q("st10_stream_type_counts",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val counted = StreamOps.typeCounts(
+            StreamOps.readEvents(s, dir).filter($"user_id" < 300))
+          StreamOps.runToMemory(s, counted.toDF(), "st10_out", OutputMode.Update())
+            .orderBy($"user_id", $"event_type")
+        } finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""SELECT user_id, event_type, count(*) AS n
+             |FROM events WHERE user_id < 300
+             |GROUP BY user_id, event_type
+             |ORDER BY user_id, event_type""".stripMargin))
   )
 }

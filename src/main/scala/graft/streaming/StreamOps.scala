@@ -50,6 +50,53 @@ object StreamOps {
       user_id: Long, session_id: Long, n_events: Long, start_sec: Long, end_sec: Long)
   final case class SessState(nSessions: Long)
 
+  final case class EvType(user_id: Long, event_type: String)
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user per-type running counts on Spark 4's `transformWithState`
+    * (the arbitrary-state successor of `flatMapGroupsWithState`): a
+    * `MapState[event_type, count]` per user updated row-by-row, the key's
+    * full state re-emitted each batch (Update mode) — the incremental
+    * per-entity profile shape (feature stores, abuse counters). State
+    * lives in the RocksDB state-store provider (the only provider the
+    * operator supports — callers set the provider conf before starting);
+    * keyed by user it shards with the shuffle, and TTLConfig would bound
+    * unbounded key spaces at production scale.
+    */
+  class TypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvType, TypeCount] {
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig}
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EvType],
+        tv: TimerValues): Iterator[TypeCount] = {
+      rows.foreach { e =>
+        val cur =
+          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+          else 0L
+        counts.updateValue(e.event_type, cur + 1L)
+      }
+      counts.iterator().map { case (t, n) => TypeCount(key, t, n) }
+    }
+  }
+
+  /** See [[TypeCountProcessor]]. */
+  def typeCounts(events: DataFrame): Dataset[TypeCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.select(col("user_id"), col("event_type")).as[EvType]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        implicitly[org.apache.spark.sql.Encoder[TypeCount]])
+  }
+
   /** Stateful sessionization: gap > `gapSec` starts a new session. Emits
     * every session of the batch (single-batch file input ⇒ complete,
     * deterministic output identical to the batch window-function

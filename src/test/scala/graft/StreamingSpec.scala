@@ -89,4 +89,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.count(_._1 == 2L) == 1 && rows.contains((2L, 2L, 5.0)))
     } finally q.stop()
   }
+
+  test("transformWithState MapState accumulates across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(Long, String)]
+    val events = ms.toDF()
+      .select($"_1".as("user_id"), $"_2".as("event_type"))
+    val q = StreamOps.typeCounts(events).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("tws_counts_test").start()
+    try {
+      ms.addData((1L, "click"), (1L, "click"), (2L, "view"))
+      q.processAllAvailable()
+      // batch 2: the click count must CONTINUE from the stored state,
+      // and user 1's full profile (click + view) re-emits
+      ms.addData((1L, "click"), (1L, "view"))
+      q.processAllAvailable()
+      val last = spark.table("tws_counts_test").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(last.contains((1L, "click", 3L)), last.mkString(", "))
+      assert(last.contains((1L, "view", 1L)))
+      assert(last.contains((2L, "view", 1L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
