@@ -239,25 +239,7 @@ object Text2Queries {
     Q("t13_bigram_lm",
       (s, dir) => {
         import s.implicits._
-        val docs = Tables(s, dir, "documents")
-        val toks = filter(split($"text", " "), t => t =!= "")
-        val base = docs.select($"doc_id", toks.as("toks"))
-          .filter(size($"toks") >= 2)
-          .select($"doc_id",
-            slice($"toks", lit(1), size($"toks") - 1).as("h"),
-            slice($"toks", lit(2), size($"toks") - 1).as("t"))
-        val bigrams = base
-          .select($"doc_id", explode(arrays_zip($"h", $"t")).as("bg"))
-          .select($"doc_id", $"bg.h".as("w1"), $"bg.t".as("w2"))
-        val cnt = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
-        val c1 = bigrams.groupBy($"w1").agg(count(lit(1)).as("c1"))
-        val vocab = docs.select(explode(toks).as("t"))
-          .agg(countDistinct($"t").as("v"))
-        bigrams.join(cnt, Seq("w1", "w2")).join(c1, Seq("w1"))
-          .crossJoin(broadcast(vocab))
-          .groupBy($"doc_id")
-          .agg(round(avg(log2(($"c" + 1.0) / ($"c1" + $"v"))), 4).as("lm_score"))
-          .orderBy($"doc_id")
+        bigramLmScores(s, dir).orderBy($"doc_id")
       },
       Some("""WITH d AS (SELECT doc_id,
              |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -455,6 +437,80 @@ object Text2Queries {
              |  least(CAST(64 AS BIGINT), n_tok - i*48) AS chunk_len,
              |  md5(array_to_string(toks[(i*48+1):(i*48+64)], ' ')) AS fp
              |FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) g
-             |ORDER BY doc_id, chunk_id""".stripMargin))
+             |ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ---- CCNet-style perplexity bucketing: rank documents by the t13
+    //      bigram-LM score and cut head/middle/tail terciles. The gate
+    //      uses an exact global ntile (deterministic, oracle-matched);
+    //      the 100 TB path swaps the global sort for approx-quantile
+    //      thresholds exactly as t17 does — the bucket semantics are
+    //      identical, only the cut estimation changes ----
+    Q("t20_perplexity_buckets",
+      (s, dir) => {
+        import s.implicits._
+        val scored = bigramLmScores(s, dir)
+        val w = Window.orderBy($"lm_score".desc, $"doc_id")
+        scored.withColumn("nt", ntile(3).over(w))
+          .withColumn("bucket",
+            when($"nt" === 1, "head").when($"nt" === 2, "middle").otherwise("tail"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg($"lm_score"), 4).as("avg_score"),
+            round(min($"lm_score"), 4).as("min_score"),
+            round(max($"lm_score"), 4).as("max_score"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 2),
+             |big AS (SELECT doc_id,
+             |    unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS bg
+             |  FROM d2),
+             |bg2 AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM big),
+             |cnt AS (SELECT w1, w2, count(*) AS c FROM bg2 GROUP BY w1, w2),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM bg2 GROUP BY w1),
+             |v AS (SELECT count(DISTINCT t) AS v
+             |      FROM (SELECT unnest(toks) AS t FROM d)),
+             |scored AS (
+             |  SELECT doc_id, round(avg(log2((c + 1.0) / (c1 + v))), 4) AS lm_score
+             |  FROM bg2 JOIN cnt USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+             |  GROUP BY doc_id),
+             |b AS (SELECT doc_id, lm_score,
+             |    ntile(3) OVER (ORDER BY lm_score DESC, doc_id) AS nt
+             |  FROM scored)
+             |SELECT CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             |  ELSE 'tail' END AS bucket,
+             |  count(*) AS n_docs,
+             |  round(avg(lm_score), 4) AS avg_score,
+             |  round(min(lm_score), 4) AS min_score,
+             |  round(max(lm_score), 4) AS max_score
+             |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
+
+  /** Per-document add-one-smoothed bigram-LM score (t13's model; see the
+    * t13 entry for the corpus-model construction). Shared by t13 and the
+    * t20 bucketing gate. */
+  private def bigramLmScores(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val toks = filter(split($"text", " "), t => t =!= "")
+    val base = docs.select($"doc_id", toks.as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id",
+        slice($"toks", lit(1), size($"toks") - 1).as("h"),
+        slice($"toks", lit(2), size($"toks") - 1).as("t"))
+    val bigrams = base
+      .select($"doc_id", explode(arrays_zip($"h", $"t")).as("bg"))
+      .select($"doc_id", $"bg.h".as("w1"), $"bg.t".as("w2"))
+    val cnt = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+    val c1 = bigrams.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val vocab = docs.select(explode(toks).as("t"))
+      .agg(countDistinct($"t").as("v"))
+    bigrams.join(cnt, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy($"doc_id")
+      .agg(round(avg(log2(($"c" + 1.0) / ($"c1" + $"v"))), 4).as("lm_score"))
+  }
 }

@@ -48,6 +48,23 @@ class OpenLineageSpec extends AnyFunSuite {
     }
   }
 
+  test("export stays parseable across a representative query sweep") {
+    // quotes/backslashes/newlines in expressions, view SQL, JSON-literal
+    // queries — every rendered event must stay valid JSON
+    val names = Seq("q01_scan_filter_project", "q19_multijoin_agg",
+      "q50_json_extract", "q51_regexp_like", "q37_string_battery",
+      "q80_volume_shipping", "d11_span_dedup", "t19_chunking")
+    names.filter(SparkEntry.queries.contains).foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sf)
+      val rep = LineageExtractor.report(df.queryExecution)
+      val ev = JsonMethods.parse(rep.openLineageJson(
+        "graft-tests", n, "run-1", "2026-01-01T00:00:00Z"))
+      assert((ev \ "job" \ "name") == JString(n))
+      val JArray(ins) = (ev \ "inputs"): @unchecked
+      assert(ins.nonEmpty, s"$n exported no inputs")
+    }
+  }
+
   test("column lineage rides the output dataset; collect gets a synthetic sink") {
     val ev = event()
     val JArray(outs) = (ev \ "outputs"): @unchecked
