@@ -64,6 +64,15 @@ object LineageDemo {
     println("--- partition-level input lineage (pruned) ---")
     println(s"  ${LineageExtractor.partitionLineage(pq.queryExecution.executedPlan)}")
 
+    // OpenLineage interchange: the same report as a RunEvent any
+    // OpenLineage consumer ingests
+    listener.reports.headOption.foreach { case (_, rep) =>
+      println("--- OpenLineage RunEvent ---")
+      println(rep.openLineageJson("graft-demo", "q19_multijoin_agg",
+        runId = java.util.UUID.randomUUID().toString,
+        eventTime = java.time.Instant.now().toString))
+    }
+
     // shared-scan DAG demo: self-join renders the second visit as "..."
     import org.apache.spark.sql.functions.col
     val n1 = Tables(spark, sfDir, "nation").select(col("n_nationkey"), col("n_name"))
