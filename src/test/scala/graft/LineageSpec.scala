@@ -207,4 +207,15 @@ class LineageSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("lineage pierces the custom native as-of join node") {
+    // the AsOfJoin logical node is graft's own plan class — the extractor
+    // must traverse it like any binary node and chase ExprIds through it
+    val df = SparkEntry.queries("q74_asof_native")(spark, sf)
+    val rep = LineageExtractor.report(df.queryExecution)
+    assert(rep.inputs.map(_.name) == Seq("events"))
+    assert(rep.columnLineage("p_us") == Set(ColumnRef("events", "ts")))
+    assert(rep.columnLineage("c_us") == Set(ColumnRef("events", "ts")))
+    assert(rep.columnLineage("user_id") == Set(ColumnRef("events", "user_id")))
+  }
 }
