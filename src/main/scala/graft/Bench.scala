@@ -20,7 +20,7 @@ object Bench {
     * that move real data volume at scale; round-3 additions (s04, m05,
     * d09/d10, q82/q84, t13, st07) rotated in, the sub-0.3s t-queries
     * rotated out to keep the JSON tail short. */
-  private val headline: Seq[String] = Seq(
+  private[graft] val headline: Seq[String] = Seq(
     // scan/filter/agg/join core
     "q01_scan_filter_project", "q02_agg_pricing", "q03_join_inner_agg",
     "q06_join_full_outer", "q10_topk", "q14_distinct_agg",

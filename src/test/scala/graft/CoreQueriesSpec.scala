@@ -30,6 +30,14 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("bench and plan-audit headline names all resolve to registered queries") {
+    // Bench filters headline through the registry, so a typo'd name is
+    // SILENTLY dropped from the driver's numbers — guard statically
+    val known = SparkEntry.queries.keySet
+    val missing = (Bench.headline ++ PlanAudit.headline).filterNot(known)
+    assert(missing.isEmpty, s"unknown headline entries: ${missing.mkString(", ")}")
+  }
+
   test("oracle column names match spark output column names") {
     // The driver sorts columns by name before hashing — a name mismatch
     // fails the gate even with identical values. Cheap static guard: every
