@@ -496,17 +496,30 @@ object Text2Queries {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
     val toks = filter(split($"text", " "), t => t =!= "")
+    // the token projection feeds three branches (bigram build for the
+    // count model, bigram rows for scoring, vocab) — cache it so the
+    // corpus is scanned ONCE per run; re-deriving the explode from cache
+    // is map-side CPU, not I/O (same discipline as Dedup.materializeOnce;
+    // the gate/bench runner clears the cache per query)
     val base = docs.select($"doc_id", toks.as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bigrams = base
       .filter(size($"toks") >= 2)
       .select($"doc_id",
         slice($"toks", lit(1), size($"toks") - 1).as("h"),
         slice($"toks", lit(2), size($"toks") - 1).as("t"))
-    val bigrams = base
       .select($"doc_id", explode(arrays_zip($"h", $"t")).as("bg"))
       .select($"doc_id", $"bg.h".as("w1"), $"bg.t".as("w2"))
+    // the count table is the reusable model artifact (at 100 TB, write it
+    // to a table instead); persisted because both the scoring join and
+    // the c1 rollup read it — without the cache the corpus-grain bigram
+    // shuffle behind it would run twice
     val cnt = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
-    val c1 = bigrams.groupBy($"w1").agg(count(lit(1)).as("c1"))
-    val vocab = docs.select(explode(toks).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // unigram-context counts roll up from the bigram count table — no
+    // second pass over the corpus-volume bigram stream
+    val c1 = cnt.groupBy($"w1").agg(sum($"c").as("c1"))
+    val vocab = base.select(explode($"toks").as("t"))
       .agg(countDistinct($"t").as("v"))
     bigrams.join(cnt, Seq("w1", "w2")).join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
