@@ -517,7 +517,16 @@ object Extra3Queries {
     Q("q94_variant_json",
       (s, dir) => {
         import s.implicits._
+        // The price gate is applied to o_totalprice BEFORE the payload is
+        // built: `price` is o_totalprice verbatim, so the result set is
+        // identical, but the predicate pushes to the parquet scan and the
+        // parse_json(to_json(...)) pipeline runs once per SURVIVING row.
+        // Filtering on the extracted `price` instead makes Catalyst push
+        // the filter below the projection and duplicate the whole JSON
+        // round-trip per row (2x the dominant cost — see README's
+        // "expensive expression + pushed filter" pitfall).
         val v = Tables(s, dir, "orders")
+          .filter($"o_totalprice" > 100000)
           .select(parse_json(to_json(struct(
             $"o_orderkey".as("k"),
             struct($"o_custkey".as("id")).as("cust"),
@@ -527,8 +536,7 @@ object Extra3Queries {
             variant_get($"v", "$.status", "string").as("status"),
             variant_get($"v", "$.cust.id", "bigint").as("cust_id"),
             variant_get($"v", "$.price", "double").as("price"))
-        v.filter($"price" > 100000)
-          .groupBy($"status")
+        v.groupBy($"status")
           .agg(count(lit(1)).as("n"),
             countDistinct($"cust_id").as("n_cust"),
             round(sum($"price"), 2).as("total"))
@@ -541,6 +549,7 @@ object Extra3Queries {
              |    price := o_totalprice,
              |    status := o_orderstatus)) AS v
              |  FROM orders
+             |  WHERE o_totalprice > 100000
              |), x AS (
              |  SELECT json_extract_string(v, '$.status') AS status,
              |    CAST(json_extract(v, '$.cust.id') AS BIGINT) AS cust_id,
@@ -550,7 +559,7 @@ object Extra3Queries {
              |SELECT status, count(*) AS n,
              |  count(DISTINCT cust_id) AS n_cust,
              |  round(sum(price), 2) AS total
-             |FROM x WHERE price > 100000
+             |FROM x
              |GROUP BY status ORDER BY status""".stripMargin))
   )
 }
