@@ -152,9 +152,13 @@ object Similarity {
   }
 
   /** Build the persisted IVF layout: cell assignment written partitioned
-    * by cell id. Skipped when a completed layout (`_SUCCESS` marker) is
-    * already present — the whole point of the layout is that assignment
-    * cost is paid ONCE and every later query batch only probes.
+    * by cell id, plus the centroid table under `layoutDir/_centroids`
+    * (underscore prefix = invisible to Spark's file index when the
+    * assignment is read back, like `_SUCCESS`). Skipped when a completed
+    * layout (`_SUCCESS` marker) is already present — the whole point of
+    * the layout is that assignment cost is paid ONCE and every later
+    * query batch only probes. Carrying the centroids in the layout means
+    * the serving path never touches the corpus at all.
     */
   def ivfBuildLayout(
       corpus: DataFrame, centEvery: Int, layoutDir: String,
@@ -169,7 +173,9 @@ object Similarity {
     // filters, projection); data rewritten in place under the same path
     // is the caller's cache-invalidation to signal (delete the dir or
     // key it by file identity, as the s04 gate does).
-    val ident = s"graft-ivf-v1 centEvery=$centEvery " +
+    // v2: layouts now carry their centroid table; v1 layouts (no
+    // _centroids dir) fail the ident check and rebuild
+    val ident = s"graft-ivf-v2 centEvery=$centEvery " +
       s"corpus=${corpus.queryExecution.analyzed.semanticHash()}"
     val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
     def identMatches: Boolean =
@@ -183,6 +189,10 @@ object Similarity {
       val cent = ivfCentroids(corpus, centEvery, idCol, embCol)
       ivfAssign(corpus, cent, idCol, embCol)
         .write.mode("overwrite").partitionBy("c_id").parquet(layoutDir)
+      // centroids AFTER the assignment (overwrite above recreates the
+      // dir), ident marker last — a crash mid-build leaves no valid ident
+      cent.coalesce(1).write.mode("overwrite")
+        .parquet(s"$layoutDir/_centroids")
       val out = fs.create(identPath, true)
       try out.write(ident.getBytes("UTF-8")) finally out.close()
     }
@@ -202,7 +212,10 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     ivfBuildLayout(corpus, centEvery, layoutDir, idCol, embCol)
-    val cent = ivfCentroids(corpus, centEvery, idCol, embCol)
+    // centroids come from the layout, not the corpus: steady-state probe
+    // cost is a kB-sized centroid read + the probed cells' partitions —
+    // the corpus parquet is never scanned on the serving path
+    val cent = spark.read.parquet(s"$layoutDir/_centroids")
     val layout = spark.read.parquet(layoutDir)
     ivfRank(layout, ivfProbe(queries, cent, nProbe, idCol, embCol), k)
   }

@@ -150,6 +150,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(layoutScans.exists(_.metadata.get("PartitionFilters")
         .exists(_.contains("dynamicpruning"))),
       layoutScans.map(_.metadata.getOrElse("PartitionFilters", "?")).mkString("; "))
+    // the serving path never rescans the corpus: centroids come from the
+    // layout's _centroids table, so the only embeddings.parquet scan left
+    // is the query batch itself (vec_id < 10, pushed to the scan)
+    val embScans = collectAll(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location")
+            .exists(_.contains("embeddings.parquet")) => s
+    }
+    assert(embScans.size == 1,
+      s"expected only the query-batch embeddings scan, got ${embScans.size}")
+    assert(embScans.head.metadata.get("PushedFilters")
+        .exists(_.contains("LessThan(vec_id,10)")),
+      embScans.head.metadata.getOrElse("PushedFilters", "?"))
   }
 
   test("z-order layout prunes row groups on BOTH dimensions") {
