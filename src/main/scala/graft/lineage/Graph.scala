@@ -196,26 +196,8 @@ final case class LineageReport(
     * answer "who owns this input / which partitions did we touch / what
     * was the view's SQL" (the reference's `TableDef`/`PartitionDef`
     * payload). */
-  def inputsJson: String = {
-    import LNode.esc
-    inputs.map { m =>
-      val base = Seq(
-        s""""name":"${esc(m.name)}"""",
-        s""""path":"${esc(m.path)}"""",
-        s""""format":"${esc(m.format)}"""",
-        s""""columns":${m.columns.map(c => "\"" + esc(c) + "\"").mkString("[", ",", "]")}""")
-      val cat = Seq(
-        if (m.owner.nonEmpty) Some(s""""owner":"${esc(m.owner)}"""") else None,
-        if (m.createTime >= 0) Some(s""""createTime":${m.createTime}""") else None,
-        if (m.lastAccessTime >= 0) Some(s""""lastAccessTime":${m.lastAccessTime}""") else None,
-        m.viewOriginalText.map(t => s""""viewOriginalText":"${esc(t)}""""),
-        m.viewExpandedText.map(t => s""""viewExpandedText":"${esc(t)}""""),
-        if (m.partitions.nonEmpty)
-          Some(s""""partitions":${m.partitions.map(p => "\"" + esc(p) + "\"").mkString("[", ",", "]")}""")
-        else None).flatten
-      (base ++ cat).mkString("{", ",", "}")
-    }.mkString("[", ",", "]")
-  }
+  def inputsJson: String =
+    inputs.map(LineageReport.tableMetaJson).mkString("[", ",", "]")
 
   /** OpenLineage RunEvent rendering (public spec:
     * https://openlineage.io/spec — RunEvent, SchemaDatasetFacet on inputs,
@@ -274,15 +256,39 @@ final case class LineageReport(
 
   /** Database entities of the catalog-managed inputs (the reference's
     * `DbDef` payload). */
-  def databasesJson: String = {
+  def databasesJson: String =
+    databases.map(LineageReport.dbMetaJson).mkString("[", ",", "]")
+}
+
+object LineageReport {
+  /** One table entry's catalog snapshot as JSON — shared by the per-query
+    * report and the session [[MetadataRegistry]]. */
+  private[lineage] def tableMetaJson(m: TableMeta): String = {
     import LNode.esc
-    databases.map { d =>
-      val params = d.params.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
-        .mkString("{", ",", "}")
-      s"""{"name":"${esc(d.name)}","owner":"${esc(d.owner)}",""" +
-        s""""description":"${esc(d.description)}",""" +
-        s""""locationUri":"${esc(d.locationUri)}","params":$params}"""
-    }.mkString("[", ",", "]")
+    val base = Seq(
+      s""""name":"${esc(m.name)}"""",
+      s""""path":"${esc(m.path)}"""",
+      s""""format":"${esc(m.format)}"""",
+      s""""columns":${m.columns.map(c => "\"" + esc(c) + "\"").mkString("[", ",", "]")}""")
+    val cat = Seq(
+      if (m.owner.nonEmpty) Some(s""""owner":"${esc(m.owner)}"""") else None,
+      if (m.createTime >= 0) Some(s""""createTime":${m.createTime}""") else None,
+      if (m.lastAccessTime >= 0) Some(s""""lastAccessTime":${m.lastAccessTime}""") else None,
+      m.viewOriginalText.map(t => s""""viewOriginalText":"${esc(t)}""""),
+      m.viewExpandedText.map(t => s""""viewExpandedText":"${esc(t)}""""),
+      if (m.partitions.nonEmpty)
+        Some(s""""partitions":${m.partitions.map(p => "\"" + esc(p) + "\"").mkString("[", ",", "]")}""")
+      else None).flatten
+    (base ++ cat).mkString("{", ",", "}")
+  }
+
+  private[lineage] def dbMetaJson(d: DbMeta): String = {
+    import LNode.esc
+    val params = d.params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    s"""{"name":"${esc(d.name)}","owner":"${esc(d.owner)}",""" +
+      s""""description":"${esc(d.description)}",""" +
+      s""""locationUri":"${esc(d.locationUri)}","params":$params}"""
   }
 }

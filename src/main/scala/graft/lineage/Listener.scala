@@ -21,13 +21,21 @@ final class LineageListener extends QueryExecutionListener {
 
   private val buf = new ConcurrentLinkedQueue[(String, LineageReport)]()
 
+  /** Session-lifetime catalog accumulation across every observed query
+    * (the reference keeps one implicit `Model` for the session and every
+    * converted entity registers into it, `Model.scala:5-22`). */
+  val registry = new MetadataRegistry
+
   def reports: Seq[(String, LineageReport)] = buf.asScala.toSeq
 
-  def clear(): Unit = buf.clear()
+  def clear(): Unit = { buf.clear(); registry.clear() }
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-    try buf.add(funcName -> LineageExtractor.report(qe))
-    catch {
+    try {
+      val report = LineageExtractor.report(qe)
+      buf.add(funcName -> report)
+      registry.add(report)
+    } catch {
       case e: Throwable =>
         // lineage must never fail the query path
         System.err.println(s"[lineage] extraction failed for $funcName: ${e.getMessage}")

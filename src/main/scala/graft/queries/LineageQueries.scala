@@ -223,6 +223,34 @@ object LineageQueries {
              |  AS t(db_name, has_owner, description, default_location, n_params)
              |ORDER BY db_name""".stripMargin)),
 
+    // session-lifetime metadata registry (reference Model.scala:5-22 —
+    // one FQN-keyed Def map per session, every converted entity registers
+    // into it; lastAccessTime-aware reuse, ConvertHelper.scala:58,121):
+    // two queries over OVERLAPPING tables leave exactly one registry entry
+    // per distinct table, carrying the freshest catalog snapshot
+    Q("lx11_metadata_registry",
+      (s, dir) => {
+        import s.implicits._
+        val reg = new graft.lineage.MetadataRegistry
+        val q19 = CoreQueries.all.find(_.name == "q19_multijoin_agg").get.fn(s, dir)
+        reg.add(LineageExtractor.report(q19.queryExecution))
+        // overlaps q19 on lineitem, adds supplier
+        val q2 = Tables(s, dir, "lineitem")
+          .join(Tables(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+          .groupBy($"s_name").agg(count(lit(1)).as("n"))
+        reg.add(LineageExtractor.report(q2.queryExecution))
+        s.createDataFrame(reg.snapshot.map(m => (m.name, m.columns.size)))
+          .toDF("table_name", "n_cols")
+          .orderBy("table_name")
+      },
+      // q19's five inputs (lx04) + supplier; lineitem seen by both queries
+      // appears ONCE — six rows total proves the keyed merge
+      Some("""SELECT * FROM (VALUES
+             |  ('customer', 5), ('lineitem', 11), ('nation', 3),
+             |  ('orders', 6), ('part', 6), ('supplier', 4))
+             |  AS t(table_name, n_cols)
+             |ORDER BY table_name""".stripMargin)),
+
     // expression rewrite into source terms (reference SchemaMapping.map):
     // each derived output column's defining expression, inlined down to
     // base-table columns and rendered as SQL
