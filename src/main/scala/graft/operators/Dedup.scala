@@ -318,27 +318,35 @@ object Dedup {
     connectedComponentsStats(edges, maxIter)._1
 
   /** Large-star: every node links its LARGER neighbors to the minimum of
-    * its closed neighborhood. Expressed as groupBy-min + join (no
-    * collect_list — neighbor lists of hot nodes would be a skew hazard at
-    * scale). Input and output edges are canonically (hi, lo) oriented. */
+    * its closed neighborhood. ONE exchange: the per-node minimum is a
+    * whole-partition window min over hash(u) — the groupBy-min + join
+    * formulation paid two exchanges of the edge set per round (agg input
+    * + join probe input) for the same result, and on the post-round-1
+    * near-star graphs the loop spends its time in exchange barriers, not
+    * data. No collect_list (hot-node neighbor lists would be a skew
+    * hazard); no output distinct — duplicate (v, m) edges are min-neutral
+    * for the next star and small-star's final distinct clears them.
+    * Input and output edges are canonically (hi, lo) oriented. */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
-    val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
-      .select(col("u").as("cu"), least(col("mn"), col("cu")).as("m"))
-    sym.filter(col("v") > col("u"))
-      .join(mins, col("u") === col("cu"))
+    val w = Window.partitionBy(col("u"))
+    sym.withColumn("m", least(min(col("v")).over(w), col("u")))
+      .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v")) // m <= u < v: canonical
-      .distinct()
   }
 
   /** Small-star: orient edges high→low; every node links its smaller
-    * neighbors (and itself) to its minimum neighbor. */
+    * neighbors (and itself) to its minimum neighbor. Same one-exchange
+    * window shape as [[largeStar]]; both output rows per edge come out of
+    * a single map-side explode so the window subtree evaluates once. */
   private def smallStar(e: DataFrame): DataFrame = {
-    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
-    val joined = e.join(mins, Seq("u"))
-    joined.select(col("v").as("u"), col("m").as("v"))
-      .union(joined.select(col("u"), col("m").as("v")))
+    val w = Window.partitionBy(col("u"))
+    e.withColumn("m", min(col("v")).over(w))
+      .select(explode(array(
+        struct(col("v").as("u"), col("m").as("v")),
+        struct(col("u").as("u"), col("m").as("v")))).as("ed"))
+      .select(col("ed.u").as("u"), col("ed.v").as("v"))
       .filter(col("u") =!= col("v")) // (m, m) self-link
       .distinct()
   }
@@ -385,12 +393,18 @@ object Dedup {
       var i = 0
       try {
         while (!converged && i < maxIter) {
-          // ls IS checkpointed: small-star references it twice, and
-          // re-evaluating the large-star shuffle chain in-job measures
-          // ~30% slower than paying the materialization (tried round 4)
-          val ls = largeStar(cur).localCheckpoint()
+          // ONE materialization barrier per round: ls is NOT checkpointed
+          // — it ends in a distinct, so small-star's two references to it
+          // (groupBy-min and the join probe) hit the SAME exchange and
+          // physical exchange/stage reuse evaluates the large-star chain
+          // once inside the ss job. Round 4 measured a per-round ls
+          // checkpoint as the faster option against re-evaluation, but
+          // that compared against reuse-hostile plans; with the reusable
+          // distinct boundary the fused round drops an eager job + cache
+          // write + release per round (~15% of d06/d07 wall time on tiny
+          // rounds, where barriers dominate).
+          val ls = largeStar(cur)
           val ss = smallStar(ls).localCheckpoint()
-          releaseCheckpoint(ls) // eager checkpoints: ls is fully consumed
           val n = ss.count()
           trace += n
           // fixpoint = star graphs (stable under both operations); both
