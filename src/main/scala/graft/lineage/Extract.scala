@@ -467,6 +467,39 @@ object LineageExtractor {
       databases = databases)
   }
 
+  /** Streaming-safe report over a PRE-START pipeline definition: a
+    * streaming plan refuses batch optimization/physical planning (no sink
+    * yet), so everything derives from the ANALYZED plan — the same
+    * treatment the lx05 gate gives streaming column lineage. Streaming
+    * sources appear as `StreamingRelation*` leaves (not LogicalRelation),
+    * captured here by node name with their source description and output
+    * schema.
+    */
+  def reportStreamingDefinition(df: org.apache.spark.sql.DataFrame): LineageReport = {
+    val analyzed = df.queryExecution.analyzed
+    val inputs = mutable.LinkedHashMap.empty[String, TableMeta]
+    analyzed.foreach {
+      case r: LogicalRelation =>
+        val m = tableMeta(r); inputs.getOrElseUpdate(m.name, m)
+      case r: DataSourceV2Relation =>
+        val m = tableMeta(r); inputs.getOrElseUpdate(m.name, m)
+      case v: View =>
+        val m = viewMeta(v); inputs.getOrElseUpdate(m.name, m)
+      case l: LeafNode if l.nodeName.startsWith("StreamingRelation") =>
+        // StreamingRelation.toString is the source description
+        // (e.g. FileSource[/data/events]); stable enough to key on
+        val desc = l.toString.takeWhile(_ != '\n')
+        inputs.getOrElseUpdate(desc,
+          TableMeta(desc, "", l.output.map(_.name), "streaming"))
+      case _ => ()
+    }
+    LineageReport(
+      graph = fromLogical(analyzed),
+      columnLineage = columnLineage(analyzed),
+      inputs = inputs.values.toSeq,
+      outputs = Nil)
+  }
+
   /** Lineage-graph simplification rules (reference §4.2): same shape as
     * `RemoveOperatorsRule` — match a parent, splice out matching children,
     * preserving the single-input assumption

@@ -208,13 +208,23 @@ final case class LineageReport(
     * deterministic and golden-testable. A query with no file/table sink
     * (collect-terminated) gets a synthetic output dataset
     * `<jobName>.result` so its column mapping still exports.
+    *
+    * `parent` (ParentRunFacet: parent runId, job namespace, job name)
+    * links a child run to the run that spawned it — the streaming listener
+    * uses it to parent each microbatch run under the pipeline-level run.
+    *
+    * Column-lineage caveat: the facet maps the PLAN's output columns, and
+    * a plan with several sinks attaches the same merged facet to each
+    * output dataset (Spark gives no per-sink column split at this level);
+    * single-sink plans — the overwhelmingly common case — are exact.
     */
   def openLineageJson(
       jobNamespace: String,
       jobName: String,
       runId: String,
       eventTime: String,
-      eventType: String = "COMPLETE"): String = {
+      eventType: String = "COMPLETE",
+      parent: Option[(String, String, String)] = None): String = {
     import LNode.esc
     val producer = "urn:graft:spark-lineage"
     val specUrl = "https://openlineage.io/spec/2-0-2/OpenLineage.json"
@@ -247,8 +257,16 @@ final case class LineageReport(
       val ns = if (o.startsWith("/") || o.contains("://")) "file" else "spark_catalog"
       s"""{"namespace":"$ns","name":"${esc(o)}","facets":{$colLineageFacet}}"""
     }.mkString("[", ",", "]")
+    val runJ = parent match {
+      case Some((pRunId, pNs, pJob)) =>
+        s""""run":{"runId":"${esc(runId)}","facets":{"parent":{""" +
+          s""""_producer":"$producer","_schemaURL":"$specUrl#/$$defs/ParentRunFacet",""" +
+          s""""run":{"runId":"${esc(pRunId)}"},""" +
+          s""""job":{"namespace":"${esc(pNs)}","name":"${esc(pJob)}"}}}}"""
+      case None => s""""run":{"runId":"${esc(runId)}"}"""
+    }
     s"""{"eventType":"${esc(eventType)}","eventTime":"${esc(eventTime)}",""" +
-      s""""run":{"runId":"${esc(runId)}"},""" +
+      runJ + "," +
       s""""job":{"namespace":"${esc(jobNamespace)}","name":"${esc(jobName)}"},""" +
       s""""inputs":$inputsJ,"outputs":$outputsJ,""" +
       s""""producer":"$producer","schemaURL":"$specUrl#/$$defs/RunEvent"}"""

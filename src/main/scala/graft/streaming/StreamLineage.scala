@@ -2,10 +2,13 @@ package graft.streaming
 
 import java.util.concurrent.ConcurrentLinkedQueue
 
+import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQueryListener
+
+import graft.lineage.{LineageExtractor, LineageReport}
 
 /** Streaming-side lineage (SURVEY §2.6 stretch): `QueryExecutionListener`
   * does not fire for streaming queries, so source→sink lineage is captured
@@ -14,6 +17,13 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * `LineageExtractor.fromLogical(df.queryExecution.analyzed)` on the
   * pre-start DataFrame for the full operator graph of the pipeline
   * definition.
+  *
+  * OpenLineage: register the pipeline definition with [[trackPlan]] before
+  * starting the query, and every microbatch progress event renders a
+  * RunEvent — the microbatch is the run, parented (ParentRunFacet) under
+  * the pipeline-level run (`progress.runId`, one per `start()`), so an
+  * OpenLineage consumer sees one job with a run per batch instead of an
+  * unrelated event soup.
   */
 final class StreamLineageListener extends StreamingQueryListener {
 
@@ -22,20 +32,51 @@ final class StreamLineageListener extends StreamingQueryListener {
       name: String, sources: Seq[String], sink: String, batchId: Long)
 
   private val buf = new ConcurrentLinkedQueue[StreamLineage]()
+  private val events = new ConcurrentLinkedQueue[String]()
+  private val plans = TrieMap.empty[String, LineageReport]
 
   def lineages: Seq[StreamLineage] = buf.asScala.toSeq
 
-  def clear(): Unit = buf.clear()
+  /** OpenLineage RunEvents rendered so far (one JSON document each, in
+    * batch order per query). */
+  def openLineageEvents: Seq[String] = events.asScala.toSeq
+
+  def clear(): Unit = { buf.clear(); events.clear(); plans.clear() }
+
+  /** Register the PRE-START pipeline definition under the query name that
+    * will be passed to `writeStream.queryName(...)`: column lineage and
+    * input metadata come from the definition's ANALYZED plan (a streaming
+    * plan refuses batch optimization; the per-batch incremental plans
+    * rewire sources but keep the dataflow), while run identity comes from
+    * the progress events.
+    */
+  def trackPlan(name: String, df: DataFrame): Unit =
+    plans.put(name, LineageExtractor.reportStreamingDefinition(df))
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
+    val name = Option(p.name).getOrElse(p.id.toString)
     buf.add(StreamLineage(
-      Option(p.name).getOrElse(p.id.toString),
+      name,
       p.sources.toSeq.map(_.description),
       p.sink.description,
       p.batchId))
+    plans.get(name).foreach { rep =>
+      try events.add(rep.openLineageJson(
+        jobNamespace = "graft-streams",
+        jobName = name,
+        runId = s"${p.runId}-b${p.batchId}",
+        eventTime = p.timestamp,
+        parent = Some((p.runId.toString, "graft-streams", name))))
+      catch {
+        case ex: Throwable =>
+          // lineage must never fail the stream
+          System.err.println(
+            s"[stream-lineage] OpenLineage render failed for $name: ${ex.getMessage}")
+      }
+    }
   }
 
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()

@@ -65,6 +65,42 @@ class OpenLineageSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming microbatches emit parented RunEvents (st01 pipeline)") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.{StreamLineageListener, StreamOps}
+    val listener = StreamLineageListener.install(spark)
+    try {
+      val pipeline = StreamOps.hourlyCounts(StreamOps.readEvents(spark, sf))
+      listener.trackPlan("ol_st01", pipeline)
+      StreamOps.runToMemory(spark, pipeline, "ol_st01", OutputMode.Complete())
+      // progress events arrive on the async listener bus
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (listener.openLineageEvents.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val evs = listener.openLineageEvents
+      assert(evs.nonEmpty, "no OpenLineage events for the streaming query")
+      evs.foreach { s =>
+        val ev = JsonMethods.parse(s) // every event parses
+        assert((ev \ "job" \ "name") == JString("ol_st01"))
+        assert((ev \ "schemaURL").values.toString.endsWith("RunEvent"))
+        // microbatch run is parented under the pipeline-level run
+        val runId = (ev \ "run" \ "runId").values.toString
+        val parentRun =
+          (ev \ "run" \ "facets" \ "parent" \ "run" \ "runId").values.toString
+        assert(runId.startsWith(parentRun) && runId.contains("-b"),
+          s"run $runId not derived from parent $parentRun")
+        assert((ev \ "run" \ "facets" \ "parent" \ "job" \ "name") ==
+          JString("ol_st01"))
+        // the definition's column lineage rides each batch event
+        val fields = ev \ "outputs" \\ "columnLineage" \ "fields"
+        assert(fields != JNothing, "no columnLineage facet on the batch event")
+      }
+    } finally {
+      listener.clear()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("column lineage rides the output dataset; collect gets a synthetic sink") {
     val ev = event()
     val JArray(outs) = (ev \ "outputs"): @unchecked
