@@ -490,7 +490,15 @@ object Text2Queries {
 
   /** Per-document add-one-smoothed bigram-LM score (t13's model; see the
     * t13 entry for the corpus-model construction). Shared by t13 and the
-    * t20 bucketing gate. */
+    * t20 bucketing gate.
+    *
+    * CACHING CONTRACT: this persists two intermediates (the token
+    * projection and the bigram count table) and returns a LAZY result
+    * that reads both — it cannot unpersist them itself without undoing
+    * the single-scan plan. The caller owns release: run the action, then
+    * `spark.catalog.clearCache()` (what Verify/Bench do per gate/rep). A
+    * caller that invokes this repeatedly without clearing accumulates one
+    * cached copy of each intermediate per invocation. */
   private def bigramLmScores(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
