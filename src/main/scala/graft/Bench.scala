@@ -42,7 +42,7 @@ object Bench {
     "m05_pack_by_size",
     "t06_tfidf", "t13_bigram_lm", "t15_domain_mixing", "t16_domain_cap",
     "t17_quality_quantile_gate", "t18_priority_sample", "t19_chunking",
-    "t20_perplexity_buckets",
+    "t20_perplexity_buckets", "t21_dsir_selection",
     // SQL replay + streaming
     "sq01_sql_region_revenue", "sq02_sql_correlated", "sq03_sql_cte_window",
     "st01_stream_hourly", "st03_stream_join", "st07_stream_join_outer",

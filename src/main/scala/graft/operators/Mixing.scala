@@ -51,4 +51,62 @@ object Mixing {
       .withColumn("keep", uniformDraw(col(idCol)) < col("rate"))
       .select(col(idCol), col(domainCol), col("rate"), col("keep"))
   }
+
+  /** DSIR-style importance weighting (the public method of Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): score every document by how target-like its hashed
+    * n-gram distribution is — the importance weight
+    * log p_target(x)/p_raw(x) under bag-of-hashed-bigrams unigram models
+    * with add-one smoothing over `buckets` feature buckets. Selection =
+    * top-k by weight (the paper adds Gumbel noise for sampled selection;
+    * [[uniformDraw]] composes for that — the deterministic top-k keeps
+    * the gate engine-verifiable).
+    *
+    * Scale shape: ONE corpus scan builds the (doc, bucket) bigram stream
+    * (persisted — the raw histogram, the target histogram, and the
+    * scoring pass all read it; caller releases via `clearCache`, same
+    * contract as the bigram-LM model); both histograms are `buckets`-row
+    * aggregates with map-side partials; the per-bucket log-ratio table is
+    * broadcast back onto the stream, and the only corpus-grain shuffle is
+    * the per-doc weight aggregation. The bucket hash is the portable
+    * md5 construction, bit-reproducible in any engine.
+    *
+    * @param isTarget per-row predicate marking the target-domain sample
+    * @return one row per doc with >= 1 bigram: (idCol, dsir_w), weight
+    *         rounded to 4 decimals
+    */
+  def dsirWeights(
+      docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 256): DataFrame = {
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val bucket = pmod(
+      conv(substring(md5(concat_ws(" ", col("bg.h"), col("bg.t"))), 1, 8),
+        16, 10).cast("long"),
+      lit(buckets.toLong))
+    val stream = docs
+      .select(col(idCol), toks.as("toks"), isTarget.as("is_t"))
+      .filter(size(col("toks")) >= 2)
+      .select(col(idCol), col("is_t"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1).as("h"),
+          slice(col("toks"), lit(2), size(col("toks")) - 1).as("t"))).as("bg"))
+      .select(col(idCol), col("is_t"), bucket.as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = stream.groupBy(col("bucket")).agg(count(lit(1)).as("c_r"))
+    val tgt = stream.filter(col("is_t"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c_t"))
+    // smoothed log-ratio per bucket seen in the raw corpus (the scoring
+    // stream IS the raw corpus, so unseen buckets cannot be probed)
+    val ratio = raw.join(tgt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c_t"))
+      .crossJoin(broadcast(
+        raw.agg(sum(col("c_r")).as("n_r")).crossJoin(
+          tgt.agg(sum(col("c_t")).as("n_t")))))
+      .select(col("bucket"),
+        (log2((col("c_t") + 1.0) / (col("n_t") + buckets.toLong))
+          - log2((col("c_r") + 1.0) / (col("n_r") + buckets.toLong))).as("lw"))
+    stream.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("lw")), 4).as("dsir_w"))
+  }
 }

@@ -485,7 +485,46 @@ object Text2Queries {
              |  round(avg(lm_score), 4) AS avg_score,
              |  round(min(lm_score), 4) AS min_score,
              |  round(max(lm_score), 4) AS max_score
-             |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin))
+             |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- DSIR importance resampling (Xie et al. 2023): rank raw docs by
+    //      the log importance ratio of target vs raw hashed-bigram
+    //      models, select the top slice. Target here = two sources; the
+    //      bucket hash is the portable md5 construction so the oracle
+    //      replicates it bit-for-bit. One corpus scan (persisted bigram
+    //      stream), two 256-row histograms, broadcast log-ratio join ----
+    Q("t21_dsir_selection",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Mixing.dsirWeights(
+            Tables(s, dir, "documents"), "doc_id", "text",
+            isTarget = $"source".isin("src0", "src1"), buckets = 256)
+          .orderBy($"dsir_w".desc, $"doc_id")
+          .limit(100)
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |d2 AS (SELECT doc_id, source, toks FROM d WHERE len(toks) >= 2),
+             |bg AS (SELECT doc_id, source IN ('src0','src1') AS is_t,
+             |    unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+             |  FROM d2),
+             |f AS (SELECT doc_id, is_t,
+             |    (('0x' || substr(md5(z[1] || ' ' || z[2]), 1, 8))::BIGINT % 256)
+             |      AS bucket
+             |  FROM bg),
+             |raw AS (SELECT bucket, count(*) AS c_r FROM f GROUP BY bucket),
+             |tgt AS (SELECT bucket, count(*) AS c_t FROM f WHERE is_t GROUP BY bucket),
+             |tot AS (SELECT (SELECT sum(c_r) FROM raw) AS n_r,
+             |               (SELECT sum(c_t) FROM tgt) AS n_t),
+             |ratio AS (SELECT r.bucket,
+             |    log2((coalesce(t.c_t, 0) + 1.0) / (tot.n_t + 256))
+             |      - log2((r.c_r + 1.0) / (tot.n_r + 256)) AS lw
+             |  FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN tot),
+             |s AS (SELECT doc_id, round(sum(lw), 4) AS dsir_w
+             |  FROM f JOIN ratio USING (bucket) GROUP BY doc_id)
+             |SELECT doc_id, dsir_w FROM s
+             |ORDER BY dsir_w DESC, doc_id LIMIT 100""".stripMargin))
   )
 
   /** Per-document add-one-smoothed bigram-LM score (t13's model; see the

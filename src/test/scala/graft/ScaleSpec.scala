@@ -139,6 +139,28 @@ class ScaleSpec extends AnyFunSuite {
       "the corpus must be scanned exactly once across the cache hierarchy")
   }
 
+  test("t21 DSIR scores the corpus through ONE cached bigram stream") {
+    // same single-scan discipline as d02: histograms + scoring must read
+    // the persisted (doc, bucket) stream, never the documents file
+    val df = SparkEntry.queries("t21_dsir_selection")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    def docScans(p: SparkPlan): Int = collectAll(p) {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("documents")) => s
+    }.size
+    assert(docScans(plan) == 0,
+      "documents scanned directly in the t21 query tree (cache bypassed)")
+    val caches = collectAll(plan) {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        m.relation.cachedPlan
+    }.distinct
+    assert(caches.nonEmpty, "no cached relation in the t21 plan")
+    assert(caches.map(docScans).sum == 1,
+      "the corpus must be scanned exactly once, inside the bigram-stream cache")
+    spark.catalog.clearCache()
+  }
+
   test("s04 probes the IVF layout with dynamic partition pruning") {
     val df = SparkEntry.queries("s04_ann_ivf_layout")(spark, sf)
     df.collect()
