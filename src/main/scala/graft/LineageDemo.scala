@@ -81,6 +81,31 @@ object LineageDemo {
     println("--- shared-scan DAG (self-join; revisit rendered as ...) ---")
     println(LineageExtractor.fromLogical(selfJoin.queryExecution.optimizedPlan).treeString)
 
+    // session metadata registry: run a second query over overlapping
+    // tables, then snapshot what the session has touched (reference
+    // Model semantics — one entry per table, freshest metadata)
+    SparkEntry.queries("q03_join_inner_agg")(spark, sfDir).collect()
+    val regDeadline = System.currentTimeMillis() + 10000
+    while (listener.registry.size < 2 && System.currentTimeMillis() < regDeadline)
+      Thread.sleep(50)
+    println("--- session metadata registry (accumulated across queries) ---")
+    println(s"  tables: ${listener.registry.snapshot.map(_.name).sorted.mkString(", ")}")
+    println(s"  json:   ${listener.registry.toJson.take(200)}...")
+
+    // streaming OpenLineage: every microbatch renders a RunEvent
+    // parented under the pipeline-level run
+    val sl = graft.streaming.StreamLineageListener.install(spark)
+    val pipeline = graft.streaming.StreamOps.hourlyCounts(
+      graft.streaming.StreamOps.readEvents(spark, sfDir))
+    sl.trackPlan("demo_stream", pipeline)
+    graft.streaming.StreamOps.runToMemory(spark, pipeline, "demo_stream",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val slDeadline = System.currentTimeMillis() + 10000
+    while (sl.openLineageEvents.isEmpty && System.currentTimeMillis() < slDeadline)
+      Thread.sleep(50)
+    println("--- streaming OpenLineage RunEvent (per microbatch, parented) ---")
+    sl.openLineageEvents.headOption.foreach(e => println(e.take(400) + "..."))
+
     spark.stop()
   }
 }

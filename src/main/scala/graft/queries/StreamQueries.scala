@@ -257,6 +257,68 @@ object StreamQueries {
       Some("""SELECT user_id, event_type, count(*) AS n
              |FROM events WHERE user_id < 300
              |GROUP BY user_id, event_type
-             |ORDER BY user_id, event_type""".stripMargin))
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // ---- streaming near-dedup: incremental-ingest shape of the batch
+    //      SimHash pipeline. Per-band-bucket minimum doc id kept in
+    //      transformWithState ValueState (RocksDB), so each arriving doc
+    //      checks against ALL prior ingest without rescanning it; a doc
+    //      is a candidate near-dup iff any of its four 16-bit signature
+    //      chunks was already claimed by a smaller id. Single-file
+    //      AvailableNow replay => state minima equal the global bucket
+    //      minima, which is what the oracle computes ----
+    Q("st11_stream_near_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val mins = StreamOps.nearDupBucketMins(StreamOps.readDocuments(s, dir))
+          StreamOps.runToMemory(s, mins.toDF(), "st11_out", OutputMode.Update())
+            .groupBy($"doc_id")
+            .agg(min($"min_id").as("mnb"))
+            .select($"doc_id", ($"mnb" < $"doc_id").as("is_dup"),
+              least($"mnb", $"doc_id").as("canonical"))
+            .orderBy($"doc_id")
+        } finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      },
+      // the d03-oracle portable signature, banded into 16-bit chunks,
+      // bucket minima joined back per doc
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents
+             |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+             |t AS (
+             |  SELECT doc_id,
+             |    (('0x' || substr(md5(unnest(toks)), 1, 8))::BIGINT & 2147483647)
+             |      * 4294967296
+             |      + ('0x' || substr(md5(unnest(toks)), 9, 8))::BIGINT AS h,
+             |    len(toks) AS n
+             |  FROM d),
+             |bits AS (
+             |  SELECT doc_id, b,
+             |    CASE WHEN 2 * sum((h >> b) & 1) > any_value(n) THEN 1::BIGINT
+             |         ELSE 0::BIGINT END AS bit
+             |  FROM t CROSS JOIN (SELECT unnest(range(0, 63)) AS b)
+             |  GROUP BY doc_id, b),
+             |sig AS (
+             |  SELECT doc_id, CAST(sum(bit << b) AS BIGINT) AS sig
+             |  FROM bits GROUP BY doc_id),
+             |ch AS (
+             |  SELECT doc_id, i * 65536 + ((sig >> (16 * i)) & 65535) AS bk
+             |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+             |bm AS (SELECT bk, min(doc_id) AS mn FROM ch GROUP BY bk),
+             |pd AS (SELECT ch.doc_id, min(bm.mn) AS mnb
+             |       FROM ch JOIN bm USING (bk) GROUP BY ch.doc_id)
+             |SELECT doc_id, mnb < doc_id AS is_dup,
+             |  least(mnb, doc_id) AS canonical
+             |FROM pd ORDER BY doc_id""".stripMargin))
   )
 }

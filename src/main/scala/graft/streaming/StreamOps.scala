@@ -97,6 +97,90 @@ object StreamOps {
         implicitly[org.apache.spark.sql.Encoder[TypeCount]])
   }
 
+  /** documents schema as stored (file streams require an explicit schema). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming read of the documents parquet. */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  final case class DocBucket(bucket_key: Long, doc_id: Long)
+  final case class BucketMin(doc_id: Long, min_id: Long)
+
+  /** Per-bucket minimum doc id across every batch seen so far: one
+    * `ValueState[Long]` per SimHash band bucket. The state is the whole
+    * dedup index — a long per OCCUPIED bucket, sharded by the bucket-key
+    * shuffle; arriving docs read/update only the buckets they land in.
+    */
+  class BucketMinProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, DocBucket, BucketMin] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var minId: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      minId = getHandle.getValueState[Long]("min_id",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[DocBucket],
+        tv: TimerValues): Iterator[BucketMin] = {
+      val batch = rows.toArray
+      var mn = if (minId.exists()) minId.get() else Long.MaxValue
+      batch.foreach(r => if (r.doc_id < mn) mn = r.doc_id)
+      minId.update(mn)
+      val m = mn
+      batch.iterator.map(r => BucketMin(r.doc_id, m))
+    }
+  }
+
+  /** Streaming near-dedup candidates: the incremental-ingest shape of the
+    * batch MinHash/SimHash pipelines (d02/d03) — every arriving document
+    * is checked against ALL previously ingested documents without
+    * rescanning them, because the only state the operator keeps is the
+    * minimum doc id per SimHash band bucket ([[BucketMinProcessor]]).
+    *
+    * Banding: the portable 63-bit-md5 SimHash signature (same
+    * construction the d03/d08 oracles replicate in SQL) split into four
+    * 16-bit chunks; hamming <= 3 near-dups share a chunk by pigeonhole.
+    * Emits one (doc_id, bucket min id) row per chunk; a doc is a
+    * candidate near-dup iff any of its buckets has min id < doc_id, and
+    * `least(min_id, doc_id)` is its canonical — the caller reduces with
+    * a per-doc min (the st11 gate's post-sink aggregate).
+    *
+    * Scale shape: per-row signature expressions, one shuffle on the
+    * bucket key, O(occupied buckets) state. At 100 TB of ingest the
+    * state is bounded by 4·2^16 buckets per band-universe shard — the
+    * index never grows with corpus size, unlike a stream-stream
+    * self-join whose state would hold every prior document.
+    */
+  def nearDupBucketMins(docs: DataFrame): Dataset[BucketMin] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val toks = graft.operators.TextOps.tokens(col("text"))
+    val sig = graft.functions.HashExprs.simhash64(
+      transform(toks, t => graft.operators.Dedup.portableTokenHash63(t)))
+    val chunks = docs
+      .filter(size(toks) > 0)
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), explode(array((0 to 3).map { i =>
+        lit(i.toLong * 65536L) +
+          shiftright(col("sig"), 16 * i).bitwiseAND(lit(65535L))
+      }: _*)).as("bucket_key"))
+      .select(col("bucket_key"), col("doc_id"))
+    chunks.as[DocBucket]
+      .groupByKey(_.bucket_key)
+      .transformWithState(new BucketMinProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        implicitly[org.apache.spark.sql.Encoder[BucketMin]])
+  }
+
   /** Stateful sessionization: gap > `gapSec` starts a new session. Emits
     * every session of the batch (single-batch file input ⇒ complete,
     * deterministic output identical to the batch window-function

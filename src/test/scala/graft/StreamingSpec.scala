@@ -124,4 +124,39 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming near-dedup checks new docs against prior-batch state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(Long, String)]
+    val docs = ms.toDF().select($"_1".as("doc_id"), $"_2".as("text"))
+    val q = StreamOps.nearDupBucketMins(docs).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("st11_state_test").start()
+    try {
+      ms.addData((10L, "alpha beta gamma delta epsilon"),
+        (20L, "entirely different vocabulary in every position"))
+      q.processAllAvailable()
+      // batch 2 arrives AFTER batch 1 committed: doc 30 (identical text
+      // to doc 10) must hit doc 10's bucket state, not rescan anything
+      ms.addData((30L, "alpha beta gamma delta epsilon"))
+      q.processAllAvailable()
+      val rows = spark.table("st11_state_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val byDoc = rows.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      assert(byDoc(10L) == 10L) // first owner of its buckets
+      assert(byDoc(30L) == 10L, s"doc 30 not deduped against batch-1 state: $byDoc")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
