@@ -229,4 +229,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     val minId = keep.keys.min
     assert(keep(minId), "the globally lowest id can have no lower-id witness")
   }
+
+  test("DSIR: target-aligned docs outscore off-target docs") {
+    import spark.implicits._
+    import graft.operators.Mixing
+    // target domain speaks {aa..dd}, the rest speaks {ee..hh}; a scoring
+    // doc in the target vocabulary must carry a higher importance weight
+    // than one in the off-target vocabulary, with mixed in between
+    val docs = (
+      (1L to 20L).map(i => (i, "aa bb cc dd aa bb cc dd", true)) ++
+      (21L to 80L).map(i => (i, "ee ff gg hh ee ff gg hh", false)) ++
+      Seq((100L, "aa bb cc dd aa bb cc dd", false),   // target-aligned
+        (101L, "ee ff gg hh ee ff gg hh", false),     // off-target
+        (102L, "aa bb ee ff aa bb ee ff", false))     // mixed
+      ).toDF("doc_id", "text", "is_t")
+    val w = Mixing.dsirWeights(docs, "doc_id", "text", isTarget = $"is_t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    spark.catalog.clearCache() // release the persisted bigram stream
+    assert(w(100L) > w(102L) && w(102L) > w(101L),
+      s"expected target > mixed > off-target, got ${w(100L)}, ${w(102L)}, ${w(101L)}")
+  }
 }
