@@ -159,23 +159,33 @@ object Similarity {
     * the layout is that assignment cost is paid ONCE and every later
     * query batch only probes. Carrying the centroids in the layout means
     * the serving path never touches the corpus at all.
+    *
+    * `centroids` chooses the cell construction: None = the deterministic
+    * modulo subset (SQL-oracle-expressible, the s04 gate's path); Some =
+    * any (c_id, c_emb) table, e.g. [[ivfCentroidsTrained]]'s Lloyd cells
+    * — trained recall AND the persisted serving path together.
     */
   def ivfBuildLayout(
       corpus: DataFrame, centEvery: Int, layoutDir: String,
-      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      centroids: Option[DataFrame] = None): Unit = {
     val spark = corpus.sparkSession
     val path = new org.apache.hadoop.fs.Path(layoutDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     // layout identity: a completed write (_SUCCESS) is only reusable if
-    // it was built for the SAME logical corpus and cell count — probing a
-    // stale layout with fresh centroids would silently return wrong
-    // neighbors. semanticHash pins the corpus PLAN (source paths,
-    // filters, projection); data rewritten in place under the same path
-    // is the caller's cache-invalidation to signal (delete the dir or
-    // key it by file identity, as the s04 gate does).
+    // it was built for the SAME logical corpus and cell construction — a
+    // stale layout probed with fresh centroids would silently return
+    // wrong neighbors. semanticHash pins the corpus PLAN (source paths,
+    // filters, projection) and, for supplied centroids, the centroid
+    // plan; data rewritten in place under the same path is the caller's
+    // cache-invalidation to signal (delete the dir or key it by file
+    // identity, as the s04 gate does).
     // v2: layouts now carry their centroid table; v1 layouts (no
     // _centroids dir) fail the ident check and rebuild
-    val ident = s"graft-ivf-v2 centEvery=$centEvery " +
+    val centIdent = centroids
+      .map(c => s"cent=${c.queryExecution.analyzed.semanticHash()}")
+      .getOrElse(s"centEvery=$centEvery")
+    val ident = s"graft-ivf-v2 $centIdent " +
       s"corpus=${corpus.queryExecution.analyzed.semanticHash()}"
     val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
     def identMatches: Boolean =
@@ -186,7 +196,8 @@ object Similarity {
       }
     if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")) ||
         !identMatches) {
-      val cent = ivfCentroids(corpus, centEvery, idCol, embCol)
+      val cent = centroids.getOrElse(
+        ivfCentroids(corpus, centEvery, idCol, embCol))
       ivfAssign(corpus, cent, idCol, embCol)
         .write.mode("overwrite").partitionBy("c_id").parquet(layoutDir)
       // centroids AFTER the assignment (overwrite above recreates the
@@ -209,9 +220,10 @@ object Similarity {
   def ivfTopKFromLayout(
       corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
       centEvery: Int, layoutDir: String,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      centroids: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
-    ivfBuildLayout(corpus, centEvery, layoutDir, idCol, embCol)
+    ivfBuildLayout(corpus, centEvery, layoutDir, idCol, embCol, centroids)
     // centroids come from the layout, not the corpus: steady-state probe
     // cost is a kB-sized centroid read + the probed cells' partitions —
     // the corpus parquet is never scanned on the serving path

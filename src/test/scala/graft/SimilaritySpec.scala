@@ -84,4 +84,35 @@ class SimilaritySpec extends AnyFunSuite {
       nProbe = 2, centEvery = 50, layoutDir = dir)
     assert(res.count() > 0)
   }
+
+  test("trained centroids compose with the persisted layout") {
+    val corpus = clustered(nClusters = 4, perCluster = 50, dim = 8).persist()
+    val queries = corpus.filter(col("vec_id") % 41 === 1).limit(8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_trained")
+      .resolve("layout").toString
+    val trained = Similarity.ivfCentroidsTrained(corpus, centEvery = 50,
+      iters = 2)
+    // layout built from the trained cells: probe results must equal the
+    // direct (no-layout) trained path row-for-row — same cells, same
+    // ranking arithmetic
+    val viaLayout = Similarity.ivfTopKFromLayout(corpus, queries, k = 5,
+      nProbe = 2, centEvery = 50, layoutDir = dir,
+      centroids = Some(trained))
+      .collect().map(_.toSeq).toSet
+    val direct = Similarity.ivfTopKTrained(corpus, queries, k = 5,
+      nProbe = 2, centEvery = 50, iters = 2)
+      .collect().map(_.toSeq).toSet
+    assert(viaLayout == direct,
+      s"layout probe diverged from the direct trained path")
+    // a layout built for DIFFERENT cells must not be silently reused:
+    // the modulo-cell ident mismatches and triggers a rebuild
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val t1 = fs.getFileStatus(p).getModificationTime
+    Thread.sleep(1100) // modification-time granularity can be 1s
+    Similarity.ivfBuildLayout(corpus, centEvery = 50, layoutDir = dir)
+    assert(fs.getFileStatus(p).getModificationTime != t1,
+      "modulo-cell build silently reused the trained-cell layout")
+    corpus.unpersist()
+  }
 }
