@@ -321,14 +321,16 @@ object Similarity {
     * an anti-join of the persisted dropped set (broadcast by AQE when
     * its runtime size allows). Returns
     * (n_id, keep) — keep = false iff a lower-id in-cell near-duplicate
-    * exists. Modulo centroids keep it SQL-oracle-expressible (s05);
-    * production would pass [[ivfCentroidsTrained]] cells via the same
-    * assignment machinery.
+    * exists. Default modulo centroids keep it SQL-oracle-expressible
+    * (s05); pass [[ivfCentroidsTrained]] cells via `centroids` for the
+    * production clustering (same assignment machinery).
     */
   def semanticDedup(
       corpus: DataFrame, threshold: Double, centEvery: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val cent = ivfCentroids(corpus, centEvery, idCol, embCol)
+      idCol: String = "vec_id", embCol: String = "embedding",
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(
+      ivfCentroids(corpus, centEvery, idCol, embCol))
     val assign = ivfAssign(corpus, cent, idCol, embCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assign.select(col("n_id"), col("n_emb"), col("c_id"))

@@ -228,6 +228,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     // kept — in particular the globally lowest id
     val minId = keep.keys.min
     assert(keep(minId), "the globally lowest id can have no lower-id witness")
+    // trained centroids ride the same machinery: one decision per vector
+    // and the invariants hold under a different cell construction
+    val trained = Similarity.ivfCentroidsTrained(emb, centEvery = 25, iters = 1)
+    val res2 = Similarity.semanticDedup(emb, threshold = 0.2, centEvery = 25,
+      centroids = Some(trained))
+    val keep2 = res2.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keep2.size == keep.size, "one decision per vector (trained cells)")
+    assert(keep2(minId), "lowest id must stay kept under trained cells")
   }
 
   test("DSIR: target-aligned docs outscore off-target docs") {
