@@ -65,6 +65,37 @@ object SourceQueries {
              |  round(sum(o_totalprice), 2) AS total
              |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin)),
 
+    // avro round trip WITHOUT spark-avro (absent from this environment):
+    // distributed read via AvroKeyInputFormat — see sources/AvroSource.
+    // Fixture written once per corpus identity; the oracle runs on the
+    // original parquet, so any schema/value conversion bug breaks the hash
+    Q("q95_avro_source",
+      (s, dir) => {
+        import s.implicits._
+        import graft.sources.AvroSource
+        // fixture keyed by the corpus dir: a process touching two scale
+        // factors must not reuse the other's avro copy
+        val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val fixture = graft.Scratch.dir(s"graft_avro_$key") + "/orders.avro"
+        if (!new java.io.File(fixture).exists()) {
+          AvroSource.writeAvroFixture(
+            Tables(s, dir, "orders")
+              .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+                $"o_totalprice"),
+            fixture)
+        }
+        AvroSource.readAvro(s, fixture)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"),
+            max($"o_orderkey").as("max_key"),
+            countDistinct($"o_custkey").as("n_cust"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total, max(o_orderkey) AS max_key,
+             |  count(DISTINCT o_custkey) AS n_cust
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // group-level set similarity: exact pairwise token-set Jaccard between
     // languages (the estimator counterpart is MinHashSetAgg, spec-tested)
     Q("q46_group_jaccard",
