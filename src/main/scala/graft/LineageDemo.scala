@@ -83,10 +83,14 @@ object LineageDemo {
 
     // session metadata registry: run a second query over overlapping
     // tables, then snapshot what the session has touched (reference
-    // Model semantics — one entry per table, freshest metadata)
+    // Model semantics — one entry per table, freshest metadata). Wait on
+    // the REPORT count, not registry size — earlier demo queries already
+    // populated the registry, so a size threshold would be vacuous
+    val reportsBefore = listener.reports.size
     SparkEntry.queries("q03_join_inner_agg")(spark, sfDir).collect()
     val regDeadline = System.currentTimeMillis() + 10000
-    while (listener.registry.size < 2 && System.currentTimeMillis() < regDeadline)
+    while (listener.reports.size <= reportsBefore &&
+        System.currentTimeMillis() < regDeadline)
       Thread.sleep(50)
     println("--- session metadata registry (accumulated across queries) ---")
     println(s"  tables: ${listener.registry.snapshot.map(_.name).sorted.mkString(", ")}")

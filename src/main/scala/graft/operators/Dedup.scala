@@ -323,10 +323,22 @@ object Dedup {
     * formulation paid two exchanges of the edge set per round (agg input
     * + join probe input) for the same result, and on the post-round-1
     * near-star graphs the loop spends its time in exchange barriers, not
-    * data. No collect_list (hot-node neighbor lists would be a skew
-    * hazard); no output distinct — duplicate (v, m) edges are min-neutral
-    * for the next star and small-star's final distinct clears them.
-    * Input and output edges are canonically (hi, lo) oriented. */
+    * data.
+    *
+    * Skew trade, stated honestly: a hub node's window group buffers (and
+    * spills via UnsafeExternalSorter) its whole neighbor list in one
+    * task, where groupBy-min + join streams the hub's edges through the
+    * probe at the cost of that second full-edge-set exchange. Both
+    * formulations put the hub's edges in ONE task either way (hash(u)
+    * co-location); the window variant converts the second network pass
+    * into a disk-backed sort, which wins whenever rounds are
+    * barrier-dominated — the post-round-1 regime this loop lives in. An
+    * extreme-skew first round (a component holding most of the corpus)
+    * is where the two-exchange partial-agg formulation is the fallback.
+    *
+    * No output distinct — duplicate (v, m) edges are min-neutral for the
+    * next star and small-star's final distinct clears them. Input and
+    * output edges are canonically (hi, lo) oriented. */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -394,15 +406,15 @@ object Dedup {
       try {
         while (!converged && i < maxIter) {
           // ONE materialization barrier per round: ls is NOT checkpointed
-          // — it ends in a distinct, so small-star's two references to it
-          // (groupBy-min and the join probe) hit the SAME exchange and
-          // physical exchange/stage reuse evaluates the large-star chain
-          // once inside the ss job. Round 4 measured a per-round ls
-          // checkpoint as the faster option against re-evaluation, but
-          // that compared against reuse-hostile plans; with the reusable
-          // distinct boundary the fused round drops an eager job + cache
-          // write + release per round (~15% of d06/d07 wall time on tiny
-          // rounds, where barriers dominate).
+          // because small-star consumes it exactly ONCE (its window-min +
+          // explode pipeline makes a single pass; the map-side explode
+          // branches sit above one window stage). Round 4 measured a
+          // per-round ls checkpoint as the faster option, but that was
+          // against the groupBy-min + join small-star whose TWO ls
+          // references re-evaluated the large-star chain without it — a
+          // future smallStar that references ls more than once must
+          // either restore the checkpoint or end largeStar in a reusable
+          // exchange boundary.
           val ls = largeStar(cur)
           val ss = smallStar(ls).localCheckpoint()
           val n = ss.count()

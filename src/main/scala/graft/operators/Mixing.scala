@@ -78,7 +78,9 @@ object Mixing {
   def dsirWeights(
       docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 256): DataFrame = {
-    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    // the ONE tokenizer every oracle-parity pipeline shares — an inline
+    // variant here could silently diverge DSIR buckets from the gates
+    val toks = TextOps.tokens(col(textCol))
     val bucket = pmod(
       conv(substring(md5(concat_ws(" ", col("bg.h"), col("bg.t"))), 1, 8),
         16, 10).cast("long"),

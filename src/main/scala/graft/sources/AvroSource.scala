@@ -134,13 +134,22 @@ object AvroSource {
   /** Driver-side single-file avro writer for SMALL fixtures (gate and
     * test inputs — the distributed surface under test is the READ path;
     * production-scale writes would pair `AvroKeyOutputFormat` with
-    * `saveAsNewAPIHadoopFile` through the same library). */
+    * `saveAsNewAPIHadoopFile` through the same library).
+    *
+    * Write-then-rename: a failed write must not leave a readable-but-
+    * truncated container at `path` — callers cache fixtures behind an
+    * existence check, and avro's close() flushes whatever was appended,
+    * so a partial file would be silently consumed as the full dataset
+    * forever after. The final path only ever holds a COMPLETE file.
+    */
   def writeAvroFixture(df: DataFrame, path: String): Unit = {
     val schema = avroSchema(df.schema, "fixture")
     val file = new java.io.File(path)
     Option(file.getParentFile).foreach(_.mkdirs())
+    val tmp = new java.io.File(path + ".tmp")
     val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
-    writer.create(schema, file)
+    writer.create(schema, tmp)
+    var ok = false
     try {
       val it = df.toLocalIterator()
       while (it.hasNext) {
@@ -156,6 +165,13 @@ object AvroSource {
         }
         writer.append(rec)
       }
-    } finally writer.close()
+      ok = true
+    } finally {
+      writer.close()
+      if (ok) java.nio.file.Files.move(tmp.toPath, file.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else tmp.delete()
+    }
   }
 }

@@ -130,12 +130,20 @@ object StreamOps {
 
     override def handleInputRows(key: Long, rows: Iterator[DocBucket],
         tv: TimerValues): Iterator[BucketMin] = {
-      val batch = rows.toArray
+      // the batch min must be known before any row is emitted, so the
+      // group's doc ids are buffered — as a primitive long array, not
+      // the case-class objects (a boilerplate-heavy batch can drop
+      // millions of docs into one bucket; 8 bytes/doc buys headroom the
+      // object form would burn 5-10x of)
+      val ids = new scala.collection.mutable.ArrayBuilder.ofLong
       var mn = if (minId.exists()) minId.get() else Long.MaxValue
-      batch.foreach(r => if (r.doc_id < mn) mn = r.doc_id)
+      rows.foreach { r =>
+        ids += r.doc_id
+        if (r.doc_id < mn) mn = r.doc_id
+      }
       minId.update(mn)
       val m = mn
-      batch.iterator.map(r => BucketMin(r.doc_id, m))
+      ids.result().iterator.map(id => BucketMin(id, m))
     }
   }
 
