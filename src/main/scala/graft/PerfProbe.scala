@@ -156,13 +156,16 @@ object PerfProbe {
       |Connected components (142,480 input edges: 100 50-cliques + 20
       |1000-chains, 120 true components): converged in ${trace.size} rounds,
       |$ccSec%.1fs. Per-round edge counts: ${trace.distinct.mkString(" -> ")}
-      |(x${trace.size}) — round 1 contracts the full edge set to the n-1
-      |floor (24,880 = one edge per non-root node; the clique mass, which
-      |is the LSH near-dup shape, collapses immediately), and the
-      |remaining rounds are pointer-doubling on the chain tails at
-      |constant edge count until the star fixpoint — ~log2(1000) rounds,
-      |each shuffling 17%% of the input, where label propagation would
-      |re-join all 142k edges every round.
+      |(x${trace.size}). The zero-shuffle local-contraction pre-pass runs
+      |a union-find inside each input partition, so any component that
+      |fits a partition (every clique and chain here) collapses to its
+      |n-1 star edges (24,880 = one edge per non-root node) BEFORE the
+      |first exchange — the star loop starts at that floor and spends its
+      |rounds verifying the fixpoint / stitching components that SPAN
+      |partitions. Label propagation would re-join all 142k edges every
+      |round; without pre-contraction the star loop took ~11
+      |pointer-doubling rounds on this graph (16.0s round 5; 8.8s with
+      |window-min stars alone).
       |
       |As-of speedup native/window: ${asofWindow._2 / asofNative._2}%.2fx.
       |Interval speedup native/theta: ${intTheta._2 / intNative._2}%.2fx.

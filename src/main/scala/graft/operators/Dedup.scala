@@ -363,6 +363,58 @@ object Dedup {
       .distinct()
   }
 
+  /** Zero-shuffle local contraction — the map-side pre-pass of two-phase
+    * distributed CC ("local aggregation" in the Kiveris et al. lineage):
+    * each input partition runs a union-find over ITS OWN edges and emits
+    * one (node, local set minimum) star edge per non-minimum node.
+    * Connectivity is preserved (both endpoints of every original edge
+    * land in their set's emitted star), and a k-clique that fits in one
+    * partition leaves it as k-1 edges instead of ~k²/2 — the LSH
+    * near-dup graphs this loop exists for are exactly that shape, so at
+    * 100 TB the FIRST exchange of the star loop carries node-count, not
+    * edge-count, volume.
+    *
+    * Memory: the union-find map holds the partition's distinct node ids;
+    * `spark.sql.files.maxPartitionBytes` bounds it (~128 MB of edge rows
+    * ≈ 8M edges ≈ ≤16M map entries). Narrow (no exchange, no barrier) —
+    * it fuses into whatever job first consumes the result.
+    */
+  private def localContract(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(col("u"), col("v")).as[(Long, Long)].mapPartitions { it =>
+      val parent = new java.util.HashMap[Long, Long]()
+      // union-by-min-root: roots only ever decrease, so each set's final
+      // root is its minimum id. Path compression only ever rewrites
+      // EXISTING keys (every chain node is keyed by the putIfAbsent
+      // below), so value puts stay non-structural.
+      def find(x0: Long): Long = {
+        var r = x0
+        var p = parent.getOrDefault(r, r)
+        while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+        var x = x0
+        while (x != r) { val p2 = parent.get(x); parent.put(x, r); x = p2 }
+        r
+      }
+      it.foreach { case (u, v) =>
+        parent.putIfAbsent(u, u)
+        parent.putIfAbsent(v, v)
+        val ru = find(u)
+        val rv = find(v)
+        if (ru < rv) parent.put(rv, ru)
+        else if (rv < ru) parent.put(ru, rv)
+      }
+      val out = Vector.newBuilder[(Long, Long)]
+      val ks = parent.keySet().iterator()
+      while (ks.hasNext) {
+        val n = ks.next()
+        val r = find(n) // value-only updates: safe during key iteration
+        if (r != n) out += ((n, r)) // r < n: canonical (hi, lo)
+      }
+      out.result().iterator
+    }.toDF("u", "v")
+  }
+
   /** Connected components via alternating large-star/small-star edge
     * CONTRACTION (Kiveris et al., "Connected Components in MapReduce and
     * Beyond"): each round rewrites the edge set toward stars rooted at
@@ -397,7 +449,10 @@ object Dedup {
       // outlive `canon`, hence its own checkpoint
       val selfLoopNodes = canon.filter(col("u") === col("v"))
         .select(col("u").as("id")).distinct().localCheckpoint()
-      var cur: DataFrame = canon.filter(col("u") =!= col("v"))
+      // map-side pre-contraction: cliques collapse to stars BEFORE the
+      // first exchange (still a view over the canon checkpoint — the
+      // union-find pass re-runs map-only wherever the plan is consumed)
+      var cur: DataFrame = localContract(canon.filter(col("u") =!= col("v")))
       var curIsOwnCheckpoint = false // round-0 cur is a view over canon
       val trace = scala.collection.mutable.ArrayBuffer.empty[Long]
       var curCount = cur.count()
