@@ -195,6 +195,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(trace.zip(trace.tail).forall { case (a, b) => b <= a }, trace)
   }
 
+  test("connected components: labels independent of input partitioning") {
+    import spark.implicits._
+    // the local-contraction pre-pass emits different intermediate edges
+    // per partitioning; the LABELS must not change — one partition (all
+    // components solved map-side) vs many (stars must stitch fragments)
+    val edges = ((1L until 50L).map(i => (i, i + 1)) ++
+      (for (i <- 100L until 110L; j <- 100L until i) yield (i, j)))
+      .toDF("id_a", "id_b")
+    val one = Dedup.connectedComponents(edges.repartition(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val many = Dedup.connectedComponents(edges.repartition(13))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one == many)
+    assert(one.collect { case (id, l) if id >= 100 => l } == Set(100L))
+    assert(one.collect { case (id, l) if id < 100 => l } == Set(1L))
+  }
+
   test("temperature sampling: alpha < 1 upweights low-resource domains") {
     import spark.implicits._
     // 900 docs of domain "big", 100 of "small" — at alpha=0.3 the small
