@@ -5,7 +5,7 @@ package graft
   * {"metric":"total","value":N,"unit":"sec","queries":{...},
   *  "errors":{...},"sf":...}.
   *
-  * The headline set (~40 queries) spans every operator family; the full
+  * The headline set (~65 queries) spans every operator family; the full
   * registered suite runs with SPARK_GRAFT_BENCH_ALL=1. Two reasons for a
   * curated subset: per-query numbers should measure plans (not 120×
   * fixed per-query session costs), and the output line must stay short
