@@ -96,6 +96,35 @@ object SourceQueries {
              |  count(DISTINCT o_custkey) AS n_cust
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // schema evolution: a corpus written over time gains columns; a
+    // mergeSchema read must union the file schemas and null-fill the
+    // missing column in old files. Partition 1 = pre-evolution rows
+    // (no o_orderstatus), partition 2 = post-evolution; the oracle
+    // recreates the same null pattern from the original table
+    Q("q96_schema_evolution",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+        val orders = Tables(s, dir, "orders")
+        orders.filter($"o_orderkey" % 2 === 0)
+          .select($"o_orderkey", $"o_totalprice")
+          .write.mode("overwrite").parquet(s"$tmp/v1")
+        orders.filter($"o_orderkey" % 2 === 1)
+          .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+          .write.mode("overwrite").parquet(s"$tmp/v2")
+        s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+          .agg(count(lit(1)).as("n"),
+            round(sum($"o_totalprice"), 2).as("total"),
+            count($"o_orderstatus").as("n_status"),
+            countDistinct($"o_orderstatus").as("d_status"))
+      },
+      Some("""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+             |  count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END)
+             |    AS n_status,
+             |  count(DISTINCT CASE WHEN o_orderkey % 2 = 1
+             |    THEN o_orderstatus END) AS d_status
+             |FROM orders""".stripMargin)),
+
     // group-level set similarity: exact pairwise token-set Jaccard between
     // languages (the estimator counterpart is MinHashSetAgg, spec-tested)
     Q("q46_group_jaccard",
