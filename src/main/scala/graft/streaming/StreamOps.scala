@@ -154,32 +154,49 @@ object StreamOps {
     * minimum doc id per SimHash band bucket ([[BucketMinProcessor]]).
     *
     * Banding: the portable 63-bit-md5 SimHash signature (same
-    * construction the d03/d08 oracles replicate in SQL) split into four
-    * 16-bit chunks; hamming <= 3 near-dups share a chunk by pigeonhole.
-    * Emits one (doc_id, bucket min id) row per chunk; a doc is a
-    * candidate near-dup iff any of its buckets has min id < doc_id, and
-    * `least(min_id, doc_id)` is its canonical — the caller reduces with
-    * a per-doc min (the st11 gate's post-sink aggregate).
+    * construction the d03/d08 oracles replicate in SQL) split into
+    * `nBands` chunks of `bandBits` bits; hamming <= nBands-1 near-dups
+    * share a chunk by pigeonhole. Emits one (doc_id, bucket min id) row
+    * per chunk; a doc is a CANDIDATE near-dup iff any of its buckets has
+    * min id < doc_id, and `least(min_id, doc_id)` is its canonical — the
+    * caller reduces with a per-doc min (the st11 gate's post-sink
+    * aggregate) and, in production, verifies candidates with an exact
+    * hamming/Jaccard check downstream (same contract as the batch
+    * banding).
     *
-    * Scale shape: per-row signature expressions, one shuffle on the
-    * bucket key, O(occupied buckets) state. At 100 TB of ingest the
-    * state is bounded by 4·2^16 buckets per band-universe shard — the
-    * index never grows with corpus size, unlike a stream-stream
-    * self-join whose state would hold every prior document.
+    * SIZE THE BANDS TO THE CORPUS: a band is useful only while its 2^
+    * bandBits bucket space is sparse — once ingest approaches that
+    * scale, every bucket is owned by some earlier doc and everything
+    * flags as a candidate. The 4×16-bit default matches the
+    * SQL-replicable gate at test scale; billions of docs want 2×31-bit
+    * bands here (weaker pigeonhole, verified downstream) or a longer
+    * signature upstream. State is bounded by nBands·2^bandBits either
+    * way — the index never grows with corpus size, unlike a
+    * stream-stream self-join whose state holds every prior document.
     */
-  def nearDupBucketMins(docs: DataFrame): Dataset[BucketMin] = {
+  def nearDupBucketMins(
+      docs: DataFrame, bandBits: Int = 16, nBands: Int = 4): Dataset[BucketMin] = {
+    // 64, not 63: the portable signature's bit 63 is always 0 (the token
+    // hash is 63-bit), so the top band of a 4x16 split carries one
+    // constant bit — harmless, it only makes that band's pigeonhole a
+    // fraction weaker
+    require(bandBits >= 1 && nBands >= 1 && bandBits * nBands <= 64,
+      s"need bandBits*nBands <= 64, got $bandBits x $nBands")
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.TimeMode
     val toks = graft.operators.TextOps.tokens(col("text"))
     val sig = graft.functions.HashExprs.simhash64(
       transform(toks, t => graft.operators.Dedup.portableTokenHash63(t)))
+    val mask = (1L << bandBits) - 1L
     val chunks = docs
       .filter(size(toks) > 0)
       .select(col("doc_id"), sig.as("sig"))
-      .select(col("doc_id"), explode(array((0 to 3).map { i =>
-        lit(i.toLong * 65536L) +
-          shiftright(col("sig"), 16 * i).bitwiseAND(lit(65535L))
+      .select(col("doc_id"), explode(array((0 until nBands).map { i =>
+        // band index in the bits ABOVE the widest chunk space keeps
+        // keys collision-free across bands
+        lit(i.toLong << bandBits) +
+          shiftright(col("sig"), bandBits * i).bitwiseAND(lit(mask))
       }: _*)).as("bucket_key"))
       .select(col("bucket_key"), col("doc_id"))
     chunks.as[DocBucket]
