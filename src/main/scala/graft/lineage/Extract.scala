@@ -397,6 +397,14 @@ object LineageExtractor {
     plan.foreach {
       case r: LogicalRelation => val m = tableMeta(r); inputs.getOrElseUpdate(m.name, m)
       case r: DataSourceV2Relation => val m = tableMeta(r); inputs.getOrElseUpdate(m.name, m)
+      // RDD-backed sources (e.g. the connector-free avro read) carry no
+      // relation identity — resolve through the provenance registry so
+      // every input the query read still appears in the report
+      case r: LogicalRDD =>
+        graft.sources.RddLineage.resolve(r.rdd).foreach { s =>
+          inputs.getOrElseUpdate(s.name,
+            TableMeta(s.name, s.path, r.output.map(_.name), s.format))
+        }
       case _ => ()
     }
     // views are inlined away by the optimizer — their identity + SQL text

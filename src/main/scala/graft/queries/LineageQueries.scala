@@ -251,6 +251,33 @@ object LineageQueries {
              |  AS t(table_name, n_cols)
              |ORDER BY table_name""".stripMargin)),
 
+    // RDD-backed sources keep their storage identity in lineage: the
+    // connector-free avro read enters the plan as a LogicalRDD leaf
+    // (no LogicalRelation), and the provenance registry resolves it —
+    // preserving the reference's every-input-has-an-entity invariant
+    // (PostExecHook.scala:43-50) for the one path-less read path
+    Q("lx12_lineage_rdd_source",
+      (s, dir) => {
+        import s.implicits._
+        val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val fixture =
+          graft.Scratch.dir(s"graft_avro_lx12_$key") + "/nation.avro"
+        if (!new java.io.File(fixture).exists())
+          graft.sources.AvroSource.writeAvroFixture(
+            Tables(s, dir, "nation"), fixture)
+        val df = graft.sources.AvroSource.readAvro(s, fixture)
+          .groupBy($"n_regionkey").agg(count(lit(1)).as("n"))
+        val rep = LineageExtractor.report(df.queryExecution)
+        val rows = rep.inputs.map(m =>
+          (m.name, m.format, m.path.nonEmpty, m.columns.size))
+        s.createDataFrame(rows)
+          .toDF("input_name", "format", "has_path", "n_cols")
+          .orderBy("input_name")
+      },
+      Some("""SELECT * FROM (VALUES ('nation', 'avro', true, 3))
+             |  AS t(input_name, format, has_path, n_cols)
+             |ORDER BY input_name""".stripMargin)),
+
     // expression rewrite into source terms (reference SchemaMapping.map):
     // each derived output column's defining expression, inlined down to
     // base-table columns and rendered as SQL

@@ -106,6 +106,15 @@ object AvroSource {
         }
         Row.fromSeq(vals.toSeq)
       }
+    // the read enters the plan as a LogicalRDD leaf, which has no
+    // storage identity of its own — register provenance so lineage
+    // reports resolve it back to the avro location
+    RddLineage.register(rows.id,
+      name = {
+        val base = path.stripSuffix("/").split('/').last
+        if (base.contains('.')) base.substring(0, base.lastIndexOf('.')) else base
+      },
+      path = path, format = "avro")
     spark.createDataFrame(rows, st)
   }
 
