@@ -159,4 +159,37 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming near-dedup wide-band config still links identical docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(Long, String)]
+    val docs = ms.toDF().select($"_1".as("doc_id"), $"_2".as("text"))
+    // 2x31-bit bands: the corpus-scale configuration (sparser buckets,
+    // weaker pigeonhole) — identical text has identical signatures, so
+    // both bands must still link the pair
+    val q = StreamOps.nearDupBucketMins(docs, bandBits = 31, nBands = 2).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("st11_wide_test").start()
+    try {
+      ms.addData((5L, "lorem ipsum dolor sit amet"),
+        (6L, "lorem ipsum dolor sit amet"))
+      q.processAllAvailable()
+      val byDoc = spark.table("st11_wide_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      assert(byDoc(5L) == 5L && byDoc(6L) == 5L, byDoc.toString)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
