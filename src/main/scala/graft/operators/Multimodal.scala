@@ -107,6 +107,51 @@ object Multimodal {
     * sequential cumsum over id order exactly (range partitions are
     * id-ordered).
     */
+  /** GPT-style training-sequence layout: concatenate documents in id
+    * order into one continuous token stream and cut it every `seqLen`
+    * tokens. Each document gets the sequence id and intra-sequence
+    * offset where it STARTS, plus whether it straddles a cut (its tokens
+    * split across two training sequences — the standard pretraining
+    * packing, where attention masking or doc-boundary tokens handle the
+    * seam). Differs from [[packBySize]], which assigns whole items to
+    * budget bins without splitting.
+    *
+    * Same two-level distributed prefix sum as packBySize (partition-local
+    * cumsum + metadata-sized partition-offset window): no global window,
+    * no driver collection, exact equality with the sequential cumsum.
+    * Returns (idCol, lenCol, seq_id, offset, spans_boundary).
+    */
+  def sequenceLayout(
+      df: DataFrame, idCol: String, lenCol: String,
+      seqLen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val reserved = Seq("_pid", "_cum", "_off", "seq_id", "offset", "spans_boundary")
+    require(!df.columns.exists(reserved.contains),
+      s"sequenceLayout reserves columns ${reserved.mkString(", ")}; rename them first")
+    val ranged = df.repartitionByRange(col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    val offsets = ranged.groupBy(col("_pid"))
+      .agg(sum(col(lenCol)).as("_t"))
+      .withColumn("_off",
+        coalesce(sum(col("_t")).over(
+          Window.orderBy(col("_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    ranged
+      .withColumn("_cum",
+        sum(col(lenCol)).over(
+          Window.partitionBy(col("_pid")).orderBy(col(idCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets), Seq("_pid"))
+      // start position in the concatenated stream (exclusive prefix)
+      .withColumn("_start", col("_cum") + col("_off") - col(lenCol))
+      .withColumn("seq_id", expr(s"_start div $seqLen"))
+      .withColumn("offset", col("_start") % seqLen)
+      .withColumn("spans_boundary", col("offset") + col(lenCol) > seqLen)
+      .drop("_pid", "_cum", "_off", "_start")
+  }
+
   def packBySize(
       df: DataFrame, idCol: String, bytesCol: String,
       budgetBytes: Long): DataFrame = {

@@ -831,6 +831,35 @@ object PipelineQueries {
              |  count(*) AS n_rows,
              |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
              |  true AS within_budget
-             |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin))
+             |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // GPT-style sequence layout: concatenate docs in id order, cut every
+    // 512 tokens; each doc's (seq_id, offset) start position plus
+    // whether it straddles a cut — the pretraining packing shape, where
+    // m05 bins whole items and this SPLITS the stream at exact budgets
+    Q("m06_sequence_layout",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.{Multimodal, TextOps}
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id",
+            size(TextOps.tokens($"text")).cast("long").as("n_tok"))
+        Multimodal.sequenceLayout(docs, "doc_id", "n_tok", seqLen = 512L)
+          .select($"doc_id", $"n_tok", $"seq_id", $"offset", $"spans_boundary")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+             |      AS n_tok
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tok,
+             |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+             |  FROM d)
+             |SELECT doc_id, n_tok,
+             |  CAST(st // 512 AS BIGINT) AS seq_id,
+             |  CAST(st % 512 AS BIGINT) AS offset,
+             |  (st % 512) + n_tok > 512 AS spans_boundary
+             |FROM c ORDER BY doc_id""".stripMargin))
   )
 }

@@ -195,6 +195,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(trace.zip(trace.tail).forall { case (a, b) => b <= a }, trace)
   }
 
+  test("sequenceLayout: exact stream positions, partitioning-independent") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val docs = Seq((1L, 300L), (2L, 300L), (3L, 100L), (4L, 600L), (5L, 50L))
+      .toDF("id", "len")
+    def layout(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.sequenceLayout(df, "id", "len", seqLen = 512L)
+        .select("id", "seq_id", "offset", "spans_boundary")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val got = layout(docs.repartition(1))
+    // stream: 1@0, 2@300 (spans the 512 cut), 3@600, 4@700 (spans 1024),
+    // 5@1300
+    assert(got == Set(
+      (1L, 0L, 0L, false), (2L, 0L, 300L, true), (3L, 1L, 88L, false),
+      (4L, 1L, 188L, true), (5L, 2L, 276L, false)), got.toString)
+    assert(layout(docs.repartition(7)) == got,
+      "layout must not depend on input partitioning")
+  }
+
   test("connected components: labels independent of input partitioning") {
     import spark.implicits._
     // the local-contraction pre-pass emits different intermediate edges
