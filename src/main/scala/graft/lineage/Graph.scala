@@ -224,7 +224,8 @@ final case class LineageReport(
       runId: String,
       eventTime: String,
       eventType: String = "COMPLETE",
-      parent: Option[(String, String, String)] = None): String = {
+      parent: Option[(String, String, String)] = None,
+      extraRunFacets: Seq[String] = Nil): String = {
     import LNode.esc
     val producer = "urn:graft:spark-lineage"
     val specUrl = "https://openlineage.io/spec/2-0-2/OpenLineage.json"
@@ -257,14 +258,20 @@ final case class LineageReport(
       val ns = if (o.startsWith("/") || o.contains("://")) "file" else "spark_catalog"
       s"""{"namespace":"$ns","name":"${esc(o)}","facets":{$colLineageFacet}}"""
     }.mkString("[", ",", "]")
-    val runJ = parent match {
-      case Some((pRunId, pNs, pJob)) =>
-        s""""run":{"runId":"${esc(runId)}","facets":{"parent":{""" +
-          s""""_producer":"$producer","_schemaURL":"$specUrl#/$$defs/ParentRunFacet",""" +
-          s""""run":{"runId":"${esc(pRunId)}"},""" +
-          s""""job":{"namespace":"${esc(pNs)}","name":"${esc(pJob)}"}}}}"""
-      case None => s""""run":{"runId":"${esc(runId)}"}"""
+    // run facets: the spec-standard parent facet plus any caller-supplied
+    // pre-rendered `"name":{...}` fragments (e.g. the streaming listener's
+    // microbatch facet — the batch NUMBER rides here because run.runId
+    // must be UUID-format for spec-strict consumers)
+    val parentFacet = parent.map { case (pRunId, pNs, pJob) =>
+      s""""parent":{""" +
+        s""""_producer":"$producer","_schemaURL":"$specUrl#/$$defs/ParentRunFacet",""" +
+        s""""run":{"runId":"${esc(pRunId)}"},""" +
+        s""""job":{"namespace":"${esc(pNs)}","name":"${esc(pJob)}"}}"""
     }
+    val runFacets = parentFacet.toSeq ++ extraRunFacets
+    val runJ =
+      if (runFacets.isEmpty) s""""run":{"runId":"${esc(runId)}"}"""
+      else s""""run":{"runId":"${esc(runId)}","facets":${runFacets.mkString("{", ",", "}")}}"""
     s"""{"eventType":"${esc(eventType)}","eventTime":"${esc(eventTime)}",""" +
       runJ + "," +
       s""""job":{"namespace":"${esc(jobNamespace)}","name":"${esc(jobName)}"},""" +

@@ -64,12 +64,24 @@ final class StreamLineageListener extends StreamingQueryListener {
       p.sink.description,
       p.batchId))
     plans.get(name).foreach { rep =>
+      // run.runId must be UUID-format (spec-strict backends like Marquez
+      // reject anything else), so the per-batch run identity is a
+      // DETERMINISTIC name-based UUID (RFC 4122 v3) over the stream's
+      // runId + batch number; the human-readable batch linkage rides in a
+      // microbatch run facet instead of the id
+      val batchRunId = java.util.UUID.nameUUIDFromBytes(
+        s"${p.runId}:b${p.batchId}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val batchFacet =
+        s""""microbatch":{"_producer":"urn:graft:spark-lineage",""" +
+          s""""_schemaURL":"https://openlineage.io/spec/2-0-2/OpenLineage.json#/$$defs/RunFacet",""" +
+          s""""batchId":${p.batchId},"streamRunId":"${p.runId}"}"""
       try events.add(rep.openLineageJson(
         jobNamespace = "graft-streams",
         jobName = name,
-        runId = s"${p.runId}-b${p.batchId}",
+        runId = batchRunId.toString,
         eventTime = p.timestamp,
-        parent = Some((p.runId.toString, "graft-streams", name))))
+        parent = Some((p.runId.toString, "graft-streams", name)),
+        extraRunFacets = Seq(batchFacet)))
       catch {
         case ex: Throwable =>
           // lineage must never fail the stream

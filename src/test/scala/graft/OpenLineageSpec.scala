@@ -83,12 +83,22 @@ class OpenLineageSpec extends AnyFunSuite {
         val ev = JsonMethods.parse(s) // every event parses
         assert((ev \ "job" \ "name") == JString("ol_st01"))
         assert((ev \ "schemaURL").values.toString.endsWith("RunEvent"))
-        // microbatch run is parented under the pipeline-level run
+        // microbatch run is parented under the pipeline-level run, its id
+        // is spec-valid UUID (Marquez-class backends reject non-UUID ids),
+        // and it is the DETERMINISTIC name-based UUID of parent+batch
         val runId = (ev \ "run" \ "runId").values.toString
         val parentRun =
           (ev \ "run" \ "facets" \ "parent" \ "run" \ "runId").values.toString
-        assert(runId.startsWith(parentRun) && runId.contains("-b"),
-          s"run $runId not derived from parent $parentRun")
+        val parsedRun = java.util.UUID.fromString(runId) // throws if not UUID
+        assert(parsedRun.version() == 3, s"run $runId not a name-based UUID")
+        val JInt(batchId) =
+          (ev \ "run" \ "facets" \ "microbatch" \ "batchId"): @unchecked
+        assert((ev \ "run" \ "facets" \ "microbatch" \ "streamRunId") ==
+          JString(parentRun))
+        val expected = java.util.UUID.nameUUIDFromBytes(
+          s"$parentRun:b$batchId".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        assert(runId == expected.toString,
+          s"run $runId not derived from parent $parentRun batch $batchId")
         assert((ev \ "run" \ "facets" \ "parent" \ "job" \ "name") ==
           JString("ol_st01"))
         // the definition's column lineage rides each batch event
