@@ -28,7 +28,17 @@ final class LineageListener extends QueryExecutionListener {
 
   def reports: Seq[(String, LineageReport)] = buf.asScala.toSeq
 
-  def clear(): Unit = { buf.clear(); registry.clear() }
+  /** Drain the per-query reports ONLY. The [[registry]] is
+    * session-lifetime state by contract (the whole point of the reference
+    * `Model` analog is to survive report draining), so periodic
+    * `reports` + `clear()` consumers keep the accumulated session catalog.
+    */
+  def clear(): Unit = buf.clear()
+
+  /** Full reset: reports AND the session-lifetime registry — for reusing
+    * one listener across logically separate sessions (test fixtures).
+    */
+  def clearAll(): Unit = { buf.clear(); registry.clear() }
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
     try {
