@@ -374,10 +374,15 @@ object Dedup {
     * 100 TB the FIRST exchange of the star loop carries node-count, not
     * edge-count, volume.
     *
-    * Memory: the union-find map holds the partition's distinct node ids;
-    * `spark.sql.files.maxPartitionBytes` bounds it (~128 MB of edge rows
-    * ≈ 8M edges ≈ ≤16M map entries). Narrow (no exchange, no barrier) —
-    * it fuses into whatever job first consumes the result.
+    * Memory: the union-find map holds the partition's distinct node ids.
+    * The input is the shuffle-partitioned `canon` checkpoint — so the
+    * bound is edges/`spark.sql.shuffle.partitions` per task, NOT the
+    * file-scan split size (`maxPartitionBytes` never applies here). The
+    * caller enforces the bound: [[connectedComponentsStats]] counts the
+    * checkpointed edge set and repartitions it before this pass whenever
+    * edges-per-task would exceed ~8M (≈ ≤16M map entries, ~0.5 GB peak).
+    * Without that guard the pass stays narrow (no exchange, no barrier)
+    * and fuses into whatever job first consumes the result.
     */
   private def localContract(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
@@ -451,12 +456,23 @@ object Dedup {
         .select(col("u").as("id")).distinct().localCheckpoint()
       // map-side pre-contraction: cliques collapse to stars BEFORE the
       // first exchange (still a view over the canon checkpoint — the
-      // union-find pass re-runs map-only wherever the plan is consumed)
-      var cur: DataFrame = localContract(canon.filter(col("u") =!= col("v")))
+      // union-find pass re-runs map-only wherever the plan is consumed).
+      // Heap guard first: canon is shuffle-partitioned, so per-task edge
+      // volume is edges/shuffle.partitions — with few partitions on a
+      // huge edge set one task's union-find map could blow the heap.
+      // Counting the checkpoint is cheap (cached partitions) and the
+      // repartition triggers only when a task would exceed the ~8M-edge
+      // budget, so small/medium inputs keep the zero-exchange path.
+      val maxEdgesPerTask = 8L * 1000 * 1000
+      val neededParts =
+        ((canon.count() + maxEdgesPerTask - 1) / maxEdgesPerTask).toInt
+      val nonLoop = canon.filter(col("u") =!= col("v"))
+      var cur: DataFrame = localContract(
+        if (canon.rdd.getNumPartitions >= neededParts) nonLoop
+        else nonLoop.repartition(neededParts))
       var curIsOwnCheckpoint = false // round-0 cur is a view over canon
       val trace = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var curCount = cur.count()
-      var converged = curCount == 0L
+      var converged = false
       var i = 0
       try {
         while (!converged && i < maxIter) {
@@ -474,25 +490,36 @@ object Dedup {
           val ss = smallStar(ls).localCheckpoint()
           val n = ss.count()
           trace += n
-          // fixpoint = star graphs (stable under both operations); both
-          // sides are canonically oriented, so set equality is count match
-          // + empty anti-join
-          converged = n == curCount &&
-            ss.join(cur, Seq("u", "v"), "left_anti").isEmpty
+          // Fixpoint ⟺ the edge set is disjoint stars with one root per
+          // member: a node that is a member TWICE has two labels, and a
+          // member that is also a root is a chain — both are rewritten by
+          // the next round, and unique-root stars are stable under both
+          // star operations (roots = component minima by the canonical
+          // (hi, lo) orientation). Detecting the SHAPE converges one full
+          // round earlier than the round-5 set-equality test, which
+          // needed a whole extra large+small star round plus an anti-join
+          // to observe "nothing changed"; the check itself is one
+          // map-side-combinable aggregation over the just-checkpointed
+          // round output — count-class cost at any scale.
+          converged = n == 0L || {
+            val nodes = ss.select(explode(array(
+              struct(col("u").as("id"), lit(1).as("memb")),
+              struct(col("v").as("id"), lit(0).as("memb")))).as("x"))
+              .select(col("x.id").as("id"), col("x.memb").as("memb"))
+            nodes.groupBy(col("id"))
+              .agg(sum(col("memb")).as("m"), min(col("memb")).as("mn"))
+              .filter(col("m") > 1 || (col("m") >= 1 && col("mn") === 0))
+              .isEmpty
+          }
           if (curIsOwnCheckpoint) releaseCheckpoint(cur)
           cur = ss
           curIsOwnCheckpoint = true
-          curCount = n
           i += 1
         }
         require(converged,
           s"connectedComponents did not converge in $maxIter rounds")
-        if (!curIsOwnCheckpoint) {
-          // zero-round path (no non-self-loop edges): the result must not
-          // read the canon checkpoint, which is released on exit
-          cur = cur.localCheckpoint()
-          curIsOwnCheckpoint = true
-        }
+        // converged ⟹ the loop ran ≥1 round, so cur is round-output
+        // checkpoint state (never the canon view released below)
         // stars: (member, center) + the centers themselves + isolated
         // self-loop nodes not already present as star members/centers
         val starLabels = cur.select(col("u").as("id"), col("v").as("label"))
