@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Sparse lexical retrieval (BM25, Robertson & Zaragoza's Okapi
+  * formulation) — the inverted-index counterpart of the dense ANN stack
+  * in [[Similarity]]. A training-data pipeline uses it two ways: ad-hoc
+  * scoring of a huge corpus against a SMALL query set (benchmark
+  * decontamination sweeps, RAG retrieval evals), and building the
+  * posting-list index a serving tier reads.
+  *
+  * Scale design, stated per surface:
+  *  - [[bm25TopK]] / [[bm25TopKChunks]] (small known query): ONE corpus
+  *    scan; the per-term document frequencies, corpus size, and average
+  *    length all collapse into a single map-side-combinable global
+  *    aggregation (one tiny stats row — no groupBy shuffle), scoring is
+  *    then pure per-row map work against that broadcast row, and the
+  *    top-k is a TakeOrderedAndProject (per-partition heads, never a
+  *    global sort). Zero full-width shuffles end to end.
+  *  - [[bm25Index]] (full index build): the classic explode → (term,
+  *    doc) aggregation. This IS a corpus-grain shuffle and exists for
+  *    the persist-once path — at 100 TB the postings/df/doclen tables
+  *    are written out bucketed by term and every later query prunes to
+  *    its terms' buckets.
+  */
+object Retrieval {
+
+  /** idf with the +1 floor (Lucene's variant): ln(1 + (N - df + .5)/(df + .5)),
+    * never negative even for terms in most documents. */
+  private def idf(n: Column, df: Column): Column =
+    log(lit(1.0) + (n - df + 0.5) / (df + 0.5))
+
+  /** One BM25 term contribution: idf × tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)). */
+  private def weight(tf: Column, dl: Column, n: Column, df: Column,
+      avgdl: Column, k1: Double, b: Double): Column =
+    idf(n, df) * (tf * (k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl))
+
+  /** Score (id, toks) units against `queryTerms` map-side and return the
+    * top `k` as (id cols..., score). Units with no query term are not
+    * retrieved (their score is 0 by definition).
+    */
+  private def topKOverUnits(units: DataFrame, idCols: Seq[String],
+      queryTerms: Seq[String], k1: Double, b: Double, k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"duplicate query terms would double-count: $queryTerms")
+    // per-unit tf of each query term, computed from the token array
+    // in place — Q is small, so Q array passes beat a (unit, term)
+    // shuffle by the width of the corpus
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("toks"), x => x === lit(t))).cast("double").as(s"tf_$i")
+    }
+    // the plan reads the unit stream twice (stats build + scoring probe);
+    // persisting the fixed-width (ids, dl, tf_i) projection — never the
+    // token arrays — keeps it ONE corpus scan, and the cached rows are
+    // Q+2 doubles per unit (same cache contract as the other persisting
+    // operators: the gate/bench harness clears per query)
+    val scored0 = units.select(
+      idCols.map(col) ++ Seq(size(col("toks")).cast("double").as("dl")) ++ tfCols: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // df per query term + N + avgdl in ONE global aggregation: every
+    // partial is a fixed-width row, so this is count-class cost and the
+    // result is a single broadcastable stats row
+    val statsAggs =
+      Seq(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl")) ++
+        queryTerms.indices.map(i =>
+          sum((col(s"tf_$i") > 0).cast("double")).as(s"df_$i"))
+    val stats = scored0.agg(statsAggs.head, statsAggs.tail: _*)
+    val score = queryTerms.indices.map { i =>
+      when(col(s"tf_$i") > 0,
+        weight(col(s"tf_$i"), col("dl"), col("n"), col(s"df_$i"),
+          col("avgdl"), k1, b))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    scored0.crossJoin(broadcast(stats))
+      .select(idCols.map(col) :+ round(score, 4).as("score"): _*)
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc +: idCols.map(col): _*)
+      .limit(k)
+  }
+
+  /** Top-k documents for one query — (doc_id, score), score rounded to 4
+    * decimals, ties broken by doc_id. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      k: Int = 10): DataFrame = {
+    val units = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    topKOverUnits(units, Seq("doc_id"), queryTerms, k1, b, k)
+  }
+
+  /** RAG-style retrieval: sliding-window chunks (same layout contract as
+    * [[TextOps.chunk]] — chunk i covers tokens [i·stride+1, i·stride+chunkSize])
+    * scored as the retrieval units. Chunking is a map-side explode, so
+    * the whole pipeline keeps the one-scan / no-shuffle shape of
+    * [[bm25TopK]]; returns (doc_id, chunk_id, tok_start, score).
+    */
+  def bm25TopKChunks(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], chunkSize: Int = 64, stride: Int = 48,
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 10): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    val units = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("dtoks"))
+      .withColumn("n_tok", size(col("dtoks")).cast("long"))
+      .filter(col("n_tok") > 0)
+      .withColumn("n_chunks",
+        when(col("n_tok") <= chunkSize, lit(1L))
+          .otherwise(lit(1L) +
+            ceil((col("n_tok") - chunkSize) / lit(stride.toDouble)).cast("long")))
+      .select(col("doc_id"), col("dtoks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride + 1).as("tok_start"),
+        slice(col("dtoks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkSize)).as("toks"))
+    topKOverUnits(units, Seq("doc_id", "chunk_id", "tok_start"),
+      queryTerms, k1, b, k)
+  }
+
+  /** Full inverted-index build: (postings, doclens, termdf, one-row
+    * stats). The persist-once surface — postings are (term, doc_id, tf),
+    * built with the canonical explode → aggregate shuffle; df rolls up
+    * from the postings (no second corpus pass). Write postings and df
+    * bucketed by term so query-time access prunes to the query's terms.
+    */
+  def bm25Index(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // one corpus scan, two readers
+    val postings = base
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val doclens = base.select(col("doc_id"), size(col("toks")).as("dl"))
+    val termdf = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")) // postings are (term, doc) grain
+    val stats = doclens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    (postings, doclens, termdf, stats)
+  }
+}

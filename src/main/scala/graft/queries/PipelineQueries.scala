@@ -607,6 +607,61 @@ object PipelineQueries {
              |         % 1000000) / 1000000.0 < r.rate
              |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
 
+    // ---- RAG retrieval pipeline: sliding-window chunking (t19's layout
+    //      contract) feeding BM25 chunk scoring against a query — the
+    //      retrieval half of a RAG data pipeline, end to end. Same
+    //      zero-full-shuffle shape as t22: chunking is a map-side
+    //      explode, tf/df/stats collapse into one global agg, top-k is
+    //      TakeOrderedAndProject ----
+    Q("p02_rag_retrieval",
+      (s, dir) => {
+        graft.operators.Retrieval.bm25TopKChunks(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          queryTerms = Seq("spark", "vector", "merge"),
+          chunkSize = 64, stride = 48, k = 10)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents
+             |), n AS (
+             |  SELECT doc_id, toks, len(toks) AS n_tok,
+             |    CASE WHEN len(toks) = 0 THEN 0
+             |         WHEN len(toks) <= 64 THEN 1
+             |         ELSE 1 + CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT)
+             |    END AS n_chunks
+             |  FROM t
+             |), c AS (
+             |  SELECT doc_id, i AS chunk_id, i*48 + 1 AS tok_start,
+             |    toks[(i*48+1):(i*48+64)] AS ctoks
+             |  FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) g
+             |), u AS (
+             |  SELECT doc_id, chunk_id, tok_start, CAST(len(ctoks) AS DOUBLE) AS dl,
+             |    CAST(len(list_filter(ctoks, x -> x = 'spark')) AS DOUBLE) AS tf_0,
+             |    CAST(len(list_filter(ctoks, x -> x = 'vector')) AS DOUBLE) AS tf_1,
+             |    CAST(len(list_filter(ctoks, x -> x = 'merge')) AS DOUBLE) AS tf_2
+             |  FROM c
+             |), st AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |    sum(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+             |    sum(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1,
+             |    sum(CASE WHEN tf_2 > 0 THEN 1.0 ELSE 0.0 END) AS df_2
+             |  FROM u
+             |), sc AS (
+             |  SELECT doc_id, chunk_id, tok_start, round(
+             |    (CASE WHEN tf_0 > 0 THEN ln(1.0 + (n - df_0 + 0.5) / (df_0 + 0.5))
+             |       * (tf_0 * 2.2) / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             |     ELSE 0.0 END)
+             |    + (CASE WHEN tf_1 > 0 THEN ln(1.0 + (n - df_1 + 0.5) / (df_1 + 0.5))
+             |       * (tf_1 * 2.2) / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             |     ELSE 0.0 END)
+             |    + (CASE WHEN tf_2 > 0 THEN ln(1.0 + (n - df_2 + 0.5) / (df_2 + 0.5))
+             |       * (tf_2 * 2.2) / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             |     ELSE 0.0 END), 4) AS score
+             |  FROM u, st
+             |)
+             |SELECT doc_id, chunk_id, tok_start, score FROM sc WHERE score > 0.0
+             |ORDER BY score DESC, doc_id, chunk_id LIMIT 10""".stripMargin)),
+
     // ---- incremental (batch-over-corpus) dedup: a new ingestion batch
     //      checks its fingerprints against the existing corpus only —
     //      the daily-ingest shape, where the corpus side is a bloom/

@@ -524,7 +524,52 @@ object Text2Queries {
              |s AS (SELECT doc_id, round(sum(lw), 4) AS dsir_w
              |  FROM f JOIN ratio USING (bucket) GROUP BY doc_id)
              |SELECT doc_id, dsir_w FROM s
-             |ORDER BY dsir_w DESC, doc_id LIMIT 100""".stripMargin))
+             |ORDER BY dsir_w DESC, doc_id LIMIT 100""".stripMargin)),
+
+    // ---- BM25 sparse retrieval (Okapi, Lucene idf floor): score the
+    //      corpus against a small query term set, top-10. The Spark plan
+    //      has ZERO full-width shuffles: per-doc tf_i map-side from the
+    //      token array, df/N/avgdl in ONE global map-combinable agg
+    //      (single broadcast row), TakeOrderedAndProject for the top-k.
+    //      All weight-formula inputs are integer-valued doubles (exact
+    //      partial sums), so the oracle matches at round(,4) without any
+    //      summation-order caveat ----
+    Q("t22_bm25",
+      (s, dir) => {
+        graft.operators.Retrieval.bm25TopK(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          queryTerms = Seq("hash", "join", "vector"), k = 10)
+      },
+      Some(s"""WITH base AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents
+             |), u AS (
+             |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             |    CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_0,
+             |    CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf_1,
+             |    CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf_2
+             |  FROM base
+             |), st AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |    sum(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+             |    sum(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1,
+             |    sum(CASE WHEN tf_2 > 0 THEN 1.0 ELSE 0.0 END) AS df_2
+             |  FROM u
+             |), sc AS (
+             |  SELECT doc_id, round(
+             |    (CASE WHEN tf_0 > 0 THEN ln(1.0 + (n - df_0 + 0.5) / (df_0 + 0.5))
+             |       * (tf_0 * 2.2) / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             |     ELSE 0.0 END)
+             |    + (CASE WHEN tf_1 > 0 THEN ln(1.0 + (n - df_1 + 0.5) / (df_1 + 0.5))
+             |       * (tf_1 * 2.2) / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             |     ELSE 0.0 END)
+             |    + (CASE WHEN tf_2 > 0 THEN ln(1.0 + (n - df_2 + 0.5) / (df_2 + 0.5))
+             |       * (tf_2 * 2.2) / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             |     ELSE 0.0 END), 4) AS score
+             |  FROM u, st
+             |)
+             |SELECT doc_id, score FROM sc WHERE score > 0.0
+             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))
   )
 
   /** Per-document add-one-smoothed bigram-LM score (t13's model; see the

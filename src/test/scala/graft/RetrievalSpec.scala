@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Retrieval, TextOps}
+
+/** BM25 retrieval: the index surface and the map-side scoring surface
+  * must agree (same tokenizer, same df/N/avgdl), and the chunk-level
+  * scoring must sit on t19's chunk layout contract. End-to-end score
+  * values are oracled by the t22/p02 gates; these tests pin the
+  * internal consistency that the gates cannot see.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("bm25Index df and stats agree with the scoring path's derivation") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+    val (postings, doclens, termdf, stats) =
+      Retrieval.bm25Index(docs, "doc_id", "text")
+    val row = stats.collect().head
+    assert(row.getLong(0) == docs.count(), "index N != corpus size")
+    // avgdl from the index equals the direct token-length average
+    val direct = docs.select(avg(size(TextOps.tokens($"text"))))
+      .collect().head.getDouble(0)
+    assert(math.abs(row.getDouble(1) - direct) < 1e-9)
+    // per-term df from the rolled-up table equals a direct contains-count
+    for (term <- Seq("hash", "join", "vector")) {
+      val fromIndex = termdf.filter($"term" === term)
+        .collect().headOption.map(_.getLong(1)).getOrElse(0L)
+      val directDf = docs
+        .filter(array_contains(TextOps.tokens($"text"), term)).count()
+      assert(fromIndex == directDf, s"df mismatch for '$term'")
+    }
+    // postings tf sums to the doc length over all terms
+    val tfSum = postings.agg(sum($"tf")).collect().head.getLong(0)
+    val dlSum = doclens.agg(sum($"dl")).collect().head.getLong(0)
+    assert(tfSum == dlSum, "sum(tf) over postings != sum(dl)")
+    spark.catalog.clearCache()
+  }
+
+  test("chunk scoring units align with TextOps.chunk's layout") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents").filter($"doc_id" < 50)
+    val scored = Retrieval.bm25TopKChunks(docs, "doc_id", "text",
+      queryTerms = Seq("table"), k = 10000)
+    val layout = TextOps.chunk(docs, "doc_id", "text", 64, 48)
+      .select($"doc_id", $"chunk_id", $"tok_start".as("expected_start"))
+    // every scored chunk exists in the t19 layout at the same tok_start
+    val mismatched = scored.join(layout, Seq("doc_id", "chunk_id"), "left_outer")
+      .filter($"expected_start".isNull || $"expected_start" =!= $"tok_start")
+    assert(mismatched.isEmpty, "scored chunk ids diverge from chunk layout")
+    spark.catalog.clearCache()
+  }
+}

@@ -296,4 +296,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(kinds.exists(_.contains("TakeOrderedAndProject")), kinds.mkString(","))
     assert(!kinds.exists(_ == "SortExec"), "global sort found for a limit query")
   }
+
+  test("BM25 scoring plans: no corpus-width shuffles, top-k bounded") {
+    // the known-query scoring path must be corpus-scan → map-side score →
+    // TakeOrderedAndProject. The only permitted exchange is the stats
+    // aggregation's SinglePartition collapse, which carries ONE
+    // fixed-width partial row per input partition — corpus-width hash or
+    // range repartitions mean the posting-list shuffle leaked back in
+    for (name <- Seq("t22_bm25", "p02_rag_retrieval")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val wide = collectAll(plan) {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning !=
+              org.apache.spark.sql.catalyst.plans.physical.SinglePartition => e
+      }
+      assert(wide.isEmpty,
+        s"$name must not shuffle corpus-width rows, found: ${wide.mkString(";")}")
+      val kinds = collectAll(plan) { case p => p.nodeName }
+      assert(kinds.exists(_.contains("TakeOrderedAndProject")),
+        s"$name top-k: ${kinds.mkString(",")}")
+      spark.catalog.clearCache() // scoring persists its unit projection
+    }
+  }
 }
