@@ -42,9 +42,11 @@ object Bench {
     "d04_ngram_jaccard", "d05_embedding_nn", "d06_dedup_clusters",
     "d07_dedup_canonical", "d08_simhash_portable",
     "d09_decontaminate", "d10_incremental_dedup", "d11_span_dedup",
-    "d12_span_scrub", "p01_training_pipeline", "p02_rag_retrieval",
+    "d12_span_scrub", "d13_containment",
+    "p01_training_pipeline", "p02_rag_retrieval",
     "s01_ann_bruteforce", "s02_ann_srp_lsh", "s03_ann_ivf",
     "s04_ann_ivf_layout", "s05_semantic_dedup", "s06_embedding_quantize",
+    "s07_hard_negatives",
     "m05_pack_by_size", "m06_sequence_layout",
     "t06_tfidf", "t13_bigram_lm", "t15_domain_mixing", "t16_domain_cap",
     "t17_quality_quantile_gate", "t18_priority_sample", "t19_chunking",

@@ -21,6 +21,7 @@ object GraftFunctions {
     "shingle_hashes" -> { es =>
       HashExprs.ShingleHashes(es.head, es(1).eval().asInstanceOf[Number].intValue()) },
     "sorted_jaccard" -> { es => HashExprs.SortedJaccard(es.head, es(1)) },
+    "sorted_containment" -> { es => HashExprs.SortedContainment(es.head, es(1)) },
     "cms_estimate" -> { es => SketchExprs.CmsEstimate(es.head, es(1)) },
     "cosine_sim" -> { es => HashExprs.CosineSim(es.head, es(1)) },
     "minhash_set_agg" -> { es =>

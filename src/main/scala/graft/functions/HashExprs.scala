@@ -287,6 +287,43 @@ object HashExprs {
     inter.toDouble / (na + nb - inter)
   }
 
+  /** Asymmetric set containment |A∩B| / |A| over two SORTED distinct
+    * hash arrays — same merge loop as [[SortedJaccard]], normalized by
+    * the LEFT set only. Catches subset duplication (a short doc quoted
+    * whole inside a long one) that symmetric Jaccard dilutes: A⊂B gives
+    * containment(A,B)=1 while jaccard = |A|/|B| can be arbitrarily small.
+    */
+  case class SortedContainment(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "sorted_containment"
+
+    protected override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Double.valueOf(sortedContainmentEval(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.HashExprs.sortedContainmentEval($a, $b)")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedContainment =
+      copy(left = l, right = r)
+  }
+
+  /** Codegen entry point for [[SortedContainment]]. */
+  def sortedContainmentEval(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / na
+  }
+
   /** Group-level MinHash sketch as a `TypedImperativeAggregate` (SURVEY
     * §7.3 stretch item): aggregates any column into a k-entry signature of
     * the group's value SET; the fraction of equal signature entries
@@ -365,6 +402,9 @@ object HashExprs {
 
   def sorted_jaccard(a: Column, b: Column): Column =
     Bridge.column(SortedJaccard(Bridge.expression(a), Bridge.expression(b)))
+
+  def sorted_containment(a: Column, b: Column): Column =
+    Bridge.column(SortedContainment(Bridge.expression(a), Bridge.expression(b)))
 
   def minhash_sig(hashes: Column, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(hashes), k))

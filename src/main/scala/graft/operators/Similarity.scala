@@ -51,6 +51,30 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training (DPR/E5-style): for
+    * each query, the top-k corpus vectors whose cosine falls in the
+    * semi-hard band [lo, hi) — similar enough to be informative
+    * negatives, strictly below the positive/near-duplicate ceiling.
+    * Same shape as [[bruteForceTopK]]: queries broadcast, band filter
+    * prunes candidates map-side, the bounded heap leaves ≤k rows per
+    * query before the exchange. The corpus side never shuffles; for
+    * corpora where even one scan per mining run is too hot, feed the
+    * candidate stream from [[ivfTopKFromLayout]]'s probed cells instead.
+    */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      lo: Double, hi: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(lo < hi, s"empty band [$lo, $hi)")
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+    val c = corpus.select(col(idCol).as("n_id"), col(embCol).as("n_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 5))
+      .filter(col("cos") >= lo && col("cos") < hi)
+    topKPerQuery(scored, k)
+  }
+
   /** Deterministic random hyperplanes: `nBits` × `dim`, components from
     * a seeded PRNG (public SRP-LSH construction). */
   def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {

@@ -352,6 +352,37 @@ object PipelineQueries {
              |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) >= 0.25
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // asymmetric shingle containment |A∩B|/|A| (Lee et al.'s subset-dup
+    // signal): a short doc quoted whole inside a long one scores
+    // containment 1.0 while its Jaccard |A|/|B| can sit below any d04
+    // threshold. DIRECTED pairs over the same bounded verifier block;
+    // the scale path is unchanged — d02's band buckets propose, this
+    // codegen'd sorted-merge expression verifies
+    Q("d13_containment",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.HashExprs
+        val sh = Tables(s, dir, "documents").filter($"doc_id" < 200)
+          .select($"doc_id", HashExprs.shingle_hashes($"text", 3).as("sh"))
+        val a = sh.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+        val b = sh.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+        a.join(b, $"id_a" =!= $"id_b")
+          .withColumn("containment",
+            round(HashExprs.sorted_containment($"sh_a", $"sh_b"), 3))
+          .filter($"containment" >= 0.5)
+          .select($"id_a", $"id_b", $"containment")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents
+             |            WHERE doc_id < 200)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 3)
+             |    AS containment
+             |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+             |WHERE len(a.sh) > 0
+             |  AND round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 3) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("d05_embedding_nn",
       (s, dir) => {
         import s.implicits._
@@ -404,6 +435,37 @@ object PipelineQueries {
              |FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
              |WHERE q.vec_id < 10
              |QUALIFY rn <= 5
+             |ORDER BY q_id, rn""".stripMargin)),
+
+    // hard-negative mining (contrastive-training data prep): top-k
+    // neighbors inside the semi-hard cosine band [0.15, 0.30) — strong
+    // enough to be informative negatives, below the near-dup/positive
+    // ceiling (s01's top hits run ~0.30-0.37 on this corpus). Broadcast
+    // queries + map-side band filter + bounded heap: the corpus never
+    // shuffles, ≤k rows per query leave each partition
+    Q("s07_hard_negatives",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.hardNegatives(emb, emb.filter($"vec_id" < 10), k = 5,
+            lo = 0.15, hi = 0.30)
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some("""SELECT q_id, n_id, cos, rn FROM (
+             |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+             |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                                 CAST(e.embedding AS DOUBLE[])), 5) AS cos,
+             |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                                   CAST(e.embedding AS DOUBLE[])), 5) DESC,
+             |      e.vec_id) AS rn
+             |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+             |  WHERE q.vec_id < 10
+             |    AND round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                                     CAST(e.embedding AS DOUBLE[])), 5) >= 0.15
+             |    AND round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                                     CAST(e.embedding AS DOUBLE[])), 5) < 0.30)
+             |WHERE rn <= 5
              |ORDER BY q_id, rn""".stripMargin)),
 
     // IVF ANN: Voronoi cells around every-25th vector, probe the 2 nearest

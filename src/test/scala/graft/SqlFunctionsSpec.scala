@@ -13,12 +13,15 @@ class SqlFunctionsSpec extends AnyFunSuite {
     val row = spark.sql(
       """SELECT
         |  sorted_jaccard(shingle_hashes(text, 3), shingle_hashes(text, 3)) AS self_j,
+        |  sorted_containment(slice(shingle_hashes(text, 3), 1, 5),
+        |                     shingle_hashes(text, 3)) AS subset_c,
         |  simhash64(transform(split(text, ' '), t -> xxhash64(t))) AS sig,
         |  size(minhash_sig(shingle_hashes(text, 3), 32)) AS k
         |FROM documents LIMIT 1""".stripMargin).collect().head
     assert(row.getDouble(0) == 1.0)
-    assert(row.getLong(1) != 0L)
-    assert(row.getInt(2) == 32)
+    assert(row.getDouble(1) == 1.0) // a sorted subarray is a contained set
+    assert(row.getLong(2) != 0L)
+    assert(row.getInt(3) == 32)
   }
 
   test("minhash_set_agg works in SQL group-by") {
