@@ -55,7 +55,7 @@ object Bench {
     "sq01_sql_region_revenue", "sq02_sql_correlated", "sq03_sql_cte_window",
     "st01_stream_hourly", "st03_stream_join", "st07_stream_join_outer",
     "st09_stream_latest", "st10_stream_type_counts",
-    "st11_stream_near_dedup")
+    "st11_stream_near_dedup", "st12_stream_asof")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

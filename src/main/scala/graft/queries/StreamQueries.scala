@@ -319,6 +319,41 @@ object StreamQueries {
              |       FROM ch JOIN bm USING (bk) GROUP BY ch.doc_id)
              |SELECT doc_id, mnb < doc_id AS is_dup,
              |  least(mnb, doc_id) AS canonical
-             |FROM pd ORDER BY doc_id""".stripMargin))
+             |FROM pd ORDER BY doc_id""".stripMargin)),
+
+    // ---- streaming as-of: each purchase enriched with the latest click
+    //      at-or-before it, per user — the incremental shape of the
+    //      native batch as-of (q74, same oracle). Right-side history is
+    //      an append-only ListState[Long] per user; single-file replay
+    //      processes rows in timestamp order, so the state-driven match
+    //      equals DuckDB's batch ASOF JOIN exactly ----
+    Q("st12_stream_asof",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val ev = StreamOps.readEvents(s, dir)
+          val p = ev.filter($"event_type" === "purchase")
+            .select($"event_id", $"user_id", unix_micros($"ts").as("us"))
+          val c = ev.filter($"event_type" === "click")
+            .select($"user_id", unix_micros($"ts").as("us"))
+          val joined = StreamOps.streamAsof(p, c)
+          StreamOps.runToMemory(s, joined.toDF(), "st12_out", OutputMode.Append())
+            .select($"event_id", $"user_id", $"p_us", $"c_us")
+            .orderBy($"event_id")
+        } finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
+             |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY event_id""".stripMargin))
   )
 }

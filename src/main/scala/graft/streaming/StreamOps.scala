@@ -206,6 +206,99 @@ object StreamOps {
         implicitly[org.apache.spark.sql.Encoder[BucketMin]])
   }
 
+  final case class AsofEv(user_id: Long, us: Long, is_right: Boolean, event_id: Long)
+  final case class AsofMatch(event_id: Long, user_id: Long, p_us: Long, c_us: Long)
+
+  /** Streaming as-of join: each left row matches the LATEST right row
+    * with the same key and timestamp at-or-before its own — the
+    * incremental shape of the native batch as-of ([[graft.plans.AsOf]]),
+    * for "enrich each trade with the prevailing quote" pipelines where
+    * the right side is a slowly-updating reference stream.
+    *
+    * State per key is the right-side timestamp history in a RocksDB
+    * `ListState[Long]`: a batch APPENDS its right rows (no rewrite) and
+    * reads the history once per touched key, so per-batch cost is
+    * O(history read + batch log-inserts), never a stream-stream join
+    * whose state retains full rows of BOTH sides. Within a batch rows
+    * process in timestamp order (rights before lefts on ties, matching
+    * the >= contract); a late LEFT row still matches exactly (history is
+    * complete), a late RIGHT row matches only future lefts — the
+    * streaming as-of tradeoff, bounded in production by a TTL/watermark
+    * on the reference stream's lateness.
+    */
+  class StreamAsofProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, AsofEv, AsofMatch] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+    @transient private var rights: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      rights = getHandle.getListState[Long]("rights",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[AsofEv],
+        tv: TimerValues): Iterator[AsofMatch] = {
+      // history as a sorted primitive array (appended per-batch in event
+      // order, so cross-batch late rights are the only disorder — sort
+      // is O(n) on nearly-sorted input with java.util.Arrays.sort's
+      // TimSort-for-objects... primitives use dual-pivot; still cheap)
+      val hist0 = {
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        rights.get().foreach(b += _)
+        b.result()
+      }
+      java.util.Arrays.sort(hist0)
+      // rights first on timestamp ties: the as-of contract is >=
+      val batch = rows.toArray
+      scala.util.Sorting.stableSort(batch,
+        (a: AsofEv, b: AsofEv) =>
+          a.us < b.us || (a.us == b.us && a.is_right && !b.is_right))
+      var hist = java.util.Arrays.copyOf(hist0, hist0.length + batch.count(_.is_right))
+      var n = hist0.length
+      val out = scala.collection.mutable.ArrayBuffer.empty[AsofMatch]
+      val newRights = new scala.collection.mutable.ArrayBuilder.ofLong
+      batch.foreach { e =>
+        if (e.is_right) {
+          // insert keeping sorted: find insertion point from the end
+          // (in-order arrivals append in O(1))
+          var i = n
+          while (i > 0 && hist(i - 1) > e.us) { hist(i) = hist(i - 1); i -= 1 }
+          hist(i) = e.us
+          n += 1
+          newRights += e.us
+        } else {
+          // greatest right ts <= e.us via binary search over hist[0, n)
+          var lo = 0; var hi = n
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (hist(mid) <= e.us) lo = mid + 1 else hi = mid
+          }
+          if (lo > 0) out += AsofMatch(e.event_id, key, e.us, hist(lo - 1))
+        }
+      }
+      val nr = newRights.result()
+      if (nr.nonEmpty) rights.appendList(nr)
+      out.iterator
+    }
+  }
+
+  /** See [[StreamAsofProcessor]]. `left` needs (event_id, user_id, us);
+    * `right` needs (user_id, us). Inner semantics: unmatched lefts drop.
+    */
+  def streamAsof(left: DataFrame, right: DataFrame): Dataset[AsofMatch] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val tagged = left
+      .select(col("user_id"), col("us"), lit(false).as("is_right"), col("event_id"))
+      .unionByName(right.select(col("user_id"), col("us"),
+        lit(true).as("is_right"), lit(-1L).as("event_id")))
+      .as[AsofEv]
+    tagged.groupByKey(_.user_id)
+      .transformWithState(new StreamAsofProcessor,
+        TimeMode.None(), OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[AsofMatch]])
+  }
+
   /** Stateful sessionization: gap > `gapSec` starts a new session. Emits
     * every session of the batch (single-batch file input ⇒ complete,
     * deterministic output identical to the batch window-function

@@ -192,4 +192,51 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming as-of matches lefts against right history from prior batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // (user_id, us, is_right, event_id) fed pre-tagged through one stream
+    val ms = MemoryStream[(Long, Long, Boolean, Long)]
+    val left = ms.toDF()
+      .filter(!$"_3")
+      .select($"_4".as("event_id"), $"_1".as("user_id"), $"_2".as("us"))
+    val right = ms.toDF()
+      .filter($"_3")
+      .select($"_1".as("user_id"), $"_2".as("us"))
+    val q = StreamOps.streamAsof(left, right).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_inc_test").start()
+    try {
+      // batch 1: rights only — nothing emits yet
+      ms.addData((1L, 100L, true, -1L), (1L, 300L, true, -1L), (2L, 50L, true, -1L))
+      q.processAllAvailable()
+      assert(spark.table("asof_inc_test").count() == 0)
+      // batch 2: lefts must match the PRIOR batch's history (including a
+      // tie at us=300 → >= contract), plus an in-batch newer right that
+      // must win over the stored 100/300 for the later left
+      ms.addData((1L, 300L, false, 10L), (1L, 500L, true, -1L),
+        (1L, 600L, false, 11L), (2L, 40L, false, 12L))
+      q.processAllAvailable()
+      val rows = spark.table("asof_inc_test")
+        .select($"event_id", $"user_id", $"p_us", $"c_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSet == Set(
+        (10L, 1L, 300L, 300L), // tie matches (>=)
+        (11L, 1L, 600L, 500L)), // in-batch right beats stored history
+        rows.mkString(", "))
+      // user 2's left at 40 predates its only right (50): inner-dropped
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
