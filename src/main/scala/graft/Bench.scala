@@ -46,7 +46,7 @@ object Bench {
     "p01_training_pipeline", "p02_rag_retrieval",
     "s01_ann_bruteforce", "s02_ann_srp_lsh", "s03_ann_ivf",
     "s04_ann_ivf_layout", "s05_semantic_dedup", "s06_embedding_quantize",
-    "s07_hard_negatives",
+    "s07_hard_negatives", "s08_ann_ivf_append",
     "m05_pack_by_size", "m06_sequence_layout",
     "t06_tfidf", "t13_bigram_lm", "t15_domain_mixing", "t16_domain_cap",
     "t17_quality_quantile_gate", "t18_priority_sample", "t19_chunking",

@@ -256,6 +256,63 @@ object Similarity {
     ivfRank(layout, ivfProbe(queries, cent, nProbe, idCol, embCol), k)
   }
 
+  /** Incremental index maintenance: assign a NEW batch of vectors to the
+    * layout's OWN centroid table and append it into the cell partitions —
+    * the daily-ingest path, which never reads the existing corpus (cost =
+    * one pass over the batch + a broadcast of kB-sized centroids). Cell
+    * geometry is frozen at build time, the standard IVF contract: recall
+    * drifts only as the ingested distribution drifts from the build-time
+    * one, and a rebuild (or centroid re-train) resets it.
+    *
+    * Crash safety / identity: the layout's `_graft_ident` is DELETED
+    * before the append and rewritten extended (`+append=<batch plan
+    * hash>`) after it commits — a crash mid-append leaves no ident, so
+    * the next [[ivfBuildLayout]] rebuilds instead of silently probing a
+    * half-appended layout; a later build call keyed to the ORIGINAL
+    * corpus also mismatches the extended ident and rebuilds, which is
+    * the conservative correct answer once the layout holds extra rows.
+    */
+  def ivfAppendToLayout(
+      newVecs: DataFrame, layoutDir: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val spark = newVecs.sparkSession
+    val path = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
+    require(fs.exists(identPath),
+      s"no valid IVF layout at $layoutDir (build before appending)")
+    val ident = {
+      val in = fs.open(identPath)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val newIdent =
+      s"$ident +append=${newVecs.queryExecution.analyzed.semanticHash()}"
+    fs.delete(identPath, false)
+    val cent = spark.read.parquet(s"$layoutDir/_centroids")
+    ivfAssign(newVecs, cent, idCol, embCol)
+      .write.mode("append").partitionBy("c_id").parquet(layoutDir)
+    val out = fs.create(identPath, true)
+    try out.write(newIdent.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Pure serving-path probe of an existing layout: no corpus argument at
+    * all — reads the layout's centroid table plus the probed cells'
+    * partitions and nothing else. Throws if the layout is absent or was
+    * left without a valid ident (crashed build/append).
+    */
+  def ivfTopKServing(
+      spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+      k: Int, nProbe: Int, layoutDir: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new org.apache.hadoop.fs.Path(path, "_graft_ident")),
+      s"no valid IVF layout at $layoutDir")
+    val cent = spark.read.parquet(s"$layoutDir/_centroids")
+    val layout = spark.read.parquet(layoutDir)
+    ivfRank(layout, ivfProbe(queries, cent, nProbe, idCol, embCol), k)
+  }
+
   /** Lloyd-refined IVF centroids: start from the deterministic modulo
     * subset (same init as [[ivfCentroids]]), then run `iters` k-means
     * iterations as DataFrame jobs — assign every vector to its nearest
