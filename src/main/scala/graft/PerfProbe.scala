@@ -132,7 +132,67 @@ object PerfProbe {
     val ccSec = (System.nanoTime() - t0) / 1e9
     require(nComponents == 120, s"expected 120 components, got $nComponents")
 
-    val results = Seq(asofNative, asofWindow, intNative, intTheta)
+    // ---- BM25 known-query scoring: the map-side design (per-doc tf from
+    //      the token array, df/N/avgdl in one global agg, heap top-k —
+    //      zero corpus-width shuffles) vs routing the same query through
+    //      a full posting-list index build (the only alternative when no
+    //      persisted index exists): explode 40M tokens, (term, doc)
+    //      aggregation, then score. Same result set asserted.
+    val vocabArr = array((1 to 1000).map(i => lit(s"w$i")): _*)
+    val probeDocs = spark.range(200000L).select($"id",
+      concat_ws(" ", transform(sequence(lit(1), lit(200)),
+        i => element_at(vocabArr,
+          (pmod(xxhash64($"id" * 1000L + i.cast("long")), lit(1000)) + 1)
+            .cast("int")))).as("text"))
+    val probeTerms = Seq("w1", "w2", "w3")
+    val bmMapSide = time2("bm25_mapside_scoring") {
+      graft.operators.Retrieval.bm25TopK(probeDocs, "id", "text",
+        probeTerms, k = 10)
+    }
+    spark.catalog.clearCache()
+    val bmViaIndex = time2("bm25_via_index_build") {
+      val (postings, doclens, termdf, stats) =
+        graft.operators.Retrieval.bm25Index(probeDocs, "id", "text")
+      val scored = postings.filter($"term".isin(probeTerms: _*))
+        .join(broadcast(termdf.filter($"term".isin(probeTerms: _*))), "term")
+        .join(doclens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("w",
+          log(lit(1.0) + ($"n" - $"df" + 0.5) / ($"df" + 0.5)) *
+            ($"tf" * 2.2) /
+            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+        .groupBy($"doc_id").agg(round(sum($"w"), 4).as("score"))
+      scored.orderBy($"score".desc, $"doc_id").limit(10)
+        .select($"doc_id".as("doc_id"), $"score")
+    }
+    spark.catalog.clearCache()
+    // same retrieved set (ids, not scores: the index route's groupBy sums
+    // term weights in partial-agg order, which can flip a 4th decimal)
+    val bmIdsA = graft.operators.Retrieval.bm25TopK(
+        probeDocs, "id", "text", probeTerms, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    spark.catalog.clearCache()
+    val bmIdsB = {
+      val (postings, doclens, termdf, stats) =
+        graft.operators.Retrieval.bm25Index(probeDocs, "id", "text")
+      postings.filter($"term".isin(probeTerms: _*))
+        .join(broadcast(termdf.filter($"term".isin(probeTerms: _*))), "term")
+        .join(doclens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("w",
+          log(lit(1.0) + ($"n" - $"df" + 0.5) / ($"df" + 0.5)) *
+            ($"tf" * 2.2) /
+            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+        .groupBy($"doc_id").agg(round(sum($"w"), 4).as("score"))
+        .orderBy($"score".desc, $"doc_id").limit(10)
+        .collect().map(_.getLong(0)).toSet
+    }
+    spark.catalog.clearCache()
+    require(bmIdsA == bmIdsB,
+      s"BM25 variants disagree: ${bmIdsA.diff(bmIdsB)} vs ${bmIdsB.diff(bmIdsA)}")
+
+    val results = Seq(asofNative, asofWindow, intNative, intTheta,
+      bmMapSide, bmViaIndex)
     require(asofNative._3 == asofWindow._3,
       s"as-of row mismatch: native ${asofNative._3} vs window ${asofWindow._3}")
     require(intNative._3 == intTheta._3,
@@ -169,6 +229,15 @@ object PerfProbe {
       |
       |As-of speedup native/window: ${asofWindow._2 / asofNative._2}%.2fx.
       |Interval speedup native/theta: ${intTheta._2 / intNative._2}%.2fx.
+      |
+      |BM25 known-query scoring (200k docs x 200 tokens, 3 query terms):
+      |map-side design ${bmMapSide._2}%.2fs vs full index-build route
+      |${bmViaIndex._2}%.2fs (${bmViaIndex._2 / bmMapSide._2}%.2fx). The
+      |map-side path computes per-doc tf from the token array and collapses
+      |df/N/avgdl into ONE global aggregation (a broadcast row), so the 40M
+      |exploded tokens and their (term, doc) shuffle never exist; the index
+      |route is what a per-query scan of a PERSISTED index avoids at
+      |serving time — build it once, not per query.
       |
       |Why the gap grows with scale: the window encoding pays one
       |`last(ignoreNulls)` running aggregate per carried right column over
