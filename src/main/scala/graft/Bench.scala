@@ -37,6 +37,7 @@ object Bench {
     "q80_volume_shipping", "q81_important_stock",
     "q82_cms_heavy_hitters", "q84_fuzzy_match", "q89_hll_sketch_merge",
     "q92_bloom_prune", "q93_jaro_winkler", "q94_variant_json",
+    "q97_column_stats",
     // dedup / similarity / text pipeline
     "d01_dedup_exact", "d02_minhash_lsh", "d03_simhash_pairs",
     "d04_ngram_jaccard", "d05_embedding_nn", "d06_dedup_clusters",
