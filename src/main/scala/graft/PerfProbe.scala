@@ -39,8 +39,13 @@ object PerfProbe {
     var rows = 0L
     for (_ <- 1 to 2) {
       val t0 = System.nanoTime()
-      rows = build.count()
+      val df = build
+      rows = df.count()
       best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      // internally-persisting pipelines (the BM25 variants) must not hand
+      // rep 2 a CacheManager hit — the min would measure a cache lookup,
+      // not the plan (same per-rep discipline as Bench.scala)
+      df.sparkSession.catalog.clearCache()
     }
     (label, best, rows)
   }
@@ -145,34 +150,10 @@ object PerfProbe {
           (pmod(xxhash64($"id" * 1000L + i.cast("long")), lit(1000)) + 1)
             .cast("int")))).as("text"))
     val probeTerms = Seq("w1", "w2", "w3")
-    val bmMapSide = time2("bm25_mapside_scoring") {
+    def bmMapSideTopK(): DataFrame =
       graft.operators.Retrieval.bm25TopK(probeDocs, "id", "text",
         probeTerms, k = 10)
-    }
-    spark.catalog.clearCache()
-    val bmViaIndex = time2("bm25_via_index_build") {
-      val (postings, doclens, termdf, stats) =
-        graft.operators.Retrieval.bm25Index(probeDocs, "id", "text")
-      val scored = postings.filter($"term".isin(probeTerms: _*))
-        .join(broadcast(termdf.filter($"term".isin(probeTerms: _*))), "term")
-        .join(doclens, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("w",
-          log(lit(1.0) + ($"n" - $"df" + 0.5) / ($"df" + 0.5)) *
-            ($"tf" * 2.2) /
-            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
-        .groupBy($"doc_id").agg(round(sum($"w"), 4).as("score"))
-      scored.orderBy($"score".desc, $"doc_id").limit(10)
-        .select($"doc_id".as("doc_id"), $"score")
-    }
-    spark.catalog.clearCache()
-    // same retrieved set (ids, not scores: the index route's groupBy sums
-    // term weights in partial-agg order, which can flip a 4th decimal)
-    val bmIdsA = graft.operators.Retrieval.bm25TopK(
-        probeDocs, "id", "text", probeTerms, k = 10)
-      .collect().map(_.getLong(0)).toSet
-    spark.catalog.clearCache()
-    val bmIdsB = {
+    def bmIndexRouteTopK(): DataFrame = {
       val (postings, doclens, termdf, stats) =
         graft.operators.Retrieval.bm25Index(probeDocs, "id", "text")
       postings.filter($"term".isin(probeTerms: _*))
@@ -185,8 +166,15 @@ object PerfProbe {
             ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
         .groupBy($"doc_id").agg(round(sum($"w"), 4).as("score"))
         .orderBy($"score".desc, $"doc_id").limit(10)
-        .collect().map(_.getLong(0)).toSet
+        .select($"doc_id", $"score")
     }
+    val bmMapSide = time2("bm25_mapside_scoring")(bmMapSideTopK())
+    val bmViaIndex = time2("bm25_via_index_build")(bmIndexRouteTopK())
+    // same retrieved set (ids, not scores: the index route's groupBy sums
+    // term weights in partial-agg order, which can flip a 4th decimal)
+    val bmIdsA = bmMapSideTopK().collect().map(_.getLong(0)).toSet
+    spark.catalog.clearCache()
+    val bmIdsB = bmIndexRouteTopK().collect().map(_.getLong(0)).toSet
     spark.catalog.clearCache()
     require(bmIdsA == bmIdsB,
       s"BM25 variants disagree: ${bmIdsA.diff(bmIdsB)} vs ${bmIdsB.diff(bmIdsA)}")

@@ -138,12 +138,16 @@ object SourceQueries {
              |FROM orders""".stripMargin)),
 
     // ANALYZE-style one-pass column statistics — the ndv/null/min/max
-    // profile a cost-based optimizer or catalog keeps per column,
-    // computed for four columns in a SINGLE aggregation over ONE scan
-    // (every stat is a partial-aggregatable expression, so 100 TB costs
-    // one map-side-combining pass; the scale swap for exact ndv is
-    // approx_count_distinct or the q89 HLL sketch column, same plan
-    // shape). The wide 1-row agg unpivots to one row per column
+    // profile a cost-based optimizer or catalog keeps per column, four
+    // columns in a SINGLE aggregation over ONE scan. Scale shape, stated
+    // honestly: count/null/min/max partial-aggregate map-side, but the
+    // four EXACT countDistinct force RewriteDistinctAggregates' Expand
+    // (4x the scanned rows) plus a corpus-grain shuffle of the distinct
+    // values — exact ndv is NOT count-class. The 100 TB profile swaps
+    // approx_count_distinct (or the q89 HLL sketch column) in, which
+    // restores the one-pass map-combining plan; the gate keeps exact ndv
+    // because the oracle must hash-match. The wide 1-row agg unpivots to
+    // one row per column
     Q("q97_column_stats",
       (s, dir) => {
         import s.implicits._
