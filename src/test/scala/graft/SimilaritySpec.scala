@@ -115,4 +115,29 @@ class SimilaritySpec extends AnyFunSuite {
       "modulo-cell build silently reused the trained-cell layout")
     corpus.unpersist()
   }
+
+  test("hard negatives stay inside the band and equal band-filtered brute force") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val (lo, hi) = (0.10, 0.35)
+    val got = Similarity.hardNegatives(emb, q, k = 3, lo = lo, hi = hi)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty, "band produced no negatives — test band too narrow")
+    got.foreach { case (_, _, cos, _) =>
+      assert(cos >= lo && cos < hi, s"cosine $cos escaped [$lo, $hi)")
+    }
+    // reference: brute-force top-k over the SAME rounded cosine, band-
+    // filtered, ranked identically — the heap path must agree exactly
+    val ref = Similarity.bruteForceTopK(emb, q, k = emb.count().toInt)
+      .filter(col("cos") >= lo && col("cos") < hi)
+      .withColumn("rn2", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rn2") <= 3)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rn2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3).toLong))
+    assert(got.toSet == ref.toSet,
+      s"band heap diverges from brute force: ${got.toSet.diff(ref.toSet)}")
+  }
 }
