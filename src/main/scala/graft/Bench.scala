@@ -48,7 +48,7 @@ object Bench {
     "s01_ann_bruteforce", "s02_ann_srp_lsh", "s03_ann_ivf",
     "s04_ann_ivf_layout", "s05_semantic_dedup", "s06_embedding_quantize",
     "s07_hard_negatives", "s08_ann_ivf_append",
-    "m05_pack_by_size", "m06_sequence_layout",
+    "m05_pack_by_size", "m06_sequence_layout", "m07_shard_export",
     "t06_tfidf", "t13_bigram_lm", "t15_domain_mixing", "t16_domain_cap",
     "t17_quality_quantile_gate", "t18_priority_sample", "t19_chunking",
     "t20_perplexity_buckets", "t21_dsir_selection", "t22_bm25",

@@ -152,6 +152,68 @@ object Multimodal {
       .drop("_pid", "_cum", "_off", "_start")
   }
 
+  /** WebDataset-style shard export: pack samples into contiguous
+    * size-budgeted shards ([[packBySize]] semantics — next-fit over the
+    * id-ordered byte stream), write each shard as ONE binary file
+    * (`shard-<id>.bin`, payloads concatenated in sample-id order), and
+    * return the manifest (shard_id, n_samples, bytes, first_id,
+    * last_id) a training loader reads instead of listing files.
+    *
+    * Scale shape: the repartition on shard id puts every shard's rows in
+    * one task, `sortWithinPartitions` restores id order, and a single
+    * `mapPartitions` pass streams payloads straight to the filesystem
+    * while accumulating the manifest rows — the payload bytes are never
+    * buffered beyond one row, never collected, and written exactly once
+    * (the manifest is localCheckpointed so re-reading it cannot re-run
+    * the write). Files are created with overwrite, so a task retry is
+    * idempotent; the output dir is cleared first, so stale shards from a
+    * previous layout cannot survive into the new manifest's read-back.
+    */
+  def writeShards(
+      samples: DataFrame, idCol: String, payloadCol: String,
+      budgetBytes: Long, outDir: String): DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(outPath)) fs.delete(outPath, true)
+    fs.mkdirs(outPath)
+    val sized = samples.select(col(idCol).as("sid"), col(payloadCol).as("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+    packBySize(sized, "sid", "n_bytes", budgetBytes)
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("sid"))
+      .select(col("bucket"), col("sid"), col("payload"), col("n_bytes"))
+      .as[(Long, Long, Array[Byte], Long)]
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+        var cur = Long.MinValue
+        var os: org.apache.hadoop.fs.FSDataOutputStream = null
+        var n = 0L; var b = 0L; var first = 0L; var last = 0L
+        def roll(): Unit = if (os != null) {
+          os.close(); os = null
+          res += ((cur, n, b, first, last))
+        }
+        it.foreach { case (bucket, sid, payload, nb) =>
+          if (bucket != cur) {
+            roll()
+            cur = bucket; n = 0L; b = 0L; first = sid
+            val p = new org.apache.hadoop.fs.Path(s"$outDir/shard-$bucket.bin")
+            os = p.getFileSystem(conf).create(p, true)
+          }
+          os.write(payload)
+          n += 1L; b += nb; last = sid
+        }
+        roll()
+        res.iterator
+      }
+      .toDF("shard_id", "n_samples", "bytes", "first_id", "last_id")
+      // pin results AND the side effect: consumers re-reading the
+      // manifest must not re-trigger the file writes
+      .localCheckpoint()
+  }
+
   def packBySize(
       df: DataFrame, idCol: String, bytesCol: String,
       budgetBytes: Long): DataFrame = {

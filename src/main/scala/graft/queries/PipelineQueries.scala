@@ -1009,6 +1009,44 @@ object PipelineQueries {
              |  true AS within_budget
              |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // WebDataset-style shard export: m05's contiguous packing MATERIALIZED
+    // — each shard written as one binary file (payloads concatenated in
+    // id order) plus the manifest a training loader consumes. disk_match
+    // folds the read-back check (manifest bytes == bytes on disk, via the
+    // binaryFile source's length column — content never read) into a
+    // boolean the oracle asserts true, so a write/concat bug breaks the
+    // gate hash
+    Q("m07_shard_export",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val outDir = graft.Scratch.dir(s"graft_shards_$key")
+        val media = Multimodal.fabricate(Tables(s, dir, "documents"))
+        val manifest = Multimodal.writeShards(
+          media, "media_id", "content", budgetBytes = 65536L, outDir = outDir)
+        val onDisk = s.read.format("binaryFile").load(s"$outDir/shard-*.bin")
+          .select(
+            regexp_extract(input_file_name(), "shard-(\\d+)\\.bin", 1)
+              .cast("long").as("shard_id"),
+            col("length"))
+        manifest.join(onDisk, Seq("shard_id"), "left_outer")
+          .select($"shard_id", $"n_samples", $"bytes", $"first_id", $"last_id",
+            ($"length".isNotNull && $"length" === $"bytes").as("disk_match"))
+          .orderBy($"shard_id")
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |    8 + octet_length(encode(text))::BIGINT AS n_bytes FROM documents),
+             |c AS (SELECT doc_id, n_bytes,
+             |    sum(n_bytes) OVER (ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum FROM s)
+             |SELECT CAST((cum - n_bytes) // 65536 AS BIGINT) AS shard_id,
+             |  count(*) AS n_samples,
+             |  CAST(sum(n_bytes) AS BIGINT) AS bytes,
+             |  min(doc_id) AS first_id, max(doc_id) AS last_id,
+             |  true AS disk_match
+             |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin)),
+
     // GPT-style sequence layout: concatenate docs in id order, cut every
     // 512 tokens; each doc's (seq_id, offset) start position plus
     // whether it straddles a cut — the pretraining packing shape, where
