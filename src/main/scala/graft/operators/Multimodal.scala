@@ -163,55 +163,87 @@ object Multimodal {
     * one task, `sortWithinPartitions` restores id order, and a single
     * `mapPartitions` pass streams payloads straight to the filesystem
     * while accumulating the manifest rows — the payload bytes are never
-    * buffered beyond one row, never collected, and written exactly once
-    * (the manifest is localCheckpointed so re-reading it cannot re-run
-    * the write). Files are created with overwrite, so a task retry is
-    * idempotent; the output dir is cleared first, so stale shards from a
-    * previous layout cannot survive into the new manifest's read-back.
+    * buffered beyond one row and never reach the driver (only the
+    * metadata-sized manifest does, which also runs the write exactly
+    * once). Each shard streams to an attempt-unique temp file renamed
+    * into place on completion, so duplicate task attempts (speculation,
+    * zombies) cannot interleave bytes; the output dir is cleared first,
+    * so stale shards from a previous layout cannot survive into the new
+    * manifest's read-back.
     */
   def writeShards(
       samples: DataFrame, idCol: String, payloadCol: String,
       budgetBytes: Long, outDir: String): DataFrame = {
     val spark = samples.sparkSession
     import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val driverConf = spark.sessionState.newHadoopConf()
     val outPath = new org.apache.hadoop.fs.Path(outDir)
-    val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = outPath.getFileSystem(driverConf)
     if (fs.exists(outPath)) fs.delete(outPath, true)
     fs.mkdirs(outPath)
-    val sized = samples.select(col(idCol).as("sid"), col(payloadCol).as("payload"))
+    // executors must resolve the SAME filesystem/credentials the driver
+    // just used (s3a keys, fs.defaultFS, ...): ship the session Hadoop
+    // conf as a plain map — a bare `new Configuration()` on the executor
+    // sees only classpath defaults
+    val confMap: Map[String, String] =
+      driverConf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+    // bytes of the ENCODED payload: cast to binary first so a string
+    // column measures UTF-8 bytes, not characters — length(string) would
+    // make the budget math and manifest offsets wrong for non-ASCII text
+    val sized = samples.select(col(idCol).as("sid"),
+        col(payloadCol).cast("binary").as("payload"))
       .withColumn("n_bytes", length(col("payload")).cast("long"))
-    packBySize(sized, "sid", "n_bytes", budgetBytes)
+    val manifestRows = packBySize(sized, "sid", "n_bytes", budgetBytes)
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("sid"))
       .select(col("bucket"), col("sid"), col("payload"), col("n_bytes"))
       .as[(Long, Long, Array[Byte], Long)]
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confMap.foreach { case (k, v) => conf.set(k, v) }
+        // write each shard to an attempt-unique temp name and rename into
+        // place on completion: a speculative or zombie duplicate attempt
+        // streams into ITS OWN temp file, so the final rename always
+        // installs one attempt's complete bytes, never an interleaving.
+        // (Rename is atomic on HDFS/local; object stores without atomic
+        // rename want a real commit protocol on top.)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
         var cur = Long.MinValue
         var os: org.apache.hadoop.fs.FSDataOutputStream = null
-        var n = 0L; var b = 0L; var first = 0L; var last = 0L
-        def roll(): Unit = if (os != null) {
+        var tmp: org.apache.hadoop.fs.Path = null
+        def roll(n: Long, b: Long, first: Long, last: Long): Unit = if (os != null) {
           os.close(); os = null
+          val fin = new org.apache.hadoop.fs.Path(s"$outDir/shard-$cur.bin")
+          val tfs = fin.getFileSystem(conf)
+          if (tfs.exists(fin)) tfs.delete(fin, false)
+          tfs.rename(tmp, fin)
           res += ((cur, n, b, first, last))
         }
+        var n = 0L; var b = 0L; var first = 0L; var last = 0L
         it.foreach { case (bucket, sid, payload, nb) =>
           if (bucket != cur) {
-            roll()
+            roll(n, b, first, last)
             cur = bucket; n = 0L; b = 0L; first = sid
-            val p = new org.apache.hadoop.fs.Path(s"$outDir/shard-$bucket.bin")
-            os = p.getFileSystem(conf).create(p, true)
+            tmp = new org.apache.hadoop.fs.Path(
+              s"$outDir/.shard-$bucket.bin.$attempt.tmp")
+            os = tmp.getFileSystem(conf).create(tmp, true)
           }
           os.write(payload)
           n += 1L; b += nb; last = sid
         }
-        roll()
+        roll(n, b, first, last)
         res.iterator
       }
+      // the manifest is metadata-sized by construction (corpus bytes /
+      // budget rows — 100 TB at 1 GiB shards is ~100k tiny rows), so
+      // materializing it on the driver is safe, runs the write exactly
+      // once, and leaves no checkpoint/cache state behind
+      .collect().toSeq
+    manifestRows
       .toDF("shard_id", "n_samples", "bytes", "first_id", "last_id")
-      // pin results AND the side effect: consumers re-reading the
-      // manifest must not re-trigger the file writes
-      .localCheckpoint()
   }
 
   def packBySize(

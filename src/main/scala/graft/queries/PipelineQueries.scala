@@ -1025,7 +1025,11 @@ object PipelineQueries {
         val media = Multimodal.fabricate(Tables(s, dir, "documents"))
         val manifest = Multimodal.writeShards(
           media, "media_id", "content", budgetBytes = 65536L, outDir = outDir)
-        val onDisk = s.read.format("binaryFile").load(s"$outDir/shard-*.bin")
+        // pathGlobFilter on the dir, not a glob path: zero written files
+        // (the regression disk_match exists to catch) must yield an empty
+        // frame and disk_match=false rows, not a path-does-not-exist error
+        val onDisk = s.read.format("binaryFile")
+          .option("pathGlobFilter", "shard-*.bin").load(outDir)
           .select(
             regexp_extract(input_file_name(), "shard-(\\d+)\\.bin", 1)
               .cast("long").as("shard_id"),
