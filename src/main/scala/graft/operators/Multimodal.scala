@@ -218,8 +218,14 @@ object Multimodal {
           os.close(); os = null
           val fin = new org.apache.hadoop.fs.Path(s"$outDir/shard-$cur.bin")
           val tfs = fin.getFileSystem(conf)
-          if (tfs.exists(fin)) tfs.delete(fin, false)
-          tfs.rename(tmp, fin)
+          // rename/delete report failure as a BOOLEAN, not an exception
+          // (quota, concurrent deletion, object-store rename semantics):
+          // swallowing a false would emit a manifest row for a shard that
+          // is missing or stale on disk — fail the task instead and let
+          // Spark's retry re-run the whole partition
+          if (tfs.exists(fin)) require(tfs.delete(fin, false),
+            s"failed to delete stale shard $fin")
+          require(tfs.rename(tmp, fin), s"rename $tmp -> $fin failed")
           res += ((cur, n, b, first, last))
         }
         var n = 0L; var b = 0L; var first = 0L; var last = 0L

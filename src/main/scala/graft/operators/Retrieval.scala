@@ -22,8 +22,19 @@ import org.apache.spark.storage.StorageLevel
   *  - [[bm25Index]] (full index build): the classic explode → (term,
   *    doc) aggregation. This IS a corpus-grain shuffle and exists for
   *    the persist-once path — at 100 TB the postings/df/doclen tables
-  *    are written out bucketed by term and every later query prunes to
-  *    its terms' buckets.
+  *    are written out bucketed by term ([[bm25IndexWrite]]) and every
+  *    later query prunes to its terms' buckets
+  *    ([[bm25TopKFromIndex]]).
+  *
+  * CACHING CONTRACT (applies to [[bm25TopK]], [[bm25TopKChunks]] and
+  * [[bm25Index]]): these persist a fixed-width intermediate (the unit
+  * projection / tokenized base) and return LAZY results that read it —
+  * unpersisting before the caller's action would undo the single-scan
+  * plan, so the CALLER owns release: run the action, then
+  * `spark.catalog.clearCache()` (what the Verify/Bench harnesses do per
+  * gate/rep). Repeated calls without clearing accumulate one cached
+  * relation per call. Same contract as the other persisting operators
+  * (Dedup.materializeOnce, the bigram LM).
   */
 object Retrieval {
 

@@ -158,13 +158,21 @@ object Similarity {
         .as("tk"), first(col("q_emb")).as("q_emb"))
       .select(col("q_id"), col("q_emb"), explode(col("tk.id")).as("c_id"))
 
-  /** Rank the probed cells' members by exact cosine per query. */
+  /** Rank the probed cells' members by exact cosine per query; an
+    * optional `band` keeps only cosines in [lo, hi) before the heap (the
+    * hard-negative mining filter — map-side, so it prunes candidates
+    * before any exchange). */
   private def ivfRank(
-      assign: DataFrame, probe: DataFrame, k: Int): DataFrame =
-    assign.join(broadcast(probe), Seq("c_id"))
+      assign: DataFrame, probe: DataFrame, k: Int,
+      band: Option[(Double, Double)] = None): DataFrame = {
+    val scored = assign.join(broadcast(probe), Seq("c_id"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 5))
+    band.fold(scored) { case (lo, hi) =>
+        scored.filter(col("cos") >= lo && col("cos") < hi)
+      }
       .transform(topKPerQuery(_, k))
+  }
 
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
@@ -264,14 +272,29 @@ object Similarity {
     * drifts only as the ingested distribution drifts from the build-time
     * one, and a rebuild (or centroid re-train) resets it.
     *
-    * Crash safety / identity: the layout's `_graft_ident` is DELETED
-    * before the append and rewritten extended (`+append=<batch plan
-    * hash>`) after it commits — a crash mid-append leaves no ident, so
-    * the next [[ivfBuildLayout]] rebuilds instead of silently probing a
-    * half-appended layout; a later build call keyed to the ORIGINAL
-    * corpus also mismatches the extended ident and rebuilds, which is
-    * the conservative correct answer once the layout holds extra rows.
+    * Crash safety / identity: before the append the layout's
+    * `_graft_ident` is overwritten with an `appending!` SENTINEL (old
+    * ident preserved inside it), and only after the append commits is the
+    * extended ident (`+append=<batch plan hash>`) written. A crash
+    * mid-append therefore leaves a sentinel that every reader can
+    * DISTINGUISH from a valid layout: [[ivfTopKServing]] and a repeat
+    * append refuse it with "crashed/in-progress", and the next
+    * [[ivfBuildLayout]] mismatches it and rebuilds — a half-appended
+    * layout is never silently probed. A later build call keyed to the
+    * ORIGINAL corpus also mismatches the extended ident and rebuilds,
+    * which is the conservative correct answer once the layout holds
+    * extra rows.
+    *
+    * Concurrency: the sentinel also closes the window the
+    * delete-then-rewrite scheme had — a concurrent serving call during
+    * the append window now fails with the explicit in-progress message
+    * rather than a bare missing-ident error. Single-writer remains the
+    * contract (one appender at a time; readers get fail-fast, not
+    * isolation — a serving tier wanting reads DURING maintenance
+    * snapshots the layout dir first).
     */
+  private val AppendingSentinel = "graft-ivf-appending! "
+
   def ivfAppendToLayout(
       newVecs: DataFrame, layoutDir: String,
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
@@ -285,14 +308,20 @@ object Similarity {
       val in = fs.open(identPath)
       try new String(in.readAllBytes(), "UTF-8") finally in.close()
     }
+    require(!ident.startsWith(AppendingSentinel),
+      s"IVF layout at $layoutDir has a crashed or in-progress append — " +
+        "rebuild it (ivfBuildLayout) before appending again")
+    def writeIdent(s: String): Unit = {
+      val out = fs.create(identPath, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
     val newIdent =
       s"$ident +append=${newVecs.queryExecution.analyzed.semanticHash()}"
-    fs.delete(identPath, false)
+    writeIdent(AppendingSentinel + ident)
     val cent = spark.read.parquet(s"$layoutDir/_centroids")
     ivfAssign(newVecs, cent, idCol, embCol)
       .write.mode("append").partitionBy("c_id").parquet(layoutDir)
-    val out = fs.create(identPath, true)
-    try out.write(newIdent.getBytes("UTF-8")) finally out.close()
+    writeIdent(newIdent)
   }
 
   /** Pure serving-path probe of an existing layout: no corpus argument at
@@ -304,13 +333,50 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
       k: Int, nProbe: Int, layoutDir: String,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(layoutDir)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(new org.apache.hadoop.fs.Path(path, "_graft_ident")),
-      s"no valid IVF layout at $layoutDir")
+    requireServableLayout(spark, layoutDir)
     val cent = spark.read.parquet(s"$layoutDir/_centroids")
     val layout = spark.read.parquet(layoutDir)
     ivfRank(layout, ivfProbe(queries, cent, nProbe, idCol, embCol), k)
+  }
+
+  /** Hard-negative mining fed from a PERSISTED IVF layout — the
+    * corpus-free swap [[hardNegatives]]' scaladoc names: candidates come
+    * from each query's `nProbe` probed cells instead of a full corpus
+    * scan, so a mining run reads the layout's centroid table plus the
+    * probed cells' partitions and NOTHING else (partition pruning — the
+    * same serving story as [[ivfTopKServing]], with the semi-hard band
+    * filter applied map-side before the bounded heap). The trade is
+    * IVF recall: a negative whose cell the query does not probe is
+    * invisible; `nProbe = |cells|` recovers full-scan mining exactly
+    * (SimilaritySpec pins both properties).
+    */
+  def hardNegativesFromLayout(
+      spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+      k: Int, lo: Double, hi: Double, nProbe: Int, layoutDir: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(lo < hi, s"empty band [$lo, $hi)")
+    requireServableLayout(spark, layoutDir)
+    val cent = spark.read.parquet(s"$layoutDir/_centroids")
+    val layout = spark.read.parquet(layoutDir)
+    ivfRank(layout, ivfProbe(queries, cent, nProbe, idCol, embCol), k,
+      band = Some((lo, hi)))
+  }
+
+  /** The serving-path precondition: an ident exists and is not the
+    * mid-append sentinel (crashed or concurrent maintenance). */
+  private def requireServableLayout(
+      spark: org.apache.spark.sql.SparkSession, layoutDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
+    require(fs.exists(identPath), s"no valid IVF layout at $layoutDir")
+    val ident = {
+      val in = fs.open(identPath)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    require(!ident.startsWith(AppendingSentinel),
+      s"IVF layout at $layoutDir has an in-progress or crashed append — " +
+        "not servable until rebuilt or the append commits")
   }
 
   /** Lloyd-refined IVF centroids: start from the deterministic modulo

@@ -624,6 +624,64 @@ object PipelineQueries {
              |  FROM probe p JOIN assign a ON p.c_id = a.c_id AND a.n_id <> p.q_id)
              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
 
+    // hard-negative mining fed from the PERSISTED IVF layout (s07's
+    // documented corpus-free swap): candidates are the queries' 2 probed
+    // cells — the scan touches only those cells' partitions, the corpus
+    // parquet is read only for the query batch. Same band/k as s07; the
+    // oracle replicates probe + band + rank exactly, so IVF's recall loss
+    // (negatives in unprobed cells are invisible) is part of the
+    // contract, not noise. Shares s04's layout — one persisted
+    // assignment, many consumers (top-k serving AND mining), which is
+    // the layout's whole point at 100 TB
+    Q("s09_hard_negatives_layout",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+        val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+        val ident = s"$src:${java.nio.file.Files.getLastModifiedTime(src).toMillis}:${
+          java.nio.file.Files.size(src)}"
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(ident.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+        val layout = graft.Scratch.dir(s"graft_ivf_layout_$key")
+        Similarity.ivfBuildLayout(emb, centEvery = 25, layoutDir = layout)
+        Similarity.hardNegativesFromLayout(s, emb.filter($"vec_id" < 10),
+            k = 5, lo = 0.15, hi = 0.30, nProbe = 2, layoutDir = layout)
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some("""WITH cent AS (
+             |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+             |  FROM embeddings WHERE vec_id % 25 = 0),
+             |assign AS (
+             |  SELECT n_id, n_emb, c_id FROM (
+             |    SELECT e.vec_id AS n_id, CAST(e.embedding AS DOUBLE[]) AS n_emb,
+             |      c_id,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |                                     c_emb), 5) DESC, c_id) AS arn
+             |    FROM embeddings e CROSS JOIN cent)
+             |  WHERE arn = 1),
+             |probe AS (
+             |  SELECT q_id, q_emb, c_id FROM (
+             |    SELECT q.vec_id AS q_id, CAST(q.embedding AS DOUBLE[]) AS q_emb,
+             |      c_id,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                                     c_emb), 5) DESC, c_id) AS prn
+             |    FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 10)
+             |  WHERE prn <= 2)
+             |SELECT q_id, n_id, cos, rn FROM (
+             |  SELECT p.q_id, a.n_id,
+             |    round(list_cosine_similarity(p.q_emb, a.n_emb), 5) AS cos,
+             |    row_number() OVER (PARTITION BY p.q_id ORDER BY
+             |      round(list_cosine_similarity(p.q_emb, a.n_emb), 5) DESC,
+             |      a.n_id) AS rn
+             |  FROM probe p JOIN assign a ON p.c_id = a.c_id AND a.n_id <> p.q_id
+             |  WHERE round(list_cosine_similarity(p.q_emb, a.n_emb), 5) >= 0.15
+             |    AND round(list_cosine_similarity(p.q_emb, a.n_emb), 5) < 0.30)
+             |WHERE rn <= 5
+             |ORDER BY q_id, rn""".stripMargin)),
+
     // SemDeDup-style semantic dedup: embedding-cluster-bounded near-dup
     // removal — within-cell cosine >= threshold against a lower id drops
     // the doc. Oracle = the same modulo-cell assignment + NOT EXISTS over

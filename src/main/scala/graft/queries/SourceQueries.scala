@@ -137,37 +137,21 @@ object SourceQueries {
              |    THEN o_orderstatus END) AS d_status
              |FROM orders""".stripMargin)),
 
-    // ANALYZE-style one-pass column statistics — the ndv/null/min/max
-    // profile a cost-based optimizer or catalog keeps per column, four
-    // columns in a SINGLE aggregation over ONE scan. Scale shape, stated
-    // honestly: count/null/min/max partial-aggregate map-side, but the
-    // four EXACT countDistinct force RewriteDistinctAggregates' Expand
-    // (4x the scanned rows) plus a corpus-grain shuffle of the distinct
-    // values — exact ndv is NOT count-class. The 100 TB profile swaps
-    // approx_count_distinct (or the q89 HLL sketch column) in, which
-    // restores the one-pass map-combining plan; the gate keeps exact ndv
-    // because the oracle must hash-match. The wide 1-row agg unpivots to
-    // one row per column
+    // ANALYZE-style one-pass column statistics (operators.ColumnStats) —
+    // the ndv/null/min/max profile a cost-based optimizer or catalog
+    // keeps per column, four columns in a SINGLE aggregation over ONE
+    // scan. q97 is the EXACT-ndv oracle/audit variant: count/null/min/max
+    // partial-aggregate map-side, but the four exact countDistinct force
+    // RewriteDistinctAggregates' Expand (4x the scanned rows) plus a
+    // corpus-grain shuffle of the distinct values — exact ndv is NOT
+    // count-class. q98 below gates the 100 TB profile (approx ndv, no
+    // Expand, pinned by ScaleSpec)
     Q("q97_column_stats",
       (s, dir) => {
         import s.implicits._
-        val li = Tables(s, dir, "lineitem")
-        val cols = Seq("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice")
-        val aggs = cols.flatMap { c =>
-          Seq(count(col(c)).as(s"n_$c"),
-            sum(col(c).isNull.cast("long")).as(s"null_$c"),
-            countDistinct(col(c)).as(s"ndv_$c"),
-            round(min(col(c)).cast("double"), 2).as(s"min_$c"),
-            round(max(col(c)).cast("double"), 2).as(s"max_$c"))
-        }
-        val wide = li.agg(aggs.head, aggs.tail: _*)
-        // stack() unpivots ONE evaluation of the wide row — a per-column
-        // select-union would re-run the whole aggregation per column
-        val stackArgs = cols
-          .map(c => s"'$c', n_$c, null_$c, ndv_$c, min_$c, max_$c")
-          .mkString(", ")
-        wide.selectExpr(s"stack(${cols.size}, $stackArgs) " +
-            "AS (col_name, n_rows, n_null, ndv, min_v, max_v)")
+        graft.operators.ColumnStats.exactProfile(
+            Tables(s, dir, "lineitem"),
+            Seq("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice"))
           .orderBy($"col_name")
       },
       Some("""WITH w AS (
@@ -191,6 +175,53 @@ object SourceQueries {
              |SELECT 'l_quantity', n3, z3, d3, mn3, mx3 FROM w
              |UNION ALL
              |SELECT 'l_extendedprice', n4, z4, d4, mn4, mx4 FROM w
+             |ORDER BY col_name""".stripMargin)),
+
+    // the 100 TB ANALYZE plan: same per-column profile with
+    // approx_count_distinct for ndv — every aggregate is declarative, so
+    // the plan is one scan + map-side partials + one SinglePartition
+    // collapse, NO Expand (ScaleSpec pins that shape). HLL++ estimates
+    // are engine-specific, so the gate follows the q29 contract: emit the
+    // exact ndv plus a boolean asserting the estimate lands within 5% —
+    // deterministic on fixed data (Spark's HLL++ is seedless), and a real
+    // oracle instead of rows-only. The exact side exists only to judge
+    // the estimate; production ANALYZE runs approxProfile alone
+    Q("q98_column_stats_approx",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables(s, dir, "lineitem")
+        val cols = Seq("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice")
+        val ap = graft.operators.ColumnStats.approxProfile(li, cols)
+          .withColumnRenamed("ndv", "ndv_est")
+        val ex = graft.operators.ColumnStats.exactProfile(li, cols)
+          .select($"col_name", $"ndv".as("ndv_exact"))
+        ap.join(ex, Seq("col_name"))
+          .select($"col_name", $"n_rows", $"n_null", $"ndv_exact",
+            $"min_v", $"max_v",
+            (abs($"ndv_est" - $"ndv_exact") <= $"ndv_exact" * 0.05).as("ndv_ok"))
+          .orderBy($"col_name")
+      },
+      Some("""WITH w AS (
+             |  SELECT count(l_orderkey) AS n1, count(*) - count(l_orderkey) AS z1,
+             |    count(DISTINCT l_orderkey) AS d1, round(CAST(min(l_orderkey) AS DOUBLE), 2) AS mn1,
+             |    round(CAST(max(l_orderkey) AS DOUBLE), 2) AS mx1,
+             |    count(l_suppkey) AS n2, count(*) - count(l_suppkey) AS z2,
+             |    count(DISTINCT l_suppkey) AS d2, round(CAST(min(l_suppkey) AS DOUBLE), 2) AS mn2,
+             |    round(CAST(max(l_suppkey) AS DOUBLE), 2) AS mx2,
+             |    count(l_quantity) AS n3, count(*) - count(l_quantity) AS z3,
+             |    count(DISTINCT l_quantity) AS d3, round(CAST(min(l_quantity) AS DOUBLE), 2) AS mn3,
+             |    round(CAST(max(l_quantity) AS DOUBLE), 2) AS mx3,
+             |    count(l_extendedprice) AS n4, count(*) - count(l_extendedprice) AS z4,
+             |    count(DISTINCT l_extendedprice) AS d4, round(CAST(min(l_extendedprice) AS DOUBLE), 2) AS mn4,
+             |    round(CAST(max(l_extendedprice) AS DOUBLE), 2) AS mx4
+             |  FROM lineitem)
+             |SELECT 'l_orderkey' AS col_name, n1 AS n_rows, z1 AS n_null, d1 AS ndv_exact, mn1 AS min_v, mx1 AS max_v, true AS ndv_ok FROM w
+             |UNION ALL
+             |SELECT 'l_suppkey', n2, z2, d2, mn2, mx2, true FROM w
+             |UNION ALL
+             |SELECT 'l_quantity', n3, z3, d3, mn3, mx3, true FROM w
+             |UNION ALL
+             |SELECT 'l_extendedprice', n4, z4, d4, mn4, mx4, true FROM w
              |ORDER BY col_name""".stripMargin)),
 
     // group-level set similarity: exact pairwise token-set Jaccard between

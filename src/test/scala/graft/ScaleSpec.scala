@@ -187,6 +187,29 @@ class ScaleSpec extends AnyFunSuite {
       embScans.head.metadata.getOrElse("PushedFilters", "?"))
   }
 
+  test("s09 layout-fed hard negatives prune to the probed cells, corpus-free") {
+    // same serving contract as s04, for the mining path: the layout scan
+    // is dynamically pruned to the probed cells and the only
+    // embeddings.parquet scan is the query batch itself
+    val df = SparkEntry.queries("s09_hard_negatives_layout")(spark, sf)
+    df.collect()
+    val layoutScans = collectAll(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("ivf_layout")) => s
+    }
+    assert(layoutScans.nonEmpty, "no layout scan found")
+    assert(layoutScans.exists(_.metadata.get("PartitionFilters")
+        .exists(_.contains("dynamicpruning"))),
+      layoutScans.map(_.metadata.getOrElse("PartitionFilters", "?")).mkString("; "))
+    val embScans = collectAll(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location")
+            .exists(_.contains("embeddings.parquet")) => s
+    }
+    assert(embScans.size == 1,
+      s"expected only the query-batch embeddings scan, got ${embScans.size}")
+  }
+
   test("z-order layout prunes row groups on BOTH dimensions") {
     import spark.implicits._
     val li = Tables(spark, sf, "lineitem")
@@ -295,6 +318,34 @@ class ScaleSpec extends AnyFunSuite {
     val kinds = collectAll(df.queryExecution.executedPlan) { case p => p.nodeName }
     assert(kinds.exists(_.contains("TakeOrderedAndProject")), kinds.mkString(","))
     assert(!kinds.exists(_ == "SortExec"), "global sort found for a limit query")
+  }
+
+  test("approx column-stats profile: one scan, no Expand, SinglePartition collapse only") {
+    // q97's exact-ndv profile pays RewriteDistinctAggregates' Expand (4x
+    // the scanned rows) + a corpus-grain distinct shuffle — the honest
+    // exact cost. The ANALYZE plan for 100 TB is approxProfile, and this
+    // pin is its contract: declarative aggregates only, so the plan must
+    // be one lineitem scan, ZERO Expand nodes, and no exchange other than
+    // the final SinglePartition collapse of fixed-width partial rows.
+    val df = operators.ColumnStats.approxProfile(
+      Tables(spark, sf, "lineitem"),
+      Seq("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val expands = collectAll(plan) {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }
+    assert(expands.isEmpty,
+      s"approx profile must not Expand, found ${expands.size}")
+    val scans = collectAll(plan) { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, s"expected 1 scan, got ${scans.size}")
+    val wide = collectAll(plan) {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning !=
+            org.apache.spark.sql.catalyst.plans.physical.SinglePartition => e
+    }
+    assert(wide.isEmpty,
+      s"only the SinglePartition collapse is allowed, found: ${wide.mkString(";")}")
   }
 
   test("BM25 scoring plans: no corpus-width shuffles, top-k bounded") {

@@ -116,6 +116,73 @@ class SimilaritySpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("a crashed append leaves a sentinel: serving and re-append refuse, build rebuilds") {
+    val corpus = clustered(nClusters = 4, perCluster = 50, dim = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_sentinel")
+      .resolve("layout").toString
+    Similarity.ivfBuildLayout(corpus, centEvery = 50, layoutDir = dir)
+    val identPath = new org.apache.hadoop.fs.Path(dir, "_graft_ident")
+    val fs = identPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val valid = {
+      val in = fs.open(identPath)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    // simulate a crash mid-append: the sentinel ident is on disk
+    val out = fs.create(identPath, true)
+    try out.write(s"graft-ivf-appending! $valid".getBytes("UTF-8"))
+    finally out.close()
+    val queries = corpus.filter(col("vec_id") < 3)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKServing(spark, queries, k = 3, nProbe = 2, layoutDir = dir)
+    }
+    assert(e1.getMessage.contains("in-progress or crashed"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfAppendToLayout(corpus.limit(5), dir)
+    }
+    assert(e2.getMessage.contains("crashed or in-progress"))
+    // the build path treats the sentinel as an ident mismatch: rebuild,
+    // after which serving works again
+    Similarity.ivfBuildLayout(corpus, centEvery = 50, layoutDir = dir)
+    assert(Similarity.ivfTopKServing(spark, queries, k = 3, nProbe = 2,
+      layoutDir = dir).count() > 0)
+  }
+
+  test("layout-fed hard negatives: exact at full probe, high recall at partial probe") {
+    val corpus = clustered(nClusters = 8, perCluster = 100, dim = 16).persist()
+    val queries = corpus.filter(col("vec_id") % 37 === 1).limit(12)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_hn")
+      .resolve("layout").toString
+    // trained cells (the production clustering) persisted once; both
+    // probe depths mine from the same layout
+    val trained = Similarity.ivfCentroidsTrained(corpus, centEvery = 100,
+      iters = 3).persist()
+    Similarity.ivfBuildLayout(corpus, centEvery = 100, layoutDir = dir,
+      centroids = Some(trained))
+    // clustered geometry: same-cluster cos ~0.99, cross-cluster spread
+    // wide — [0.1, 0.9) is a fat semi-hard band guaranteed non-empty
+    val (lo, hi) = (0.1, 0.9)
+    val full = Similarity.hardNegatives(corpus, queries, k = 10, lo = lo, hi = hi)
+    assert(full.count() > 0, "band produced no negatives — bad geometry")
+    // nProbe = |cells| probes every cell: layout mining must equal the
+    // full-scan miner row-for-row (cells partition the corpus)
+    val nCells = trained.count().toInt
+    val allProbe = Similarity.hardNegativesFromLayout(spark, queries,
+      k = 10, lo = lo, hi = hi, nProbe = nCells, layoutDir = dir)
+    assert(allProbe.collect().map(_.toSeq).toSet ==
+      full.collect().map(_.toSeq).toSet,
+      "full-probe layout mining diverged from the corpus-scan miner")
+    // partial probe: candidates only from each query's 4-of-8 nearest
+    // cells — the corpus-free serving trade. Recall floor is deliberately
+    // conservative; the point is the path works and is not degenerate
+    val partial = Similarity.hardNegativesFromLayout(spark, queries,
+      k = 10, lo = lo, hi = hi, nProbe = 4, layoutDir = dir)
+    val r = recallAt(partial, full, 10)
+    info(f"layout hard-negative recall@10 at nProbe=4/8: $r%.3f")
+    assert(r >= 0.5, f"recall $r%.3f below 0.5 at nProbe=4 of 8 cells")
+    trained.unpersist()
+    corpus.unpersist()
+  }
+
   test("hard negatives stay inside the band and equal band-filtered brute force") {
     import org.apache.spark.sql.functions._
     val emb = Tables(spark, TestSpark.sf, "embeddings")
