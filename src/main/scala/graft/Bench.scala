@@ -37,7 +37,11 @@ object Bench {
     "q80_volume_shipping", "q81_important_stock",
     "q82_cms_heavy_hitters", "q84_fuzzy_match", "q89_hll_sketch_merge",
     "q92_bloom_prune", "q93_jaro_winkler", "q94_variant_json",
-    "q97_column_stats",
+    // q98's bench cost is BY DESIGN exact+approx: the gate band-checks
+    // the HLL++ estimate against the exact ndv, so it pays q97's Expand
+    // PLUS the approx pass. Production ANALYZE is approxProfile alone —
+    // ScaleSpec pins that plan (one scan, no Expand).
+    "q97_column_stats", "q98_column_stats_approx",
     // dedup / similarity / text pipeline
     "d01_dedup_exact", "d02_minhash_lsh", "d03_simhash_pairs",
     "d04_ngram_jaccard", "d05_embedding_nn", "d06_dedup_clusters",
@@ -47,11 +51,12 @@ object Bench {
     "p01_training_pipeline", "p02_rag_retrieval",
     "s01_ann_bruteforce", "s02_ann_srp_lsh", "s03_ann_ivf",
     "s04_ann_ivf_layout", "s05_semantic_dedup", "s06_embedding_quantize",
-    "s07_hard_negatives", "s08_ann_ivf_append",
+    "s07_hard_negatives", "s08_ann_ivf_append", "s09_hard_negatives_layout",
     "m05_pack_by_size", "m06_sequence_layout", "m07_shard_export",
     "t06_tfidf", "t13_bigram_lm", "t15_domain_mixing", "t16_domain_cap",
     "t17_quality_quantile_gate", "t18_priority_sample", "t19_chunking",
     "t20_perplexity_buckets", "t21_dsir_selection", "t22_bm25",
+    "t23_bm25_index",
     // SQL replay + streaming
     "sq01_sql_region_revenue", "sq02_sql_correlated", "sq03_sql_cte_window",
     "st01_stream_hourly", "st03_stream_join", "st07_stream_join_outer",

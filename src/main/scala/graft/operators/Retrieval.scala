@@ -153,4 +153,136 @@ object Retrieval {
     val stats = doclens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
     (postings, doclens, termdf, stats)
   }
+
+  /** PERSIST the inverted index as a term-bucketed layout (the same
+    * layout contract the IVF stack set with s04): postings and per-term
+    * df written `partitionBy(bucket)` where
+    * `bucket = pmod(xxhash64(term), nBuckets)`, so a query's serving
+    * scan ([[bm25TopKFromIndex]]) prunes to its terms' bucket
+    * directories — at 100 TB that is the difference between reading a
+    * few posting buckets and re-scanning the corpus per query batch.
+    *
+    * Layout shape under `layoutDir`:
+    *  - `postings/` — (term, doc_id, tf, dl), bucket-partitioned. The
+    *    document length is DENORMALIZED into the posting row (the
+    *    classic impact-index trick): scoring then needs NO join against
+    *    a corpus-wide doclen table — the one corpus-grain shuffle this
+    *    build pays buys join-free serving forever.
+    *  - `termdf/` — (term, df), bucket-partitioned (rolled up from the
+    *    postings, no second corpus pass).
+    *  - `stats/` — one row (n, avgdl).
+    *  - `_graft_ident` — written LAST: pins corpus plan + nBuckets, so a
+    *    crashed build is never served and a different corpus/bucketing
+    *    rebuilds instead of silently reusing stale postings (same ident
+    *    discipline as `Similarity.ivfBuildLayout`).
+    *
+    * tf/dl/df/n are stored as integer-valued DOUBLES: every partial sum
+    * over them is exact in any order, which is what lets
+    * [[bm25TopKFromIndex]] reproduce [[bm25TopK]]'s scores bit-for-bit.
+    * Build is skipped when a completed layout with a matching ident
+    * exists — the persist-once path.
+    */
+  def bm25IndexWrite(
+      docs: DataFrame, idCol: String, textCol: String, layoutDir: String,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = docs.sparkSession
+    val path = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val ident = s"graft-bm25-v1 nBuckets=$nBuckets " +
+      s"corpus=${docs.queryExecution.analyzed.semanticHash()}"
+    val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
+    def identMatches: Boolean =
+      fs.exists(identPath) && {
+        val in = fs.open(identPath)
+        try new String(in.readAllBytes(), "UTF-8") == ident
+        finally in.close()
+      }
+    if (!identMatches) {
+      if (fs.exists(path)) fs.delete(path, true)
+      val base = docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // one corpus scan, two readers
+      try {
+        val postings = base
+          .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+            explode(col("toks")).as("term"))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+          .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+        postings.write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$layoutDir/postings")
+        // df rolls up from the WRITTEN postings — no second corpus pass,
+        // and the read-back guarantees df counts exactly what serving
+        // will scan
+        spark.read.parquet(s"$layoutDir/postings")
+          .groupBy(col("bucket"), col("term"))
+          .agg(count(lit(1)).cast("double").as("df"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$layoutDir/termdf")
+        base.agg(count(lit(1)).cast("double").as("n"),
+            avg(size(col("toks")).cast("double")).as("avgdl"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$layoutDir/stats")
+      } finally base.unpersist()
+      val out = fs.create(identPath, true)
+      try out.write(ident.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Serve a query from the PERSISTED index: reads the query terms'
+    * bucket partitions of postings/termdf plus the one-row stats table —
+    * the corpus is never touched (ScaleSpec pins both the pruning and
+    * the absence of a documents scan). Scoring mirrors [[bm25TopK]]'s
+    * arithmetic exactly: the same weight expression per (doc, term)
+    * posting row, per-term partial sums (exact — one posting per doc per
+    * term, zeros elsewhere), added in fixed term order. The only shuffle
+    * is the candidate-grain groupBy(doc_id) — docs containing a query
+    * term, never corpus width.
+    */
+  def bm25TopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession, layoutDir: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      k: Int = 10, nBuckets: Int = 64): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"duplicate query terms would double-count: $queryTerms")
+    val fs = new org.apache.hadoop.fs.Path(layoutDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new org.apache.hadoop.fs.Path(layoutDir, "_graft_ident")),
+      s"no valid BM25 index layout at $layoutDir (crashed or missing build)")
+    // bucket ids of the query terms, via the SAME hash expression the
+    // build used — a LocalTableScan over Q rows, no files touched; the
+    // literal IN-list is what lets the planner prune partitions
+    import spark.implicits._
+    val buckets = queryTerms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("bucket"))
+      .distinct().as[Long].collect().toSeq
+    val postings = spark.read.parquet(s"$layoutDir/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(queryTerms: _*))
+    val termdf = spark.read.parquet(s"$layoutDir/termdf")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(queryTerms: _*))
+      .select(col("term"), col("df"))
+    val stats = spark.read.parquet(s"$layoutDir/stats")
+    val scored = postings
+      .join(broadcast(termdf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("w", weight(col("tf"), col("dl"), col("n"), col("df"),
+        col("avgdl"), k1, b))
+    // per-term partial sums + fixed-order add: each sum sees exactly one
+    // posting row (rest are zeros), so partial-agg order cannot perturb
+    // the double — the final score associates left-to-right exactly like
+    // bm25TopK's reduce(_ + _)
+    val aggs = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("w"))).as(s"w_$i")
+    }
+    val score = queryTerms.indices
+      .map(i => coalesce(col(s"w_$i"), lit(0.0))).reduce(_ + _)
+    scored.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), round(score, 4).as("score"))
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -569,6 +569,60 @@ object Text2Queries {
              |  FROM u, st
              |)
              |SELECT doc_id, score FROM sc WHERE score > 0.0
+             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ---- BM25 served from the PERSISTED term-bucketed index (t22's
+    //      known-query path re-run through the persist-once layout):
+    //      postings/df written partitionBy(bucket), the serving scan
+    //      prunes to the 3 query terms' buckets and never touches the
+    //      documents corpus (ScaleSpec pins both). Index builds once per
+    //      corpus identity (same fixture keying as s04's IVF layout);
+    //      bench reps measure the pruned probe alone. Scores match t22
+    //      bit-for-bit — integer-valued doubles + fixed-order term adds
+    //      — so the oracle is t22's verbatim ----
+    Q("t23_bm25_index",
+      (s, dir) => {
+        val src = java.nio.file.Paths.get(dir, "documents.parquet")
+        val ident = s"$src:${java.nio.file.Files.getLastModifiedTime(src).toMillis}:${
+          java.nio.file.Files.size(src)}"
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(ident.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+        val layout = graft.Scratch.dir(s"graft_bm25_idx_$key")
+        graft.operators.Retrieval.bm25IndexWrite(
+          Tables(s, dir, "documents"), "doc_id", "text", layout)
+        graft.operators.Retrieval.bm25TopKFromIndex(s, layout,
+          queryTerms = Seq("hash", "join", "vector"), k = 10)
+      },
+      Some(s"""WITH base AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents
+             |), u AS (
+             |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             |    CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_0,
+             |    CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf_1,
+             |    CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf_2
+             |  FROM base
+             |), st AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |    sum(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+             |    sum(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1,
+             |    sum(CASE WHEN tf_2 > 0 THEN 1.0 ELSE 0.0 END) AS df_2
+             |  FROM u
+             |), sc AS (
+             |  SELECT doc_id, round(
+             |    (CASE WHEN tf_0 > 0 THEN ln(1.0 + (n - df_0 + 0.5) / (df_0 + 0.5))
+             |       * (tf_0 * 2.2) / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             |     ELSE 0.0 END)
+             |    + (CASE WHEN tf_1 > 0 THEN ln(1.0 + (n - df_1 + 0.5) / (df_1 + 0.5))
+             |       * (tf_1 * 2.2) / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             |     ELSE 0.0 END)
+             |    + (CASE WHEN tf_2 > 0 THEN ln(1.0 + (n - df_2 + 0.5) / (df_2 + 0.5))
+             |       * (tf_2 * 2.2) / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             |     ELSE 0.0 END), 4) AS score
+             |  FROM u, st
+             |)
+             |SELECT doc_id, score FROM sc WHERE score > 0.0
              |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))
   )
 

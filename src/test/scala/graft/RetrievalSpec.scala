@@ -41,6 +41,33 @@ class RetrievalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("persisted-index serving reproduces map-side scoring bit-for-bit") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_spec")
+      .resolve("idx").toString
+    Retrieval.bm25IndexWrite(docs, "doc_id", "text", dir)
+    val terms = Seq("hash", "join", "vector")
+    val viaIndex = Retrieval.bm25TopKFromIndex(spark, dir, terms, k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    spark.catalog.clearCache()
+    val mapSide = Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    spark.catalog.clearCache()
+    // exact equality INCLUDING scores and rank order — the layout stores
+    // integer-valued doubles and serving mirrors the weight arithmetic,
+    // so there is no summation-order caveat to tolerate here
+    assert(viaIndex == mapSide,
+      s"index serving diverged: ${viaIndex.diff(mapSide)} vs ${mapSide.diff(viaIndex)}")
+    // rebuild with the same corpus is a no-op (ident match)
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_ident")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val t1 = fs.getFileStatus(p).getModificationTime
+    Retrieval.bm25IndexWrite(docs, "doc_id", "text", dir)
+    assert(fs.getFileStatus(p).getModificationTime == t1,
+      "matching-ident rebuild was not skipped")
+  }
+
   test("chunk scoring units align with TextOps.chunk's layout") {
     import spark.implicits._
     val docs = Tables(spark, sf, "documents").filter($"doc_id" < 50)

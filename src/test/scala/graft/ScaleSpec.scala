@@ -348,6 +348,38 @@ class ScaleSpec extends AnyFunSuite {
       s"only the SinglePartition collapse is allowed, found: ${wide.mkString(";")}")
   }
 
+  test("t23 BM25 index serving scans only the query terms' buckets, corpus-free") {
+    val df = SparkEntry.queries("t23_bm25_index")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val docScans = collectAll(plan) {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("documents")) => s
+    }
+    assert(docScans.isEmpty, "index serving must never scan the corpus")
+    val postingScans = collectAll(plan) {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("postings")) => s
+    }
+    assert(postingScans.nonEmpty, "no postings scan found")
+    val ps = postingScans.head
+    assert(ps.partitionFilters.nonEmpty,
+      "bucket pruning must reach the postings scan")
+    // the files actually selected all live under the probed buckets —
+    // computed with the same hash expression the build/serve paths use
+    import spark.implicits._
+    val probed = Seq("hash", "join", "vector").toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(64L)).as("b"))
+      .distinct().as[Long].collect().toSet
+    assert(ps.relation.location.listFiles(ps.partitionFilters, Nil).forall(
+      _.files.forall(f =>
+        probed.exists(b => f.getPath.toString.contains(s"bucket=$b/")))),
+      s"postings scan read outside the probed buckets $probed")
+    // and the top-k stays a TakeOrderedAndProject over candidate rows
+    val kinds = collectAll(plan) { case p => p.nodeName }
+    assert(kinds.exists(_.contains("TakeOrderedAndProject")), kinds.mkString(","))
+  }
+
   test("BM25 scoring plans: no corpus-width shuffles, top-k bounded") {
     // the known-query scoring path must be corpus-scan → map-side score →
     // TakeOrderedAndProject. The only permitted exchange is the stats
