@@ -191,7 +191,12 @@ object Bench {
     // HEAD, which is worse than losing the rep columns
     val out = if (line(withReps = true).length <= 1850) line(withReps = true)
       else line(withReps = false)
-    println(out)
+    // stop FIRST, print LAST: the session teardown logs nothing after the
+    // JSON line, so (with build.sbt's raw outputStrategy) the line reaches
+    // the driver's captured tail bare and final, followed only by sbt's
+    // one-line success marker
     spark.stop()
+    println(out)
+    System.out.flush()
   }
 }

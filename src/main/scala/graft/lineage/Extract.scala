@@ -45,11 +45,21 @@ object LineageExtractor {
     }
     val name = r.catalogTable.map(_.identifier.table).getOrElse(relationName(path))
     // catalog-managed inputs surface their ownership/timestamps (reference
-    // TableDef.owner/createTime/lastAccessTime); path-based reads have none
+    // TableDef.owner/createTime/lastAccessTime) and storage descriptor
+    // (TableDef.inputFormat/outputFormat/compressed, TableDef.scala:3-33 —
+    // Hive-format classes when the catalog records them, writer options
+    // like `compression` via the storage properties); path-based reads
+    // have none, but every path-backed entity gets its filesystem scheme
+    val storage = r.catalogTable.map(_.storage)
     TableMeta(name, path, r.output.map(_.name), fmt,
       owner = r.catalogTable.map(_.owner).getOrElse(""),
       createTime = r.catalogTable.map(_.createTime).getOrElse(-1L),
-      lastAccessTime = r.catalogTable.map(_.lastAccessTime).getOrElse(-1L))
+      lastAccessTime = r.catalogTable.map(_.lastAccessTime).getOrElse(-1L),
+      scheme = TableMeta.schemeOf(path),
+      inputFormat = storage.flatMap(_.inputFormat),
+      outputFormat = storage.flatMap(_.outputFormat),
+      compressed = storage.exists(_.compressed),
+      storageProperties = storage.map(_.properties).getOrElse(Map.empty))
   }
 
   /** A view input: identity + the original and analyzer-expanded SQL

@@ -24,6 +24,25 @@ final case class ColumnRef(table: String, column: String) {
   * @param partitions  partition directories this query actually reads
   *                    (post-pruning), `part=val[/part2=val2]` form; empty
   *                    for unpartitioned inputs
+  * @param scheme      filesystem scheme of the entity's storage ("file",
+  *                    "hdfs", "s3a", …; "" when unknown or catalog-named) —
+  *                    the reference keys every directory FQN as
+  *                    `dfs:<path>` vs `local:<path>`
+  *                    (`ConvertHelper.scala:10-19`, `DirectoryDef.isLocal`,
+  *                    `DirectoryDef.scala:3-8`); a lineage consumer at
+  *                    scale wants "wrote to s3://…" vs "file://…"
+  *                    first-class
+  * @param inputFormat  Hive-style storage-descriptor input class, when the
+  *                     catalog records one (reference `TableDef.inputFormat`,
+  *                     `TableDef.scala:3-33`); data-source tables (`USING
+  *                     parquet`) record the provider in `format` instead
+  * @param outputFormat Hive-style storage-descriptor output class
+  * @param compressed   the catalog's storage-descriptor compressed flag
+  *                     (reference `TableDef.compressed`); data-source
+  *                     compression codecs ride [[storageProperties]]
+  * @param storageProperties the catalog's storage properties (e.g. the
+  *                     `compression` option a writer set) — what answers
+  *                     "is this table zstd parquet" for lineage consumers
   */
 final case class TableMeta(
     name: String,
@@ -35,7 +54,30 @@ final case class TableMeta(
     lastAccessTime: Long = -1L,
     viewOriginalText: Option[String] = None,
     viewExpandedText: Option[String] = None,
-    partitions: Seq[String] = Nil)
+    partitions: Seq[String] = Nil,
+    scheme: String = "",
+    inputFormat: Option[String] = None,
+    outputFormat: Option[String] = None,
+    compressed: Boolean = false,
+    storageProperties: Map[String, String] = Map.empty) {
+
+  /** The reference's `DirectoryDef.isLocal` discriminator: a local-fs
+    * entity vs a distributed/remote store. */
+  def isLocal: Boolean = scheme == "file"
+}
+
+object TableMeta {
+  /** Scheme of a write-target string: URI-form targets keep their scheme
+    * (`hdfs://nn/path` → "hdfs"; also Hadoop's single-slash `file:/path`
+    * rendering), bare absolute paths are local-fs ("file" — what a
+    * schemeless Hadoop path resolves to on the driver), catalog-named
+    * targets (`db.table`) have no filesystem scheme.
+    */
+  def schemeOf(target: String): String =
+    if (target.startsWith("/")) "file"
+    else scala.util.Try(Option(new java.net.URI(target).getScheme))
+      .toOption.flatten.getOrElse("")
+}
 
 /** Database-grain catalog snapshot for the databases the query's
   * catalog-managed inputs live in (reference analog: `DbDef`,
@@ -254,9 +296,22 @@ final case class LineageReport(
       s""""columnLineage":{"_producer":"$producer","_schemaURL":"$specUrl#/$$defs/ColumnLineageDatasetFacet","fields":$fields}"""
     }
     val outNames = if (outputs.nonEmpty) outputs else Seq(s"$jobName.result")
+    // output identity per the OL naming convention: URI-form sinks keep
+    // their store identity (`s3a://bucket` namespace, path name) — the
+    // dfs-vs-local discriminator the reference carries on every directory
+    // FQN (ConvertHelper.scala:10-19); bare paths are driver-local `file`
     val outputsJ = outNames.map { o =>
-      val ns = if (o.startsWith("/") || o.contains("://")) "file" else "spark_catalog"
-      s"""{"namespace":"$ns","name":"${esc(o)}","facets":{$colLineageFacet}}"""
+      val sch = TableMeta.schemeOf(o)
+      val (ns, nm) =
+        if (sch.isEmpty) ("spark_catalog", o)
+        else {
+          val u = scala.util.Try(new java.net.URI(o)).toOption
+          val auth = u.flatMap(x => Option(x.getAuthority)).getOrElse("")
+          val path = u.flatMap(x => Option(x.getPath)).filter(_.nonEmpty).getOrElse(o)
+          if (auth.isEmpty && sch == "file") ("file", path)
+          else (s"$sch://$auth", path)
+        }
+      s"""{"namespace":"${esc(ns)}","name":"${esc(nm)}","facets":{$colLineageFacet}}"""
     }.mkString("[", ",", "]")
     // run facets: the spec-standard parent facet plus any caller-supplied
     // pre-rendered `"name":{...}` fragments (e.g. the streaming listener's
@@ -301,6 +356,16 @@ object LineageReport {
       if (m.lastAccessTime >= 0) Some(s""""lastAccessTime":${m.lastAccessTime}""") else None,
       m.viewOriginalText.map(t => s""""viewOriginalText":"${esc(t)}""""),
       m.viewExpandedText.map(t => s""""viewExpandedText":"${esc(t)}""""),
+      if (m.scheme.nonEmpty) Some(s""""scheme":"${esc(m.scheme)}"""") else None,
+      m.inputFormat.map(f => s""""inputFormat":"${esc(f)}""""),
+      m.outputFormat.map(f => s""""outputFormat":"${esc(f)}""""),
+      if (m.compressed) Some(""""compressed":true""") else None,
+      if (m.storageProperties.nonEmpty)
+        Some(s""""storageProperties":${
+          m.storageProperties.toSeq.sortBy(_._1)
+            .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+            .mkString("{", ",", "}")}""")
+      else None,
       if (m.partitions.nonEmpty)
         Some(s""""partitions":${m.partitions.map(p => "\"" + esc(p) + "\"").mkString("[", ",", "]")}""")
       else None).flatten

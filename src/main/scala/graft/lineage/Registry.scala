@@ -56,11 +56,13 @@ final class MetadataRegistry {
   def add(report: LineageReport): Unit = synchronized {
     report.inputs.foreach(add)
     // a write target observed only as a path still gets an entry, so the
-    // session catalog answers "what did this workload produce"
+    // session catalog answers "what did this workload produce" — tagged
+    // with its filesystem scheme, the reference's dfs:/local: FQN
+    // discriminator (ConvertHelper.scala:10-19, DirectoryDef.isLocal)
     report.outputs.foreach { o =>
       if (!tables.contains(o))
         tables(o) = TableMeta(name = o.split('/').last, path = o,
-          columns = Nil, format = "sink")
+          columns = Nil, format = "sink", scheme = TableMeta.schemeOf(o))
     }
     report.databases.foreach(d => dbs(d.name) = d)
   }

@@ -302,6 +302,45 @@ object LineageQueries {
              |  ('gross',
              |   '((lineitem.l_extendedprice * (CAST(1 AS DOUBLE) - lineitem.l_discount)) * 1.1D)'))
              |  AS t(out_col, src_sql)
-             |ORDER BY out_col""".stripMargin))
+             |ORDER BY out_col""".stripMargin)),
+
+    // sink entries carry their filesystem scheme — the reference keys
+    // every directory FQN as dfs:<path> vs local:<path>
+    // (ConvertHelper.scala:10-19; DirectoryDef.isLocal,
+    // DirectoryDef.scala:3-8). A real listener-observed local write tags
+    // `file`; cluster-store targets (hdfs/s3a — no DFS in the harness, so
+    // registered from a report's output URIs, the same path a cluster
+    // listener callback takes) keep their store scheme, isLocal=false
+    Q("lx13_lineage_sink_scheme",
+      (s, dir) => {
+        import graft.lineage._
+        val reg = new MetadataRegistry
+        val tmp = graft.Scratch.dir("graft_lx13_sink")
+        val listener = LineageListener.install(s)
+        try {
+          Tables(s, dir, "region").write.mode("overwrite")
+            .parquet(s"$tmp/sink_scheme.parquet")
+          val deadline = System.currentTimeMillis() + 15000
+          while (!listener.reports.exists(_._2.outputs.exists(_.contains("graft_lx13"))) &&
+            System.currentTimeMillis() < deadline) Thread.sleep(50)
+          listener.reports
+            .filter(_._2.outputs.exists(_.contains("graft_lx13")))
+            .foreach(r => reg.add(r._2))
+        } finally s.listenerManager.unregister(listener)
+        reg.add(LineageReport(
+          LNode("n0", "Scan", "", Nil), Map.empty, inputs = Nil,
+          outputs = Seq("hdfs://nn:8020/warehouse/events",
+            "s3a://bucket/data/docs")))
+        val rows = reg.snapshot.filter(_.format == "sink")
+          .map(m => (m.name, m.scheme, m.isLocal))
+        s.createDataFrame(rows).toDF("sink_name", "scheme", "is_local")
+          .orderBy("sink_name")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('docs', 's3a', false),
+             |  ('events', 'hdfs', false),
+             |  ('sink_scheme.parquet', 'file', true))
+             |  AS t(sink_name, scheme, is_local)
+             |ORDER BY sink_name""".stripMargin))
   )
 }

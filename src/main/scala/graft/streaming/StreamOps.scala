@@ -60,18 +60,21 @@ object StreamOps {
     * per-entity profile shape (feature stores, abuse counters). State
     * lives in the RocksDB state-store provider (the only provider the
     * operator supports — callers set the provider conf before starting);
-    * keyed by user it shards with the shuffle, and TTLConfig would bound
-    * unbounded key spaces at production scale.
+    * keyed by user it shards with the shuffle, and a non-NONE `ttl`
+    * bounds unbounded key spaces at production scale (a user idle past
+    * the TTL evicts; its counts restart — the profile/state trade).
     */
-  class TypeCountProcessor
+  class TypeCountProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvType, TypeCount] {
-    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues}
     @transient private var counts: MapState[String, Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       counts = getHandle.getMapState[String, Long]("counts",
         org.apache.spark.sql.Encoders.STRING,
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[EvType],
         tv: TimerValues): Iterator[TypeCount] = {
@@ -86,16 +89,27 @@ object StreamOps {
   }
 
   /** See [[TypeCountProcessor]]. */
-  def typeCounts(events: DataFrame): Dataset[TypeCount] = {
+  def typeCounts(events: DataFrame,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): Dataset[TypeCount] = {
     val spark = events.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.streaming.TimeMode
     events.select(col("user_id"), col("event_type")).as[EvType]
       .groupByKey(_.user_id)
-      .transformWithState(new TypeCountProcessor,
-        TimeMode.None(), OutputMode.Update(),
+      .transformWithState(new TypeCountProcessor(ttl),
+        timeModeFor(ttl), OutputMode.Update(),
         implicitly[org.apache.spark.sql.Encoder[TypeCount]])
   }
+
+  /** State TTL is evaluated against processing time, so any non-NONE TTL
+    * requires `TimeMode.ProcessingTime()`; the gates run `TimeMode.None()`
+    * (no TTL bookkeeping columns in the state rows at all).
+    */
+  private def timeModeFor(ttl: org.apache.spark.sql.streaming.TTLConfig)
+      : org.apache.spark.sql.streaming.TimeMode =
+    if (ttl == org.apache.spark.sql.streaming.TTLConfig.NONE)
+      org.apache.spark.sql.streaming.TimeMode.None()
+    else org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
 
   /** documents schema as stored (file streams require an explicit schema). */
   val documentsSchema: StructType = StructType(Seq(
@@ -119,14 +133,16 @@ object StreamOps {
     * dedup index — a long per OCCUPIED bucket, sharded by the bucket-key
     * shuffle; arriving docs read/update only the buckets they land in.
     */
-  class BucketMinProcessor
+  class BucketMinProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, DocBucket, BucketMin] {
-    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, ValueState}
     @transient private var minId: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       minId = getHandle.getValueState[Long]("min_id",
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[DocBucket],
         tv: TimerValues): Iterator[BucketMin] = {
@@ -175,7 +191,9 @@ object StreamOps {
     * stream-stream self-join whose state holds every prior document.
     */
   def nearDupBucketMins(
-      docs: DataFrame, bandBits: Int = 16, nBands: Int = 4): Dataset[BucketMin] = {
+      docs: DataFrame, bandBits: Int = 16, nBands: Int = 4,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): Dataset[BucketMin] = {
     // 64, not 63: the portable signature's bit 63 is always 0 (the token
     // hash is 63-bit), so the top band of a 4x16 split carries one
     // constant bit — harmless, it only makes that band's pigeonhole a
@@ -184,7 +202,6 @@ object StreamOps {
       s"need bandBits*nBands <= 64, got $bandBits x $nBands")
     val spark = docs.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.streaming.TimeMode
     val toks = graft.operators.TextOps.tokens(col("text"))
     val sig = graft.functions.HashExprs.simhash64(
       transform(toks, t => graft.operators.Dedup.portableTokenHash63(t)))
@@ -201,8 +218,8 @@ object StreamOps {
       .select(col("bucket_key"), col("doc_id"))
     chunks.as[DocBucket]
       .groupByKey(_.bucket_key)
-      .transformWithState(new BucketMinProcessor,
-        TimeMode.None(), OutputMode.Update(),
+      .transformWithState(new BucketMinProcessor(ttl),
+        timeModeFor(ttl), OutputMode.Update(),
         implicitly[org.apache.spark.sql.Encoder[BucketMin]])
   }
 
@@ -222,18 +239,25 @@ object StreamOps {
     * whose state retains full rows of BOTH sides. Within a batch rows
     * process in timestamp order (rights before lefts on ties, matching
     * the >= contract); a late LEFT row still matches exactly (history is
-    * complete), a late RIGHT row matches only future lefts — the
-    * streaming as-of tradeoff, bounded in production by a TTL/watermark
-    * on the reference stream's lateness.
+    * complete), a late RIGHT row matches only future lefts.
+    *
+    * The right history grows with reference-stream volume per key; a
+    * non-NONE `ttl` bounds it: list ENTRIES older than the TTL (by
+    * processing time of their append) evict, so a key's state holds only
+    * the TTL window of right rows. A left arriving after every right in
+    * its key's window expired goes unmatched — the state/completeness
+    * trade, chosen per deployment (StreamingSpec proves the eviction).
     */
-  class StreamAsofProcessor
+  class StreamAsofProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, AsofEv, AsofMatch] {
-    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues}
     @transient private var rights: ListState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       rights = getHandle.getListState[Long]("rights",
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[AsofEv],
         tv: TimerValues): Iterator[AsofMatch] = {
@@ -284,18 +308,19 @@ object StreamOps {
   /** See [[StreamAsofProcessor]]. `left` needs (event_id, user_id, us);
     * `right` needs (user_id, us). Inner semantics: unmatched lefts drop.
     */
-  def streamAsof(left: DataFrame, right: DataFrame): Dataset[AsofMatch] = {
+  def streamAsof(left: DataFrame, right: DataFrame,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): Dataset[AsofMatch] = {
     val spark = left.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.streaming.TimeMode
     val tagged = left
       .select(col("user_id"), col("us"), lit(false).as("is_right"), col("event_id"))
       .unionByName(right.select(col("user_id"), col("us"),
         lit(true).as("is_right"), lit(-1L).as("event_id")))
       .as[AsofEv]
     tagged.groupByKey(_.user_id)
-      .transformWithState(new StreamAsofProcessor,
-        TimeMode.None(), OutputMode.Append(),
+      .transformWithState(new StreamAsofProcessor(ttl),
+        timeModeFor(ttl), OutputMode.Append(),
         implicitly[org.apache.spark.sql.Encoder[AsofMatch]])
   }
 

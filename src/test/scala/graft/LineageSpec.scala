@@ -180,6 +180,29 @@ class LineageSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  // reference TableDef carries the storage descriptor
+  // (inputFormat/outputFormat/compressed, TableDef.scala:3-33); the Spark
+  // analog: data-source tables record writer options (compression codec)
+  // in the catalog's storage properties, and every path-backed entity
+  // carries its filesystem scheme (DirectoryDef.isLocal discriminator)
+  test("catalog inputs carry their storage descriptor and scheme") {
+    spark.sql("DROP TABLE IF EXISTS lin_store_tbl")
+    val d = new java.io.File("/tmp/graft_warehouse/lin_store_tbl")
+    if (d.exists()) { def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit }; rm(d) }
+    Tables(spark, sf, "region").write.mode("overwrite")
+      .option("compression", "snappy").saveAsTable("lin_store_tbl")
+    val df = spark.table("lin_store_tbl").groupBy("r_name").count()
+    val rep = LineageExtractor.report(df.queryExecution)
+    val m = rep.inputs.find(_.name == "lin_store_tbl").get
+    assert(m.storageProperties.get("compression").contains("snappy"),
+      s"storage props: ${m.storageProperties}")
+    assert(m.scheme == "file" && m.isLocal) // local warehouse dir
+    // data-source tables have no Hive-format classes — documented None
+    assert(m.inputFormat.isEmpty && m.outputFormat.isEmpty && !m.compressed)
+    assert(rep.inputsJson.contains(""""storageProperties""""))
+    assert(rep.inputsJson.contains(""""scheme":"file""""))
+  }
+
   test("lineage invariant: every output column's sources are scanned columns") {
     // property-style sweep over the whole query corpus
     SparkEntry.registry.foreach { q =>

@@ -72,4 +72,34 @@ class RegistrySpec extends AnyFunSuite {
     assert(reg.size == 2)
     assert(reg.table("/out/results").get.format == "sink")
   }
+
+  // the reference keys every directory FQN as dfs:<path> vs local:<path>
+  // (ConvertHelper.scala:10-19; DirectoryDef.isLocal, DirectoryDef.scala:3-8)
+  test("sink entries carry a scheme-qualified identity") {
+    val reg = new MetadataRegistry
+    reg.add(LineageReport(
+      LNode("n0", "scan", "", Nil), Map.empty, inputs = Nil,
+      outputs = Seq("/out/results", "hdfs://nn:8020/warehouse/events",
+        "s3a://bucket/data/docs", "spark_catalog.default.t")))
+    def sink(k: String) = reg.table(k).get
+    assert(sink("/out/results").scheme == "file" && sink("/out/results").isLocal)
+    assert(sink("hdfs://nn:8020/warehouse/events").scheme == "hdfs")
+    assert(!sink("hdfs://nn:8020/warehouse/events").isLocal)
+    assert(sink("s3a://bucket/data/docs").scheme == "s3a")
+    assert(sink("spark_catalog.default.t").scheme == "") // catalog-named
+    // the scheme rides the session-catalog JSON document
+    assert(reg.toJson.contains(""""scheme":"hdfs""""))
+    assert(reg.toJson.contains(""""scheme":"s3a""""))
+  }
+
+  test("openLineage output namespace keeps the store identity of URI sinks") {
+    val rep = LineageReport(
+      LNode("n0", "scan", "", Nil), Map.empty, inputs = Nil,
+      outputs = Seq("s3a://bucket/data/docs", "/tmp/local.parquet"))
+    val ev = rep.openLineageJson("graft", "j", "r-1", "2026-01-01T00:00:00Z")
+    assert(ev.contains(
+      """{"namespace":"s3a://bucket","name":"/data/docs""""))
+    assert(ev.contains(
+      """{"namespace":"file","name":"/tmp/local.parquet""""))
+  }
 }

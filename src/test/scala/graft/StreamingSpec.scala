@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.StreamOps
@@ -237,6 +237,67 @@ class StreamingSpec extends AnyFunSuite {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
+    }
+  }
+
+  test("as-of right history evicts under a state TTL") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val saved = Seq("spark.sql.streaming.stateStore.providerClass",
+      "spark.sql.shuffle.partitions").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // ProcessingTime time mode schedules TTL-eviction no-data batches;
+    // keep their fixed cost tiny (2 state stores, not 8)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val ms = MemoryStream[(Long, Long, Boolean, Long)]
+    val left = ms.toDF()
+      .filter(!$"_3")
+      .select($"_4".as("event_id"), $"_1".as("user_id"), $"_2".as("us"))
+    val right = ms.toDF()
+      .filter($"_3")
+      .select($"_1".as("user_id"), $"_2".as("us"))
+    // TTL 2s; every positive match rides INSIDE its batch (rights sort
+    // before lefts), so contention can only make the eviction sleep
+    // LONGER — never flaky toward a false failure. processAllAvailable is
+    // useless under processing-time no-data batches (the query never
+    // quiesces); completion is detected by polling for each batch's
+    // sentinel match instead.
+    val ttl = org.apache.spark.sql.streaming.TTLConfig(
+      java.time.Duration.ofSeconds(2))
+    val q = StreamOps.streamAsof(left, right, ttl).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .queryName("asof_ttl_test").start()
+    def awaitRows(want: Set[(Long, Long)], deadlineSec: Int = 90): Set[(Long, Long)] = {
+      val until = System.nanoTime() + deadlineSec * 1e9.toLong
+      var got = Set.empty[(Long, Long)]
+      while (!want.subsetOf(got) && System.nanoTime() < until) {
+        Thread.sleep(100)
+        got = spark.table("asof_ttl_test").select($"event_id", $"c_us")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      got
+    }
+    try {
+      // batch 1: right @1000 then left @1500 in the same batch — matches
+      ms.addData((1L, 1000L, true, -1L), (1L, 1500L, false, 10L))
+      assert(awaitRows(Set((10L, 1000L))) == Set((10L, 1000L)))
+      // batch 2, past the TTL: user 1's @1000 right has EVICTED — the
+      // left that would have matched it goes unmatched (inner semantics:
+      // dropped). User 2's in-batch pair is the batch-completion sentinel.
+      Thread.sleep(3000)
+      ms.addData((1L, 2000L, false, 11L),
+        (2L, 100L, true, -1L), (2L, 200L, false, 20L))
+      val after = awaitRows(Set((20L, 100L)))
+      assert(after.contains((20L, 100L)), s"batch 2 never completed: $after")
+      assert(!after.exists(_._1 == 11L),
+        s"expected the TTL to evict user 1's right history, got $after")
+    } finally {
+      q.stop()
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
     }
   }
 }
