@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Snapshot mutation operators: CDC-style diff between two snapshots of a
+  * keyed table, and SCD Type-2 merge (dimension-history maintenance) —
+  * what an incremental corpus or warehouse pipeline runs when a source
+  * re-delivers a full snapshot and history must be preserved.
+  *
+  * Scale notes (100 TB): both operators are ONE key-grain shuffle — the
+  * information-theoretic minimum for exact keyed comparison. Attribute
+  * comparison is null-safe struct equality (`<=>`), fully codegen'd — no
+  * UDFs, no row hashing (a hash would save no shuffle here and adds
+  * collision risk). `scd2Merge` never joins the history: closed rows pass
+  * through on a filter, only CURRENT rows meet the batch, and a small
+  * batch broadcasts so the dimension does not shuffle at all.
+  */
+object Mutations {
+
+  private def attrStruct(df: DataFrame, keys: Seq[String], as: String): DataFrame = {
+    val attrs = df.columns.filterNot(keys.contains).sorted
+    df.select(keys.map(col) :+ struct(attrs.map(col): _*).as(as): _*)
+  }
+
+  /** Classify every key that CHANGED between two snapshots as
+    * insert / update / delete (unchanged keys are dropped — at scale the
+    * diff is small and the unchanged bulk must not be materialized).
+    * Returns `keys :+ change_type`, one row per changed key.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(oldSnap.columns.sorted.sameElements(newSnap.columns.sorted),
+      s"snapshot schemas differ: ${oldSnap.columns.sorted.mkString(",")} vs " +
+        newSnap.columns.sorted.mkString(","))
+    val o = attrStruct(oldSnap, keys, "_old")
+    val n = attrStruct(newSnap, keys, "_new")
+    // full-outer on the key: absence on either side IS the signal, so the
+    // struct's nullness discriminates insert/delete from update
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_old").isNull, lit("insert"))
+          .when(col("_new").isNull, lit("delete"))
+          .when(!(col("_old") <=> col("_new")), lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
+
+  /** SCD Type-1 upsert (MERGE INTO … WHEN MATCHED UPDATE, WHEN NOT
+    * MATCHED INSERT): the batch's version of every key it carries wins;
+    * untouched keys pass through. No history — the overwrite-in-place
+    * sibling of [[scd2Merge]].
+    *
+    * Plan: one broadcast anti-join (dimension vs the small batch's keys)
+    * plus the batch union'd on top — the dimension never shuffles, and
+    * unlike a full-outer MERGE encoding no wide row comparison happens
+    * at all (type-1 does not care whether attrs changed).
+    */
+  def scd1Upsert(dim: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    require(dim.columns.sorted.sameElements(updates.columns.sorted),
+      s"dimension/batch schemas differ: ${dim.columns.sorted.mkString(",")} vs " +
+        updates.columns.sorted.mkString(","))
+    val keys = broadcast(updates.select(col(key).as("_ukey")))
+    dim.join(keys, dim(key) === keys("_ukey"), "left_anti")
+      .unionByName(updates.select(dim.columns.map(col): _*))
+  }
+
+  /** SCD Type-2 merge of an update batch into a dimension-history table.
+    *
+    * `dim` carries `key, attrs…, valid_from, valid_to, is_current`
+    * (`valid_to` null on current rows); `updates` carries `key, attrs…`,
+    * all effective at batch time `ts`. Semantics per Kimball's type-2
+    * slowly-changing dimension:
+    *   - history rows (`is_current = false`) pass through untouched — and
+    *     un-joined: at scale the closed history dwarfs the current set
+    *     and must not pay the shuffle;
+    *   - a current row with no update, or an update equal to its attrs,
+    *     stays current;
+    *   - a current row whose update differs CLOSES (`valid_to = ts`,
+    *     `is_current = false`) and the update opens the new current row
+    *     (`valid_from = ts`);
+    *   - an update for an unseen key opens its first current row.
+    * Deletes are out of scope (type-2 sources retract via tombstone
+    * attribute values, which flow through as ordinary changes).
+    *
+    * The outer join emits 1 or 2 output rows per matched key via a
+    * map-side array-explode; brand-new keys arrive through a broadcast
+    * anti-join (see the inline plan note — everything builds on the
+    * batch side, the dimension never shuffles).
+    */
+  def scd2Merge(dim: DataFrame, updates: DataFrame, key: String,
+      ts: Long): DataFrame = {
+    val meta = Seq("valid_from", "valid_to", "is_current")
+    val attrs = dim.columns.filterNot(c => c == key || meta.contains(c)).sorted
+    require(updates.columns.sorted.sameElements((attrs :+ key).sorted),
+      s"update batch must carry exactly key+attrs; got ${updates.columns.sorted.mkString(",")}")
+    val outCols = (key +: attrs) ++ meta
+    def rowStruct(src: String => Column, from: Column, to: Column,
+        current: Column): Column =
+      struct(outCols.map {
+        case "valid_from" => from.cast("long").as("valid_from")
+        case "valid_to" => to.cast("long").as("valid_to")
+        case "is_current" => current.as("is_current")
+        case c => src(c).as(c)
+      }: _*)
+
+    val history = dim.filter(!col("is_current")).select(outCols.map(col): _*)
+    val cur = dim.filter(col("is_current"))
+    // The batch side is small by construction, so every join builds on it
+    // and the (huge) current set NEVER shuffles. A single full-outer join
+    // would be one pass, but Spark cannot broadcast a full-outer equi-join
+    // — the hint would silently drop and the whole dimension would pay a
+    // key shuffle. Instead: (1) current LEFT OUTER broadcast(batch) emits
+    // keep/close/reopen rows map-side; (2) the keys the batch matched are
+    // themselves ≤|batch| — a broadcast semi-join collects them from a
+    // key-column-pruned second scan; (3) batch ANTI broadcast(matched)
+    // opens the brand-new keys, also map-side. Two scans of the current
+    // set (one key-only, column-pruned) buy zero dimension shuffles.
+    val upd = broadcast(
+      updates.select(col(key).as("_ukey") +:
+        attrs.map(c => col(c).as(s"_u_$c")): _*))
+    val joined = cur.join(upd, col(key) === col("_ukey"), "left_outer")
+    val changed = col("_ukey").isNotNull &&
+      !(struct(attrs.map(col): _*) <=>
+        struct(attrs.map(c => col(s"_u_$c")): _*))
+    val keep = rowStruct(col, col("valid_from"), col("valid_to"), lit(true))
+    val closed = rowStruct(col, col("valid_from"), lit(ts), lit(false))
+    val opened = rowStruct(
+      c => if (c == key) col(key) else col(s"_u_$c"),
+      lit(ts), lit(null), lit(true))
+    val fromCur = joined.select(explode(
+      when(changed, array(closed, opened)) // close + reopen
+        .otherwise(array(keep))).as("_r")) // no update / unchanged
+      .select(col("_r.*"))
+    val matched = broadcast(
+      cur.join(upd, col(key) === col("_ukey"), "left_semi")
+        .select(col(key).as("_mkey")))
+    val openedNew = updates
+      .join(matched, updates(key) === matched("_mkey"), "left_anti")
+      .select(outCols.map {
+        case "valid_from" => lit(ts).cast("long").as("valid_from")
+        case "valid_to" => lit(null).cast("long").as("valid_to")
+        case "is_current" => lit(true).as("is_current")
+        case c => col(c).as(c)
+      }: _*)
+    history.unionByName(fromCur).unionByName(openedNew)
+  }
+}

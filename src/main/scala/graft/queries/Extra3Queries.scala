@@ -560,6 +560,123 @@ object Extra3Queries {
              |  count(DISTINCT cust_id) AS n_cust,
              |  round(sum(price), 2) AS total
              |FROM x
-             |GROUP BY status ORDER BY status""".stripMargin))
+             |GROUP BY status ORDER BY status""".stripMargin)),
+
+    // ---- CDC snapshot diff: classify changed keys between two snapshot
+    //      deliveries (Mutations.snapshotDiff — ONE key shuffle, null-safe
+    //      struct compare, unchanged bulk never materializes). The "new"
+    //      snapshot derives deterministically from the old so the oracle
+    //      reproduces it: drop %97 keys, bump acctbal on %10=3, add
+    //      shifted keys for %50=7 ----
+    Q("q99_snapshot_diff",
+      (s, dir) => {
+        import s.implicits._
+        val old = Tables(s, dir, "customer")
+        val newSnap = old.filter($"c_custkey" % 97 =!= 0)
+          .withColumn("c_acctbal",
+            when($"c_custkey" % 10 === 3, round($"c_acctbal" + 100, 2))
+              .otherwise($"c_acctbal"))
+          .unionByName(old.filter($"c_custkey" % 50 === 7)
+            .withColumn("c_custkey", $"c_custkey" + 1000000))
+        graft.operators.Mutations.snapshotDiff(old, newSnap, Seq("c_custkey"))
+          .orderBy($"c_custkey")
+      },
+      Some("""WITH newsnap AS (
+             |  SELECT c_custkey, c_name, c_nationkey,
+             |    CASE WHEN c_custkey % 10 = 3
+             |         THEN round(c_acctbal + 100, 2) ELSE c_acctbal END AS c_acctbal,
+             |    c_mktsegment
+             |  FROM customer WHERE c_custkey % 97 <> 0
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |  FROM customer WHERE c_custkey % 50 = 7
+             |)
+             |SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+             |  CASE WHEN o.c_custkey IS NULL THEN 'insert'
+             |       WHEN n.c_custkey IS NULL THEN 'delete'
+             |       ELSE 'update' END AS change_type
+             |FROM customer o FULL OUTER JOIN newsnap n ON o.c_custkey = n.c_custkey
+             |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+             |   OR NOT (o.c_name IS NOT DISTINCT FROM n.c_name
+             |       AND o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey
+             |       AND o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+             |       AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- SCD Type-2 merge: dimension-history maintenance under an
+    //      update batch (Mutations.scd2Merge — history passes through
+    //      un-joined, batch broadcasts, 1-2 rows per key via map-side
+    //      explode). Batch: changed rows (%10=3), a no-op delivery
+    //      (%20=5, proves unchanged updates don't churn history), and
+    //      brand-new keys (%50=7 shifted) ----
+    Q("q100_scd2_merge",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables(s, dir, "customer")
+        val dim = cust
+          .withColumn("valid_from", lit(0L))
+          .withColumn("valid_to", lit(null).cast("long"))
+          .withColumn("is_current", lit(true))
+        val batch = cust.filter($"c_custkey" % 10 === 3)
+          .withColumn("c_acctbal", round($"c_acctbal" + 100, 2))
+          .unionByName(cust.filter($"c_custkey" % 20 === 5))
+          .unionByName(cust.filter($"c_custkey" % 50 === 7)
+            .withColumn("c_custkey", $"c_custkey" + 1000000))
+        graft.operators.Mutations
+          .scd2Merge(dim, batch, "c_custkey", ts = 100L)
+          .select($"c_custkey", $"c_acctbal", $"valid_from", $"valid_to",
+            $"is_current")
+          .orderBy($"c_custkey", $"valid_from")
+      },
+      Some("""WITH upd AS (
+             |  SELECT c_custkey, round(c_acctbal + 100, 2) AS c_acctbal, true AS chg
+             |  FROM customer WHERE c_custkey % 10 = 3
+             |  UNION ALL
+             |  SELECT c_custkey, c_acctbal, false AS chg
+             |  FROM customer WHERE c_custkey % 20 = 5
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, c_acctbal, true AS chg
+             |  FROM customer WHERE c_custkey % 50 = 7
+             |)
+             |SELECT d.c_custkey, d.c_acctbal, CAST(0 AS BIGINT) AS valid_from,
+             |  CAST(100 AS BIGINT) AS valid_to, false AS is_current
+             |FROM customer d JOIN upd u ON d.c_custkey = u.c_custkey AND u.chg
+             |UNION ALL
+             |SELECT d.c_custkey, d.c_acctbal, 0, NULL, true
+             |FROM customer d LEFT JOIN upd u
+             |  ON d.c_custkey = u.c_custkey AND u.chg
+             |WHERE u.c_custkey IS NULL
+             |UNION ALL
+             |SELECT u.c_custkey, u.c_acctbal, 100, NULL, true
+             |FROM upd u WHERE u.chg
+             |ORDER BY c_custkey, valid_from""".stripMargin)),
+
+    // ---- SCD Type-1 upsert (MERGE INTO: matched keys overwrite, new
+    //      keys insert, no history — Mutations.scd1Upsert; one broadcast
+    //      anti-join, dimension never shuffles or compares attrs) ----
+    Q("q101_scd1_upsert",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables(s, dir, "customer")
+        val batch = cust.filter($"c_custkey" % 10 === 3)
+          .withColumn("c_acctbal", round($"c_acctbal" + 100, 2))
+          .unionByName(cust.filter($"c_custkey" % 50 === 7)
+            .withColumn("c_custkey", $"c_custkey" + 1000000))
+        graft.operators.Mutations.scd1Upsert(cust, batch, "c_custkey")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |FROM (
+             |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |  FROM customer WHERE c_custkey % 10 <> 3
+             |  UNION ALL
+             |  SELECT c_custkey, c_name, c_nationkey,
+             |    round(c_acctbal + 100, 2), c_mktsegment
+             |  FROM customer WHERE c_custkey % 10 = 3
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+             |    c_mktsegment
+             |  FROM customer WHERE c_custkey % 50 = 7)
+             |ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -354,6 +354,43 @@ object StreamQueries {
              |     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
              |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
              |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- streaming CDC: the incremental shape of the batch snapshot
+    //      diff (q99) — per-key last-value state (O(1) per key), first
+    //      value emits insert, a differing value update, redeliveries of
+    //      the current value are SUPPRESSED (Debezium-style compaction).
+    //      Single-batch replay in (ts, event_id) order == the oracle's
+    //      lag() window ----
+    Q("st13_stream_cdc",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val src = StreamOps.readEvents(s, dir)
+            .filter($"user_id" < 200)
+            .select($"user_id", $"event_id",
+              unix_micros($"ts").as("us"), $"event_type".as("v"))
+          val ch = StreamOps.changeCapture(src)
+          StreamOps.runToMemory(s, ch.toDF(), "st13_out", OutputMode.Append())
+            .orderBy($"event_id")
+        } finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""SELECT user_id, event_id,
+             |  CASE WHEN prev IS NULL THEN 'insert' ELSE 'update' END AS change_type
+             |FROM (
+             |  SELECT user_id, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev
+             |  FROM events WHERE user_id < 200)
+             |WHERE prev IS NULL OR prev <> event_type
              |ORDER BY event_id""".stripMargin))
   )
 }

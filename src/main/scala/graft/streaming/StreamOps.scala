@@ -324,6 +324,74 @@ object StreamOps {
         implicitly[org.apache.spark.sql.Encoder[AsofMatch]])
   }
 
+  case class CdcEv(user_id: Long, event_id: Long, us: Long, v: String)
+  case class CdcChange(user_id: Long, event_id: Long, change_type: String)
+
+  /** Streaming change-data capture: the incremental shape of the batch
+    * [[graft.operators.Mutations.snapshotDiff]]. Each key's arriving
+    * values compare against the last RETAINED value (a `ValueState`
+    * string, O(1) per key — never a prior-rows rescan): the first value
+    * for a key emits `insert`, a differing value emits `update`, an
+    * equal value is SUPPRESSED — Debezium-style redelivery compaction,
+    * so downstream consumers (an incremental dedup or index maintenance
+    * job) see each logical change exactly once. Deletes need a
+    * tombstone value in the stream, which flows through as an ordinary
+    * change.
+    *
+    * Within a batch a key's rows process in (us, event_id) order — the
+    * total order the oracle's `lag()` window replays. A non-NONE `ttl`
+    * evicts idle keys' last-value state; a key resuming after eviction
+    * re-reports `insert` (at-least-once change semantics under bounded
+    * state — the CDC version of the st12 trade).
+    */
+  class ChangeCaptureProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, CdcEv, CdcChange] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, ValueState}
+    @transient private var last: ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[String]("last",
+        org.apache.spark.sql.Encoders.STRING, ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[CdcEv],
+        tv: TimerValues): Iterator[CdcChange] = {
+      val batch = rows.toArray
+      scala.util.Sorting.stableSort(batch,
+        (a: CdcEv, b: CdcEv) =>
+          a.us < b.us || (a.us == b.us && a.event_id < b.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[CdcChange]
+      var prev = if (last.exists()) Option(last.get()) else None
+      batch.foreach { e =>
+        prev match {
+          case None =>
+            out += CdcChange(key, e.event_id, "insert"); prev = Some(e.v)
+          case Some(p) if p != e.v =>
+            out += CdcChange(key, e.event_id, "update"); prev = Some(e.v)
+          case _ => () // redelivery of the current value: suppressed
+        }
+      }
+      prev.foreach(last.update)
+      out.iterator
+    }
+  }
+
+  /** See [[ChangeCaptureProcessor]]. `events` needs
+    * (user_id, event_id, us, v). */
+  def changeCapture(events: DataFrame,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): Dataset[CdcChange] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"), col("us"), col("v"))
+      .as[CdcEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new ChangeCaptureProcessor(ttl),
+        timeModeFor(ttl), OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[CdcChange]])
+  }
+
   /** Stateful sessionization: gap > `gapSec` starts a new session. Emits
     * every session of the batch (single-batch file input ⇒ complete,
     * deterministic output identical to the batch window-function

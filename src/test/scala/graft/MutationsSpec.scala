@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Mutations
+
+/** CDC snapshot diff + SCD Type-2 merge semantics (gates q99/q100 pin the
+  * single-batch output against DuckDB; this spec pins what the oracle
+  * can't — multi-batch history chaining, no-op idempotence, schema
+  * guards).
+  */
+class MutationsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def dim0 = Seq(
+    // key, attr, valid_from, valid_to, is_current
+    (1L, "a", 0L, Option.empty[Long], true),
+    (2L, "b", 0L, Option.empty[Long], true))
+    .toDF("k", "v", "valid_from", "valid_to", "is_current")
+
+  test("snapshotDiff classifies insert/update/delete and drops unchanged") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val neu = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v")
+    val got = Mutations.snapshotDiff(old, neu, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "update"), (3L, "delete"), (4L, "insert")))
+  }
+
+  test("snapshotDiff is null-safe on attribute values") {
+    val old = Seq((1L, Option("a")), (2L, Option.empty[String])).toDF("k", "v")
+    val neu = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("k", "v")
+    val got = Mutations.snapshotDiff(old, neu, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "update"))) // null==null is NOT a change
+  }
+
+  test("scd2Merge chains history across batches") {
+    val b1 = Seq((1L, "a2"), (3L, "c")).toDF("k", "v") // change k1, open k3
+    val after1 = Mutations.scd2Merge(dim0, b1, "k", ts = 10L)
+    val b2 = Seq((1L, "a3")).toDF("k", "v") // change k1 again
+    val after2 = Mutations.scd2Merge(after1, b2, "k", ts = 20L)
+    val rows = after2.select($"k", $"v", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(rows == Set(
+      (1L, "a", 0L, Some(10L), false), // closed by batch 1
+      (1L, "a2", 10L, Some(20L), false), // closed by batch 2
+      (1L, "a3", 20L, None, true), // current after batch 2
+      (2L, "b", 0L, None, true), // never touched
+      (3L, "c", 10L, None, true))) // opened by batch 1
+    // exactly one current row per key, valid ranges abut
+    val curPerKey = after2.filter($"is_current").groupBy($"k").count()
+      .as[(Long, Long)].collect().toMap
+    assert(curPerKey.values.forall(_ == 1L))
+  }
+
+  test("scd2Merge no-op batch leaves the dimension identical") {
+    val noop = Seq((1L, "a")).toDF("k", "v") // same attrs as current
+    val after = Mutations.scd2Merge(dim0, noop, "k", ts = 10L)
+    val rows = after.select($"k", $"v", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(rows == Set(
+      (1L, "a", 0L, None, true),
+      (2L, "b", 0L, None, true)))
+  }
+
+  test("scd1Upsert overwrites matched keys, inserts new, passes the rest") {
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val batch = Seq((2L, "B"), (3L, "c")).toDF("k", "v")
+    val got = Mutations.scd1Upsert(dim, batch, "k")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("scd1Upsert rejects mismatched schemas") {
+    val e = intercept[IllegalArgumentException] {
+      Mutations.scd1Upsert(Seq((1L, "a")).toDF("k", "v"),
+        Seq((1L, "a", 2)).toDF("k", "v", "w"), "k")
+    }
+    assert(e.getMessage.contains("schemas differ"))
+  }
+
+  test("scd2Merge rejects a batch whose columns don't match key+attrs") {
+    val bad = Seq((1L, "a", 7)).toDF("k", "v", "extra")
+    val e = intercept[IllegalArgumentException] {
+      Mutations.scd2Merge(dim0, bad, "k", ts = 10L)
+    }
+    assert(e.getMessage.contains("key+attrs"))
+  }
+
+  test("snapshotDiff rejects mismatched snapshot schemas") {
+    val e = intercept[IllegalArgumentException] {
+      Mutations.snapshotDiff(Seq((1L, "a")).toDF("k", "v"),
+        Seq((1L, "a", 2)).toDF("k", "v", "w"), Seq("k"))
+    }
+    assert(e.getMessage.contains("schemas differ"))
+  }
+}

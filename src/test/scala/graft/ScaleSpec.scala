@@ -403,4 +403,44 @@ class ScaleSpec extends AnyFunSuite {
       spark.catalog.clearCache() // scoring persists its unit projection
     }
   }
+
+  test("scd2 merge never shuffles the dimension: broadcast joins only") {
+    // the batch side is small by construction; every join must build on
+    // it (left-outer keep/close/reopen, semi matched-keys, anti new-keys)
+    // — a single ShuffleExchange means the full-outer fallback crept back
+    // and the 100 TB dimension would pay a key shuffle per batch
+    val cust = Tables(spark, sf, "customer")
+    val dim = cust
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+    val batch = cust.filter(col("c_custkey") % 10 === 3)
+      .withColumn("c_acctbal", round(col("c_acctbal") + 100, 2))
+    val df = graft.operators.Mutations.scd2Merge(dim, batch, "c_custkey", 100L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val shuffles = collectAll(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"scd2Merge must be shuffle-free, found ${shuffles.size}")
+    val bhj = collectAll(plan) {
+      case p if p.nodeName.contains("BroadcastHashJoin") => p.nodeName
+    }
+    assert(bhj.size >= 3, s"expected 3 broadcast joins, got: $bhj")
+  }
+
+  test("snapshot diff is one key shuffle per side, no nested-loop fallback") {
+    val cust = Tables(spark, sf, "customer")
+    val neu = cust.withColumn("c_acctbal",
+      when(col("c_custkey") % 10 === 3, round(col("c_acctbal") + 100, 2))
+        .otherwise(col("c_acctbal")))
+    val df = graft.operators.Mutations.snapshotDiff(cust, neu, Seq("c_custkey"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val kinds = collectAll(plan) { case p => p.nodeName }
+    assert(!kinds.exists(_.contains("BroadcastNestedLoop")),
+      s"diff fell back to nested-loop: ${kinds.mkString(",")}")
+    val shuffles = collectAll(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2,
+      s"diff must shuffle each snapshot once on the key, got ${shuffles.size}")
+  }
 }

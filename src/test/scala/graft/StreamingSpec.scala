@@ -240,6 +240,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("change capture carries last-value state across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(Long, Long, Long, String)]
+    val src = ms.toDF().select($"_1".as("user_id"), $"_2".as("event_id"),
+      $"_3".as("us"), $"_4".as("v"))
+    val q = StreamOps.changeCapture(src).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdc_test").start()
+    try {
+      // batch 1: insert, suppressed redelivery, update — in ts order
+      ms.addData((1L, 10L, 100L, "a"), (1L, 11L, 200L, "a"),
+        (1L, 12L, 300L, "b"))
+      q.processAllAvailable()
+      // batch 2: "b" redelivered (suppressed ACROSS batches — the state
+      // carry), then a real change
+      ms.addData((1L, 13L, 400L, "b"), (1L, 14L, 500L, "a"))
+      q.processAllAvailable()
+      val got = spark.table("cdc_test").collect()
+        .map(r => (r.getLong(1), r.getString(2))).toSet
+      assert(got == Set((10L, "insert"), (12L, "update"), (14L, "update")),
+        got.mkString(", "))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("as-of right history evicts under a state TTL") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
