@@ -193,29 +193,32 @@ object PerfProbe {
     // design (left-outer + semi + anti, all building on the batch side)
     // keeps every byte of the dimension map-side.
     val dimN = 5000000L
-    // attrs are FUNCTIONS OF THE KEY so the duplicate-key dedup (id*101
-    // mod 10M collides) cannot make row counts run-dependent — whichever
-    // duplicate survives carries identical attributes
-    val scdDim = spark.range(dimN)
-      .select(($"id" * 101L % (dimN * 2)).as("k"))
-      .dropDuplicates("k")
-      .select($"k",
-        ($"k" % 1000).cast("string").as("v"),
-        concat(lit("p1-"), $"k" % 7).as("p1"),
-        concat(lit("p2-"), $"k" % 11).as("p2"),
-        concat(lit("p3-"), $"k" % 13).as("p3"),
-        concat(lit("p4-"), $"k" % 17).as("p4"),
-        lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"),
-        lit(true).as("is_current"))
+    // parquet-backed dimension (written once, OUTSIDE the timed region):
+    // both variants read the same files, the way a real warehouse merge
+    // does — and the broadcast design's semi-join pass gets to show its
+    // column pruning (it reads only the key column). An in-memory range
+    // source with a dedup shuffle inside it would hand the full-outer
+    // variant a reusable exchange and bill the broadcast variant twice
+    // for the source — a rigged comparison in the naive plan's favor.
+    val scdPath = Scratch.dir("perfprobe_scd_dim")
+    spark.range(dimN).select($"id".as("k"),
+      ($"id" % 1000).cast("string").as("v"),
+      concat(lit("p1-"), $"id" % 7).as("p1"),
+      concat(lit("p2-"), $"id" % 11).as("p2"),
+      concat(lit("p3-"), $"id" % 13).as("p3"),
+      concat(lit("p4-"), $"id" % 17).as("p4"),
+      lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+      lit(true).as("is_current"))
+      .write.mode("overwrite").parquet(scdPath)
+    def scdDim = spark.read.parquet(scdPath)
     val scdBatch = spark.range(50000L).select(
-      // 90% hit existing keys (100*id stays inside the dim id range),
-      // 10% land past the keyspace → guaranteed brand-new
+      // 90% hit existing keys (100*id stays inside the dim keyspace),
+      // 10% land past it → guaranteed brand-new
       when($"id" % 10 === 9, $"id" + 20000000L)
-        .otherwise($"id" * 101L * 100L % (dimN * 2)).as("k"),
+        .otherwise($"id" * 100L).as("k"),
       lit("changed").as("v"),
       lit("p1-x").as("p1"), lit("p2-x").as("p2"),
       lit("p3-x").as("p3"), lit("p4-x").as("p4"))
-      .dropDuplicates("k")
     def scdNaiveFullOuter(): DataFrame = {
       val attrs = Seq("v", "p1", "p2", "p3", "p4")
       val cur = scdDim.filter($"is_current")
@@ -293,12 +296,19 @@ object PerfProbe {
       |
       |BM25 known-query scoring (200k docs x 200 tokens, 3 query terms):
       |map-side design ${bmMapSide._2}%.2fs vs full index-build route
-      |${bmViaIndex._2}%.2fs (${bmViaIndex._2 / bmMapSide._2}%.2fx). The
-      |map-side path computes per-doc tf from the token array and collapses
-      |df/N/avgdl into ONE global aggregation (a broadcast row), so the 40M
-      |exploded tokens and their (term, doc) shuffle never exist; the index
-      |route is what a per-query scan of a PERSISTED index avoids at
-      |serving time — build it once, not per query.
+      |${bmViaIndex._2}%.2fs (${bmViaIndex._2 / bmMapSide._2}%.2fx;
+      |run-to-run this ratio wanders ~0.9-2x on this synthetic — both
+      |routes are a few seconds and JVM-noise-sensitive, so read the
+      |STRUCTURE, not the decimals). The structural difference: the
+      |map-side path computes per-doc tf from the token array and
+      |collapses df/N/avgdl into ONE global aggregation (a broadcast
+      |row), so the 40M exploded tokens and their (term, doc) shuffle
+      |never exist — the right shape when the query set is known at scan
+      |time. The index route pays that explode+shuffle ONCE to persist
+      |postings (`bm25IndexWrite`), after which every query reads only
+      |its terms' buckets (t23's ScaleSpec pin) — the right shape for a
+      |serving workload, where per-query cost must not include a corpus
+      |scan of any kind.
       |
       |SCD2 merge (5M-row current dimension, 6 payload columns, 50k-row
       |batch): broadcast 3-join design ${scdBroadcast._2}%.2fs vs naive

@@ -65,6 +65,48 @@ object Mutations {
       .unionByName(updates.select(dim.columns.map(col): _*))
   }
 
+  /** Partition-scoped MERGE INTO a partitioned parquet table: the
+    * copy-on-write upsert at the core of lakehouse table maintenance.
+    * Rows of `batch` overwrite same-key rows and append new keys — but
+    * only the PARTITIONS the batch touches are read or rewritten:
+    *   1. the batch's distinct partition values (batch-grain, collected
+    *      to the driver — bounded by the partition count the batch
+    *      spans, same bounded-metadata contract as the m07 manifest)
+    *      prune the table scan;
+    *   2. [[scd1Upsert]] merges inside the affected partitions
+    *      (broadcast anti-join — the affected slice never shuffles);
+    *   3. a dynamic-mode partition overwrite replaces exactly the
+    *      affected partitions; every other partition's files are
+    *      untouched bytes (q87's gate asserts this property for the
+    *      overwrite mechanism, `ScaleSpec` asserts it for this merge).
+    *
+    * Constraint (shared with every partition-pruned merge, including
+    * Delta/Iceberg guidance): an update must not move a key across
+    * partitions — the partition column is part of the key's identity.
+    * A batch row whose partition value differs from the stored row's
+    * would leave the stale copy in the old partition, so callers
+    * partition on immutable columns.
+    */
+  def mergeWrite(tablePath: String, batch: DataFrame, key: String,
+      partitionCol: String): Unit = {
+    val spark = batch.sparkSession
+    val touched = batch.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val affected = spark.read.parquet(tablePath)
+      .filter(col(partitionCol).isInCollection(touched))
+    // Spark (rightly) refuses a write whose plan still reads the target
+    // path; localCheckpoint MATERIALIZES the merged slice (affected
+    // partitions only — not the table) before the overwrite touches any
+    // file. A production lakehouse replaces this with a transaction log;
+    // plain parquet has no MVCC, so materialize-then-swap is the
+    // copy-on-write contract.
+    scd1Upsert(affected, batch.select(affected.columns.map(col): _*), key)
+      .localCheckpoint()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(tablePath)
+  }
+
   /** SCD Type-2 merge of an update batch into a dimension-history table.
     *
     * `dim` carries `key, attrs…, valid_from, valid_to, is_current`

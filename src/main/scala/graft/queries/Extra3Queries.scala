@@ -677,6 +677,47 @@ object Extra3Queries {
              |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
              |    c_mktsegment
              |  FROM customer WHERE c_custkey % 50 = 7)
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- partition-scoped MERGE INTO (lakehouse copy-on-write upsert):
+    //      the batch touches only the 'click' partition, so mergeWrite
+    //      reads and rewrites THAT partition alone — every other
+    //      partition's files stay untouched bytes (ScaleSpec asserts).
+    //      Rebuilt from the fixture every invocation: the merge MUTATES
+    //      the table, so determinism comes from rebuild-then-merge ----
+    Q("q102_partitioned_merge",
+      (s, dir) => {
+        import s.implicits._
+        val key = java.lang.Long.toHexString(
+          java.util.Arrays.hashCode(dir.getBytes("UTF-8")).toLong & 0xFFFFFFFFL)
+        val path = s"${graft.Scratch.dir(s"graft_mrg_$key")}/events_merge"
+        val base = Tables(s, dir, "events")
+          .withColumn("us", unix_micros($"ts"))
+          .select($"event_id", $"user_id", $"event_type", $"value", $"us")
+        base.write.mode("overwrite").partitionBy("event_type").parquet(path)
+        val batch = base
+          .filter($"event_type" === "click" && $"event_id" % 10 === 3)
+          .withColumn("value", round($"value" + 1000, 2))
+          .unionByName(base
+            .filter($"event_type" === "click" && $"event_id" % 100 === 7)
+            .withColumn("event_id", $"event_id" + 100000000L))
+        graft.operators.Mutations.mergeWrite(path, batch, "event_id", "event_type")
+        s.read.parquet(path)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+             |FROM (
+             |  SELECT event_type, value FROM events WHERE event_type <> 'click'
+             |  UNION ALL
+             |  SELECT event_type,
+             |    CASE WHEN event_id % 10 = 3 THEN round(value + 1000, 2)
+             |         ELSE value END AS value
+             |  FROM events WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT event_type, value FROM events
+             |  WHERE event_type = 'click' AND event_id % 100 = 7)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

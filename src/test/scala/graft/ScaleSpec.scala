@@ -428,6 +428,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(bhj.size >= 3, s"expected 3 broadcast joins, got: $bhj")
   }
 
+  test("partition-scoped merge rewrites only the partitions the batch touches") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mrg_spec").toString
+    val path = s"$tmp/t"
+    val base = Tables(spark, sf, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    base.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    def files(part: String): Map[String, Long] = {
+      val d = new java.io.File(s"$path/event_type=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val purchaseBefore = files("purchase")
+    val clickBefore = files("click")
+    val batch = base.filter($"event_type" === "click" && $"event_id" % 10 === 3)
+      .withColumn("value", round($"value" + 1000, 2))
+    graft.operators.Mutations.mergeWrite(path, batch, "event_id", "event_type")
+    assert(files("purchase") == purchaseBefore,
+      "purchase partition was rewritten by a click-only merge")
+    assert(files("click") != clickBefore, "click partition was not restated")
+    // merged state: updated rows present, untouched clicks intact
+    val back = spark.read.parquet(path)
+    assert(back.count() == base.count()) // pure update, no inserts
+    val updated = back.filter($"event_type" === "click" && $"event_id" % 10 === 3)
+      .agg(min($"value")).collect()(0).getDouble(0)
+    assert(updated >= 1000.0, s"expected updated click values >= 1000, min=$updated")
+  }
+
   test("snapshot diff is one key shuffle per side, no nested-loop fallback") {
     val cust = Tables(spark, sf, "customer")
     val neu = cust.withColumn("c_acctbal",
