@@ -189,7 +189,7 @@ object Retrieval {
     val spark = docs.sparkSession
     val path = new org.apache.hadoop.fs.Path(layoutDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val ident = s"graft-bm25-v1 nBuckets=$nBuckets " +
+    val ident = s"graft-bm25-v2 nBuckets=$nBuckets " +
       s"corpus=${docs.queryExecution.analyzed.semanticHash()}"
     val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
     def identMatches: Boolean =
@@ -220,13 +220,107 @@ object Retrieval {
           .agg(count(lit(1)).cast("double").as("df"))
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(s"$layoutDir/termdf")
+        // sumdl rides along (integer-valued double, exact in any sum
+        // order) so an APPEND can recompute avgdl without the lossy
+        // n*avgdl round-trip: (sumdl+sumdl_batch)/(n+n_batch) is the
+        // bit-identical double a full-corpus avg would produce
         base.agg(count(lit(1)).cast("double").as("n"),
-            avg(size(col("toks")).cast("double")).as("avgdl"))
+            avg(size(col("toks")).cast("double")).as("avgdl"),
+            sum(size(col("toks")).cast("double")).as("sumdl"))
           .coalesce(1).write.mode("overwrite").parquet(s"$layoutDir/stats")
       } finally base.unpersist()
       val out = fs.create(identPath, true)
       try out.write(ident.getBytes("UTF-8")) finally out.close()
     }
+  }
+
+  private val BmAppendingSentinel = "graft-bm25-appending! "
+
+  /** Incrementally APPEND a new document batch to a persisted BM25 index
+    * layout — the sparse-retrieval sibling of
+    * `Similarity.ivfAppendToLayout` (daily-ingest index maintenance
+    * without rebuilding over the existing corpus):
+    *  - the batch's postings (term, doc_id, tf, dl) append as new files
+    *    into their term-bucket partitions (existing posting files are
+    *    never read or rewritten);
+    *  - per-term df is recomputed for the TOUCHED buckets only, from the
+    *    just-appended postings, and dynamically overwritten — untouched
+    *    termdf buckets keep their files;
+    *  - stats update incrementally: n and sumdl are exact integer-valued
+    *    double sums, so `(sumdl + sumdl_batch) / (n + n_batch)` is the
+    *    bit-identical avgdl a full rebuild would compute — serving after
+    *    an append scores exactly like [[bm25TopK]] over the union corpus.
+    *
+    * Cost: one pass over the BATCH plus a df roll-up over the touched
+    * buckets' postings; the existing corpus is never scanned. Contract:
+    * batch doc ids are disjoint from the indexed corpus (a re-delivered
+    * doc would double-count — run d10-style incremental dedup upstream).
+    * Crash safety mirrors the IVF append: `_graft_ident` is overwritten
+    * with an `appending!` sentinel first and rewritten EXTENDED
+    * (`+append=<batch plan hash>`) only after every write lands, so a
+    * crashed append can never serve ([[bm25TopKFromIndex]] rejects the
+    * sentinel) and a base-corpus `bm25IndexWrite` call on an appended
+    * layout rebuilds instead of silently reusing it. CHAINED appends are
+    * the normal ingest cadence — an already-extended ident accepts the
+    * next batch; only a sentinel or pre-v2 layout refuses.
+    */
+  def bm25IndexAppend(
+      newDocs: DataFrame, idCol: String, textCol: String, layoutDir: String,
+      nBuckets: Int = 64): Unit = {
+    val spark = newDocs.sparkSession
+    val path = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
+    require(fs.exists(identPath),
+      s"no BM25 layout at $layoutDir (build before appending)")
+    val prevIdent = {
+      val in = fs.open(identPath)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    require(prevIdent.startsWith("graft-bm25-v2"),
+      s"cannot append to layout at $layoutDir: '$prevIdent' — " +
+        "rebuild it (bm25IndexWrite) before appending again")
+    def writeIdent(s: String): Unit = {
+      val out = fs.create(identPath, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    writeIdent(BmAppendingSentinel + prevIdent)
+    val base = newDocs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // one batch scan, three readers
+    try {
+      val newPost = base
+        .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+          explode(col("toks")).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+        .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      newPost.write.mode("append").partitionBy("bucket")
+        .parquet(s"$layoutDir/postings")
+      // touched buckets: batch-term-grain, bounded by nBuckets
+      val touched = newPost.select(col("bucket")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      spark.read.parquet(s"$layoutDir/postings")
+        .filter(col("bucket").isin(touched: _*))
+        .groupBy(col("bucket"), col("term"))
+        .agg(count(lit(1)).cast("double").as("df"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(s"$layoutDir/termdf")
+      // old stats collected BEFORE the overwrite touches the directory
+      val old = spark.read.parquet(s"$layoutDir/stats").collect()(0)
+      val (n0, sumdl0) =
+        (old.getAs[Double]("n"), old.getAs[Double]("sumdl"))
+      val b = base.agg(count(lit(1)).cast("double").as("nb"),
+        sum(size(col("toks")).cast("double")).as("sumdlb")).collect()(0)
+      val n2 = n0 + b.getAs[Double]("nb")
+      val sumdl2 = sumdl0 + Option(b.getAs[Double]("sumdlb")).getOrElse(0.0)
+      import spark.implicits._
+      Seq((n2, sumdl2 / n2, sumdl2)).toDF("n", "avgdl", "sumdl")
+        .coalesce(1).write.mode("overwrite").parquet(s"$layoutDir/stats")
+    } finally base.unpersist()
+    writeIdent(prevIdent +
+      s" +append=${newDocs.queryExecution.analyzed.semanticHash()}")
   }
 
   /** Serve a query from the PERSISTED index: reads the query terms'
@@ -248,8 +342,17 @@ object Retrieval {
       s"duplicate query terms would double-count: $queryTerms")
     val fs = new org.apache.hadoop.fs.Path(layoutDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(new org.apache.hadoop.fs.Path(layoutDir, "_graft_ident")),
+    val identPath = new org.apache.hadoop.fs.Path(layoutDir, "_graft_ident")
+    require(fs.exists(identPath),
       s"no valid BM25 index layout at $layoutDir (crashed or missing build)")
+    // a mid-append sentinel must not serve: postings may be half-appended
+    val identNow = {
+      val in = fs.open(identPath)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    require(identNow.startsWith("graft-bm25-v"),
+      s"BM25 layout at $layoutDir is mid-maintenance or corrupt: '$identNow' — " +
+        "rebuild it (bm25IndexWrite) before serving")
     // bucket ids of the query terms, via the SAME hash expression the
     // build used — a LocalTableScan over Q rows, no files touched; the
     // literal IN-list is what lets the planner prune partitions

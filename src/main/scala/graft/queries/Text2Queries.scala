@@ -623,6 +623,59 @@ object Text2Queries {
              |  FROM u, st
              |)
              |SELECT doc_id, score FROM sc WHERE score > 0.0
+             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ---- t24: incremental BM25 index maintenance — build the layout on
+    //      80% of the corpus, APPEND the rest (one batch pass + touched-
+    //      bucket df roll-up; the indexed corpus is never rescanned),
+    //      serve. Scores must equal a full-corpus build bit-for-bit
+    //      (exact integer-sum stats carry), so the oracle is t22/t23's
+    //      full-corpus SQL verbatim. Rebuild-then-append per invocation
+    //      (the append MUTATES the layout; the extended ident forces the
+    //      rebuild — s08's maintenance-cycle-per-invocation shape) ----
+    Q("t24_bm25_index_append",
+      (s, dir) => {
+        import s.implicits._
+        val key = java.lang.Long.toHexString(
+          java.util.Arrays.hashCode(dir.getBytes("UTF-8")).toLong & 0xFFFFFFFFL)
+        val layout = graft.Scratch.dir(s"graft_bm25_app_$key")
+        val docs = Tables(s, dir, "documents")
+        graft.operators.Retrieval.bm25IndexWrite(
+          docs.filter($"doc_id" % 5 =!= 0), "doc_id", "text", layout)
+        graft.operators.Retrieval.bm25IndexAppend(
+          docs.filter($"doc_id" % 5 === 0), "doc_id", "text", layout)
+        graft.operators.Retrieval.bm25TopKFromIndex(s, layout,
+          queryTerms = Seq("hash", "join", "vector"), k = 10)
+      },
+      Some(s"""WITH base AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents
+             |), u AS (
+             |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             |    CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_0,
+             |    CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf_1,
+             |    CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf_2
+             |  FROM base
+             |), st AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |    sum(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+             |    sum(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1,
+             |    sum(CASE WHEN tf_2 > 0 THEN 1.0 ELSE 0.0 END) AS df_2
+             |  FROM u
+             |), sc AS (
+             |  SELECT doc_id, round(
+             |    (CASE WHEN tf_0 > 0 THEN ln(1.0 + (n - df_0 + 0.5) / (df_0 + 0.5))
+             |       * (tf_0 * 2.2) / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             |     ELSE 0.0 END)
+             |    + (CASE WHEN tf_1 > 0 THEN ln(1.0 + (n - df_1 + 0.5) / (df_1 + 0.5))
+             |       * (tf_1 * 2.2) / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             |     ELSE 0.0 END)
+             |    + (CASE WHEN tf_2 > 0 THEN ln(1.0 + (n - df_2 + 0.5) / (df_2 + 0.5))
+             |       * (tf_2 * 2.2) / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             |     ELSE 0.0 END), 4) AS score
+             |  FROM u, st
+             |)
+             |SELECT doc_id, score FROM sc WHERE score > 0.0
              |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))
   )
 

@@ -68,6 +68,43 @@ class RetrievalSpec extends AnyFunSuite {
       "matching-ident rebuild was not skipped")
   }
 
+  test("append maintenance: crashed append cannot serve; extended ident forces rebuild") {
+    import spark.implicits._
+    val dir = graft.Scratch.dir("retr_spec_bm25_append")
+    val docs = Tables(spark, sf, "documents").filter($"doc_id" < 80)
+    val basePart = docs.filter($"doc_id" % 4 === 1 || $"doc_id" % 4 === 2)
+    Retrieval.bm25IndexWrite(basePart, "doc_id", "text", dir)
+    // CHAINED appends (the daily-ingest shape): two disjoint batches land
+    // one after the other; serving must equal map-side scoring over the
+    // full union, bit-for-bit (exact integer-sum stats carry through
+    // every append)
+    Retrieval.bm25IndexAppend(
+      docs.filter($"doc_id" % 4 === 3), "doc_id", "text", dir)
+    Retrieval.bm25IndexAppend(
+      docs.filter($"doc_id" % 4 === 0), "doc_id", "text", dir)
+    val viaIndex = Retrieval.bm25TopKFromIndex(spark, dir, Seq("table"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mapSide = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("table"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    spark.catalog.clearCache()
+    assert(viaIndex == mapSide,
+      s"appended index diverged: ${viaIndex.diff(mapSide)} vs ${mapSide.diff(viaIndex)}")
+    // a crashed append leaves the sentinel: serving must refuse
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_ident")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write("graft-bm25-appending! whatever".getBytes("UTF-8"))
+    finally out.close()
+    val e2 = intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKFromIndex(spark, dir, Seq("table"), k = 5)
+    }
+    assert(e2.getMessage.contains("mid-maintenance"))
+    // rebuild heals (sentinel ident never matches → full rebuild)
+    Retrieval.bm25IndexWrite(basePart, "doc_id", "text", dir)
+    assert(Retrieval.bm25TopKFromIndex(spark, dir, Seq("table"), k = 5)
+      .collect().nonEmpty)
+  }
+
   test("chunk scoring units align with TextOps.chunk's layout") {
     import spark.implicits._
     val docs = Tables(spark, sf, "documents").filter($"doc_id" < 50)
