@@ -234,6 +234,41 @@ object Retrieval {
     }
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher 2009): fuse the BM25 sparse ranking with the dense cosine
+    * ranking by `sum(1 / (rrfK + rank))` — the modern RAG default, which
+    * needs no score normalization across the two signal families because
+    * only RANKS enter the fusion.
+    *
+    * Scale shape: both input rankings are already top-`kEach` bounded
+    * (BM25's TakeOrderedAndProject; the ANN bounded heap), so the fusion
+    * join runs over two ≤kEach-row lists — list-grain, never corpus
+    * grain. Swap the dense input for `Similarity.ivfTopKServing` probes
+    * when the corpus outgrows one brute-force scan per query.
+    *
+    * Determinism: ranks are integer `row_number`s under a total order
+    * (score desc, id), and `1.0 / (rrfK + rank)` is the same IEEE
+    * division on both engines, so the fused score is exactly
+    * reproducible — the p03 oracle replays it bit-for-bit.
+    */
+  def hybridTopKRrf(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], emb: DataFrame, queryVec: DataFrame,
+      k: Int = 10, kEach: Int = 20, rrfK: Int = 60,
+      embIdCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = bm25TopK(docs, idCol, textCol, queryTerms, k = kEach)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).as("r_s"))
+    val dense = graft.operators.Similarity
+      .bruteForceTopK(emb, queryVec, kEach, embIdCol, embCol)
+      .select(col("n_id").as("doc_id"), col("rn").as("r_d"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("r_s")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_d")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+  }
+
   private val BmAppendingSentinel = "graft-bm25-appending! "
 
   /** Incrementally APPEND a new document batch to a persisted BM25 index

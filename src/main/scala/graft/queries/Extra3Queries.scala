@@ -718,6 +718,75 @@ object Extra3Queries {
              |  UNION ALL
              |  SELECT event_type, value FROM events
              |  WHERE event_type = 'click' AND event_id % 100 = 7)
-             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- PageRank (3 Jacobi sweeps, d=0.85) over the symmetrized
+    //      customer-supplier trade graph — link-graph quality signal
+    //      (GraphOps.pageRank; iterative edge-join + groupBy(dst) sweeps,
+    //      oracle = the same three sweeps unrolled as CTEs). Symmetrizing
+    //      removes dangling nodes, so both engines' shared simplification
+    //      (no dangling-mass redistribution) is vacuous here. Ordering is
+    //      on the ROUNDED rank so a last-bit float divergence cannot
+    //      reorder the cut ----
+    Q("q103_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+          .join(Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".cast("long").as("a"),
+            ($"l_suppkey" + 1000000L).cast("long").as("b")).distinct()
+        val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+          .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+        graft.operators.GraphOps.pageRank(edges, "src", "dst", iterations = 3)
+          .select($"id".as("node_id"), round($"pr", 7).as("pr"))
+          .orderBy($"pr".desc, $"node_id").limit(20)
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+             |    CAST(l_suppkey + 1000000 AS BIGINT) AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |), edges AS (
+             |  SELECT a AS src, b AS dst FROM pairs
+             |  UNION ALL
+             |  SELECT b AS src, a AS dst FROM pairs
+             |), nodes AS (
+             |  SELECT DISTINCT src AS id FROM edges
+             |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+             |deg AS (
+             |  SELECT src, CAST(count(*) AS DOUBLE) AS deg
+             |  FROM edges GROUP BY src
+             |), pr0 AS (
+             |  SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM nodes
+             |), pr1 AS (
+             |  SELECT nd.id, coalesce(
+             |    0.15 / (SELECT n FROM nn) + 0.85 * s.s,
+             |    0.15 / (SELECT n FROM nn)) AS pr
+             |  FROM nodes nd LEFT JOIN (
+             |    SELECT e.dst AS id, sum(p.pr / d.deg) AS s
+             |    FROM edges e JOIN pr0 p ON e.src = p.id
+             |      JOIN deg d ON e.src = d.src
+             |    GROUP BY e.dst) s ON nd.id = s.id
+             |), pr2 AS (
+             |  SELECT nd.id, coalesce(
+             |    0.15 / (SELECT n FROM nn) + 0.85 * s.s,
+             |    0.15 / (SELECT n FROM nn)) AS pr
+             |  FROM nodes nd LEFT JOIN (
+             |    SELECT e.dst AS id, sum(p.pr / d.deg) AS s
+             |    FROM edges e JOIN pr1 p ON e.src = p.id
+             |      JOIN deg d ON e.src = d.src
+             |    GROUP BY e.dst) s ON nd.id = s.id
+             |), pr3 AS (
+             |  SELECT nd.id, coalesce(
+             |    0.15 / (SELECT n FROM nn) + 0.85 * s.s,
+             |    0.15 / (SELECT n FROM nn)) AS pr
+             |  FROM nodes nd LEFT JOIN (
+             |    SELECT e.dst AS id, sum(p.pr / d.deg) AS s
+             |    FROM edges e JOIN pr2 p ON e.src = p.id
+             |      JOIN deg d ON e.src = d.src
+             |    GROUP BY e.dst) s ON nd.id = s.id
+             |)
+             |SELECT id AS node_id, round(pr, 7) AS pr FROM pr3
+             |ORDER BY pr DESC, id LIMIT 20""".stripMargin))
   )
 }

@@ -1136,6 +1136,72 @@ object PipelineQueries {
              |  CAST(st // 512 AS BIGINT) AS seq_id,
              |  CAST(st % 512 AS BIGINT) AS offset,
              |  (st % 512) + n_tok > 512 AS spans_boundary
-             |FROM c ORDER BY doc_id""".stripMargin))
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ---- p03: hybrid retrieval — reciprocal-rank fusion of the BM25
+    //      sparse ranking (t22's terms) and the dense cosine ranking
+    //      (embedding 0 as the query vector, s01's construction). Only
+    //      RANKS enter the fusion (1/(60+r)), so no cross-family score
+    //      normalization, and the fused doubles replay exactly in SQL.
+    //      Both inputs are top-20 bounded, fusion is list-grain ----
+    Q("p03_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Retrieval.hybridTopKRrf(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          queryTerms = Seq("hash", "join", "vector"),
+          emb = Tables(s, dir, "embeddings"),
+          queryVec = Tables(s, dir, "embeddings").filter($"vec_id" === 0),
+          k = 10, kEach = 20)
+      },
+      Some(s"""WITH base AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents
+             |), u AS (
+             |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             |    CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_0,
+             |    CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf_1,
+             |    CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf_2
+             |  FROM base
+             |), st AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |    sum(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+             |    sum(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1,
+             |    sum(CASE WHEN tf_2 > 0 THEN 1.0 ELSE 0.0 END) AS df_2
+             |  FROM u
+             |), sc AS (
+             |  SELECT doc_id, round(
+             |    (CASE WHEN tf_0 > 0 THEN ln(1.0 + (n - df_0 + 0.5) / (df_0 + 0.5))
+             |       * (tf_0 * 2.2) / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             |     ELSE 0.0 END)
+             |    + (CASE WHEN tf_1 > 0 THEN ln(1.0 + (n - df_1 + 0.5) / (df_1 + 0.5))
+             |       * (tf_1 * 2.2) / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             |     ELSE 0.0 END)
+             |    + (CASE WHEN tf_2 > 0 THEN ln(1.0 + (n - df_2 + 0.5) / (df_2 + 0.5))
+             |       * (tf_2 * 2.2) / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             |     ELSE 0.0 END), 4) AS score
+             |  FROM u, st
+             |), sparse_hits AS (
+             |  SELECT doc_id, score FROM sc WHERE score > 0.0
+             |  ORDER BY score DESC, doc_id LIMIT 20
+             |), sparse AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS r_s
+             |  FROM sparse_hits
+             |), dense AS (
+             |  SELECT e.vec_id AS doc_id,
+             |    row_number() OVER (ORDER BY
+             |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                                   CAST(e.embedding AS DOUBLE[])), 5) DESC,
+             |      e.vec_id) AS r_d
+             |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+             |  WHERE q.vec_id = 0
+             |  QUALIFY r_d <= 20
+             |)
+             |SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+             |  round(coalesce(1.0 / (60 + r_s), 0.0)
+             |      + coalesce(1.0 / (60 + r_d), 0.0), 6) AS rrf
+             |FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+             |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin))
   )
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GraphOps
+
+/** PageRank semantics on tiny graphs with hand-computable fixed points
+  * (q103 pins the full trade-graph trajectory against DuckDB).
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+    val got = GraphOps.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .as[(Long, Double)].collect().toMap
+    spark.catalog.clearCache()
+    got
+  }
+
+  test("a symmetric pair sits at the uniform fixed point") {
+    // pr = 0.075 + 0.85 * (0.5 / 1) = 0.5 every sweep
+    val pr = ranks(Seq((1L, 2L), (2L, 1L)), iters = 3)
+    assert(pr(1L) == 0.5 && pr(2L) == 0.5)
+  }
+
+  test("a symmetric star concentrates rank on the hub, mass conserved") {
+    val star = (1L to 4L).flatMap(s => Seq((0L, s), (s, 0L)))
+    val pr = ranks(star, iters = 5)
+    assert((1L to 4L).forall(s => pr(0L) > pr(s)),
+      s"hub must outrank spokes: $pr")
+    // symmetric graph has no dangling nodes → total mass stays 1
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, s"mass leaked: $pr")
+  }
+
+  test("a node with no in-edges holds the teleport floor") {
+    // 1 -> 2 only: N=2. The floor is (1.0-0.85)/2 in the operator's own
+    // IEEE arithmetic — NOT the decimal 0.075: (1.0-0.85) is
+    // 0.15000000000000002 in binary64. The q103 oracle writes 0.15/N
+    // directly; its round(,7) absorbs this last-bit gap — asserting the
+    // exact doubles here is what documents that gap exists.
+    val floor = (1.0 - 0.85) / 2
+    val pr = ranks(Seq((1L, 2L)), iters = 1)
+    assert(pr(1L) == floor)
+    assert(pr(2L) == floor + 0.85 * 0.5) // in-mass from pr0(1)=0.5, deg 1
+  }
+}
