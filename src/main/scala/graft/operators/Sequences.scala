@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered event-sequence matching — the funnel-analysis /
+  * MATCH_RECOGNIZE surface: how far through an ordered step list
+  * (e.g. click → view → purchase) each key's event stream progresses.
+  */
+object Sequences {
+
+  /** Per-key funnel depth: the number of `steps` completed IN ORDER,
+    * each at a STRICTLY later `tsCol` than the previous match (the
+    * greedy first-match scan, which provably computes the same chain as
+    * the correlated-min formulation `t1 = min ts of step1,
+    * t2 = min ts of step2 with ts > t1, …` — the q104 oracle).
+    *
+    * Plan shape: events filter to the step set (the production knob that
+    * bounds per-key state — irrelevant event types never enter the
+    * arrays), collapse to one sorted (ts, step) array per key in a
+    * single groupBy shuffle, and a codegen'd `aggregate()` fold advances
+    * the depth cursor in one array pass — no per-step self-join, no
+    * window over the full event stream, O(relevant events per key)
+    * state. Keys with zero relevant events still report depth 0 via a
+    * left join from the key projection (column-pruned second scan).
+    *
+    * Tie semantics: equal-`tsCol` events sort by step index, and a step
+    * only matches strictly AFTER the previous match's timestamp — so two
+    * steps cannot complete on one timestamp, matching the oracle's
+    * `ts > prev` chain. `tsCol` must be an integral column
+    * (`unix_micros(ts)`): comparing at the stored precision on both
+    * engines is what keeps the strict inequalities identical.
+    */
+  def funnelDepth(events: DataFrame, keyCol: String, tsCol: String,
+      stepCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(steps.distinct.size == steps.size,
+      s"repeated step values are ambiguous: $steps")
+    val stepIdx = steps.zipWithIndex.foldLeft(lit(-1): Column) {
+      case (acc, (s, i)) => when(col(stepCol) === s, lit(i)).otherwise(acc)
+    }
+    val packed = events
+      // filter on the RAW step column (not the derived index): Catalyst
+      // pushes the In predicate to the scan (dictionary/row-group skip),
+      // where `si >= 0` on the CASE projection would stay a post-scan
+      // filter — the q94 derived-column lesson applied in reverse
+      .filter(col(stepCol).isin(steps: _*))
+      .select(col(keyCol).as("key"), col(tsCol).cast("long").as("ts"),
+        stepIdx.as("si"))
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("si")))).as("evs"))
+    val init = struct(lit(0).as("depth"), lit(Long.MinValue).as("last"))
+    val folded = packed.select(col("key"),
+      aggregate(col("evs"), init, (st, ev) =>
+        when(ev.getField("si") === st.getField("depth") &&
+          ev.getField("ts") > st.getField("last"),
+          struct((st.getField("depth") + 1).as("depth"),
+            ev.getField("ts").as("last")))
+          .otherwise(st)).getField("depth").as("depth"))
+    events.select(col(keyCol).as("key")).distinct()
+      .join(folded, Seq("key"), "left_outer")
+      .select(col("key").as(keyCol),
+        coalesce(col("depth"), lit(0)).as("depth"))
+  }
+}

@@ -787,6 +787,46 @@ object Extra3Queries {
              |    GROUP BY e.dst) s ON nd.id = s.id
              |)
              |SELECT id AS node_id, round(pr, 7) AS pr FROM pr3
-             |ORDER BY pr DESC, id LIMIT 20""".stripMargin))
+             |ORDER BY pr DESC, id LIMIT 20""".stripMargin)),
+
+    // ---- ordered-sequence (funnel) matching, the MATCH_RECOGNIZE
+    //      surface: per-user progress through click → view → purchase,
+    //      each step strictly after the previous match
+    //      (Sequences.funnelDepth — one sorted-array fold per key; the
+    //      oracle is the equivalent correlated-min chain, unrolled) ----
+    Q("q104_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+          .select($"user_id", unix_micros($"ts").as("us"), $"event_type")
+        graft.operators.Sequences.funnelDepth(
+          ev, "user_id", "us", "event_type",
+          steps = Seq("click", "view", "purchase"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH t1 AS (
+             |  SELECT user_id, min(epoch_us(ts)) AS ts1
+             |  FROM events WHERE event_type = 'click' GROUP BY user_id
+             |), t2 AS (
+             |  SELECT e.user_id, min(epoch_us(e.ts)) AS ts2
+             |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+             |    AND epoch_us(e.ts) > t1.ts1
+             |  WHERE e.event_type = 'view' GROUP BY e.user_id
+             |), t3 AS (
+             |  SELECT e.user_id, min(epoch_us(e.ts)) AS ts3
+             |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+             |    AND epoch_us(e.ts) > t2.ts2
+             |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+             |)
+             |SELECT u.user_id,
+             |  CASE WHEN ts3 IS NOT NULL THEN 3
+             |       WHEN ts2 IS NOT NULL THEN 2
+             |       WHEN ts1 IS NOT NULL THEN 1
+             |       ELSE 0 END AS depth
+             |FROM (SELECT DISTINCT user_id FROM events) u
+             |LEFT JOIN t1 ON u.user_id = t1.user_id
+             |LEFT JOIN t2 ON u.user_id = t2.user_id
+             |LEFT JOIN t3 ON u.user_id = t3.user_id
+             |ORDER BY u.user_id""".stripMargin))
   )
 }

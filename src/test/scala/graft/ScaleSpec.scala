@@ -471,4 +471,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(shuffles.size <= 2,
       s"diff must shuffle each snapshot once on the key, got ${shuffles.size}")
   }
+
+  test("funnel fold pushes the step filter to the scan, folds in one pass") {
+    import spark.implicits._
+    val ev = Tables(spark, sf, "events")
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_type")
+    val df = graft.operators.Sequences.funnelDepth(
+      ev, "user_id", "us", "event_type",
+      steps = Seq("click", "view", "purchase"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // the step set is the per-key state bound: it must reach the parquet
+    // scan as an In predicate (dictionary/row-group skip at 100 TB), not
+    // ride the derived step-index projection as a post-scan filter
+    val evScans = collectAll(plan) {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("events")) => s
+    }
+    assert(evScans.exists(_.metadata.getOrElse("PushedFilters", "")
+        .contains("In(event_type")),
+      evScans.map(_.metadata.getOrElse("PushedFilters", "?")).mkString(" | "))
+    // the zero-event-key projection must be column-pruned to the key
+    assert(evScans.exists { s =>
+      val rs = s.metadata.getOrElse("ReadSchema", "")
+      rs.contains("user_id") && !rs.contains("event_type")
+    }, "key projection scan is not column-pruned")
+    // no per-step self-joins: one fold agg pair + one distinct-key agg
+    // pair = at most 3 exchanges (fold, keys, final sort)
+    val shuffles = collectAll(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 3,
+      s"funnel must be one fold shuffle + key distinct + sort, got ${shuffles.size}")
+  }
 }
