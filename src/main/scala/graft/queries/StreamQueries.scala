@@ -391,6 +391,57 @@ object StreamQueries {
              |      ORDER BY ts, event_id) AS prev
              |  FROM events WHERE user_id < 200)
              |WHERE prev IS NULL OR prev <> event_type
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- streaming funnel: the incremental shape of the batch q104 —
+    //      per-user (depth, last-match-ts) ValueState advanced by the
+    //      same greedy first-match rule, O(1) state per key. Single-file
+    //      replay processes each key's rows in ts order, so the final
+    //      Update-mode emission equals the batch correlated-min chain
+    //      over users that have at least one step event ----
+    Q("st14_stream_funnel",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val ev = StreamOps.readEvents(s, dir)
+            .select($"user_id", unix_micros($"ts").as("us"), $"event_type")
+          val f = StreamOps.streamFunnel(ev, Seq("click", "view", "purchase"))
+          StreamOps.runToMemory(s, f.toDF(), "st14_out", OutputMode.Update())
+            .orderBy($"user_id")
+        } finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""WITH t1 AS (
+             |  SELECT user_id, min(epoch_us(ts)) AS ts1
+             |  FROM events WHERE event_type = 'click' GROUP BY user_id
+             |), t2 AS (
+             |  SELECT e.user_id, min(epoch_us(e.ts)) AS ts2
+             |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+             |    AND epoch_us(e.ts) > t1.ts1
+             |  WHERE e.event_type = 'view' GROUP BY e.user_id
+             |), t3 AS (
+             |  SELECT e.user_id, min(epoch_us(e.ts)) AS ts3
+             |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+             |    AND epoch_us(e.ts) > t2.ts2
+             |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+             |)
+             |SELECT u.user_id,
+             |  CASE WHEN ts3 IS NOT NULL THEN 3
+             |       WHEN ts2 IS NOT NULL THEN 2
+             |       WHEN ts1 IS NOT NULL THEN 1
+             |       ELSE 0 END AS depth
+             |FROM (SELECT DISTINCT user_id FROM events
+             |      WHERE event_type IN ('click', 'view', 'purchase')) u
+             |LEFT JOIN t1 ON u.user_id = t1.user_id
+             |LEFT JOIN t2 ON u.user_id = t2.user_id
+             |LEFT JOIN t3 ON u.user_id = t3.user_id
+             |ORDER BY u.user_id""".stripMargin))
   )
 }

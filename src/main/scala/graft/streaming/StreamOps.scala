@@ -392,6 +392,81 @@ object StreamOps {
         implicitly[org.apache.spark.sql.Encoder[CdcChange]])
   }
 
+  case class FunnelEv(user_id: Long, us: Long, si: Int)
+  case class FunnelSt(depth: Int, last: Long)
+  case class FunnelDepth(user_id: Long, depth: Int)
+
+  /** Streaming funnel matching: the incremental shape of the batch
+    * [[graft.operators.Sequences.funnelDepth]] (q104). Per-key state is a
+    * single (depth, last-match-ts) pair — O(1) per key regardless of
+    * event volume, against the batch fold's O(events-per-key) array —
+    * advanced by the same greedy first-match rule: a row extends the
+    * funnel iff its step index equals the current depth and its
+    * timestamp is strictly later than the previous match. Each batch
+    * re-emits the key's depth (Update mode), so the sink always holds
+    * the latest funnel position per key.
+    *
+    * Equals the batch fold exactly when each key's events arrive in
+    * timestamp order ACROSS batches (within a batch the processor sorts,
+    * so single-file replay is always exact). An event arriving after a
+    * later-timestamped event has already matched cannot retro-extend the
+    * chain — the cursor only moves forward. That is the O(1)-state
+    * trade, the funnel analog of st13's last-value-only CDC state; a
+    * non-NONE `ttl` additionally restarts idle keys' funnels from depth
+    * 0 on resume (at-least-once depth regression under bounded state).
+    */
+  class FunnelProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FunnelEv, FunnelDepth] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[FunnelSt] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelSt]("funnel",
+        org.apache.spark.sql.Encoders.product[FunnelSt], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEv],
+        tv: TimerValues): Iterator[FunnelDepth] = {
+      val batch = rows.toArray
+      // (us, si) order: equal-timestamp rows try the lower step first,
+      // and the strict `us > last` guard still rejects a same-timestamp
+      // second step — identical tie semantics to the batch sort_array
+      scala.util.Sorting.stableSort(batch,
+        (a: FunnelEv, b: FunnelEv) =>
+          a.us < b.us || (a.us == b.us && a.si < b.si))
+      var s = if (st.exists()) st.get() else FunnelSt(0, Long.MinValue)
+      batch.foreach { e =>
+        if (e.si == s.depth && e.us > s.last) s = FunnelSt(s.depth + 1, e.us)
+      }
+      st.update(s)
+      Iterator.single(FunnelDepth(key, s.depth))
+    }
+  }
+
+  /** See [[FunnelProcessor]]. `events` needs (user_id, us, event_type);
+    * rows outside the step set are dropped BEFORE the stateful shuffle
+    * (the same per-key state bound as the batch operator — irrelevant
+    * event types never reach the state store). */
+  def streamFunnel(events: DataFrame, steps: Seq[String],
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): Dataset[FunnelDepth] = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"steps must be non-empty and distinct: $steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.foldLeft(lit(-1): org.apache.spark.sql.Column) {
+      case (acc, (v, i)) => when(col("event_type") === v, lit(i)).otherwise(acc)
+    }
+    events.filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("us"), stepIdx.as("si"))
+      .as[FunnelEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(ttl),
+        timeModeFor(ttl), OutputMode.Update(),
+        implicitly[org.apache.spark.sql.Encoder[FunnelDepth]])
+  }
+
   /** Stateful sessionization: gap > `gapSec` starts a new session. Emits
     * every session of the batch (single-batch file input ⇒ complete,
     * deterministic output identical to the batch window-function

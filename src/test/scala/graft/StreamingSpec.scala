@@ -336,4 +336,46 @@ class StreamingSpec extends AnyFunSuite {
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
     }
   }
+
+  test("streaming funnel carries (depth, last-ts) state across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(Long, Long, String)]
+    val src = ms.toDF().select($"_1".as("user_id"), $"_2".as("us"),
+      $"_3".as("event_type"))
+    val q = StreamOps.streamFunnel(src, Seq("click", "view", "purchase")).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_test").start()
+    // Update-mode sink accumulates one row per (key, batch); depth is
+    // monotone, so max(depth) is the latest funnel position
+    def depths(): Map[Long, Int] =
+      spark.table("funnel_test").groupBy($"user_id")
+        .agg(max($"depth").as("d")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    try {
+      // batch 1: user 1 reaches depth 1; user 2's view has no click yet
+      ms.addData((1L, 100L, "click"), (1L, 100L, "view"), // same-ts: rejected
+        (2L, 100L, "view"))
+      q.processAllAvailable()
+      assert(depths() == Map(1L -> 1, 2L -> 0))
+      // batch 2: user 1 continues from carried state (depth 1, last=100);
+      // user 2's LATE click (us=50) matches from last=MinValue, but the
+      // batch-1 view is gone — the O(1)-state trade: no retro-extension
+      ms.addData((1L, 200L, "view"), (1L, 300L, "purchase"),
+        (2L, 50L, "click"))
+      q.processAllAvailable()
+      assert(depths() == Map(1L -> 3, 2L -> 1))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
