@@ -83,4 +83,83 @@ object Layout {
       .write.mode("overwrite").parquet(path)
     ZRanges(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
   }
+
+  /** Per-partition outcome of a [[compact]] run. `filesAfter` is re-listed
+    * from disk post-write, so the report states what actually happened. */
+  final case class CompactStat(
+      partition: String, filesBefore: Long, filesAfter: Long,
+      bytes: Long, compacted: Boolean)
+
+  /** Small-file compaction of a `partitionBy(partitionCol)` parquet table
+    * — the lakehouse OPTIMIZE (bin-packing) analog, completing the
+    * maintenance family of q87 (dynamic partition overwrite) and q102
+    * (partition-scoped merge). Streaming ingest and per-batch merges
+    * leave partitions holding many files far below the scan-efficient
+    * size; at 100 TB the file-count explosion dominates driver planning
+    * time and per-file open cost, so compaction — not re-ingest — is the
+    * standing maintenance job.
+    *
+    * Planning is metadata-only: one driver-side listing of partition
+    * directories and their file sizes (the same metadata-sized driver
+    * work every OPTIMIZE planner does — never row data). A partition
+    * needs compaction when its file count exceeds the size-optimal
+    * `ceil(bytes / targetBytes)`. Only NEEDING partitions are read and
+    * restated — via the same materialize-then-dynamic-overwrite contract
+    * as [[Mutations.mergeWrite]] (plain parquet has no MVCC); untouched
+    * partitions' files are never opened, never rewritten.
+    *
+    * File-count control without skew: rows get a deterministic slot
+    * `xxhash64(row) % k_p` (k_p = the partition's optimal count) and one
+    * `repartition(sum k_p, partitionCol, slot)` clusters them; a (ptn,
+    * slot) group never splits across tasks, so each compacted partition
+    * lands in at most k_p files regardless of how many partitions ride
+    * the same job.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      partitionCol: String, targetBytes: Long): Seq[CompactStat] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(p: Path) = fs.listStatus(p).filter { f =>
+      val n = f.getPath.getName
+      f.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val prefix = s"$partitionCol="
+    val parts = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map { d =>
+        val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(d.getPath.getName.stripPrefix(prefix))
+        val fls = dataFiles(d.getPath)
+        (d.getPath, value, fls.length.toLong, fls.map(_.getLen).sum)
+      }
+    val planned = parts.map { case (p, value, nFiles, bytes) =>
+      val optimal = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+      (p, value, nFiles, bytes, optimal, nFiles > optimal)
+    }
+    val needing = planned.filter(_._6)
+    if (needing.nonEmpty) {
+      val slotOf = needing.map { case (_, v, _, _, k, _) => v -> k }.toMap
+      val touched = slotOf.keys.toSeq
+      val kExpr = slotOf.foldLeft(lit(1L)) { case (acc, (v, k)) =>
+        when(col(partitionCol) === v, lit(k)).otherwise(acc)
+      }
+      val data = spark.read.parquet(tablePath)
+        .filter(col(partitionCol).isInCollection(touched))
+      val rowHash = xxhash64(struct(data.columns.map(col): _*))
+      data
+        .withColumn("__slot", pmod(rowHash, kExpr))
+        .repartition(slotOf.values.sum.toInt, col(partitionCol), col("__slot"))
+        .drop("__slot")
+        .localCheckpoint()
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol).parquet(tablePath)
+    }
+    planned.map { case (p, value, nFiles, bytes, _, needed) =>
+      CompactStat(value, nFiles,
+        if (needed) dataFiles(p).length.toLong else nFiles, bytes, needed)
+    }.toSeq.sortBy(_.partition)
+  }
 }

@@ -827,6 +827,39 @@ object Extra3Queries {
              |LEFT JOIN t1 ON u.user_id = t1.user_id
              |LEFT JOIN t2 ON u.user_id = t2.user_id
              |LEFT JOIN t3 ON u.user_id = t3.user_id
-             |ORDER BY u.user_id""".stripMargin))
+             |ORDER BY u.user_id""".stripMargin)),
+
+    // ---- small-file compaction (lakehouse OPTIMIZE): fragment the
+    //      events table into ~24 files per partition, compact
+    //      (Layout.compact), then aggregate the READ-BACK table — loss
+    //      or duplication of any row breaks n/total/ids against the
+    //      original-table oracle, and the joined-in files_after column
+    //      pins that each partition really did collapse to its
+    //      size-optimal single file ----
+    Q("q105_compact",
+      (s, dir) => {
+        import s.implicits._
+        val key = java.lang.Long.toHexString(
+          java.util.Arrays.hashCode(dir.getBytes("UTF-8")).toLong & 0xFFFFFFFFL)
+        val path = s"${graft.Scratch.dir(s"graft_cmp_$key")}/events_small"
+        val base = Tables(s, dir, "events")
+          .withColumn("us", unix_micros($"ts"))
+          .select($"event_id", $"user_id", $"event_type", $"value", $"us")
+        base.repartition(24)
+          .write.mode("overwrite").partitionBy("event_type").parquet(path)
+        val stats = graft.operators.Layout.compact(
+          s, path, "event_type", targetBytes = 512L * 1024 * 1024)
+        val statsDf = stats.toDF()
+          .select($"partition".as("event_type"), $"filesAfter".as("files_after"))
+        s.read.parquet(path)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"),
+            countDistinct($"event_id").as("ids"))
+          .join(statsDf, Seq("event_type"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+             |  count(DISTINCT event_id) AS ids, CAST(1 AS BIGINT) AS files_after
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -502,4 +502,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(shuffles.size <= 3,
       s"funnel must be one fold shuffle + key distinct + sort, got ${shuffles.size}")
   }
+
+  test("compaction restates only fragmented partitions, to their optimal count") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    val path = s"$tmp/events_part"
+    val base = Tables(spark, sf, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    base.repartition(1)
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    // fragment ONLY the click partition with an 8-file append batch
+    base.filter($"event_type" === "click").repartition(8)
+      .write.mode("append").partitionBy("event_type").parquet(path)
+    def listing(part: String): Set[(String, Long)] = {
+      val d = new java.io.File(s"$path/event_type=$part")
+      d.listFiles().filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val purchaseBefore = listing("purchase")
+    val nBefore = spark.read.parquet(path).count()
+    val stats = graft.operators.Layout.compact(
+      spark, path, "event_type", targetBytes = 512L * 1024 * 1024)
+    val byPart = stats.map(s => s.partition -> s).toMap
+    // click (9 files, optimal 1) compacted; single-file partitions SKIPPED
+    assert(byPart("click").compacted && byPart("click").filesAfter == 1,
+      byPart("click").toString)
+    assert(byPart.values.filterNot(_.partition == "click").forall(!_.compacted))
+    assert(listing("purchase") == purchaseBefore,
+      "an already-compact partition was rewritten")
+    assert(listing("click").size == 1)
+    // content preserved exactly
+    assert(spark.read.parquet(path).count() == nBefore)
+  }
 }
