@@ -187,4 +187,46 @@ object Mutations {
       }: _*)
     history.unionByName(fromCur).unionByName(openedNew)
   }
+
+  /** A grouped aggregate view over `valueCol` at the `keys` grain — the
+    * materialized shape [[refreshAggView]] maintains. All four aggregates
+    * are decomposable (count/sum add, min/max combine), which is exactly
+    * what makes the view incrementally maintainable; `total` stays
+    * UNROUNDED in the view so successive refreshes never compound a
+    * rounding step — presentation rounds once, at read time. */
+  def aggView(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"), sum(col(valueCol)).as("total"),
+      min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+
+  /** Incremental view maintenance for an APPEND-ONLY base: fold a new
+    * batch into an [[aggView]] without rescanning the base table. The
+    * batch aggregates at the view grain first (map-side partials — the
+    * shuffled delta is group-grain, not row-grain), then a single
+    * key-grain full-outer merge combines it with the old view:
+    * counts/sums add, min/max take `least`/`greatest` (both skip the
+    * null side of an unmatched key). Refresh cost is O(batch + touched
+    * groups) — the 100 TB base never rejoins the plan; the view itself
+    * is grain-sized, and bucketing it by `keys` co-locates the merge.
+    * Non-retractable aggregates are exactly why this needs append-only:
+    * deletes/updates take the CDC route (st13) into a retractable
+    * encoding (e.g. q89's mergeable sketches or count-weighted sums).
+    *
+    * Note the full-outer merge SHUFFLES both sides by design (Spark
+    * cannot broadcast a full-outer equi-join — the scd2Merge lesson);
+    * at view grain that is the correct, small exchange. */
+  def refreshAggView(view: DataFrame, batch: DataFrame,
+      keys: Seq[String], valueCol: String): DataFrame = {
+    val delta = aggView(batch, keys, valueCol)
+      .select(keys.map(col) ++ Seq(col("n").as("_dn"),
+        col("total").as("_dtotal"), col("mn").as("_dmn"),
+        col("mx").as("_dmx")): _*)
+    view.join(delta, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        (coalesce(col("n"), lit(0L)) + coalesce(col("_dn"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(0.0)) +
+          coalesce(col("_dtotal"), lit(0.0))).as("total"),
+        least(col("mn"), col("_dmn")).as("mn"),
+        greatest(col("mx"), col("_dmx")).as("mx")): _*)
+  }
 }

@@ -860,6 +860,34 @@ object Extra3Queries {
       },
       Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
              |  count(DISTINCT event_id) AS ids, CAST(1 AS BIGINT) AS files_after
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- incremental view maintenance: build the (day, event_type)
+    //      aggregate view on 60% of events, fold in the remaining two
+    //      20% batches via CHAINED refreshAggView calls (refresh of a
+    //      refresh — the daily-ingest steady state), compare against the
+    //      full-table recompute oracle. The base never rejoins the plan
+    //      after v0 ----
+    Q("q106_incremental_view",
+      (s, dir) => {
+        import s.implicits._
+        val keys = Seq("day", "event_type")
+        val ev = Tables(s, dir, "events")
+          .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type",
+            $"event_id", $"value")
+        val v0 = graft.operators.Mutations.aggView(
+          ev.filter($"event_id" % 5 <= 2), keys, "value")
+        val v1 = graft.operators.Mutations.refreshAggView(
+          v0, ev.filter($"event_id" % 5 === 3), keys, "value")
+        val v2 = graft.operators.Mutations.refreshAggView(
+          v1, ev.filter($"event_id" % 5 === 4), keys, "value")
+        v2.select($"day", $"event_type", $"n", round($"total", 2).as("total"),
+            round($"mn", 2).as("mn"), round($"mx", 2).as("mx"))
+          .orderBy($"day", $"event_type")
+      },
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+             |  count(*) AS n, round(sum(value), 2) AS total,
+             |  round(min(value), 2) AS mn, round(max(value), 2) AS mx
+             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
   )
 }

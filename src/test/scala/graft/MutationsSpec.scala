@@ -96,4 +96,16 @@ class MutationsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("schemas differ"))
   }
+
+  test("refreshAggView merges new, touched, and untouched view keys") {
+    val base = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0)).toDF("k", "v")
+    val batch = Seq(("a", -2.0), ("c", 7.0)).toDF("k", "v") // no "b" rows
+    val got = Mutations.refreshAggView(
+        Mutations.aggView(base, Seq("k"), "v"), batch, Seq("k"), "v")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("a") == ((3L, 2.0, -2.0, 3.0))) // count+sum add, min from batch
+    assert(got("b") == ((1L, 5.0, 5.0, 5.0)))  // untouched key passes through
+    assert(got("c") == ((1L, 7.0, 7.0, 7.0)))  // key born in the batch
+  }
 }
