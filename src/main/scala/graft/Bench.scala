@@ -36,21 +36,24 @@ object Bench {
     "q74_asof_native", "q75_asof_native_tolerance", "q78_interval_native",
     "q80_volume_shipping", "q81_important_stock",
     "q82_cms_heavy_hitters", "q84_fuzzy_match", "q89_hll_sketch_merge",
-    "q92_bloom_prune", "q93_jaro_winkler", "q94_variant_json",
+    "q92_bloom_prune", "q94_variant_json",
     // q98's bench cost is BY DESIGN exact+approx: the gate band-checks
     // the HLL++ estimate against the exact ndv, so it pays q97's Expand
     // PLUS the approx pass. Production ANALYZE is approxProfile alone —
     // ScaleSpec pins that plan (one scan, no Expand).
     "q97_column_stats", "q98_column_stats_approx", "q100_scd2_merge",
+    // graph / sequence / IVM families (round-8 second wave); q93/s06/d10
+    // rotated out (sub-0.25s, families covered by q84/s01-s09/d01-d13)
+    "q103_pagerank", "q104_funnel", "q106_incremental_view",
     // dedup / similarity / text pipeline
     "d01_dedup_exact", "d02_minhash_lsh", "d03_simhash_pairs",
     "d04_ngram_jaccard", "d05_embedding_nn", "d06_dedup_clusters",
     "d07_dedup_canonical", "d08_simhash_portable",
-    "d09_decontaminate", "d10_incremental_dedup", "d11_span_dedup",
+    "d09_decontaminate", "d11_span_dedup",
     "d12_span_scrub", "d13_containment",
     "p01_training_pipeline", "p02_rag_retrieval",
     "s01_ann_bruteforce", "s02_ann_srp_lsh", "s03_ann_ivf",
-    "s04_ann_ivf_layout", "s05_semantic_dedup", "s06_embedding_quantize",
+    "s04_ann_ivf_layout", "s05_semantic_dedup",
     "s07_hard_negatives", "s08_ann_ivf_append", "s09_hard_negatives_layout",
     "m05_pack_by_size", "m06_sequence_layout", "m07_shard_export",
     // t16/t18 rotated out round 8 (sub-0.2s, families covered by t15/t17)
