@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality auditing — the Deequ / dbt-test /
+  * Great-Expectations surface a training-data pipeline runs before it
+  * trusts a delivery: null checks, accepted ranges/sets, key
+  * uniqueness, referential integrity, each reported as a
+  * (check, violations, total) row a gate can assert on.
+  *
+  * Scale design: every row-level check is a conditional-sum aggregate,
+  * so N checks over a table fuse into ONE aggregate pass — one scan,
+  * map-side partials, a SinglePartition exchange carrying a single
+  * fixed-width row (the same no-Expand shape as
+  * [[ColumnStats.approxProfile]]; ScaleSpec pins it). Uniqueness rides
+  * the same pass as `count(*) - count(DISTINCT key)`: a SINGLE distinct
+  * group plans as a two-phase aggregate with no Expand, which is why
+  * [[audit]] accepts at most one unique column per call (more would
+  * trigger RewriteDistinctAggregates' row-multiplying Expand — the q97
+  * lesson; run extra keys as separate calls, or swap in
+  * `approx_count_distinct` when an estimate suffices). Referential
+  * integrity ([[fkOrphans]]) cannot ride a single-table scan: it is a
+  * key-grain left join against the parent's distinct keys — the
+  * information-theoretic floor for an exact containment check — with
+  * the violation count folded into the same pass as the total, so the
+  * child is still scanned once.
+  */
+object Expectations {
+
+  /** A row-level expectation: `bad` marks a violating row. Null inputs
+    * count as violations for range/set checks (an unexpectedly-null
+    * value is not "in range") — mirror the predicate's null handling in
+    * any oracle SQL. */
+  final case class RowCheck(name: String, bad: Column)
+
+  def notNull(name: String, c: String): RowCheck =
+    RowCheck(name, col(c).isNull)
+
+  def inRange(name: String, c: String, lo: Double, hi: Double): RowCheck =
+    RowCheck(name, !(col(c) >= lo && col(c) <= hi) || col(c).isNull)
+
+  def inSet(name: String, c: String, vals: Seq[String]): RowCheck =
+    RowCheck(name, !col(c).isin(vals: _*) || col(c).isNull)
+
+  /** Run all checks in one aggregate pass over `df`; one output row per
+    * check: (chk, violations, total). */
+  def audit(df: DataFrame, checks: Seq[RowCheck],
+      unique: Seq[(String, String)] = Nil): DataFrame = {
+    require(checks.nonEmpty || unique.nonEmpty, "need at least one check")
+    require(unique.size <= 1,
+      "one unique column per audit call (a second exact distinct group " +
+        "would Expand the scan; split calls or use approx_count_distinct)")
+    val aggs =
+      checks.map(c => sum(when(c.bad, 1L).otherwise(0L)).as(c.name)) ++
+        unique.map { case (n, c) =>
+          (count(lit(1)) - countDistinct(col(c))).as(n) }
+    val wide = df.agg(count(lit(1)).as("_total"), aggs: _*)
+    val names = checks.map(_.name) ++ unique.map(_._1)
+    val stackArgs = names.map(n => s"'$n', `$n`").mkString(", ")
+    wide.selectExpr(
+      s"stack(${names.size}, $stackArgs) AS (chk, violations)",
+      "_total AS total")
+  }
+
+  /** Referential integrity: child rows whose `childKey` has no match in
+    * `parent.parentKey`, as one (chk, violations, total) row. One child
+    * scan: the orphan marker and the total ride the same post-join
+    * aggregate. Parent keys are `distinct()` first so a non-key parent
+    * column cannot multiply child rows (for a true PK the distinct
+    * collapses map-side); broadcast-sized parents broadcast under AQE. */
+  def fkOrphans(name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val pk = parent.select(col(parentKey).as(childKey)).distinct()
+      .withColumn("_hit", lit(1))
+    child.select(col(childKey))
+      .join(pk, Seq(childKey), "left_outer")
+      .agg(sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("violations"),
+        count(lit(1)).as("total"))
+      .select(lit(name).as("chk"), col("violations"), col("total"))
+  }
+}

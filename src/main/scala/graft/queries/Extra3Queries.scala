@@ -888,6 +888,51 @@ object Extra3Queries {
       Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
              |  count(*) AS n, round(sum(value), 2) AS total,
              |  round(min(value), 2) AS mn, round(max(value), 2) AS mx
-             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
+
+    // ---- declarative data-quality audit (the Deequ / dbt-test gate a
+    //      pipeline runs before trusting a delivery): three row checks
+    //      + key uniqueness fused into ONE lineitem aggregate pass, plus
+    //      a referential-integrity anti-check against orders. Violation
+    //      counts are the gate: range/set checks catch real rows
+    //      (discount > 0.08, returnflag 'R'), uniqueness catches the
+    //      multi-line orderkey, the FK check proves zero orphans ----
+    Q("q107_data_quality",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Expectations
+        val li = Tables(s, dir, "lineitem")
+        val checks = Seq(
+          Expectations.inRange("li_discount_range", "l_discount", 0.0, 0.08),
+          Expectations.inSet("li_returnflag_set", "l_returnflag",
+            Seq("A", "N")),
+          Expectations.notNull("li_shipdate_notnull", "l_shipdate"))
+        Expectations.audit(li, checks,
+            unique = Seq(("li_orderkey_unique", "l_orderkey")))
+          .unionByName(Expectations.fkOrphans("li_orderkey_fk",
+            li, "l_orderkey", Tables(s, dir, "orders"), "o_orderkey"))
+          .withColumn("ok", $"violations" === 0)
+          .orderBy($"chk")
+      },
+      Some("""WITH a AS (
+             |  SELECT count(*) AS total,
+             |    CAST(sum(CASE WHEN NOT (l_discount >= 0.0 AND l_discount <= 0.08)
+             |      OR l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_range,
+             |    CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N')
+             |      OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_set,
+             |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_null,
+             |    count(*) - count(DISTINCT l_orderkey) AS r_uniq
+             |  FROM lineitem),
+             |fk AS (
+             |  SELECT CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS viol,
+             |    count(*) AS total
+             |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
+             |SELECT chk, violations, total, violations = 0 AS ok FROM (
+             |  SELECT 'li_discount_range' AS chk, r_range AS violations, total FROM a
+             |  UNION ALL SELECT 'li_returnflag_set', r_set, total FROM a
+             |  UNION ALL SELECT 'li_shipdate_notnull', r_null, total FROM a
+             |  UNION ALL SELECT 'li_orderkey_unique', r_uniq, total FROM a
+             |  UNION ALL SELECT 'li_orderkey_fk', viol, total FROM fk)
+             |ORDER BY chk""".stripMargin))
   )
 }

@@ -348,6 +348,50 @@ class ScaleSpec extends AnyFunSuite {
       s"only the SinglePartition collapse is allowed, found: ${wide.mkString(";")}")
   }
 
+  test("data-quality audit fuses all row checks into one scan") {
+    // N row-level checks are conditional-sum aggregates, so the audit
+    // must be the ANALYZE shape: one scan, zero Expand, no exchange
+    // beyond the SinglePartition collapse of one fixed-width row.
+    val li = Tables(spark, sf, "lineitem")
+    val df = operators.Expectations.audit(li, Seq(
+      operators.Expectations.inRange("r", "l_discount", 0.0, 0.08),
+      operators.Expectations.inSet("s", "l_returnflag", Seq("A", "N")),
+      operators.Expectations.notNull("n", "l_shipdate")))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(collectAll(plan) {
+      case e: org.apache.spark.sql.execution.ExpandExec => e }.isEmpty,
+      "row-check audit must not Expand")
+    assert(collectAll(plan) { case s: FileSourceScanExec => s }.size == 1)
+    val wide = collectAll(plan) {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning !=
+            org.apache.spark.sql.catalyst.plans.physical.SinglePartition => e
+    }
+    assert(wide.isEmpty, s"row checks must collapse directly: $wide")
+  }
+
+  test("audit with uniqueness stays Expand-free at one extra key-grain exchange") {
+    // A SINGLE exact distinct group plans via planAggregateWithOneDistinct:
+    // partial-agg to distinct-key grain map-side, ONE hash exchange on the
+    // key (the information floor for an exact uniqueness count — never
+    // row-grain), then the SinglePartition finish. A second distinct group
+    // would fall into RewriteDistinctAggregates' row-multiplying Expand,
+    // which is exactly what audit's require() guards against.
+    val li = Tables(spark, sf, "lineitem")
+    val df = operators.Expectations.audit(li,
+      Seq(operators.Expectations.notNull("n", "l_shipdate")),
+      unique = Seq(("u", "l_orderkey")))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(collectAll(plan) {
+      case e: org.apache.spark.sql.execution.ExpandExec => e }.isEmpty,
+      "one distinct group must not Expand")
+    assert(collectAll(plan) { case s: FileSourceScanExec => s }.size == 1)
+    assert(collectAll(plan) { case e: ShuffleExchangeExec => e }.size <= 2,
+      "expected only the key-grain partial collapse + the final gather")
+  }
+
   test("t23 BM25 index serving scans only the query terms' buckets, corpus-free") {
     val df = SparkEntry.queries("t23_bm25_index")(spark, sf)
     df.collect()
