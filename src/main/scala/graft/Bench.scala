@@ -50,7 +50,7 @@ object Bench {
     "d04_ngram_jaccard", "d05_embedding_nn", "d06_dedup_clusters",
     "d07_dedup_canonical", "d08_simhash_portable",
     "d09_decontaminate", "d11_span_dedup",
-    "d12_span_scrub", "d13_containment",
+    "d12_span_scrub", "d13_containment", "d14_prefix_jaccard",
     "p01_training_pipeline", "p02_rag_retrieval",
     "s01_ann_bruteforce", "s02_ann_srp_lsh", "s03_ann_ivf",
     "s04_ann_ivf_layout", "s05_semantic_dedup",

@@ -541,4 +541,58 @@ object Dedup {
       releaseCheckpoint(canon)
     }
   }
+
+  /** EXACT shingle-set similarity join via prefix filtering (the
+    * AllPairs/PPJoin family): every pair with shingle Jaccard ≥
+    * `threshold`, no misses, no all-pairs compare. The exact complement
+    * of [[minhashLsh]] on the same units: MinHash pays a fixed k-hash
+    * signature cost and a (vanishing) per-pair miss probability; prefix
+    * filtering is signature-free and exact, at the price of a
+    * shingle-grain document-frequency pass.
+    *
+    * How: order each document's distinct shingles by ascending global df
+    * (rarest first — ties broken by hash value, any consistent total
+    * order works), keep only the first `|x| - ceil(t·|x|) + 1` as the
+    * PREFIX. Two sets with Jaccard ≥ t share ≥ ceil(t·|x|) shingles,
+    * which cannot all hide past either prefix — so candidate generation
+    * is an equi-join on prefix shingles with zero false negatives, and
+    * the exact [[HashExprs.sorted_jaccard]] verify (the d04 expression)
+    * keeps false positives out of the output. Boilerplate skew is
+    * structurally absent: a df-heavy shingle is by construction not
+    * prefix-resident in any large document, so stopword-style buckets
+    * never form.
+    *
+    * Scale shape: one df aggregate (shingle-grain, map-combined), one
+    * window at document grain to rank shingles, a prefix equi-join
+    * proposing candidates, and a verify join carrying the two sorted
+    * hash arrays — every shuffle is shingle- or candidate-grain, never
+    * corpus². */
+  def prefixJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, threshold: Double): DataFrame = {
+    val toks = materializeOnce(docs
+      // shingle_hashes emits a SORTED distinct array — sorted_jaccard's
+      // input contract, and a deterministic tok order for free
+      .select(col(idCol).as("id"),
+        HashExprs.shingle_hashes(col(textCol), shingleSize).as("toks"))
+      .filter(size(col("toks")) > 0))
+    val exploded = toks.select(col("id"), size(col("toks")).as("sz"),
+      explode(col("toks")).as("tok"))
+    val df = exploded.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ranked = exploded.join(df, "tok")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df").asc, col("tok").asc)))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("tok"), col("id"))
+    val cands = ranked.as("a").join(ranked.as("b"), Seq("tok"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .withColumn("jaccard",
+        round(HashExprs.sorted_jaccard(col("toks_a"), col("toks_b")), 3))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 }

@@ -383,6 +383,27 @@ object PipelineQueries {
              |  AND round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 3) >= 0.5
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // EXACT near-dup join on d02's units and threshold, via prefix
+    // filtering (AllPairs/PPJoin) instead of MinHash: rank each doc's
+    // shingles by global rarity, equi-join only the short rare-shingle
+    // prefixes (zero false negatives by the prefix-overlap theorem),
+    // verify with the codegen'd sorted-merge Jaccard. Same all-pairs
+    // oracle as d02 — the two algorithms must reproduce it from opposite
+    // ends of the exact/approximate trade
+    Q("d14_prefix_jaccard",
+      (s, dir) =>
+        Dedup.prefixJaccardJoin(Tables(s, dir, "documents"), "doc_id", "text",
+            shingleSize = 3, threshold = 0.8)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) AS jaccard
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("d05_embedding_nn",
       (s, dir) => {
         import s.implicits._

@@ -43,6 +43,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == exact, s"LSH missed ${exact -- got}, extra ${got -- exact}")
   }
 
+  test("prefix-filter join: exactly the exact-Jaccard pairs, no misses") {
+    import spark.implicits._
+    // the prefix-overlap theorem promises ZERO false negatives — unlike
+    // LSH there is no probability in it, so the match must be exact
+    val docs = Tables(spark, sf, "documents")
+    val got = Dedup.prefixJaccardJoin(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs.select($"doc_id", TextOps.shingles($"text", 3).as("sh"))
+    val a = sh.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+    val b = sh.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+    val exact = a.join(b, $"id_a" < $"id_b")
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("double"))
+      .withColumn("j", round($"inter" / (size($"sh_a") + size($"sh_b") - $"inter"), 3))
+      .filter($"j" >= 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    assert(got == exact, s"prefix filter missed ${exact -- got}, extra ${got -- exact}")
+  }
+
+  test("prefix join threshold boundary: j == t kept, j just below dropped") {
+    import spark.implicits._
+    // a doc of k tokens has k-2 tri-shingles; appending one token to its
+    // copy gives intersection m over union m+1 → j = m/(m+1) exactly.
+    def doc(pfx: String, n: Int, extra: Boolean) =
+      ((1 to n).map(i => s"$pfx$i") ++ (if (extra) Seq(s"${pfx}X") else Nil))
+        .mkString(" ")
+    val docs = Seq(
+      (1L, doc("a", 6, extra = false)), (2L, doc("a", 6, extra = true)),  // j=4/5=0.8
+      (3L, doc("b", 10, extra = false)), (4L, doc("b", 10, extra = true)), // j=8/9≈0.889
+      (5L, doc("c", 5, extra = false)), (6L, doc("c", 5, extra = true)))  // j=3/4=0.75
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardJoin(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 0.8), (3L, 4L, 0.889)), got.toString)
+  }
+
   test("simhash: identical text → identical signature; near-dup → small hamming") {
     import spark.implicits._
     val df = Seq(
