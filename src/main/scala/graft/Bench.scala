@@ -56,12 +56,13 @@ object Bench {
     "s04_ann_ivf_layout", "s05_semantic_dedup",
     "s07_hard_negatives", "s08_ann_ivf_append", "s09_hard_negatives_layout",
     "m05_pack_by_size", "m06_sequence_layout", "m07_shard_export",
-    // t16/t18 rotated out round 8 (sub-0.2s, families covered by t15/t17)
-    // to keep the JSON line under the tail budget as q100/t23 rotated in
+    // t16/t18/t19 rotated out round 8 (sub-0.2s, families covered by
+    // t15/t17 + the t19 ScaleSpec zero-exchange pin) to keep the JSON
+    // line under the tail budget as q100/t23/d14/t25 rotated in
     "t06_tfidf", "t13_bigram_lm", "t15_domain_mixing",
-    "t17_quality_quantile_gate", "t19_chunking",
+    "t17_quality_quantile_gate",
     "t20_perplexity_buckets", "t21_dsir_selection", "t22_bm25",
-    "t23_bm25_index",
+    "t23_bm25_index", "t25_pmi_phrases",
     // SQL replay + streaming
     "sq01_sql_region_revenue", "sq02_sql_correlated", "sq03_sql_cte_window",
     "st01_stream_hourly", "st03_stream_join", "st07_stream_join_outer",

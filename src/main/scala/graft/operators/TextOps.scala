@@ -126,4 +126,51 @@ object TextOps {
       .withColumn("quality",
         round(least(lit(1.0), col("n_tokens") / lit(100.0)) * col("ttr"), 4))
   }
+
+  /** PMI collocation mining (the word2phrase step that induces a phrase
+    * vocabulary before tokenizer training): the k adjacent token pairs
+    * with the highest pointwise mutual information
+    * `ln( p(ab) / (p(a)·p(b)) )`, where p(ab) is the pair's share of all
+    * bigram slots and p(·) a token's share of all token slots; pairs
+    * seen fewer than `minCount` times are noise and dropped (raw PMI
+    * famously ranks hapax pairs first).
+    *
+    * Scale shape: the token projection is cached so the corpus is
+    * scanned ONCE (caller owns the cache — the gate runner clears per
+    * query; at 100 TB write the projection/count tables out instead, the
+    * t13 discipline); bigram and unigram counts are one map-combined
+    * shuffle each at pair/token grain; totals roll up from the count
+    * tables (no second corpus pass) and ride a broadcast; the final
+    * top-k is `orderBy(...).limit(k)` → TakeOrderedAndProject, never a
+    * global sort. Ranking compares ROUND-3 PMI (ties broken
+    * lexicographically): `ln` is not correctly-rounded-identical across
+    * engines, so an oracle must not be asked to reproduce ULP order —
+    * at 3 decimals both engines agree exactly. */
+  def pmiPhrases(docs: DataFrame, textCol: String, minCount: Long, k: Int)
+      : DataFrame = {
+    val base = docs.select(tokens(col(textCol)).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bigrams = base.filter(size(col("toks")) >= 2)
+      .select(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("h"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("t"))
+      .select(explode(arrays_zip(col("h"), col("t"))).as("bg"))
+      .select(col("bg.h").as("w1"), col("bg.t").as("w2"))
+    val cAb = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val cW = base.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = cW.agg(sum(col("c")).cast("double").as("n_tok"))
+      .crossJoin(cAb.agg(sum(col("c_ab")).cast("double").as("m_bg")))
+    val pmiRaw = log((col("c_ab") / col("m_bg")) /
+      ((col("c_a") / col("n_tok")) * (col("c_b") / col("n_tok"))))
+    cAb.filter(col("c_ab") >= minCount)
+      .join(cW.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(cW.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(pmiRaw, 3))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c_ab"), col("pmi"))
+  }
 }

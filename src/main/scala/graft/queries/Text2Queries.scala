@@ -305,6 +305,31 @@ object Text2Queries {
              |FROM d2 JOIN top ON d2.doc_id = top.doc_id
              |ORDER BY d2.doc_id""".stripMargin)),
 
+    // ---- PMI collocation mining (word2phrase): top-20 adjacent pairs
+    //      by round-3 pointwise mutual information, minCount=5. Ranking
+    //      compares ROUNDED pmi with lexicographic tie-break — ln is not
+    //      bit-identical across engines, 3 decimals is ----
+    Q("t25_pmi_phrases",
+      (s, dir) =>
+        graft.operators.TextOps.pmiPhrases(
+          Tables(s, dir, "documents"), "text", minCount = 5L, k = 20),
+      Some("""WITH d AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |bgr AS (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS bg
+             |  FROM d WHERE len(toks) >= 2),
+             |bg2 AS (SELECT bg[1] AS w1, bg[2] AS w2 FROM bgr),
+             |cab AS (SELECT w1, w2, count(*) AS c_ab FROM bg2 GROUP BY w1, w2),
+             |cw AS (SELECT w, count(*) AS c
+             |       FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w),
+             |tot AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM cw) AS n_tok,
+             |               (SELECT CAST(sum(c_ab) AS DOUBLE) FROM cab) AS m_bg)
+             |SELECT w1, w2, c_ab,
+             |  round(ln((c_ab / m_bg) / ((ca.c / n_tok) * (cb.c / n_tok))), 3) AS pmi
+             |FROM cab JOIN cw ca ON cab.w1 = ca.w
+             |         JOIN cw cb ON cab.w2 = cb.w CROSS JOIN tot
+             |WHERE c_ab >= 5
+             |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin)),
+
     // ---- temperature-scaled domain mixing (XLM-R/mC4 alpha-sampling):
     //      p_d ∝ n_d^0.3 per language, realized as a deterministic
     //      md5-draw keep decision at targetFrac=0.5 of the corpus ----

@@ -139,6 +139,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(meta.count() == 50)
   }
 
+  test("pmiPhrases ranks the planted collocation first, hand-checked value") {
+    import spark.implicits._
+    // corpus: 11 token slots, 8 bigram slots; "new york" occurs 3 times,
+    // c(new)=c(york)=3 → pmi = ln((3/8)/((3/11)^2)) = ln(5.041666…) ≈ 1.618
+    val docs = Seq("new york is big", "i love new york", "new york city")
+      .toDF("text")
+    val top = TextOps.pmiPhrases(docs, "text", minCount = 2L, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(top.head == (("new", "york", 3L, 1.618)), top.mkString(";"))
+    // hapax pairs (minCount=2) never appear despite their higher raw PMI
+    assert(top.forall(_._3 >= 2))
+  }
+
   test("langId emits only known languages, deterministic") {
     import spark.implicits._
     val preds = Tables(spark, sf, "documents")
