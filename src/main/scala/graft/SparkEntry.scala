@@ -14,6 +14,7 @@ object SparkEntry {
       graft.queries.ExtraQueries.all ++
       graft.queries.Extra2Queries.all ++
       graft.queries.Extra3Queries.all ++
+      graft.queries.Extra4Queries.all ++
       graft.queries.LineageQueries.all ++
       graft.queries.PipelineQueries.all ++
       graft.queries.Text2Queries.all ++

@@ -162,4 +162,76 @@ object Layout {
         if (needed) dataFiles(p).length.toLong else nFiles, bytes, needed)
     }.toSeq.sortBy(_.partition)
   }
+
+  // ---------------------------------------------------------------------
+  // File-level data skipping (min/max manifest) — the Delta/Iceberg
+  // "file statistics" idea for plain parquet directories. Parquet's own
+  // row-group stats prune only AFTER a file is opened; at 100 TB the
+  // win is never OPENING (or listing into the scan) the 99% of files a
+  // selective range predicate excludes. A manifest — one row per file
+  // with the clustering column's min/max — turns a range query into a
+  // metadata lookup followed by a scan of only the overlapping files.
+  // ---------------------------------------------------------------------
+
+  private val ManifestDir = "_graft_manifest"
+
+  /** Write `df` range-clustered on `rangeCol` into `files` files at
+    * `path`, then build the file-level min/max manifest beside the data
+    * (`path/_graft_manifest` — the underscore prefix keeps it invisible
+    * to plain `read.parquet(path)` scans, like `_SUCCESS`).
+    *
+    * The clustering write is `repartitionByRange` + in-file sort, so
+    * each file owns a tight, near-disjoint range of `rangeCol` — the
+    * precondition for skipping to bite (a manifest over randomly
+    * scattered data matches every file). The manifest pass is one
+    * column-pruned scan of the fresh layout grouped by
+    * `_metadata.file_path` — map-side combinable, file-grain output,
+    * the same amortized-ANALYZE contract as [[zorderWrite]]'s range
+    * pre-pass. Manifest commits LAST: a crash between data and manifest
+    * leaves a readable un-manifested layout, never a stale manifest.
+    */
+  def writeWithManifest(df: DataFrame, rangeCol: String, files: Int,
+      path: String): Unit = {
+    df.repartitionByRange(files, col(rangeCol))
+      .sortWithinPartitions(col(rangeCol))
+      .write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    spark.read.parquet(path)
+      .select(col(rangeCol).as("v"), col("_metadata.file_path").as("file"))
+      .groupBy(col("file"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/$ManifestDir")
+  }
+
+  /** The manifest as a DataFrame: (file, lo, hi, n_rows) per data file. */
+  def manifest(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/$ManifestDir")
+
+  /** Data files whose [lo, hi] overlaps the query range — the skip
+    * decision. Collected to the driver: the manifest is file-grain
+    * metadata (like the m07 shard manifest and every OPTIMIZE planner's
+    * file listing), never row data.
+    */
+  def prunedFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+      lo: Column, hi: Column): Seq[String] =
+    manifest(spark, path)
+      .filter(col("hi") >= lo && col("lo") <= hi)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+
+  /** Range query through the manifest: list-filter files driver-side,
+    * scan ONLY the overlapping ones, and re-apply the row-level
+    * predicate (file stats are necessary, not sufficient). Falls back
+    * to an empty frame with the layout's schema when nothing overlaps —
+    * zero files opened.
+    */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      rangeCol: String, lo: Column, hi: Column): DataFrame = {
+    val keep = prunedFiles(spark, path, lo, hi)
+    if (keep.isEmpty)
+      spark.read.parquet(path).filter(lit(false))
+    else
+      spark.read.parquet(keep: _*).filter(col(rangeCol).between(lo, hi))
+  }
 }

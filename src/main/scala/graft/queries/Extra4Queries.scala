@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.{GraphOps, Layout, TimeSeries}
+import org.apache.spark.sql.functions._
+
+/** Round-8 second wave: graph structure mining (triangles), time-series
+  * regularization, robust anomaly profiling, and file-level data
+  * skipping — each the gate for an operator in `graft.operators`.
+  */
+object Extra4Queries {
+
+  def all: Seq[Q] = Seq(
+
+    // ---- triangle counting + local clustering coefficient over the
+    //      part co-purchase graph (parts sharing an order, high-quantity
+    //      lines only). GraphOps.triangles is the degree-ordered wedge
+    //      join — Σ outdeg² stays O(m^1.5) however skewed the graph; the
+    //      oracle counts the same triangles by the direct a<b<c
+    //      three-way self-join, which is fine at oracle scale and
+    //      exactly what the operator exists to avoid at 100 TB. ----
+    Q("q108_triangles",
+      (s, dir) => {
+        import s.implicits._
+        val items = Tables(s, dir, "lineitem")
+          .filter($"l_quantity" >= 45)
+          .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        val edges = items.as("a").join(items.as("b"),
+            $"a.o" === $"b.o" && $"a.p" < $"b.p")
+          .select($"a.p".as("src"), $"b.p".as("dst"))
+        // lazy over the operator's persisted edge stages; the harness
+        // (Verify/Bench) owns release via clearCache after its action —
+        // the q103 caching contract
+        GraphOps.triangles(edges, "src", "dst")
+          .filter($"tri" > 0)
+          .select($"id".as("part_id"), $"deg", $"tri",
+            round($"lcc", 6).as("lcc"))
+          .orderBy($"tri".desc, $"part_id").limit(20)
+      },
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |  FROM lineitem WHERE l_quantity >= 45
+             |), e AS (
+             |  SELECT DISTINCT a.p AS u, b.p AS v
+             |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+             |), deg AS (
+             |  SELECT id, count(*) AS deg FROM (
+             |    SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+             |  GROUP BY id
+             |), tri AS (
+             |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             |  FROM e e1
+             |  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+             |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+             |), tc AS (
+             |  SELECT id, count(*) AS tri FROM (
+             |    SELECT a AS id FROM tri UNION ALL SELECT b AS id FROM tri
+             |    UNION ALL SELECT c AS id FROM tri)
+             |  GROUP BY id
+             |)
+             |SELECT d.id AS part_id, d.deg, t.tri,
+             |  round(2.0 * t.tri / (d.deg * (d.deg - 1)), 6) AS lcc
+             |FROM deg d JOIN tc t ON d.id = t.id
+             |ORDER BY t.tri DESC, part_id LIMIT 20""".stripMargin)),
+
+    // ---- hourly resample + forward fill of the event log: dense
+    //      per-type grid, gaps carry the last observed (pre-rounded)
+    //      hourly sum. Spine is generated map-side from per-key bounds,
+    //      the fill is one running-last window per key. ----
+    Q("q109_gap_fill",
+      (s, dir) => {
+        import s.implicits._
+        val filled = TimeSeries.resampleHourlyFill(
+          Tables(s, dir, "events"), "event_type", "ts",
+          round(sum($"value"), 2))
+        filled.select($"key".as("event_type"),
+            date_format($"hr", "yyyy-MM-dd HH").as("hr"),
+            $"v".as("sum_v"), $"n_events", $"filled")
+          .orderBy($"event_type", $"hr")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type AS key, date_trunc('hour', ts) AS hr,
+             |    round(sum(value), 2) AS v, count(*) AS n_events
+             |  FROM events GROUP BY 1, 2
+             |), bounds AS (
+             |  SELECT key, min(hr) AS lo, max(hr) AS hi FROM hourly GROUP BY key
+             |), spine AS (
+             |  SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+             |  FROM bounds
+             |), j AS (
+             |  SELECT s.key, s.hr, h.v,
+             |    coalesce(h.n_events, 0) AS n_events, h.v IS NULL AS filled
+             |  FROM spine s LEFT JOIN hourly h ON s.key = h.key AND s.hr = h.hr
+             |)
+             |SELECT key AS event_type, strftime(hr, '%Y-%m-%d %H') AS hr,
+             |  last_value(v IGNORE NULLS) OVER (
+             |    PARTITION BY key ORDER BY hr
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_v,
+             |  n_events, filled
+             |FROM j ORDER BY event_type, hr""".stripMargin)),
+
+    // ---- robust outlier profile: median + MAD fences per event type
+    //      (Hampel identifier, k=3). Exact percentile here IS the
+    //      oracle variant; the approx_percentile swap is the q97→q98
+    //      story and keeps the identical two-pass shape. ----
+    Q("q110_anomaly_mad",
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.madOutliers(Tables(s, dir, "events"), "event_type", "value")
+          .select($"g".as("event_type"), $"n",
+            round($"med", 6).as("med"), round($"mad", 6).as("mad"),
+            $"n_outliers")
+          .orderBy($"event_type")
+      },
+      Some("""WITH med AS (
+             |  SELECT event_type AS g, quantile_cont(value, 0.5) AS med
+             |  FROM events GROUP BY 1
+             |), stats AS (
+             |  SELECT e.event_type AS g, count(*) AS n, any_value(m.med) AS med,
+             |    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+             |  FROM events e JOIN med m ON e.event_type = m.g GROUP BY 1
+             |), outc AS (
+             |  SELECT e.event_type AS g,
+             |    CAST(sum(CASE WHEN abs(e.value - s.med) > 3.0 * 1.4826 * s.mad
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |  FROM events e JOIN stats s ON e.event_type = s.g GROUP BY 1
+             |)
+             |SELECT s.g AS event_type, s.n, round(s.med, 6) AS med,
+             |  round(s.mad, 6) AS mad, o.n_outliers
+             |FROM stats s JOIN outc o ON s.g = o.g ORDER BY event_type""".stripMargin)),
+
+    // ---- file-level data skipping: range-clustered layout + min/max
+    //      manifest, range query scans ONLY overlapping files (ScaleSpec
+    //      pins the file-count reduction). Fixture is corpus-keyed and
+    //      built once; the manifest's _SUCCESS commits last, so a
+    //      half-built layout rebuilds cleanly (q96 contract). ----
+    Q("q111_skipping_manifest",
+      (s, dir) => {
+        import s.implicits._
+        val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val tmp = graft.Scratch.dir(s"graft_skip_$key")
+        if (!new java.io.File(s"$tmp/_graft_manifest/_SUCCESS").exists()) {
+          Layout.writeWithManifest(
+            Tables(s, dir, "lineitem")
+              .select($"l_shipdate", $"l_returnflag", $"l_quantity",
+                $"l_extendedprice"),
+            "l_shipdate", files = 16, path = tmp)
+        }
+        Layout.prunedRead(s, tmp, "l_shipdate",
+            lit("1996-01-01").cast("timestamp"),
+            lit("1996-12-31").cast("timestamp"))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"),
+            round(sum($"l_extendedprice"), 2).as("rev"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  round(sum(l_quantity), 2) AS qty,
+             |  round(sum(l_extendedprice), 2) AS rev
+             |FROM lineitem
+             |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+             |  AND TIMESTAMP '1996-12-31'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+  )
+}

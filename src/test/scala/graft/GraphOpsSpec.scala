@@ -33,6 +33,39 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(math.abs(pr.values.sum - 1.0) < 1e-9, s"mass leaked: $pr")
   }
 
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Double)] = {
+    val got = GraphOps.triangles(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, d, t, c) => id -> (d, t, c) }.toMap
+    spark.catalog.clearCache()
+    got
+  }
+
+  test("K4: every node has 3 triangles and clustering 1.0") {
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val r = tri(k4)
+    assert((1L to 4L).forall(n => r(n) == ((3L, 3L, 1.0))), r.toString)
+  }
+
+  test("triangle with a pendant: corner lcc 1/3, pendant lcc 0") {
+    val r = tri(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)))
+    assert(r(1L) == ((3L, 1L, 2.0 * 1 / (3 * 2))))
+    assert(r(2L) == ((2L, 1L, 1.0)) && r(3L) == ((2L, 1L, 1.0)))
+    assert(r(4L) == ((1L, 0L, 0.0)))
+  }
+
+  test("reversed duplicates and self-loops canonicalize away") {
+    // same triangle stated redundantly in both directions + a self-loop
+    val r = tri(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L), (1L, 1L)))
+    assert(r(1L) == ((2L, 1L, 1.0)) && r(2L) == ((2L, 1L, 1.0)) &&
+      r(3L) == ((2L, 1L, 1.0)))
+  }
+
+  test("a square (4-cycle) has zero triangles everywhere") {
+    val r = tri(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(r.values.forall { case (d, t, c) => d == 2L && t == 0L && c == 0.0 })
+  }
+
   test("a node with no in-edges holds the teleport floor") {
     // 1 -> 2 only: N=2. The floor is (1.0-0.85)/2 in the operator's own
     // IEEE arithmetic — NOT the decimal 0.075: (1.0-0.85) is

@@ -578,4 +578,59 @@ class ScaleSpec extends AnyFunSuite {
     // content preserved exactly
     assert(spark.read.parquet(path).count() == nBefore)
   }
+
+  test("skipping manifest: range query opens only overlapping files") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    val li = Tables(spark, sf, "lineitem")
+      .select($"l_shipdate", $"l_returnflag", $"l_quantity")
+    graft.operators.Layout.writeWithManifest(li, "l_shipdate", files = 8, tmp)
+    val man = graft.operators.Layout.manifest(spark, tmp).collect()
+    assert(man.length == 8, s"expected 8 manifest rows, got ${man.length}")
+    val (lo, hi) = (lit("1996-01-01").cast("timestamp"),
+      lit("1996-12-31").cast("timestamp"))
+    val keep = graft.operators.Layout.prunedFiles(spark, tmp, lo, hi)
+    // ~1 year of a ~7-year span over 8 range-clustered files: the
+    // manifest must exclude most of them
+    assert(keep.nonEmpty && keep.size <= 3,
+      s"pruning too weak: ${keep.size} of ${man.length} files kept")
+    val pruned = graft.operators.Layout.prunedRead(spark, tmp, "l_shipdate", lo, hi)
+    // the scan's input files are exactly the manifest's survivors
+    pruned.collect()
+    val scanned = collectAll(pruned.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s.inputRDDs().length // force planning
+    }
+    val scanFiles = collectAll(pruned.queryExecution.executedPlan) {
+      case s: FileSourceScanExec =>
+        s.relation.location.listFiles(Nil, Nil).flatMap(_.files)
+          .map(_.getPath.toString).toSet
+    }.head
+    assert(scanned.nonEmpty)
+    assert(scanFiles == keep.toSet,
+      s"scan listed ${scanFiles.size} files, manifest kept ${keep.size}")
+    // and the answer matches the unskipped full-scan filter exactly
+    val expect = li.filter($"l_shipdate".between(lo, hi))
+      .orderBy($"l_shipdate", $"l_returnflag", $"l_quantity").collect().toSeq
+    val got = pruned
+      .orderBy($"l_shipdate", $"l_returnflag", $"l_quantity").collect().toSeq
+    assert(got == expect)
+    // a range beyond the data opens ZERO files
+    val none = graft.operators.Layout.prunedFiles(spark, tmp,
+      lit("2050-01-01").cast("timestamp"), lit("2051-01-01").cast("timestamp"))
+    assert(none.isEmpty)
+  }
+
+  test("triangle counting plans as equi-joins only — no cross products") {
+    import spark.implicits._
+    val edges = Tables(spark, sf, "lineitem").limit(2000)
+      .select($"l_orderkey".as("src"), $"l_partkey".as("dst"))
+    val out = graft.operators.GraphOps.triangles(edges, "src", "dst")
+    out.collect()
+    val bad = collectAll(out.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j.nodeName
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j.nodeName
+    }
+    assert(bad.isEmpty, s"non-equi join in triangle plan: $bad")
+    spark.catalog.clearCache()
+  }
 }

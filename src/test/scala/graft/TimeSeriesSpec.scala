@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TimeSeries
+
+/** Hand-computable fixtures for the time-series operators (q109/q110 pin
+  * the full events-table profiles against DuckDB).
+  */
+class TimeSeriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("resampleHourlyFill densifies gaps and carries the last value") {
+    // key A observes 10:00 (v=1.0) and 13:00 (v=7.0): hours 11 and 12
+    // must appear, filled, carrying 1.0
+    val ev = Seq(
+      ("A", "2024-01-01 10:15:00", 1.0),
+      ("A", "2024-01-01 13:40:00", 7.0),
+      ("B", "2024-01-01 09:05:00", 2.0)
+    ).toDF("k", "ts_s", "value").withColumn("ts", $"ts_s".cast("timestamp"))
+    val out = TimeSeries.resampleHourlyFill(ev, "k", "ts", sum($"value"))
+      .orderBy($"key", $"hr")
+      .select($"key", date_format($"hr", "HH").as("h"), $"v", $"n_events", $"filled")
+      .as[(String, String, Double, Long, Boolean)].collect()
+    assert(out.toSeq == Seq(
+      ("A", "10", 1.0, 1L, false),
+      ("A", "11", 1.0, 0L, true),
+      ("A", "12", 1.0, 0L, true),
+      ("A", "13", 7.0, 1L, false),
+      ("B", "09", 2.0, 1L, false)))
+  }
+
+  test("single-observation key yields exactly one unfilled row") {
+    val ev = Seq(("X", "2024-06-01 00:30:00", 4.0))
+      .toDF("k", "ts_s", "value").withColumn("ts", $"ts_s".cast("timestamp"))
+    val out = TimeSeries.resampleHourlyFill(ev, "k", "ts", sum($"value")).collect()
+    assert(out.length == 1 && !out.head.getAs[Boolean]("filled"))
+  }
+
+  test("madOutliers: Hampel fence flags the far point, not the bulk") {
+    // med=3, deviations {2,1,0,1,97} -> mad=1, fence=3*1.4826 -> only 100
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("g", _)).toDF("grp", "v")
+    val r = TimeSeries.madOutliers(df, "grp", "v").collect().head
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("med") == 3.0)
+    assert(r.getAs[Double]("mad") == 1.0)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+  }
+
+  test("madOutliers: a constant group has mad 0 and every point inside") {
+    val df = Seq(5.0, 5.0, 5.0).map(("c", _)).toDF("grp", "v")
+    val r = TimeSeries.madOutliers(df, "grp", "v").collect().head
+    assert(r.getAs[Double]("mad") == 0.0)
+    // |x - med| = 0 is NOT > 0 -> no outliers even with a zero fence
+    assert(r.getAs[Long]("n_outliers") == 0L)
+  }
+}
