@@ -18,17 +18,36 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read as a
-    // timestamp. Sessions set spark.sql.legacy.parquet.nanosAsLong=true (see
-    // Sessions.configure) so it arrives as nanos-since-epoch LONG; convert to
-    // a proper timestamp with exact integer division (`div`, not `/` — a
-    // double round-trip would lose precision above 2^53 ns). Floor-to-micros
-    // matches DuckDB's own nanos→micros truncation, keeping oracle parity.
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** Normalize `events.ts` to session-zone TimestampType whatever the
+    * generator stored, so every downstream `unix_micros($"ts")` /
+    * watermark / window sees one type. Stored variants seen across
+    * testdata generations:
+    *  - parquet TIMESTAMP(NANOS): unreadable as a timestamp; Sessions sets
+    *    spark.sql.legacy.parquet.nanosAsLong=true so it arrives as a
+    *    nanos-since-epoch LONG → exact integer `div 1000` (not `/` — a
+    *    double round-trip loses precision above 2^53 ns), floor-to-micros
+    *    matching DuckDB's own nanos→micros truncation;
+    *  - parquet timestamp[us] without timezone → TIMESTAMP_NTZ: cast to
+    *    TimestampType. Session TZ is UTC (Sessions.builder), so the
+    *    wall-clock reinterpretation shifts nothing and `unix_micros`
+    *    equals DuckDB's `epoch_us` on the same file;
+    *  - tz-aware timestamp[us] → already TimestampType: pass through.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — testdata schema " +
+        "drifted again; teach Tables.normalizeEventTs the new variant " +
+        "(see TablesSchemaSpec, the drift tripwire)")
+    }
   }
 
   /** Register every table in `dir` as a temp view (for spark.sql corpora). */

@@ -18,25 +18,42 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** events schema as stored (ts = TIMESTAMP(NANOS) read as long; file
-    * streams require an explicit schema). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events schema as stored, with the ts slot filled in from the actual
+    * file (file streams require an explicit schema, and the generator has
+    * shipped ts as TIMESTAMP(NANOS)-as-long AND as timestamp[us]/NTZ
+    * across testdata generations — declaring the wrong one silently
+    * corrupts every event-time by 1000×). */
+  def eventsRawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
-  /** Streaming read of the events parquet (nanos → micros timestamp, same
-    * conversion as the batch path in Tables.apply). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsRawSchema)
+  /** Streaming read of the events parquet, normalized to session-zone
+    * TimestampType exactly like the batch path (Tables.normalizeEventTs).
+    * The stored ts type is probed with one driver-side batch footer read —
+    * metadata-only, no data scan — then the stream declares that type and
+    * converts: legacy nanos-long → `div 1000` → micros; TIMESTAMP_NTZ →
+    * cast (session TZ is UTC, so values are unchanged). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val storedTs = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream.schema(eventsRawSchema(storedTs))
       // file streams require a directory source; select just the events
       // file(s) from the scale-factor dir
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    storedTs match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — testdata schema " +
+        "drifted again; align with Tables.normalizeEventTs")
+    }
+  }
 
   /** Watermarked sliding-window aggregation. */
   def hourlyCounts(events: DataFrame): DataFrame =
