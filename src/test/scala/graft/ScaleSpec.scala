@@ -633,4 +633,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"non-equi join in triangle plan: $bad")
     spark.catalog.clearCache()
   }
+
+  test("pageRank returns a materialized rank table: plan depth constant in sweeps") {
+    // Round-8 regression mode: the lazy loop built one iterations-deep
+    // plan (237 physical nodes for 3 sweeps) that replanned and
+    // recomputed every sweep inside a single job — 58s where 2s is
+    // right. With per-sweep materialization the returned table reads the
+    // LAST sweep's cache, so its executed plan must not grow with the
+    // sweep budget.
+    import spark.implicits._
+    val edges = (1L to 60L).map(i => (i, i % 12 + 1)).toDF("src", "dst")
+    def planNodes(iters: Int): Int = {
+      val pr = graft.operators.GraphOps.pageRank(edges, "src", "dst", iters)
+      val n = collectAll(pr.queryExecution.executedPlan) { case p => p }.size
+      spark.catalog.clearCache()
+      n
+    }
+    val (shallow, deep) = (planNodes(2), planNodes(7))
+    assert(shallow == deep,
+      s"pageRank plan grows with iterations: $shallow nodes at 2 sweeps, " +
+        s"$deep at 7 — per-sweep materialization broke")
+  }
 }
