@@ -36,18 +36,21 @@ object GraphOps {
     * unpersisted once its successor is solid): leaving the whole loop
     * lazy builds one iterations-deep plan whose every sweep replans and
     * recomputes inside a single giant job — measured 58s for 3 sweeps
-    * over a ~1.2M-edge graph vs ~2s materialized. Per-sweep lineage is
-    * additionally truncated every `checkpointEvery` sweeps via
-    * `localCheckpoint` so analysis cost stays O(1) per sweep on long
-    * budgets (localCheckpoint trades executor-loss recoverability for
+    * over a ~1.2M-edge graph vs ~3s materialized. Lineage is truncated
+    * via `localCheckpoint` every `checkpointEvery` sweeps AND on the
+    * final sweep, so analysis cost stays O(1) per sweep on long budgets
+    * and the RETURNED table is a self-contained materialized relation
+    * (LogicalRDD) rather than an iterations-deep nest of cached plans
+    * (localCheckpoint trades executor-loss recoverability for
     * no-DFS-write cost — the right trade for a rank loop that can
     * restart from the sweep budget).
     *
     * CACHING CONTRACT: the edge set, degree table and node list persist
-    * for the loop's lifetime, and the RETURNED rank table is persisted
-    * and materialized — the caller owns release via
+    * for the loop's lifetime — the caller owns release via
     * `spark.catalog.clearCache()` after the action (same contract as the
-    * other persisting operators).
+    * other persisting operators). The returned table's own blocks are
+    * localCheckpoint state, freed when the DataFrame is garbage
+    * collected.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85,
@@ -77,8 +80,9 @@ object GraphOps {
       // nodes with no in-edges keep the teleport floor
       val next = nodes.join(agg, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("pr_new"), lit(teleport)).as("pr"))
-      pr = if (i % checkpointEvery == 0) next.localCheckpoint(true)
-        else { val c = next.persist(lvl); c.count(); c }
+      pr = if (i == iterations || i % checkpointEvery == 0)
+        next.localCheckpoint(true)
+      else { val c = next.persist(lvl); c.count(); c }
       // release the superseded sweep AFTER its successor is materialized
       // (unpersisting first would force a recompute through the chain)
       prevMaterialized.foreach(_.unpersist(false))
