@@ -427,6 +427,13 @@ object Similarity {
         .join(updated, Seq("c_id"), "left")
         .select(col("c_id"),
           coalesce(col("new_emb"), col("old_emb")).as("c_emb"))
+        // materialize each Lloyd iteration (same pattern as
+        // GraphOps.pageRank): left lazy, iteration N's broadcast nests
+        // iteration N-1's whole corpus pass as a broadcast-inside-
+        // broadcast tower, replanned at every consumer. The centroid
+        // table is |cent| rows, so the checkpoint is ~free and each
+        // iteration becomes one self-contained job.
+        .localCheckpoint(true)
     }
     cent
   }
