@@ -50,6 +50,41 @@ object Tables {
     }
   }
 
+  /** Content identity of a source parquet file, for keying build-once
+    * derived layouts (bucketed tables, IVF cells, BM25 postings): file
+    * length + md5 over the parquet footer (per-block row counts, byte
+    * sizes, column min/max statistics). NOT mtime — a byte-identical
+    * regeneration keeps its key (no spurious rebuild), while any content
+    * change (rows, stats, block layout) re-keys and forces exactly one
+    * rebuild. The footer is KBs and read driver-side with no data scan,
+    * so the check stays metadata-cheap at 100 TB.
+    */
+  def contentIdent(path: String): String = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val footer = try {
+      reader.getFooter.getBlocks.asScala.map { b =>
+        s"${b.getRowCount}:${b.getTotalByteSize}:" +
+          b.getColumns.asScala.map(c => String.valueOf(c.getStatistics))
+            .mkString("|")
+      }.mkString(";")
+    } finally reader.close()
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(footer.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"$path:${java.nio.file.Files.size(java.nio.file.Paths.get(path))}:$md5"
+  }
+
+  /** 16-hex digest of [[contentIdent]], for embedding in layout dir names
+    * (md5-wide: a 32-bit hash could collide two corpus identities onto
+    * one layout path). */
+  def contentKey(path: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(contentIdent(path).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+
   /** Register every table in `dir` as a temp view (for spark.sql corpora). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach { n =>

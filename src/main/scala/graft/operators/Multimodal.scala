@@ -91,22 +91,6 @@ object Multimodal {
           expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
           .cast("long").as("frame_len"))
 
-  /** Size-aware bin packing: assign each row a `bucket` so every bucket's
-    * payload bytes stay within `budgetBytes` (+ at most one row's
-    * overshoot — the classic next-fit bound). Multimodal rows vary by
-    * orders of magnitude (thumbnails vs videos), so count-based
-    * partitioning produces straggler tasks and OOM-prone writes; packing
-    * by cumulative size fixes both (`repartition($"bucket")` before the
-    * write, or write partitioned by it).
-    *
-    * Distributed prefix sum, no driver collection and no global window:
-    * range-partition by `idCol`, cumsum WITHIN each partition (parallel
-    * window), then add per-partition offsets computed by a window over
-    * the partition-totals frame — which has one row per partition, so its
-    * single-task window is metadata-sized at any data scale. Equals the
-    * sequential cumsum over id order exactly (range partitions are
-    * id-ordered).
-    */
   /** GPT-style training-sequence layout: concatenate documents in id
     * order into one continuous token stream and cut it every `seqLen`
     * tokens. Each document gets the sequence id and intra-sequence
@@ -116,40 +100,24 @@ object Multimodal {
     * seam). Differs from [[packBySize]], which assigns whole items to
     * budget bins without splitting.
     *
-    * Same two-level distributed prefix sum as packBySize (partition-local
-    * cumsum + metadata-sized partition-offset window): no global window,
-    * no driver collection, exact equality with the sequential cumsum.
+    * Positioning is [[Prefix.exclusiveSum]] (shared with packBySize):
+    * no global window, no driver collection, exact equality with the
+    * sequential cumsum.
     * Returns (idCol, lenCol, seq_id, offset, spans_boundary).
     */
   def sequenceLayout(
       df: DataFrame, idCol: String, lenCol: String,
       seqLen: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    val reserved = Seq("_pid", "_cum", "_off", "seq_id", "offset", "spans_boundary")
+    val reserved = Seq("seq_id", "offset", "spans_boundary")
     require(!df.columns.exists(reserved.contains),
       s"sequenceLayout reserves columns ${reserved.mkString(", ")}; rename them first")
-    val ranged = df.repartitionByRange(col(idCol))
-      .withColumn("_pid", spark_partition_id())
-    val offsets = ranged.groupBy(col("_pid"))
-      .agg(sum(col(lenCol)).as("_t"))
-      .withColumn("_off",
-        coalesce(sum(col("_t")).over(
-          Window.orderBy(col("_pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_pid"), col("_off"))
-    ranged
-      .withColumn("_cum",
-        sum(col(lenCol)).over(
-          Window.partitionBy(col("_pid")).orderBy(col(idCol))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(offsets), Seq("_pid"))
-      // start position in the concatenated stream (exclusive prefix)
-      .withColumn("_start", col("_cum") + col("_off") - col(lenCol))
+    // start position in the concatenated stream (exclusive prefix)
+    Prefix.exclusiveSum(df, Seq(col(idCol)), col(lenCol), "_start")
       .withColumn("seq_id", expr(s"_start div $seqLen"))
       .withColumn("offset", col("_start") % seqLen)
       .withColumn("spans_boundary", col("offset") + col(lenCol) > seqLen)
-      .drop("_pid", "_cum", "_off", "_start")
+      .drop("_start")
   }
 
   /** WebDataset-style shard export: pack samples into contiguous
@@ -252,37 +220,27 @@ object Multimodal {
       .toDF("shard_id", "n_samples", "bytes", "first_id", "last_id")
   }
 
+  /** Size-aware bin packing: assign each row a `bucket` so every bucket's
+    * payload bytes stay within `budgetBytes` (+ at most one row's
+    * overshoot — the classic next-fit bound). Multimodal rows vary by
+    * orders of magnitude (thumbnails vs videos), so count-based
+    * partitioning produces straggler tasks and OOM-prone writes; packing
+    * by cumulative size fixes both (`repartition($"bucket")` before the
+    * write, or write partitioned by it). Positioning is
+    * [[Prefix.exclusiveSum]] — no global window, no driver collection.
+    */
   def packBySize(
       df: DataFrame, idCol: String, bytesCol: String,
       budgetBytes: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(budgetBytes > 0, s"budgetBytes must be positive, got $budgetBytes")
-    val reserved = Seq("_pid", "_cum", "_off", "bucket")
-    require(!df.columns.exists(reserved.contains),
-      s"packBySize reserves columns ${reserved.mkString(", ")}; rename them first")
-    val ranged = df.repartitionByRange(col(idCol))
-      .withColumn("_pid", spark_partition_id())
-    val offsets = ranged.groupBy(col("_pid"))
-      .agg(sum(col(bytesCol)).as("_t"))
-      .withColumn("_off",
-        coalesce(sum(col("_t")).over(
-          Window.orderBy(col("_pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_pid"), col("_off"))
-    ranged
-      // ROWS frame, not the default RANGE frame: RANGE treats idCol ties
-      // as peers and hands each the whole tie group's cumsum, which
-      // breaks the next-fit bound. With duplicate ids the bound still
-      // holds under ROWS, but bucket assignment within a tie group
-      // follows partition-internal order — pass a unique id for
-      // run-to-run reproducible assignments.
-      .withColumn("_cum",
-        sum(col(bytesCol)).over(
-          Window.partitionBy(col("_pid")).orderBy(col(idCol))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(offsets), Seq("_pid"))
-      .withColumn("bucket",
-        expr(s"(_cum + _off - `$bytesCol`) div $budgetBytes"))
-      .drop("_pid", "_cum", "_off")
+    require(!df.columns.contains("bucket"),
+      "packBySize reserves column bucket; rename it first")
+    // bucket = (exclusive byte prefix) div budget — next-fit over the
+    // id-ordered stream. Duplicate-id tie behavior: Prefix.exclusiveSum's
+    // ROWS-frame note (the next-fit bound still holds; pass a unique id
+    // for run-to-run reproducible assignments).
+    Prefix.exclusiveSum(df, Seq(col(idCol)), col(bytesCol), "_startb")
+      .withColumn("bucket", expr(s"_startb div $budgetBytes"))
+      .drop("_startb")
   }
 }

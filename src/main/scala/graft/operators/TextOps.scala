@@ -173,4 +173,92 @@ object TextOps {
       .limit(k)
       .select(col("w1"), col("w2"), col("c_ab"), col("pmi"))
   }
+
+  /** Training-sequence packing (GPT-style concat-then-split): documents
+    * are concatenated in `idCol` order — `sepTokens` separator slots
+    * (EOS/BOS) between consecutive docs — into one virtual token stream,
+    * which is cut into fixed `budget`-token training sequences. Documents
+    * SPAN sequence boundaries (the packing variant with zero padding
+    * waste, vs the whole-doc next-fit of `Multimodal.packBySize`); a doc
+    * overlapping k boundaries emits k+1 pieces. Zero-token documents are
+    * dropped (they'd emit nothing and still charge a separator).
+    *
+    * Output: one row per (sequence, doc piece) — `seq_id` (0-based
+    * sequence index), `doc_id`, `doc_tok_start` (1-based first token of
+    * the piece within the doc), `piece_len`, `seq_offset` (0-based
+    * position of the piece inside the sequence). Loaders re-slice piece
+    * text from the stored doc exactly like [[chunk]] consumers do.
+    *
+    * Scale shape: the global token offset is [[Prefix.exclusiveSum]]
+    * (two-level distributed prefix sum — NO single-partition global
+    * window); the per-doc window explode is map-side. One range shuffle
+    * total, and per-doc output width is O(n_tok / budget), never
+    * corpus-grain. `Multimodal.sequenceLayout` is the doc-START-grain
+    * sibling (where does each doc begin); this is the piece-grain cut
+    * (what exactly fills each sequence), with separator charging.
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int,
+      sepTokens: Int = 1): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(sepTokens >= 0, s"sepTokens must be >= 0, got $sepTokens")
+    val sized = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokenCount(col(textCol)).as("n_tok"))
+      .filter(col("n_tok") > 0)
+    // doc charge in the stream = its tokens + the separator AFTER it;
+    // the exclusive prefix sum is the doc's first global position
+    Prefix.exclusiveSum(sized, Seq(col("doc_id")),
+        col("n_tok") + lit(sepTokens.toLong), "off")
+      // sequences this doc's tokens touch: floor(off/B) .. floor((off+n-1)/B)
+      .select(col("doc_id"), col("n_tok"), col("off"),
+        explode(sequence(expr(s"off div $budget"),
+          expr(s"(off + n_tok - 1) div $budget"))).as("seq_id"))
+      .withColumn("_lo", greatest(col("off"), col("seq_id") * budget))
+      .withColumn("_hi",
+        least(col("off") + col("n_tok"), (col("seq_id") + 1) * budget))
+      .select(col("seq_id"), col("doc_id"),
+        (col("_lo") - col("off") + 1).as("doc_tok_start"),
+        (col("_hi") - col("_lo")).as("piece_len"),
+        (col("_lo") - col("seq_id") * budget).as("seq_offset"))
+  }
+
+  /** Length-bucketed batching (padding-waste control for non-packed
+    * training/inference): docs sorted by token count DESCENDING (ties by
+    * `idCol`) are grouped into consecutive batches of `batchSize` docs,
+    * so each batch holds near-equal lengths; a batch is padded to its
+    * longest member. Returns batch-grain stats — `batch_id`, `n_docs`,
+    * `width` (max tokens = padded length), `n_tok` (real tokens),
+    * `pad_frac` (wasted fraction of the padded batch, round 4). The
+    * final batch may be short; zero-token docs batch like any other
+    * (width 0 ⇒ pad_frac 0.0 guarded).
+    *
+    * Scale shape: one range shuffle on the sort key; the global row
+    * index is [[Prefix.exclusiveSum]] with a unit value (a global
+    * row_number window would single-task the corpus); batch stats are
+    * one map-combined batch-grain aggregate.
+    */
+  def lengthBatches(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val sized = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokenCount(col(textCol)).as("n_tok"))
+    Prefix.exclusiveSum(sized,
+        Seq(col("n_tok").desc, col("doc_id")), lit(1L), "_rn0")
+      .withColumn("batch_id", expr(s"_rn0 div $batchSize"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("width"),
+        sum(col("n_tok")).as("n_tok"))
+      .withColumn("pad_frac",
+        when(col("width") === 0, lit(0.0)).otherwise(
+          round(lit(1.0) - col("n_tok").cast("double") /
+            (col("width") * col("n_docs")).cast("double"), 4)))
+  }
 }

@@ -277,13 +277,11 @@ object Extra3Queries {
     Q("q73_bucketed_join",
       (s, dir) => {
         import s.implicits._
-        // key freshness on the source files' identity (path+mtime+size),
-        // not the path alone — a regenerated fixture must rebuild
-        def srcKey(t: String): String = {
-          val p = java.nio.file.Paths.get(dir, s"$t.parquet")
-          s"$p:${java.nio.file.Files.getLastModifiedTime(p).toMillis}:${
-            java.nio.file.Files.size(p)}"
-        }
+        // key freshness on the source files' CONTENT identity (footer
+        // fingerprint, not mtime) — a regenerated fixture with changed
+        // data rebuilds exactly once; a byte-identical regen reuses
+        def srcKey(t: String): String =
+          Tables.contentIdent(s"$dir/$t.parquet")
         buildTableOnce(s, "graft_bkt_orders", srcKey("orders")) {
           Tables(s, dir, "orders")
             .write.mode("overwrite").bucketBy(8, "o_custkey")

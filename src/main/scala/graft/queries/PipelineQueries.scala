@@ -538,19 +538,14 @@ object PipelineQueries {
       (s, dir) => {
         import s.implicits._
         val emb = Tables(s, dir, "embeddings")
-        // stable layout path keyed by the corpus file's identity (path +
-        // mtime + size): the layout builds on first use and later runs —
+        // stable layout path keyed by the corpus file's CONTENT identity
+        // (parquet footer fingerprint — not mtime, so a byte-identical
+        // regen reuses the layout): builds on first use; later runs —
         // including bench repetitions — measure the probe alone, which is
-        // the serving-path claim; a regenerated corpus gets a fresh key
-        val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
-        val ident = s"$src:${java.nio.file.Files.getLastModifiedTime(src).toMillis}:${
-          java.nio.file.Files.size(src)}"
-        // md5-wide key (a 32-bit hash can collide two corpus identities
-        // onto one layout); ivfBuildLayout's _graft_ident check guards
-        // centEvery/plan identity on top
-        val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(ident.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(16)
+        // the serving-path claim; changed corpus data gets a fresh key.
+        // ivfBuildLayout's _graft_ident check guards centEvery/plan
+        // identity on top
+        val key = Tables.contentKey(s"$dir/embeddings.parquet")
         val layout = graft.Scratch.dir(s"graft_ivf_layout_$key")
         Similarity.ivfTopKFromLayout(emb, emb.filter($"vec_id" < 10), k = 5,
             nProbe = 2, centEvery = 25, layoutDir = layout)
@@ -597,12 +592,7 @@ object PipelineQueries {
       (s, dir) => {
         import s.implicits._
         val emb = Tables(s, dir, "embeddings")
-        val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
-        val ident = s"$src:${java.nio.file.Files.getLastModifiedTime(src).toMillis}:${
-          java.nio.file.Files.size(src)}"
-        val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(ident.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(16)
+        val key = Tables.contentKey(s"$dir/embeddings.parquet")
         val layout = graft.Scratch.dir(s"graft_ivf_append_$key")
         val base = emb.filter($"vec_id" < 400)
         // rep-idempotent: the appended layout's extended ident mismatches
@@ -658,12 +648,8 @@ object PipelineQueries {
       (s, dir) => {
         import s.implicits._
         val emb = Tables(s, dir, "embeddings")
-        val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
-        val ident = s"$src:${java.nio.file.Files.getLastModifiedTime(src).toMillis}:${
-          java.nio.file.Files.size(src)}"
-        val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(ident.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(16)
+        // same content key as s04 — one persisted layout, many consumers
+        val key = Tables.contentKey(s"$dir/embeddings.parquet")
         val layout = graft.Scratch.dir(s"graft_ivf_layout_$key")
         Similarity.ivfBuildLayout(emb, centEvery = 25, layoutDir = layout)
         Similarity.hardNegativesFromLayout(s, emb.filter($"vec_id" < 10),

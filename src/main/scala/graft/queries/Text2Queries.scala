@@ -607,12 +607,9 @@ object Text2Queries {
     //      — so the oracle is t22's verbatim ----
     Q("t23_bm25_index",
       (s, dir) => {
-        val src = java.nio.file.Paths.get(dir, "documents.parquet")
-        val ident = s"$src:${java.nio.file.Files.getLastModifiedTime(src).toMillis}:${
-          java.nio.file.Files.size(src)}"
-        val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(ident.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(16)
+        // content-keyed (footer fingerprint, not mtime): a byte-identical
+        // testdata regen reuses the index; changed data re-keys it
+        val key = Tables.contentKey(s"$dir/documents.parquet")
         val layout = graft.Scratch.dir(s"graft_bm25_idx_$key")
         graft.operators.Retrieval.bm25IndexWrite(
           Tables(s, dir, "documents"), "doc_id", "text", layout)
@@ -701,7 +698,67 @@ object Text2Queries {
              |  FROM u, st
              |)
              |SELECT doc_id, score FROM sc WHERE score > 0.0
-             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))
+             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ---- GPT-style sequence packing: docs concatenated in doc_id order
+    //      (1 separator slot between docs) and cut into 128-token
+    //      training sequences; docs SPAN boundaries (zero padding waste).
+    //      Oracle replays the exclusive prefix sum + boundary slicing;
+    //      both sides integer-exact, so every piece row must agree ----
+    Q("t26_pack_sequences",
+      (s, dir) =>
+        graft.operators.TextOps.packSequences(
+            Tables(s, dir, "documents"), "doc_id", "text",
+            budget = 128, sepTokens = 1)
+          .orderBy(col("seq_id"), col("doc_id")),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+             |         AS BIGINT) AS n
+             |  FROM documents
+             |), nz AS (SELECT doc_id, n FROM d WHERE n > 0),
+             |o AS (
+             |  SELECT doc_id, n,
+             |    CAST(COALESCE(SUM(n + 1) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |         AS BIGINT) AS off
+             |  FROM nz
+             |), w AS (
+             |  SELECT doc_id, n, off,
+             |    unnest(range(off // 128, (off + n - 1) // 128 + 1)) AS seq_id
+             |  FROM o
+             |)
+             |SELECT seq_id, doc_id,
+             |  greatest(off, seq_id * 128) - off + 1 AS doc_tok_start,
+             |  least(off + n, (seq_id + 1) * 128)
+             |    - greatest(off, seq_id * 128) AS piece_len,
+             |  greatest(off, seq_id * 128) - seq_id * 128 AS seq_offset
+             |FROM w ORDER BY seq_id, doc_id""".stripMargin)),
+
+    // ---- length-bucketed batching: docs sorted by token count DESC
+    //      (ties by doc_id) into batches of 8; per-batch padded width +
+    //      padding-waste fraction. The interesting check is pad_frac —
+    //      a wrong global order or batch split shifts widths ----
+    Q("t27_length_batches",
+      (s, dir) =>
+        graft.operators.TextOps.lengthBatches(
+            Tables(s, dir, "documents"), "doc_id", "text", batchSize = 8)
+          .orderBy(col("batch_id")),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+             |         AS BIGINT) AS n
+             |  FROM documents
+             |), r AS (
+             |  SELECT doc_id, n,
+             |    row_number() OVER (ORDER BY n DESC, doc_id) AS rn FROM d
+             |), b AS (SELECT (rn - 1) // 8 AS batch_id, n FROM r)
+             |SELECT batch_id, count(*) AS n_docs, max(n) AS width,
+             |  CAST(sum(n) AS BIGINT) AS n_tok,
+             |  CASE WHEN max(n) = 0 THEN 0.0
+             |       ELSE round(1.0 - CAST(sum(n) AS DOUBLE)
+             |                    / (max(n) * count(*)), 4) END AS pad_frac
+             |FROM b GROUP BY batch_id ORDER BY batch_id""".stripMargin))
   )
 
   /** Per-document add-one-smoothed bigram-LM score (t13's model; see the

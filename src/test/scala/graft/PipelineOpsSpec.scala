@@ -343,4 +343,64 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(w(100L) > w(102L) && w(102L) > w(101L),
       s"expected target > mixed > off-target, got ${w(100L)}, ${w(102L)}, ${w(101L)}")
   }
+
+  test("packSequences: exact piece rows, full coverage, partitioning-independent") {
+    import spark.implicits._
+    // token counts 5, 3, 4 with 1 separator after each doc; budget 4.
+    // stream positions: d1 [0,5), d2 [6,9), d3 [10,14)
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "f g h"), (3L, "i j k l"), (4L, "")
+    ).toDF("doc_id", "text")
+    def pack(df: org.apache.spark.sql.DataFrame) =
+      TextOps.packSequences(df, "doc_id", "text", budget = 4, sepTokens = 1)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+    val got = pack(docs.repartition(1))
+    assert(got == Set(
+      (0L, 1L, 1L, 4L, 0L), (1L, 1L, 5L, 1L, 0L),   // d1 spans the 4-cut
+      (1L, 2L, 1L, 2L, 2L), (2L, 2L, 3L, 1L, 0L),   // d2 starts at 6
+      (2L, 3L, 1L, 2L, 2L), (3L, 3L, 3L, 2L, 0L)),  // d3 starts at 10
+      got.toString)
+    // empty doc 4 emits nothing; pieces of each doc tile it exactly
+    assert(got.groupBy(_._2).forall { case (_, ps0) =>
+      val ps = ps0.toSeq
+      ps.map(_._4).sum == ps.map(p => p._3 + p._4 - 1).max &&
+        ps.map(_._3).min == 1L
+    })
+    assert(pack(docs.repartition(5)) == got,
+      "packing must not depend on input partitioning")
+  }
+
+  test("lengthBatches: longest-first grouping, exact padding accounting") {
+    import spark.implicits._
+    // lengths: 6, 5, 4, 2, 1 → batches of 2: [6,5] [4,2] [1]
+    val docs = Seq(
+      (1L, "a a a a a a"), (2L, "b b b b b"), (3L, "c c c c"),
+      (4L, "d d"), (5L, "e")).toDF("doc_id", "text")
+    val rows = TextOps.lengthBatches(docs, "doc_id", "text", batchSize = 2)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(rows(0L) == ((2L, 6L, 11L, round4(1 - 11.0 / 12))))
+    assert(rows(1L) == ((2L, 4L, 6L, 0.25)))
+    assert(rows(2L) == ((1L, 1L, 1L, 0.0)))
+    // padding waste of length-sorted batching must not exceed the
+    // arrival-order (doc_id) baseline on a skewed corpus
+    val skewed = (1L to 40L)
+      .map(i => (i, Seq.fill(if (i % 4 == 0) 40 else 2)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sorted = TextOps.lengthBatches(skewed, "doc_id", "text", 4)
+      .agg(sum($"width" * $"n_docs")).collect()(0).getLong(0)
+    val arrival = skewed
+      .select($"doc_id", TextOps.tokenCount($"text").as("n_tok"))
+      .withColumn("batch_id", expr("(doc_id - 1) div 4"))
+      .groupBy($"batch_id")
+      .agg(max($"n_tok").as("w"), count(lit(1)).as("k"))
+      .agg(sum($"w" * $"k")).collect()(0).getLong(0)
+    assert(sorted < arrival,
+      s"length-sorted padded volume $sorted should beat arrival order $arrival")
+  }
+
+  private def round4(x: Double): Double = math.round(x * 10000).toDouble / 10000
 }
