@@ -261,4 +261,80 @@ object TextOps {
           round(lit(1.0) - col("n_tok").cast("double") /
             (col("width") * col("n_docs")).cast("double"), 4)))
   }
+
+  /** Distributed BPE merge training (Sennrich et al. 2016): learn
+    * `nMerges` byte-pair merges over the corpus, returning the ranked
+    * merge table — the artifact a subword tokenizer is built from.
+    *
+    * Algorithm: ONE corpus scan builds the word-frequency histogram;
+    * everything after runs on that histogram (distinct words ×
+    * occurrence counts — the classic trick that makes BPE training
+    * corpus-size-independent: at 100 TB the histogram is tens of
+    * millions of rows, not trillions). Each word starts as its character
+    * sequence; per iteration, adjacent symbol pairs are counted weighted
+    * by word frequency (overlapping positions both count, as in the
+    * reference implementation's `get_stats`), the argmax pair — ties
+    * broken (count desc, left, right) for cross-engine determinism — is
+    * merged greedily LEFT-TO-RIGHT in every word, and the loop stops
+    * early when no pair reaches `minCount`.
+    *
+    * Scale shape: per iteration, one map-combined pair-grain aggregate
+    * over the histogram + a 1-row argmax collect (the merge decision is
+    * inherently sequential — that single row is the only driver
+    * traffic), then a map-only fold rewrite of the symbol arrays. Each
+    * iteration is `localCheckpoint`ed: the loop's plan depth stays
+    * constant instead of nesting `nMerges` aggregate-fold layers (same
+    * lesson as GraphOps.pageRank).
+    *
+    * @return (merge_rank, left_sym, right_sym, n) — one row per learned
+    *         merge, rank 1-based in learn order.
+    */
+  def bpeTrain(
+      docs: DataFrame,
+      textCol: String,
+      nMerges: Int,
+      minCount: Long = 2L): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val spark = docs.sparkSession
+    var segs = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var it = 1
+    var done = false
+    while (it <= nMerges && !done) {
+      val best = segs.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .filter(col("n") >= minCount)
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((it, l, r, n))
+        // greedy left-to-right application: fold the symbol array, merging
+        // (l, r) when the accumulator's last element is l — consuming the
+        // merged symbol, so overlapping runs merge like [a,a,a] -> [aa,a]
+        segs = segs.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(x)))))
+          .localCheckpoint()
+        it += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("merge_rank", "left_sym", "right_sym", "n")
+  }
 }

@@ -758,7 +758,84 @@ object Text2Queries {
              |  CASE WHEN max(n) = 0 THEN 0.0
              |       ELSE round(1.0 - CAST(sum(n) AS DOUBLE)
              |                    / (max(n) * count(*)), 4) END AS pad_frac
-             |FROM b GROUP BY batch_id ORDER BY batch_id""".stripMargin))
+             |FROM b GROUP BY batch_id ORDER BY batch_id""".stripMargin)),
+
+    // ---- distributed BPE merge training (Sennrich 2016): 4 merges at
+    //      minCount=2 over the word-frequency histogram; greedy
+    //      left-to-right merge application. The oracle unrolls the 4
+    //      iterations as CTEs, applying each merge on a marker-wrapped
+    //      symbol string (chr(1)sym chr(2) per symbol) so string replace
+    //      reproduces the fold's non-overlapping left-to-right semantics
+    //      exactly ([a,a,a] -> [aa,a]); argmax ties break (n DESC, l, r)
+    //      in both engines ----
+    Q("t28_bpe_train",
+      (s, dir) =>
+        graft.operators.TextOps.bpeTrain(
+            Tables(s, dir, "documents"), "text", nMerges = 4, minCount = 2L)
+          .orderBy(col("merge_rank")),
+      Some("""WITH w AS (
+             |  SELECT tok AS word, count(*) AS cnt FROM (
+             |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+             |    FROM documents)
+             |  GROUP BY tok),
+             |s0 AS (SELECT word, cnt,
+             |  list_transform(range(1, length(word)+1), i -> word[i]) AS syms FROM w),
+             |p1 AS (
+             |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+             |    SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+             |    FROM s0 WHERE len(syms) >= 2)
+             |  GROUP BY l, r),
+             |b1 AS (SELECT l, r, n FROM p1 WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1),
+             |s1 AS (
+             |  SELECT word, cnt,
+             |    string_split(substr(rep, 2, length(rep) - 2), chr(2)||chr(1)) AS syms
+             |  FROM (
+             |    SELECT word, cnt,
+             |      replace(chr(1) || array_to_string(syms, chr(2)||chr(1)) || chr(2),
+             |        chr(1) || (SELECT l FROM b1) || chr(2) || chr(1) || (SELECT r FROM b1) || chr(2),
+             |        chr(1) || (SELECT l FROM b1) || (SELECT r FROM b1) || chr(2)) AS rep
+             |    FROM s0)),
+             |p2 AS (
+             |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+             |    SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+             |    FROM s1 WHERE len(syms) >= 2)
+             |  GROUP BY l, r),
+             |b2 AS (SELECT l, r, n FROM p2 WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1),
+             |s2 AS (
+             |  SELECT word, cnt,
+             |    string_split(substr(rep, 2, length(rep) - 2), chr(2)||chr(1)) AS syms
+             |  FROM (
+             |    SELECT word, cnt,
+             |      replace(chr(1) || array_to_string(syms, chr(2)||chr(1)) || chr(2),
+             |        chr(1) || (SELECT l FROM b2) || chr(2) || chr(1) || (SELECT r FROM b2) || chr(2),
+             |        chr(1) || (SELECT l FROM b2) || (SELECT r FROM b2) || chr(2)) AS rep
+             |    FROM s1)),
+             |p3 AS (
+             |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+             |    SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+             |    FROM s2 WHERE len(syms) >= 2)
+             |  GROUP BY l, r),
+             |b3 AS (SELECT l, r, n FROM p3 WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1),
+             |s3 AS (
+             |  SELECT word, cnt,
+             |    string_split(substr(rep, 2, length(rep) - 2), chr(2)||chr(1)) AS syms
+             |  FROM (
+             |    SELECT word, cnt,
+             |      replace(chr(1) || array_to_string(syms, chr(2)||chr(1)) || chr(2),
+             |        chr(1) || (SELECT l FROM b3) || chr(2) || chr(1) || (SELECT r FROM b3) || chr(2),
+             |        chr(1) || (SELECT l FROM b3) || (SELECT r FROM b3) || chr(2)) AS rep
+             |    FROM s2)),
+             |p4 AS (
+             |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+             |    SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+             |    FROM s3 WHERE len(syms) >= 2)
+             |  GROUP BY l, r),
+             |b4 AS (SELECT l, r, n FROM p4 WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1)
+             |SELECT * FROM (SELECT 1 AS merge_rank, l AS left_sym, r AS right_sym, n FROM b1
+             |  UNION ALL SELECT 2 AS merge_rank, l AS left_sym, r AS right_sym, n FROM b2
+             |  UNION ALL SELECT 3 AS merge_rank, l AS left_sym, r AS right_sym, n FROM b3
+             |  UNION ALL SELECT 4 AS merge_rank, l AS left_sym, r AS right_sym, n FROM b4)
+             |ORDER BY merge_rank""".stripMargin))
   )
 
   /** Per-document add-one-smoothed bigram-LM score (t13's model; see the

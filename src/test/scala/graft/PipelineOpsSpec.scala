@@ -403,4 +403,36 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   private def round4(x: Double): Double = math.round(x * 10000).toDouble / 10000
+
+  test("bpeTrain: classic corpus learns (e,s)(es,t)(l,o)(lo,w), ties lexicographic") {
+    import spark.implicits._
+    // Sennrich-style: low*5 lower*2 newest*6 widest*3. (e,s) and (s,t)
+    // tie at 9 -> 'e' < 's'; (l,o) and (o,w) tie at 7 -> 'l' < 'o'
+    val docs = Seq(Tuple1((
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("text")
+    val got = TextOps.bpeTrain(docs, "text", nMerges = 4)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    assert(got == Seq((1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L)), got.toString)
+  }
+
+  test("bpeTrain: greedy left-to-right merge and overlap counting; early stop") {
+    import spark.implicits._
+    // 'aaa': (a,a) counts BOTH overlapping positions (2 per word x 3);
+    // application is non-overlapping left-to-right: [a,a,a] -> [aa,a],
+    // so merge 2 is (aa,a) at count 3
+    val docs = Seq(Tuple1("aaa aaa aaa")).toDF("text")
+    val got = TextOps.bpeTrain(docs, "text", nMerges = 5)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    // after (aa,a) every word is one symbol -> loop stops early at 2 rows
+    assert(got == Seq((1, "a", "a", 6L), (2, "aa", "a", 3L)), got.toString)
+    assert(TextOps.bpeTrain(docs, "text", nMerges = 5, minCount = 7L)
+      .count() == 0L, "minCount above every pair count must learn nothing")
+  }
 }
