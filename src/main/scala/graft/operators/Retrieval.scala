@@ -423,4 +423,95 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** PERSIST a positional inverted index — the phrase-query sibling of
+    * [[bm25IndexWrite]]'s layout contract. Postings are
+    * `(term, doc_id, pos)` with `pos` the SORTED array of 0-based token
+    * positions of `term` in the doc, bucket-partitioned by
+    * `pmod(xxhash64(term), nBuckets)` so a phrase query's serving scan
+    * ([[phraseMatchesFromIndex]]) prunes to its terms' buckets. One
+    * corpus scan; the (term, doc)-grain groupBy is the build's only
+    * corpus shuffle. Ident discipline matches bm25IndexWrite: written
+    * LAST, so a crashed build never serves, and a different corpus or
+    * bucketing rebuilds instead of silently reusing stale postings.
+    */
+  def positionalIndexWrite(
+      docs: DataFrame, idCol: String, textCol: String, layoutDir: String,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = docs.sparkSession
+    val path = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val ident = s"graft-pos-v1 nBuckets=$nBuckets " +
+      s"corpus=${docs.queryExecution.analyzed.semanticHash()}"
+    val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
+    def identMatches: Boolean =
+      fs.exists(identPath) && {
+        val in = fs.open(identPath)
+        try new String(in.readAllBytes(), "UTF-8") == ident
+        finally in.close()
+      }
+    if (!identMatches) {
+      if (fs.exists(path)) fs.delete(path, true)
+      docs
+        .select(col(idCol).as("doc_id"),
+          posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(sort_array(collect_list(col("pos").cast("long"))).as("pos"))
+        .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$layoutDir/postings")
+      val out = fs.create(identPath, true)
+      try out.write(ident.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Exact phrase matching served from [[positionalIndexWrite]]'s
+    * layout: read ONLY the phrase terms' posting buckets, join the
+    * per-(term, doc) position arrays on doc_id, then chain shifted
+    * `array_intersect`s — surviving positions p are those where slot i's
+    * term sits at p+i for EVERY phrase slot (the classic positional-
+    * postings phrase walk, array-encoded so it stays codegen'd). Returns
+    * `(doc_id, n_occ)` for docs containing the phrase at least once.
+    *
+    * Scale shape: serving cost is bucket-grain (a few pruned posting
+    * directories), the joins are (term, doc)-grain — corpus text is
+    * never touched. A repeated term in the phrase reuses the same
+    * posting rows with a different shift, so "the the" counts doubled
+    * positions correctly.
+    */
+  def phraseMatchesFromIndex(
+      spark: org.apache.spark.sql.SparkSession, layoutDir: String,
+      phrase: Seq[String], nBuckets: Int = 64): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val fs = new org.apache.hadoop.fs.Path(layoutDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val identPath = new org.apache.hadoop.fs.Path(layoutDir, "_graft_ident")
+    require(fs.exists(identPath),
+      s"no valid positional index layout at $layoutDir (crashed or missing build)")
+    val identNow = {
+      val in = fs.open(identPath)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    require(identNow.startsWith("graft-pos-v"),
+      s"positional layout at $layoutDir is corrupt: '$identNow' — " +
+        "rebuild it (positionalIndexWrite) before serving")
+    import spark.implicits._
+    val terms = phrase.distinct
+    val buckets = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("bucket"))
+      .distinct().as[Long].collect().toSeq
+    val postings = spark.read.parquet(s"$layoutDir/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    val joined = phrase.zipWithIndex.map { case (t, i) =>
+        postings.filter(col("term") === t)
+          .select(col("doc_id"), col("pos").as(s"p_$i"))
+      }
+      .reduce((a, b) => a.join(b, "doc_id"))
+    val matched = phrase.indices.tail.foldLeft(col("p_0")) { (acc, i) =>
+      array_intersect(acc, transform(col(s"p_$i"), p => p - i))
+    }
+    joined.select(col("doc_id"), size(matched).cast("long").as("n_occ"))
+      .filter(col("n_occ") > 0)
+  }
 }

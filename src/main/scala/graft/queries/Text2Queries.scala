@@ -760,6 +760,33 @@ object Text2Queries {
              |                    / (max(n) * count(*)), 4) END AS pad_frac
              |FROM b GROUP BY batch_id ORDER BY batch_id""".stripMargin)),
 
+    // ---- exact phrase query from a persisted positional index: build
+    //      the position-array postings (bucket-partitioned by term hash,
+    //      same layout contract as t23), then serve "table hash" by
+    //      reading the two terms' buckets and intersecting shifted
+    //      position arrays. Oracle recomputes occurrences directly from
+    //      the text — index route and direct scan must agree on every
+    //      doc's count ----
+    Q("t29_phrase_index",
+      (s, dir) => {
+        val key = Tables.contentKey(s"$dir/documents.parquet")
+        val layout = graft.Scratch.dir(s"graft_pos_idx_$key")
+        graft.operators.Retrieval.positionalIndexWrite(
+          Tables(s, dir, "documents"), "doc_id", "text", layout)
+        graft.operators.Retrieval.phraseMatchesFromIndex(s, layout,
+            phrase = Seq("table", "hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents)
+             |SELECT doc_id, n_occ FROM (
+             |  SELECT doc_id, CAST(len(list_filter(range(1, len(toks)),
+             |      i -> toks[i] = 'table' AND toks[i+1] = 'hash'))
+             |    AS BIGINT) AS n_occ
+             |  FROM d)
+             |WHERE n_occ > 0 ORDER BY doc_id""".stripMargin)),
+
     // ---- distributed BPE merge training (Sennrich 2016): 4 merges at
     //      minCount=2 over the word-frequency histogram; greedy
     //      left-to-right merge application. The oracle unrolls the 4

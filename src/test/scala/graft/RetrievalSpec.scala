@@ -105,6 +105,30 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().nonEmpty)
   }
 
+  test("phrase index: 3-term and repeated-term phrases match a direct scan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b"),   // "a b c" x2, "a b" x3
+      (2L, "a a a b c"),         // "a a" x2 (overlapping), "a b c" x1
+      (3L, "c b a"),             // none
+      (4L, "a b")                // "a b" x1
+    ).toDF("doc_id", "text")
+    val layout = graft.Scratch.dir("retrievalspec_pos_idx")
+    Retrieval.positionalIndexWrite(docs, "doc_id", "text", layout)
+    def matches(phrase: Seq[String]): Map[Long, Long] =
+      Retrieval.phraseMatchesFromIndex(spark, layout, phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(matches(Seq("a", "b", "c")) == Map(1L -> 2L, 2L -> 1L))
+    assert(matches(Seq("a", "b")) == Map(1L -> 3L, 2L -> 1L, 4L -> 1L))
+    // repeated term: overlapping occurrences both count (positions walk,
+    // not non-overlapping scan)
+    assert(matches(Seq("a", "a")) == Map(2L -> 2L))
+    // single-term degenerate case: plain term frequency
+    assert(matches(Seq("c")) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    // absent term -> empty, not an error
+    assert(matches(Seq("a", "zz")).isEmpty)
+  }
+
   test("chunk scoring units align with TextOps.chunk's layout") {
     import spark.implicits._
     val docs = Tables(spark, sf, "documents").filter($"doc_id" < 50)
