@@ -45,8 +45,8 @@ object GraphOps {
     * no-DFS-write cost — the right trade for a rank loop that can
     * restart from the sweep budget).
     *
-    * CACHING CONTRACT: the edge set, degree table and node list persist
-    * for the loop's lifetime — the caller owns release via
+    * CACHING CONTRACT: the edge set and the fused node/degree table
+    * persist for the loop's lifetime — the caller owns release via
     * `spark.catalog.clearCache()` after the action (same contract as the
     * other persisting operators). The returned table's own blocks are
     * localCheckpoint state, freed when the DataFrame is garbage
@@ -54,31 +54,48 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85,
-      checkpointEvery: Int = 10): DataFrame = {
+      checkpointEvery: Int = 10,
+      broadcastNodesBelow: Long = 2_000_000L): DataFrame = {
     require(iterations >= 1, s"need >=1 iteration, got $iterations")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist(lvl)
-    // degree table persists too: it is joined every sweep, and leaving it
-    // lazy re-aggregates the edge set per sweep
-    val deg = e.groupBy(col("src"))
-      .agg(count(lit(1)).cast("double").as("deg"))
+    // node list and out-degree FUSED into one table via endpoint explode
+    // — one shuffle and one action build the edge cache, the node set,
+    // and the degree table together (separate distinct + groupBy passes
+    // cost an extra corpus-grain shuffle and an extra job each)
+    val nodeDeg = e.select(explode(array(
+        struct(col("src").as("id"), lit(1L).as("o")),
+        struct(col("dst").as("id"), lit(0L).as("o")))).as("x"))
+      .select(col("x.id").as("id"), col("x.o").as("o"))
+      .groupBy(col("id")).agg(sum(col("o")).cast("double").as("deg"))
       .persist(lvl)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .persist(lvl)
-    val n = nodes.count().toDouble
+    val n = nodeDeg.count().toDouble
+    // lazy views of the cached fusion: deg joins every sweep (src-keyed,
+    // sinks excluded), nodes floors the teleport for no-in-edge nodes
+    val deg = nodeDeg.filter(col("deg") > 0)
+      .select(col("id").as("src"), col("deg"))
+    val nodes = nodeDeg.select(col("id"))
+    // stats-driven build-side choice, decided ONCE from the node count
+    // we already paid for: rank/degree state is node-grain, so when it
+    // fits executor memory (~30 MB at the default bound) every sweep's
+    // edge joins go map-side — the edge set never shuffles, only the
+    // node-grain contribution aggregate does. A 1e9-node crawl graph
+    // exceeds the bound and takes the shuffle-join path; AQE cannot make
+    // this call by itself on the checkpoint-truncated mid-loop plans.
+    def bc(df: DataFrame): DataFrame =
+      if (n <= broadcastNodesBelow) broadcast(df) else df
     val teleport = (1.0 - damping) / n
     var pr = nodes.withColumn("pr", lit(1.0 / n))
     var prevMaterialized: Option[DataFrame] = None
     for (i <- 1 to iterations) {
-      val contrib = e.join(pr, col("src") === col("id"))
-        .join(deg, "src")
+      val contrib = e.join(bc(pr), col("src") === col("id"))
+        .join(bc(deg), "src")
         .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
       val agg = contrib.groupBy(col("id"))
         .agg((lit(teleport) + lit(damping) * sum(col("c"))).as("pr_new"))
       // nodes with no in-edges keep the teleport floor
-      val next = nodes.join(agg, Seq("id"), "left_outer")
+      val next = nodes.join(bc(agg), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("pr_new"), lit(teleport)).as("pr"))
       pr = if (i == iterations || i % checkpointEvery == 0)
         next.localCheckpoint(true)
@@ -158,5 +175,64 @@ object GraphOps {
         when(col("deg") < 2, lit(0.0))
           .otherwise(lit(2.0) * coalesce(col("tri"), lit(0L)) /
             (col("deg") * (col("deg") - lit(1)))).as("lcc"))
+  }
+
+  /** Multi-source BFS hop distances over a directed edge list (the
+    * Pregel frontier-expansion shape): every node reachable from any
+    * source within `maxHops` gets its MINIMUM hop count (sources at 0).
+    * The crawl-pipeline use: seed-distance features (how far a page
+    * sits from trusted seeds — TrustRank-style) and bounded
+    * neighborhood extraction around flagged nodes.
+    *
+    * Scale shape: each hop joins the FRONTIER (newly reached nodes
+    * only, never the whole visited set) against the edge list — one
+    * node-grain equi-join + distinct + anti-join per hop, so total work
+    * is O(edges touched by expansion), the BFS optimum. Early exit on
+    * an empty frontier. Each hop's frontier is materialized and the
+    * superseded one released (the pageRank iterative-plan lesson);
+    * `visited` is rebuilt as a union of ≤maxHops node-grain frontiers,
+    * localCheckpointed on exit so the returned table is self-contained.
+    *
+    * CACHING CONTRACT: edge set + live frontiers persist during the
+    * loop; all operator-held blocks are released before return (the
+    * returned table is localCheckpoint state, freed on GC).
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, idCol: String, maxHops: Int,
+      broadcastFrontierBelow: Long = 2_000_000L): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).persist(lvl)
+    var frontier = sources.select(col(idCol).cast("long").as("id"))
+      .distinct().persist(lvl)
+    var frontierSize = frontier.count()
+    var layers = List(frontier.withColumn("dist", lit(0L)))
+    var live = List(frontier)
+    var hop = 1
+    while (hop <= maxHops && frontierSize > 0) {
+      // stats-driven build side from the count the materialization just
+      // paid for: a below-bound frontier broadcasts into the edge join
+      // (the edge set never shuffles — the textbook BFS-on-MapReduce
+      // move); a huge frontier falls back to the shuffle join
+      val f = frontier.withColumnRenamed("id", "src")
+      val next = e.join(
+          if (frontierSize <= broadcastFrontierBelow) broadcast(f) else f,
+          "src")
+        .select(col("dst").as("id")).distinct()
+        // min-dist semantics: a node joins the BFS tree at its FIRST
+        // frontier appearance; later paths must not re-add it
+        .join(layers.map(_.select(col("id"))).reduce(_ union _),
+          Seq("id"), "left_anti")
+        .persist(lvl)
+      frontierSize = next.count()
+      if (frontierSize > 0) layers ::= next.withColumn("dist", lit(hop.toLong))
+      frontier = next
+      live ::= next
+      hop += 1
+    }
+    val out = layers.reduce(_ union _).localCheckpoint(true)
+    (e :: live).foreach(_.unpersist(false))
+    out
   }
 }

@@ -289,6 +289,27 @@ object TextOps {
     * @return (merge_rank, left_sym, right_sym, n) — one row per learned
     *         merge, rank 1-based in learn order.
     */
+  /** Greedy LEFT-TO-RIGHT application of one merge (l, r) -> lr to a
+    * symbol-array column: fold the array, merging when the accumulator's
+    * last element is `l` and the next is `r` — the merged symbol is
+    * consumed, so overlapping runs merge like [a,a,a] -> [aa,a]. Shared
+    * by [[bpeTrain]] (during learning) and [[bpeSegment]] (applying a
+    * learned table). */
+  private def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** The word-frequency histogram with each word's initial character
+    * segmentation — the ONE corpus scan both BPE surfaces run on. */
+  private def wordSegments(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+
   def bpeTrain(
       docs: DataFrame,
       textCol: String,
@@ -296,12 +317,7 @@ object TextOps {
       minCount: Long = 2L): DataFrame = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     val spark = docs.sparkSession
-    var segs = docs
-      .select(explode(tokens(col(textCol))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .withColumn("syms",
-        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-      .localCheckpoint()
+    var segs = wordSegments(docs, textCol).localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var it = 1
     var done = false
@@ -321,20 +337,38 @@ object TextOps {
         val (l, r, n) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((it, l, r, n))
-        // greedy left-to-right application: fold the symbol array, merging
-        // (l, r) when the accumulator's last element is l — consuming the
-        // merged symbol, so overlapping runs merge like [a,a,a] -> [aa,a]
-        segs = segs.withColumn("syms",
-          aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
-            when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(l) && x === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-              .otherwise(concat(acc, array(x)))))
+        segs = segs.withColumn("syms", applyMerge(col("syms"), l, r))
           .localCheckpoint()
         it += 1
       }
     }
     import spark.implicits._
     merges.result().toDF("merge_rank", "left_sym", "right_sym", "n")
+  }
+
+  /** Apply a learned BPE merge table ([[bpeTrain]]'s output order) to
+    * the corpus, returning the segmented word histogram
+    * `(word, cnt, syms)` — the tokenizer-application half of the BPE
+    * pair. Merges apply in rank order, each greedy left-to-right
+    * (identical semantics to training, so training-time segmentations
+    * reproduce exactly).
+    *
+    * Scale shape: the merge chain is M map-only fold rewrites over the
+    * word HISTOGRAM (corpus-size-independent, like training); join the
+    * result back to docs by word when corpus-grain subword streams are
+    * needed. Rewrites fuse into one codegen'd projection per
+    * localCheckpoint-free chain — no per-merge shuffle, no collect.
+    */
+  def bpeSegment(
+      docs: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val base = wordSegments(docs, textCol)
+    // fold the merge table into nested projections; for vocabulary-sized
+    // merge tables (10k+) chunk with localCheckpoint every ~50 merges to
+    // bound expression depth — gates/specs use small tables
+    merges.foldLeft(base) { case (df, (l, r)) =>
+      df.withColumn("syms", applyMerge(col("syms"), l, r))
+    }
   }
 }

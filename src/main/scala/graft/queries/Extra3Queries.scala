@@ -734,8 +734,14 @@ object Extra3Queries {
             $"l_orderkey" === $"o_orderkey")
           .select($"o_custkey".cast("long").as("a"),
             ($"l_suppkey" + 1000000L).cast("long").as("b")).distinct()
-        val edges = pairs.select($"a".as("src"), $"b".as("dst"))
-          .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+        // symmetrize by map-side explode, NOT a self-union: a union of
+        // two selects over `pairs` re-executes the join+distinct per
+        // branch (pairs is uncached) — the explode doubles rows in the
+        // same pass
+        val edges = pairs.select(explode(array(
+            struct($"a".as("src"), $"b".as("dst")),
+            struct($"b".as("src"), $"a".as("dst")))).as("e"))
+          .select($"e.src".as("src"), $"e.dst".as("dst"))
         graft.operators.GraphOps.pageRank(edges, "src", "dst", iterations = 3)
           .select($"id".as("node_id"), round($"pr", 7).as("pr"))
           .orderBy($"pr".desc, $"node_id").limit(20)

@@ -160,6 +160,49 @@ object Extra4Queries {
              |FROM lineitem
              |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01'
              |  AND TIMESTAMP '1996-12-31'
-             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- multi-source BFS hop distances (seed-distance features /
+    //      TrustRank-style) over q103's symmetrized customer-supplier
+    //      trade graph: 3 hops out from customer nodes 1-5, each reached
+    //      node at its MINIMUM hop count. Oracle = recursive CTE with
+    //      UNION dedup (per-level (id,dist) pairs stay node-grain — no
+    //      path explosion) + min() rollup ----
+    Q("q112_bfs_distances",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+          .join(Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".cast("long").as("a"),
+            ($"l_suppkey" + 1000000L).cast("long").as("b")).distinct()
+        // map-side symmetrization (same rationale as q103: a self-union
+        // would re-run the join+distinct per branch)
+        val edges = pairs.select(explode(array(
+            struct($"a".as("src"), $"b".as("dst")),
+            struct($"b".as("src"), $"a".as("dst")))).as("e"))
+          .select($"e.src".as("src"), $"e.dst".as("dst"))
+        val sources = edges.select($"src".as("id")).filter($"id" <= 5)
+        GraphOps.bfsDistances(edges, "src", "dst", sources, "id", maxHops = 3)
+          .orderBy($"id")
+      },
+      Some("""WITH RECURSIVE pairs AS (
+             |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+             |    CAST(l_suppkey + 1000000 AS BIGINT) AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |), edges AS (
+             |  SELECT a AS src, b AS dst FROM pairs
+             |  UNION ALL
+             |  SELECT b AS src, a AS dst FROM pairs
+             |), srcs AS (SELECT DISTINCT src AS id FROM edges WHERE src <= 5),
+             |walk(id, dist) AS (
+             |  SELECT id, 0 AS dist FROM srcs
+             |  UNION
+             |  SELECT e.dst AS id, w.dist + 1 AS dist
+             |  FROM walk w JOIN edges e ON e.src = w.id
+             |  WHERE w.dist < 3
+             |)
+             |SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM walk
+             |GROUP BY id ORDER BY id""".stripMargin))
   )
 }

@@ -862,7 +862,95 @@ object Text2Queries {
              |  UNION ALL SELECT 2 AS merge_rank, l AS left_sym, r AS right_sym, n FROM b2
              |  UNION ALL SELECT 3 AS merge_rank, l AS left_sym, r AS right_sym, n FROM b3
              |  UNION ALL SELECT 4 AS merge_rank, l AS left_sym, r AS right_sym, n FROM b4)
-             |ORDER BY merge_rank""".stripMargin))
+             |ORDER BY merge_rank""".stripMargin)),
+
+    // ---- BPE tokenizer application (the train->apply pair): segment
+    //      the corpus with t28's 4 learned merges and report the top-20
+    //      subword symbols by occurrence-weighted count. Oracle = t28's
+    //      unrolled CTE chain through s4 + the symbol rollup — training
+    //      and application must produce the SAME segmentation ----
+    Q("t30_bpe_segment",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val learned = graft.operators.TextOps
+          .bpeTrain(docs, "text", nMerges = 4, minCount = 2L)
+          .orderBy(col("merge_rank")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.operators.TextOps.bpeSegment(docs, "text", learned)
+          .select(explode(col("syms")).as("sym"), col("cnt"))
+          .groupBy(col("sym")).agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("sym")).limit(20)
+      },
+      Some("""WITH w AS (
+             |  SELECT tok AS word, count(*) AS cnt FROM (
+             |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+             |    FROM documents)
+             |  GROUP BY tok),
+             |s0 AS (SELECT word, cnt,
+             |  list_transform(range(1, length(word)+1), i -> word[i]) AS syms FROM w),
+             |p1 AS (
+             |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+             |    SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+             |    FROM s0 WHERE len(syms) >= 2)
+             |  GROUP BY l, r),
+             |b1 AS (SELECT l, r, n FROM p1 WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1),
+             |s1 AS (
+             |  SELECT word, cnt,
+             |    string_split(substr(rep, 2, length(rep) - 2), chr(2)||chr(1)) AS syms
+             |  FROM (
+             |    SELECT word, cnt,
+             |      replace(chr(1) || array_to_string(syms, chr(2)||chr(1)) || chr(2),
+             |        chr(1) || (SELECT l FROM b1) || chr(2) || chr(1) || (SELECT r FROM b1) || chr(2),
+             |        chr(1) || (SELECT l FROM b1) || (SELECT r FROM b1) || chr(2)) AS rep
+             |    FROM s0)),
+             |p2 AS (
+             |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+             |    SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+             |    FROM s1 WHERE len(syms) >= 2)
+             |  GROUP BY l, r),
+             |b2 AS (SELECT l, r, n FROM p2 WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1),
+             |s2 AS (
+             |  SELECT word, cnt,
+             |    string_split(substr(rep, 2, length(rep) - 2), chr(2)||chr(1)) AS syms
+             |  FROM (
+             |    SELECT word, cnt,
+             |      replace(chr(1) || array_to_string(syms, chr(2)||chr(1)) || chr(2),
+             |        chr(1) || (SELECT l FROM b2) || chr(2) || chr(1) || (SELECT r FROM b2) || chr(2),
+             |        chr(1) || (SELECT l FROM b2) || (SELECT r FROM b2) || chr(2)) AS rep
+             |    FROM s1)),
+             |p3 AS (
+             |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+             |    SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+             |    FROM s2 WHERE len(syms) >= 2)
+             |  GROUP BY l, r),
+             |b3 AS (SELECT l, r, n FROM p3 WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1),
+             |s3 AS (
+             |  SELECT word, cnt,
+             |    string_split(substr(rep, 2, length(rep) - 2), chr(2)||chr(1)) AS syms
+             |  FROM (
+             |    SELECT word, cnt,
+             |      replace(chr(1) || array_to_string(syms, chr(2)||chr(1)) || chr(2),
+             |        chr(1) || (SELECT l FROM b3) || chr(2) || chr(1) || (SELECT r FROM b3) || chr(2),
+             |        chr(1) || (SELECT l FROM b3) || (SELECT r FROM b3) || chr(2)) AS rep
+             |    FROM s2)),
+             |p4 AS (
+             |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+             |    SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+             |    FROM s3 WHERE len(syms) >= 2)
+             |  GROUP BY l, r),
+             |b4 AS (SELECT l, r, n FROM p4 WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1),
+             |s4 AS (
+             |  SELECT word, cnt,
+             |    string_split(substr(rep, 2, length(rep) - 2), chr(2)||chr(1)) AS syms
+             |  FROM (
+             |    SELECT word, cnt,
+             |      replace(chr(1) || array_to_string(syms, chr(2)||chr(1)) || chr(2),
+             |        chr(1) || (SELECT l FROM b4) || chr(2) || chr(1) || (SELECT r FROM b4) || chr(2),
+             |        chr(1) || (SELECT l FROM b4) || (SELECT r FROM b4) || chr(2)) AS rep
+             |    FROM s3))
+             |SELECT sym, CAST(sum(cnt) AS BIGINT) AS n FROM (
+             |  SELECT cnt, unnest(syms) AS sym FROM s4)
+             |GROUP BY sym ORDER BY n DESC, sym LIMIT 20""".stripMargin))
   )
 
   /** Per-document add-one-smoothed bigram-LM score (t13's model; see the

@@ -77,4 +77,29 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(pr(1L) == floor)
     assert(pr(2L) == floor + 0.85 * 0.5) // in-mass from pr0(1)=0.5, deg 1
   }
+
+  private def dists(edges: Seq[(Long, Long)], srcs: Seq[Long],
+      hops: Int): Map[Long, Long] =
+    GraphOps.bfsDistances(edges.toDF("src", "dst"), "src", "dst",
+        srcs.toDF("id"), "id", hops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bfs: chain distances, hop bound, unreachable nodes absent") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 10L))
+    assert(dists(chain, Seq(1L), hops = 3) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))  // 5 beyond hops, 9/10 unreachable
+    assert(dists(chain, Seq(1L), hops = 10) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L),
+      "early exit on an exhausted frontier must still return all layers")
+  }
+
+  test("bfs: min distance wins on a diamond; multi-source takes the nearer seed") {
+    // 1->2, 1->3, 2->4, 3->4 (4 reachable two ways at dist 2), 4->5
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    assert(dists(diamond, Seq(1L), hops = 3) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    // seeding 1 AND 4: everything downstream of 4 re-anchors at 0
+    assert(dists(diamond, Seq(1L, 4L), hops = 3) ==
+      Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 1L, 5L -> 1L))
+  }
 }
