@@ -177,6 +177,71 @@ object GraphOps {
             (col("deg") * (col("deg") - lit(1)))).as("lcc"))
   }
 
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007) over
+    * a directed edge list, `sweeps` fixed rounds: every node starts
+    * labeled with its own id; each round a node adopts the label held by
+    * the PLURALITY of its in-neighbors, ties broken toward the smallest
+    * label, and a node with no in-edges keeps its current label. The
+    * crawl-pipeline use: cheap community detection over link graphs
+    * (mirror clusters, template farms) where connected components are
+    * too coarse — CC merges everything reachable, LPA splits a component
+    * along its dense cores.
+    *
+    * Determinism: synchronous updates + the (count DESC, label ASC)
+    * vote order make every round a pure function of the previous one —
+    * no random node order (the paper's asynchronous variant), so a SQL
+    * oracle can replay the exact trajectory. On bipartite graphs
+    * synchronous LPA can oscillate between two label sets; a fixed sweep
+    * budget samples a deterministic point of that trajectory, which is
+    * what the gate pins.
+    *
+    * Scale shape: each sweep is ONE edge-against-labels equi-join plus
+    * ONE (dst,label)-grain count aggregate plus ONE node-grain argmax
+    * aggregate — the argmax rides `max(struct(cnt, -label))`, a partial-
+    * aggregating hash agg, NOT a per-node sort window (no
+    * row_number-over-skewed-partition hotspot when a hub node collects
+    * millions of votes). Label state never exceeds node grain. Each
+    * sweep is materialized and its predecessor released (the pageRank
+    * iterative-replanning lesson); the final sweep is localCheckpointed
+    * so the returned table is self-contained.
+    *
+    * CACHING CONTRACT: the edge/label caches are operator-held and
+    * released before return except the final sweep's checkpoint blocks
+    * (freed when the returned DataFrame is GC'd).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      sweeps: Int,
+      broadcastLabelsBelow: Long = 2_000_000L): DataFrame = {
+    require(sweeps >= 1, s"need >=1 sweep, got $sweeps")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).persist(lvl)
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct().persist(lvl)
+    val n = nodes.count()
+    def bc(df: DataFrame): DataFrame =
+      if (n <= broadcastLabelsBelow) broadcast(df) else df
+    var lab = nodes.withColumn("label", col("id"))
+    var prev: Option[DataFrame] = None
+    for (i <- 1 to sweeps) {
+      val votes = e.join(bc(lab.select(col("id").as("src"), col("label"))), "src")
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      // plurality with min-label tie-break as ONE hash agg: max of
+      // (cnt, -label) is lexicographic — highest count, then lowest label
+      val winner = votes.groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("w"))
+        .select(col("dst").as("id"), (-col("w.nl")).as("label_new"))
+      val next = lab.join(bc(winner), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("label_new"), col("label")).as("label"))
+      lab = if (i == sweeps) next.localCheckpoint(true)
+      else { val c = next.persist(lvl); c.count(); c }
+      prev.foreach(_.unpersist(false))
+      prev = Some(lab)
+    }
+    e.unpersist(false); nodes.unpersist(false)
+    lab
+  }
+
   /** Multi-source BFS hop distances over a directed edge list (the
     * Pregel frontier-expansion shape): every node reachable from any
     * source within `maxHops` gets its MINIMUM hop count (sources at 0).

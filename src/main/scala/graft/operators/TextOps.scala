@@ -41,6 +41,52 @@ object TextOps {
   /** Token count as LONG (DuckDB len() returns BIGINT). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Winnowing fingerprint set (Schleimer, Wilkerson & Aiken, SIGMOD'03
+    * "Winnowing: Local Algorithms for Document Fingerprinting"): hash
+    * every `k`-character gram of the canonicalized text, slide a window
+    * of `w` consecutive gram hashes, keep each window's MINIMUM hash, and
+    * return the distinct selected hashes. The guarantee the paper proves:
+    * any shared substring of length ≥ `w + k − 1` between two documents
+    * yields at least one shared fingerprint — the basis of copy/overlap
+    * detection (MOSS) and a plagiarism-grade complement to the
+    * whole-document [[fingerprint]] and the MinHash sketches in [[Dedup]]
+    * (winnowing is position-local: it finds SUBSTRING overlap, not
+    * whole-set resemblance).
+    *
+    * Everything is per-row array algebra (transform / slice / array_min
+    * over a `sequence`) — zero shuffle, stays in WholeStageCodegen; the
+    * gram hash is the first 8 hex chars of md5 so a SQL oracle reproduces
+    * it bit-for-bit, and hash ORDER is plain string order (any total
+    * order yields a valid winnowing; hex strings compare identically in
+    * Spark and DuckDB). Only FULL windows select (gram position ≥ `w`);
+    * docs with fewer than `w + k − 1` chars yield an empty set. Distinct
+    * hashes are the fingerprint SET (positions dropped) — selecting the
+    * set, not an occurrence list, keeps the per-doc payload ≤
+    * 2·len/w + 1 expected entries (the paper's density bound).
+    *
+    * @return (doc_id, fps: array<string>) — one row per input row.
+    */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    docs.select(col(idCol).as("doc_id"), norm.as("t"))
+      .withColumn("n_grams", (length(col("t")) - (k - 1)).cast("int"))
+      // guard BEFORE sequence(): start > stop runs DESCENDING in Spark
+      .withColumn("hashes",
+        when(col("n_grams") >= 1,
+          transform(sequence(lit(1), col("n_grams")),
+            i => substring(md5(col("t").substr(i, lit(k))), 1, 8)))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("fps",
+        when(col("n_grams") >= w,
+          array_distinct(
+            transform(sequence(lit(w), col("n_grams")),
+              p => array_min(slice(col("hashes"), p - (w - 1), lit(w))))))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), col("fps"))
+  }
+
   /** Sliding-window token chunking (RAG / training-sequence prep): each
     * document yields overlapping windows of `chunkSize` tokens advancing
     * by `stride`; the final window may be shorter. Pure map-side explode

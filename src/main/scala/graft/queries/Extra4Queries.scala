@@ -203,6 +203,78 @@ object Extra4Queries {
              |  WHERE w.dist < 3
              |)
              |SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM walk
-             |GROUP BY id ORDER BY id""".stripMargin))
+             |GROUP BY id ORDER BY id""".stripMargin)),
+
+    // ---- synchronous label propagation (3 sweeps) over q103's
+    //      symmetrized customer-supplier trade graph: community sizes of
+    //      the 20 largest label groups. GraphOps.labelPropagation is the
+    //      deterministic plurality-vote sweep (count DESC, label ASC
+    //      tie-break as one hash-agg argmax — no per-node sort window);
+    //      the oracle unrolls the same three sweeps as CTEs, replaying
+    //      the identical trajectory (synchronous updates make each round
+    //      a pure function of the last, so both engines agree even where
+    //      bipartite oscillation would make "convergence" ill-defined) ----
+    Q("q113_label_propagation",
+      (s, dir) => {
+        import s.implicits._
+        // high-quantity trades only: the full graph is dense enough that
+        // 3 sweeps collapse it to 2 giant labels (a 2-row gate pins
+        // nothing); the sparser subgraph keeps ~57 communities at sf0.01
+        val pairs = Tables(s, dir, "lineitem")
+          .filter($"l_quantity" >= 45)
+          .select($"l_orderkey", $"l_suppkey")
+          .join(Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".cast("long").as("a"),
+            ($"l_suppkey" + 1000000L).cast("long").as("b")).distinct()
+        val edges = pairs.select(explode(array(
+            struct($"a".as("src"), $"b".as("dst")),
+            struct($"b".as("src"), $"a".as("dst")))).as("e"))
+          .select($"e.src".as("src"), $"e.dst".as("dst"))
+        GraphOps.labelPropagation(edges, "src", "dst", sweeps = 3)
+          .groupBy($"label").agg(count(lit(1)).as("sz"))
+          .select($"label".as("community"), $"sz")
+          .orderBy($"sz".desc, $"community").limit(20)
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+             |    CAST(l_suppkey + 1000000 AS BIGINT) AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_quantity >= 45
+             |), edges AS (
+             |  SELECT a AS src, b AS dst FROM pairs
+             |  UNION ALL
+             |  SELECT b AS src, a AS dst FROM pairs
+             |), nodes AS (SELECT DISTINCT src AS id FROM edges),
+             |l0 AS (SELECT id, id AS label FROM nodes),
+             |v1 AS (SELECT e.dst, l.label, count(*) AS cnt
+             |  FROM edges e JOIN l0 l ON e.src = l.id GROUP BY 1, 2),
+             |w1 AS (SELECT dst AS id, label FROM (
+             |  SELECT dst, label, row_number() OVER (
+             |    PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
+             |  FROM v1) WHERE rn = 1),
+             |l1 AS (SELECT n.id, coalesce(w.label, p.label) AS label
+             |  FROM nodes n JOIN l0 p ON n.id = p.id
+             |  LEFT JOIN w1 w ON n.id = w.id),
+             |v2 AS (SELECT e.dst, l.label, count(*) AS cnt
+             |  FROM edges e JOIN l1 l ON e.src = l.id GROUP BY 1, 2),
+             |w2 AS (SELECT dst AS id, label FROM (
+             |  SELECT dst, label, row_number() OVER (
+             |    PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
+             |  FROM v2) WHERE rn = 1),
+             |l2 AS (SELECT n.id, coalesce(w.label, p.label) AS label
+             |  FROM nodes n JOIN l1 p ON n.id = p.id
+             |  LEFT JOIN w2 w ON n.id = w.id),
+             |v3 AS (SELECT e.dst, l.label, count(*) AS cnt
+             |  FROM edges e JOIN l2 l ON e.src = l.id GROUP BY 1, 2),
+             |w3 AS (SELECT dst AS id, label FROM (
+             |  SELECT dst, label, row_number() OVER (
+             |    PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
+             |  FROM v3) WHERE rn = 1),
+             |l3 AS (SELECT n.id, coalesce(w.label, p.label) AS label
+             |  FROM nodes n JOIN l2 p ON n.id = p.id
+             |  LEFT JOIN w3 w ON n.id = w.id)
+             |SELECT label AS community, count(*) AS sz FROM l3
+             |GROUP BY label ORDER BY sz DESC, community LIMIT 20""".stripMargin))
   )
 }

@@ -950,7 +950,46 @@ object Text2Queries {
              |    FROM s3))
              |SELECT sym, CAST(sum(cnt) AS BIGINT) AS n FROM (
              |  SELECT cnt, unnest(syms) AS sym FROM s4)
-             |GROUP BY sym ORDER BY n DESC, sym LIMIT 20""".stripMargin))
+             |GROUP BY sym ORDER BY n DESC, sym LIMIT 20""".stripMargin)),
+
+    // ---- Winnowing document fingerprints (Schleimer et al. SIGMOD'03,
+    //      the MOSS algorithm): k=8 char-gram hashes, window w=4, keep
+    //      each window's min hash — any shared substring of >= w+k-1=11
+    //      chars between two docs shares a fingerprint. Per-doc profile
+    //      gate (fingerprint count + set bounds); TextOps.winnow is pure
+    //      per-row array algebra (zero shuffle, whole-stage codegen), the
+    //      oracle replays gram hashing + the window min in SQL. Gram hash
+    //      = first 8 hex chars of md5, identical in both engines ----
+    Q("t31_winnowing",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextOps.winnow(
+            Tables(s, dir, "documents"), "doc_id", "text", k = 8, w = 4)
+          .select($"doc_id", size($"fps").cast("long").as("n_fp"),
+            array_min($"fps").as("min_fp"), array_max($"fps").as("max_fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, i,
+             |    substr(md5(substr(t, CAST(i AS INT), 8)), 1, 8) AS h
+             |  FROM d, unnest(generate_series(1, length(t) - 7)) AS u(i)
+             |), m AS (
+             |  SELECT doc_id, i, min(h) OVER (
+             |    PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mh
+             |  FROM g
+             |), sel AS (SELECT DISTINCT doc_id, mh FROM m WHERE i >= 4),
+             |agg AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+             |    min(mh) AS min_fp, max(mh) AS max_fp
+             |  FROM sel GROUP BY doc_id)
+             |SELECT doc.doc_id, coalesce(a.n_fp, 0) AS n_fp,
+             |  a.min_fp, a.max_fp
+             |FROM documents doc LEFT JOIN agg a ON doc.doc_id = a.doc_id
+             |ORDER BY doc.doc_id""".stripMargin))
   )
 
   /** Per-document add-one-smoothed bigram-LM score (t13's model; see the

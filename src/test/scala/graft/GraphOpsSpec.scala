@@ -93,6 +93,38 @@ class GraphOpsSpec extends AnyFunSuite {
       "early exit on an exhausted frontier must still return all layers")
   }
 
+  private def lpa(edges: Seq[(Long, Long)], sweeps: Int): Map[Long, Long] = {
+    val got = GraphOps.labelPropagation(
+        edges.toDF("src", "dst"), "src", "dst", sweeps)
+      .as[(Long, Long)].collect().toMap
+    spark.catalog.clearCache()
+    got
+  }
+
+  test("lpa: disjoint symmetric triangles each unify on their min id") {
+    def sym(ns: Seq[Long]) = for {
+      a <- ns; b <- ns if a != b
+    } yield (a, b)
+    val r = lpa(sym(Seq(1L, 2L, 3L)) ++ sym(Seq(10L, 11L, 12L)), sweeps = 3)
+    assert(Seq(1L, 2L, 3L).forall(r(_) == 1L), r.toString)
+    assert(Seq(10L, 11L, 12L).forall(r(_) == 10L), r.toString)
+  }
+
+  test("lpa: tie between neighbor labels breaks toward the smaller") {
+    // symmetrized path 5 - 1 - 9: node 1's in-votes {5, 9} tie at 1 each
+    val r = lpa(Seq((5L, 1L), (1L, 5L), (9L, 1L), (1L, 9L)), sweeps = 1)
+    assert(r == Map(1L -> 5L, 5L -> 1L, 9L -> 1L))
+  }
+
+  test("lpa: plurality beats the min label; no-in-edge nodes keep theirs") {
+    // sweep 1: 8 adopts 9 (its only in-vote); t's votes {8,9,5} → min 5;
+    // 9 and 5 have no in-edges and keep their own labels.
+    // sweep 2: t's votes are the NEW labels {9, 9, 5} → plurality 9.
+    val e = Seq((9L, 8L), (8L, 100L), (9L, 100L), (5L, 100L))
+    assert(lpa(e, sweeps = 1)(100L) == 5L)
+    assert(lpa(e, sweeps = 2)(100L) == 9L)
+  }
+
   test("bfs: min distance wins on a diamond; multi-source takes the nearer seed") {
     // 1->2, 1->3, 2->4, 3->4 (4 reachable two ways at dist 2), 4->5
     val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))

@@ -25,6 +25,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(df.distinct().count() == 1)
   }
 
+  test("winnow: shared substring >= w+k-1 chars guarantees a shared fingerprint") {
+    import spark.implicits._
+    // k=8, w=4: the paper's guarantee threshold is 11 shared chars.
+    // Docs 1/2 share a 24-char run; doc 3 is disjoint text.
+    val common = "the quick brown fox jump"
+    val df = Seq(
+      (1L, s"AAAA $common BBBB"),
+      (2L, s"XXXXXXX $common YYY"),
+      (3L, "completely different words here entirely")).toDF("id", "text")
+    val fps = TextOps.winnow(df, "id", "text", k = 8, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared run must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty, "disjoint text must not collide")
+  }
+
+  test("winnow: short docs get empty sets; density obeys the 2/w bound loosely") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "tiny"),                       // < k chars: zero grams
+      (2L, "exactly10!"),                 // 3 grams < w windows: empty
+      (3L, "a" * 100)).toDF("id", "text") // 1 distinct gram → 1 fingerprint
+    val fps = TextOps.winnow(df, "id", "text", k = 8, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fps(1L).isEmpty && fps(2L).isEmpty)
+    assert(fps(3L).size == 1, "uniform text has one gram hash → one fingerprint")
+  }
+
+  test("winnow is position-local: an unrelated prefix never changes later fingerprints") {
+    import spark.implicits._
+    val tail = "shared suffix of plenty length for selection"
+    val df = Seq((1L, s"one $tail"), (2L, s"totally different opening $tail"))
+      .toDF("id", "text")
+    val fps = TextOps.winnow(df, "id", "text", k = 8, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    // the winnowing property under any hash: selection depends only on a
+    // w+k-1 neighborhood, so the long shared suffix overlaps heavily
+    assert((fps(1L) & fps(2L)).size >= 3, s"expected heavy suffix overlap: $fps")
+  }
+
   test("minhash LSH recall: finds exactly the exact-Jaccard pairs at sf0.001") {
     import spark.implicits._
     val docs = Tables(spark, sf, "documents")
