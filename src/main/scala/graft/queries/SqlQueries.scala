@@ -114,6 +114,73 @@ object SqlQueries {
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
              |  round(sum(l_quantity), 2) AS qty
              |FROM lineitem GROUP BY ALL
-             |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // TPC-H Q21 shape on the columns this corpus has: correlated EXISTS
+    // (another supplier shares the order) + correlated NOT EXISTS (none
+    // of the others returned their line) — the double-semijoin surface;
+    // Catalyst plans EXISTS as LeftSemi and NOT EXISTS as LeftAnti
+    Q("sq06_sql_exists",
+      (s, dir) => sql(s, dir,
+        """SELECT s.s_name, count(*) AS numwait
+          |FROM supplier s
+          |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+          |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+          |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          |  AND EXISTS (
+          |    SELECT 1 FROM lineitem l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey
+          |      AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM lineitem l3
+          |    WHERE l3.l_orderkey = l1.l_orderkey
+          |      AND l3.l_suppkey <> l1.l_suppkey
+          |      AND l3.l_returnflag = 'R')
+          |GROUP BY s.s_name
+          |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin),
+      Some("""SELECT s.s_name, count(*) AS numwait
+             |FROM supplier s
+             |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+             |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+             |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+             |  AND EXISTS (
+             |    SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey
+             |      AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM lineitem l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey
+             |      AND l3.l_suppkey <> l1.l_suppkey
+             |      AND l3.l_returnflag = 'R')
+             |GROUP BY s.s_name
+             |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
+
+    // TPC-H Q22 shape: uncorrelated scalar subquery threshold + NOT
+    // EXISTS anti-join against orders — customers with above-average
+    // balance and no urgent order, rolled up by segment (every customer
+    // in this corpus has SOME order, so the anti-join narrows to the
+    // urgent-priority subset to keep the gate non-vacuous)
+    Q("sq07_sql_antijoin_scalar",
+      (s, dir) => sql(s, dir,
+        """SELECT c_mktsegment AS seg, count(*) AS numcust,
+          |  round(sum(c_acctbal), 2) AS totacctbal
+          |FROM customer c
+          |WHERE c_acctbal > (
+          |    SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          |      AND o.o_orderpriority = '1-URGENT')
+          |GROUP BY c_mktsegment
+          |ORDER BY seg""".stripMargin),
+      Some("""SELECT c_mktsegment AS seg, count(*) AS numcust,
+             |  round(sum(c_acctbal), 2) AS totacctbal
+             |FROM customer c
+             |WHERE c_acctbal > (
+             |    SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+             |      AND o.o_orderpriority = '1-URGENT')
+             |GROUP BY c_mktsegment
+             |ORDER BY seg""".stripMargin))
   )
 }

@@ -654,4 +654,57 @@ class ScaleSpec extends AnyFunSuite {
       s"pageRank plan grows with iterations: $shallow nodes at 2 sweeps, " +
         s"$deep at 7 — per-sweep materialization broke")
   }
+
+  test("labelPropagation: constant plan depth, argmax as hash agg not sort window") {
+    import spark.implicits._
+    val edges = (1L to 60L).map(i => (i, i % 12 + 1)).toDF("src", "dst")
+    def planOf(sweeps: Int) = {
+      val lab = graft.operators.GraphOps.labelPropagation(
+        edges, "src", "dst", sweeps)
+      val p = lab.queryExecution.executedPlan
+      spark.catalog.clearCache()
+      p
+    }
+    // same iterative-materialization contract as pageRank: the returned
+    // table is self-contained, not a sweeps-deep nest
+    val (shallow, deep) = (
+      collectAll(planOf(2)) { case p => p }.size,
+      collectAll(planOf(6)) { case p => p }.size)
+    assert(shallow == deep,
+      s"LPA plan grows with sweeps: $shallow nodes at 2, $deep at 6")
+    // the plurality argmax must be a partial-aggregating hash agg — a
+    // row_number window over (dst) would hotspot on hub nodes; assert no
+    // Window operator anywhere in one sweep's plan
+    val lab = graft.operators.GraphOps.labelPropagation(edges, "src", "dst", 1)
+    // the checkpointed result hides the sweep plan, so re-state one
+    // sweep's argmax shape directly on a vote table
+    val votes = edges.groupBy($"dst", $"src".as("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val winner = votes.groupBy($"dst")
+      .agg(max(struct($"cnt", (-$"label").as("nl"))).as("w"))
+      .select($"dst", (-$"w.nl").as("label"))
+    winner.collect()
+    val windows = collectAll(winner.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.nodeName
+    }
+    assert(windows.isEmpty, s"LPA argmax planned a sort window: $windows")
+    assert(lab.count() == 12 + 48) // sanity: every node labeled
+    spark.catalog.clearCache()
+  }
+
+  test("winnowing is map-only: zero exchanges, one corpus scan") {
+    import spark.implicits._
+    val out = graft.operators.TextOps.winnow(
+      Tables(spark, sf, "documents"), "doc_id", "text", k = 8, w = 4)
+    out.collect()
+    val exchanges = collectAll(out.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.nodeName
+    }
+    assert(exchanges.isEmpty,
+      s"winnow must be per-row array algebra, found shuffles: $exchanges")
+    val scans = collectAll(out.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s.nodeName
+    }
+    assert(scans.size == 1, s"expected one corpus scan, got ${scans.size}")
+  }
 }
