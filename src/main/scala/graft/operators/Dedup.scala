@@ -595,4 +595,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Entity resolution by the sorted-neighborhood method (Hernández &
+    * Stolfo SIGMOD'95 merge/purge): records sorted by a normalization
+    * key, candidate pairs proposed within a sliding window of `window`
+    * positions, matched when Jaro-Winkler similarity clears `threshold`,
+    * and match edges closed into entities by connected components (the
+    * transitive-closure step that links record variants which never meet
+    * directly — A~B and B~C puts A,C in one entity even when jw(A,C) is
+    * below threshold). Returns one row per record: (record_id, entity),
+    * entity = the minimum record id of the resolved cluster; unmatched
+    * records are singleton entities of themselves.
+    *
+    * The sort-window candidate generation is the hash-blocking
+    * alternative: no blocking key can be exact-match brittle, because
+    * near-variants land adjacent under the sort even when every
+    * attribute differs slightly — at the cost of missing variant pairs
+    * farther than `window` apart in sort order (the method's documented
+    * recall trade; production runs multi-pass with different sort keys).
+    *
+    * Scale shape: the global sort rank comes from [[Prefix.exclusiveSum]]
+    * (range-partitioned two-level cumsum — never a single-task global
+    * window); the sliding window becomes a BANDED EQUI-JOIN — each row
+    * joins only the two `window`-sized rank buckets a partner within
+    * `window` positions can occupy, so candidate volume is O(n·window)
+    * by construction, never n². Jaro-Winkler runs on candidate grain,
+    * and the component step is [[connectedComponents]]' large/small-star
+    * loop. CACHING CONTRACT: the ranked projection persists for the
+    * pipeline (caller releases, same as the other persisting operators).
+    */
+  def sortedNeighborhoodEr(records: DataFrame, idCol: String,
+      nameCol: String, sortKey: Column, window: Int,
+      threshold: Double): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val recs = materializeOnce(Prefix.exclusiveSum(
+      records.select(col(idCol).cast("long").as("id"), col(nameCol).as("nm"),
+        sortKey.as("sk")),
+      Seq(col("sk"), col("id")), lit(1L), "rn").drop("sk"))
+    // partner rank rn_b of a pair (rn_a < rn_b <= rn_a + window) lives in
+    // bucket (rn_a div window) or the one after — emit the left row into
+    // both, equi-join on the bucket, then exact-filter the rank distance
+    val a = recs.select(col("id").as("id_a"), col("nm").as("nm_a"),
+      col("rn").as("rn_a"),
+      explode(array(expr(s"rn div $window"),
+        expr(s"rn div $window") + 1)).as("bk"))
+    val b = recs.select(col("id").as("id_b"), col("nm").as("nm_b"),
+      col("rn").as("rn_b"), expr(s"rn div $window").as("bk"))
+    val edges = a.join(b, "bk")
+      .filter(col("rn_b") > col("rn_a") && col("rn_b") <= col("rn_a") + window)
+      .filter(round(graft.functions.StringSim.jaro_winkler(
+        col("nm_a"), col("nm_b")), 4) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val labels = connectedComponents(edges)
+      .select(col("id").as("_lid"), col("label"))
+    recs.join(labels, recs("id") === col("_lid"), "left_outer")
+      .select(recs("id").as("record_id"),
+        coalesce(col("label"), recs("id")).as("entity"))
+  }
 }

@@ -108,6 +108,79 @@ object GraphOps {
     pr
   }
 
+  /** Personalized PageRank (the random-walk-with-restart variant of
+    * [[pageRank]]): restart mass returns to a SEED set instead of the
+    * uniform vector, so scores measure proximity to the seeds — the
+    * seed-expansion primitive (find pages "like these trusted ones",
+    * grow a curated domain list, rank candidates around flagged nodes;
+    * the local-community use from Andersen/Chung/Lang FOCS'06).
+    *
+    * `pr'(v) = (1−d)·r(v) + d·Σ_{u→v} pr(u)/outdeg(u)`, with
+    * `r(v) = 1/|S|` for seeds and 0 elsewhere; `pr₀ = r`. Seeds outside
+    * the graph's node set are ignored (their restart mass is
+    * renormalized over the seeds actually present). Shares [[pageRank]]'s
+    * stated simplification — dangling nodes leak their mass — and its
+    * scale shape: node-grain state, one edge-vs-rank join plus one
+    * dst-grain aggregate per sweep, stats-driven broadcast of the rank
+    * side below `broadcastNodesBelow`, every sweep materialized and its
+    * predecessor released, final sweep localCheckpointed. Unlike
+    * [[pageRank]] the rank vector is SPARSE early on (only the seeds'
+    * out-neighborhoods are nonzero) — rows stay node-grain here for
+    * plan-shape parity with the oracle; a push-style frontier variant
+    * (omit zero rows, the [[bfsDistances]] shape) is the further
+    * optimization when |S| ≪ |V| and sweeps are few.
+    *
+    * CACHING CONTRACT: same as [[pageRank]] — caller releases via
+    * `clearCache()` after its action.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, idCol: String, iterations: Int,
+      damping: Double = 0.85,
+      broadcastNodesBelow: Long = 2_000_000L): DataFrame = {
+    require(iterations >= 1, s"need >=1 iteration, got $iterations")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(lvl)
+    // fused (id, deg, r) node table: out-degree from the endpoint
+    // explode (the pageRank fusion), restart flag from a broadcast
+    // semi-ish left join against the (tiny, deduped) seed set
+    val seedSet = seeds.select(col(idCol).cast("long").as("_sid")).distinct()
+    val nodeDeg = e.select(explode(array(
+        struct(col("src").as("id"), lit(1L).as("o")),
+        struct(col("dst").as("id"), lit(0L).as("o")))).as("x"))
+      .select(col("x.id").as("id"), col("x.o").as("o"))
+      .groupBy(col("id")).agg(sum(col("o")).cast("double").as("deg"))
+      .join(broadcast(seedSet), col("id") === col("_sid"), "left_outer")
+      .withColumn("_isSeed", col("_sid").isNotNull).drop("_sid")
+      .persist(lvl)
+    val n = nodeDeg.count().toDouble
+    val k = nodeDeg.filter(col("_isSeed")).count().toDouble
+    require(k > 0, "no seed is present in the graph")
+    val nodeR = nodeDeg.select(col("id"),
+      when(col("_isSeed"), lit(1.0 / k)).otherwise(lit(0.0)).as("r"))
+    val deg = nodeDeg.filter(col("deg") > 0)
+      .select(col("id").as("src"), col("deg"))
+    def bc(df: DataFrame): DataFrame =
+      if (n <= broadcastNodesBelow) broadcast(df) else df
+    var pr = nodeR.select(col("id"), col("r").as("pr"))
+    var prevMaterialized: Option[DataFrame] = None
+    for (i <- 1 to iterations) {
+      val contrib = e.join(bc(pr), col("src") === col("id"))
+        .join(bc(deg), "src")
+        .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
+      val agg = contrib.groupBy(col("id")).agg(sum(col("c")).as("m"))
+      val next = nodeR.join(bc(agg), Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(1.0 - damping) * col("r") +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
+      pr = if (i == iterations) next.localCheckpoint(true)
+      else { val c = next.persist(lvl); c.count(); c }
+      prevMaterialized.foreach(_.unpersist(false))
+      prevMaterialized = Some(pr)
+    }
+    pr
+  }
+
   /** Per-node triangle count + local clustering coefficient over an
     * undirected edge list (self-loops and duplicate/reversed edges are
     * canonicalized away first).

@@ -188,6 +188,43 @@ object Mutations {
     history.unionByName(fromCur).unionByName(openedNew)
   }
 
+  /** Point-in-time reconstruction (time travel) over an SCD Type-2
+    * history table as produced by [[scd2Merge]]: the dimension state AS
+    * OF instant `t` is every version row whose validity interval covers
+    * `t` under the half-open contract `[valid_from, valid_to)` (open
+    * `valid_to` = null = ∞). Exactly one row per key that existed at
+    * `t`; keys first inserted after `t` produce nothing.
+    *
+    * Scale shape: a pure map-side filter — no shuffle, no join, and both
+    * predicates push to the parquet scan when the history is stored
+    * (partition or z-order the history by `valid_from` and min/max
+    * skipping prunes whole files of closed old versions; q88/q111 are
+    * that layout story). This read path is the reason [[scd2Merge]]
+    * keeps interval columns instead of only an `is_current` flag.
+    */
+  def asOf(dim: DataFrame, t: Long): DataFrame =
+    dim.filter(col("valid_from") <= t &&
+      (col("valid_to").isNull || col("valid_to") > t))
+
+  /** Incremental view maintenance for a two-table equi-JOIN view over
+    * APPEND-ONLY bases: the delta rows to append to a materialized
+    * `V = A ⋈ B` when batches `dA` / `dB` arrive. Standard delta
+    * algebra — `(A∪dA) ⋈ (B∪dB) = V ∪ dA⋈(B∪dB) ∪ A⋈dB` — factored so
+    * each base is scanned at most once and NEITHER base ever shuffles:
+    * both join terms build their hash side from a broadcast delta
+    * (batches are small by construction; the bases are the 100 TB side).
+    * The base-vs-base term is exactly `V`, already materialized — the
+    * whole point of IVM is never recomputing it. Append-only for the
+    * same reason as [[refreshAggView]]: deletes/updates need a
+    * retractable encoding and take the CDC route.
+    */
+  def joinViewDelta(aOld: DataFrame, dA: DataFrame, bOld: DataFrame,
+      dB: DataFrame, aKey: String, bKey: String): DataFrame = {
+    val cond = col(aKey) === col(bKey)
+    broadcast(dA).join(bOld.unionByName(dB), cond)
+      .unionByName(aOld.join(broadcast(dB), cond))
+  }
+
   /** A grouped aggregate view over `valueCol` at the `keys` grain — the
     * materialized shape [[refreshAggView]] maintains. All four aggregates
     * are decomposable (count/sum add, min/max combine), which is exactly

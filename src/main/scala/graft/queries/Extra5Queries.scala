@@ -1,0 +1,229 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.{Dedup, GraphOps, Mutations}
+import org.apache.spark.sql.functions._
+
+/** Round-9 second wave: the temporal read side of the mutation stack
+  * (SCD2 time travel), incremental JOIN-view maintenance, and
+  * sorted-neighborhood entity resolution.
+  */
+object Extra5Queries {
+
+  def all: Seq[Q] = Seq(
+
+    // ---- SCD2 time travel: two scd2Merge batches build a 3-epoch
+    //      history (ts=100 changes %10==3 keys and inserts %50==7 clones;
+    //      ts=200 re-changes %20==3 keys and the clones), then asOf(150)
+    //      reconstructs the mid-epoch state — historical CLOSED rows
+    //      (valid_to=200 > 150) must surface, the ts=200 openings must
+    //      not, and rows closed at 100 must not. The oracle states the
+    //      expected epoch directly instead of replaying merge mechanics:
+    //      %10==3 keys at their +100 version (valid_from 100), clones at
+    //      their original balances (valid_from 100), everyone else
+    //      untouched (valid_from 0). ----
+    Q("q114_time_travel",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables(s, dir, "customer")
+        val dim0 = cust
+          .withColumn("valid_from", lit(0L))
+          .withColumn("valid_to", lit(null).cast("long"))
+          .withColumn("is_current", lit(true))
+        val clones = cust.filter($"c_custkey" % 50 === 7)
+          .withColumn("c_custkey", $"c_custkey" + 1000000)
+        val b1 = cust.filter($"c_custkey" % 10 === 3)
+          .withColumn("c_acctbal", round($"c_acctbal" + 100, 2))
+          .unionByName(clones)
+        val dim1 = Mutations.scd2Merge(dim0, b1, "c_custkey", ts = 100L)
+        val b2 = cust.filter($"c_custkey" % 20 === 3)
+          .withColumn("c_acctbal", round($"c_acctbal" + 200, 2))
+          .unionByName(clones
+            .withColumn("c_acctbal", round($"c_acctbal" + 500, 2)))
+        val dim2 = Mutations.scd2Merge(dim1, b2, "c_custkey", ts = 200L)
+        Mutations.asOf(dim2, 150L)
+          .select($"c_custkey", $"c_acctbal", $"valid_from")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, round(c_acctbal + 100, 2) AS c_acctbal,
+             |  CAST(100 AS BIGINT) AS valid_from
+             |FROM customer WHERE c_custkey % 10 = 3
+             |UNION ALL
+             |SELECT c_custkey, c_acctbal, CAST(0 AS BIGINT)
+             |FROM customer WHERE c_custkey % 10 <> 3
+             |UNION ALL
+             |SELECT c_custkey + 1000000, c_acctbal, CAST(100 AS BIGINT)
+             |FROM customer WHERE c_custkey % 50 = 7
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- incremental JOIN-view maintenance: the orders⋈lineitem view is
+    //      maintained as old-view ∪ joinViewDelta (both bases split at a
+    //      late cutoff so the deltas are genuinely batch-sized — ~4% of
+    //      rows), then aggregated. The oracle joins the FULL tables,
+    //      oblivious to the split — exactly the IVM invariant
+    //      (V ∪ ΔV ≡ recompute); any double-counted or dropped delta
+    //      term breaks the count/sum. ----
+    Q("q115_join_ivm",
+      (s, dir) => {
+        import s.implicits._
+        val cut = lit("2001-06-01").cast("timestamp")
+        val orders = Tables(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderpriority", $"o_orderdate")
+        val li = Tables(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_extendedprice", $"l_shipdate")
+        val (aOld, dA) = (orders.filter($"o_orderdate" < cut),
+          orders.filter($"o_orderdate" >= cut))
+        val (bOld, dB) = (li.filter($"l_shipdate" < cut),
+          li.filter($"l_shipdate" >= cut))
+        val oldView = aOld.join(bOld, $"o_orderkey" === $"l_orderkey")
+        val refreshed = oldView.unionByName(
+          Mutations.joinViewDelta(aOld, dA, bOld, dB,
+            "o_orderkey", "l_orderkey"))
+        refreshed.groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(sum($"l_extendedprice"), 2).as("rev"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  round(sum(l_extendedprice), 2) AS rev
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- sorted-neighborhood entity resolution over a deterministically
+    //      dirtied record set: part names with two variant classes
+    //      (capitalized first letter for %3==0 keys, a " co" suffix for
+    //      %5==0) resolve back to their base-name entities via sort on
+    //      lower(name), window-4 candidates, jw>=0.92 matching, and
+    //      transitive closure. The threshold sits between the variant
+    //      band (capitalization 0.9259+, suffix 0.95+) and the closest
+    //      cross-name pairs (~0.91); "Small ring" ↔ "small ring co" is
+    //      0.8641 — BELOW threshold — and links only through the base
+    //      record, which is the transitive-closure behavior the gate
+    //      pins. Oracle replays the identical pipeline: row_number sort
+    //      rank, windowed self-join, DuckDB's jaro_winkler_similarity
+    //      (bit-parity with StringSim, the q93 contract), recursive-CTE
+    //      min-label closure. ----
+    Q("d15_entity_resolution",
+      (s, dir) => {
+        import s.implicits._
+        val recs = Tables(s, dir, "part")
+          .select($"p_partkey".as("rid"),
+            when($"p_partkey" % 3 === 0,
+              concat(upper(substring($"p_name", 1, 1)),
+                substring($"p_name", 2, 1000)))
+              .otherwise($"p_name").as("nm0"))
+          .select($"rid",
+            when($"rid" % 5 === 0, concat($"nm0", lit(" co")))
+              .otherwise($"nm0").as("nm"))
+        Dedup.sortedNeighborhoodEr(recs, "rid", "nm",
+            lower(col("nm")), window = 4, threshold = 0.92)
+          .groupBy($"entity").agg(count(lit(1)).as("n_records"))
+          .filter($"n_records" >= 2)
+          .orderBy($"n_records".desc, $"entity")
+          .limit(20)
+      },
+      Some("""WITH RECURSIVE recs AS (
+             |  SELECT rid, CASE WHEN rid % 5 = 0 THEN base || ' co'
+             |    ELSE base END AS nm
+             |  FROM (
+             |    SELECT p_partkey AS rid,
+             |      CASE WHEN p_partkey % 3 = 0 THEN
+             |        upper(substring(p_name, 1, 1)) || substring(p_name, 2)
+             |      ELSE p_name END AS base
+             |    FROM part)
+             |), ranked AS (
+             |  SELECT rid, nm,
+             |    row_number() OVER (ORDER BY lower(nm), rid) - 1 AS rn
+             |  FROM recs
+             |), edges AS (
+             |  SELECT a.rid AS ra, b.rid AS rb
+             |  FROM ranked a JOIN ranked b
+             |    ON b.rn > a.rn AND b.rn <= a.rn + 4
+             |  WHERE round(jaro_winkler_similarity(a.nm, b.nm), 4) >= 0.92
+             |), sym AS (
+             |  SELECT ra AS u, rb AS v FROM edges
+             |  UNION SELECT rb, ra FROM edges
+             |), nodes AS (SELECT DISTINCT u AS id FROM sym),
+             |reach(id, r) AS (
+             |  SELECT id, id FROM nodes
+             |  UNION
+             |  SELECT s.v, r.r FROM reach r JOIN sym s ON s.u = r.id
+             |), lab AS (SELECT id, min(r) AS entity FROM reach GROUP BY id),
+             |allrec AS (
+             |  SELECT rec.rid, coalesce(l.entity, rec.rid) AS entity
+             |  FROM recs rec LEFT JOIN lab l ON rec.rid = l.id
+             |)
+             |SELECT entity, count(*) AS n_records FROM allrec
+             |GROUP BY entity HAVING count(*) >= 2
+             |ORDER BY n_records DESC, entity LIMIT 20""".stripMargin)),
+
+    // ---- personalized PageRank (random walk with restart to customer
+    //      seeds 1-5) over q103's symmetrized trade graph, 3 sweeps:
+    //      proximity-to-seeds scores for seed-expansion-style corpus
+    //      curation. Same dangling-leak simplification as q103, shared
+    //      by the oracle, which unrolls the sweeps as CTEs (the
+    //      q113/q112 pattern). Top 20 by rounded score. ----
+    Q("q116_ppr",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+          .join(Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".cast("long").as("a"),
+            ($"l_suppkey" + 1000000L).cast("long").as("b")).distinct()
+        val edges = pairs.select(explode(array(
+            struct($"a".as("src"), $"b".as("dst")),
+            struct($"b".as("src"), $"a".as("dst")))).as("e"))
+          .select($"e.src".as("src"), $"e.dst".as("dst"))
+        val seeds = edges.select($"src".as("id")).filter($"id" <= 5)
+        GraphOps.personalizedPageRank(edges, "src", "dst", seeds, "id",
+            iterations = 3)
+          .select($"id".as("node_id"), round($"pr", 7).as("ppr"))
+          .orderBy($"ppr".desc, $"node_id").limit(20)
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+             |    CAST(l_suppkey + 1000000 AS BIGINT) AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |), edges AS (
+             |  SELECT a AS src, b AS dst FROM pairs
+             |  UNION ALL
+             |  SELECT b AS src, a AS dst FROM pairs
+             |), nodes AS (SELECT DISTINCT src AS id FROM edges),
+             |deg AS (
+             |  SELECT src, CAST(count(*) AS DOUBLE) AS deg
+             |  FROM edges GROUP BY src
+             |), seeds AS (SELECT id FROM nodes WHERE id <= 5),
+             |kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM seeds),
+             |r AS (
+             |  SELECT n.id,
+             |    CASE WHEN s.id IS NOT NULL THEN 1.0 / (SELECT k FROM kk)
+             |      ELSE 0.0 END AS rv
+             |  FROM nodes n LEFT JOIN seeds s ON n.id = s.id
+             |), p0 AS (SELECT id, rv AS pr FROM r),
+             |p1 AS (
+             |  SELECT r.id, 0.15 * r.rv + 0.85 * coalesce(s.m, 0) AS pr
+             |  FROM r LEFT JOIN (
+             |    SELECT e.dst AS id, sum(p.pr / d.deg) AS m
+             |    FROM edges e JOIN p0 p ON e.src = p.id
+             |      JOIN deg d ON e.src = d.src
+             |    GROUP BY e.dst) s ON r.id = s.id
+             |), p2 AS (
+             |  SELECT r.id, 0.15 * r.rv + 0.85 * coalesce(s.m, 0) AS pr
+             |  FROM r LEFT JOIN (
+             |    SELECT e.dst AS id, sum(p.pr / d.deg) AS m
+             |    FROM edges e JOIN p1 p ON e.src = p.id
+             |      JOIN deg d ON e.src = d.src
+             |    GROUP BY e.dst) s ON r.id = s.id
+             |), p3 AS (
+             |  SELECT r.id, 0.15 * r.rv + 0.85 * coalesce(s.m, 0) AS pr
+             |  FROM r LEFT JOIN (
+             |    SELECT e.dst AS id, sum(p.pr / d.deg) AS m
+             |    FROM edges e JOIN p2 p ON e.src = p.id
+             |      JOIN deg d ON e.src = d.src
+             |    GROUP BY e.dst) s ON r.id = s.id
+             |)
+             |SELECT id AS node_id, round(pr, 7) AS ppr FROM p3
+             |ORDER BY ppr DESC, node_id LIMIT 20""".stripMargin))
+  )
+}

@@ -36,6 +36,40 @@ class MutationsSpec extends AnyFunSuite {
     assert(got == Set((1L, "update"))) // null==null is NOT a change
   }
 
+  test("asOf reconstructs each epoch of a chained history") {
+    val b1 = Seq((1L, "a2"), (3L, "c")).toDF("k", "v")
+    val b2 = Seq((1L, "a3")).toDF("k", "v")
+    val hist = Mutations.scd2Merge(
+      Mutations.scd2Merge(dim0, b1, "k", ts = 10L), b2, "k", ts = 20L)
+    def state(t: Long): Set[(Long, String)] =
+      Mutations.asOf(hist, t).select($"k", $"v")
+        .as[(Long, String)].collect().toSet
+    assert(state(5L) == Set((1L, "a"), (2L, "b"))) // before any merge
+    // boundary: at exactly ts=10 the NEW version is live (half-open)
+    assert(state(10L) == Set((1L, "a2"), (2L, "b"), (3L, "c")))
+    assert(state(15L) == Set((1L, "a2"), (2L, "b"), (3L, "c")))
+    assert(state(25L) == Set((1L, "a3"), (2L, "b"), (3L, "c")))
+  }
+
+  test("joinViewDelta equals full-recompute minus the old view") {
+    val aOld = Seq((1L, "x"), (2L, "y")).toDF("ak", "av")
+    val dA = Seq((3L, "z")).toDF("ak", "av")
+    val bOld = Seq((1L, 10.0), (3L, 30.0)).toDF("bk", "bv")
+    val dB = Seq((2L, 20.0), (3L, 31.0)).toDF("bk", "bv")
+    val delta = Mutations.joinViewDelta(aOld, dA, bOld, dB, "ak", "bk")
+      .as[(Long, String, Long, Double)].collect().toSet
+    // ΔV: dA⋈(B∪dB) = (3,z,3,30.0),(3,z,3,31.0); A⋈dB = (2,y,2,20.0)
+    assert(delta == Set(
+      (3L, "z", 3L, 30.0), (3L, "z", 3L, 31.0), (2L, "y", 2L, 20.0)))
+    val full = aOld.unionByName(dA)
+      .join(bOld.unionByName(dB), $"ak" === $"bk")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val oldView = aOld.join(bOld, $"ak" === $"bk")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(oldView ++ delta == full)
+    assert(oldView.intersect(delta).isEmpty) // no double-counted rows
+  }
+
   test("scd2Merge chains history across batches") {
     val b1 = Seq((1L, "a2"), (3L, "c")).toDF("k", "v") // change k1, open k3
     val after1 = Mutations.scd2Merge(dim0, b1, "k", ts = 10L)

@@ -474,4 +474,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(TextOps.bpeTrain(docs, "text", nMerges = 5, minCount = 7L)
       .count() == 0L, "minCount above every pair count must learn nothing")
   }
+
+  test("sortedNeighborhoodEr: transitive closure links variants, window bounds recall") {
+    import spark.implicits._
+    // sort order under lower(nm) with id tie-break:
+    //   acme corp(1), Acme corp(3), acme corpo(2), beta inc(10), ...
+    // pair jw values: 1-3 = 0.9259 (case flip kills the Winkler prefix
+    // boost), 1-2 = 0.98, 3-2 = 0.8963 (BELOW threshold — 3 and 2 can
+    // only land in one entity through record 1)
+    val recs = Seq(
+      (1L, "acme corp"), (2L, "acme corpo"), (3L, "Acme corp"),
+      (10L, "beta inc"), (20L, "gamma gmbh"), (30L, "zeta ag"))
+      .toDF("rid", "nm")
+    val got = Dedup.sortedNeighborhoodEr(recs, "rid", "nm",
+        lower(col("nm")), window = 2, threshold = 0.92)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L,
+      s"acme variants must resolve to one entity: $got")
+    assert(got(10L) == 10L && got(20L) == 20L && got(30L) == 30L,
+      s"distinct names stay singleton entities: $got")
+    spark.catalog.clearCache()
+    // window=1 proposes only adjacent pairs: 1-3 (0.9259, links) and
+    // 3-2 (0.8963, no link) — the 1-2 pair (0.98) is out of window, so
+    // entity {1,3} splits from {2}: the documented recall trade of a
+    // too-small window
+    val w1 = Dedup.sortedNeighborhoodEr(recs, "rid", "nm",
+        lower(col("nm")), window = 1, threshold = 0.92)
+      .as[(Long, Long)].collect().toMap
+    assert(w1(1L) == 1L && w1(3L) == 1L && w1(2L) == 2L,
+      s"window=1 must miss the out-of-window variant: $w1")
+    spark.catalog.clearCache()
+  }
 }
