@@ -110,7 +110,7 @@ object Bench {
     names.filter(layoutBuilders.contains).foreach { n =>
       try all(n)(spark, sfDir).count()
       catch { case _: Throwable => () } // the timed rep will report it
-      finally spark.catalog.clearCache()
+      finally Caches.sweep(spark)
     }
     // Best-of-N (default 2): a single pass confounds plan cost with
     // JIT/codegen/classloading position effects — round-3's "regressions"
@@ -139,8 +139,12 @@ object Bench {
         // cold-cache plan cost, comparable across rounds; on-disk
         // build-once layouts (s04/q73/q87/q88) are files + catalog
         // entries, not CacheManager state, so their steady-state probe
-        // semantics survive.
-        spark.catalog.clearCache()
+        // semantics survive. sweep (not bare clearCache) ALSO drops
+        // RDD-level localCheckpoint blocks, which CacheManager cannot
+        // see — the round-9 CC leak degraded four consecutive CC reps
+        // monotonically (d06 2.5s→9.0s, d07 10.9s→24.8s) through this
+        // very clearCache call.
+        Caches.sweep(spark)
         val t0 = System.nanoTime()
         try { all(name)(spark, sfDir).count() }
         catch { case e: Throwable =>
@@ -161,7 +165,7 @@ object Bench {
       (name, if (best != Double.MaxValue) best else -1.0,
         fatal.map(name -> _), partial.map(name -> _), repTimes.toSeq)
     }
-    spark.catalog.clearCache()
+    Caches.sweep(spark)
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     def fmt2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     def ms(v: Double) = math.round(v * 1000) // rep entries ride as int ms

@@ -44,8 +44,9 @@ object PerfProbe {
       best = math.min(best, (System.nanoTime() - t0) / 1e9)
       // internally-persisting pipelines (the BM25 variants) must not hand
       // rep 2 a CacheManager hit — the min would measure a cache lookup,
-      // not the plan (same per-rep discipline as Bench.scala)
-      df.sparkSession.catalog.clearCache()
+      // not the plan (same per-rep discipline as Bench.scala); sweep also
+      // frees localCheckpoint blocks the iterative operators return
+      Caches.sweep(df.sparkSession)
     }
     (label, best, rows)
   }
@@ -136,6 +137,32 @@ object PerfProbe {
     val nComponents = labels.select("label").distinct().count()
     val ccSec = (System.nanoTime() - t0) / 1e9
     require(nComponents == 120, s"expected 120 components, got $nComponents")
+    Caches.sweep(spark)
+
+    // ---- graph-wave probes (round-10 directive): LPA per-sweep cost
+    //      and BFS frontier expansion, broadcast vs forced-shuffle
+    //      frontier joins, on the SAME 142k-edge clique+chain graph as
+    //      the CC probe. Edges are directed low->high (cliques) and
+    //      head->tail (chains).
+    val graphEdges = cliqueEdges.unionByName(chainEdges)
+      .select($"id_a".as("src"), $"id_b".as("dst"))
+    val lpa3 = time2("lpa_3_sweeps")(
+      graft.operators.GraphOps.labelPropagation(graphEdges, "src", "dst", 3))
+    val lpa6 = time2("lpa_6_sweeps")(
+      graft.operators.GraphOps.labelPropagation(graphEdges, "src", "dst", 6))
+    require(lpa3._3 == lpa6._3,
+      s"LPA node count mismatch: ${lpa3._3} vs ${lpa6._3}")
+    // seeds: the 20 chain heads (frontier 20/hop — the long-tail shape)
+    // + the 100 clique roots (hop-1 burst of 4,900 nodes)
+    val bfsSeeds = spark.range(20).select(($"id" * 1000 + chainBase).as("id"))
+      .unionByName(spark.range(100).select(($"id" * 50).as("id")))
+    def runBfs(bound: Long) = graft.operators.GraphOps.bfsDistances(
+      graphEdges, "src", "dst", bfsSeeds, "id", maxHops = 10,
+      broadcastFrontierBelow = bound)
+    val bfsBroadcast = time2("bfs_10hops_broadcast_frontier")(runBfs(2000000L))
+    val bfsShuffle = time2("bfs_10hops_shuffle_frontier")(runBfs(0L))
+    require(bfsBroadcast._3 == bfsShuffle._3,
+      s"BFS reach mismatch: ${bfsBroadcast._3} vs ${bfsShuffle._3}")
 
     // ---- BM25 known-query scoring: the map-side design (per-doc tf from
     //      the token array, df/N/avgdl in one global agg, heap top-k —
@@ -256,7 +283,8 @@ object PerfProbe {
       s"scd2 row mismatch: broadcast ${scdBroadcast._3} vs naive ${scdNaive._3}")
 
     val results = Seq(asofNative, asofWindow, intNative, intTheta,
-      bmMapSide, bmViaIndex, scdBroadcast, scdNaive)
+      bmMapSide, bmViaIndex, scdBroadcast, scdNaive,
+      lpa3, lpa6, bfsBroadcast, bfsShuffle)
     require(asofNative._3 == asofWindow._3,
       s"as-of row mismatch: native ${asofNative._3} vs window ${asofWindow._3}")
     require(intNative._3 == intTheta._3,
@@ -290,6 +318,27 @@ object PerfProbe {
       |round; without pre-contraction the star loop took ~11
       |pointer-doubling rounds on this graph (16.0s round 5; 8.8s with
       |window-min stars alone).
+      |
+      |Label propagation on the same graph: 3 sweeps ${lpa3._2}%.2fs,
+      |6 sweeps ${lpa6._2}%.2fs -> marginal per-sweep cost
+      |${(lpa6._2 - lpa3._2) / 3}%.2fs (each sweep = one edge-vs-labels
+      |broadcast join + one (dst,label) count agg + one node-grain
+      |hash-agg argmax, state localCheckpointed per sweep — the
+      |IterativeLoop contract, so cost per sweep is FLAT in the sweep
+      |budget; an uncut LPA plan would DOUBLE per sweep because each
+      |sweep references the label state twice).
+      |
+      |BFS 10 hops from 120 seeds (hop-1 burst 4,900 clique nodes, then
+      |20 chain nodes/hop): broadcast frontier ${bfsBroadcast._2}%.2fs vs
+      |forced shuffle-join frontier ${bfsShuffle._2}%.2fs
+      |(${bfsShuffle._2 / bfsBroadcast._2}%.2fx). Under the 2M-node bound
+      |the frontier broadcasts into the edge join, so the 142k-edge set
+      |NEVER shuffles — per-hop cost is one map-side join + the visited
+      |anti-join; past the bound (forced here with bound=0) every hop
+      |pays an edge-set shuffle. At crawl scale the bound is the
+      |difference between O(hops) map passes and O(hops) full-graph
+      |exchanges; the fallback exists because a 100M-node frontier
+      |cannot broadcast.
       |
       |As-of speedup native/window: ${asofWindow._2 / asofNative._2}%.2fx.
       |Interval speedup native/theta: ${intTheta._2 / intNative._2}%.2fx.

@@ -29,6 +29,30 @@ object Scratch {
   def dir(name: String): String = s"$root/$name"
 }
 
+/** Release EVERYTHING a finished query could have left in executor
+  * storage, so the next query/rep starts from a cold cache. Two layers,
+  * because they have disjoint coverage:
+  *
+  *  - `catalog.clearCache()` drops CacheManager relations (`persist`ed
+  *    frames: signature stages, operator-held edge caches);
+  *  - the `getPersistentRDDs` sweep drops RDD-level blocks — the storage
+  *    behind `localCheckpoint`s, which CacheManager never registers.
+  *    Round-9 verdict: connected-components checkpoints survived
+  *    `clearCache()` between bench reps and degraded four consecutive CC
+  *    runs monotonically (d06 2.5s→9.0s, d07 10.9s→24.8s) until an
+  *    unrelated query's GC freed them.
+  *
+  * Only call BETWEEN independent queries: a swept localCheckpoint has no
+  * lineage to recompute from, so any still-live plan over one dies.
+  */
+object Caches {
+  def sweep(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+}
+
 /** Shared session construction so Verify / Bench / tests agree on the
   * configs that affect correctness and scale behavior.
   */

@@ -24,7 +24,7 @@ object Verify {
       // queries that persist internally (LSH signature stages, semantic
       // dedup) must not accumulate cached relations across a 150-gate
       // run — each gate starts cache-cold and isolated
-      finally spark.catalog.clearCache()
+      finally Caches.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

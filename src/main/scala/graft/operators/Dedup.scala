@@ -303,15 +303,6 @@ object Dedup {
         .select("id_a", "id_b", "hamming"))
   }
 
-  /** Release the cached blocks behind a superseded `localCheckpoint`.
-    * Non-blocking: the blocks are dropped asynchronously while the next
-    * round runs. A released checkpoint CANNOT be recomputed (its lineage
-    * is truncated), so this is only ever called on frames no later plan
-    * depends on. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    org.apache.spark.sql.graftbridge.Bridge.checkpointRdds(df)
-      .foreach(_.unpersist(blocking = false))
-
   /** Connected components over an undirected edge list `(id_a, id_b)` —
     * see [[connectedComponentsStats]] for the algorithm and guarantees. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame =
@@ -430,30 +421,36 @@ object Dedup {
     * edges after one round), so per-round shuffle volume decreases; the
     * returned trace exposes that for perf probes.
     *
-    * Every round is localCheckpointed (the alternation self-references;
-    * an unchecked plan doubles per round) and superseded checkpoints are
-    * released immediately — only the final edge set stays cached for the
-    * caller (see [[releaseCheckpoint]]). If the cap is hit this throws
-    * rather than returning wrong labels.
+    * Every round is localCheckpointed via [[IterativeLoop]] with
+    * `checkpointEvery = 1` (the alternation self-references; an unchecked
+    * plan doubles per round) and superseded checkpoints are released
+    * immediately. The RETURNED labels are a self-contained
+    * localCheckpoint with every loop-held block released before return —
+    * the [[GraphOps.bfsDistances]] contract; round 9's only weak bench
+    * row was the previous version leaving its final-round + self-loop
+    * checkpoints referenced by a lazy result plan, unreleasable by any
+    * caller and re-evaluated per consumer. If the cap is hit this throws
+    * (after releasing everything) rather than returning wrong labels.
     *
     * @return (labels, perRoundEdgeCounts); labels = (id, label) with
     *         label = min reachable node id, one row per node in `edges`.
     */
   def connectedComponentsStats(
       edges: DataFrame, maxIter: Int = 25): (DataFrame, Seq[Long]) = {
+    val loop = new IterativeLoop(checkpointEvery = 1)
     // one materialization of the (possibly expensive) upstream; every
     // derivation below reads this checkpoint, never `edges` again
-    val canon = edges
+    val canon = loop.pinCheckpoint(edges
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint())
     try {
       // nodes whose ONLY edges are self-loops still get a label row (the
       // output contract is one row per node in `edges`); tiny, but must
       // outlive `canon`, hence its own checkpoint
-      val selfLoopNodes = canon.filter(col("u") === col("v"))
-        .select(col("u").as("id")).distinct().localCheckpoint()
+      val selfLoopNodes = loop.pinCheckpoint(canon.filter(col("u") === col("v"))
+        .select(col("u").as("id")).distinct().localCheckpoint())
       // map-side pre-contraction: cliques collapse to stars BEFORE the
       // first exchange (still a view over the canon checkpoint — the
       // union-find pass re-runs map-only wherever the plan is consumed).
@@ -470,12 +467,10 @@ object Dedup {
       var cur: DataFrame = localContract(
         if (canon.rdd.getNumPartitions >= neededParts) nonLoop
         else nonLoop.repartition(neededParts))
-      var curIsOwnCheckpoint = false // round-0 cur is a view over canon
       val trace = scala.collection.mutable.ArrayBuffer.empty[Long]
       var converged = false
       var i = 0
-      try {
-        while (!converged && i < maxIter) {
+      while (!converged && i < maxIter) {
           // ONE materialization barrier per round: ls is NOT checkpointed
           // because small-star consumes it exactly ONCE (its window-min +
           // explode pipeline makes a single pass; the map-side explode
@@ -487,8 +482,7 @@ object Dedup {
           // either restore the checkpoint or end largeStar in a reusable
           // exchange boundary.
           val ls = largeStar(cur)
-          val ss = smallStar(ls).localCheckpoint()
-          val n = ss.count()
+          val (ss, n) = loop.advanceCounted(smallStar(ls))
           trace += n
           // Fixpoint ⟺ the edge set is disjoint stars with one root per
           // member: a node that is a member TWICE has two labels, and a
@@ -511,34 +505,27 @@ object Dedup {
               .filter(col("m") > 1 || (col("m") >= 1 && col("mn") === 0))
               .isEmpty
           }
-          if (curIsOwnCheckpoint) releaseCheckpoint(cur)
           cur = ss
-          curIsOwnCheckpoint = true
           i += 1
-        }
-        require(converged,
-          s"connectedComponents did not converge in $maxIter rounds")
-        // converged ⟹ the loop ran ≥1 round, so cur is round-output
-        // checkpoint state (never the canon view released below)
-        // stars: (member, center) + the centers themselves + isolated
-        // self-loop nodes not already present as star members/centers
-        val starLabels = cur.select(col("u").as("id"), col("v").as("label"))
-          .union(cur.select(col("v").as("id"), col("v").as("label")).distinct())
-          .distinct()
-        val isolated = selfLoopNodes
-          .join(starLabels, Seq("id"), "left_anti")
-          .select(col("id"), col("id").as("label"))
-        (starLabels.union(isolated), trace.toSeq)
-      } catch {
-        case e: Throwable =>
-          if (curIsOwnCheckpoint) releaseCheckpoint(cur)
-          releaseCheckpoint(selfLoopNodes)
-          throw e
       }
-    } finally {
-      // the result plan reads only the final round's checkpoint and the
-      // (tiny) self-loop node set — the canonical edge set can go now
-      releaseCheckpoint(canon)
+      require(converged,
+        s"connectedComponents did not converge in $maxIter rounds")
+      // converged ⟹ the loop ran ≥1 round, so cur is round-output
+      // checkpoint state; stars: (member, center) + the centers
+      // themselves + isolated self-loop nodes not already present as
+      // star members/centers. finish() materializes this derivation ONCE
+      // over the cached final round (the previous lazy return
+      // re-evaluated the union/distinct tail per consumer — d07's joins
+      // paid it repeatedly) and releases every loop-held block.
+      val starLabels = cur.select(col("u").as("id"), col("v").as("label"))
+        .union(cur.select(col("v").as("id"), col("v").as("label")).distinct())
+        .distinct()
+      val isolated = selfLoopNodes
+        .join(starLabels, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("label"))
+      (loop.finish(starLabels.union(isolated)), trace.toSeq)
+    } catch {
+      case e: Throwable => loop.abort(); throw e
     }
   }
 

@@ -32,12 +32,13 @@ object GraphOps {
     * crawl ranking runs a fixed sweep budget (convergence deltas cost an
     * extra action per sweep).
     *
-    * EACH SWEEP IS MATERIALIZED (`persist` + `count`, previous sweep
-    * unpersisted once its successor is solid): leaving the whole loop
-    * lazy builds one iterations-deep plan whose every sweep replans and
-    * recomputes inside a single giant job — measured 58s for 3 sweeps
-    * over a ~1.2M-edge graph vs ~3s materialized. Lineage is truncated
-    * via `localCheckpoint` every `checkpointEvery` sweeps AND on the
+    * EACH SWEEP IS MATERIALIZED and its predecessor released
+    * ([[IterativeLoop]]): leaving the whole loop lazy builds one
+    * iterations-deep plan whose every sweep replans and recomputes
+    * inside a single giant job — measured 58s for 3 sweeps over a
+    * ~1.2M-edge graph vs ~3s materialized. Lineage is truncated via
+    * `localCheckpoint` every `checkpointEvery` sweeps (default EVERY
+    * sweep — see the IterativeLoop cadence measurement) AND on the
     * final sweep, so analysis cost stays O(1) per sweep on long budgets
     * and the RETURNED table is a self-contained materialized relation
     * (LogicalRDD) rather than an iterations-deep nest of cached plans
@@ -45,31 +46,28 @@ object GraphOps {
     * no-DFS-write cost — the right trade for a rank loop that can
     * restart from the sweep budget).
     *
-    * CACHING CONTRACT: the edge set and the fused node/degree table
-    * persist for the loop's lifetime — the caller owns release via
-    * `spark.catalog.clearCache()` after the action (same contract as the
-    * other persisting operators). The returned table's own blocks are
-    * localCheckpoint state, freed when the DataFrame is garbage
-    * collected.
+    * CACHING CONTRACT ([[IterativeLoop]]): every operator-held block —
+    * edge cache, fused node/degree table, intermediate sweeps — is
+    * released before return; the returned table is a self-contained
+    * localCheckpoint whose blocks are freed when the DataFrame is
+    * garbage collected (or by `graft.Caches.sweep`).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85,
-      checkpointEvery: Int = 10,
+      checkpointEvery: Int = 1,
       broadcastNodesBelow: Long = 2_000_000L): DataFrame = {
     require(iterations >= 1, s"need >=1 iteration, got $iterations")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .persist(lvl)
+    val loop = new IterativeLoop(checkpointEvery)
+    val e = loop.pin(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     // node list and out-degree FUSED into one table via endpoint explode
     // — one shuffle and one action build the edge cache, the node set,
     // and the degree table together (separate distinct + groupBy passes
     // cost an extra corpus-grain shuffle and an extra job each)
-    val nodeDeg = e.select(explode(array(
+    val nodeDeg = loop.pin(e.select(explode(array(
         struct(col("src").as("id"), lit(1L).as("o")),
         struct(col("dst").as("id"), lit(0L).as("o")))).as("x"))
       .select(col("x.id").as("id"), col("x.o").as("o"))
-      .groupBy(col("id")).agg(sum(col("o")).cast("double").as("deg"))
-      .persist(lvl)
+      .groupBy(col("id")).agg(sum(col("o")).cast("double").as("deg")))
     val n = nodeDeg.count().toDouble
     // lazy views of the cached fusion: deg joins every sweep (src-keyed,
     // sinks excluded), nodes floors the teleport for no-in-edge nodes
@@ -87,7 +85,6 @@ object GraphOps {
       if (n <= broadcastNodesBelow) broadcast(df) else df
     val teleport = (1.0 - damping) / n
     var pr = nodes.withColumn("pr", lit(1.0 / n))
-    var prevMaterialized: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val contrib = e.join(bc(pr), col("src") === col("id"))
         .join(bc(deg), "src")
@@ -97,15 +94,9 @@ object GraphOps {
       // nodes with no in-edges keep the teleport floor
       val next = nodes.join(bc(agg), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("pr_new"), lit(teleport)).as("pr"))
-      pr = if (i == iterations || i % checkpointEvery == 0)
-        next.localCheckpoint(true)
-      else { val c = next.persist(lvl); c.count(); c }
-      // release the superseded sweep AFTER its successor is materialized
-      // (unpersisting first would force a recompute through the chain)
-      prevMaterialized.foreach(_.unpersist(false))
-      prevMaterialized = Some(pr)
+      pr = loop.advance(next, forceCheckpoint = i == iterations)
     }
-    pr
+    loop.handoff()
   }
 
   /** Personalized PageRank (the random-walk-with-restart variant of
@@ -130,32 +121,36 @@ object GraphOps {
     * (omit zero rows, the [[bfsDistances]] shape) is the further
     * optimization when |S| ≪ |V| and sweeps are few.
     *
-    * CACHING CONTRACT: same as [[pageRank]] — caller releases via
-    * `clearCache()` after its action.
+    * CACHING CONTRACT ([[IterativeLoop]]): same as [[pageRank]] — every
+    * operator-held block released before return, self-contained
+    * localCheckpoint result, lineage truncated every `checkpointEvery`
+    * sweeps so long iteration budgets keep O(1) analysis cost per sweep.
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, idCol: String, iterations: Int,
       damping: Double = 0.85,
+      checkpointEvery: Int = 1,
       broadcastNodesBelow: Long = 2_000_000L): DataFrame = {
     require(iterations >= 1, s"need >=1 iteration, got $iterations")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .persist(lvl)
+    val loop = new IterativeLoop(checkpointEvery)
+    val e = loop.pin(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     // fused (id, deg, r) node table: out-degree from the endpoint
     // explode (the pageRank fusion), restart flag from a broadcast
     // semi-ish left join against the (tiny, deduped) seed set
     val seedSet = seeds.select(col(idCol).cast("long").as("_sid")).distinct()
-    val nodeDeg = e.select(explode(array(
+    val nodeDeg = loop.pin(e.select(explode(array(
         struct(col("src").as("id"), lit(1L).as("o")),
         struct(col("dst").as("id"), lit(0L).as("o")))).as("x"))
       .select(col("x.id").as("id"), col("x.o").as("o"))
       .groupBy(col("id")).agg(sum(col("o")).cast("double").as("deg"))
       .join(broadcast(seedSet), col("id") === col("_sid"), "left_outer")
-      .withColumn("_isSeed", col("_sid").isNotNull).drop("_sid")
-      .persist(lvl)
+      .withColumn("_isSeed", col("_sid").isNotNull).drop("_sid"))
     val n = nodeDeg.count().toDouble
     val k = nodeDeg.filter(col("_isSeed")).count().toDouble
-    require(k > 0, "no seed is present in the graph")
+    if (k == 0) { // release the pinned caches before surfacing the error
+      loop.abort()
+      throw new IllegalArgumentException("no seed is present in the graph")
+    }
     val nodeR = nodeDeg.select(col("id"),
       when(col("_isSeed"), lit(1.0 / k)).otherwise(lit(0.0)).as("r"))
     val deg = nodeDeg.filter(col("deg") > 0)
@@ -163,7 +158,6 @@ object GraphOps {
     def bc(df: DataFrame): DataFrame =
       if (n <= broadcastNodesBelow) broadcast(df) else df
     var pr = nodeR.select(col("id"), col("r").as("pr"))
-    var prevMaterialized: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val contrib = e.join(bc(pr), col("src") === col("id"))
         .join(bc(deg), "src")
@@ -173,12 +167,9 @@ object GraphOps {
         .select(col("id"),
           (lit(1.0 - damping) * col("r") +
             lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
-      pr = if (i == iterations) next.localCheckpoint(true)
-      else { val c = next.persist(lvl); c.count(); c }
-      prevMaterialized.foreach(_.unpersist(false))
-      prevMaterialized = Some(pr)
+      pr = loop.advance(next, forceCheckpoint = i == iterations)
     }
-    pr
+    loop.handoff()
   }
 
   /** Per-node triangle count + local clustering coefficient over an
@@ -278,24 +269,31 @@ object GraphOps {
     * iterative-replanning lesson); the final sweep is localCheckpointed
     * so the returned table is self-contained.
     *
-    * CACHING CONTRACT: the edge/label caches are operator-held and
-    * released before return except the final sweep's checkpoint blocks
-    * (freed when the returned DataFrame is GC'd).
+    * CACHING CONTRACT ([[IterativeLoop]]): the edge/label caches are
+    * operator-held and released before return; the returned table is a
+    * self-contained localCheckpoint (blocks freed when it is GC'd or by
+    * `graft.Caches.sweep`).
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       sweeps: Int,
       broadcastLabelsBelow: Long = 2_000_000L): DataFrame = {
     require(sweeps >= 1, s"need >=1 sweep, got $sweeps")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).persist(lvl)
-    val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
-      .distinct().persist(lvl)
+    // checkpointEvery = 1, NOT the pageRank cadence: each sweep
+    // references `lab` TWICE (the vote join and the keep-current
+    // carry-forward), so an uncut logical plan DOUBLES per sweep —
+    // 2^k subtree copies by sweep k (a 12-sweep run OOMed the driver
+    // just STRINGIFYING the plan). Single-reference loops (pageRank,
+    // PPR) grow linearly and can afford persist between checkpoints;
+    // double-reference loops cannot.
+    val loop = new IterativeLoop(checkpointEvery = 1)
+    val e = loop.pin(edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")))
+    val nodes = loop.pin(
+      e.select(explode(array(col("src"), col("dst"))).as("id")).distinct())
     val n = nodes.count()
     def bc(df: DataFrame): DataFrame =
       if (n <= broadcastLabelsBelow) broadcast(df) else df
     var lab = nodes.withColumn("label", col("id"))
-    var prev: Option[DataFrame] = None
     for (i <- 1 to sweeps) {
       val votes = e.join(bc(lab.select(col("id").as("src"), col("label"))), "src")
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
@@ -306,13 +304,9 @@ object GraphOps {
         .select(col("dst").as("id"), (-col("w.nl")).as("label_new"))
       val next = lab.join(bc(winner), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("label_new"), col("label")).as("label"))
-      lab = if (i == sweeps) next.localCheckpoint(true)
-      else { val c = next.persist(lvl); c.count(); c }
-      prev.foreach(_.unpersist(false))
-      prev = Some(lab)
+      lab = loop.advance(next, forceCheckpoint = i == sweeps)
     }
-    e.unpersist(false); nodes.unpersist(false)
-    lab
+    loop.handoff()
   }
 
   /** Multi-source BFS hop distances over a directed edge list (the
@@ -331,22 +325,22 @@ object GraphOps {
     * `visited` is rebuilt as a union of ≤maxHops node-grain frontiers,
     * localCheckpointed on exit so the returned table is self-contained.
     *
-    * CACHING CONTRACT: edge set + live frontiers persist during the
-    * loop; all operator-held blocks are released before return (the
-    * returned table is localCheckpoint state, freed on GC).
+    * CACHING CONTRACT ([[IterativeLoop]]): edge set + every hop's
+    * frontier persist during the loop (frontiers are `keep`s, not
+    * `advance`s — each layer survives to the final union); all
+    * operator-held blocks are released before return (the returned
+    * table is localCheckpoint state, freed on GC or `Caches.sweep`).
     */
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
       sources: DataFrame, idCol: String, maxHops: Int,
       broadcastFrontierBelow: Long = 2_000_000L): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).persist(lvl)
-    var frontier = sources.select(col(idCol).cast("long").as("id"))
-      .distinct().persist(lvl)
-    var frontierSize = frontier.count()
+    val loop = new IterativeLoop()
+    val e = loop.pin(edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")))
+    var (frontier, frontierSize) = loop.keep(
+      sources.select(col(idCol).cast("long").as("id")).distinct())
     var layers = List(frontier.withColumn("dist", lit(0L)))
-    var live = List(frontier)
     var hop = 1
     while (hop <= maxHops && frontierSize > 0) {
       // stats-driven build side from the count the materialization just
@@ -354,23 +348,19 @@ object GraphOps {
       // (the edge set never shuffles — the textbook BFS-on-MapReduce
       // move); a huge frontier falls back to the shuffle join
       val f = frontier.withColumnRenamed("id", "src")
-      val next = e.join(
+      val (next, nextSize) = loop.keep(e.join(
           if (frontierSize <= broadcastFrontierBelow) broadcast(f) else f,
           "src")
         .select(col("dst").as("id")).distinct()
         // min-dist semantics: a node joins the BFS tree at its FIRST
         // frontier appearance; later paths must not re-add it
         .join(layers.map(_.select(col("id"))).reduce(_ union _),
-          Seq("id"), "left_anti")
-        .persist(lvl)
-      frontierSize = next.count()
+          Seq("id"), "left_anti"))
+      frontierSize = nextSize
       if (frontierSize > 0) layers ::= next.withColumn("dist", lit(hop.toLong))
       frontier = next
-      live ::= next
       hop += 1
     }
-    val out = layers.reduce(_ union _).localCheckpoint(true)
-    (e :: live).foreach(_.unpersist(false))
-    out
+    loop.finish(layers.reduce(_ union _))
   }
 }

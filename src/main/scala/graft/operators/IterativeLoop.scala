@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** The ONE caching contract for iterative DataFrame loops (pageRank,
+  * personalizedPageRank, labelPropagation, bfsDistances,
+  * connectedComponents, bpeTrain). Four invariants, each tied to a
+  * measured failure mode:
+  *
+  *  1. Every round is MATERIALIZED (persist+count, or localCheckpoint on
+  *     the cadence) — a lazy loop builds an iterations-deep plan whose
+  *     every sweep replans and recomputes inside one giant job (58s vs
+  *     ~3s for 3 PageRank sweeps over a ~1.2M-edge graph, round 8).
+  *  2. The SUPERSEDED round is released as soon as its successor is
+  *     solid — block storage stays O(1) in the iteration count.
+  *     Release order matters: unpersisting first would force the
+  *     successor to recompute through the freed predecessor.
+  *  3. Lineage is truncated via localCheckpoint every `checkpointEvery`
+  *     rounds — analysis/replanning cost stays O(1) per round on long
+  *     budgets (persist alone does NOT cut lineage).
+  *  4. On exit the result is a SELF-CONTAINED localCheckpoint and every
+  *     loop-held block is released — callers never inherit state they
+  *     cannot free. Round 9's one weak bench row was exactly this leak:
+  *     connectedComponents left its final-round + self-loop checkpoints
+  *     referenced by the returned plan, `spark.catalog.clearCache()`
+  *     cannot see RDD-level checkpoint blocks, and consecutive runs
+  *     degraded monotonically (d06 2.5s→9.0s, d07 10.9s→24.8s,
+  *     recovering only after the frames were GC'd).
+  *
+  * The returned frame's own blocks are localCheckpoint state: freed when
+  * the frame is garbage collected, or deterministically by
+  * [[graft.Caches.sweep]] between independent queries. localCheckpoint
+  * (vs reliable checkpoint) trades executor-loss recoverability for
+  * no-DFS-write cost — the right trade for loops that can restart from
+  * their fixed budget; on a real cluster with flaky executors, pass the
+  * frames through `spark.sparkContext.setCheckpointDir` checkpoints
+  * instead (same contract, one constructor flag away if ever needed).
+  *
+  * Not thread-safe; one instance per loop invocation.
+  *
+  * @param checkpointEvery truncate lineage every N rounds. The default
+  *        is 1 (every round): measured on 12-iteration loops, cadence 10
+  *        was 4x SLOWER end-to-end (14.8s vs 3.8s pageRank, 13.0s vs
+  *        2.9s PPR) — persist writes the same blocks as localCheckpoint
+  *        but does NOT cut lineage, so per-round analysis and
+  *        CacheManager plan-matching cost grows with the uncut window,
+  *        while the block-write cost is identical. Cadence 1 is also
+  *        REQUIRED whenever the round expression references its
+  *        predecessor more than once (the connected-components star
+  *        alternation, LPA's vote+carry-forward): an uncut plan DOUBLES
+  *        per round there. Raise the cadence only to keep a persist
+  *        lineage chain recomputable across executor loss.
+  */
+final class IterativeLoop(
+    checkpointEvery: Int = 1,
+    level: StorageLevel = StorageLevel.MEMORY_AND_DISK) {
+  require(checkpointEvery >= 1, s"checkpointEvery must be >= 1")
+
+  // (frame, isCheckpoint): persisted frames release via unpersist (they
+  // live in CacheManager), checkpointed frames via their backing RDDs
+  // (CacheManager never sees them — the round-9 lesson)
+  private var state: Option[(DataFrame, Boolean)] = None
+  private val pins = scala.collection.mutable.ListBuffer.empty[(DataFrame, Boolean)]
+  private var round = 0
+  private var closed = false
+
+  private def release(df: DataFrame, isCkpt: Boolean): Unit =
+    if (isCkpt) Bridge.checkpointRdds(df).foreach(_.unpersist(blocking = false))
+    else df.unpersist(blocking = false)
+
+  private def releaseAll(): Unit = {
+    state.foreach { case (df, c) => release(df, c) }
+    state = None
+    pins.foreach { case (df, c) => release(df, c) }
+    pins.clear()
+    closed = true
+  }
+
+  /** Persist + materialize a loop-lifetime input (edge cache, degree
+    * table) now; released at finish/abort. Returns the cached frame —
+    * derive lazy views from it freely. */
+  def pin(df: DataFrame): DataFrame = {
+    val c = df.persist(level)
+    pins += ((c, false))
+    c
+  }
+
+  /** Track an already-localCheckpointed loop input for release at
+    * finish/abort (for inputs that must be checkpoints because the loop
+    * result must not re-read their upstream). */
+  def pinCheckpoint(df: DataFrame): DataFrame = { pins += ((df, true)); df }
+
+  /** Materialize the next round's state, release its predecessor, and
+    * truncate lineage on the cadence (or when `forceCheckpoint`, for
+    * final rounds whose state becomes the loop result via [[handoff]]). */
+  def advance(next: DataFrame, forceCheckpoint: Boolean = false): DataFrame =
+    advanceCounted(next, forceCheckpoint)._1
+
+  /** [[advance]] + the new state's row count (convergence tests, traces).
+    * On the persist path the count IS the materializing action, so it is
+    * never an extra job; on the checkpoint path it is one count over
+    * already-local blocks. */
+  def advanceCounted(
+      next: DataFrame, forceCheckpoint: Boolean = false): (DataFrame, Long) = {
+    require(!closed, "IterativeLoop already finished/aborted")
+    round += 1
+    val ckpt = forceCheckpoint || round % checkpointEvery == 0
+    val (cur, n) =
+      if (ckpt) { val c = next.localCheckpoint(eager = true); (c, c.count()) }
+      else { val c = next.persist(level); (c, c.count()) }
+    state.foreach { case (df, wasCkpt) => release(df, wasCkpt) }
+    state = Some((cur, ckpt))
+    (cur, n)
+  }
+
+  /** Materialize + count a frame the loop must RETAIN past later rounds
+    * (BFS layers: every hop's frontier survives to the final union).
+    * Released at finish/abort, never by [[advance]]. */
+  def keep(df: DataFrame): (DataFrame, Long) = {
+    require(!closed, "IterativeLoop already finished/aborted")
+    val c = df.persist(level)
+    pins += ((c, false))
+    (c, c.count())
+  }
+
+  /** Materialize `result` as a self-contained localCheckpoint, release
+    * every loop-held block, return it. For results DERIVED from the final
+    * state (label extraction, layer union) — the derivation runs once,
+    * over cached blocks. */
+  def finish(result: DataFrame): DataFrame = {
+    require(!closed, "IterativeLoop already finished/aborted")
+    val out = result.localCheckpoint(eager = true)
+    releaseAll()
+    out
+  }
+
+  /** When the final round's state IS the result: transfer ownership of
+    * its checkpoint (zero copy — the caller must have passed
+    * `forceCheckpoint = true` on the last [[advance]]) and release
+    * everything else. */
+  def handoff(): DataFrame = {
+    require(!closed, "IterativeLoop already finished/aborted")
+    val (df, isCkpt) = state.getOrElse(
+      throw new IllegalStateException("handoff before any advance"))
+    require(isCkpt, "handoff requires the final advance to forceCheckpoint")
+    state = None // ownership moves to the caller; do not release
+    releaseAll()
+    df
+  }
+
+  /** Release everything without producing a result (error paths,
+    * driver-side-result loops like bpeTrain). Idempotent. */
+  def abort(): Unit = if (!closed) releaseAll()
+}

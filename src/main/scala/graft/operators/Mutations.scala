@@ -220,9 +220,14 @@ object Mutations {
     */
   def joinViewDelta(aOld: DataFrame, dA: DataFrame, bOld: DataFrame,
       dB: DataFrame, aKey: String, bKey: String): DataFrame = {
-    val cond = col(aKey) === col(bKey)
-    broadcast(dA).join(bOld.unionByName(dB), cond)
-      .unionByName(aOld.join(broadcast(dB), cond))
+    // dataset-qualified key refs: with unqualified col(aKey)===col(bKey)
+    // the common IVM case — both bases keyed by the SAME column name —
+    // either fails to resolve or silently resolves both sides to one
+    // dataset (an equality-on-itself cross join). Qualifying per term
+    // keeps any key naming correct.
+    val b = bOld.unionByName(dB)
+    broadcast(dA).join(b, dA(aKey) === b(bKey))
+      .unionByName(aOld.join(broadcast(dB), aOld(aKey) === dB(bKey)))
   }
 
   /** A grouped aggregate view over `valueCol` at the `keys` grain — the

@@ -363,33 +363,39 @@ object TextOps {
       minCount: Long = 2L): DataFrame = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     val spark = docs.sparkSession
-    var segs = wordSegments(docs, textCol).localCheckpoint()
-    val merges = Seq.newBuilder[(Int, String, String, Long)]
-    var it = 1
-    var done = false
-    while (it <= nMerges && !done) {
-      val best = segs.filter(size(col("syms")) >= 2)
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), " +
-            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
-          .as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("n"))
-        .filter(col("n") >= minCount)
-        .orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (best.isEmpty) done = true
-      else {
-        val (l, r, n) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((it, l, r, n))
-        segs = segs.withColumn("syms", applyMerge(col("syms"), l, r))
-          .localCheckpoint()
-        it += 1
+    // checkpointEvery = 1: each iteration's applyMerge fold references the
+    // previous histogram once, but the RESULT (merge table) is built on
+    // the driver — superseded histograms have no later reader and must
+    // be released eagerly, not left for GC (the round-9 CC leak class)
+    val loop = new IterativeLoop(checkpointEvery = 1)
+    try {
+      var segs = loop.advance(wordSegments(docs, textCol))
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var it = 1
+      var done = false
+      while (it <= nMerges && !done) {
+        val best = segs.filter(size(col("syms")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+            .as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("n"))
+          .filter(col("n") >= minCount)
+          .orderBy(col("n").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          val (l, r, n) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((it, l, r, n))
+          segs = loop.advance(segs.withColumn("syms", applyMerge(col("syms"), l, r)))
+          it += 1
+        }
       }
-    }
-    import spark.implicits._
-    merges.result().toDF("merge_rank", "left_sym", "right_sym", "n")
+      import spark.implicits._
+      merges.result().toDF("merge_rank", "left_sym", "right_sym", "n")
+    } finally loop.abort()
   }
 
   /** Apply a learned BPE merge table ([[bpeTrain]]'s output order) to
@@ -402,19 +408,157 @@ object TextOps {
     * Scale shape: the merge chain is M map-only fold rewrites over the
     * word HISTOGRAM (corpus-size-independent, like training); join the
     * result back to docs by word when corpus-grain subword streams are
-    * needed. Rewrites fuse into one codegen'd projection per
-    * localCheckpoint-free chain — no per-merge shuffle, no collect.
+    * needed. Up to `chunkEvery` rewrites fuse into one projection chain —
+    * no per-merge shuffle, no collect.
+    *
+    * Expression depth is BOUNDED: a vocabulary-sized merge table (10k+)
+    * folded into one projection nests 10k aggregate-lambda expressions —
+    * past analyzer recursion and codegen limits long before that — so
+    * chains longer than `chunkEvery` are cut with an eager
+    * localCheckpoint per chunk (plan depth stays O(chunkEvery) no matter
+    * the vocabulary; intermediate chunks released via [[IterativeLoop]],
+    * the returned frame self-contained). Below the bound the result
+    * stays fully lazy/composable, exactly as before.
     */
   def bpeSegment(
       docs: DataFrame,
       textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)],
+      chunkEvery: Int = 50): DataFrame = {
+    require(chunkEvery >= 1, s"chunkEvery must be >= 1, got $chunkEvery")
+    def fold(base: DataFrame, chunk: Seq[(String, String)]): DataFrame =
+      chunk.foldLeft(base) { case (df, (l, r)) =>
+        df.withColumn("syms", applyMerge(col("syms"), l, r))
+      }
     val base = wordSegments(docs, textCol)
-    // fold the merge table into nested projections; for vocabulary-sized
-    // merge tables (10k+) chunk with localCheckpoint every ~50 merges to
-    // bound expression depth — gates/specs use small tables
-    merges.foldLeft(base) { case (df, (l, r)) =>
-      df.withColumn("syms", applyMerge(col("syms"), l, r))
+    if (merges.size <= chunkEvery) fold(base, merges)
+    else {
+      val loop = new IterativeLoop(checkpointEvery = 1)
+      try {
+        var cur = base
+        merges.grouped(chunkEvery).foreach { chunk =>
+          cur = loop.advance(fold(cur, chunk))
+        }
+        loop.handoff()
+      } catch { case e: Throwable => loop.abort(); throw e }
     }
+  }
+
+  /** Unigram-LM tokenizer training (Kudo 2018, the SentencePiece unigram
+    * model) via Viterbi EM over the word HISTOGRAM — the second half of
+    * the tokenizer-training pair next to [[bpeTrain]], and the same
+    * corpus-size-independent shape: after one corpus scan builds the
+    * (word, cnt) histogram, every EM iteration touches only
+    * histogram-grain rows (vocabulary-bounded), never the corpus.
+    *
+    *  - SEED: every substring of length 1..`maxPieceLen` of every
+    *    histogram word, scored by its occurrence-weighted frequency
+    *    (overlaps counted); `logp = ln(n / total)`.
+    *  - E-step (Viterbi): each word's best segmentation under the
+    *    current piece scores — a left-to-right DP where
+    *    `best(i) = max_k (best(i-k) + logp(word[i-k+1 .. i]))`,
+    *    ties broken toward the LONGER last piece (max over the
+    *    lexicographic `(score, k)` struct); pieces absent from the
+    *    current vocabulary cost the `-20.0` floor (SentencePiece's
+    *    required-character escape hatch, quantized so both engines
+    *    agree exactly).
+    *  - M-step: piece count = Σ word-cnt × multiplicity over the best
+    *    segmentations; zero-count pieces drop; scores renormalize.
+    *
+    * DETERMINISM ACROSS ENGINES (the DuckDB oracle replays this
+    * exactly): scores are quantized `round(ln(n/total), 6)` — counts
+    * are integer-exact in both engines, and rounding the lone
+    * libm-dependent step (`ln`) to 6 decimals erases any last-ulp
+    * divergence; DP additions then run in the identical left-to-right
+    * order, so every comparison sees bit-identical doubles.
+    *
+    * Scale shape: one corpus-grain token explode + histogram groupBy;
+    * per iteration one piece-grain equi-join (spans against the
+    * vocabulary), one word-grain map collect, a map-only Viterbi fold,
+    * and one piece-grain count aggregate — no corpus-width shuffle
+    * after the histogram, vocabulary state localCheckpointed per
+    * iteration ([[IterativeLoop]]).
+    *
+    * @return top `topK` pieces by `(n DESC, piece)` after `emIters`
+    *         EM rounds: (piece, n, logp) with `logp = round(ln(n /
+    *         total), 4)`.
+    */
+  def unigramTrain(
+      docs: DataFrame,
+      textCol: String,
+      maxPieceLen: Int = 3,
+      emIters: Int = 2,
+      topK: Int = 40): DataFrame = {
+    require(maxPieceLen >= 1 && emIters >= 1 && topK >= 1)
+    val m = maxPieceLen
+    val loop = new IterativeLoop(checkpointEvery = 1)
+    try {
+      val hist = loop.pin(docs
+        .select(explode(tokens(col(textCol))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt")))
+      // all (start, len) spans of each word, the piece at each, and the
+      // dense map key (start-1)*m + len in 1..len(word)*m — shared by
+      // the seed count and every iteration's score lookup table
+      val spans = hist.select(col("word"), col("cnt"),
+        explode(expr(
+          s"""flatten(transform(sequence(1, length(word)), st ->
+             |  transform(sequence(1, least($m, length(word) - st + 1)), ln ->
+             |    named_struct('st', st, 'ln', ln))))""".stripMargin)).as("sp"))
+        .select(col("word"), col("cnt"),
+          col("sp.st").as("st"), col("sp.ln").as("ln"),
+          expr("substring(word, sp.st, sp.ln)").as("piece"))
+      def scored(counts: DataFrame): DataFrame = {
+        val total = counts.agg(sum(col("n")).as("_total"))
+        counts.crossJoin(broadcast(total))
+          .select(col("piece"), col("n"),
+            round(log(col("n") / col("_total")), 6).as("lp"))
+      }
+      var vocab = loop.advance(scored(
+        spans.groupBy(col("piece")).agg(sum(col("cnt")).as("n"))))
+      for (_ <- 1 to emIters) {
+        // word-grain score table: every span's lp packed into one map
+        // keyed (st-1)*m + ln, read inside the fold below. The join is
+        // piece-grain (vocabulary-sized probe side).
+        val wordPm = spans.join(vocab.select(col("piece"), col("lp")), "piece")
+          .groupBy(col("word"), col("cnt"))
+          .agg(map_from_entries(collect_list(
+            struct(((col("st") - 1) * m + col("ln")).as("k"), col("lp"))))
+            .as("pm"))
+        // Viterbi DP as ONE codegen-scheduled fold: state = dp entries
+        // for positions 0..i, each (best score, pieces of the best
+        // segmentation); candidates at i try the last-piece lengths
+        // k = 1..min(m, i), argmax by (score, k) — the same expression,
+        // evaluated in the same order, as the oracle's list_reduce.
+        val argmax =
+          s"""array_max(transform(sequence(1, least($m, i)), k ->
+             |  named_struct(
+             |    's', element_at(acc, i - k + 1).s +
+             |         coalesce(element_at(pm, (i - k) * $m + k),
+             |                  cast(-20.0 as double)),
+             |    'k', k)))""".stripMargin
+        val seg = wordPm.select(col("word"), col("cnt"),
+          expr(
+            s"""element_at(
+               |  aggregate(sequence(1, length(word)),
+               |    array(named_struct(
+               |      's', cast(0.0 as double),
+               |      'ps', cast(array() as array<string>))),
+               |    (acc, i) -> concat(acc, array(named_struct(
+               |      's', ($argmax).s,
+               |      'ps', concat(
+               |        element_at(acc, i - ($argmax).k + 1).ps,
+               |        array(substring(word, i - ($argmax).k + 1,
+               |          ($argmax).k))))))),
+               |  length(word) + 1).ps""".stripMargin).as("ps"))
+        vocab = loop.advance(scored(
+          seg.select(col("cnt"), explode(col("ps")).as("piece"))
+            .groupBy(col("piece")).agg(sum(col("cnt")).as("n"))))
+      }
+      val total = vocab.agg(sum(col("n")).as("_total"))
+      loop.finish(vocab.crossJoin(broadcast(total))
+        .select(col("piece"), col("n"),
+          round(log(col("n") / col("_total")), 4).as("logp"))
+        .orderBy(col("n").desc, col("piece")).limit(topK))
+    } catch { case e: Throwable => loop.abort(); throw e }
   }
 }

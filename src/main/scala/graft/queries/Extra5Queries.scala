@@ -30,8 +30,11 @@ object Extra5Queries {
           .withColumn("valid_from", lit(0L))
           .withColumn("valid_to", lit(null).cast("long"))
           .withColumn("is_current", lit(true))
+        // clone-key offset far above any plausible SF's key range
+        // (TPC-H custkey = 150k*SF; 1e9 collides only past SF ~6600 —
+        // the old +1e6 collided at SF >= ~7, dataset-fragile)
         val clones = cust.filter($"c_custkey" % 50 === 7)
-          .withColumn("c_custkey", $"c_custkey" + 1000000)
+          .withColumn("c_custkey", $"c_custkey" + 1000000000L)
         val b1 = cust.filter($"c_custkey" % 10 === 3)
           .withColumn("c_acctbal", round($"c_acctbal" + 100, 2))
           .unionByName(clones)
@@ -52,7 +55,7 @@ object Extra5Queries {
              |SELECT c_custkey, c_acctbal, CAST(0 AS BIGINT)
              |FROM customer WHERE c_custkey % 10 <> 3
              |UNION ALL
-             |SELECT c_custkey + 1000000, c_acctbal, CAST(100 AS BIGINT)
+             |SELECT c_custkey + 1000000000, c_acctbal, CAST(100 AS BIGINT)
              |FROM customer WHERE c_custkey % 50 = 7
              |ORDER BY c_custkey""".stripMargin)),
 

@@ -475,6 +475,45 @@ class PipelineOpsSpec extends AnyFunSuite {
       .count() == 0L, "minCount above every pair count must learn nothing")
   }
 
+  test("bpeSegment: 201-merge table chunks to constant plan depth, same result") {
+    import spark.implicits._
+    // 8 words over DISJOINT 26-char alphabets; each word's 25 chaining
+    // merges collapse it to one symbol. 8*25+1=201 merges total — far past
+    // the 50-merge chunk bound, and chains CROSS chunk boundaries (word
+    // 2's chain spans merges 26..51), so a chunk-cut bug shows as a
+    // half-merged word, not a crash.
+    val words = (0 until 8).map(w =>
+      new String((0 until 26).map(i => (0x100 + 26 * w + i).toChar).toArray))
+    val merges = words.flatMap { wd =>
+      (1 until wd.length).map(i => (wd.substring(0, i), wd.substring(i, i + 1)))
+    } ++ Seq(("no", "pe")) // a merge that matches nothing
+    assert(merges.size == 201)
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    def segs(chunkEvery: Int): Map[String, Seq[String]] =
+      TextOps.bpeSegment(docs, "text", merges, chunkEvery)
+        .select($"word", $"syms").as[(String, Seq[String])]
+        .collect().toMap
+    val chunked = segs(50)
+    assert(words.forall(wd => chunked(wd) == Seq(wd)),
+      s"every word must collapse to one symbol: $chunked")
+    // chunked result == the single-projection lazy path (chunkEvery >=
+    // table size) — chunk cuts are semantically invisible
+    assert(chunked == segs(merges.size))
+    // constant plan depth: past the bound the result is a materialized
+    // relation whose plan does not grow with the merge-table size
+    val big = TextOps.bpeSegment(docs, "text", merges, chunkEvery = 50)
+    val bigger = TextOps.bpeSegment(docs, "text",
+      merges ++ Seq(("xx", "yy"), ("yy", "zz")), chunkEvery = 50)
+    def nodes(df: org.apache.spark.sql.DataFrame): Int = {
+      var n = 0
+      df.queryExecution.optimizedPlan.foreach(_ => n += 1)
+      n
+    }
+    assert(nodes(big) == nodes(bigger),
+      s"chunked bpeSegment plan must not grow with merges: ${nodes(big)} vs ${nodes(bigger)}")
+    Caches.sweep(spark)
+  }
+
   test("sortedNeighborhoodEr: transitive closure links variants, window bounds recall") {
     import spark.implicits._
     // sort order under lower(nm) with id tie-break:
