@@ -330,15 +330,19 @@ object PerfProbe {
       |
       |BFS 10 hops from 120 seeds (hop-1 burst 4,900 clique nodes, then
       |20 chain nodes/hop): broadcast frontier ${bfsBroadcast._2}%.2fs vs
-      |forced shuffle-join frontier ${bfsShuffle._2}%.2fs
-      |(${bfsShuffle._2 / bfsBroadcast._2}%.2fx). Under the 2M-node bound
-      |the frontier broadcasts into the edge join, so the 142k-edge set
-      |NEVER shuffles — per-hop cost is one map-side join + the visited
-      |anti-join; past the bound (forced here with bound=0) every hop
-      |pays an edge-set shuffle. At crawl scale the bound is the
-      |difference between O(hops) map passes and O(hops) full-graph
-      |exchanges; the fallback exists because a 100M-node frontier
-      |cannot broadcast.
+      |forced shuffle-join frontier ${bfsShuffle._2}%.2fs. At 142k edges
+      |the broadcast path is NOT ahead (run-to-run it lands 0.9x-1.5x of
+      |the shuffle path): each hop pays a blocking driver-side broadcast
+      |construction, while shuffling 142k rows is nearly free — fixed
+      |per-hop overhead dominates at probe scale. Read the STRUCTURE,
+      |not the ratio: under the 2M-node bound the frontier
+      |broadcasts into the edge join and the edge set never shuffles
+      |(per-hop cost = one map-side join + the visited anti-join, O(hops)
+      |map passes over edge splits); past the bound every hop re-exchanges
+      |the edge set, which at crawl scale (billions of edges) is the
+      |whole-graph-shuffle-per-hop regime. The fallback exists because a
+      |100M-node frontier cannot broadcast; the probe demonstrates both
+      |paths produce the identical reach set (asserted).
       |
       |As-of speedup native/window: ${asofWindow._2 / asofNative._2}%.2fx.
       |Interval speedup native/theta: ${intTheta._2 / intNative._2}%.2fx.

@@ -118,11 +118,17 @@ final class IterativeLoop(
 
   /** Materialize + count a frame the loop must RETAIN past later rounds
     * (BFS layers: every hop's frontier survives to the final union).
-    * Released at finish/abort, never by [[advance]]. */
+    * Released at finish/abort, never by [[advance]]. ALWAYS a
+    * localCheckpoint, never a persist: retained frames are referenced
+    * by every later round's plan (BFS's visited anti-join unions ALL
+    * prior layers), so an uncut retained plan makes round r's logical
+    * plan contain the sum of all earlier rounds' plans — size DOUBLES
+    * per round (a 10-hop BFS probe OOMed the driver in AQE's
+    * explainString before this was a checkpoint). */
   def keep(df: DataFrame): (DataFrame, Long) = {
     require(!closed, "IterativeLoop already finished/aborted")
-    val c = df.persist(level)
-    pins += ((c, false))
+    val c = df.localCheckpoint(eager = true)
+    pins += ((c, true))
     (c, c.count())
   }
 

@@ -518,4 +518,81 @@ object Similarity {
     ivfRank(ivfAssign(corpus, cent, idCol, embCol),
       ivfProbe(queries, cent, nProbe, idCol, embCol), k)
   }
+
+  /** Top principal direction of the (uncentered) embedding Gram matrix
+    * by distributed power iteration, plus every vector's projection onto
+    * it — the "all-but-the-top" embedding post-processing primitive
+    * (Mu & Viswanath ICLR'18: raw embedding sets share a large common
+    * direction; removing it improves downstream similarity), and the
+    * one-component case of PCA whitening/compression.
+    *
+    * ENGINEERED INTEGER-EXACT, the t32 determinism discipline taken one
+    * step further: embeddings quantize to `round(x * quantScale)` longs,
+    * so the Gram accumulation is an INTEGER sum — bit-exact in any
+    * summation order (no float-order nondeterminism across partitions,
+    * reps, or engines). The power iteration runs on the driver over the
+    * collected d×d Gram (d² longs — bounded metadata, the BPE-argmax
+    * contract), each step renormalizing to integer-quantized components
+    * `round(u_i / ||u|| * wScale)`: the only float steps (one sqrt, one
+    * divide) hit identical operands in every engine, and the quantized
+    * result erases their last-ulp freedom. Projections are then again
+    * exact integer dot products. Sign is canonicalized so the
+    * largest-|component| (lowest index on ties) is positive.
+    *
+    * Scale shape: ONE map-side pass explodes each vector into its d²
+    * index pairs and the Gram groupBy is map-combined — shuffle volume
+    * is partitions × d², independent of row count; the projection pass
+    * is a map-only broadcast-literal dot product. Overflow bounds:
+    * |x|≲10 ⇒ entries ≲ (10·quantScale)² per row ⇒ 1e10·rows must stay
+    * under 2^63 — fine to ~1e8 rows at the default scale; drop
+    * quantScale for larger corpora.
+    *
+    * @return (id, proj) with `proj = Σ q(x_i)·w_i` as BIGINT (exact),
+    *         where w is the quantized unit direction after `iters`
+    *         power steps from the all-ones start.
+    */
+  def topComponentProjection(
+      emb: DataFrame, idCol: String = "vec_id", embCol: String = "embedding",
+      iters: Int = 3, quantScale: Long = 1000L,
+      wScale: Long = 1000000L): DataFrame = {
+    require(iters >= 1)
+    val spark = emb.sparkSession
+    // float→double is exact, then one double multiply + round: identical
+    // operand, identical result in any engine (float*int coercion is NOT
+    // — Spark widens to double, other engines may multiply in float)
+    val vq = emb.select(col(idCol).as("id"),
+      expr(s"transform($embCol, x -> " +
+        s"cast(round(cast(x as double) * $quantScale.0) as bigint))")
+        .as("vq"))
+    // d from one row (driver scalar, same contract as pageRank's N)
+    val d = vq.select(size(col("vq"))).head().getInt(0)
+    // Gram: map-side explode to (i, j, vi*vj), map-combined integer sum —
+    // 4096 groups at d=64 regardless of corpus size
+    val gram = vq
+      .select(posexplode(col("vq")).as(Seq("i", "vi")), col("vq"))
+      .select(col("i"), posexplode(col("vq")).as(Seq("j", "vj")), col("vi"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("vi") * col("vj")).as("g"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    def matvec(w: Array[Long]): Array[Long] = {
+      // u_i = Σ_j G_ij w_j exactly; then requantize u/||u|| in FIXED
+      // index order (the oracle replays the same order)
+      val u = Array.tabulate(d)(i =>
+        (0 until d).foldLeft(0L)((acc, j) => acc + gram((i, j)) * w(j)))
+      val norm = math.sqrt(u.foldLeft(0.0)((acc, x) => {
+        val xs = x.toDouble / wScale; acc + xs * xs
+      })) * wScale
+      Array.tabulate(d)(i => math.round(u(i) / norm * wScale))
+    }
+    var w = Array.fill(d)(wScale)
+    for (_ <- 1 to iters) w = matvec(w)
+    // canonical sign: largest |w_i| (lowest index on ties) positive
+    val lead = (0 until d).maxBy(i => (math.abs(w(i)), -i))
+    if (w(lead) < 0) w = w.map(-_)
+    val wLit = array(w.map(lit): _*)
+    vq.withColumn("wq", wLit)
+      .select(col("id"),
+        expr("aggregate(zip_with(vq, wq, (a, b) -> a * b), " +
+          "cast(0 as bigint), (acc, x) -> acc + x)").as("proj"))
+  }
 }

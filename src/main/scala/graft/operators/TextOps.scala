@@ -483,6 +483,60 @@ object TextOps {
     *         EM rounds: (piece, n, logp) with `logp = round(ln(n /
     *         total), 4)`.
     */
+  /** All (start, len) spans of each histogram word, the piece at each,
+    * and the dense score-map key `(start-1)*m + len` in 1..len(word)*m —
+    * shared by the unigram seed count and every score lookup table. */
+  private def unigramSpans(hist: DataFrame, m: Int): DataFrame =
+    hist.select(col("word"), col("cnt"),
+      explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), st ->
+           |  transform(sequence(1, least($m, length(word) - st + 1)), ln ->
+           |    named_struct('st', st, 'ln', ln))))""".stripMargin)).as("sp"))
+      .select(col("word"), col("cnt"),
+        col("sp.st").as("st"), col("sp.ln").as("ln"),
+        expr("substring(word, sp.st, sp.ln)").as("piece"))
+
+  /** Word-grain score table: every span's piece score packed into one
+    * map keyed `(st-1)*m + ln`, read inside [[unigramViterbi]]. The join
+    * is piece-grain (vocabulary-sized probe side); `vocab` must carry
+    * (piece, lp). */
+  private def unigramWordPm(spans: DataFrame, vocab: DataFrame, m: Int): DataFrame =
+    spans.join(vocab.select(col("piece"), col("lp")), "piece")
+      .groupBy(col("word"), col("cnt"))
+      .agg(map_from_entries(collect_list(
+        struct(((col("st") - 1) * m + col("ln")).as("k"), col("lp"))))
+        .as("pm"))
+
+  /** The Viterbi best-segmentation fold over columns `word`/`pm`: state
+    * = dp entries for positions 0..i, each (best score, pieces of the
+    * best segmentation); candidates at i try last-piece lengths
+    * k = 1..min(m, i), argmax by the lexicographic (score, k) struct —
+    * the same expression, evaluated in the same left-to-right order, as
+    * the DuckDB oracle's list_reduce. Pieces absent from the score map
+    * cost the -20.0 floor (quantized, engine-identical). */
+  private def unigramViterbi(m: Int): Column = {
+    val argmax =
+      s"""array_max(transform(sequence(1, least($m, i)), k ->
+         |  named_struct(
+         |    's', element_at(acc, i - k + 1).s +
+         |         coalesce(element_at(pm, (i - k) * $m + k),
+         |                  cast(-20.0 as double)),
+         |    'k', k)))""".stripMargin
+    expr(
+      s"""element_at(
+         |  aggregate(sequence(1, length(word)),
+         |    array(named_struct(
+         |      's', cast(0.0 as double),
+         |      'ps', cast(array() as array<string>))),
+         |    (acc, i) -> concat(acc, array(named_struct(
+         |      's', ($argmax).s,
+         |      'ps', concat(
+         |        element_at(acc, i - ($argmax).k + 1).ps,
+         |        array(substring(word, i - ($argmax).k + 1,
+         |          ($argmax).k))))))),
+         |  length(word) + 1).ps""".stripMargin)
+  }
+
   def unigramTrain(
       docs: DataFrame,
       textCol: String,
@@ -496,17 +550,7 @@ object TextOps {
       val hist = loop.pin(docs
         .select(explode(tokens(col(textCol))).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("cnt")))
-      // all (start, len) spans of each word, the piece at each, and the
-      // dense map key (start-1)*m + len in 1..len(word)*m — shared by
-      // the seed count and every iteration's score lookup table
-      val spans = hist.select(col("word"), col("cnt"),
-        explode(expr(
-          s"""flatten(transform(sequence(1, length(word)), st ->
-             |  transform(sequence(1, least($m, length(word) - st + 1)), ln ->
-             |    named_struct('st', st, 'ln', ln))))""".stripMargin)).as("sp"))
-        .select(col("word"), col("cnt"),
-          col("sp.st").as("st"), col("sp.ln").as("ln"),
-          expr("substring(word, sp.st, sp.ln)").as("piece"))
+      val spans = unigramSpans(hist, m)
       def scored(counts: DataFrame): DataFrame = {
         val total = counts.agg(sum(col("n")).as("_total"))
         counts.crossJoin(broadcast(total))
@@ -516,40 +560,8 @@ object TextOps {
       var vocab = loop.advance(scored(
         spans.groupBy(col("piece")).agg(sum(col("cnt")).as("n"))))
       for (_ <- 1 to emIters) {
-        // word-grain score table: every span's lp packed into one map
-        // keyed (st-1)*m + ln, read inside the fold below. The join is
-        // piece-grain (vocabulary-sized probe side).
-        val wordPm = spans.join(vocab.select(col("piece"), col("lp")), "piece")
-          .groupBy(col("word"), col("cnt"))
-          .agg(map_from_entries(collect_list(
-            struct(((col("st") - 1) * m + col("ln")).as("k"), col("lp"))))
-            .as("pm"))
-        // Viterbi DP as ONE codegen-scheduled fold: state = dp entries
-        // for positions 0..i, each (best score, pieces of the best
-        // segmentation); candidates at i try the last-piece lengths
-        // k = 1..min(m, i), argmax by (score, k) — the same expression,
-        // evaluated in the same order, as the oracle's list_reduce.
-        val argmax =
-          s"""array_max(transform(sequence(1, least($m, i)), k ->
-             |  named_struct(
-             |    's', element_at(acc, i - k + 1).s +
-             |         coalesce(element_at(pm, (i - k) * $m + k),
-             |                  cast(-20.0 as double)),
-             |    'k', k)))""".stripMargin
-        val seg = wordPm.select(col("word"), col("cnt"),
-          expr(
-            s"""element_at(
-               |  aggregate(sequence(1, length(word)),
-               |    array(named_struct(
-               |      's', cast(0.0 as double),
-               |      'ps', cast(array() as array<string>))),
-               |    (acc, i) -> concat(acc, array(named_struct(
-               |      's', ($argmax).s,
-               |      'ps', concat(
-               |        element_at(acc, i - ($argmax).k + 1).ps,
-               |        array(substring(word, i - ($argmax).k + 1,
-               |          ($argmax).k))))))),
-               |  length(word) + 1).ps""".stripMargin).as("ps"))
+        val seg = unigramWordPm(spans, vocab, m)
+          .select(col("word"), col("cnt"), unigramViterbi(m).as("ps"))
         vocab = loop.advance(scored(
           seg.select(col("cnt"), explode(col("ps")).as("piece"))
             .groupBy(col("piece")).agg(sum(col("cnt")).as("n"))))
@@ -560,5 +572,36 @@ object TextOps {
           round(log(col("n") / col("_total")), 4).as("logp"))
         .orderBy(col("n").desc, col("piece")).limit(topK))
     } catch { case e: Throwable => loop.abort(); throw e }
+  }
+
+  /** Apply a trained unigram vocabulary ([[unigramTrain]]'s output shape
+    * `(piece, n, logp)`): Viterbi-segment the word HISTOGRAM under the
+    * given piece scores — the tokenizer-application half of the unigram
+    * pair, sharing the exact DP (and therefore segmentations) with
+    * training. Pieces outside the vocabulary cost the -20.0 floor, so
+    * out-of-vocabulary words still segment deterministically (fallback
+    * through floor-cost pieces, longest-last-piece tie-break).
+    *
+    * Scale shape: one corpus scan for the histogram, then histogram-
+    * grain only — a piece-grain vocab join, one word-grain map collect,
+    * and the map-only fold; fully lazy/composable (join the result back
+    * to docs by word for corpus-grain subword streams).
+    *
+    * @return (word, cnt, ps) — each histogram word with its best
+    *         segmentation under the scores.
+    */
+  def unigramSegment(
+      docs: DataFrame,
+      textCol: String,
+      vocab: DataFrame,
+      maxPieceLen: Int = 3,
+      scoreCol: String = "logp"): DataFrame = {
+    val m = maxPieceLen
+    val hist = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    unigramWordPm(unigramSpans(hist, m),
+        vocab.select(col("piece"), col(scoreCol).as("lp")), m)
+      .select(col("word"), col("cnt"), unigramViterbi(m).as("ps"))
   }
 }

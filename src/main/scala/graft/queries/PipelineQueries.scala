@@ -748,6 +748,48 @@ object PipelineQueries {
              |    list_transform(qv, v -> v * scale)), 5) AS cos
              |FROM q ORDER BY vec_id""".stripMargin)),
 
+    // Top principal direction by distributed power iteration + per-vector
+    // projection (the "all-but-the-top" embedding post-processing step,
+    // Mu & Viswanath ICLR'18; the 1-component PCA case). INTEGER-EXACT
+    // across engines: embeddings quantize to longs, the Gram matrix is a
+    // map-combined integer sum (bit-exact in ANY summation order — no
+    // float-order nondeterminism across partitions or engines), and each
+    // driver-side power step requantizes to integer components so the
+    // only float ops (one sqrt, one divide per step) see identical
+    // operands everywhere. The oracle replays the identical math: same
+    // Gram, 3 unrolled power steps in fixed index order, same
+    // floor(x+0.5) requantization, same sign canonicalization.
+    Q("s10_pca_projection",
+      (s, dir) =>
+        Similarity.topComponentProjection(Tables(s, dir, "embeddings"))
+          .select(col("id").as("vec_id"), col("proj"))
+          .orderBy(col("vec_id")),
+      Some("""WITH vq AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS vq
+             |  FROM embeddings),
+             |idx AS (SELECT unnest(range(0, 64)) AS i),
+             |g AS (
+             |  SELECT a.i AS i, b.i AS j, CAST(sum(vq[a.i+1] * vq[b.i+1]) AS BIGINT) AS gv
+             |  FROM vq, idx a, idx b GROUP BY a.i, b.i),
+             |gm AS (SELECT i, list(gv ORDER BY j) AS grow FROM g GROUP BY i),
+             |w0 AS (SELECT list_transform(range(0, 64), i -> CAST(1000000 AS BIGINT)) AS w),
+             |u1 AS (SELECT i, CAST(list_sum(list_transform(range(1, 65), jj -> grow[jj] * w[jj])) AS BIGINT) AS u FROM gm, w0),
+             |ul1 AS (SELECT list(u ORDER BY i) AS ul FROM u1),
+             |n1 AS (SELECT sqrt(list_sum(list_transform(ul, x -> (CAST(x AS DOUBLE)/1000000)*(CAST(x AS DOUBLE)/1000000)))) * 1000000 AS nrm FROM ul1),
+             |w1 AS (SELECT list_transform(ul, x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT)) AS w FROM ul1, n1),
+             |u2 AS (SELECT i, CAST(list_sum(list_transform(range(1, 65), jj -> grow[jj] * w[jj])) AS BIGINT) AS u FROM gm, w1),
+             |ul2 AS (SELECT list(u ORDER BY i) AS ul FROM u2),
+             |n2 AS (SELECT sqrt(list_sum(list_transform(ul, x -> (CAST(x AS DOUBLE)/1000000)*(CAST(x AS DOUBLE)/1000000)))) * 1000000 AS nrm FROM ul2),
+             |w2 AS (SELECT list_transform(ul, x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT)) AS w FROM ul2, n2),
+             |u3 AS (SELECT i, CAST(list_sum(list_transform(range(1, 65), jj -> grow[jj] * w[jj])) AS BIGINT) AS u FROM gm, w2),
+             |ul3 AS (SELECT list(u ORDER BY i) AS ul FROM u3),
+             |n3 AS (SELECT sqrt(list_sum(list_transform(ul, x -> (CAST(x AS DOUBLE)/1000000)*(CAST(x AS DOUBLE)/1000000)))) * 1000000 AS nrm FROM ul3),
+             |w3 AS (SELECT list_transform(ul, x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 1000000 + 0.5) AS BIGINT)) AS w FROM ul3, n3),
+             |lead AS (SELECT (-(list_aggregate(list_transform(range(0, 64), i -> {'a': abs(w[i+1]), 'ni': -i}), 'max')).ni) AS li FROM w3),
+             |ws AS (SELECT CASE WHEN w[li+1] < 0 THEN list_transform(w, x -> -x) ELSE w END AS w FROM w3, lead)
+             |SELECT vec_id, CAST(list_sum(list_transform(range(1, 65), j -> vq[j] * w[j])) AS BIGINT) AS proj
+             |FROM vq, ws ORDER BY vec_id""".stripMargin)),
+
     // End-to-end training-data prep: quality gate -> exact-dedup
     // canonical selection -> temperature domain mixing -> per-language
     // corpus stats. One composed job — the full operator-family chain a

@@ -989,7 +989,172 @@ object Text2Queries {
              |SELECT doc.doc_id, coalesce(a.n_fp, 0) AS n_fp,
              |  a.min_fp, a.max_fp
              |FROM documents doc LEFT JOIN agg a ON doc.doc_id = a.doc_id
-             |ORDER BY doc.doc_id""".stripMargin))
+             |ORDER BY doc.doc_id""".stripMargin)),
+
+    // ---- Unigram-LM tokenizer training (Kudo 2018 / SentencePiece):
+    //      Viterbi-EM over the word histogram, 2 EM rounds, piece length
+    //      <= 3, top-40 vocabulary. The oracle unrolls both EM rounds:
+    //      the same seed counts, the same per-word score map, and the
+    //      same left-to-right DP (list_reduce with a growing dp list,
+    //      argmax by the lexicographic (score, last-piece-len) struct —
+    //      DuckDB's list_aggregate 'max' and Spark's array_max order
+    //      structs identically). Scores are quantized round(ln, 6) so
+    //      the lone libm-dependent step can never diverge by an ulp;
+    //      counts are integer-exact in both engines ----
+    Q("t32_unigram_train",
+      (s, dir) =>
+        graft.operators.TextOps.unigramTrain(
+          Tables(s, dir, "documents"), "text",
+          maxPieceLen = 3, emIters = 2, topK = 40),
+      Some("""WITH w AS (
+             |  SELECT tok AS word, count(*) AS cnt FROM (
+             |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+             |    FROM documents)
+             |  GROUP BY tok),
+             |sp AS (
+             |  SELECT word, cnt, st, ln, substr(word, st, ln) AS piece, (st-1)*3 + ln AS k
+             |  FROM (SELECT word, cnt, unnest(range(1, length(word)+1)) AS st FROM w) t,
+             |       (SELECT unnest([1,2,3]) AS ln) l
+             |  WHERE st + ln - 1 <= length(word)),
+             |v0 AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS n FROM sp GROUP BY piece),
+             |v0s AS (SELECT piece, n,
+             |        round(ln(CAST(n AS DOUBLE)/(SELECT CAST(sum(n) AS DOUBLE) FROM v0)), 6) AS lp
+             |        FROM v0),
+             |pm1 AS (
+             |  SELECT sp.word, any_value(sp.cnt) AS cnt,
+             |         map(list(sp.k ORDER BY sp.k), list(v.lp ORDER BY sp.k)) AS pm
+             |  FROM sp JOIN v0s v USING (piece) GROUP BY sp.word),
+             |seg1 AS (
+             |  SELECT cnt,
+             |    list_reduce(
+             |      [[{'s': 0.0, 'ps': CAST([] AS VARCHAR[])}]] ||
+             |        list_transform(range(1, length(word)+1), ii -> CAST([] AS STRUCT(s DOUBLE, ps VARCHAR[])[])),
+             |      (acc, x) -> acc || [{
+             |        's': (list_aggregate(list_transform(range(1, least(3, len(acc))+1), k -> {'s': acc[len(acc)-k+1].s + coalesce(map_extract(pm, (len(acc)-k)*3 + k)[1], -20.0), 'k': k}), 'max')).s,
+             |        'ps': acc[len(acc) - (list_aggregate(list_transform(range(1, least(3, len(acc))+1), k -> {'s': acc[len(acc)-k+1].s + coalesce(map_extract(pm, (len(acc)-k)*3 + k)[1], -20.0), 'k': k}), 'max')).k + 1].ps ||
+             |              [substr(word, len(acc) - (list_aggregate(list_transform(range(1, least(3, len(acc))+1), k -> {'s': acc[len(acc)-k+1].s + coalesce(map_extract(pm, (len(acc)-k)*3 + k)[1], -20.0), 'k': k}), 'max')).k + 1, (list_aggregate(list_transform(range(1, least(3, len(acc))+1), k -> {'s': acc[len(acc)-k+1].s + coalesce(map_extract(pm, (len(acc)-k)*3 + k)[1], -20.0), 'k': k}), 'max')).k)]
+             |      }]
+             |    )[length(word)+1].ps AS ps
+             |  FROM pm1),
+             |c1 AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS n
+             |       FROM (SELECT cnt, unnest(ps) AS piece FROM seg1) GROUP BY piece),
+             |v1s AS (SELECT piece, n,
+             |        round(ln(CAST(n AS DOUBLE)/(SELECT CAST(sum(n) AS DOUBLE) FROM c1)), 6) AS lp
+             |        FROM c1),
+             |pm2 AS (
+             |  SELECT sp.word, any_value(sp.cnt) AS cnt,
+             |         map(list(sp.k ORDER BY sp.k), list(v.lp ORDER BY sp.k)) AS pm
+             |  FROM sp JOIN v1s v USING (piece) GROUP BY sp.word),
+             |seg2 AS (
+             |  SELECT cnt,
+             |    list_reduce(
+             |      [[{'s': 0.0, 'ps': CAST([] AS VARCHAR[])}]] ||
+             |        list_transform(range(1, length(word)+1), ii -> CAST([] AS STRUCT(s DOUBLE, ps VARCHAR[])[])),
+             |      (acc, x) -> acc || [{
+             |        's': (list_aggregate(list_transform(range(1, least(3, len(acc))+1), k -> {'s': acc[len(acc)-k+1].s + coalesce(map_extract(pm, (len(acc)-k)*3 + k)[1], -20.0), 'k': k}), 'max')).s,
+             |        'ps': acc[len(acc) - (list_aggregate(list_transform(range(1, least(3, len(acc))+1), k -> {'s': acc[len(acc)-k+1].s + coalesce(map_extract(pm, (len(acc)-k)*3 + k)[1], -20.0), 'k': k}), 'max')).k + 1].ps ||
+             |              [substr(word, len(acc) - (list_aggregate(list_transform(range(1, least(3, len(acc))+1), k -> {'s': acc[len(acc)-k+1].s + coalesce(map_extract(pm, (len(acc)-k)*3 + k)[1], -20.0), 'k': k}), 'max')).k + 1, (list_aggregate(list_transform(range(1, least(3, len(acc))+1), k -> {'s': acc[len(acc)-k+1].s + coalesce(map_extract(pm, (len(acc)-k)*3 + k)[1], -20.0), 'k': k}), 'max')).k)]
+             |      }]
+             |    )[length(word)+1].ps AS ps
+             |  FROM pm2),
+             |c2 AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS n
+             |       FROM (SELECT cnt, unnest(ps) AS piece FROM seg2) GROUP BY piece)
+             |SELECT piece, n,
+             |  round(ln(CAST(n AS DOUBLE)/(SELECT CAST(sum(n) AS DOUBLE) FROM c2)), 4) AS logp
+             |FROM c2 ORDER BY n DESC, piece LIMIT 40""".stripMargin)),
+
+    // ---- Unigram tokenizer application (the train->apply pair, the
+    //      t28/t30 shape for the unigram model): segment the corpus
+    //      with t32's trained top-40 vocabulary and report the top-20
+    //      subword pieces by occurrence-weighted count. Out-of-vocab
+    //      pieces cost the -20 floor, so the restriction to the top-40
+    //      exercises the fallback path. Oracle = t32's unrolled EM chain
+    //      plus one more Viterbi pass under the emitted (round-4) scores ----
+    Q("t33_unigram_segment",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val vocab = graft.operators.TextOps.unigramTrain(
+          docs, "text", maxPieceLen = 3, emIters = 2, topK = 40)
+        graft.operators.TextOps.unigramSegment(docs, "text", vocab)
+          .select(explode(col("ps")).as("piece"), col("cnt"))
+          .groupBy(col("piece")).agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("piece")).limit(20)
+      },
+      Some("""WITH w AS (
+             |  SELECT tok AS word, count(*) AS cnt FROM (
+             |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+             |    FROM documents)
+             |  GROUP BY tok),
+             |sp AS (
+             |  SELECT word, cnt, st, ln, substr(word, st, ln) AS piece, (st-1)*3 + ln AS k
+             |  FROM (SELECT word, cnt, unnest(range(1, length(word)+1)) AS st FROM w) t,
+             |       (SELECT unnest([1,2,3]) AS ln) l
+             |  WHERE st + ln - 1 <= length(word)),
+             |v0 AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS n FROM sp GROUP BY piece),
+             |v0s AS (SELECT piece, n,
+             |        round(ln(CAST(n AS DOUBLE)/(SELECT CAST(sum(n) AS DOUBLE) FROM v0)), 6) AS lp
+             |        FROM v0),
+             |pm1 AS (
+             |  SELECT sp.word, any_value(sp.cnt) AS cnt,
+             |         map(list(sp.k ORDER BY sp.k), list(v.lp ORDER BY sp.k)) AS pm
+             |  FROM sp JOIN v0s v USING (piece) GROUP BY sp.word),
+             |seg1 AS (
+             |  SELECT cnt,
+             |    list_reduce(
+             |      [[{'s': 0.0, 'ps': CAST([] AS VARCHAR[])}]] ||
+             |        list_transform(range(1, length(word)+1), ii -> CAST([] AS STRUCT(s DOUBLE, ps VARCHAR[])[])),
+             |      (acc, x) -> acc || [{
+             |        's': (list_aggregate(list_transform(range(1, least(3, len(acc))+1), k -> {'s': acc[len(acc)-k+1].s + coalesce(map_extract(pm, (len(acc)-k)*3 + k)[1], -20.0), 'k': k}), 'max')).s,
+             |        'ps': acc[len(acc) - (list_aggregate(list_transform(range(1, least(3, len(acc))+1), k -> {'s': acc[len(acc)-k+1].s + coalesce(map_extract(pm, (len(acc)-k)*3 + k)[1], -20.0), 'k': k}), 'max')).k + 1].ps ||
+             |              [substr(word, len(acc) - (list_aggregate(list_transform(range(1, least(3, len(acc))+1), k -> {'s': acc[len(acc)-k+1].s + coalesce(map_extract(pm, (len(acc)-k)*3 + k)[1], -20.0), 'k': k}), 'max')).k + 1, (list_aggregate(list_transform(range(1, least(3, len(acc))+1), k -> {'s': acc[len(acc)-k+1].s + coalesce(map_extract(pm, (len(acc)-k)*3 + k)[1], -20.0), 'k': k}), 'max')).k)]
+             |      }]
+             |    )[length(word)+1].ps AS ps
+             |  FROM pm1),
+             |c1 AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS n
+             |       FROM (SELECT cnt, unnest(ps) AS piece FROM seg1) GROUP BY piece),
+             |v1s AS (SELECT piece, n,
+             |        round(ln(CAST(n AS DOUBLE)/(SELECT CAST(sum(n) AS DOUBLE) FROM c1)), 6) AS lp
+             |        FROM c1),
+             |pm2 AS (
+             |  SELECT sp.word, any_value(sp.cnt) AS cnt,
+             |         map(list(sp.k ORDER BY sp.k), list(v.lp ORDER BY sp.k)) AS pm
+             |  FROM sp JOIN v1s v USING (piece) GROUP BY sp.word),
+             |seg2 AS (
+             |  SELECT cnt,
+             |    list_reduce(
+             |      [[{'s': 0.0, 'ps': CAST([] AS VARCHAR[])}]] ||
+             |        list_transform(range(1, length(word)+1), ii -> CAST([] AS STRUCT(s DOUBLE, ps VARCHAR[])[])),
+             |      (acc, x) -> acc || [{
+             |        's': (list_aggregate(list_transform(range(1, least(3, len(acc))+1), k -> {'s': acc[len(acc)-k+1].s + coalesce(map_extract(pm, (len(acc)-k)*3 + k)[1], -20.0), 'k': k}), 'max')).s,
+             |        'ps': acc[len(acc) - (list_aggregate(list_transform(range(1, least(3, len(acc))+1), k -> {'s': acc[len(acc)-k+1].s + coalesce(map_extract(pm, (len(acc)-k)*3 + k)[1], -20.0), 'k': k}), 'max')).k + 1].ps ||
+             |              [substr(word, len(acc) - (list_aggregate(list_transform(range(1, least(3, len(acc))+1), k -> {'s': acc[len(acc)-k+1].s + coalesce(map_extract(pm, (len(acc)-k)*3 + k)[1], -20.0), 'k': k}), 'max')).k + 1, (list_aggregate(list_transform(range(1, least(3, len(acc))+1), k -> {'s': acc[len(acc)-k+1].s + coalesce(map_extract(pm, (len(acc)-k)*3 + k)[1], -20.0), 'k': k}), 'max')).k)]
+             |      }]
+             |    )[length(word)+1].ps AS ps
+             |  FROM pm2),
+             |c2 AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS n
+             |       FROM (SELECT cnt, unnest(ps) AS piece FROM seg2) GROUP BY piece),
+             |v2o AS (SELECT piece,
+             |        round(ln(CAST(n AS DOUBLE)/(SELECT CAST(sum(n) AS DOUBLE) FROM c2)), 4) AS lp
+             |        FROM c2 ORDER BY n DESC, piece LIMIT 40),
+             |pm3 AS (
+             |  SELECT sp.word, any_value(sp.cnt) AS cnt,
+             |         map(list(sp.k ORDER BY sp.k), list(v.lp ORDER BY sp.k)) AS pm
+             |  FROM sp JOIN v2o v USING (piece) GROUP BY sp.word),
+             |seg3 AS (
+             |  SELECT cnt,
+             |    list_reduce(
+             |      [[{'s': 0.0, 'ps': CAST([] AS VARCHAR[])}]] ||
+             |        list_transform(range(1, length(word)+1), ii -> CAST([] AS STRUCT(s DOUBLE, ps VARCHAR[])[])),
+             |      (acc, x) -> acc || [{
+             |        's': (list_aggregate(list_transform(range(1, least(3, len(acc))+1), k -> {'s': acc[len(acc)-k+1].s + coalesce(map_extract(pm, (len(acc)-k)*3 + k)[1], -20.0), 'k': k}), 'max')).s,
+             |        'ps': acc[len(acc) - (list_aggregate(list_transform(range(1, least(3, len(acc))+1), k -> {'s': acc[len(acc)-k+1].s + coalesce(map_extract(pm, (len(acc)-k)*3 + k)[1], -20.0), 'k': k}), 'max')).k + 1].ps ||
+             |              [substr(word, len(acc) - (list_aggregate(list_transform(range(1, least(3, len(acc))+1), k -> {'s': acc[len(acc)-k+1].s + coalesce(map_extract(pm, (len(acc)-k)*3 + k)[1], -20.0), 'k': k}), 'max')).k + 1, (list_aggregate(list_transform(range(1, least(3, len(acc))+1), k -> {'s': acc[len(acc)-k+1].s + coalesce(map_extract(pm, (len(acc)-k)*3 + k)[1], -20.0), 'k': k}), 'max')).k)]
+             |      }]
+             |    )[length(word)+1].ps AS ps
+             |  FROM pm3)
+             |SELECT piece, CAST(sum(cnt) AS BIGINT) AS n
+             |FROM (SELECT cnt, unnest(ps) AS piece FROM seg3) GROUP BY piece
+             |ORDER BY n DESC, piece LIMIT 20""".stripMargin))
   )
 
   /** Per-document add-one-smoothed bigram-LM score (t13's model; see the

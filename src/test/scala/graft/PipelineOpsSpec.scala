@@ -514,6 +514,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("unigramTrain: EM concentrates mass on whole-word pieces, hand-traced") {
+    import spark.implicits._
+    // corpus: xyz x3, q x1. Seed: all 6 substrings of xyz tie at n=3
+    // (ln(3/19)), q at 1. Viterbi prefers ONE piece [xyz] over any
+    // multi-piece split (fewer negative-logp terms), so iteration-1
+    // counts collapse to {xyz: 3, q: 1}; iteration 2 re-segments with
+    // only those pieces alive (missing pieces cost the -20 floor, still
+    // losing to the whole-word piece) — a fixed point.
+    val docs = Seq(Tuple1("xyz xyz xyz q")).toDF("text")
+    Caches.sweep(spark)
+    val out = TextOps.unigramTrain(docs, "text", maxPieceLen = 3, emIters = 2)
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(
+      ("xyz", 3L, round4(math.log(3.0 / 4))),
+      ("q", 1L, round4(math.log(1.0 / 4)))), got.toString)
+    // zero-residue contract: ONLY the result's own checkpoint survives
+    val own = org.apache.spark.sql.graftbridge.Bridge.checkpointRdds(out)
+      .map(_.id).toSet
+    val held = spark.sparkContext.getPersistentRDDs.keySet.toSet -- own
+    assert(held.isEmpty, s"unigramTrain held non-result blocks: $held")
+    Caches.sweep(spark)
+  }
+
+  test("unigramTrain: plan depth constant in EM iterations (IterativeLoop contract)") {
+    import spark.implicits._
+    val docs = Seq(Tuple1("alpha beta alpha gamma beta alpha")).toDF("text")
+    def nodes(iters: Int): Int = {
+      val df = TextOps.unigramTrain(docs, "text", emIters = iters)
+      var n = 0
+      df.queryExecution.optimizedPlan.foreach(_ => n += 1)
+      Caches.sweep(spark)
+      n
+    }
+    assert(nodes(1) == nodes(3),
+      s"unigramTrain plan grows with EM iterations: ${nodes(1)} vs ${nodes(3)}")
+  }
+
   test("sortedNeighborhoodEr: transitive closure links variants, window bounds recall") {
     import spark.implicits._
     // sort order under lower(nm) with id tie-break:

@@ -207,4 +207,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSet == ref.toSet,
       s"band heap diverges from brute force: ${got.toSet.diff(ref.toSet)}")
   }
+
+  test("topComponentProjection: rank-1 corpus recovers the direction, integer-exact") {
+    import spark.implicits._
+    // all mass on axis 0: w must be exactly (1e6, 0, 0, 0) after sign
+    // canonicalization; projections are exact integer multiples
+    val df = Seq(
+      (1L, Array(1.0f, 0f, 0f, 0f)),
+      (2L, Array(2.0f, 0f, 0f, 0f)),
+      (3L, Array(-1.0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.topComponentProjection(df)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1000000000L, 2L -> 2000000000L, 3L -> -1000000000L), got.toString)
+  }
+
+  test("topComponentProjection: 3-4-5 direction quantizes exactly, no residue") {
+    import spark.implicits._
+    Caches.sweep(spark)
+    // single vector (3,4): unit direction (0.6, 0.8) hits the 1e6
+    // quantization grid exactly -> proj = 3000*600000 + 4000*800000
+    val df = Seq((7L, Array(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.topComponentProjection(df)
+    assert(out.as[(Long, Long)].collect().toMap == Map(7L -> 5000000000L))
+    // no operator-held blocks: the Gram collect is driver-side, the
+    // projection a map-only pass — nothing to cache at all
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
