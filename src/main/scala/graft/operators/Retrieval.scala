@@ -54,10 +54,13 @@ object Retrieval {
     * retrieved (their score is 0 by definition).
     */
   private def topKOverUnits(units: DataFrame, idCols: Seq[String],
-      queryTerms: Seq[String], k1: Double, b: Double, k: Int): DataFrame = {
+      queryTerms: Seq[String], k1: Double, b: Double, k: Int,
+      termWeights: Option[Seq[Double]] = None): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.distinct.size == queryTerms.size,
       s"duplicate query terms would double-count: $queryTerms")
+    require(termWeights.forall(_.size == queryTerms.size),
+      "termWeights must align with queryTerms")
     // per-unit tf of each query term, computed from the token array
     // in place — Q is small, so Q array passes beat a (unit, term)
     // shuffle by the width of the corpus
@@ -81,8 +84,9 @@ object Retrieval {
           sum((col(s"tf_$i") > 0).cast("double")).as(s"df_$i"))
     val stats = scored0.agg(statsAggs.head, statsAggs.tail: _*)
     val score = queryTerms.indices.map { i =>
+      val w = termWeights.map(ws => lit(ws(i))).getOrElse(lit(1.0))
       when(col(s"tf_$i") > 0,
-        weight(col(s"tf_$i"), col("dl"), col("n"), col(s"df_$i"),
+        w * weight(col(s"tf_$i"), col("dl"), col("n"), col(s"df_$i"),
           col("avgdl"), k1, b))
         .otherwise(lit(0.0))
     }.reduce(_ + _)
@@ -101,6 +105,88 @@ object Retrieval {
     val units = docs.select(col(idCol).as("doc_id"),
       TextOps.tokens(col(textCol)).as("toks"))
     topKOverUnits(units, Seq("doc_id"), queryTerms, k1, b, k)
+  }
+
+  /** RM3 pseudo-relevance feedback (Lavrenko & Croft's relevance model,
+    * the Anserini/Indri default expansion): retrieve `fbDocs` docs with
+    * plain BM25, build a feedback term distribution from them —
+    * `P(w|R) ∝ Σ_d P(w|d)·P(Q|d)` with `P(w|d) = tf/|d|` and `P(Q|d)`
+    * the normalized initial score — take the top `fbTerms` expansion
+    * terms, interpolate with the original query
+    * (`α·P_orig + (1−α)·P_rm`), and rescore the corpus under the
+    * weighted query. Recall goes up (vocabulary-mismatch docs sharing
+    * only expansion terms now retrieve); α keeps drift bounded.
+    *
+    * DETERMINISM (the t32/s10 discipline): the two float-derived
+    * intermediates that RANK things are quantized to integers before
+    * any ordering — per-doc feedback weights `round(score/total·1e6)`
+    * and per-(term,doc) contributions `round(tf/dl·wq·1000)`, whose
+    * cross-doc SUM is then an integer aggregate (order-independent), so
+    * expansion-term selection is an exact integer sort in any engine.
+    * Final scores are the usual round-4 doubles.
+    *
+    * Scale shape: initial retrieval is [[bm25TopK]] (one scan, zero
+    * full-width shuffles); the feedback model touches ONLY the
+    * `fbDocs` retrieved documents (pushed-down id filter, term-grain
+    * aggregate over ~fbDocs·doclen rows); the rescore is a second
+    * [[bm25TopK]]-shaped scan with the expanded term set. Driver state
+    * is bounded: fbDocs scores + fbTerms weights (the BPE-argmax
+    * contract).
+    *
+    * @return top-k (doc_id, score) under the expanded weighted query.
+    */
+  def rm3TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], fbDocs: Int = 10, fbTerms: Int = 8,
+      alpha: Double = 0.5, k1: Double = 1.2, b: Double = 0.75,
+      k: Int = 10): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1 && alpha >= 0.0 && alpha <= 1.0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // 1. initial retrieval; fbDocs (id, round-4 score) rows to driver
+    val initial = bm25TopK(docs, idCol, textCol, queryTerms, k1, b, fbDocs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    spark.catalog.clearCache() // release bm25TopK's unit projection
+    if (initial.isEmpty) return bm25TopK(docs, idCol, textCol, queryTerms, k1, b, k)
+    // 2. quantized doc weights, summed in the FIXED retrieval order
+    val total = initial.foldLeft(0.0)(_ + _._2)
+    val docW = initial.map { case (id, sc) =>
+      (id, math.round(sc / total * 1000000.0)) }
+    // 3. feedback term model over ONLY the fb docs: integer contribution
+    //    sum — ranking-safe in any partition order
+    val dwDf = docW.toDF("doc_id", "wq")
+    val fb = docs
+      .filter(col(idCol).isin(docW.map(_._1): _*)) // pushed-down id filter
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+      .join(broadcast(dwDf), "doc_id")
+      .select(col("term"),
+        round(col("tf") / col("dl") * col("wq") * 1000.0).cast("long").as("c"))
+      .groupBy(col("term")).agg(sum(col("c")).as("w"))
+    val rm = fb.orderBy(col("w").desc, col("term")).limit(fbTerms)
+      .as[(String, Long)].collect()
+    val rmTotal = fb.agg(sum(col("w"))).head().getLong(0)
+    if (rmTotal == 0L) // degenerate feedback (all contributions rounded away)
+      return bm25TopK(docs, idCol, textCol, queryTerms, k1, b, k)
+    // 4. interpolate: α on the original terms, (1−α) on the feedback
+    //    distribution; quantize BEFORE the deterministic (weight desc,
+    //    term) ordering of the final weighted query
+    val origSet = queryTerms.toSet
+    val allTerms = (queryTerms ++ rm.map(_._1)).distinct
+    val rmW = rm.toMap
+    val weighted = allTerms.map { t =>
+      val orig = if (origSet(t)) alpha * 1000000.0 / queryTerms.size else 0.0
+      val exp = (1.0 - alpha) * 1000000.0 *
+        rmW.getOrElse(t, 0L).toDouble / rmTotal
+      (t, math.round(orig + exp))
+    }.sortBy { case (t, w) => (-w, t) }
+    // 5. rescore the corpus under the expanded weighted query
+    val units = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    topKOverUnits(units, Seq("doc_id"), weighted.map(_._1), k1, b, k,
+      Some(weighted.map(_._2.toDouble / 1000000.0)))
   }
 
   /** RAG-style retrieval: sliding-window chunks (same layout contract as

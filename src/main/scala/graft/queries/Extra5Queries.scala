@@ -227,6 +227,52 @@ object Extra5Queries {
              |    GROUP BY e.dst) s ON r.id = s.id
              |)
              |SELECT id AS node_id, round(pr, 7) AS ppr FROM p3
-             |ORDER BY ppr DESC, node_id LIMIT 20""".stripMargin))
+             |ORDER BY ppr DESC, node_id LIMIT 20""".stripMargin)),
+
+    // ---- Retention cohort analysis (the product-analytics staple next
+    //      to q27 sessionize / q104 funnel): users cohorted by first-
+    //      event DAY, per (cohort, day-offset) distinct-active counts and
+    //      the retention fraction. Integer-exact except the final ratio
+    //      (long/long -> double, rounded — deterministic). Scale shape:
+    //      one user-grain first-event aggregate, one user-keyed join
+    //      (both map-combined / shuffle-on-user), one (cohort, offset)
+    //      count-distinct — no windows, no driver state; cohort table is
+    //      date-grain (bounded) so the final join broadcasts. ----
+    Q("q117_retention_cohorts",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+          .select($"user_id", to_date($"ts").as("d"))
+        val first = ev.groupBy($"user_id").agg(min($"d").as("cohort_day"))
+        val act = ev.join(first, "user_id")
+          .select($"user_id", $"cohort_day",
+            datediff($"d", $"cohort_day").as("day_offset"))
+          .distinct()
+        val sizes = first.groupBy($"cohort_day")
+          .agg(count(lit(1)).as("cohort_size"))
+        act.groupBy($"cohort_day", $"day_offset")
+          .agg(countDistinct($"user_id").as("active_users"))
+          .join(broadcast(sizes), "cohort_day")
+          .select($"cohort_day", $"day_offset", $"active_users",
+            $"cohort_size",
+            round($"active_users" / $"cohort_size", 4).as("retention"))
+          .orderBy($"cohort_day", $"day_offset")
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+             |  FROM events GROUP BY user_id),
+             |a AS (
+             |  SELECT DISTINCT e.user_id, f.cohort_day,
+             |    CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS INT) AS day_offset
+             |  FROM events e JOIN f USING (user_id)),
+             |s AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+             |      FROM f GROUP BY cohort_day)
+             |SELECT a.cohort_day, a.day_offset,
+             |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users,
+             |  s.cohort_size,
+             |  round(CAST(count(DISTINCT a.user_id) AS DOUBLE) / s.cohort_size, 4) AS retention
+             |FROM a JOIN s USING (cohort_day)
+             |GROUP BY a.cohort_day, a.day_offset, s.cohort_size
+             |ORDER BY cohort_day, day_offset""".stripMargin))
   )
 }

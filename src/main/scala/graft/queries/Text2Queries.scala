@@ -1154,7 +1154,88 @@ object Text2Queries {
              |  FROM pm3)
              |SELECT piece, CAST(sum(cnt) AS BIGINT) AS n
              |FROM (SELECT cnt, unnest(ps) AS piece FROM seg3) GROUP BY piece
-             |ORDER BY n DESC, piece LIMIT 20""".stripMargin))
+             |ORDER BY n DESC, piece LIMIT 20""".stripMargin)),
+
+    // ---- RM3 pseudo-relevance feedback (Lavrenko & Croft; the
+    //      Anserini/Indri default): BM25 top-10 -> quantized feedback
+    //      term model over those docs -> top-8 expansion terms
+    //      interpolated at alpha=0.5 -> weighted rescore. The two
+    //      float-derived RANKINGS (doc weights, term contributions) are
+    //      integer-quantized before ordering, so expansion selection is
+    //      an exact integer sort in both engines; final scores round-4.
+    //      Oracle replays the whole chain: t22's BM25 CTE, the same
+    //      quantized feedback model, the same interpolation, and a
+    //      relational weighted rescore ----
+    Q("t34_rm3_expansion",
+      (s, dir) =>
+        graft.operators.Retrieval.rm3TopK(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          queryTerms = Seq("hash", "join", "vector"),
+          fbDocs = 10, fbTerms = 8, alpha = 0.5, k = 10),
+      Some("""WITH base AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |u AS (
+             |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             |    CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_0,
+             |    CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf_1,
+             |    CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf_2
+             |  FROM base),
+             |st AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |    sum(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+             |    sum(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1,
+             |    sum(CASE WHEN tf_2 > 0 THEN 1.0 ELSE 0.0 END) AS df_2
+             |  FROM u),
+             |sc AS (
+             |  SELECT doc_id, round(
+             |    (CASE WHEN tf_0 > 0 THEN ln(1.0 + (n - df_0 + 0.5) / (df_0 + 0.5))
+             |       * (tf_0 * 2.2) / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END)
+             |    + (CASE WHEN tf_1 > 0 THEN ln(1.0 + (n - df_1 + 0.5) / (df_1 + 0.5))
+             |       * (tf_1 * 2.2) / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END)
+             |    + (CASE WHEN tf_2 > 0 THEN ln(1.0 + (n - df_2 + 0.5) / (df_2 + 0.5))
+             |       * (tf_2 * 2.2) / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END), 4) AS score
+             |  FROM u, st),
+             |top AS (SELECT doc_id, score FROM sc WHERE score > 0.0 ORDER BY score DESC, doc_id LIMIT 10),
+             |tot AS (SELECT sum(score) AS t FROM top),
+             |dw AS (SELECT doc_id, CAST(round(score / t * 1000000.0) AS BIGINT) AS wq FROM top, tot),
+             |ftf AS (
+             |  SELECT b.doc_id, tok AS term, CAST(count(*) AS DOUBLE) AS tf,
+             |    any_value(CAST(len(b.toks) AS DOUBLE)) AS dl
+             |  FROM base b JOIN dw USING (doc_id), unnest(b.toks) AS t1(tok)
+             |  GROUP BY b.doc_id, tok),
+             |rm AS (
+             |  SELECT term, CAST(sum(CAST(round(tf / dl * wq * 1000.0) AS BIGINT)) AS BIGINT) AS w
+             |  FROM ftf JOIN dw USING (doc_id) GROUP BY term),
+             |rt AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM rm),
+             |et AS (SELECT term, w FROM rm ORDER BY w DESC, term LIMIT 8),
+             |terms AS (
+             |  SELECT term FROM (VALUES ('hash'), ('join'), ('vector')) v(term)
+             |  UNION
+             |  SELECT term FROM et),
+             |fw AS (
+             |  SELECT t.term, CAST(round(
+             |      (CASE WHEN t.term IN ('hash', 'join', 'vector')
+             |        THEN 0.5 * 1000000.0 / 3 ELSE 0.0 END)
+             |      + 0.5 * 1000000.0 * CAST(coalesce(rm.w, 0) AS DOUBLE) / wt
+             |    ) AS BIGINT) AS fwq
+             |  FROM terms t LEFT JOIN rm USING (term), rt),
+             |x AS (
+             |  SELECT b.doc_id, tok AS term, CAST(count(*) AS DOUBLE) AS tf,
+             |    any_value(CAST(len(b.toks) AS DOUBLE)) AS dl
+             |  FROM base b, unnest(b.toks) AS t2(tok)
+             |  WHERE tok IN (SELECT term FROM terms)
+             |  GROUP BY b.doc_id, tok),
+             |df2 AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM x GROUP BY term),
+             |sc2 AS (
+             |  SELECT x.doc_id, round(sum(
+             |      (CAST(fwq AS DOUBLE) / 1000000.0)
+             |      * ln(1.0 + (n - df + 0.5) / (df + 0.5))
+             |      * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * x.dl / avgdl))), 4) AS score
+             |  FROM x JOIN df2 USING (term) JOIN fw USING (term), st
+             |  GROUP BY x.doc_id)
+             |SELECT doc_id, score FROM sc2 WHERE score > 0.0
+             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))
   )
 
   /** Per-document add-one-smoothed bigram-LM score (t13's model; see the

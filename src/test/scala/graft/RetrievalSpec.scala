@@ -142,4 +142,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(mismatched.isEmpty, "scored chunk ids diverge from chunk layout")
     spark.catalog.clearCache()
   }
+
+  test("rm3TopK: expansion retrieves vocabulary-mismatch docs plain BM25 cannot") {
+    import spark.implicits._
+    // docs 1-2 match the query and carry 'cherry'; doc 3 shares ONLY
+    // 'cherry' (zero query terms); doc 4 shares nothing
+    val docs = Seq(
+      (1L, "apple cherry"), (2L, "apple cherry"),
+      (3L, "cherry date"), (4L, "fig grape")).toDF("doc_id", "text")
+    val plain = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("apple"), k = 4)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    spark.catalog.clearCache()
+    val rm3 = Retrieval.rm3TopK(docs, "doc_id", "text", Seq("apple"),
+        fbDocs = 2, fbTerms = 2, alpha = 0.5, k = 4)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    spark.catalog.clearCache()
+    assert(plain == Set(1L, 2L), s"plain BM25 must miss doc 3: $plain")
+    assert(rm3.contains(3L), s"RM3 must expand to 'cherry' and reach doc 3: $rm3")
+    assert(!rm3.contains(4L), s"doc 4 shares no term with the expanded query: $rm3")
+    // original-query docs still outrank the expansion-only doc (alpha
+    // keeps the original terms dominant)
+    val ranked = Retrieval.rm3TopK(docs, "doc_id", "text", Seq("apple"),
+        fbDocs = 2, fbTerms = 2, alpha = 0.5, k = 4)
+      .as[(Long, Double)].collect()
+    assert(ranked.take(2).map(_._1).toSet == Set(1L, 2L), ranked.mkString(","))
+    spark.catalog.clearCache()
+  }
 }
