@@ -363,4 +363,64 @@ object GraphOps {
     }
     loop.finish(layers.reduce(_ union _))
   }
+
+  /** k-core decomposition by iterative peeling (Seidman 1983; the
+    * Batagelj-Zaversnik bulk variant): repeatedly drop every node whose
+    * degree in the CURRENT subgraph is below `k` until the subgraph is
+    * stable — what survives is the maximal subgraph with minimum degree
+    * ≥ k. The crawl/graph-cleaning use: the 2-core strips pendant
+    * chains (scraper tails, orphan redirects), higher cores isolate the
+    * densely-linked hubs that dominate mirror/template farms; the k-core
+    * is also the standard preprocessing cut before expensive community
+    * detection (LPA's quality rises once the tree fringe is gone).
+    *
+    * Edges are canonicalized UNDIRECTED first (u<v, deduped, self-loops
+    * dropped — a self-loop must not let an otherwise-isolated node
+    * count itself toward k). Peeling is BULK: each round removes ALL
+    * sub-k nodes at once, which can cascade (removing a leaf may push
+    * its neighbor under k) — hence the loop. `maxRounds` bounds the
+    * rounds; stability is detected as an unchanged edge COUNT (edges
+    * only ever shrink, and an unshrunk round proves every remaining
+    * node already has degree ≥ k), using the count the materialization
+    * already paid for. An early exit skips only no-op rounds, so a
+    * fixed-round SQL replay of ≥ the converged round count reproduces
+    * the result exactly.
+    *
+    * Scale shape ([[IterativeLoop]]): per round ONE endpoint-explode
+    * degree aggregate (map-combined) + two semi-joins of the edge set
+    * against the ≥k node set — all node-/edge-grain equi-joins, and the
+    * working set shrinks monotonically (the CC contraction property).
+    * Result is a self-contained checkpoint of (id, core_deg) — each
+    * surviving node with its degree inside the core.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val loop = new IterativeLoop()
+    try {
+      def degrees(e: DataFrame): DataFrame =
+        e.select(explode(array(col("u"), col("v"))).as("id"))
+          .groupBy(col("id")).agg(count(lit(1)).as("core_deg"))
+      val canon = edges
+        .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct()
+      var (cur, n) = loop.advanceCounted(canon)
+      var stable = n == 0L
+      var round = 0
+      while (!stable && round < maxRounds) {
+        val keep = degrees(cur).filter(col("core_deg") >= k).select(col("id"))
+        val next = cur
+          .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v")) // restore column order after join keys
+        val (m, nm) = loop.advanceCounted(next)
+        stable = nm == n || nm == 0L
+        cur = m; n = nm
+        round += 1
+      }
+      loop.finish(degrees(cur))
+    } catch { case e: Throwable => loop.abort(); throw e }
+  }
 }

@@ -273,6 +273,80 @@ object Extra5Queries {
              |  round(CAST(count(DISTINCT a.user_id) AS DOUBLE) / s.cohort_size, 4) AS retention
              |FROM a JOIN s USING (cohort_day)
              |GROUP BY a.cohort_day, a.day_offset, s.cohort_size
-             |ORDER BY cohort_day, day_offset""".stripMargin))
+             |ORDER BY cohort_day, day_offset""".stripMargin)),
+
+    // ---- k-core decomposition (q118): 2-core of the high-quantity
+    //      trade graph with a synthetic 5-edge pendant chain grafted on
+    //      (the chain peels ONE link per round — a real cascade, ~6
+    //      bulk-peel rounds at both SFs, where the raw trade graph
+    //      would converge in one). maxRounds = oracle unroll = 8; the
+    //      operator's early exit only skips no-op rounds, so the
+    //      fixed-8-round SQL replay is exact. Oracle CTEs are
+    //      MATERIALIZED — each peel references its predecessor three
+    //      times, and an inlined chain re-evaluates 3^8 times ----
+    Q("q118_kcore",
+      (s, dir) => {
+        import s.implicits._
+        val trade = Tables(s, dir, "lineitem")
+          .filter($"l_quantity" >= 48)
+          .select($"l_orderkey", $"l_suppkey")
+          .join(Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".cast("long").as("a"),
+            ($"l_suppkey" + 1000000L).cast("long").as("b"))
+        val chain = s.range(4)
+          .select(($"id" + 9000000L).as("a"), ($"id" + 9000001L).as("b"))
+          .unionByName(Seq((1L, 9000000L)).toDF("a", "b"))
+        graft.operators.GraphOps.kCore(
+            trade.unionByName(chain), "a", "b", k = 2, maxRounds = 8)
+          .orderBy($"id")
+      },
+      Some("""WITH raw AS (
+             |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+             |    CAST(l_suppkey + 1000000 AS BIGINT) AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_quantity >= 48
+             |  UNION
+             |  SELECT 9000000 + i AS a, 9000001 + i AS b FROM (SELECT unnest(range(0, 4)) AS i)
+             |  UNION
+             |  SELECT 1 AS a, 9000000 AS b),
+             |e0 AS MATERIALIZED (
+             |  SELECT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+             |d1 AS MATERIALIZED (SELECT id, count(*) AS dg FROM (
+             |    SELECT u AS id FROM e0 UNION ALL SELECT v AS id FROM e0) GROUP BY id),
+             |k1 AS (SELECT id FROM d1 WHERE dg >= 2),
+             |e1 AS MATERIALIZED (SELECT u, v FROM e0
+             |  WHERE u IN (SELECT id FROM k1) AND v IN (SELECT id FROM k1)),d2 AS MATERIALIZED (SELECT id, count(*) AS dg FROM (
+             |    SELECT u AS id FROM e1 UNION ALL SELECT v AS id FROM e1) GROUP BY id),
+             |k2 AS (SELECT id FROM d2 WHERE dg >= 2),
+             |e2 AS MATERIALIZED (SELECT u, v FROM e1
+             |  WHERE u IN (SELECT id FROM k2) AND v IN (SELECT id FROM k2)),d3 AS MATERIALIZED (SELECT id, count(*) AS dg FROM (
+             |    SELECT u AS id FROM e2 UNION ALL SELECT v AS id FROM e2) GROUP BY id),
+             |k3 AS (SELECT id FROM d3 WHERE dg >= 2),
+             |e3 AS MATERIALIZED (SELECT u, v FROM e2
+             |  WHERE u IN (SELECT id FROM k3) AND v IN (SELECT id FROM k3)),d4 AS MATERIALIZED (SELECT id, count(*) AS dg FROM (
+             |    SELECT u AS id FROM e3 UNION ALL SELECT v AS id FROM e3) GROUP BY id),
+             |k4 AS (SELECT id FROM d4 WHERE dg >= 2),
+             |e4 AS MATERIALIZED (SELECT u, v FROM e3
+             |  WHERE u IN (SELECT id FROM k4) AND v IN (SELECT id FROM k4)),d5 AS MATERIALIZED (SELECT id, count(*) AS dg FROM (
+             |    SELECT u AS id FROM e4 UNION ALL SELECT v AS id FROM e4) GROUP BY id),
+             |k5 AS (SELECT id FROM d5 WHERE dg >= 2),
+             |e5 AS MATERIALIZED (SELECT u, v FROM e4
+             |  WHERE u IN (SELECT id FROM k5) AND v IN (SELECT id FROM k5)),d6 AS MATERIALIZED (SELECT id, count(*) AS dg FROM (
+             |    SELECT u AS id FROM e5 UNION ALL SELECT v AS id FROM e5) GROUP BY id),
+             |k6 AS (SELECT id FROM d6 WHERE dg >= 2),
+             |e6 AS MATERIALIZED (SELECT u, v FROM e5
+             |  WHERE u IN (SELECT id FROM k6) AND v IN (SELECT id FROM k6)),d7 AS MATERIALIZED (SELECT id, count(*) AS dg FROM (
+             |    SELECT u AS id FROM e6 UNION ALL SELECT v AS id FROM e6) GROUP BY id),
+             |k7 AS (SELECT id FROM d7 WHERE dg >= 2),
+             |e7 AS MATERIALIZED (SELECT u, v FROM e6
+             |  WHERE u IN (SELECT id FROM k7) AND v IN (SELECT id FROM k7)),d8 AS MATERIALIZED (SELECT id, count(*) AS dg FROM (
+             |    SELECT u AS id FROM e7 UNION ALL SELECT v AS id FROM e7) GROUP BY id),
+             |k8 AS (SELECT id FROM d8 WHERE dg >= 2),
+             |e8 AS MATERIALIZED (SELECT u, v FROM e7
+             |  WHERE u IN (SELECT id FROM k8) AND v IN (SELECT id FROM k8))
+             |SELECT id, CAST(count(*) AS BIGINT) AS core_deg FROM (
+             |  SELECT u AS id FROM e8 UNION ALL SELECT v AS id FROM e8) GROUP BY id
+             |ORDER BY id""".stripMargin))
   )
 }

@@ -134,4 +134,39 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(dists(diamond, Seq(1L, 4L), hops = 3) ==
       Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 1L, 5L -> 1L))
   }
+
+  test("kCore: pure path fully peels; triangle survives with pendant gone") {
+    import spark.implicits._
+    // path 1-2-3-4: every 2-core peel removes the two endpoints — the
+    // cascade empties the graph
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(GraphOps.kCore(path, "src", "dst", k = 2).isEmpty)
+    spark.catalog.clearCache()
+    // triangle {1,2,3} + pendant chain 3-4-5: chain peels link by link
+    // (two cascade rounds), triangle is exactly the 2-core
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val core = GraphOps.kCore(g, "src", "dst", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), core.toString)
+    spark.catalog.clearCache()
+    // maxRounds caps the cascade mid-peel: one bulk round removes only
+    // node 5 (degree 1), leaving 3-4 still present
+    val capped = GraphOps.kCore(g, "src", "dst", k = 2, maxRounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L), capped.toString)
+    spark.catalog.clearCache()
+  }
+
+  test("kCore: duplicate/reversed edges and self-loops canonicalize away") {
+    import spark.implicits._
+    // the self-loop on 4 must NOT count toward 4's degree (else the
+    // pendant 4 with loop would fake degree 3 and survive the 2-core)
+    val g = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 4L))
+      .toDF("src", "dst")
+    val core = GraphOps.kCore(g, "src", "dst", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), core.toString)
+    spark.catalog.clearCache()
+  }
 }

@@ -75,6 +75,7 @@ class IterativeLoopSpec extends AnyFunSuite {
     assertSelfContained((GraphOps.labelPropagation(edges, "src", "dst", 12), ()))
     assertSelfContained(
       (GraphOps.bfsDistances(edges, "src", "dst", seeds, "id", 3), ()))
+    assertSelfContained((GraphOps.kCore(edges, "src", "dst", k = 2), ()))
   }
 
   test("bpeTrain releases every per-iteration histogram checkpoint") {
