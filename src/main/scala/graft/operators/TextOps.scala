@@ -604,4 +604,42 @@ object TextOps {
         vocab.select(col("piece"), col(scoreCol).as("lp")), m)
       .select(col("word"), col("cnt"), unigramViterbi(m).as("ps"))
   }
+
+  /** Email address pattern (conservative: requires a dotted TLD). Kept
+    * to the regex subset Java and RE2 interpret identically, so SQL
+    * engines replay the scrub exactly. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 (no octet range check — scrubbing favors recall). */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** SSN-shaped identifier (ddd-dd-dddd). */
+  val IdRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** PII scrubbing for training corpora: redact emails, IPv4 addresses,
+    * and SSN-shaped identifiers with `repl`, reporting per-document
+    * counts of each class — the compliance pass every assembled
+    * training corpus runs before packing/export (reference pipelines:
+    * CCNet/Dolma-style rule-based PII removal; ML-based NER scrubbing
+    * would ride the [[Multimodal]] stub pattern, this is the
+    * deterministic rule tier).
+    *
+    * The three patterns apply IN ORDER (emails, then IPs over the
+    * email-scrubbed text, then IDs) and each count is taken on the text
+    * state its pattern scrubs — so a dotted quad inside an email is one
+    * email, not an email plus an IP, and the chain is exactly
+    * replayable in SQL. Patterns stay inside the Java∩RE2 regex subset.
+    *
+    * Scale shape: pure map work, six codegen'd regex ops per row, no
+    * shuffle, no UDF; pushes through any upstream column pruning.
+    */
+  def piiScrub(docs: DataFrame, textCol: String,
+      repl: String = "[PII]"): DataFrame =
+    docs
+      .withColumn("n_emails",
+        regexp_count(col(textCol), lit(EmailRe)).cast("long"))
+      .withColumn("_t1", regexp_replace(col(textCol), EmailRe, repl))
+      .withColumn("n_ips", regexp_count(col("_t1"), lit(Ipv4Re)).cast("long"))
+      .withColumn("_t2", regexp_replace(col("_t1"), Ipv4Re, repl))
+      .withColumn("n_ids", regexp_count(col("_t2"), lit(IdRe)).cast("long"))
+      .withColumn("scrubbed", regexp_replace(col("_t2"), IdRe, repl))
+      .drop("_t1", "_t2")
 }

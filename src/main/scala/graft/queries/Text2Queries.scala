@@ -1235,7 +1235,65 @@ object Text2Queries {
              |  FROM x JOIN df2 USING (term) JOIN fw USING (term), st
              |  GROUP BY x.doc_id)
              |SELECT doc_id, score FROM sc2 WHERE score > 0.0
-             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))
+             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ---- Rule-based PII scrubbing (the CCNet/Dolma-style compliance
+    //      pass): emails, IPv4s, SSN-shaped ids redacted in a fixed
+    //      order, per-class counts taken on the exact text state each
+    //      pattern scrubs. The corpus is synthetic (no real PII), so the
+    //      gate INJECTS deterministic PII keyed off doc_id (email for
+    //      %2, IP for %3, SSN for %5 — all eight count combinations
+    //      occur); md5 + length of the scrubbed text pin the full
+    //      string transformation, not just the counts. Patterns stay in
+    //      the Java∩RE2 regex subset so both engines match identically ----
+    Q("t35_pii_scrub",
+      (s, dir) => {
+        import s.implicits._
+        val aug = Tables(s, dir, "documents").select($"doc_id",
+          concat($"text",
+            when($"doc_id" % 2 === 0, concat(lit(" contact user"), $"doc_id",
+              lit("@mail"), $"doc_id" % 7, lit(".com"))).otherwise(lit("")),
+            when($"doc_id" % 3 === 0, concat(lit(" from 10."), $"doc_id" % 256,
+              lit(".0."), ($"doc_id" * 3) % 256)).otherwise(lit("")),
+            when($"doc_id" % 5 === 0, concat(lit(" ssn "),
+              lpad(($"doc_id" % 1000).cast("string"), 3, "0"), lit("-"),
+              lpad(($"doc_id" % 100).cast("string"), 2, "0"), lit("-"),
+              lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+              .otherwise(lit(""))).as("text"))
+        graft.operators.TextOps.piiScrub(aug, "text")
+          .select($"doc_id", $"n_emails", $"n_ips", $"n_ids",
+            length($"scrubbed").cast("long").as("scrub_len"),
+            md5($"scrubbed").as("scrub_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text
+             |    || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+             |         || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+             |    || CASE WHEN doc_id % 3 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+             |         || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR) ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 0 THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+             |         || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+             |         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+             |  FROM documents),
+             |s1 AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g') AS t1
+             |  FROM aug),
+             |s2 AS (
+             |  SELECT doc_id, n_emails,
+             |    CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+             |    regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII]', 'g') AS t2
+             |  FROM s1),
+             |s3 AS (
+             |  SELECT doc_id, n_emails, n_ips,
+             |    CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ids,
+             |    regexp_replace(t2, '\b\d{3}-\d{2}-\d{4}\b', '[PII]', 'g') AS scrubbed
+             |  FROM s2)
+             |SELECT doc_id, n_emails, n_ips, n_ids,
+             |  CAST(length(scrubbed) AS BIGINT) AS scrub_len, md5(scrubbed) AS scrub_md5
+             |FROM s3 ORDER BY doc_id""".stripMargin))
   )
 
   /** Per-document add-one-smoothed bigram-LM score (t13's model; see the

@@ -552,6 +552,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"unigramTrain plan grows with EM iterations: ${nodes(1)} vs ${nodes(3)}")
   }
 
+  test("piiScrub: ordered redaction, no double counting, exact rewrite") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b-c%d@x.co.uk now"),            // dotted local+domain email
+      (2L, "host 192.168.0.1"),                    // IP at end of string
+      (3L, "id 123-45-6789 ok"),                   // SSN shape
+      (4L, "u@10.0.0.1.com and 10.0.0.2"),         // quad inside email is EMAIL only
+      (5L, "nothing to see 1234-56-7890 1.2.3"))   // near-misses must not match
+      .toDF("doc_id", "text")
+    val got = TextOps.piiScrub(docs, "text")
+      .select($"doc_id", $"n_emails", $"n_ips", $"n_ids", $"scrubbed")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(1L) == ((1L, 0L, 0L, "mail [PII] now")))
+    assert(got(2L) == ((0L, 1L, 0L, "host [PII]")))
+    assert(got(3L) == ((0L, 0L, 1L, "id [PII] ok")))
+    // the email pattern consumes its embedded dotted quad FIRST; only
+    // the free-standing quad counts as an IP
+    assert(got(4L) == ((1L, 1L, 0L, "[PII] and [PII]")))
+    // 4-digit first group breaks \b\d{3}-...; 3-part dots are no IPv4.
+    // (\b sees only the 3-digit tail "234-56-7890" boundary-free? no:
+    // digit runs glue, so the 4-digit group kills the match entirely)
+    assert(got(5L)._3 == 0L && got(5L)._2 == 0L, got(5L).toString)
+  }
+
   test("sortedNeighborhoodEr: transitive closure links variants, window bounds recall") {
     import spark.implicits._
     // sort order under lower(nm) with id tie-break:
