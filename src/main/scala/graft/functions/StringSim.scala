@@ -84,9 +84,49 @@ object StringSim {
     jaro + pl * 0.1 * (1.0 - jaro)
   }
 
+  /** Unicode canonical composition (NFC) as a codegen'd expression —
+    * the normalization pass multilingual corpus cleaning runs before
+    * tokenization/dedup (decomposed accents, compatibility variants of
+    * the same grapheme hash/shingle differently and split duplicate
+    * groups). NFC (not NFKC) because SQL engines expose NFC
+    * (`nfc_normalize` in DuckDB), so normalization gates exactly;
+    * Java's Normalizer and ICU agree byte-for-byte on canonical
+    * composition. Spark has no built-in for this — the (b)-tier
+    * custom-Expression case from the design rules: one JVM call per
+    * row inside WholeStageCodegen, no UDF serialization.
+    */
+  case class NfcNormalize(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def prettyName: String = "nfc_normalize"
+
+    protected override def nullSafeEval(s: Any): Any =
+      nfcEval(s.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.StringSim.nfcEval($c)")
+
+    override protected def withNewChildInternal(c: Expression): NfcNormalize =
+      copy(child = c)
+  }
+
+  /** Codegen entry point for [[NfcNormalize]]. */
+  def nfcEval(u: UTF8String): UTF8String = {
+    val s = u.toString
+    // common case: already-composed ASCII/Latin text — skip the copy
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** Column API. */
   def jaro_winkler(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  def nfc_normalize(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(NfcNormalize(Bridge.expression(c)))
   }
 }

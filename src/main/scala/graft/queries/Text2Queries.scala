@@ -1293,7 +1293,39 @@ object Text2Queries {
              |  FROM s2)
              |SELECT doc_id, n_emails, n_ips, n_ids,
              |  CAST(length(scrubbed) AS BIGINT) AS scrub_len, md5(scrubbed) AS scrub_md5
-             |FROM s3 ORDER BY doc_id""".stripMargin))
+             |FROM s3 ORDER BY doc_id""".stripMargin)),
+
+    // ---- Unicode NFC normalization (t36): the canonical-composition
+    //      pass multilingual cleaning runs before tokenization/dedup
+    //      (decomposed accents hash differently and split duplicate
+    //      groups). graft.functions.StringSim.NfcNormalize is a
+    //      codegen'd custom Expression (Spark has no builtin); the gate
+    //      injects decomposed combining sequences keyed by doc_id and
+    //      pins codepoint lengths before/after plus the md5 of the
+    //      normalized bytes against DuckDB's nfc_normalize ----
+    Q("t36_unicode_nfc",
+      (s, dir) => {
+        import s.implicits._
+        val aug = Tables(s, dir, "documents").select($"doc_id", concat($"text",
+          when($"doc_id" % 2 === 0, lit(" cafe\u0301")).otherwise(lit("")),
+          when($"doc_id" % 3 === 0, lit(" Zu\u0308rich")).otherwise(lit("")))
+          .as("text"))
+        aug.select($"doc_id",
+          length($"text").cast("long").as("len_raw"),
+          length(graft.functions.StringSim.nfc_normalize($"text"))
+            .cast("long").as("len_nfc"),
+          md5(graft.functions.StringSim.nfc_normalize($"text")).as("nfc_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(length(t) AS BIGINT) AS len_raw,
+             |  CAST(length(nfc_normalize(t)) AS BIGINT) AS len_nfc,
+             |  md5(nfc_normalize(t)) AS nfc_md5
+             |FROM (SELECT doc_id, text
+             |  || CASE WHEN doc_id % 2 = 0 THEN ' cafe' || chr(769) ELSE '' END
+             |  || CASE WHEN doc_id % 3 = 0 THEN ' Zu' || chr(776) || 'rich' ELSE '' END AS t
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** Per-document add-one-smoothed bigram-LM score (t13's model; see the

@@ -52,4 +52,28 @@ class StringSimSpec extends AnyFunSuite {
     assert(viaCol == jw("MARTHA", "MARHTA"))
     assert(viaSql == viaCol)
   }
+
+  test("nfc_normalize: composes combining sequences, passes composed text through") {
+    import spark.implicits._
+    val composed = "caf\u00e9"
+    val df = Seq(
+      (1L, "cafe\u0301"),            // e + combining acute -> e-acute
+      (2L, composed),                 // already composed - identical out
+      (3L, "Zu\u0308rich ascii"),    // combining diaeresis mid-string
+      (4L, "plain ascii")).toDF("id", "s")
+    val got = df.select($"id", StringSim.nfc_normalize($"s").as("n"),
+        length(StringSim.nfc_normalize($"s")).as("l"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(got(1L) == ((composed, 4)))
+    assert(got(2L) == ((composed, 4)))
+    assert(got(3L) == (("Z\u00fcrich ascii", 12)))
+    assert(got(4L) == (("plain ascii", 11)))
+    // interpreted eval agrees with the codegen'd path
+    assert(StringSim.nfcEval(
+      org.apache.spark.unsafe.types.UTF8String.fromString("cafe\u0301"))
+      .toString == composed)
+    // null-safe
+    assert(Seq(Tuple1[String](null)).toDF("s")
+      .select(StringSim.nfc_normalize($"s")).collect().head.isNullAt(0))
+  }
 }
