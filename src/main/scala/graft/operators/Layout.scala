@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -233,5 +234,100 @@ object Layout {
       spark.read.parquet(path).filter(lit(false))
     else
       spark.read.parquet(keep: _*).filter(col(rangeCol).between(lo, hi))
+  }
+
+  private val DeleteDir = "_graft_deletes"
+
+  /** The accumulated positional deletes of a layout as (`_file`,
+    * `_pos`) — empty (with the right schema) before the first delete.
+    * The underscore-prefixed subdirectory is invisible to plain
+    * `read.parquet(path)` scans, like `_SUCCESS` and the skip
+    * manifest. */
+  def deletes(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val p = new Path(s"$path/$DeleteDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(p.toString)
+    else spark.range(0).select(
+      lit("").as("_file"), lit(0L).as("_pos")).filter(lit(false))
+  }
+
+  /** Delete-by-predicate WITHOUT rewriting data files — the Iceberg-v2
+    * positional-delete / Delta deletion-vector shape: rows matching
+    * `cond` in the CURRENT live view are recorded as (file, row-index)
+    * pairs appended under the layout's delete directory; data files are
+    * immutable. This is the merge-on-read half of the mutation stack
+    * (the copy-on-write half is [[Mutations.scd2Merge]]-style rewrite):
+    * a delete touching 0.1% of rows costs a scan plus a tiny metadata
+    * append, not a rewrite of every hit file.
+    *
+    * Already-deleted rows are excluded (an overlapping second batch
+    * records only the NEW hits, and the returned count reflects that),
+    * so delete batches are idempotent and the vector never accumulates
+    * duplicates. Positions come from `_metadata.row_index` — stable for
+    * immutable parquet files by construction.
+    *
+    * @return number of newly deleted rows. */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, path: String,
+      cond: Column): Long = {
+    val hit = spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("_file"),
+        col("_metadata.row_index").as("_pos"), col("*"))
+      .filter(cond)
+      .select(col("_file"), col("_pos"))
+      .join(deletes(spark, path), Seq("_file", "_pos"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = hit.count()
+      if (n > 0)
+        hit.write.mode("append").parquet(s"$path/$DeleteDir")
+      n
+    } finally hit.unpersist(false)
+  }
+
+  /** The live view: base files minus the accumulated positional
+    * deletes. The relational anti-join on (file, pos) is the portable
+    * engine-level encoding of a reader-applied per-file delete bitmap;
+    * the delete side is metadata-sized next to the base (AQE broadcasts
+    * it), so the base never shuffles and the plan stays one scan +
+    * map-side filter. When delete vectors grow past broadcast size,
+    * [[vacuum]] folds them into a rewrite. */
+  def readWithDeletes(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val base = spark.read.parquet(path)
+    val dels = deletes(spark, path)
+    base.select(col("_metadata.file_path").as("_file"),
+        col("_metadata.row_index").as("_pos"), col("*"))
+      .join(broadcast(dels), Seq("_file", "_pos"), "left_anti")
+      .drop("_file", "_pos")
+  }
+
+  /** Fold accumulated deletes into a data rewrite: materialize the live
+    * view into fresh files and drop the vectors — run when the delete
+    * fraction makes merge-on-read reads pay more than one rewrite
+    * (every table format's REWRITE DATA FILES / PURGE step). Staged
+    * write-then-swap: the live view lands under an underscore-prefixed
+    * temp dir (invisible to readers of `path`), then data files swap in
+    * a rename pass — a crash before the swap leaves the old layout +
+    * vectors fully intact. */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val live = readWithDeletes(spark, path)
+    val tmp = new Path(s"$path/_graft_vacuum_tmp")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    live.write.mode("overwrite").parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    val root = new Path(path)
+    fs.listStatus(root).foreach { f =>
+      val nm = f.getPath.getName
+      if (!nm.startsWith("_") && !nm.startsWith(".")) fs.delete(f.getPath, false)
+    }
+    fs.delete(new Path(s"$path/$DeleteDir"), true)
+    fs.listStatus(tmp).foreach { f =>
+      val nm = f.getPath.getName
+      if (!nm.startsWith("_") && !nm.startsWith("."))
+        fs.rename(f.getPath, new Path(root, nm))
+    }
+    fs.delete(tmp, true)
+    n
   }
 }

@@ -347,6 +347,40 @@ object Extra5Queries {
              |  WHERE u IN (SELECT id FROM k8) AND v IN (SELECT id FROM k8))
              |SELECT id, CAST(count(*) AS BIGINT) AS core_deg FROM (
              |  SELECT u AS id FROM e8 UNION ALL SELECT v AS id FROM e8) GROUP BY id
-             |ORDER BY id""".stripMargin))
+             |ORDER BY id""".stripMargin)),
+
+    // ---- Deletion vectors / merge-on-read (q119): delete-by-predicate
+    //      records (file, row_index) pairs in an underscore-prefixed
+    //      sidecar, data files stay immutable; the live view anti-joins
+    //      the (broadcast, metadata-sized) vector. Two OVERLAPPING
+    //      delete batches accumulate (the second records only new hits),
+    //      then the gate aggregates the live view. The oracle never sees
+    //      files or positions — it filters the raw table by the combined
+    //      predicate, which is exactly the merge-on-read invariant
+    //      (live view ≡ predicate-filtered table). The layout rebuilds
+    //      fresh each run (overwrite clears prior vectors), so the gate
+    //      is deterministic across reruns. ----
+    Q("q119_deletion_vectors",
+      (s, dir) => {
+        import s.implicits._
+        val path = graft.Scratch.dir("graft_dv_orders")
+        Tables(s, dir, "orders").repartition(4)
+          .write.mode("overwrite").parquet(path)
+        graft.operators.Layout.deleteWhere(s, path,
+          col("o_orderstatus") === "F" && col("o_totalprice") > 150000)
+        graft.operators.Layout.deleteWhere(s, path,
+          col("o_orderpriority") === "1-URGENT")
+        graft.operators.Layout.readWithDeletes(s, path)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum($"o_totalprice"), 2).as("total"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders
+             |WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)
+             |  AND NOT o_orderpriority = '1-URGENT'
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

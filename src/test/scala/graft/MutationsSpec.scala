@@ -142,4 +142,30 @@ class MutationsSpec extends AnyFunSuite {
     assert(got("b") == ((1L, 5.0, 5.0, 5.0)))  // untouched key passes through
     assert(got("c") == ((1L, 7.0, 7.0, 7.0)))  // key born in the batch
   }
+
+  test("deletion vectors: overlapping batches dedup, reads merge, vacuum folds") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val path = graft.Scratch.dir("spec_dv")
+    (1L to 100L).map(i => (i, i % 10)).toDF("id", "grp")
+      .repartition(3).write.mode("overwrite").parquet(path)
+    // batch 1: ids 1..50 -> 50 new deletes
+    assert(Layout.deleteWhere(spark, path, col("id") <= 50) == 50L)
+    // batch 2 OVERLAPS (ids 41..60): only 10 are new
+    assert(Layout.deleteWhere(spark, path, col("id").between(41, 60)) == 10L)
+    // re-issuing a covered predicate deletes nothing (idempotent)
+    assert(Layout.deleteWhere(spark, path, col("id") <= 60) == 0L)
+    val live = Layout.readWithDeletes(spark, path)
+    assert(live.count() == 40L)
+    assert(live.agg(min($"id")).head().getLong(0) == 61L)
+    // vacuum: live view identical, vectors gone, base read = live read
+    assert(Layout.vacuum(spark, path) == 40L)
+    assert(Layout.deletes(spark, path).isEmpty)
+    assert(spark.read.parquet(path).count() == 40L)
+    assert(Layout.readWithDeletes(spark, path).agg(min($"id"))
+      .head().getLong(0) == 61L)
+    // deletes keep working on the vacuumed layout (fresh row indexes)
+    assert(Layout.deleteWhere(spark, path, col("id") > 90) == 10L)
+    assert(Layout.readWithDeletes(spark, path).count() == 30L)
+  }
 }
