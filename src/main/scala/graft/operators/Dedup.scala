@@ -303,6 +303,41 @@ object Dedup {
         .select("id_a", "id_b", "hamming"))
   }
 
+  /** Leakage-safe train/test split: partition documents by NEAR-DUP
+    * CLUSTER, not by row, so no near-duplicate pair ever straddles the
+    * boundary — the contamination control every eval split over a
+    * web-scale corpus needs (a test doc whose near-twin sits in train
+    * is a leaked answer; row-hash splits leak every duplicated doc).
+    * Chain: [[minhashLsh]] pair edges → [[connectedComponents]] labels
+    * → singletons fall back to their own id → the CLUSTER id (never the
+    * doc id) hashes into `buckets` via the portable md5-prefix rule
+    * (the t18/d03 cross-engine hash), with the first `testBuckets`
+    * buckets becoming the test split.
+    *
+    * Scale shape: adds exactly one broadcast-ready label join and a
+    * map-side hash to the d06 clustering cost; the split is stable
+    * under corpus growth for unchanged clusters (hash of the min-id
+    * label — adding NEW docs to a cluster can change its min id, which
+    * is inherent to any id-keyed assignment; freeze splits by
+    * persisting them, the incremental-dedup d10 shape).
+    *
+    * @return (id, cluster_id, split) — split ∈ {"test", "train"}.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, k: Int, bands: Int, threshold: Double,
+      buckets: Int = 10, testBuckets: Int = 2): DataFrame = {
+    require(buckets >= 2 && testBuckets >= 1 && testBuckets < buckets)
+    val pairs = minhashLsh(docs, idCol, textCol, shingleSize, k, bands, threshold)
+    val labels = connectedComponents(pairs.select("id_a", "id_b"))
+    docs.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
+      .withColumn("split",
+        when(conv(substring(md5(col("cluster_id").cast("string")), 1, 8),
+            16, 10).cast("long") % buckets < testBuckets, lit("test"))
+          .otherwise(lit("train")))
+  }
+
   /** Connected components over an undirected edge list `(id_a, id_b)` —
     * see [[connectedComponentsStats]] for the algorithm and guarantees. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame =

@@ -205,6 +205,46 @@ object PipelineQueries {
              |    ORDER BY n_chars DESC, doc_id) AS keep
              |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // ---- leakage-safe train/test split (d16): documents split by
+    //      NEAR-DUP CLUSTER, never by row — a test doc whose near-twin
+    //      sits in train is a leaked answer, and row-hash splits leak
+    //      every duplicated doc. Cluster id = CC label over the LSH
+    //      pair graph (singletons fall back to their own id), split =
+    //      portable md5-prefix hash of the CLUSTER id (the t18/d03
+    //      cross-engine hash rule, 20% test). Oracle: the d06 recursive
+    //      closure + the identical hash rule; the by-construction
+    //      invariant (no cluster straddles the boundary) is pinned in
+    //      the spec suite. ----
+    Q("d16_leakage_split",
+      (s, dir) =>
+        Dedup.leakageSafeSplit(Tables(s, dir, "documents"), "doc_id",
+            "text", shingleSize = 3, k = 128, bands = 32, threshold = 0.8,
+            buckets = 10, testBuckets = 2)
+          .select(col("id").as("doc_id"), col("cluster_id"), col("split"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+             |e AS (
+             |  SELECT a.doc_id AS ia, b.doc_id AS ib
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+             |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+             |sym AS (SELECT ia AS s, ib AS d FROM e
+             |        UNION ALL SELECT ib, ia FROM e),
+             |reach(src, dst) AS (
+             |  SELECT s, s FROM sym
+             |  UNION
+             |  SELECT r.src, sym.d FROM reach r JOIN sym ON r.dst = sym.s),
+             |cc AS (SELECT src AS doc_id, min(dst) AS label
+             |       FROM reach GROUP BY src),
+             |lab AS (
+             |  SELECT d.doc_id, coalesce(cc.label, d.doc_id) AS cluster_id
+             |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id)
+             |SELECT doc_id, cluster_id,
+             |  CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+             |         % 10 < 2 THEN 'test' ELSE 'train' END AS split
+             |FROM lab ORDER BY doc_id""".stripMargin)),
+
     // banded SimHash at maxHamming=3 is EXHAUSTIVE (pigeonhole: 4 chunks,
     // ≤3 differing bits ⇒ one chunk equal), so with the skew cap lifted
     // the bucketed pipeline must equal the all-pairs filter — which is

@@ -552,6 +552,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"unigramTrain plan grows with EM iterations: ${nodes(1)} vs ${nodes(3)}")
   }
 
+  test("leakageSafeSplit: no near-dup cluster straddles the split boundary") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+    val split = Dedup.leakageSafeSplit(docs, "doc_id", "text",
+      shingleSize = 3, k = 128, bands = 32, threshold = 0.8)
+    // the leakage invariant: one split value per cluster, always
+    val straddling = split.groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("ns"))
+      .filter($"ns" > 1)
+    assert(straddling.isEmpty, "a cluster spans train and test")
+    // every doc assigned exactly once; both splits non-empty at this SF
+    val total = docs.count()
+    assert(split.count() == total)
+    val bySplit = split.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySplit.keySet == Set("train", "test"), bySplit.toString)
+    // the planted near-dups land TOGETHER: every LSH pair shares a split
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, 128, 32, 0.8)
+      .select($"id_a", $"id_b")
+    val sa = split.select($"id".as("id_a"), $"split".as("sp_a"))
+    val sb = split.select($"id".as("id_b"), $"split".as("sp_b"))
+    assert(pairs.join(sa, "id_a").join(sb, "id_b")
+      .filter($"sp_a" =!= $"sp_b").isEmpty,
+      "near-dup pair split across train/test — the leak this operator exists to prevent")
+    Caches.sweep(spark)
+  }
+
   test("piiScrub: ordered redaction, no double counting, exact rewrite") {
     import spark.implicits._
     val docs = Seq(
