@@ -45,6 +45,11 @@ object Bench {
     // graph / sequence / IVM families (round-8 second wave); q93/s06/d10
     // rotated out (sub-0.25s, families covered by q84/s01-s09/d01-d13)
     "q103_pagerank", "q104_funnel", "q106_incremental_view",
+    // round-10 wave: retention cohorts (events volume), k-core peeling
+    // (iterative graph), deletion-vector merge-on-read, unigram-LM EM,
+    // PII regex sweep (corpus-wide map)
+    "q117_retention_cohorts", "q118_kcore", "q119_deletion_vectors",
+    "t32_unigram_train", "t35_pii_scrub",
     // dedup / similarity / text pipeline; d12/d13/s07/t17 rotated out
     // round 9 (sub-0.3s, families covered by d11/d14/s09/t15) to make
     // room for the r1/r2 rep columns inside the tail budget
