@@ -707,4 +707,31 @@ class ScaleSpec extends AnyFunSuite {
     }
     assert(scans.size == 1, s"expected one corpus scan, got ${scans.size}")
   }
+
+  test("deletion-vector read: vector broadcasts, base never exchanges") {
+    import spark.implicits._
+    val path = graft.Scratch.dir("scalespec_dv")
+    Tables(spark, sf, "orders").repartition(3)
+      .write.mode("overwrite").parquet(path)
+    graft.operators.Layout.deleteWhere(spark, path,
+      col("o_orderpriority") === "1-URGENT")
+    val live = graft.operators.Layout.readWithDeletes(spark, path)
+    live.collect()
+    val plan = live.queryExecution.executedPlan
+    // the anti-join must be a broadcast hash join (metadata-sized
+    // vector), never a shuffled join of the base
+    val bhj = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.joinType.toString
+    }
+    assert(bhj.exists(_.contains("LeftAnti")),
+      s"expected broadcast LeftAnti, got $bhj in\n$plan")
+    val exchanges = collectAll(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.nodeName
+    }
+    assert(exchanges.isEmpty,
+      s"merge-on-read scan must not shuffle the base: $exchanges")
+    Caches.sweep(spark)
+  }
 }
