@@ -62,4 +62,31 @@ object Sequences {
       .select(col("key").as(keyCol),
         coalesce(col("depth"), lit(0)).as("depth"))
   }
+
+  /** First-order event-type transition matrix — the Markov-chain view
+    * of user behavior (what follows what), the product-analytics staple
+    * next to [[funnelDepth]] and sessionization. Per-user streams order
+    * by `orderCols` (include a unique id as tie-break so the lag is
+    * deterministic), adjacent pairs come from one `lead()` window, and
+    * the output is (from_type, to_type, n, p) with `p` the
+    * row-normalized transition probability (round-4; the normalizer is
+    * an integer sum, so the ratio is engine-exact).
+    *
+    * Scale shape: ONE user-grain shuffle+sort for the sequence window —
+    * inevitable for order semantics, the sessionize shape — then
+    * everything is type²-grain (a bounded matrix); the normalizing
+    * window runs over that matrix, not the event stream.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(orderCols.map(col): _*)
+    val pairs = events
+      .withColumn("_to", lead(col(typeCol), 1).over(w))
+      .filter(col("_to").isNotNull)
+    val m = pairs.groupBy(col(typeCol).as("from_type"), col("_to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    m.withColumn("p",
+      round(col("n") / sum(col("n")).over(Window.partitionBy(col("from_type"))), 4))
+  }
 }

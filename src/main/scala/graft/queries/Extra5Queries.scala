@@ -381,6 +381,37 @@ object Extra5Queries {
              |FROM orders
              |WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)
              |  AND NOT o_orderpriority = '1-URGENT'
-             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---- Event-type transition matrix (q120): the Markov-chain view of
+    //      user behavior (what follows what), completing the sequence
+    //      family next to q27 sessionize / q104 funnel / q117 retention.
+    //      Per-user event streams ordered (ts, event_id) — the id
+    //      tie-break makes the lag deterministic — pair via lead(), then
+    //      one (from,to)-grain count and a row-probability normalized by
+    //      the from-state total. Integer-exact except the final ratio.
+    //      Scale shape: ONE user-grain shuffle+sort for the sequence
+    //      window (the q27 shape, inevitable for order semantics), then
+    //      everything is type²-grain (bounded matrix). ----
+    Q("q120_event_transitions",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Sequences.transitionMatrix(
+            Tables(s, dir, "events")
+              .select($"user_id", $"event_type", $"ts", $"event_id"),
+            "user_id", "event_type", Seq("ts", "event_id"))
+          .orderBy($"from_type", $"to_type")
+      },
+      Some("""WITH pr AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |m AS (
+             |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM pr WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+             |SELECT from_type, to_type, n,
+             |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 4) AS p
+             |FROM m ORDER BY from_type, to_type""".stripMargin))
   )
 }

@@ -39,4 +39,29 @@ class SequencesSpec extends AnyFunSuite {
       (1L, 100L, "click"), (1L, 150L, "view"), (1L, 200L, "click")))
     assert(d(1L) == 2)
   }
+
+  test("transitionMatrix: counts adjacent pairs per user, rows sum to 1") {
+    // user 1: a->b->a->b (a->b x2, b->a x1); user 2: a->a (a->a x1)
+    val ev = Seq(
+      (1L, 10L, 100L, "a"), (1L, 11L, 200L, "b"),
+      (1L, 12L, 300L, "a"), (1L, 13L, 400L, "b"),
+      (2L, 20L, 100L, "a"), (2L, 21L, 200L, "a"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Sequences.transitionMatrix(ev, "user_id", "event_type",
+        Seq("ts", "event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("a", "b")) == ((2L, 0.6667)))
+    assert(got(("a", "a")) == ((1L, 0.3333)))
+    assert(got(("b", "a")) == ((1L, 1.0)))
+    assert(got.size == 3)
+    // same-ts events order by the id tie-break: (ts 100, id 1) then
+    // (ts 100, id 2) -> exactly one x->y pair, deterministically
+    val tie = Seq((5L, 1L, 100L, "x"), (5L, 2L, 100L, "y"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val t = Sequences.transitionMatrix(tie, "user_id", "event_type",
+        Seq("ts", "event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(t == Seq(("x", "y")))
+  }
 }
