@@ -79,4 +79,42 @@ object Expectations {
         count(lit(1)).as("total"))
       .select(lit(name).as("chk"), col("violations"), col("total"))
   }
+
+  /** Daily-volume anomaly detection — the pipeline-health staple next to
+    * [[audit]]: per-day event counts scored against the corpus's own
+    * volume distribution, z = (n − μ)/σ, flagged past `zThreshold`. A
+    * feed that silently halves (upstream outage) or doubles (replay,
+    * scraper loop) shows up as |z| spikes long before any content-level
+    * check fires.
+    *
+    * ENGINE-EXACT z-scores: μ and σ derive from the INTEGER moments
+    * (k, Σn, Σn²) — integer sums are bit-exact in any aggregation
+    * order, and every float op downstream (two divides, one sqrt) sees
+    * identical operands in any engine, so the round-4 scores gate with
+    * zero tolerance. σ is the population form √(Σn²/k − μ²).
+    *
+    * Scale shape: one day-grain count aggregate (map-combined over the
+    * event stream), one 3-number global aggregate, then map-only
+    * scoring against the broadcast stats row — count-class cost at any
+    * volume.
+    *
+    * @return (d, n, z, is_anomaly) per day, z null when σ = 0 (a
+    *         perfectly uniform feed has no anomalies to rank).
+    */
+  def volumeAnomalies(events: DataFrame, tsCol: String,
+      zThreshold: Double = 2.0): DataFrame = {
+    val daily = events.groupBy(to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.agg(count(lit(1)).as("k"), sum(col("n")).as("s"),
+      sum(col("n") * col("n")).as("s2"))
+    daily.crossJoin(broadcast(stats))
+      .withColumn("_mu", col("s") / col("k"))
+      .withColumn("_var", col("s2") / col("k") - col("_mu") * col("_mu"))
+      .withColumn("z",
+        when(col("_var") > 0,
+          round((col("n") - col("_mu")) / sqrt(col("_var")), 4)))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > zThreshold, lit(false)))
+      .select(col("d"), col("n"), col("z"), col("is_anomaly"))
+  }
 }

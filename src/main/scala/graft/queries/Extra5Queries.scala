@@ -412,6 +412,38 @@ object Extra5Queries {
              |  FROM pr WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
              |SELECT from_type, to_type, n,
              |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 4) AS p
-             |FROM m ORDER BY from_type, to_type""".stripMargin))
+             |FROM m ORDER BY from_type, to_type""".stripMargin)),
+
+    // ---- Daily-volume anomaly detection (q121): per-day event counts
+    //      z-scored against the corpus's own volume distribution — the
+    //      feed-health check that catches a silent upstream halving or a
+    //      replay doubling before any content check fires. z-scores are
+    //      engine-exact: mean/sigma derive from INTEGER moments
+    //      (k, sum n, sum n^2), so every float op sees identical
+    //      operands in both engines ----
+    Q("q121_volume_anomalies",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Expectations.volumeAnomalies(
+            Tables(s, dir, "events"), "ts")
+          .orderBy($"d")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1),
+             |st AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS s,
+             |    CAST(sum(n * n) AS BIGINT) AS s2
+             |  FROM daily)
+             |SELECT d, n,
+             |  CASE WHEN CAST(s2 AS DOUBLE)/k - (CAST(s AS DOUBLE)/k)*(CAST(s AS DOUBLE)/k) > 0
+             |    THEN round((n - CAST(s AS DOUBLE)/k)
+             |      / sqrt(CAST(s2 AS DOUBLE)/k - (CAST(s AS DOUBLE)/k)*(CAST(s AS DOUBLE)/k)), 4)
+             |  END AS z,
+             |  coalesce(abs(CASE WHEN CAST(s2 AS DOUBLE)/k - (CAST(s AS DOUBLE)/k)*(CAST(s AS DOUBLE)/k) > 0
+             |    THEN round((n - CAST(s AS DOUBLE)/k)
+             |      / sqrt(CAST(s2 AS DOUBLE)/k - (CAST(s AS DOUBLE)/k)*(CAST(s AS DOUBLE)/k)), 4)
+             |  END) > 2.0, false) AS is_anomaly
+             |FROM daily, st ORDER BY d""".stripMargin))
   )
 }

@@ -51,4 +51,41 @@ class ExpectationsSpec extends AnyFunSuite {
     // parent key 1 appears twice but must not multiply child rows
     assert(got("fk") == ((1L, 4L)))
   }
+
+  test("volumeAnomalies: spike day flagged, uniform feed yields null z") {
+    import spark.implicits._
+    def day(d: Int, n: Int, base: Long) =
+      (0 until n).map(i => (base + i, f"2024-02-$d%02d 12:00:0${i % 10}"))
+    // 4 quiet days + one 5x spike: the single outlier among k=5 points
+    // is CAPPED at z = sqrt(k-1) = 2.0 — exactly the threshold, not
+    // past it (the classic bounded-z property; a tiny window cannot
+    // produce extreme z no matter how wild the spike)
+    val ev = (day(1, 10, 0) ++ day(2, 10, 100) ++ day(3, 10, 200) ++
+        day(4, 10, 300) ++ day(5, 50, 400))
+      .toDF("event_id", "tss")
+      .select($"event_id", $"tss".cast("timestamp").as("ts"))
+    val got = Expectations.volumeAnomalies(ev, "ts")
+      .collect().map(r => (r.getDate(0).toString,
+        (r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2),
+          r.getBoolean(3)))).toMap
+    // mean 18, var (4*64 + 1024)/5 = 256, sigma 16: quiet z = -0.5,
+    // spike z = 2.0 — NOT flagged at the strict > 2.0 threshold
+    assert(got("2024-02-05") == ((50L, 2.0, false)), got.toString)
+    assert(got("2024-02-01") == ((10L, -0.5, false)))
+    // 9 quiet days + one 10x spike: z = 3.0, flagged — and ONLY it
+    val ev2 = ((1 to 9).flatMap(d => day(d, 10, d * 100L)) ++
+        day(10, 100, 1000))
+      .toDF("event_id", "tss")
+      .select($"event_id", $"tss".cast("timestamp").as("ts"))
+    val flagged = Expectations.volumeAnomalies(ev2, "ts")
+      .filter($"is_anomaly").collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(2))).toSeq
+    assert(flagged == Seq(("2024-02-10", 3.0)), flagged.toString)
+    // uniform feed: sigma = 0 -> z null everywhere, nothing flagged
+    val flat = Expectations.volumeAnomalies(
+      (day(1, 10, 0) ++ day(2, 10, 100)).toDF("event_id", "tss")
+        .select($"event_id", $"tss".cast("timestamp").as("ts")), "ts")
+      .collect()
+    assert(flat.forall(r => r.isNullAt(2) && !r.getBoolean(3)))
+  }
 }
