@@ -395,32 +395,129 @@ object GraphOps {
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxRounds: Int = 10): DataFrame = {
+    val run = kCoreRun(edges, srcCol, dstCol, k, maxRounds)
+    if (!run.converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"kCore(k=$k) hit maxRounds=$maxRounds before the peel stabilized — " +
+          "the result is a SUPERSET of the true k-core (peeling removes " +
+          "nodes monotonically). Raise maxRounds or use kCoreRun to act on " +
+          "the convergence signal.")
+    run.nodes
+  }
+
+  /** Outcome of a [[kCoreRun]] peel: the surviving (id, core_deg) table,
+    * whether the peel reached a fixed point, and the rounds it used —
+    * the honest contract a pipeline needs to decide whether a
+    * round-capped result (a superset of the true core) is acceptable or
+    * the budget must rise. */
+  final case class KCoreRun(nodes: DataFrame, converged: Boolean, rounds: Int)
+
+  /** Canonical undirected edge set: casts, self-loop drop, (u<v) dedup —
+    * shared by the k-core surfaces. */
+  private def canonUndirected(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+
+  private def coreDegrees(e: DataFrame): DataFrame =
+    e.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("core_deg"))
+
+  /** One bulk-peel round: keep only edges whose BOTH endpoints have
+    * degree ≥ k in the current subgraph. */
+  private def peelOnce(cur: DataFrame, k: Int): DataFrame = {
+    val keep = coreDegrees(cur).filter(col("core_deg") >= k).select(col("id"))
+    cur
+      .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+      .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+      .select(col("u"), col("v")) // restore column order after join keys
+  }
+
+  /** [[kCore]] with the full convergence contract (see [[KCoreRun]]).
+    * Same peel loop and scale shape as [[kCore]]'s scaladoc. */
+  def kCoreRun(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 10): KCoreRun = {
     require(k >= 1, s"k must be >= 1, got $k")
     val loop = new IterativeLoop()
     try {
-      def degrees(e: DataFrame): DataFrame =
-        e.select(explode(array(col("u"), col("v"))).as("id"))
-          .groupBy(col("id")).agg(count(lit(1)).as("core_deg"))
-      val canon = edges
-        .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-        .filter(col("a") =!= col("b"))
-        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-        .distinct()
-      var (cur, n) = loop.advanceCounted(canon)
+      var (cur, n) = loop.advanceCounted(canonUndirected(edges, srcCol, dstCol))
       var stable = n == 0L
       var round = 0
       while (!stable && round < maxRounds) {
-        val keep = degrees(cur).filter(col("core_deg") >= k).select(col("id"))
-        val next = cur
-          .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
-          .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
-          .select(col("u"), col("v")) // restore column order after join keys
-        val (m, nm) = loop.advanceCounted(next)
+        val (m, nm) = loop.advanceCounted(peelOnce(cur, k))
         stable = nm == n || nm == 0L
         cur = m; n = nm
         round += 1
       }
-      loop.finish(degrees(cur))
+      KCoreRun(loop.finish(coreDegrees(cur)), stable, round)
+    } catch { case e: Throwable => loop.abort(); throw e }
+  }
+
+  /** Coreness decomposition, capped at `kMax`: per-node core numbers —
+    * `coreness(v) = min(kMax, max k with v in the k-core)` — the form a
+    * graph pipeline actually wants (one pass labels every node; ranking
+    * crawl hubs, fringe-stripping thresholds, and community-detection
+    * pre-cuts all read the same table instead of re-peeling per k).
+    *
+    * Algorithm: incremental bulk peeling (Batagelj-Zaversnik staged by
+    * k). Peel the graph to its 2-core; nodes dropped on the way have
+    * coreness 1. Continue FROM the 2-core to the 3-core (never from
+    * scratch — the k-core is inside the (k-1)-core), and so on up to
+    * `kMax`; whatever survives the `kMax`-peel is labeled `kMax` (the
+    * cap is part of the contract, mirroring a bounded-depth analysis —
+    * uncapped decomposition is the same loop with `kMax` = max degree).
+    * Every node incident to at least one canonical edge is labeled
+    * (isolated nodes never enter the edge list and have no core).
+    *
+    * Unlike the round-capped [[kCore]], each per-k peel here runs to its
+    * FIXED POINT (`maxRoundsPerK` is a runaway bound, not a silent cap:
+    * exceeding it THROWS rather than mislabel) — correctness of the
+    * labels requires exact cores. Scale shape: the working edge set
+    * shrinks monotonically across the whole k ladder; per round the
+    * same one degree aggregate + two semi-joins as [[kCore]]; the
+    * dropped-node layers are node-grain checkpoints retained to the
+    * final union ([[IterativeLoop.keep]], the BFS-layer pattern).
+    *
+    * @return (id, coreness) — one row per non-isolated node.
+    */
+  def coreness(edges: DataFrame, srcCol: String, dstCol: String,
+      kMax: Int, maxRoundsPerK: Int = 50): DataFrame = {
+    require(kMax >= 1, s"kMax must be >= 1, got $kMax")
+    val loop = new IterativeLoop()
+    try {
+      def nodesOf(e: DataFrame): DataFrame =
+        e.select(explode(array(col("u"), col("v"))).as("id")).distinct()
+      var (cur, n) = loop.advanceCounted(canonUndirected(edges, srcCol, dstCol))
+      // the 1-core = every node with an edge (canonical edges have no
+      // self-loops, so every listed endpoint has true degree >= 1)
+      var (remaining, _) = loop.keep(nodesOf(cur))
+      var layers = List.empty[DataFrame]
+      var k = 2
+      while (k <= kMax && n > 0) {
+        var stable = false
+        var round = 0
+        while (!stable && round < maxRoundsPerK) {
+          val (m, nm) = loop.advanceCounted(peelOnce(cur, k))
+          stable = nm == n || nm == 0L
+          cur = m; n = nm
+          round += 1
+        }
+        if (!stable) throw new IllegalStateException(
+          s"coreness: the k=$k peel did not reach a fixed point within " +
+            s"maxRoundsPerK=$maxRoundsPerK rounds — raise the bound " +
+            "(labels from a capped peel would be wrong, not approximate)")
+        val (coreNodes, _) = loop.keep(nodesOf(cur))
+        layers ::= remaining.join(coreNodes, Seq("id"), "left_anti")
+          .withColumn("coreness", lit((k - 1).toLong))
+        remaining = coreNodes
+        k += 1
+      }
+      // survivors of the kMax-peel (empty when the graph died earlier)
+      val capped = remaining.withColumn("coreness", lit((k - 1).toLong))
+      loop.finish(layers.foldLeft(capped)(_ unionByName _))
     } catch { case e: Throwable => loop.abort(); throw e }
   }
 }

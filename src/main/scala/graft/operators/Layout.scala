@@ -196,15 +196,23 @@ object Layout {
     df.repartitionByRange(files, col(rangeCol))
       .sortWithinPartitions(col(rangeCol))
       .write.mode("overwrite").parquet(path)
-    val spark = df.sparkSession
+    buildManifest(df.sparkSession, path, rangeCol)
+  }
+
+  /** (Re)build the min/max manifest over the CURRENT data files of
+    * `path`. The manifest records its own clustering column
+    * (`range_col`) so maintenance jobs that restate data files —
+    * [[vacuum]] — can rebuild it without being told the column. */
+  private def buildManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, rangeCol: String): Unit =
     spark.read.parquet(path)
       .select(col(rangeCol).as("v"), col("_metadata.file_path").as("file"))
       .groupBy(col("file"))
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
         count(lit(1)).as("n_rows"))
+      .withColumn("range_col", lit(rangeCol))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/$ManifestDir")
-  }
 
   /** The manifest as a DataFrame: (file, lo, hi, n_rows) per data file. */
   def manifest(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
@@ -285,31 +293,83 @@ object Layout {
     } finally hit.unpersist(false)
   }
 
+  /** Default on-disk byte cap under which the delete vector is
+    * broadcast-hinted in [[readWithDeletes]]. Parquet-compressed (file,
+    * pos) pairs expand roughly 3–5× as broadcast rows, so 32 MB on disk
+    * is a ~100–150 MB broadcast — safely inside executor headroom while
+    * far above any healthy vector (a table whose vector approaches this
+    * is past the [[vacuum]] crossover; see PERF_PROBE.md). */
+  val DefaultDeleteBroadcastBytes: Long = 32L << 20
+
+  /** On-disk bytes of the accumulated delete vector — a driver-side
+    * file listing, no job. 0 when no deletes exist. */
+  def deleteVectorBytes(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val p = new Path(s"$path/$DeleteDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+  }
+
+  /** Fraction of the base table's rows currently deleted — the signal a
+    * maintenance pipeline thresholds to trigger [[vacuum]] mechanically
+    * (PERF_PROBE.md measures where merge-on-read overhead crosses the
+    * one-time rewrite). Two count jobs, both metadata-light: the delete
+    * vector is tiny and a parquet count reads no columns. */
+  def deleteFraction(spark: org.apache.spark.sql.SparkSession,
+      path: String): Double = {
+    val baseRows = spark.read.parquet(path).count()
+    if (baseRows == 0L) 0.0
+    else deletes(spark, path).count().toDouble / baseRows
+  }
+
   /** The live view: base files minus the accumulated positional
     * deletes. The relational anti-join on (file, pos) is the portable
-    * engine-level encoding of a reader-applied per-file delete bitmap;
-    * the delete side is metadata-sized next to the base (AQE broadcasts
-    * it), so the base never shuffles and the plan stays one scan +
-    * map-side filter. When delete vectors grow past broadcast size,
-    * [[vacuum]] folds them into a rewrite. */
+    * engine-level encoding of a reader-applied per-file delete bitmap.
+    * The broadcast decision is SIZE-GATED, not assumed: while the
+    * vector's on-disk bytes stay under `broadcastBytesMax` it is
+    * broadcast-hinted — the base never shuffles and the plan is one
+    * scan + map-side anti filter. Past the cap the hint is withheld and
+    * the planner falls back to a shuffled anti-join (one exchange of
+    * the base — the honest degraded mode; AQE may still broadcast at
+    * runtime if actual stats allow), instead of the hard driver OOM an
+    * unconditional hint would force once vectors reach 1e8+ pairs at
+    * 100 TB. Pipelines should watch [[deleteFraction]] and [[vacuum]]
+    * well before that point. */
   def readWithDeletes(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
+      path: String,
+      broadcastBytesMax: Long = DefaultDeleteBroadcastBytes): DataFrame = {
     val base = spark.read.parquet(path)
     val dels = deletes(spark, path)
+    val delSide =
+      if (deleteVectorBytes(spark, path) <= broadcastBytesMax) broadcast(dels)
+      else dels
     base.select(col("_metadata.file_path").as("_file"),
         col("_metadata.row_index").as("_pos"), col("*"))
-      .join(broadcast(dels), Seq("_file", "_pos"), "left_anti")
+      .join(delSide, Seq("_file", "_pos"), "left_anti")
       .drop("_file", "_pos")
   }
 
   /** Fold accumulated deletes into a data rewrite: materialize the live
-    * view into fresh files and drop the vectors — run when the delete
-    * fraction makes merge-on-read reads pay more than one rewrite
-    * (every table format's REWRITE DATA FILES / PURGE step). Staged
-    * write-then-swap: the live view lands under an underscore-prefixed
-    * temp dir (invisible to readers of `path`), then data files swap in
-    * a rename pass — a crash before the swap leaves the old layout +
-    * vectors fully intact. */
+    * view into fresh files and drop the vectors — run when
+    * [[deleteFraction]] makes merge-on-read reads pay more than one
+    * rewrite (every table format's REWRITE DATA FILES / PURGE step;
+    * PERF_PROBE.md measures the crossover). Staged write-then-swap: the
+    * live view lands under an underscore-prefixed temp dir (invisible
+    * to readers of `path`), then old data files drop, new files rename
+    * in, and ONLY THEN does the delete directory go — the vectors
+    * reference the old file names, so against the renamed files they
+    * are inert, and a crash anywhere in the swap never leaves a state
+    * where stale vectors mis-filter new data. A crash before the swap
+    * leaves the old layout + vectors fully intact.
+    *
+    * A skip manifest ([[writeWithManifest]]) would otherwise survive
+    * pointing at the deleted pre-vacuum files and silently exclude
+    * every rewritten file from manifest-routed reads — so vacuum
+    * REBUILDS it over the new files (the manifest records its own
+    * clustering column), or drops it when written by an older layout
+    * that didn't record the column (readers then fail loudly on the
+    * missing manifest rather than silently reading nothing). */
   def vacuum(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
     val live = readWithDeletes(spark, path)
     val tmp = new Path(s"$path/_graft_vacuum_tmp")
@@ -317,15 +377,30 @@ object Layout {
     live.write.mode("overwrite").parquet(tmp.toString)
     val n = spark.read.parquet(tmp.toString).count()
     val root = new Path(path)
+    val manifestPath = new Path(s"$path/$ManifestDir")
+    // the manifest's clustering column, read BEFORE the swap touches
+    // anything (None = no manifest, or a pre-range_col manifest)
+    val manifestCol: Option[String] =
+      if (!fs.exists(manifestPath)) None
+      else {
+        val m = spark.read.parquet(manifestPath.toString)
+        if (!m.columns.contains("range_col")) None
+        else m.select(col("range_col")).limit(1).collect()
+          .headOption.map(_.getString(0))
+      }
     fs.listStatus(root).foreach { f =>
       val nm = f.getPath.getName
       if (!nm.startsWith("_") && !nm.startsWith(".")) fs.delete(f.getPath, false)
     }
-    fs.delete(new Path(s"$path/$DeleteDir"), true)
     fs.listStatus(tmp).foreach { f =>
       val nm = f.getPath.getName
       if (!nm.startsWith("_") && !nm.startsWith("."))
         fs.rename(f.getPath, new Path(root, nm))
+    }
+    fs.delete(new Path(s"$path/$DeleteDir"), true)
+    manifestCol match {
+      case Some(rc) => buildManifest(spark, path, rc)
+      case None => if (fs.exists(manifestPath)) fs.delete(manifestPath, true)
     }
     fs.delete(tmp, true)
     n

@@ -55,7 +55,18 @@ object Retrieval {
     */
   private def topKOverUnits(units: DataFrame, idCols: Seq[String],
       queryTerms: Seq[String], k1: Double, b: Double, k: Int,
-      termWeights: Option[Seq[Double]] = None): DataFrame = {
+      termWeights: Option[Seq[Double]] = None): DataFrame =
+    topKOverUnitsTracked(units, idCols, queryTerms, k1, b, k, termWeights)._1
+
+  /** [[topKOverUnits]] plus a handle on the frame it persisted, for
+    * INTERNAL callers that run their own action and can therefore
+    * release exactly what this call cached (the operator-owned-release
+    * discipline of IterativeLoop) instead of the session-wide
+    * `clearCache` the public caller-owns-release contract falls back
+    * to. */
+  private def topKOverUnitsTracked(units: DataFrame, idCols: Seq[String],
+      queryTerms: Seq[String], k1: Double, b: Double, k: Int,
+      termWeights: Option[Seq[Double]] = None): (DataFrame, DataFrame) = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.distinct.size == queryTerms.size,
       s"duplicate query terms would double-count: $queryTerms")
@@ -90,11 +101,12 @@ object Retrieval {
           col("avgdl"), k1, b))
         .otherwise(lit(0.0))
     }.reduce(_ + _)
-    scored0.crossJoin(broadcast(stats))
+    val result = scored0.crossJoin(broadcast(stats))
       .select(idCols.map(col) :+ round(score, 4).as("score"): _*)
       .filter(col("score") > 0.0)
       .orderBy(col("score").desc +: idCols.map(col): _*)
       .limit(k)
+    (result, scored0)
   }
 
   /** Top-k documents for one query — (doc_id, score), score rounded to 4
@@ -128,10 +140,15 @@ object Retrieval {
     * Scale shape: initial retrieval is [[bm25TopK]] (one scan, zero
     * full-width shuffles); the feedback model touches ONLY the
     * `fbDocs` retrieved documents (pushed-down id filter, term-grain
-    * aggregate over ~fbDocs·doclen rows); the rescore is a second
+    * aggregate over ~fbDocs·doclen rows) and is consumed in ONE job —
+    * top-`fbTerms` rank, the original terms' full-model weights, and
+    * the grand total all ride one collect via global windows over the
+    * (tiny, fbDocs-bounded) term model; the rescore is a second
     * [[bm25TopK]]-shaped scan with the expanded term set. Driver state
-    * is bounded: fbDocs scores + fbTerms weights (the BPE-argmax
-    * contract).
+    * is bounded: fbDocs scores + (fbTerms + |Q|) weights (the
+    * BPE-argmax contract). The operator releases exactly the frame the
+    * initial retrieval persisted (never a session-wide cache clear),
+    * and reads doc ids generically, so any id type works.
     *
     * @return top-k (doc_id, score) under the expanded weighted query.
     */
@@ -141,11 +158,20 @@ object Retrieval {
       k: Int = 10): DataFrame = {
     require(fbDocs >= 1 && fbTerms >= 1 && alpha >= 0.0 && alpha <= 1.0)
     val spark = docs.sparkSession
-    import spark.implicits._
-    // 1. initial retrieval; fbDocs (id, round-4 score) rows to driver
-    val initial = bm25TopK(docs, idCol, textCol, queryTerms, k1, b, fbDocs)
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    spark.catalog.clearCache() // release bm25TopK's unit projection
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // 1. initial retrieval; fbDocs (id, round-4 score) rows to driver.
+    //    Ids are read untyped (string/int/long corpora all work); the
+    //    tracked persist handle is released here — this operator owns
+    //    that cache, the session's other cached relations are not ours
+    //    to drop.
+    val units0 = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val (initDf, initCache) =
+      topKOverUnitsTracked(units0, Seq("doc_id"), queryTerms, k1, b, fbDocs)
+    val initial = initDf.collect().map(r => (r.get(0), r.getDouble(1))).toSeq
+    initCache.unpersist(false)
     if (initial.isEmpty) return bm25TopK(docs, idCol, textCol, queryTerms, k1, b, k)
     // 2. quantized doc weights, summed in the FIXED retrieval order
     val total = initial.foldLeft(0.0)(_ + _._2)
@@ -153,7 +179,10 @@ object Retrieval {
       (id, math.round(sc / total * 1000000.0)) }
     // 3. feedback term model over ONLY the fb docs: integer contribution
     //    sum — ranking-safe in any partition order
-    val dwDf = docW.toDF("doc_id", "wq")
+    val dwDf = spark.createDataFrame(
+      java.util.Arrays.asList(docW.map { case (id, wq) => Row(id, wq) }: _*),
+      StructType(Seq(StructField("doc_id", initDf.schema.head.dataType),
+        StructField("wq", LongType, nullable = false))))
     val fb = docs
       .filter(col(idCol).isin(docW.map(_._1): _*)) // pushed-down id filter
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
@@ -165,17 +194,35 @@ object Retrieval {
       .select(col("term"),
         round(col("tf") / col("dl") * col("wq") * 1000.0).cast("long").as("c"))
       .groupBy(col("term")).agg(sum(col("c")).as("w"))
-    val rm = fb.orderBy(col("w").desc, col("term")).limit(fbTerms)
-      .as[(String, Long)].collect()
-    val rmTotal = fb.agg(sum(col("w"))).head().getLong(0)
+    // ONE action over the feedback model: the deterministic (w desc,
+    // term) rank, the grand total (unbounded frame on the same window —
+    // one sort, one Window node pair), and the FULL-model weight of
+    // every kept term. Keeping original query terms through the filter
+    // (not just the top-fbTerms) matches the relational interpolation
+    // (LEFT JOIN against the full model): a query term ranked below the
+    // top-fbTerms still carries its true feedback weight. The window is
+    // single-partition by construction — the model is term-grain over
+    // fbDocs documents, driver-bounded by the same argument that lets
+    // step 4 collect it.
+    val win = Window.orderBy(col("w").desc, col("term"))
+    val kept = fb.select(col("term"), col("w"),
+        row_number().over(win).as("rk"),
+        sum(col("w")).over(win.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("wt"))
+      .filter(col("rk") <= fbTerms ||
+        col("term").isInCollection(queryTerms))
+      .collect()
+    val rmTotal = kept.headOption.map(_.getLong(3)).getOrElse(0L)
     if (rmTotal == 0L) // degenerate feedback (all contributions rounded away)
       return bm25TopK(docs, idCol, textCol, queryTerms, k1, b, k)
     // 4. interpolate: α on the original terms, (1−α) on the feedback
     //    distribution; quantize BEFORE the deterministic (weight desc,
     //    term) ordering of the final weighted query
     val origSet = queryTerms.toSet
+    val rm = kept.filter(_.getInt(2) <= fbTerms)
+      .map(r => (r.getString(0), r.getLong(1)))
     val allTerms = (queryTerms ++ rm.map(_._1)).distinct
-    val rmW = rm.toMap
+    val rmW = kept.map(r => r.getString(0) -> r.getLong(1)).toMap
     val weighted = allTerms.map { t =>
       val orig = if (origSet(t)) alpha * 1000000.0 / queryTerms.size else 0.0
       val exp = (1.0 - alpha) * 1000000.0 *

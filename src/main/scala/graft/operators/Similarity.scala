@@ -537,15 +537,21 @@ object Similarity {
     * divide) hit identical operands in every engine, and the quantized
     * result erases their last-ulp freedom. Projections are then again
     * exact integer dot products. Sign is canonicalized so the
-    * largest-|component| (lowest index on ties) is positive.
+    * largest-|component| (lowest index on ties) is positive. The
+    * driver-side matvec accumulates in BigInt (Gram entries scale with
+    * row count and w with wScale, so a Long Σ G_ij·w_j would wrap near
+    * ~1e5 unit-norm rows — far earlier than the Gram itself).
     *
     * Scale shape: ONE map-side pass explodes each vector into its d²
     * index pairs and the Gram groupBy is map-combined — shuffle volume
     * is partitions × d², independent of row count; the projection pass
-    * is a map-only broadcast-literal dot product. Overflow bounds:
-    * |x|≲10 ⇒ entries ≲ (10·quantScale)² per row ⇒ 1e10·rows must stay
-    * under 2^63 — fine to ~1e8 rows at the default scale; drop
-    * quantScale for larger corpora.
+    * is a map-only broadcast-literal dot product. Overflow bounds: the
+    * distributed Gram sum is Long — |x|≲10 ⇒ entries ≲ (10·quantScale)²
+    * per row ⇒ 1e10·rows must stay under 2^63, fine to ~1e8 rows at the
+    * default scale (drop quantScale for larger corpora); the driver
+    * matvec multiplies those entries by w≤wScale and is therefore
+    * BigInt, exact at any size. The projection Σ q(x)·w stays Long:
+    * d·(10·quantScale)·wScale ≈ 6e12 per row, comfortably in range.
     *
     * @return (id, proj) with `proj = Σ q(x_i)·w_i` as BIGINT (exact),
     *         where w is the quantized unit direction after `iters`
@@ -575,14 +581,23 @@ object Similarity {
       .agg(sum(col("vi") * col("vj")).as("g"))
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
     def matvec(w: Array[Long]): Array[Long] = {
-      // u_i = Σ_j G_ij w_j exactly; then requantize u/||u|| in FIXED
-      // index order (the oracle replays the same order)
+      // u_i = Σ_j G_ij w_j exactly IN BIGINT: Gram entries grow with row
+      // count (~rows·quantScale²·|x|²) and w_j reaches wScale, so the
+      // product Σ can pass 2^63 around ~1e5 unit-norm rows — a Long here
+      // would wrap silently into a wrong principal direction. BigInt
+      // keeps the accumulation exact at any corpus size; the requantize
+      // divides it straight back to wScale range. BigInt→Double is
+      // round-to-nearest, the same semantics as a BIGINT/HUGEINT→DOUBLE
+      // cast, so the one float step sees identical operands everywhere.
+      // Requantization runs u/||u|| in FIXED index order (the oracle
+      // replays the same order).
       val u = Array.tabulate(d)(i =>
-        (0 until d).foldLeft(0L)((acc, j) => acc + gram((i, j)) * w(j)))
+        (0 until d).foldLeft(BigInt(0))((acc, j) =>
+          acc + BigInt(gram((i, j))) * w(j)))
       val norm = math.sqrt(u.foldLeft(0.0)((acc, x) => {
         val xs = x.toDouble / wScale; acc + xs * xs
       })) * wScale
-      Array.tabulate(d)(i => math.round(u(i) / norm * wScale))
+      Array.tabulate(d)(i => math.round(u(i).toDouble / norm * wScale))
     }
     var w = Array.fill(d)(wScale)
     for (_ <- 1 to iters) w = matvec(w)

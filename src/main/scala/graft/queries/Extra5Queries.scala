@@ -10,6 +10,22 @@ import org.apache.spark.sql.functions._
   */
 object Extra5Queries {
 
+  /** Unrolled SQL replay of `rounds` bulk-peel rounds at threshold `k`
+    * over edge CTE `input`, emitting CTEs `{pfx}d1..{pfx}e{rounds}` —
+    * the q118 oracle pattern, parameterized for the coreness ladder.
+    * Extra rounds past the true fixed point are no-ops, so any `rounds`
+    * ≥ the converged round count replays the engine exactly. */
+  private def peelChainSql(k: Int, input: String, pfx: String,
+      rounds: Int): String =
+    (1 to rounds).map { r =>
+      val prev = if (r == 1) input else s"${pfx}e${r - 1}"
+      s"""${pfx}d$r AS MATERIALIZED (SELECT id, count(*) AS dg FROM (
+         |    SELECT u AS id FROM $prev UNION ALL SELECT v AS id FROM $prev) GROUP BY id),
+         |${pfx}k$r AS (SELECT id FROM ${pfx}d$r WHERE dg >= $k),
+         |${pfx}e$r AS MATERIALIZED (SELECT u, v FROM $prev
+         |  WHERE u IN (SELECT id FROM ${pfx}k$r) AND v IN (SELECT id FROM ${pfx}k$r))""".stripMargin
+    }.mkString(",\n")
+
   def all: Seq[Q] = Seq(
 
     // ---- SCD2 time travel: two scd2Merge batches build a 3-epoch
@@ -444,6 +460,77 @@ object Extra5Queries {
              |    THEN round((n - CAST(s AS DOUBLE)/k)
              |      / sqrt(CAST(s2 AS DOUBLE)/k - (CAST(s AS DOUBLE)/k)*(CAST(s AS DOUBLE)/k)), 4)
              |  END) > 2.0, false) AS is_anomaly
-             |FROM daily, st ORDER BY d""".stripMargin))
+             |FROM daily, st ORDER BY d""".stripMargin)),
+
+    // ---- Coreness decomposition capped at kMax=4 (q122): per-node core
+    //      numbers by incremental bulk peeling (2-core, then 3-core FROM
+    //      the 2-core, ...), the all-k-at-once form of q118's single-k
+    //      membership. The graph = q118's trade graph plus three planted
+    //      structures with KNOWN coreness — a 5-path (coreness 1), a
+    //      5-cycle (coreness 2), a K4 (coreness 3) — so the gate pins
+    //      every label tier including the kMax cap on the natural dense
+    //      part. The engine peels each k to its FIXED POINT (capped peel
+    //      throws, never mislabels); the oracle replays 10 unrolled
+    //      rounds per k — any count ≥ the converged rounds reproduces
+    //      the fixed point exactly, extra rounds are no-ops. ----
+    Q("q122_coreness",
+      (s, dir) => {
+        import s.implicits._
+        val trade = Tables(s, dir, "lineitem")
+          .filter($"l_quantity" >= 48)
+          .select($"l_orderkey", $"l_suppkey")
+          .join(Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".cast("long").as("a"),
+            ($"l_suppkey" + 1000000L).cast("long").as("b"))
+        val path5 = s.range(4)
+          .select(($"id" + 9000000L).as("a"), ($"id" + 9000001L).as("b"))
+        val cyc5 = s.range(5)
+          .select(($"id" + 9100000L).as("a"),
+            (($"id" + 1) % 5 + 9100000L).as("b"))
+        val k4 = (for { i <- 0 until 4; j <- (i + 1) until 4 }
+          yield (9200000L + i, 9200000L + j)).toDF("a", "b")
+        GraphOps.coreness(
+            trade.unionByName(path5).unionByName(cyc5).unionByName(k4),
+            "a", "b", kMax = 4)
+          .orderBy($"id")
+      },
+      Some(s"""WITH raw AS (
+             |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+             |    CAST(l_suppkey + 1000000 AS BIGINT) AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_quantity >= 48
+             |  UNION
+             |  SELECT 9000000 + i AS a, 9000001 + i AS b
+             |  FROM (SELECT unnest(range(0, 4)) AS i)
+             |  UNION
+             |  SELECT 9100000 + i AS a, 9100000 + (i + 1) % 5 AS b
+             |  FROM (SELECT unnest(range(0, 5)) AS i)
+             |  UNION
+             |  SELECT 9200000 + t1.i AS a, 9200000 + t2.j AS b
+             |  FROM (SELECT unnest(range(0, 4)) AS i) t1,
+             |       (SELECT unnest(range(0, 4)) AS j) t2
+             |  WHERE t1.i < t2.j),
+             |e0 AS MATERIALIZED (
+             |  SELECT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+             |${peelChainSql(2, "e0", "p2", 10)},
+             |${peelChainSql(3, "p2e10", "p3", 10)},
+             |${peelChainSql(4, "p3e10", "p4", 10)},
+             |n1 AS (SELECT DISTINCT id FROM (
+             |  SELECT u AS id FROM e0 UNION ALL SELECT v AS id FROM e0)),
+             |n2 AS (SELECT DISTINCT id FROM (
+             |  SELECT u AS id FROM p2e10 UNION ALL SELECT v AS id FROM p2e10)),
+             |n3 AS (SELECT DISTINCT id FROM (
+             |  SELECT u AS id FROM p3e10 UNION ALL SELECT v AS id FROM p3e10)),
+             |n4 AS (SELECT DISTINCT id FROM (
+             |  SELECT u AS id FROM p4e10 UNION ALL SELECT v AS id FROM p4e10))
+             |SELECT id, CAST(1 AS BIGINT) AS coreness FROM n1
+             |  WHERE id NOT IN (SELECT id FROM n2)
+             |UNION ALL SELECT id, CAST(2 AS BIGINT) FROM n2
+             |  WHERE id NOT IN (SELECT id FROM n3)
+             |UNION ALL SELECT id, CAST(3 AS BIGINT) FROM n3
+             |  WHERE id NOT IN (SELECT id FROM n4)
+             |UNION ALL SELECT id, CAST(4 AS BIGINT) FROM n4
+             |ORDER BY id""".stripMargin))
   )
 }

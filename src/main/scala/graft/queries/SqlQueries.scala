@@ -14,6 +14,155 @@ object SqlQueries {
     s.sql(text)
   }
 
+  /** TPC-DS star-schema views over the TPC-H-ish corpus, so LITERAL
+    * TPC-DS query text runs end-to-end (the reference's implied corpus:
+    * its checked-in q27.plan IS TPC-DS Q27 — reference
+    * `hivehook/src/test/.../BasicTest.scala:8-11`, SURVEY §5). Every
+    * derived column is a deterministic pure function of corpus columns,
+    * and the DuckDB oracles define the IDENTICAL views as CTEs, so both
+    * engines query the same star. Casts pin cross-engine dtypes
+    * (Spark year() is INT, DuckDB's is BIGINT). */
+  private def tpcdsSql(s: org.apache.spark.sql.SparkSession, dir: String,
+      text: String) = {
+    Tables.registerAll(s, dir)
+    s.sql("""CREATE OR REPLACE TEMP VIEW date_dim AS
+      |SELECT DISTINCT
+      |  year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS d_date_sk,
+      |  year(o_orderdate) AS d_year, month(o_orderdate) AS d_moy,
+      |  day(o_orderdate) AS d_dom
+      |FROM orders""".stripMargin)
+    s.sql("""CREATE OR REPLACE TEMP VIEW item AS
+      |SELECT p_partkey AS i_item_sk, p_name AS i_item_id,
+      |  CAST(substring(p_brand, 7) AS INT) AS i_brand_id, p_brand AS i_brand,
+      |  CAST(substring(p_brand, 7, 1) AS INT) AS i_category_id,
+      |  p_type AS i_category, p_size AS i_manufact_id,
+      |  CAST(p_partkey % 20 + 1 AS INT) AS i_manager_id,
+      |  p_retailprice AS i_current_price
+      |FROM part""".stripMargin)
+    s.sql("""CREATE OR REPLACE TEMP VIEW store AS
+      |SELECT s_store_sk, s_state FROM VALUES
+      |  (0,'TN'),(1,'TN'),(2,'CA'),(3,'TX'),(4,'NY'),
+      |  (5,'TN'),(6,'WA'),(7,'GA'),(8,'OH'),(9,'IL')
+      |  AS store(s_store_sk, s_state)""".stripMargin)
+    s.sql("""CREATE OR REPLACE TEMP VIEW customer_demographics AS
+      |SELECT id AS cd_demo_sk,
+      |  CASE WHEN id % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
+      |  CASE CAST(id % 3 AS INT) WHEN 0 THEN 'S' WHEN 1 THEN 'M'
+      |    ELSE 'D' END AS cd_marital_status,
+      |  CASE CAST(id % 7 AS INT) WHEN 0 THEN 'College' WHEN 1 THEN 'High School'
+      |    WHEN 2 THEN 'Primary' WHEN 3 THEN '4 yr Degree' WHEN 4 THEN 'Secondary'
+      |    WHEN 5 THEN 'Advanced Degree' ELSE 'Unknown' END AS cd_education_status
+      |FROM range(0, 1000)""".stripMargin)
+    s.sql("""CREATE OR REPLACE TEMP VIEW store_sales AS
+      |SELECT
+      |  year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS ss_sold_date_sk,
+      |  l_partkey AS ss_item_sk, l_suppkey % 10 AS ss_store_sk,
+      |  o_custkey % 1000 AS ss_cdemo_sk,
+      |  CAST(l_quantity AS INT) AS ss_quantity,
+      |  l_extendedprice AS ss_ext_sales_price,
+      |  l_extendedprice / l_quantity AS ss_list_price,
+      |  l_extendedprice * l_discount AS ss_coupon_amt,
+      |  l_extendedprice * (1 - l_discount) AS ss_sales_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin)
+    s.sql(text)
+  }
+
+  /** The same five views as DuckDB CTEs, prefixed to each oracle. */
+  private val tpcdsCtes: String =
+    """WITH date_dim AS (
+      |  SELECT DISTINCT
+      |    year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS d_date_sk,
+      |    CAST(year(o_orderdate) AS INT) AS d_year,
+      |    CAST(month(o_orderdate) AS INT) AS d_moy,
+      |    CAST(day(o_orderdate) AS INT) AS d_dom
+      |  FROM orders),
+      |item AS (
+      |  SELECT p_partkey AS i_item_sk, p_name AS i_item_id,
+      |    CAST(substring(p_brand, 7) AS INT) AS i_brand_id, p_brand AS i_brand,
+      |    CAST(substring(p_brand, 7, 1) AS INT) AS i_category_id,
+      |    p_type AS i_category, p_size AS i_manufact_id,
+      |    CAST(p_partkey % 20 + 1 AS INT) AS i_manager_id,
+      |    p_retailprice AS i_current_price
+      |  FROM part),
+      |store AS (
+      |  SELECT * FROM (VALUES
+      |    (0,'TN'),(1,'TN'),(2,'CA'),(3,'TX'),(4,'NY'),
+      |    (5,'TN'),(6,'WA'),(7,'GA'),(8,'OH'),(9,'IL'))
+      |    s(s_store_sk, s_state)),
+      |customer_demographics AS (
+      |  SELECT i AS cd_demo_sk,
+      |    CASE WHEN i % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
+      |    CASE CAST(i % 3 AS INT) WHEN 0 THEN 'S' WHEN 1 THEN 'M'
+      |      ELSE 'D' END AS cd_marital_status,
+      |    CASE CAST(i % 7 AS INT) WHEN 0 THEN 'College' WHEN 1 THEN 'High School'
+      |      WHEN 2 THEN 'Primary' WHEN 3 THEN '4 yr Degree' WHEN 4 THEN 'Secondary'
+      |      WHEN 5 THEN 'Advanced Degree' ELSE 'Unknown' END AS cd_education_status
+      |  FROM range(0, 1000) t(i)),
+      |store_sales AS (
+      |  SELECT
+      |    year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS ss_sold_date_sk,
+      |    l_partkey AS ss_item_sk, l_suppkey % 10 AS ss_store_sk,
+      |    o_custkey % 1000 AS ss_cdemo_sk,
+      |    CAST(l_quantity AS INT) AS ss_quantity,
+      |    l_extendedprice AS ss_ext_sales_price,
+      |    l_extendedprice / l_quantity AS ss_list_price,
+      |    l_extendedprice * l_discount AS ss_coupon_amt,
+      |    l_extendedprice * (1 - l_discount) AS ss_sales_price
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |""".stripMargin
+
+  // Literal TPC-DS query texts (Q3 / Q27 / Q42 from the published spec),
+  // adapted ONLY in: substitution constants (year/month/manufact ids fit
+  // this corpus's domains), round() on float aggregates (cross-engine
+  // hash parity — the established gate convention), explicit NULLS FIRST
+  // (Spark and DuckDB default opposite NULL sort ends, which would make
+  // the LIMIT cut nondeterministic across engines), and a grouping() cast
+  // (Spark returns TINYINT, DuckDB BIGINT).
+  private val tpcdsQ3 =
+    """SELECT dt.d_year, item.i_brand_id brand_id, item.i_brand brand,
+      |  round(sum(ss_ext_sales_price), 2) sum_agg
+      |FROM date_dim dt, store_sales, item
+      |WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+      |  AND store_sales.ss_item_sk = item.i_item_sk
+      |  AND item.i_manufact_id = 28
+      |  AND dt.d_moy = 11
+      |GROUP BY dt.d_year, item.i_brand_id, item.i_brand
+      |ORDER BY dt.d_year, sum_agg DESC, brand_id
+      |LIMIT 100""".stripMargin
+
+  private val tpcdsQ27 =
+    """SELECT i_item_id, s_state, CAST(grouping(s_state) AS INT) g_state,
+      |  round(avg(ss_quantity), 4) agg1,
+      |  round(avg(ss_list_price), 4) agg2,
+      |  round(avg(ss_coupon_amt), 4) agg3,
+      |  round(avg(ss_sales_price), 4) agg4
+      |FROM store_sales, customer_demographics, date_dim, store, item
+      |WHERE ss_sold_date_sk = d_date_sk
+      |  AND ss_item_sk = i_item_sk
+      |  AND ss_store_sk = s_store_sk
+      |  AND ss_cdemo_sk = cd_demo_sk
+      |  AND cd_gender = 'M'
+      |  AND cd_marital_status = 'S'
+      |  AND cd_education_status = 'College'
+      |  AND d_year = 1998
+      |  AND s_state IN ('TN','TN','TN','TN','TN','TN')
+      |GROUP BY ROLLUP (i_item_id, s_state)
+      |ORDER BY i_item_id NULLS FIRST, s_state NULLS FIRST
+      |LIMIT 100""".stripMargin
+
+  private val tpcdsQ42 =
+    """SELECT dt.d_year, item.i_category_id, item.i_category,
+      |  round(sum(ss_ext_sales_price), 2) AS sum_agg
+      |FROM date_dim dt, store_sales, item
+      |WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+      |  AND store_sales.ss_item_sk = item.i_item_sk
+      |  AND item.i_manager_id = 1
+      |  AND dt.d_moy = 11
+      |  AND dt.d_year = 1998
+      |GROUP BY dt.d_year, item.i_category_id, item.i_category
+      |ORDER BY sum_agg DESC, dt.d_year, item.i_category_id, item.i_category
+      |LIMIT 100""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // TPC-H Q5 shape: 5-way join through region, SQL text end-to-end
@@ -181,6 +330,24 @@ object SqlQueries {
              |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
              |      AND o.o_orderpriority = '1-URGENT')
              |GROUP BY c_mktsegment
-             |ORDER BY seg""".stripMargin))
+             |ORDER BY seg""".stripMargin)),
+
+    // ---- Literal TPC-DS texts (the reference's implied corpus — its
+    //      checked-in q27.plan IS TPC-DS Q27): Q3 (fact + two dims,
+    //      brand ranking), Q27 (five-way star + ROLLUP grouping sets),
+    //      Q42 (category ranking) over deterministic star views derived
+    //      from this corpus. The oracle runs the SAME query text over
+    //      the SAME view definitions as CTEs. ----
+    Q("sq08_tpcds_q3",
+      (s, dir) => tpcdsSql(s, dir, tpcdsQ3),
+      Some(tpcdsCtes + tpcdsQ3)),
+
+    Q("sq09_tpcds_q27",
+      (s, dir) => tpcdsSql(s, dir, tpcdsQ27),
+      Some(tpcdsCtes + tpcdsQ27)),
+
+    Q("sq10_tpcds_q42",
+      (s, dir) => tpcdsSql(s, dir, tpcdsQ42),
+      Some(tpcdsCtes + tpcdsQ42))
   )
 }

@@ -158,6 +158,55 @@ class GraphOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("kCoreRun: convergence signal distinguishes fixed point from round cap") {
+    import spark.implicits._
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    // 1-round budget: the pendant cascade is mid-flight — the signal
+    // says so, and the round-capped result is a SUPERSET of the core
+    val capped = GraphOps.kCoreRun(g, "src", "dst", k = 2, maxRounds = 1)
+    assert(!capped.converged && capped.rounds == 1, s"$capped")
+    val cappedIds = capped.nodes.select("id").as[Long].collect().toSet
+    spark.catalog.clearCache()
+    val full = GraphOps.kCoreRun(g, "src", "dst", k = 2)
+    assert(full.converged && full.rounds >= 2, s"$full")
+    val coreIds = full.nodes.select("id").as[Long].collect().toSet
+    assert(coreIds == Set(1L, 2L, 3L))
+    assert(coreIds.subsetOf(cappedIds),
+      s"peeling is monotone: capped $cappedIds must contain core $coreIds")
+    spark.catalog.clearCache()
+  }
+
+  test("coreness: path=1, cycle=2, clique=3, kMax caps, runaway bound throws") {
+    import spark.implicits._
+    // path (coreness 1), 4-cycle (2), K4 (3), K6 (true coreness 5,
+    // capped to kMax=4 — the cap is part of the contract)
+    val path = Seq((10L, 11L), (11L, 12L))
+    val cyc = Seq((20L, 21L), (21L, 22L), (22L, 23L), (23L, 20L))
+    val k4 = for { i <- 30 until 34; j <- (i + 1) until 34 }
+      yield (i.toLong, j.toLong)
+    val k6 = for { i <- 40 until 46; j <- (i + 1) until 46 }
+      yield (i.toLong, j.toLong)
+    val g = (path ++ cyc ++ k4 ++ k6).toDF("src", "dst")
+    val got = GraphOps.coreness(g, "src", "dst", kMax = 4)
+      .as[(Long, Long)].collect().toMap
+    val exp = Map(10L -> 1L, 11L -> 1L, 12L -> 1L) ++
+      (20L to 23L).map(_ -> 2L) ++
+      (30L to 33L).map(_ -> 3L) ++
+      (40L to 45L).map(_ -> 4L)
+    assert(got == exp, got.toString)
+    spark.catalog.clearCache()
+    // the per-k bound is a runaway guard, NOT a silent cap: a long path
+    // needs several bulk rounds to peel, and a 1-round budget must
+    // throw instead of handing back wrong labels
+    val long = (0L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      GraphOps.coreness(long, "src", "dst", kMax = 2, maxRoundsPerK = 1)
+    }
+    assert(e.getMessage.contains("fixed point"), e.getMessage)
+    spark.catalog.clearCache()
+  }
+
   test("kCore: duplicate/reversed edges and self-loops canonicalize away") {
     import spark.implicits._
     // the self-loop on 4 must NOT count toward 4's degree (else the

@@ -168,4 +168,62 @@ class MutationsSpec extends AnyFunSuite {
     assert(Layout.deleteWhere(spark, path, col("id") > 90) == 10L)
     assert(Layout.readWithDeletes(spark, path).count() == 30L)
   }
+
+  test("deletion vectors: over-budget vector degrades to a shuffled anti-join, same rows") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val path = graft.Scratch.dir("spec_dv_fallback")
+    (1L to 100L).map(i => (i, i % 7)).toDF("id", "grp")
+      .repartition(3).write.mode("overwrite").parquet(path)
+    assert(Layout.deleteWhere(spark, path, col("id") % 2 === 0) == 50L)
+    assert(Layout.deleteVectorBytes(spark, path) > 0L)
+    assert(math.abs(Layout.deleteFraction(spark, path) - 0.5) < 1e-12)
+    val viaBroadcast = Layout.readWithDeletes(spark, path)
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    // force the degraded mode: zero broadcast budget, and no AQE
+    // auto-broadcast rescue — the honest fallback must carry alone
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val live = Layout.readWithDeletes(spark, path, broadcastBytesMax = 0L)
+      assert(live.orderBy($"id").as[(Long, Long)].collect().toSeq
+        == viaBroadcast, "fallback path changed the live view")
+      live.collect()
+      val plan = live.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"over-budget vector must not be broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"),
+        s"expected a shuffled anti-join in the degraded mode:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("vacuum rebuilds the skip manifest over the rewritten files") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val path = graft.Scratch.dir("spec_dv_manifest")
+    Layout.writeWithManifest(
+      (1L to 1000L).map(i => (i, i % 13)).toDF("id", "grp"), "id", 4, path)
+    assert(Layout.deleteWhere(spark, path, col("id") <= 200) == 200L)
+    assert(math.abs(Layout.deleteFraction(spark, path) - 0.2) < 1e-12)
+    assert(Layout.vacuum(spark, path) == 800L)
+    // the manifest must describe the POST-vacuum files: every referenced
+    // file exists, and it records its clustering column
+    val man = Layout.manifest(spark, path).collect()
+    assert(man.nonEmpty)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    man.foreach { r =>
+      val f = new org.apache.hadoop.fs.Path(
+        r.getString(r.fieldIndex("file")))
+      assert(fs.exists(f), s"manifest references a vacuumed-away file: $f")
+      assert(r.getString(r.fieldIndex("range_col")) == "id")
+    }
+    // manifest-routed reads stay correct across the rewrite: the deleted
+    // range is gone, a live range is complete
+    assert(Layout.prunedRead(spark, path, "id", lit(100L), lit(250L))
+      .count() == 50L) // 201..250 survive
+    assert(Layout.prunedRead(spark, path, "id", lit(900L), lit(950L))
+      .count() == 51L)
+  }
 }

@@ -168,4 +168,44 @@ class RetrievalSpec extends AnyFunSuite {
     assert(ranked.take(2).map(_._1).toSet == Set(1L, 2L), ranked.mkString(","))
     spark.catalog.clearCache()
   }
+
+  test("rm3TopK: original-term weights come from the FULL feedback model, any id type") {
+    import spark.implicits._
+    // string ids (the id path must be type-generic), and a query term
+    // 'q' that ranks BELOW the top-fbTerms in the feedback model: with
+    // alpha=0 its entire weight is its feedback-model weight, so a doc
+    // sharing ONLY 'q' is retrieved iff the interpolation reads the
+    // full model (a top-fbTerms-truncated lookup would zero it out)
+    val docs = Seq(
+      ("d1", "q e1 e1 e1"),            // feedback doc: e1 dominates
+      ("d2", "q e2 e2 e2"),            // feedback doc: e2 dominates
+      ("d4", "q x1 x2 x3 x4 x5 x6 x7 x8") // long; shares ONLY 'q'
+    ).toDF("doc_id", "text")
+    val got = Retrieval.rm3TopK(docs, "doc_id", "text", Seq("q"),
+        fbDocs = 2, fbTerms = 2, alpha = 0.0, k = 5)
+      .as[(String, Double)].collect().map(_._1).toSet
+    spark.catalog.clearCache()
+    // model over {d1, d2}: top-2 terms are e1, e2; q is third with
+    // nonzero weight — d4 must surface through it
+    assert(got.contains("d4"),
+      s"query term outside top-fbTerms lost its full-model weight: $got")
+  }
+
+  test("rm3TopK releases only the caches it owns") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents").filter($"doc_id" < 200)
+    val bystander = spark.range(10).toDF("id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      bystander.count()
+      Retrieval.rm3TopK(docs, "doc_id", "text", Seq("hash", "join"),
+        fbDocs = 5, fbTerms = 4, k = 5).collect()
+      assert(bystander.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE,
+        "rm3TopK dropped a cache it does not own")
+    } finally {
+      bystander.unpersist(false)
+      spark.catalog.clearCache() // the returned rescore frame's cache (caller-owned)
+    }
+  }
 }

@@ -233,4 +233,20 @@ class SimilaritySpec extends AnyFunSuite {
     // projection a map-only pass — nothing to cache at all
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("topComponentProjection: matvec survives Gram sums past Long range (BigInt)") {
+    import spark.implicits._
+    // 150k identical vectors of 4.0 at d=4: each Gram entry is
+    // 150000 * (4*1000)^2 = 2.4e12, so the first power step's
+    // u_i = 4 * 2.4e12 * 1e6 = 9.6e18 > Long.MaxValue (9.22e18) — a
+    // Long accumulator wraps NEGATIVE and flips the direction; the
+    // BigInt matvec stays exact. Fixed point: w = (5e5,)*4, so every
+    // projection is 4 * 4000 * 500000 = 8e9.
+    val emb = spark.range(150000).select($"id".as("vec_id"),
+      array(lit(4.0f), lit(4.0f), lit(4.0f), lit(4.0f)).as("embedding"))
+    val projs = Similarity.topComponentProjection(emb)
+      .select($"proj").distinct().as[Long].collect().toSeq
+    assert(projs == Seq(8000000000L),
+      s"overflowed or non-uniform projections: $projs")
+  }
 }
