@@ -282,6 +282,43 @@ object PerfProbe {
     require(scdBroadcast._3 == scdNaive._3,
       s"scd2 row mismatch: broadcast ${scdBroadcast._3} vs naive ${scdNaive._3}")
 
+    // ---- deletion-vector crossover (round-11 directive): merge-on-read
+    //      overhead as a function of the deleted fraction, against the
+    //      one-time vacuum rewrite — the measured threshold behind
+    //      Layout.deleteFraction's "trigger vacuum mechanically" advice.
+    //      5M-row base (8 files, 2 payload cols); per fraction: MoR
+    //      aggregate read (broadcast path), the same read through the
+    //      over-budget fallback (shuffled anti-join — the degraded mode's
+    //      honest price), vacuum cost, and the post-vacuum plain read.
+    val dvN = 5000000L
+    val dvStats = Seq(0.0001, 0.001, 0.01, 0.1).map { frac =>
+      val dvPath = Scratch.dir(s"perfprobe_dv_${(frac * 10000).toInt}")
+      spark.range(dvN).select($"id",
+        ($"id" % 97).as("a"), concat(lit("pay-"), $"id" % 1013).as("b"))
+        .repartition(8).write.mode("overwrite").parquet(dvPath)
+      graft.operators.Layout.deleteWhere(spark, dvPath,
+        pmod(xxhash64($"id"), lit(1000000L)) < (frac * 1000000L).toLong)
+      val vecBytes = graft.operators.Layout.deleteVectorBytes(spark, dvPath)
+      val mor = time2(s"dv_mor_$frac")(
+        graft.operators.Layout.readWithDeletes(spark, dvPath)
+          .groupBy($"a").count())
+      val fb = {
+        val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try time2(s"dv_fallback_$frac")(
+          graft.operators.Layout.readWithDeletes(spark, dvPath,
+            broadcastBytesMax = 0L).groupBy($"a").count())
+        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
+      val tv0 = System.nanoTime()
+      graft.operators.Layout.vacuum(spark, dvPath)
+      val vacSec = (System.nanoTime() - tv0) / 1e9
+      Caches.sweep(spark)
+      val plain = time2(s"dv_plain_$frac")(
+        spark.read.parquet(dvPath).groupBy($"a").count())
+      (frac, vecBytes, mor._2, fb._2, vacSec, plain._2)
+    }
+
     val results = Seq(asofNative, asofWindow, intNative, intTheta,
       bmMapSide, bmViaIndex, scdBroadcast, scdNaive,
       lpa3, lpa6, bfsBroadcast, bfsShuffle)
@@ -383,6 +420,37 @@ object PerfProbe {
       |each side once on the key, sort within partitions, and stream a
       |forward merge with O(1)/O(window) state — per-row cost independent of
       |payload width and key skew beyond the sort itself.
+      |""".stripMargin)
+    sb.append(
+      """
+        |## Deletion-vector crossover (merge-on-read vs vacuum)
+        |
+        |5M-row base table (8 files, 2 payload columns); per deleted
+        |fraction: the aggregate read through the live view (broadcast
+        |anti-join), the same read through the over-budget FALLBACK
+        |(shuffled anti-join — what readWithDeletes degrades to past its
+        |broadcast byte budget), the one-time vacuum rewrite, and the
+        |post-vacuum plain read. Best of 2 except vacuum (it mutates).
+        |
+        || deleted | vector bytes | MoR read s | fallback read s | vacuum s | plain read s |
+        ||---|---|---|---|---|---|
+        |""".stripMargin)
+    dvStats.foreach { case (frac, bytes, mor, fb, vac, plain) =>
+      sb.append(f"| ${frac * 100}%.2f%% | $bytes | $mor%.2f | $fb%.2f | $vac%.2f | $plain%.2f |\n")
+    }
+    val dvWorst = dvStats.last
+    sb.append(f"""
+      |Read the table as the maintenance policy: MoR overhead per read =
+      |(MoR - plain); vacuum amortizes after vacuum_s / overhead reads.
+      |At the measured worst point (${dvWorst._1 * 100}%.1f%% deleted) the
+      |overhead is ${dvWorst._3 - dvWorst._6}%.2fs/read against a
+      |${dvWorst._5}%.2fs rewrite — and the overhead is dominated by the
+      |anti-join probe, which scales with the VECTOR, not the base, so at
+      |100 TB the policy threshold is the vector's broadcast budget (32 MB
+      |on-disk default ~= low-1e7 pairs), not read latency: deleteFraction
+      |is the trigger, vacuum the reset. The fallback column prices the
+      |degraded mode: one extra exchange of the base — tolerable as a
+      |safety net, wrong as a steady state.
       |""".stripMargin)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
     results.foreach { case (l, s, r) => println(f"[probe] $l%-28s $s%8.2fs  $r rows") }
