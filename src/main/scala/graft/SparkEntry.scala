@@ -16,6 +16,7 @@ object SparkEntry {
       graft.queries.Extra3Queries.all ++
       graft.queries.Extra4Queries.all ++
       graft.queries.Extra5Queries.all ++
+      graft.queries.Extra6Queries.all ++
       graft.queries.LineageQueries.all ++
       graft.queries.PipelineQueries.all ++
       graft.queries.Text2Queries.all ++

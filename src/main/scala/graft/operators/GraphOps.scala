@@ -405,6 +405,64 @@ object GraphOps {
     run.nodes
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) on a DIRECTED edge set:
+    * `iterations` mutual-reinforcement sweeps —
+    * `auth_t(v) = Σ_{u→v} hub_{t-1}(u)`, `hub_t(u) = Σ_{u→v} auth_t(v)`
+    * — from the all-ones start, L1-normalized ONCE on output (the
+    * unnormalized sweeps compute the same direction as per-sweep
+    * normalization, without two extra global aggregates per sweep; at
+    * small sweep budgets magnitudes stay ~degreeᵏ, far from overflow).
+    * The link-graph quality signal complementing [[pageRank]]: hubs are
+    * directories/link farms, authorities the pages worth keeping — the
+    * crawl-corpus curation pair.
+    *
+    * Scale shape ([[IterativeLoop]]): per sweep one edge⋈hub join +
+    * dst-grain map-combined sum, then one edge⋈auth join + src-grain
+    * sum; the auth vector is `keep`-checkpointed (the hub advance
+    * consumes it twice: the out-sum join and the final output — the
+    * BFS-layer retention pattern, node-grain per sweep). Output totals
+    * read the final materialized vectors twice each — cached blocks,
+    * not recomputed plans.
+    *
+    * @return (id, auth, hub) for every node incident to an edge, each
+    *         column summing to 1 (nodes without in-/out-edges score 0).
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val loop = new IterativeLoop()
+    try {
+      val e = loop.pin(edges
+        .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+        .distinct())
+      val nodes = loop.pin(e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct())
+      var hub = loop.advance(nodes.select(col("id"), lit(1.0).as("hub")))
+      var auth: DataFrame = null
+      for (_ <- 1 to iterations) {
+        val (a, _) = loop.keep(nodes
+          .join(e.join(hub.select(col("id").as("src"), col("hub")), "src")
+              .groupBy(col("dst")).agg(sum(col("hub")).as("a_raw"))
+              .select(col("dst").as("id"), col("a_raw")),
+            Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("a_raw"), lit(0.0)).as("auth")))
+        auth = a
+        hub = loop.advance(nodes
+          .join(e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
+              .groupBy(col("src")).agg(sum(col("auth")).as("h_raw"))
+              .select(col("src").as("id"), col("h_raw")),
+            Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("h_raw"), lit(0.0)).as("hub")))
+      }
+      val totals = broadcast(auth.agg(sum(col("auth")).as("_at"))
+        .crossJoin(hub.agg(sum(col("hub")).as("_ht"))))
+      loop.finish(nodes
+        .join(auth, Seq("id")).join(hub, Seq("id")).crossJoin(totals)
+        .select(col("id"), (col("auth") / col("_at")).as("auth"),
+          (col("hub") / col("_ht")).as("hub")))
+    } catch { case t: Throwable => loop.abort(); throw t }
+  }
+
   /** Outcome of a [[kCoreRun]] peel: the surviving (id, core_deg) table,
     * whether the peel reached a fixed point, and the rounds it used —
     * the honest contract a pipeline needs to decide whether a

@@ -65,6 +65,68 @@ object Mutations {
       .unionByName(updates.select(dim.columns.map(col): _*))
   }
 
+  /** Generic three-clause MERGE (the full MERGE INTO surface every table
+    * format exposes): against a keyed `target`,
+    *
+    *  - a `batch` row matching a target key with `deleteWhen` true
+    *    REMOVES the row (WHEN MATCHED AND cond THEN DELETE);
+    *  - a matching row otherwise UPDATES it — by default the batch row
+    *    replaces the target row wholesale; `updateSet` overrides
+    *    per-column with expressions over BOTH sides (WHEN MATCHED THEN
+    *    UPDATE SET c = expr) — target columns under their own names,
+    *    batch columns prefixed `_b_` (e.g. accumulate:
+    *    `Map("value" -> col("value") + col("_b_value"))`);
+    *  - a non-matching batch row with `deleteWhen` false INSERTS as-is
+    *    (WHEN NOT MATCHED THEN INSERT); a non-matching delete is a no-op
+    *    (standard MERGE semantics).
+    *
+    * `deleteWhen` classifies BATCH rows, so it references batch columns
+    * only (`_b_` prefix) — it must resolve on the insert branch too,
+    * where no target row exists. Batch keys must be unique — like every
+    * MERGE implementation, duplicate matches would apply an arbitrary
+    * one.
+    *
+    * Plan (the [[scd2Merge]] discipline — the batch is small by
+    * construction, so every join builds on it and the huge target NEVER
+    * shuffles): (1) target LEFT OUTER broadcast(batch) keeps/updates/
+    * drops rows map-side; (2) matched keys come from a key-column-pruned
+    * broadcast semi-join (result ≤ |batch| → itself broadcast);
+    * (3) batch ANTI broadcast(matched) emits the inserts, also
+    * map-side. Two target scans (one key-only) buy zero target
+    * shuffles.
+    */
+  def mergeInto(target: DataFrame, batch: DataFrame, key: String,
+      deleteWhen: Column = lit(false),
+      updateSet: Map[String, Column] = Map.empty): DataFrame = {
+    require(target.columns.sorted.sameElements(batch.columns.sorted),
+      s"target/batch schemas differ: ${target.columns.sorted.mkString(",")} vs " +
+        batch.columns.sorted.mkString(","))
+    require(!updateSet.contains(key), "updateSet must not rewrite the key")
+    val cols = target.columns.toSeq
+    val bKey = s"_b_$key"
+    val b = broadcast(batch.select(
+      cols.map(c => col(c).as(s"_b_$c")): _*))
+    val joined = target.join(b, col(key) === col(bKey), "left_outer")
+    // matched deletes drop; null-safe so an unmatched row (all _b_ null,
+    // deleteWhen evaluating to null) can never be swept away
+    val fromTarget = joined
+      .filter(!(col(bKey).isNotNull && coalesce(deleteWhen, lit(false))))
+      .select(cols.map { c =>
+        if (c == key) col(c)
+        else when(col(bKey).isNull, col(c))
+          .otherwise(updateSet.getOrElse(c, col(s"_b_$c"))).as(c)
+      }: _*)
+    val matched = broadcast(
+      target.join(b.select(col(bKey)), col(key) === col(bKey), "left_semi")
+        .select(col(key).as("_mkey")))
+    val inserts = batch
+      .join(matched, batch(key) === matched("_mkey"), "left_anti")
+      .select(cols.map(c => col(c).as(s"_b_$c")): _*) // expose _b_ names to deleteWhen
+      .filter(!coalesce(deleteWhen, lit(false)))
+      .select(cols.map(c => col(s"_b_$c").as(c)): _*)
+    fromTarget.unionByName(inserts)
+  }
+
   /** Partition-scoped MERGE INTO a partitioned parquet table: the
     * copy-on-write upsert at the core of lakehouse table maintenance.
     * Rows of `batch` overwrite same-key rows and append new keys — but

@@ -89,4 +89,41 @@ object Sequences {
     m.withColumn("p",
       round(col("n") / sum(col("n")).over(Window.partitionBy(col("from_type"))), 4))
   }
+
+  /** Top-k opening event paths: each key's first `maxSteps` events (in
+    * `orderCols` order — include a unique id as the final tiebreak so
+    * the sequence is total) concatenated into a path string, ranked by
+    * how many keys share it — the "what do users actually do first"
+    * view that turns the [[transitionMatrix]]'s memoryless pairs into
+    * whole observed trajectories. Keys with fewer than `maxSteps`
+    * events contribute their full (shorter) path.
+    *
+    * Scale shape: ONE key-grain shuffle+sort for the per-key window
+    * (the q27/q120 sessionize shape — unavoidable for order semantics),
+    * a prefix filter that caps per-key state at `maxSteps` BEFORE the
+    * path assembly, then path-grain count + TakeOrderedAndProject. The
+    * path alphabet is type^maxSteps-bounded, so the final aggregate is
+    * metadata-sized next to the events.
+    *
+    * @return (path, n_keys), top `k` by count (path string breaks ties).
+    */
+  def topPaths(events: DataFrame, keyCol: String, typeCol: String,
+      orderCols: Seq[String], maxSteps: Int, k: Int): DataFrame = {
+    require(maxSteps >= 1 && k >= 1, s"need maxSteps/k >= 1: $maxSteps/$k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    events
+      .select(col(keyCol).as("_k"), col(typeCol).as("_t"),
+        row_number().over(w).as("_rn"))
+      .filter(col("_rn") <= maxSteps)
+      .groupBy(col("_k"))
+      // collect_list is order-nondeterministic across partial merges; the
+      // (rn, type) structs sort back into sequence order first
+      .agg(concat_ws(" > ",
+        expr("transform(array_sort(collect_list(struct(_rn, _t))), s -> s._t)"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("n_keys").desc, col("path"))
+      .limit(k)
+  }
 }

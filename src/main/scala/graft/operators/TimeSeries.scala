@@ -86,4 +86,47 @@ object TimeSeries {
         sum(when(abs(col("x") - col("med")) > fence * col("mad"), 1L)
           .otherwise(0L)).as("n_outliers"))
   }
+
+  /** Windowed exponentially-weighted moving average of the DAILY event
+    * volume, plus a deviation alert — the trend-following feed-health
+    * check complementing [[graft.operators.Expectations.volumeAnomalies]]
+    * (global z-scores miss a slow ramp; EWMA tracks it and flags the
+    * day that breaks from its own recent level).
+    *
+    * `ewma(d) = Σ_{lag=0..window-1} n(d-lag)·2^-lag / Σ 2^-lag` over the
+    * days PRESENT in the window (the "adjusted" normalization, so early
+    * days and gaps don't bias low). The decay is FIXED at 1/2 per day —
+    * not a tuning cop-out but the t32/s10 determinism discipline:
+    * `2^-lag` is an exact binary float, a daily count times `2^-lag` is
+    * exact, and the ≤window-term sums stay inside 53 mantissa bits, so
+    * numerator, denominator, and their quotient are bit-identical in
+    * ANY engine and ANY summation order — zero float tolerance needed.
+    * (An arbitrary α would put a libm `pow` ulp in every weight.)
+    *
+    * Scale shape: one map-combinable date-grain count, then a
+    * day×window band self-join AT DAY GRAIN — bounded metadata
+    * (a decade is 3.7k rows), never event-grain; the band join is the
+    * intentional bounded non-equi block, same class as the q121 stats
+    * cross-join.
+    *
+    * @return (d, n, ewma, ratio, is_alert) per day, alert when the
+    *         day's volume deviates from its EWMA by more than
+    *         `alertRatio` in either direction.
+    */
+  def ewmaDailyVolume(events: DataFrame, tsCol: String, window: Int = 14,
+      alertRatio: Double = 0.5): DataFrame = {
+    require(window >= 1 && window <= 50, s"window must be in [1,50]: $window")
+    val daily = events
+      .groupBy(col(tsCol).cast("date").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val hist = daily.select(col("d").as("h_d"), col("n").as("h_n"))
+    daily.join(hist,
+        datediff(col("d"), col("h_d")).between(0, window - 1))
+      .groupBy(col("d"), col("n"))
+      .agg((sum(col("h_n") * pow(lit(0.5), datediff(col("d"), col("h_d")))) /
+        sum(pow(lit(0.5), datediff(col("d"), col("h_d"))))).as("_e"))
+      .select(col("d"), col("n"), round(col("_e"), 4).as("ewma"),
+        round(col("n") / col("_e"), 4).as("ratio"),
+        (abs(col("n") / col("_e") - 1.0) > alertRatio).as("is_alert"))
+  }
 }

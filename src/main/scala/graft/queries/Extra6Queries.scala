@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.{GraphOps, Mutations, Sequences, TimeSeries}
+import org.apache.spark.sql.functions._
+
+/** Round-11 second wave: the generic three-clause MERGE, HITS
+  * hubs/authorities, EWMA feed-health tracking, and opening-path mining.
+  */
+object Extra6Queries {
+
+  def all: Seq[Q] = Seq(
+
+    // ---- Generic MERGE INTO (q123): one batch carrying all three
+    //      clauses against the customer table — accumulate-updates
+    //      (WHEN MATCHED UPDATE SET bal = bal + delta; the segment
+    //      column shows the default replace-from-batch), marker deletes
+    //      (WHEN MATCHED AND cond DELETE), inserts (WHEN NOT MATCHED),
+    //      and ghost deletes for keys that don't exist (standard MERGE
+    //      no-op). The oracle restates the post-merge table directly
+    //      with CASE/filter/union — merge mechanics never leak into it.
+    //      Broadcast-3-join plan: the customer side never shuffles. ----
+    Q("q123_merge_into",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables(s, dir, "customer")
+        val updates = cust.filter($"c_custkey" % 10 === 1)
+          .withColumn("c_acctbal", lit(1000.0))
+          .withColumn("c_mktsegment", lit("UPGRADED"))
+        val deletes = cust.filter($"c_custkey" % 10 === 4)
+          .withColumn("c_name", lit("DELETE"))
+        val inserts = cust.filter($"c_custkey" % 7 === 3)
+          .withColumn("c_custkey", $"c_custkey" + 1000000L)
+          .withColumn("c_name", lit("new"))
+          .withColumn("c_acctbal", lit(50.0))
+          .withColumn("c_mktsegment", lit("NEWSEG"))
+        val ghostDeletes = cust.filter($"c_custkey" % 11 === 5)
+          .withColumn("c_custkey", $"c_custkey" + 2000000L)
+          .withColumn("c_name", lit("DELETE"))
+        val batch = updates.unionByName(deletes)
+          .unionByName(inserts).unionByName(ghostDeletes)
+        Mutations.mergeInto(cust, batch, "c_custkey",
+            deleteWhen = col("_b_c_name") === "DELETE",
+            updateSet = Map("c_acctbal" ->
+              round(col("c_acctbal") + col("_b_c_acctbal"), 2)))
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"), round(sum($"c_acctbal"), 2).as("total"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""WITH merged AS (
+             |  SELECT CASE WHEN c_custkey % 10 = 1 THEN 'UPGRADED'
+             |           ELSE c_mktsegment END AS seg,
+             |    CASE WHEN c_custkey % 10 = 1 THEN round(c_acctbal + 1000.0, 2)
+             |         ELSE c_acctbal END AS bal
+             |  FROM customer WHERE c_custkey % 10 <> 4
+             |  UNION ALL
+             |  SELECT 'NEWSEG' AS seg, 50.0 AS bal
+             |  FROM customer WHERE c_custkey % 7 = 3)
+             |SELECT seg AS c_mktsegment, count(*) AS n,
+             |  round(sum(bal), 2) AS total
+             |FROM merged GROUP BY seg ORDER BY seg""".stripMargin)),
+
+    // ---- HITS hubs & authorities (q124): 2 mutual-reinforcement
+    //      sweeps over the DIRECTED customer→supplier trade graph
+    //      (GraphOps.hits on IterativeLoop; unnormalized sweeps, one L1
+    //      normalization on output). Customers are pure hubs (no
+    //      in-edges → auth 0), suppliers pure authorities — the gate
+    //      ranks authorities. The oracle unrolls both sweeps as CTEs
+    //      (the q103 pattern); ordering is on the ROUNDED score so a
+    //      last-bit float divergence cannot reorder the cut. ----
+    Q("q124_hits",
+      (s, dir) => {
+        import s.implicits._
+        val edges = Tables(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_suppkey")
+          .join(Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".cast("long").as("src"),
+            ($"l_suppkey" + 1000000L).cast("long").as("dst"))
+        GraphOps.hits(edges, "src", "dst", iterations = 2)
+          .select($"id".as("node_id"),
+            round($"auth", 7).as("auth"), round($"hub", 7).as("hub"))
+          .orderBy($"auth".desc, $"node_id").limit(20)
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+             |    CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |nodes AS (
+             |  SELECT DISTINCT id FROM (
+             |    SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+             |a1 AS (
+             |  SELECT n.id, coalesce(s.a, 0.0) AS auth FROM nodes n
+             |  LEFT JOIN (SELECT dst AS id, CAST(count(*) AS DOUBLE) AS a
+             |             FROM e GROUP BY dst) s ON n.id = s.id),
+             |h1 AS (
+             |  SELECT n.id, coalesce(s.h, 0.0) AS hub FROM nodes n
+             |  LEFT JOIN (SELECT e.src AS id, sum(a1.auth) AS h
+             |             FROM e JOIN a1 ON e.dst = a1.id GROUP BY e.src) s
+             |    ON n.id = s.id),
+             |a2 AS (
+             |  SELECT n.id, coalesce(s.a, 0.0) AS auth FROM nodes n
+             |  LEFT JOIN (SELECT e.dst AS id, sum(h1.hub) AS a
+             |             FROM e JOIN h1 ON e.src = h1.id GROUP BY e.dst) s
+             |    ON n.id = s.id),
+             |h2 AS (
+             |  SELECT n.id, coalesce(s.h, 0.0) AS hub FROM nodes n
+             |  LEFT JOIN (SELECT e.src AS id, sum(a2.auth) AS h
+             |             FROM e JOIN a2 ON e.dst = a2.id GROUP BY e.src) s
+             |    ON n.id = s.id),
+             |at AS (SELECT sum(auth) AS t FROM a2),
+             |ht AS (SELECT sum(hub) AS t FROM h2)
+             |SELECT a2.id AS node_id,
+             |  round(a2.auth / at.t, 7) AS auth,
+             |  round(h2.hub / ht.t, 7) AS hub
+             |FROM a2 JOIN h2 ON a2.id = h2.id, at, ht
+             |ORDER BY auth DESC, node_id LIMIT 20""".stripMargin)),
+
+    // ---- EWMA daily-volume tracking (q125): trend-following feed
+    //      health next to q121's global z-scores (a slow ramp moves the
+    //      EWMA with it; a step break alerts). Decay fixed at 1/2 per
+    //      day: 2^-lag weights, count·2^-lag products, and the
+    //      ≤window-term sums are all EXACT binary floats, so both
+    //      engines compute bit-identical ewma/ratio with zero float
+    //      tolerance (the t32/s10 discipline — an arbitrary alpha would
+    //      put a libm pow ulp in every weight). Day-grain band
+    //      self-join: bounded metadata, never event-grain. ----
+    Q("q125_ewma_volume",
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.ewmaDailyVolume(Tables(s, dir, "events"), "ts",
+            window = 14, alertRatio = 0.25)
+          .orderBy($"d")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1),
+             |j AS (
+             |  SELECT a.d, a.n,
+             |    sum(b.n * pow(0.5, date_diff('day', b.d, a.d)))
+             |      / sum(pow(0.5, date_diff('day', b.d, a.d))) AS e
+             |  FROM daily a JOIN daily b
+             |    ON date_diff('day', b.d, a.d) BETWEEN 0 AND 13
+             |  GROUP BY a.d, a.n)
+             |SELECT d, n, round(e, 4) AS ewma, round(n / e, 4) AS ratio,
+             |  abs(n / e - 1.0) > 0.25 AS is_alert
+             |FROM j ORDER BY d""".stripMargin)),
+
+    // ---- Opening-path mining (q126): each user's first 5 events (ts,
+    //      event_id order — total, so the path is deterministic) as a
+    //      path string, top-15 by user count — whole trajectories next
+    //      to q120's memoryless transition pairs. One user-grain
+    //      window + path-grain count. ----
+    Q("q126_top_paths",
+      (s, dir) => {
+        import s.implicits._
+        Sequences.topPaths(Tables(s, dir, "events"),
+          "user_id", "event_type", Seq("ts", "event_id"),
+          maxSteps = 5, k = 15)
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |p AS (
+             |  SELECT user_id,
+             |    string_agg(event_type, ' > ' ORDER BY rn) AS path
+             |  FROM r WHERE rn <= 5 GROUP BY user_id)
+             |SELECT path, CAST(count(*) AS BIGINT) AS n_keys
+             |FROM p GROUP BY path
+             |ORDER BY n_keys DESC, path LIMIT 15""".stripMargin))
+  )
+}

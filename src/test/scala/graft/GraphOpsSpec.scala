@@ -207,6 +207,26 @@ class GraphOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("hits: hand-computed two-sweep fixed values, pure hubs and authorities") {
+    import spark.implicits._
+    // 1→3, 2→3, 3→5: nodes 1,2 are pure hubs (no in-edges → auth 0),
+    // 5 a pure authority. Unrolled by hand: a1 = indegree = {3:2, 5:1};
+    // h1 = out-sum = {1:2, 2:2, 3:1}; a2 = {3: h1(1)+h1(2) = 4, 5: h1(3) = 1};
+    // h2 = {1:4, 2:4, 3:1}. L1-normalized: auth 3 = 4/5, 5 = 1/5;
+    // hub 1 = 2 = 4/9, 3 = 1/9. All sums are small exact integers, so
+    // the divisions are bit-identical — exact equality, no tolerance.
+    val g = Seq((1L, 3L), (2L, 3L), (3L, 5L)).toDF("src", "dst")
+    val got = GraphOps.hits(g, "src", "dst", iterations = 2)
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, a, h) => id -> ((a, h)) }.toMap
+    assert(got == Map(
+      1L -> ((0.0, 4.0 / 9)), 2L -> ((0.0, 4.0 / 9)),
+      3L -> ((4.0 / 5, 1.0 / 9)), 5L -> ((1.0 / 5, 0.0))), got.toString)
+    Caches.sweep(spark)
+    // no operator-held blocks survive the loop
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("kCore: duplicate/reversed edges and self-loops canonicalize away") {
     import spark.implicits._
     // the self-loop on 4 must NOT count toward 4's degree (else the

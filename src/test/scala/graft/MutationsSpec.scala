@@ -169,6 +169,42 @@ class MutationsSpec extends AnyFunSuite {
     assert(Layout.readWithDeletes(spark, path).count() == 30L)
   }
 
+  test("mergeInto: update/accumulate, delete, insert, ghost-delete no-op") {
+    import graft.operators.Mutations
+    val target = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+    ).toDF("k", "tag", "v")
+    val batch = Seq(
+      (2L, "B", 5.0),        // matched update: v accumulates, tag replaces
+      (3L, "DEL", 0.0),      // matched delete
+      (9L, "new", 99.0),     // not matched: insert
+      (8L, "DEL", 0.0)       // not matched delete: no-op
+    ).toDF("k", "tag", "v")
+    val got = Mutations.mergeInto(target, batch, "k",
+        deleteWhen = col("_b_tag") === "DEL",
+        updateSet = Map("v" -> (col("v") + col("_b_v"))))
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set(
+      (1L, "a", 10.0),   // untouched
+      (2L, "B", 25.0),   // v = 20 + 5 accumulated, tag replaced from batch
+      (4L, "d", 40.0),   // untouched
+      (9L, "new", 99.0)  // inserted as-is
+    ), got.toString)
+    // full-row replace is the default when updateSet is empty
+    val replaced = Mutations.mergeInto(target, batch, "k",
+        deleteWhen = col("_b_tag") === "DEL")
+      .as[(Long, String, Double)].collect().toSet
+    assert(replaced.contains((2L, "B", 5.0)), replaced.toString)
+    // guard rails: schema mismatch and key rewrite are caller bugs
+    intercept[IllegalArgumentException] {
+      Mutations.mergeInto(target, batch.drop("v"), "k")
+    }
+    intercept[IllegalArgumentException] {
+      Mutations.mergeInto(target, batch, "k",
+        updateSet = Map("k" -> lit(0L)))
+    }
+  }
+
   test("deletion vectors: over-budget vector degrades to a shuffled anti-join, same rows") {
     import spark.implicits._
     import graft.operators.Layout

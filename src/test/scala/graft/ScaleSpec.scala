@@ -472,6 +472,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(bhj.size >= 3, s"expected 3 broadcast joins, got: $bhj")
   }
 
+  test("mergeInto never shuffles the target: broadcast joins only") {
+    // same discipline as scd2Merge: the batch builds every join, the
+    // target's wide pass and key-pruned pass both stay map-side
+    val cust = Tables(spark, sf, "customer")
+    val batch = cust.filter(col("c_custkey") % 10 === 3)
+      .withColumn("c_acctbal", lit(10.0))
+    val df = graft.operators.Mutations.mergeInto(cust, batch, "c_custkey",
+      deleteWhen = col("_b_c_name") === "DELETE",
+      updateSet = Map("c_acctbal" ->
+        round(col("c_acctbal") + col("_b_c_acctbal"), 2)))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val shuffles = collectAll(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"mergeInto must be shuffle-free, found ${shuffles.size}")
+    val bhj = collectAll(plan) {
+      case p if p.nodeName.contains("BroadcastHashJoin") => p.nodeName
+    }
+    assert(bhj.size >= 3, s"expected 3 broadcast joins, got: $bhj")
+  }
+
   test("partition-scoped merge rewrites only the partitions the batch touches") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_mrg_spec").toString

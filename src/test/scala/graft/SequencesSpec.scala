@@ -64,4 +64,24 @@ class SequencesSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(t == Seq(("x", "y")))
   }
+
+  test("topPaths: prefix cap, short sequences, count-then-path ordering") {
+    // users 1,2 share the opening a>b; user 3 has only one event; user 4
+    // has 3 events but maxSteps=2 caps the path at a>c; a same-ts pair
+    // for user 2 orders by event_id (a before b)
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "z"),
+      (2L, 4L, 10L, "a"), (2L, 5L, 10L, "b"), // tie on ts -> id order
+      (3L, 6L, 10L, "solo"),
+      (4L, 7L, 10L, "a"), (4L, 8L, 20L, "c"), (4L, 9L, 30L, "d")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Sequences.topPaths(ev, "user_id", "event_type",
+        Seq("ts", "event_id"), maxSteps = 2, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a > b", 2L),   // users 1 and 2 (user 1 capped at 2 steps)
+      ("a > c", 1L),   // user 4 capped
+      ("solo", 1L)),   // shorter-than-cap path kept
+      got.toString)
+  }
 }

@@ -56,4 +56,26 @@ class TimeSeriesSpec extends AnyFunSuite {
     // |x - med| = 0 is NOT > 0 -> no outliers even with a zero fence
     assert(r.getAs[Long]("n_outliers") == 0L)
   }
+
+  test("ewmaDailyVolume: halving weights, gap-adjusted normalization, alerts") {
+    import org.apache.spark.sql.functions._
+    // day 1: 4 events, day 2: 8, day 4: 2 (day 3 missing). window=2:
+    //   d1: ewma = 4 (only itself)
+    //   d2: (8 + 0.5*4) / 1.5 = 6.6667
+    //   d4: day 3 absent and day 2 out of window -> ewma = 2 (itself)
+    // every weight is 2^-lag, so values are EXACT — equality, no eps
+    def day(d: Int, n: Int) = (1 to n).map(_ => s"2024-03-0$d 12:00:00")
+    val events = (day(1, 4) ++ day(2, 8) ++ day(4, 2))
+      .toDF("s").select(col("s").cast("timestamp").as("ts"))
+    val got = TimeSeries.ewmaDailyVolume(events, "ts",
+        window = 2, alertRatio = 0.15)
+      .orderBy(col("d")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("2024-03-01", 4L, 4.0, 1.0, false),
+      // 8/6.6667 = 1.2 -> ratio above the 0.15 band -> alert
+      ("2024-03-02", 8L, 6.6667, 1.2, true),
+      ("2024-03-04", 2L, 2.0, 1.0, false)), got.mkString(","))
+  }
 }
