@@ -557,6 +557,56 @@ object Similarity {
     *         where w is the quantized unit direction after `iters`
     *         power steps from the all-ones start.
     */
+  /** Per-dimension standardization (z-normalization) of an embedding
+    * column — the whitening-lite preprocessing next to
+    * [[topComponentProjection]]'s common-direction removal: each
+    * dimension is centered on its corpus mean and scaled by its corpus
+    * standard deviation, so no dimension dominates downstream distances.
+    *
+    * ENGINEERED ENGINE-EXACT (the s10/t32 discipline): embeddings
+    * quantize to `round(x·quantScale)` longs, the per-dimension moments
+    * (Σv, Σv², n) are INTEGER sums — bit-exact in any summation order —
+    * and the float steps (mean, variance, sqrt, the per-element
+    * (v−μ)/σ) all see identical integer-derived operands in every
+    * engine. A non-positive variance (constant dimension) maps to 0
+    * output, guarded identically on both sides.
+    *
+    * Scale shape: ONE posexplode pass into a d-grain map-combined
+    * aggregate (d rows — bounded metadata, collected like the s10
+    * Gram), then a map-only zip_with against the broadcast-literal
+    * μ/σ arrays. No row-grain shuffle anywhere.
+    *
+    * @return (id, norm) with `norm(i) = (q(x_i) − μ_i)/σ_i` as doubles.
+    */
+  def standardizeDims(
+      emb: DataFrame, idCol: String = "vec_id", embCol: String = "embedding",
+      quantScale: Long = 1000L): DataFrame = {
+    val vq = emb.select(col(idCol).as("id"),
+      expr(s"transform($embCol, x -> " +
+        s"cast(round(cast(x as double) * $quantScale.0) as bigint))")
+        .as("vq"))
+    val d = vq.select(size(col("vq"))).head().getInt(0)
+    val stats = vq
+      .select(posexplode(col("vq")).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg(sum(col("v")).as("s"), sum(col("v") * col("v")).as("s2"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val mu = Array.tabulate(d) { i => val (s, _, n) = stats(i); s.toDouble / n }
+    val sd = Array.tabulate(d) { i =>
+      val (_, s2, n) = stats(i)
+      val v = s2.toDouble / n - mu(i) * mu(i)
+      if (v > 0) math.sqrt(v) else 0.0
+    }
+    vq.select(col("id"),
+      zip_with(
+        zip_with(col("vq"), array(mu.map(lit): _*), (x, m) =>
+          x.cast("double") - m),
+        array(sd.map(lit): _*), (t, s) =>
+          when(s === 0.0, lit(0.0)).otherwise(t / s)).as("norm"))
+  }
+
   def topComponentProjection(
       emb: DataFrame, idCol: String = "vec_id", embCol: String = "embedding",
       iters: Int = 3, quantScale: Long = 1000L,

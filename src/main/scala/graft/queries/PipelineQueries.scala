@@ -830,6 +830,50 @@ object PipelineQueries {
              |SELECT vec_id, CAST(list_sum(list_transform(range(1, 65), j -> vq[j] * w[j])) AS BIGINT) AS proj
              |FROM vq, ws ORDER BY vec_id""".stripMargin)),
 
+    // Per-dimension z-normalization of the embedding corpus (s11): the
+    // whitening-lite preprocessing next to s10's common-direction
+    // removal. Same determinism engineering: quantized-long inputs,
+    // integer per-dim moments (order-free), float steps on identical
+    // operands, non-positive variance guarded to 0 on BOTH sides. The
+    // gate folds each normalized vector LEFT-TO-RIGHT (Spark aggregate
+    // seed 0.0 + first element == DuckDB list_reduce's first-element
+    // seed exactly) plus an order-free max.
+    Q("s11_embedding_standardize",
+      (s, dir) =>
+        graft.operators.Similarity.standardizeDims(Tables(s, dir, "embeddings"))
+          .select(col("id").as("vec_id"),
+            round(expr(
+              "aggregate(norm, cast(0.0 as double), (acc, x) -> acc + x)"),
+              4).as("nsum"),
+            round(array_max(col("norm")), 4).as("nmax"))
+          .orderBy(col("vec_id")),
+      Some("""WITH vq AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS vq
+             |  FROM embeddings),
+             |idx AS (SELECT unnest(range(0, 64)) AS i),
+             |st AS (
+             |  SELECT i, CAST(sum(vq[i+1]) AS BIGINT) AS s,
+             |    CAST(sum(vq[i+1] * vq[i+1]) AS BIGINT) AS s2,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM vq, idx GROUP BY i),
+             |ms AS (
+             |  SELECT i, CAST(s AS DOUBLE)/n AS mu,
+             |    CASE WHEN CAST(s2 AS DOUBLE)/n - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n) > 0
+             |      THEN sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n))
+             |      ELSE 0.0 END AS sd
+             |  FROM st),
+             |ml AS (SELECT list(mu ORDER BY i) AS mul, list(sd ORDER BY i) AS sdl FROM ms),
+             |nm AS (
+             |  SELECT vec_id, list_transform(range(1, 65), j ->
+             |    CASE WHEN sdl[j] = 0 THEN 0.0
+             |         ELSE (CAST(vq[j] AS DOUBLE) - mul[j]) / sdl[j] END) AS norm
+             |  FROM vq, ml)
+             |SELECT vec_id,
+             |  round(list_reduce(norm, (a, b) -> a + b), 4) AS nsum,
+             |  round(list_max(norm), 4) AS nmax
+             |FROM nm ORDER BY vec_id""".stripMargin)),
+
     // End-to-end training-data prep: quality gate -> exact-dedup
     // canonical selection -> temperature domain mixing -> per-language
     // corpus stats. One composed job — the full operator-family chain a

@@ -442,6 +442,40 @@ object StreamQueries {
              |LEFT JOIN t1 ON u.user_id = t1.user_id
              |LEFT JOIN t2 ON u.user_id = t2.user_id
              |LEFT JOIN t3 ON u.user_id = t3.user_id
-             |ORDER BY u.user_id""".stripMargin))
+             |ORDER BY u.user_id""".stripMargin)),
+
+    // ---- streaming upsert sink (st15): the CDC-APPLY half of st13 —
+    //      foreachBatch + the engine's own mergeInto maintain a keyed
+    //      latest-wins table across THREE real micro-batches (the events
+    //      are split into three files, maxFilesPerTrigger=1). Latest-wins
+    //      keys on the (us, event_id) version vector, so the merge is
+    //      ORDER-COMMUTATIVE across batch boundaries — the final table is
+    //      the global per-user argmax no matter how the source chopped
+    //      the stream, which is exactly why the oracle can state it as
+    //      one window over the batch table. ----
+    Q("st15_stream_upsert",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = graft.Scratch.dir("st15_split")
+        val ev = Tables(s, dir, "events")
+          .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+            $"event_type", $"value")
+        for (i <- 0 until 3)
+          ev.filter($"event_id" % 3 === i).coalesce(1)
+            .write.mode(if (i == 0) "overwrite" else "append").parquet(tmp)
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(tmp)
+        StreamOps.runLatestUpsert(s, src, "user_id", Seq("us", "event_id"))
+          .select($"user_id", $"event_type".as("last_type"),
+            round($"value", 2).as("v"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, event_type AS last_type, round(value, 2) AS v
+             |FROM (
+             |  SELECT user_id, event_type, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events)
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin))
   )
 }

@@ -598,6 +598,73 @@ object StreamOps {
     spark.read.parquet(outPath)
   }
 
+  /** Streaming upsert sink (the CDC-apply half of st13's change
+    * detection): maintain a keyed LATEST-WINS table across micro-batches
+    * via `foreachBatch` + [[graft.operators.Mutations.mergeInto]] — the
+    * pattern every lakehouse streaming ingest runs (Delta/Iceberg
+    * `foreachBatch { merge }`), here against the engine's own MERGE.
+    *
+    * Latest-wins is engineered ORDER-COMMUTATIVE: each batch first
+    * reduces to one row per key (argmax of the `verCols` version vector
+    * — unique per key by contract, so payload columns never decide),
+    * then merges with an update set that keeps whichever side's version
+    * is newer. The final table therefore equals the global per-key
+    * argmax REGARDLESS of how the source chopped rows into micro-batches
+    * — replay, reordering, and batch-boundary placement cannot change
+    * the result (the exactly-once-effect property idempotent sinks need;
+    * a naive "batch overwrites" upsert is wrong under reordering).
+    *
+    * Driver/state discipline: the evolving target rides an
+    * [[graft.operators.IterativeLoop]] — each batch's merged state is
+    * materialized (localCheckpoint) and its predecessor released, so
+    * plan depth and block storage stay O(1) in the batch count; the
+    * returned table is a self-contained handoff. Scale shape per batch:
+    * the batch-side reduce is batch-grain; the merge is the mergeInto
+    * broadcast-3-join (the target never shuffles).
+    *
+    * @param verCols version columns, lexicographically compared; must be
+    *        unique per key across the whole stream (e.g. event time +
+    *        a unique event id).
+    * @return the final keyed table after the stream drains.
+    */
+  def runLatestUpsert(spark: SparkSession, stream: DataFrame, keyCol: String,
+      verCols: Seq[String]): DataFrame = {
+    require(verCols.nonEmpty, "verCols must be non-empty")
+    val loop = new graft.operators.IterativeLoop()
+    var target: Option[DataFrame] = None
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val others = batch.columns.filterNot(_ == keyCol).toSeq
+          // batch-local argmax of the version vector (others ride along
+          // in the struct but can never decide: verCols are unique)
+          val reduced = batch.groupBy(col(keyCol))
+            .agg(max(struct(
+              (verCols ++ others.filterNot(verCols.contains)).map(col): _*))
+              .as("_m"))
+            .select(col(keyCol) +: others.map(c => col(s"_m.$c").as(c)): _*)
+          val merged = target match {
+            case None => reduced
+            case Some(t) =>
+              val batchNewer = struct(verCols.map(c => col(s"_b_$c")): _*) >
+                struct(verCols.map(col): _*)
+              graft.operators.Mutations.mergeInto(t, reduced, keyCol,
+                updateSet = others.map(c =>
+                  c -> when(batchNewer, col(s"_b_$c")).otherwise(col(c))).toMap)
+          }
+          target = Some(loop.advance(merged, forceCheckpoint = true))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      target match {
+        case Some(_) => loop.handoff()
+        case None => loop.abort(); stream.sparkSession.emptyDataFrame
+      }
+    } catch { case t: Throwable => loop.abort(); throw t }
+  }
+
   /** Run a streaming DataFrame to completion against finite file input via
     * a memory sink; returns the materialized result table.
     *

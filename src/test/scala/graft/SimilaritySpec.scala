@@ -234,6 +234,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("standardizeDims: exact z-scores, constant dimension maps to 0") {
+    import spark.implicits._
+    // dim 0: quantized {0, 2000} -> mu 1000, sd 1000 -> norms -1, +1
+    // dim 1: constant -> variance 0 -> guarded to 0, not NaN
+    val emb = Seq(
+      (1L, Array(0.0f, 2.0f)), (2L, Array(2.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.standardizeDims(emb)
+      .as[(Long, Array[Double])].collect().toMap
+    assert(got(1L).toSeq == Seq(-1.0, 0.0), got(1L).mkString(","))
+    assert(got(2L).toSeq == Seq(1.0, 0.0), got(2L).mkString(","))
+  }
+
   test("topComponentProjection: matvec survives Gram sums past Long range (BigInt)") {
     import spark.implicits._
     // 150k identical vectors of 4.0 at d=4: each Gram entry is

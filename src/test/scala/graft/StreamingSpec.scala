@@ -378,4 +378,41 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("latest-wins upsert sink is commutative across batch splits") {
+    import spark.implicits._
+    // the same 9 rows split 3 ways vs 2 ways vs single-batch: the final
+    // keyed table must be identical — the order-commutativity contract
+    // that makes foreachBatch+mergeInto an exactly-once-effect sink
+    val rows = Seq(
+      (1L, 10L, 100L, "a", 1.0), (1L, 30L, 101L, "b", 2.0),
+      (1L, 20L, 102L, "c", 3.0), // key 1 latest = us 30 -> "b"
+      (2L, 5L, 103L, "x", 4.0), (2L, 5L, 104L, "y", 5.0),
+      // key 2 same-us tie -> event_id 104 wins
+      (3L, 9L, 105L, "z", 6.0),
+      (3L, 9L, 106L, "z2", 7.0), (3L, 8L, 107L, "w", 8.0),
+      (4L, 1L, 108L, "solo", 9.0))
+    def run(splitBy: Int): Set[(Long, String, Double)] = {
+      val tmp = graft.Scratch.dir(s"upsert_spec_$splitBy")
+      val df = rows.toDF("user_id", "us", "event_id", "event_type", "value")
+      for (i <- 0 until splitBy)
+        df.filter($"event_id" % splitBy === i).coalesce(1)
+          .write.mode(if (i == 0) "overwrite" else "append").parquet(tmp)
+      val src = spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val got = StreamOps.runLatestUpsert(spark, src, "user_id",
+          Seq("us", "event_id"))
+        .select($"user_id", $"event_type", $"value")
+        .as[(Long, String, Double)].collect().toSet
+      Caches.sweep(spark)
+      got
+    }
+    val expected = Set(
+      (1L, "b", 2.0), (2L, "y", 5.0), (3L, "z2", 7.0), (4L, "solo", 9.0))
+    assert(run(3) == expected)
+    assert(run(2) == expected)
+    assert(run(1) == expected)
+    // no operator-held blocks survive the handoff
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
