@@ -52,6 +52,30 @@ object Mixing {
       .select(col(idCol), col(domainCol), col("rate"), col("keep"))
   }
 
+  /** Exact-k per-stratum deterministic sample: every stratum keeps its
+    * `k` lowest-hash rows (ties by id) — the balanced-eval-set /
+    * per-domain-probe primitive next to [[temperatureSample]]'s
+    * rate-based mixing. Rate sampling cannot promise exact counts
+    * (binomial spread); hash-ranking can, stays reproducible in any
+    * engine (the [[uniformDraw]] md5 construction), and adding data
+    * only changes a stratum's sample where a new row out-ranks an old
+    * one. Strata with fewer than `k` rows keep everything.
+    *
+    * Scale shape: ONE stratum-grain shuffle for the rank window — the
+    * per-stratum sort is the information-theoretic cost of exact-k; at
+    * 100 TB prefer `k`-heap semantics per stratum (this IS what Spark's
+    * window TopK executes after the partition sort).
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(uniformDraw(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k).drop("_rk")
+  }
+
   /** DSIR-style importance weighting (the public method of Xie et al.,
     * "Data Selection for Language Models via Importance Resampling",
     * NeurIPS 2023): score every document by how target-like its hashed

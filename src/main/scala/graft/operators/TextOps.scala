@@ -642,4 +642,44 @@ object TextOps {
       .withColumn("n_ids", regexp_count(col("_t2"), lit(IdRe)).cast("long"))
       .withColumn("scrubbed", regexp_replace(col("_t2"), IdRe, repl))
       .drop("_t1", "_t2")
+
+  /** Zipf fit of the term-frequency distribution: least-squares slope
+    * and intercept of ln(count) against ln(rank) over the top
+    * `topRanks` terms — the corpus-health scalar (natural-language text
+    * sits near slope −1; template/boilerplate-heavy or synthetic
+    * corpora bend away). Ranks order by (count desc, term) — total, so
+    * the fitted points are deterministic; the ln values quantize to
+    * round(·, 6) before the moment sums (the t32 discipline: the lone
+    * libm step sees identical operands and its last-ulp freedom is
+    * erased), and the closed-form slope
+    * (kΣxy − ΣxΣy)/(kΣx² − (Σx)²) divides identically everywhere.
+    *
+    * Scale shape: one token explode into a term-grain map-combined
+    * count (the t06 shape), a `topRanks` TakeOrderedAndProject, and the
+    * moment sums over those ≤topRanks rows — output is ONE row.
+    */
+  def zipfFit(docs: DataFrame, textCol: String,
+      topRanks: Int = 100): DataFrame = {
+    require(topRanks >= 2, s"need >= 2 ranks to fit: $topRanks")
+    import org.apache.spark.sql.expressions.Window
+    val top = docs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(topRanks)
+    // the rank window runs over <= topRanks rows (post-limit): bounded
+    val ranked = top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("term"))))
+      .select(round(log(col("rank").cast("double")), 6).as("x"),
+        round(log(col("n").cast("double")), 6).as("y"))
+    ranked.agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("k").as("n_ranks"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+        round((col("sy") - (col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("k"), 4).as("intercept"))
+  }
 }

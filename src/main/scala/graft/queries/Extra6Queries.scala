@@ -169,6 +169,56 @@ object Extra6Queries {
              |  FROM r WHERE rn <= 5 GROUP BY user_id)
              |SELECT path, CAST(count(*) AS BIGINT) AS n_keys
              |FROM p GROUP BY path
-             |ORDER BY n_keys DESC, path LIMIT 15""".stripMargin))
+             |ORDER BY n_keys DESC, path LIMIT 15""".stripMargin)),
+
+    // ---- Distributed logistic-regression training (q127): the
+    //      fastText/CCNet-style binary classifier a pipeline trains to
+    //      gate its own corpus, trained IN the engine — 2 full-batch GD
+    //      epochs (each ONE map-combined gradient aggregate over the
+    //      corpus, Learn.logisticTrain), predicting lang='en' from
+    //      exact-double features (n_chars/1000, n_tokens/100). Weights
+    //      quantize round-6 per epoch so the trajectory is engine-exact
+    //      (epoch 1 is exp-free: w=0 makes sigma exactly 0.5; epoch 2's
+    //      lone exp drifts ulps that the quantization grid erases);
+    //      prediction is z > 0 — no libm, boundary-exact. The oracle
+    //      unrolls both epochs and re-derives the confusion counts and
+    //      final weights. ----
+    Q("q127_logreg_train",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+          .select($"lang",
+            when($"lang" === "en", 1.0).otherwise(0.0).as("y"),
+            ($"n_chars" / lit(1000.0)).as("x1"),
+            (size(graft.operators.TextOps.tokens($"text")) / lit(100.0)).as("x2"))
+        val w = graft.operators.Learn.logisticTrain(
+          docs, $"y", Seq($"x1", $"x2"), epochs = 2, lr = 1.0)
+        val (_, pred) = graft.operators.Learn.score(w, Seq($"x1", $"x2"))
+        docs.groupBy($"lang", pred.as("pred"))
+          .agg(count(lit(1)).as("n"))
+          .select($"lang", $"pred", $"n",
+            lit(w(0)).as("w0"), lit(w(1)).as("w1"), lit(w(2)).as("w2"))
+          .orderBy($"lang", $"pred")
+      },
+      Some("""WITH f AS (
+             |  SELECT lang, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             |    n_chars / 1000.0 AS x1,
+             |    len(list_filter(string_split(text, ' '), t -> t <> '')) / 100.0 AS x2
+             |  FROM documents),
+             |g1 AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(y - 0.5) AS g0,
+             |  sum((y - 0.5) * x1) AS g1, sum((y - 0.5) * x2) AS g2 FROM f),
+             |w1 AS (SELECT round(1.0 * g0 / n, 6) AS w0,
+             |  round(1.0 * g1 / n, 6) AS w1, round(1.0 * g2 / n, 6) AS w2 FROM g1),
+             |p2 AS (SELECT f.lang, f.y, f.x1, f.x2,
+             |  1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) AS p FROM f, w1),
+             |g2 AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(y - p) AS g0,
+             |  sum((y - p) * x1) AS g1, sum((y - p) * x2) AS g2 FROM p2),
+             |wf AS (SELECT round(w1.w0 + 1.0 * g2.g0 / g2.n, 6) AS w0,
+             |  round(w1.w1 + 1.0 * g2.g1 / g2.n, 6) AS w1,
+             |  round(w1.w2 + 1.0 * g2.g2 / g2.n, 6) AS w2 FROM w1, g2)
+             |SELECT f.lang, (w0 + w1 * x1 + w2 * x2) > 0 AS pred,
+             |  CAST(count(*) AS BIGINT) AS n, w0, w1, w2
+             |FROM f, wf GROUP BY f.lang, pred, w0, w1, w2
+             |ORDER BY lang, pred""".stripMargin))
   )
 }

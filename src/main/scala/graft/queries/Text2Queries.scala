@@ -1325,7 +1325,54 @@ object Text2Queries {
              |  || CASE WHEN doc_id % 2 = 0 THEN ' cafe' || chr(769) ELSE '' END
              |  || CASE WHEN doc_id % 3 = 0 THEN ' Zu' || chr(776) || 'rich' ELSE '' END AS t
              |  FROM documents)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Zipf fit (t37): least-squares slope/intercept of ln(count) vs
+    //      ln(rank) over the top-100 terms — the corpus-health scalar
+    //      (natural text ~ slope -1; boilerplate bends away). Ranks are
+    //      (count desc, term)-total; ln values quantize round-6 BEFORE
+    //      the moment sums (t32 discipline), the closed-form slope
+    //      divides identically in both engines. ----
+    Q("t37_zipf_fit",
+      (s, dir) =>
+        graft.operators.TextOps.zipfFit(
+          Tables(s, dir, "documents"), "text", topRanks = 100),
+      Some("""WITH tc AS (
+             |  SELECT tok AS term, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents,
+             |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(tok)
+             |  GROUP BY tok),
+             |top AS (SELECT term, n FROM tc ORDER BY n DESC, term LIMIT 100),
+             |rk AS (
+             |  SELECT round(ln(CAST(row_number() OVER (ORDER BY n DESC, term) AS DOUBLE)), 6) AS x,
+             |    round(ln(CAST(n AS DOUBLE)), 6) AS y
+             |  FROM top),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(x) AS sx,
+             |  sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx FROM rk)
+             |SELECT k AS n_ranks,
+             |  round((k*sxy - sx*sy)/(k*sxx - sx*sx), 4) AS slope,
+             |  round((sy - (k*sxy - sx*sy)/(k*sxx - sx*sx)*sx)/k, 4) AS intercept
+             |FROM m""".stripMargin)),
+
+    // ---- Exact-k stratified sample (t38): every language keeps its 20
+    //      lowest-md5-hash documents (ties by id) — the balanced-eval
+    //      primitive rate-based sampling (t15) cannot provide (binomial
+    //      spread vs exact counts). The hash is the portable md5
+    //      construction, bit-reproducible in both engines. ----
+    Q("t38_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Mixing.stratifiedSample(
+            Tables(s, dir, "documents").select($"doc_id", $"lang"),
+            "lang", "doc_id", k = 20)
+          .orderBy($"lang", $"doc_id")
+      },
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+             |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000,
+             |      doc_id) AS rk
+             |  FROM documents) WHERE rk <= 20
+             |ORDER BY lang, doc_id""".stripMargin))
   )
 
   /** Per-document add-one-smoothed bigram-LM score (t13's model; see the

@@ -634,4 +634,49 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"window=1 must miss the out-of-window variant: $w1")
     spark.catalog.clearCache()
   }
+
+  test("stratifiedSample: exact k per stratum, small strata kept whole, stable") {
+    import spark.implicits._
+    val df = ((1L to 50L).map(i => (i, "big")) ++
+      Seq((101L, "tiny"), (102L, "tiny"), (103L, "tiny")))
+      .toDF("id", "grp")
+    def run() = Mixing.stratifiedSample(df, "grp", "id", k = 5)
+      .as[(Long, String)].collect().toSet
+    val got = run()
+    assert(got.count(_._2 == "big") == 5, got.toString)
+    assert(got.count(_._2 == "tiny") == 3, "under-k stratum keeps all rows")
+    assert(got == run(), "hash-ranked sample must be deterministic")
+  }
+
+  test("zipfFit: an exact power law fits slope -1") {
+    import spark.implicits._
+    // counts 12/rank: a x12, b x6, c x4, d x3 -> ln-ln collinear, slope -1
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val r = TextOps.zipfFit(Seq((1L, text)).toDF("id", "text"), "text",
+      topRanks = 4).collect().head
+    assert(r.getAs[Long]("n_ranks") == 4L)
+    assert(r.getAs[Double]("slope") == -1.0, r.toString)
+    // intercept = ln(12) at rank 1 (round-6 ln, round-4 output)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(12.0)) < 1e-3,
+      r.toString)
+  }
+
+  test("logisticTrain: exp-free first epoch matches hand math; separable data classifies") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0), (1.0, 1.0), (0.0, -1.0), (0.0, -2.0))
+      .toDF("y", "x")
+    // epoch 1 from w=0: sigma = 0.5 exactly, so g = ((y-0.5) dot (1, x))
+    // = (0, 3)/4 -> w = (0.0, 0.75)
+    val w1 = Learn.logisticTrain(df, col("y"), Seq(col("x")),
+      epochs = 1, lr = 1.0)
+    assert(w1.toSeq == Seq(0.0, 0.75), w1.mkString(","))
+    // two epochs: still separating sign(x)
+    val w2 = Learn.logisticTrain(df, col("y"), Seq(col("x")),
+      epochs = 2, lr = 1.0)
+    val (_, pred) = Learn.score(w2, Seq(col("x")))
+    val got = df.select(col("y"), pred.as("p"))
+      .as[(Double, Boolean)].collect()
+    assert(got.forall { case (y, p) => (y == 1.0) == p }, got.mkString(","))
+  }
 }
