@@ -423,11 +423,12 @@ object GraphOps {
     * sum, with no full-node join anywhere in the loop (halves per-sweep
     * join work vs the dense encoding; measured 4.4s → the dense
     * nodes-join variant on the sf0.1 trade graph). Zeros materialize
-    * once, in the final output's node left-joins; the auth vector is
-    * `keep`-checkpointed (the hub advance consumes it, and the last one
-    * feeds the output — the BFS-layer retention pattern, ≤node-grain
-    * per sweep). Output totals read the final materialized vectors —
-    * cached blocks, not recomputed plans.
+    * once, in the final output's node left-joins. Block storage is O(1)
+    * in the sweep budget: intermediate auth vectors ride the advance
+    * chain (released as soon as the following hub is solid); ONLY the
+    * final sweep's auth is `keep`-checkpointed, because the output
+    * needs it after the last hub advance. Output totals read the final
+    * materialized vectors — cached blocks, not recomputed plans.
     *
     * @return (id, auth, hub) for every node incident to an edge, each
     *         column summing to 1 (nodes without in-/out-edges score 0).
@@ -446,12 +447,14 @@ object GraphOps {
       var hub = loop.advance(e.select(col("src").as("id")).distinct()
         .select(col("id"), lit(1.0).as("hub")))
       var auth: DataFrame = null
-      for (_ <- 1 to iterations) {
-        val (a, _) = loop.keep(
-          e.join(hub.select(col("id").as("src"), col("hub")), "src")
-            .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
-            .select(col("dst").as("id"), col("auth")))
-        auth = a
+      for (it <- 1 to iterations) {
+        val aPlan = e.join(hub.select(col("id").as("src"), col("hub")), "src")
+          .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
+          .select(col("dst").as("id"), col("auth"))
+        // intermediate auth vectors ride the advance chain (freed when
+        // the next hub is solid); only the LAST survives for the output
+        auth = if (it == iterations) loop.keep(aPlan)._1
+          else loop.advance(aPlan)
         hub = loop.advance(
           e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
             .groupBy(col("src")).agg(sum(col("auth")).as("hub"))
