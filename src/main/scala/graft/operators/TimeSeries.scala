@@ -116,9 +116,14 @@ object TimeSeries {
   def ewmaDailyVolume(events: DataFrame, tsCol: String, window: Int = 14,
       alertRatio: Double = 0.5): DataFrame = {
     require(window >= 1 && window <= 50, s"window must be in [1,50]: $window")
+    // the band self-join references the day-grain aggregate twice; a
+    // localCheckpoint materializes it once so the EVENT-grain scan+agg
+    // never runs twice (day-grain blocks are metadata-sized; freed on GC
+    // or Caches.sweep, the standard operator-result contract)
     val daily = events
       .groupBy(col(tsCol).cast("date").as("d"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val hist = daily.select(col("d").as("h_d"), col("n").as("h_n"))
     daily.join(hist,
         datediff(col("d"), col("h_d")).between(0, window - 1))

@@ -94,6 +94,78 @@ class OperatorPropertySpec extends AnyFunSuite {
     result
   }
 
+  // ---- topPaths vs a direct per-key reference ----
+
+  private val genEvents: Gen[List[(Long, Long, Long, String)]] = for {
+    n <- Gen.choose(5, 40)
+    rows <- Gen.sequence[List[(Long, Long, String)], (Long, Long, String)](
+      (1 to n).toList.map(_ => for {
+        u <- Gen.choose(1L, 5L)
+        ts <- Gen.choose(1L, 5L) // deliberate ts collisions -> id tiebreak
+        t <- Gen.oneOf("a", "b", "c")
+      } yield (u, ts, t)))
+  } yield rows.zipWithIndex.map { case ((u, ts, t), i) =>
+    (u, ts, 1000L + i, t) // unique event ids
+  }
+
+  test("topPaths equals the per-key sort/take/concat reference on random cases") {
+    import spark.implicits._
+    for (seed <- 1L to 15L) {
+      val events = sample(genEvents, seed * 13)
+      val maxSteps = 1 + (seed % 4).toInt
+      val expected = events.groupBy(_._1).values
+        .map(_.sortBy(e => (e._2, e._3)).take(maxSteps).map(_._4)
+          .mkString(" > "))
+        .groupBy(identity).map { case (p, l) => (p, l.size.toLong) }
+        .toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+      val got = graft.operators.Sequences.topPaths(
+          events.toDF("user_id", "ts", "event_id", "event_type"),
+          "user_id", "event_type", Seq("ts", "event_id"),
+          maxSteps = maxSteps, k = 10)
+        .as[(String, Long)].collect().toSeq
+      assert(got == expected,
+        s"seed=$seed maxSteps=$maxSteps events=$events:\n got $got\n exp $expected")
+    }
+  }
+
+  // ---- ewmaDailyVolume vs a direct per-day reference (exact dyadic
+  //      weights mean the reference's sum order cannot matter) ----
+
+  test("ewmaDailyVolume equals the per-day reference on random gapped series") {
+    import spark.implicits._
+    for (seed <- 1L to 8L) {
+      val dayCounts = sample(for {
+        days <- Gen.someOf(1 to 15)
+        cs <- Gen.sequence[List[Int], Int](
+          days.toList.map(_ => Gen.choose(1, 30)))
+      } yield days.toList.zip(cs), seed * 31).filter(_._2 > 0)
+      if (dayCounts.nonEmpty) {
+        val window = 1 + (seed % 5).toInt
+        val events = dayCounts.flatMap { case (day, n) =>
+          Seq.fill(n)(f"2024-01-$day%02d 06:00:00")
+        }.toDF("s").select(col("s").cast("timestamp").as("ts"))
+        val cMap = dayCounts.toMap
+        val expected = dayCounts.map { case (day, n) =>
+          val terms = (0 until window).flatMap(lag =>
+            cMap.get(day - lag).map(h => (h, lag)))
+          val num = terms.map { case (h, lag) => h * math.pow(0.5, lag) }.sum
+          val den = terms.map { case (_, lag) => math.pow(0.5, lag) }.sum
+          val e = num / den
+          (f"2024-01-$day%02d",
+            math.rint(e * 10000) / 10000, math.rint(n / e * 10000) / 10000)
+        }.sortBy(_._1)
+        val got = graft.operators.TimeSeries
+          .ewmaDailyVolume(events, "ts", window = window, alertRatio = 0.5)
+          .orderBy(col("d")).collect()
+          .map(r => (r.getDate(0).toString, r.getDouble(2), r.getDouble(3)))
+          .toSeq
+        assert(got == expected,
+          s"seed=$seed window=$window counts=$dayCounts:\n got $got\n exp $expected")
+        Caches.sweep(spark)
+      }
+    }
+  }
+
   private val genGraph: Gen[Set[(Long, Long)]] = for {
     n <- Gen.choose(2, 10)
     density <- Gen.choose(1, 4)
