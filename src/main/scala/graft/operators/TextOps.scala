@@ -643,6 +643,36 @@ object TextOps {
       .withColumn("scrubbed", regexp_replace(col("_t2"), IdRe, repl))
       .drop("_t1", "_t2")
 
+  /** URL canonicalization — the crawl-dedup key preparation every web
+    * pipeline runs before URL-level dedup/frontier checks: lowercase
+    * scheme and host, strip a leading `www.`, drop the fragment, drop
+    * `utm_*` tracking parameters, sort the surviving query parameters
+    * (param order is not semantic), normalize an empty path to `/`.
+    * Path case is PRESERVED (paths are case-sensitive by spec; hosts
+    * are not).
+    *
+    * Pure column expression — composable, codegen'd (regexp ops + array
+    * algebra, no UDF), one map pass wherever it's used. Patterns stay
+    * in the Java∩RE2 subset (the t35 discipline) so any engine's regex
+    * dialect reproduces them.
+    */
+  def urlNormalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val host = regexp_replace(
+      lower(regexp_extract(rest, "^([^/?]*)", 1)), "^www\\.", "")
+    val pathQ = regexp_replace(rest, "^[^/?]*", "")
+    val path = regexp_extract(pathQ, "^([^?]*)", 1)
+    val query = regexp_extract(pathQ, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"),
+      p => p =!= "" && !p.startsWith("utm_"))
+    val sortedQ = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host,
+      when(path === "", lit("/")).otherwise(path),
+      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+  }
+
   /** Zipf fit of the term-frequency distribution: least-squares slope
     * and intercept of ln(count) against ln(rank) over the top
     * `topRanks` terms — the corpus-health scalar (natural-language text

@@ -1372,7 +1372,61 @@ object Text2Queries {
              |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000,
              |      doc_id) AS rk
              |  FROM documents) WHERE rk <= 20
-             |ORDER BY lang, doc_id""".stripMargin))
+             |ORDER BY lang, doc_id""".stripMargin)),
+
+    // ---- URL canonicalization (t39): the crawl-dedup key prep — per
+    //      doc, a clean variant and a messy alias (uppercase scheme/www
+    //      host, utm_* params, reordered query, fragment) are SYNTHESIZED
+    //      (the t36 injection pattern) and normalized; both must
+    //      collapse to ONE canonical URL per doc (n_norm = 1 is asserted
+    //      by the gate data itself). Pure codegen'd regex/array algebra,
+    //      Java∩RE2 patterns, replayed verbatim by the oracle. ----
+    Q("t39_url_normalize",
+      (s, dir) => {
+        import s.implicits._
+        val u1 = concat(lit("https://"), $"source",
+          lit(".example.com/Path/"), $"doc_id", lit("?b=2&a=1"))
+        val u2 = concat(lit("HTTPS://WWW."), upper($"source"),
+          lit(".EXAMPLE.COM/Path/"), $"doc_id",
+          lit("?utm_source=x&a=1&utm_campaign=y&b=2#frag"))
+        Tables(s, dir, "documents").select($"doc_id", $"source")
+          .select($"doc_id", explode(array(u1, u2)).as("url"))
+          .select($"doc_id",
+            graft.operators.TextOps.urlNormalize($"url").as("nurl"))
+          .groupBy($"doc_id")
+          .agg(min($"nurl").as("url_norm"),
+            countDistinct($"nurl").as("n_norm"),
+            count(lit(1)).as("n_variants"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT doc_id, unnest([
+             |    'https://' || source || '.example.com/Path/' || doc_id || '?b=2&a=1',
+             |    'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM/Path/' || doc_id
+             |      || '?utm_source=x&a=1&utm_campaign=y&b=2#frag']) AS url
+             |  FROM documents),
+             |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM v),
+             |s2 AS (SELECT doc_id,
+             |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             |  regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM s1),
+             |s3 AS (SELECT doc_id, scheme,
+             |  regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), '^www\.', '') AS host,
+             |  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM s2),
+             |s4 AS (SELECT doc_id, scheme, host,
+             |  regexp_extract(pathq, '^([^?]*)', 1) AS path,
+             |  regexp_extract(pathq, '\?(.*)$', 1) AS query FROM s3),
+             |s5 AS (SELECT doc_id,
+             |  scheme || '://' || host
+             |    || CASE WHEN path = '' THEN '/' ELSE path END
+             |    || CASE WHEN q = '' THEN '' ELSE '?' || q END AS nurl
+             |  FROM (SELECT doc_id, scheme, host, path,
+             |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+             |      p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS q
+             |  FROM s4))
+             |SELECT doc_id, min(nurl) AS url_norm,
+             |  CAST(count(DISTINCT nurl) AS BIGINT) AS n_norm,
+             |  CAST(count(*) AS BIGINT) AS n_variants
+             |FROM s5 GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** Per-document add-one-smoothed bigram-LM score (t13's model; see the

@@ -662,6 +662,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       r.toString)
   }
 
+  test("urlNormalize: scheme/host case, www, fragments, utm params, empty paths") {
+    import spark.implicits._
+    val cases = Seq(
+      // host+scheme lowercase, path case preserved
+      ("HTTP://ExAmPle.COM/KeepCase", "http://example.com/KeepCase"),
+      // www strip + fragment drop + empty path -> /
+      ("https://WWW.site.org#frag", "https://site.org/"),
+      // utm-only query disappears entirely (no dangling '?')
+      ("https://a.io/p?utm_source=x&utm_medium=y", "https://a.io/p"),
+      // params sort, utm dropped mid-list, empties ignored
+      ("https://a.io/p?z=9&utm_c=1&a=2&&m=5", "https://a.io/p?a=2&m=5&z=9"),
+      // www in the PATH is not a host prefix; query untouched case
+      ("https://b.co/www.x?Q=UP", "https://b.co/www.x?Q=UP"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.urlNormalize($"url").as("n"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2), got.mkString("\n"))
+  }
+
   test("logisticTrain: exp-free first epoch matches hand math; separable data classifies") {
     import spark.implicits._
     val df = Seq((1.0, 2.0), (1.0, 1.0), (0.0, -1.0), (0.0, -2.0))
