@@ -15,8 +15,41 @@ import org.apache.spark.sql.functions._
   * collision risk). `scd2Merge` never joins the history: closed rows pass
   * through on a filter, only CURRENT rows meet the batch, and a small
   * batch broadcasts so the dimension does not shuffle at all.
+  *
+  * The batch broadcast is SIZE-GATED everywhere ([[maybeBroadcast]], the
+  * [[Layout.readWithDeletes]] discipline applied to the whole merge
+  * family): while Catalyst's size estimate for the batch stays under
+  * `broadcastBytesMax` the hint applies and the target never shuffles;
+  * past the cap the hint is withheld and the planner falls back to a
+  * shuffled merge — one exchange of the target, the honest degraded mode
+  * for a backfill or late-arriving-day batch — instead of the driver/
+  * executor OOM cliff an unconditional hint would force.
   */
 object Mutations {
+
+  /** Default size-estimate cap under which a merge batch is
+    * broadcast-hinted. Plan-stat bytes are in-memory row estimates
+    * (wider than parquet-compressed on-disk bytes), so 64 MB here is the
+    * same order of broadcast as [[Layout.DefaultDeleteBroadcastBytes]]'s
+    * 32 MB on-disk cap — inside executor headroom with margin, far above
+    * any trigger-bounded CDC micro-batch. */
+  val DefaultBatchBroadcastBytes: Long = 64L << 20
+
+  /** Catalyst's size estimate for `df` (optimized-plan statistics — a
+    * driver-side computation, no job). File-backed frames estimate from
+    * file bytes; in-memory relations from exact row sizes. */
+  def planBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** Broadcast `df` only while [[planBytes]] fits `bytesMax` — the shared
+    * size gate of the merge family (and the DataFrame sibling of
+    * [[Layout.readWithDeletes]]'s on-disk gate). Above the cap the frame
+    * returns unhinted: the join shuffles (AQE may still broadcast at
+    * runtime if actual stats allow), which degrades the plan instead of
+    * the process. */
+  def maybeBroadcast(df: DataFrame,
+      bytesMax: Long = DefaultBatchBroadcastBytes): DataFrame =
+    if (planBytes(df) <= BigInt(bytesMax)) broadcast(df) else df
 
   private def attrStruct(df: DataFrame, keys: Seq[String], as: String): DataFrame = {
     val attrs = df.columns.filterNot(keys.contains).sorted
@@ -51,16 +84,20 @@ object Mutations {
     * untouched keys pass through. No history — the overwrite-in-place
     * sibling of [[scd2Merge]].
     *
-    * Plan: one broadcast anti-join (dimension vs the small batch's keys)
-    * plus the batch union'd on top — the dimension never shuffles, and
-    * unlike a full-outer MERGE encoding no wide row comparison happens
-    * at all (type-1 does not care whether attrs changed).
+    * Plan: one size-gated broadcast anti-join (dimension vs the small
+    * batch's keys) plus the batch union'd on top — the dimension never
+    * shuffles while the batch fits [[maybeBroadcast]]'s cap (an
+    * over-cap batch degrades to a shuffled anti-join), and unlike a
+    * full-outer MERGE encoding no wide row comparison happens at all
+    * (type-1 does not care whether attrs changed).
     */
-  def scd1Upsert(dim: DataFrame, updates: DataFrame, key: String): DataFrame = {
+  def scd1Upsert(dim: DataFrame, updates: DataFrame, key: String,
+      broadcastBytesMax: Long = DefaultBatchBroadcastBytes): DataFrame = {
     require(dim.columns.sorted.sameElements(updates.columns.sorted),
       s"dimension/batch schemas differ: ${dim.columns.sorted.mkString(",")} vs " +
         updates.columns.sorted.mkString(","))
-    val keys = broadcast(updates.select(col(key).as("_ukey")))
+    val keys = maybeBroadcast(updates.select(col(key).as("_ukey")),
+      broadcastBytesMax)
     dim.join(keys, dim(key) === keys("_ukey"), "left_anti")
       .unionByName(updates.select(dim.columns.map(col): _*))
   }
@@ -82,9 +119,16 @@ object Mutations {
     *
     * `deleteWhen` classifies BATCH rows, so it references batch columns
     * only (`_b_` prefix) — it must resolve on the insert branch too,
-    * where no target row exists. Batch keys must be unique — like every
-    * MERGE implementation, duplicate matches would apply an arbitrary
-    * one.
+    * where no target row exists. Batch keys MUST be unique (standard
+    * MERGE semantics — SQL MERGE raises on a duplicate match). This
+    * implementation does not deduplicate: a key appearing k times in the
+    * batch joins each matching target row k times, so a matched target
+    * row is EMITTED k times (and a delete/insert classification applies
+    * per copy) — silent row multiplication, not an arbitrary pick. Pass
+    * `validateKeys = true` to pay one key-grain count on the batch and
+    * fail loudly instead; callers that reduce the batch to one row per
+    * key first (e.g. [[graft.streaming.StreamOps]]'s latest-wins
+    * pre-reduce) skip the check.
     *
     * Plan (the [[scd2Merge]] discipline — the batch is small by
     * construction, so every join builds on it and the huge target NEVER
@@ -93,19 +137,36 @@ object Mutations {
     * broadcast semi-join (result ≤ |batch| → itself broadcast);
     * (3) batch ANTI broadcast(matched) emits the inserts, also
     * map-side. Two target scans (one key-only) buy zero target
-    * shuffles.
+    * shuffles. All three hints ride ONE size gate on the batch's
+    * estimate ([[maybeBroadcast]] — `matched` is a key-pruned subset of
+    * the batch, so the batch fitting implies it fits): an over-cap
+    * batch (a backfill, a late-arriving day) degrades every join to its
+    * shuffled form instead of forcing a broadcast OOM.
     */
   def mergeInto(target: DataFrame, batch: DataFrame, key: String,
       deleteWhen: Column = lit(false),
-      updateSet: Map[String, Column] = Map.empty): DataFrame = {
+      updateSet: Map[String, Column] = Map.empty,
+      broadcastBytesMax: Long = DefaultBatchBroadcastBytes,
+      validateKeys: Boolean = false): DataFrame = {
     require(target.columns.sorted.sameElements(batch.columns.sorted),
       s"target/batch schemas differ: ${target.columns.sorted.mkString(",")} vs " +
         batch.columns.sorted.mkString(","))
     require(!updateSet.contains(key), "updateSet must not rewrite the key")
+    if (validateKeys) {
+      val dup = batch.groupBy(col(key)).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"mergeInto: batch carries duplicate key ${dup.head.get(0)} " +
+          s"(x${dup.head.getLong(1)}) — duplicate batch keys multiply " +
+          "matched target rows; reduce the batch to one row per key first")
+    }
     val cols = target.columns.toSeq
     val bKey = s"_b_$key"
-    val b = broadcast(batch.select(
-      cols.map(c => col(c).as(s"_b_$c")): _*))
+    val bProj = batch.select(cols.map(c => col(c).as(s"_b_$c")): _*)
+    // one gate decides all three hints: matched ⊆ batch keys, so the
+    // batch fitting the cap implies matched does too
+    val bFits = planBytes(bProj) <= BigInt(broadcastBytesMax)
+    val b = if (bFits) broadcast(bProj) else bProj
     val joined = target.join(b, col(key) === col(bKey), "left_outer")
     // matched deletes drop; null-safe so an unmatched row (all _b_ null,
     // deleteWhen evaluating to null) can never be swept away
@@ -116,9 +177,10 @@ object Mutations {
         else when(col(bKey).isNull, col(c))
           .otherwise(updateSet.getOrElse(c, col(s"_b_$c"))).as(c)
       }: _*)
-    val matched = broadcast(
+    val matchedPlan =
       target.join(b.select(col(bKey)), col(key) === col(bKey), "left_semi")
-        .select(col(key).as("_mkey")))
+        .select(col(key).as("_mkey"))
+    val matched = if (bFits) broadcast(matchedPlan) else matchedPlan
     val inserts = batch
       .join(matched, batch(key) === matched("_mkey"), "left_anti")
       .select(cols.map(c => col(c).as(s"_b_$c")): _*) // expose _b_ names to deleteWhen
@@ -193,7 +255,8 @@ object Mutations {
     * batch side, the dimension never shuffles).
     */
   def scd2Merge(dim: DataFrame, updates: DataFrame, key: String,
-      ts: Long): DataFrame = {
+      ts: Long,
+      broadcastBytesMax: Long = DefaultBatchBroadcastBytes): DataFrame = {
     val meta = Seq("valid_from", "valid_to", "is_current")
     val attrs = dim.columns.filterNot(c => c == key || meta.contains(c)).sorted
     require(updates.columns.sorted.sameElements((attrs :+ key).sorted),
@@ -220,9 +283,12 @@ object Mutations {
     // key-column-pruned second scan; (3) batch ANTI broadcast(matched)
     // opens the brand-new keys, also map-side. Two scans of the current
     // set (one key-only, column-pruned) buy zero dimension shuffles.
-    val upd = broadcast(
-      updates.select(col(key).as("_ukey") +:
-        attrs.map(c => col(c).as(s"_u_$c")): _*))
+    // Both hints ride one size gate on the batch (the mergeInto
+    // discipline): an over-cap backfill batch shuffles instead of OOMing.
+    val updProj = updates.select(col(key).as("_ukey") +:
+      attrs.map(c => col(c).as(s"_u_$c")): _*)
+    val uFits = planBytes(updProj) <= BigInt(broadcastBytesMax)
+    val upd = if (uFits) broadcast(updProj) else updProj
     val joined = cur.join(upd, col(key) === col("_ukey"), "left_outer")
     val changed = col("_ukey").isNotNull &&
       !(struct(attrs.map(col): _*) <=>
@@ -236,9 +302,9 @@ object Mutations {
       when(changed, array(closed, opened)) // close + reopen
         .otherwise(array(keep))).as("_r")) // no update / unchanged
       .select(col("_r.*"))
-    val matched = broadcast(
-      cur.join(upd, col(key) === col("_ukey"), "left_semi")
-        .select(col(key).as("_mkey")))
+    val matchedPlan = cur.join(upd, col(key) === col("_ukey"), "left_semi")
+      .select(col(key).as("_mkey"))
+    val matched = if (uFits) broadcast(matchedPlan) else matchedPlan
     val openedNew = updates
       .join(matched, updates(key) === matched("_mkey"), "left_anti")
       .select(outCols.map {
@@ -281,15 +347,18 @@ object Mutations {
     * retractable encoding and take the CDC route.
     */
   def joinViewDelta(aOld: DataFrame, dA: DataFrame, bOld: DataFrame,
-      dB: DataFrame, aKey: String, bKey: String): DataFrame = {
+      dB: DataFrame, aKey: String, bKey: String,
+      broadcastBytesMax: Long = DefaultBatchBroadcastBytes): DataFrame = {
     // dataset-qualified key refs: with unqualified col(aKey)===col(bKey)
     // the common IVM case — both bases keyed by the SAME column name —
     // either fails to resolve or silently resolves both sides to one
     // dataset (an equality-on-itself cross join). Qualifying per term
-    // keeps any key naming correct.
+    // keeps any key naming correct. Delta hints are size-gated like
+    // every merge-family batch (an over-cap delta shuffles its term).
     val b = bOld.unionByName(dB)
-    broadcast(dA).join(b, dA(aKey) === b(bKey))
-      .unionByName(aOld.join(broadcast(dB), aOld(aKey) === dB(bKey)))
+    maybeBroadcast(dA, broadcastBytesMax).join(b, dA(aKey) === b(bKey))
+      .unionByName(aOld.join(maybeBroadcast(dB, broadcastBytesMax),
+        aOld(aKey) === dB(bKey)))
   }
 
   /** A grouped aggregate view over `valueCol` at the `keys` grain — the

@@ -234,6 +234,68 @@ class MutationsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("mergeInto: over-cap batch degrades to a shuffled merge, same rows") {
+    val target = (1L to 500L).map(i => (i, s"t$i", i.toDouble))
+      .toDF("k", "tag", "v")
+    val batch = Seq(
+      (2L, "B", 5.0), (3L, "DEL", 0.0), (900L, "new", 9.0)
+    ).toDF("k", "tag", "v")
+    val viaBroadcast = Mutations.mergeInto(target, batch, "k",
+        deleteWhen = col("_b_tag") === "DEL")
+      .orderBy($"k").as[(Long, String, Double)].collect().toSeq
+    // force the degraded mode: zero byte budget withholds every hint, and
+    // no AQE auto-broadcast rescue — the shuffled merge must carry alone
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val merged = Mutations.mergeInto(target, batch, "k",
+        deleteWhen = col("_b_tag") === "DEL", broadcastBytesMax = 0L)
+      assert(merged.orderBy($"k").as[(Long, String, Double)].collect().toSeq
+        == viaBroadcast, "fallback path changed the merge result")
+      merged.collect()
+      val plan = merged.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"over-cap batch must not be broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin"),
+        s"expected shuffled joins in the degraded mode:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("scd2Merge: over-cap batch degrades to a shuffled merge, same rows") {
+    val b1 = Seq((1L, "a2"), (3L, "c")).toDF("k", "v")
+    val viaBroadcast = Mutations.scd2Merge(dim0, b1, "k", ts = 10L)
+      .orderBy($"k", $"valid_from")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val merged = Mutations.scd2Merge(dim0, b1, "k", ts = 10L,
+        broadcastBytesMax = 0L)
+      assert(merged.orderBy($"k", $"valid_from")
+        .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+        == viaBroadcast, "fallback path changed the scd2 history")
+      merged.collect()
+      val plan = merged.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"over-cap batch must not be broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("mergeInto: validateKeys rejects a duplicate-key batch") {
+    val target = Seq((1L, "a")).toDF("k", "v")
+    val dupBatch = Seq((2L, "x"), (2L, "y")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Mutations.mergeInto(target, dupBatch, "k", validateKeys = true)
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // a unique-key batch passes the check and merges normally
+    val ok = Mutations.mergeInto(target, Seq((2L, "x")).toDF("k", "v"), "k",
+      validateKeys = true).as[(Long, String)].collect().toSet
+    assert(ok == Set((1L, "a"), (2L, "x")))
+  }
+
   test("vacuum rebuilds the skip manifest over the rewritten files") {
     import spark.implicits._
     import graft.operators.Layout
