@@ -53,6 +53,10 @@ object Learn {
       val aggs = count(lit(1)).as("n") +:
         xs.zipWithIndex.map { case (x, j) => sum(resid * x).as(s"g$j") }
       val row = df.agg(aggs.head, aggs.tail: _*).head()
+      // n == 0 would NPE on the null gradient sums and divide by zero —
+      // fail with the contract error, not an opaque NPE
+      require(row.getLong(0) > 0L,
+        "logisticTrain: input DataFrame has no rows — nothing to fit")
       w = step(w, Array.tabulate(xs.length)(j => row.getDouble(j + 1)),
         row.getLong(0), lr)
     }

@@ -569,7 +569,9 @@ object Similarity {
     * and the float steps (mean, variance, sqrt, the per-element
     * (v−μ)/σ) all see identical integer-derived operands in every
     * engine. A non-positive variance (constant dimension) maps to 0
-    * output, guarded identically on both sides.
+    * output, guarded identically on both sides. Vectors must share one
+    * length — dimensionality is inferred from the first row and ragged
+    * input throws (checked off the d-grain stats, no extra job).
     *
     * Scale shape: ONE posexplode pass into a d-grain map-combined
     * aggregate (d rows — bounded metadata, collected like the s10
@@ -593,6 +595,16 @@ object Similarity {
         count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // ragged-array guard, free off the already-collected d-grain stats:
+    // `d` is inferred from ONE row, so a longer row elsewhere shows up
+    // as dimension indexes >= d, and a shorter one as unequal per-dim
+    // counts — either would otherwise zip_with null-pad silently (long
+    // rows) or NPE in the driver stats map (short rows), not fail loudly
+    require(stats.keySet == (0 until d).toSet &&
+      stats.values.map(_._3).toSet.size <= 1,
+      s"standardizeDims: ragged embedding arrays — expected every vector " +
+        s"to have length $d (inferred from the first row); found dims " +
+        s"${stats.keySet.size} with per-dim counts ${stats.values.map(_._3).toSet.mkString(",")}")
     val mu = Array.tabulate(d) { i => val (s, _, n) = stats(i); s.toDouble / n }
     val sd = Array.tabulate(d) { i =>
       val (_, s2, n) = stats(i)

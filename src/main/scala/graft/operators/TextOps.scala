@@ -679,10 +679,18 @@ object TextOps {
     * sits near slope −1; template/boilerplate-heavy or synthetic
     * corpora bend away). Ranks order by (count desc, term) — total, so
     * the fitted points are deterministic; the ln values quantize to
-    * round(·, 6) before the moment sums (the t32 discipline: the lone
-    * libm step sees identical operands and its last-ulp freedom is
-    * erased), and the closed-form slope
-    * (kΣxy − ΣxΣy)/(kΣx² − (Σx)²) divides identically everywhere.
+    * 1e-6-grid INTEGERS (`round(ln(·)·1e6)` as bigint — the
+    * standardizeDims integer-moment discipline), so the moment sums
+    * Σx, Σy, Σxy, Σx² are exact integer arithmetic, bit-identical in
+    * any summation order and any engine. The closed-form slope
+    * (kΣxy − ΣxΣy)/(kΣx² − (Σx)²) is scale-invariant (the 1e12 factors
+    * cancel), and the final float steps (integer→double casts, one
+    * multiply chain, one division) see identical operands everywhere —
+    * IEEE round-to-nearest is deterministic per operation. The only
+    * residual engine freedom is the lone libm `ln` ulp at a
+    * quantization-grid HALF boundary (the value would have to sit
+    * within ~1e-10 of a 0.5e-6 edge), vs the old summation-order drift
+    * on every total.
     *
     * Scale shape: one token explode into a term-grain map-combined
     * count (the t06 shape), a `topRanks` TakeOrderedAndProject, and the
@@ -691,6 +699,9 @@ object TextOps {
   def zipfFit(docs: DataFrame, textCol: String,
       topRanks: Int = 100): DataFrame = {
     require(topRanks >= 2, s"need >= 2 ranks to fit: $topRanks")
+    // Σxq·yq grows as topRanks·(ln(topRanks)·1e6)·(ln(total)·1e6); the
+    // 10k cap keeps it ≥ 100× under Long overflow for any corpus
+    require(topRanks <= 10000, s"topRanks capped at 10000: $topRanks")
     import org.apache.spark.sql.expressions.Window
     val top = docs
       .select(explode(tokens(col(textCol))).as("term"))
@@ -700,16 +711,22 @@ object TextOps {
     val ranked = top
       .withColumn("rank",
         row_number().over(Window.orderBy(col("n").desc, col("term"))))
-      .select(round(log(col("rank").cast("double")), 6).as("x"),
-        round(log(col("n").cast("double")), 6).as("y"))
-    ranked.agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
-      .select(col("k").as("n_ranks"),
-        round((col("k") * col("sxy") - col("sx") * col("sy")) /
-          (col("k") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
-        round((col("sy") - (col("k") * col("sxy") - col("sx") * col("sy")) /
-          (col("k") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
-          col("k"), 4).as("intercept"))
+      .select(
+        round(log(col("rank").cast("double")) * 1e6).cast("long").as("xq"),
+        round(log(col("n").cast("double")) * 1e6).cast("long").as("yq"))
+    val m = ranked.agg(count(lit(1)).as("k"),
+      sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+      sum(col("xq") * col("yq")).as("sxy"),
+      sum(col("xq") * col("xq")).as("sxx"))
+    // integer sums → double ONCE each (round-to-nearest, deterministic),
+    // then the closed form; k·sxy would wrap in long, hence double here
+    val kd = col("k").cast("double")
+    val sxd = col("sx").cast("double")
+    val syd = col("sy").cast("double")
+    val slope = (kd * col("sxy").cast("double") - sxd * syd) /
+      (kd * col("sxx").cast("double") - sxd * sxd)
+    m.select(col("k").as("n_ranks"),
+      round(slope, 4).as("slope"),
+      round((syd / 1e6 - slope * (sxd / 1e6)) / kd, 4).as("intercept"))
   }
 }

@@ -531,6 +531,15 @@ object Extra5Queries {
              |UNION ALL SELECT id, CAST(3 AS BIGINT) FROM n3
              |  WHERE id NOT IN (SELECT id FROM n4)
              |UNION ALL SELECT id, CAST(4 AS BIGINT) FROM n4
+             |-- fixed-point self-check: the unrolled 10-round peel chains
+             |-- are only a faithful replay if each reached its fixed point
+             |-- (round 10 == round 9); a deeper-converging future scale
+             |-- factor emits this poison row and the gate fails LOUDLY on
+             |-- the oracle side instead of silently diverging
+             |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+             |  WHERE (SELECT count(*) FROM p2e10) <> (SELECT count(*) FROM p2e9)
+             |     OR (SELECT count(*) FROM p3e10) <> (SELECT count(*) FROM p3e9)
+             |     OR (SELECT count(*) FROM p4e10) <> (SELECT count(*) FROM p4e9)
              |ORDER BY id""".stripMargin))
   )
 }

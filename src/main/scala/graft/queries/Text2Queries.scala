@@ -1330,9 +1330,10 @@ object Text2Queries {
     // ---- Zipf fit (t37): least-squares slope/intercept of ln(count) vs
     //      ln(rank) over the top-100 terms — the corpus-health scalar
     //      (natural text ~ slope -1; boilerplate bends away). Ranks are
-    //      (count desc, term)-total; ln values quantize round-6 BEFORE
-    //      the moment sums (t32 discipline), the closed-form slope
-    //      divides identically in both engines. ----
+    //      (count desc, term)-total; ln values quantize to 1e-6-grid
+    //      INTEGERS before the moment sums (integer arithmetic —
+    //      summation-order-exact in both engines), the closed-form slope
+    //      cancels the scale factors and divides identically. ----
     Q("t37_zipf_fit",
       (s, dir) =>
         graft.operators.TextOps.zipfFit(
@@ -1344,14 +1345,20 @@ object Text2Queries {
              |  GROUP BY tok),
              |top AS (SELECT term, n FROM tc ORDER BY n DESC, term LIMIT 100),
              |rk AS (
-             |  SELECT round(ln(CAST(row_number() OVER (ORDER BY n DESC, term) AS DOUBLE)), 6) AS x,
-             |    round(ln(CAST(n AS DOUBLE)), 6) AS y
+             |  SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY n DESC, term) AS DOUBLE)) * 1e6) AS BIGINT) AS xq,
+             |    CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS yq
              |  FROM top),
-             |m AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(x) AS sx,
-             |  sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx FROM rk)
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             |  CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+             |  CAST(sum(xq*yq) AS BIGINT) AS sxy,
+             |  CAST(sum(xq*xq) AS BIGINT) AS sxx FROM rk)
              |SELECT k AS n_ranks,
-             |  round((k*sxy - sx*sy)/(k*sxx - sx*sx), 4) AS slope,
-             |  round((sy - (k*sxy - sx*sy)/(k*sxx - sx*sx)*sx)/k, 4) AS intercept
+             |  round((CAST(k AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+             |    / (CAST(k AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 4) AS slope,
+             |  round((CAST(sy AS DOUBLE)/1e6
+             |    - (CAST(k AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+             |      / (CAST(k AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+             |      * (CAST(sx AS DOUBLE)/1e6)) / CAST(k AS DOUBLE), 4) AS intercept
              |FROM m""".stripMargin)),
 
     // ---- Exact-k stratified sample (t38): every language keeps its 20

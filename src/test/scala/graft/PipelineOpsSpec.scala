@@ -698,4 +698,13 @@ class PipelineOpsSpec extends AnyFunSuite {
       .as[(Double, Boolean)].collect()
     assert(got.forall { case (y, p) => (y == 1.0) == p }, got.mkString(","))
   }
+
+  test("logisticTrain: empty input fails with the contract error, not an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Double, Double)].toDF("y", "x")
+    val e = intercept[IllegalArgumentException] {
+      Learn.logisticTrain(empty, col("y"), Seq(col("x")), epochs = 1, lr = 1.0)
+    }
+    assert(e.getMessage.contains("no rows"))
+  }
 }

@@ -247,6 +247,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(2L).toSeq == Seq(1.0, 0.0), got(2L).mkString(","))
   }
 
+  test("standardizeDims: ragged embedding arrays fail loudly") {
+    import spark.implicits._
+    // d is inferred from the FIRST row (length 2); the length-3 row
+    // would otherwise null-pad via zip_with or NPE in the stats map
+    val ragged = Seq(
+      (1L, Array(0.0f, 2.0f)), (2L, Array(2.0f, 2.0f, 9.0f))
+    ).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.standardizeDims(ragged).collect()
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
+
   test("topComponentProjection: matvec survives Gram sums past Long range (BigInt)") {
     import spark.implicits._
     // 150k identical vectors of 4.0 at d=4: each Gram entry is
