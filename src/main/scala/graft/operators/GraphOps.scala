@@ -425,17 +425,43 @@ object GraphOps {
     * nodes-join variant on the sf0.1 trade graph). Zeros materialize
     * once, in the final output's node left-joins. Block storage is O(1)
     * in the sweep budget: intermediate auth vectors ride the advance
-    * chain (released as soon as the following hub is solid); ONLY the
-    * final sweep's auth is `keep`-checkpointed, because the output
-    * needs it after the last hub advance. Output totals read the final
-    * materialized vectors — cached blocks, not recomputed plans.
+    * chain (released as soon as the following hub is solid); only the
+    * LAST TWO sweeps' auths are `keep`-checkpointed — the final one for
+    * the output, its predecessor for [[hitsRun]]'s delta readout.
+    * Output totals read the final materialized vectors — cached blocks,
+    * not recomputed plans.
     *
     * @return (id, auth, hub) for every node incident to an edge, each
     *         column summing to 1 (nodes without in-/out-edges score 0).
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int): DataFrame = {
+      iterations: Int): DataFrame =
+    hitsRun(edges, srcCol, dstCol, iterations).scores
+
+  /** Outcome of a [[hitsRun]] sweep budget: the normalized (id, auth,
+    * hub) scores, the L1 distance between the last two sweeps'
+    * NORMALIZED authority vectors (the convergence signal a pipeline
+    * thresholds to decide whether the budget sufficed — the
+    * [[KCoreRun]] honesty contract applied to HITS; NaN when
+    * `iterations == 1`, where no predecessor exists), and the sweeps
+    * spent. */
+  final case class HitsRun(scores: DataFrame, delta: Double, sweeps: Int)
+
+  /** [[hits]] with the full convergence contract (see [[HitsRun]]).
+    * Same sparse sweep loop and scale shape as [[hits]]'s scaladoc; the
+    * delta costs one extra node-grain full-outer join + aggregate at
+    * the end, over already-materialized vectors. */
+  def hitsRun(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): HitsRun = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // unnormalized sweeps grow magnitudes ~λ_max^k: on a heavy graph
+    // (λ ~ 1e5) double overflow becomes plausible past a few hundred
+    // sweeps, and HITS converges in far fewer — cap the budget instead
+    // of silently overflowing (normalize per sweep if a larger budget
+    // is ever genuinely needed)
+    require(iterations <= 30,
+      s"iterations capped at 30 (unnormalized sweeps grow ~λ_max^k; " +
+        s"HITS converges long before): got $iterations")
     val loop = new IterativeLoop()
     try {
       val e = loop.pin(edges
@@ -447,28 +473,46 @@ object GraphOps {
       var hub = loop.advance(e.select(col("src").as("id")).distinct()
         .select(col("id"), lit(1.0).as("hub")))
       var auth: DataFrame = null
+      var prevAuth: DataFrame = null
       for (it <- 1 to iterations) {
         val aPlan = e.join(hub.select(col("id").as("src"), col("hub")), "src")
           .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
           .select(col("dst").as("id"), col("auth"))
         // intermediate auth vectors ride the advance chain (freed when
-        // the next hub is solid); only the LAST survives for the output
-        auth = if (it == iterations) loop.keep(aPlan)._1
+        // the next hub is solid); only the last TWO survive — the final
+        // for the output, its predecessor for the delta readout
+        auth = if (it >= iterations - 1) loop.keep(aPlan)._1
           else loop.advance(aPlan)
+        if (it == iterations - 1) prevAuth = auth
         hub = loop.advance(
           e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
             .groupBy(col("src")).agg(sum(col("auth")).as("hub"))
             .select(col("src").as("id"), col("hub")))
       }
+      // Σ|a_k/‖a_k‖ − a_{k-1}/‖a_{k-1}‖|: one node-grain job over the
+      // two kept vectors, BEFORE finish releases their blocks
+      val delta =
+        if (prevAuth == null) Double.NaN
+        else {
+          val cur = auth.select(col("id"), col("auth").as("_a"))
+          val prv = prevAuth.select(col("id"), col("auth").as("_p"))
+          val tots = broadcast(cur.agg(sum(col("_a")).as("_at"))
+            .crossJoin(prv.agg(sum(col("_p")).as("_pt"))))
+          cur.join(prv, Seq("id"), "full_outer").crossJoin(tots)
+            .agg(sum(abs(coalesce(col("_a"), lit(0.0)) / col("_at") -
+              coalesce(col("_p"), lit(0.0)) / col("_pt"))).as("_d"))
+            .head().getDouble(0)
+        }
       val totals = broadcast(auth.agg(sum(col("auth")).as("_at"))
         .crossJoin(hub.agg(sum(col("hub")).as("_ht"))))
-      loop.finish(nodes
+      val scores = loop.finish(nodes
         .join(auth, Seq("id"), "left_outer")
         .join(hub, Seq("id"), "left_outer")
         .crossJoin(totals)
         .select(col("id"),
           (coalesce(col("auth"), lit(0.0)) / col("_at")).as("auth"),
           (coalesce(col("hub"), lit(0.0)) / col("_ht")).as("hub")))
+      HitsRun(scores, delta, iterations)
     } catch { case t: Throwable => loop.abort(); throw t }
   }
 
@@ -523,36 +567,56 @@ object GraphOps {
     } catch { case e: Throwable => loop.abort(); throw e }
   }
 
-  /** Coreness decomposition, capped at `kMax`: per-node core numbers —
-    * `coreness(v) = min(kMax, max k with v in the k-core)` — the form a
-    * graph pipeline actually wants (one pass labels every node; ranking
-    * crawl hubs, fringe-stripping thresholds, and community-detection
+  /** Outcome of a [[corenessRun]] ladder: the (id, coreness) labels,
+    * the peel thresholds actually visited (`rungs` — with rung skipping
+    * this is the number of DISTINCT degree levels in the core spectrum,
+    * not `kMax`), and the total bulk-peel rounds across all rungs. */
+  final case class CorenessRun(labels: DataFrame, rungs: Int,
+      peelRounds: Int)
+
+  /** Coreness decomposition: per-node core numbers — with `kMax = 0`
+    * (uncapped) `coreness(v) = max k with v in the k-core`, the full
+    * Batagelj-Zaversnik decomposition to the graph's degeneracy; with
+    * `kMax ≥ 1` the bounded form `min(kMax, ·)` — the form a graph
+    * pipeline actually wants (one pass labels every node; ranking crawl
+    * hubs, fringe-stripping thresholds, and community-detection
     * pre-cuts all read the same table instead of re-peeling per k).
     *
-    * Algorithm: incremental bulk peeling (Batagelj-Zaversnik staged by
-    * k). Peel the graph to its 2-core; nodes dropped on the way have
-    * coreness 1. Continue FROM the 2-core to the 3-core (never from
-    * scratch — the k-core is inside the (k-1)-core), and so on up to
-    * `kMax`; whatever survives the `kMax`-peel is labeled `kMax` (the
-    * cap is part of the contract, mirroring a bounded-depth analysis —
-    * uncapped decomposition is the same loop with `kMax` = max degree).
-    * Every node incident to at least one canonical edge is labeled
-    * (isolated nodes never enter the edge list and have no core).
+    * Algorithm: incremental bulk peeling staged by k. Peel the graph to
+    * its 2-core; nodes dropped on the way have coreness 1. Continue
+    * FROM the 2-core (never from scratch — the k-core is inside the
+    * (k-1)-core) up the ladder, with RUNG SKIPPING: after the k-peel's
+    * fixed point every survivor has core-degree ≥ the surviving minimum
+    * degree m (≥ k), so the graph already IS its own k'-core for every
+    * k' ≤ m and the next threshold jumps straight to m+1 — a graph
+    * whose degree spectrum is sparse (a clique hanging off a sparse
+    * web) pays one rung per DISTINCT core level instead of one per
+    * integer, and empty rungs cost nothing (previously a full
+    * confirm-peel round each). Every node incident to at least one
+    * canonical edge is labeled (isolated nodes never enter the edge
+    * list and have no core).
     *
     * Unlike the round-capped [[kCore]], each per-k peel here runs to its
     * FIXED POINT (`maxRoundsPerK` is a runaway bound, not a silent cap:
     * exceeding it THROWS rather than mislabel) — correctness of the
     * labels requires exact cores. Scale shape: the working edge set
     * shrinks monotonically across the whole k ladder; per round the
-    * same one degree aggregate + two semi-joins as [[kCore]]; the
-    * dropped-node layers are node-grain checkpoints retained to the
-    * final union ([[IterativeLoop.keep]], the BFS-layer pattern).
+    * same one degree aggregate + two semi-joins as [[kCore]], plus one
+    * edge-grain min-degree aggregate per RUNG (over checkpointed
+    * blocks) to compute the skip; the dropped-node layers are
+    * node-grain checkpoints retained to the final union
+    * ([[IterativeLoop.keep]], the BFS-layer pattern).
     *
     * @return (id, coreness) — one row per non-isolated node.
     */
   def coreness(edges: DataFrame, srcCol: String, dstCol: String,
-      kMax: Int, maxRoundsPerK: Int = 50): DataFrame = {
-    require(kMax >= 1, s"kMax must be >= 1, got $kMax")
+      kMax: Int, maxRoundsPerK: Int = 50): DataFrame =
+    corenessRun(edges, srcCol, dstCol, kMax, maxRoundsPerK).labels
+
+  /** [[coreness]] with the run accounting (see [[CorenessRun]]). */
+  def corenessRun(edges: DataFrame, srcCol: String, dstCol: String,
+      kMax: Int, maxRoundsPerK: Int = 50): CorenessRun = {
+    require(kMax >= 0, s"kMax must be >= 0 (0 = uncapped), got $kMax")
     val loop = new IterativeLoop()
     try {
       def nodesOf(e: DataFrame): DataFrame =
@@ -563,7 +627,9 @@ object GraphOps {
       var (remaining, _) = loop.keep(nodesOf(cur))
       var layers = List.empty[DataFrame]
       var k = 2
-      while (k <= kMax && n > 0) {
+      var rungs = 0
+      var peelRounds = 0
+      while ((kMax == 0 || k <= kMax) && n > 0) {
         var stable = false
         var round = 0
         while (!stable && round < maxRoundsPerK) {
@@ -576,15 +642,30 @@ object GraphOps {
           s"coreness: the k=$k peel did not reach a fixed point within " +
             s"maxRoundsPerK=$maxRoundsPerK rounds — raise the bound " +
             "(labels from a capped peel would be wrong, not approximate)")
+        rungs += 1
+        peelRounds += round
         val (coreNodes, _) = loop.keep(nodesOf(cur))
         layers ::= remaining.join(coreNodes, Seq("id"), "left_anti")
           .withColumn("coreness", lit((k - 1).toLong))
         remaining = coreNodes
-        k += 1
+        // rung skip: survivors all have core-degree >= the surviving
+        // minimum m >= k, so the graph is its own k'-core for every
+        // k' <= m — the next peel that can remove anything is m+1
+        k =
+          if (n == 0) k + 1
+          else {
+            val minDeg = coreDegrees(cur)
+              .agg(min(col("core_deg")).as("_m")).head().getLong(0)
+            math.max(k + 1, (math.min(minDeg, Int.MaxValue - 1L) + 1L).toInt)
+          }
       }
-      // survivors of the kMax-peel (empty when the graph died earlier)
-      val capped = remaining.withColumn("coreness", lit((k - 1).toLong))
-      loop.finish(layers.foldLeft(capped)(_ unionByName _))
+      // survivors past the cap: the loop only exits with n > 0 in capped
+      // mode, and then the last completed (or skipped-past) level is
+      // >= kMax, so every survivor's coreness clamps to kMax exactly
+      val capLabel = if (kMax > 0) kMax.toLong else (k - 1).toLong
+      val capped = remaining.withColumn("coreness", lit(capLabel))
+      CorenessRun(loop.finish(layers.foldLeft(capped)(_ unionByName _)),
+        rungs, peelRounds)
     } catch { case e: Throwable => loop.abort(); throw e }
   }
 }

@@ -227,6 +227,50 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("hitsRun: delta pins the last-two-sweep L1 change; NaN at one sweep; budget cap") {
+    import spark.implicits._
+    val g = Seq((1L, 3L), (2L, 3L), (3L, 5L)).toDF("src", "dst")
+    // normalized a1 = {3: 2/3, 5: 1/3}; a2 = {3: 4/5, 5: 1/5}
+    // delta = |4/5 - 2/3| + |1/5 - 1/3| = 4/15
+    val run = GraphOps.hitsRun(g, "src", "dst", iterations = 2)
+    assert(run.sweeps == 2)
+    assert(math.abs(run.delta - 4.0 / 15) < 1e-12, run.delta.toString)
+    // one sweep has no predecessor vector: delta is NaN by contract
+    assert(GraphOps.hitsRun(g, "src", "dst", iterations = 1).delta.isNaN)
+    // the sweep budget is a hard contract, not a silent overflow path
+    intercept[IllegalArgumentException] {
+      GraphOps.hitsRun(g, "src", "dst", iterations = 31)
+    }
+    Caches.sweep(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("corenessRun: uncapped (kMax=0) with rung skipping over a sparse degree spectrum") {
+    import spark.implicits._
+    // K8 clique + 5-node path: core levels are {1, 7}. Rung skipping
+    // visits k=2 (path collapses, clique survives with min core-degree
+    // 7) then jumps straight to k=8 (clique dies): 2 rungs, where a
+    // +1 ladder would confirm-peel 6 empty rungs (k=3..8)
+    val clique = (for { i <- 0 until 8; j <- (i + 1) until 8 }
+      yield (100L + i, 100L + j)).toDF("src", "dst")
+    val path = (0L until 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    val run = GraphOps.corenessRun(
+      clique.unionByName(path), "src", "dst", kMax = 0)
+    val got = run.labels.as[(Long, Long)].collect().toMap
+    val want = (0L to 4L).map(_ -> 1L).toMap ++
+      (100L until 108L).map(_ -> 7L).toMap
+    assert(got == want, got.toString)
+    assert(run.rungs == 2, s"expected rungs 2 (k=2 then k=8): ${run.rungs}")
+    // capped at a level the skip jumps over: survivors clamp to kMax
+    val capped = GraphOps.coreness(
+        clique.unionByName(path), "src", "dst", kMax = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == (0L to 4L).map(_ -> 1L).toMap ++
+      (100L until 108L).map(_ -> 4L).toMap, capped.toString)
+    Caches.sweep(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("kCore: duplicate/reversed edges and self-loops canonicalize away") {
     import spark.implicits._
     // the self-loop on 4 must NOT count toward 4's degree (else the
