@@ -53,6 +53,9 @@ object Bench {
     // round-11 wave: coreness ladder (the k-core decomposition form),
     // literal TPC-DS Q3 (the reference's implied corpus family)
     "q122_coreness", "sq08_tpcds_q3",
+    // round-12: BPE apply from the STORED merge layout — the serving
+    // path (t30 times train+apply by design; this is the pipeline shape)
+    "t40_bpe_apply",
     // dedup / similarity / text pipeline; d12/d13/s07/t17 rotated out
     // round 9 (sub-0.3s, families covered by d11/d14/s09/t15) to make
     // room for the r1/r2 rep columns inside the tail budget
@@ -85,7 +88,7 @@ object Bench {
   private[graft] val layoutBuilders: Set[String] = Set(
     "q73_bucketed_join", "q87_partitioned_write", "q88_zorder_layout",
     "s04_ann_ivf_layout", "s08_ann_ivf_append", "s09_hard_negatives_layout",
-    "t23_bm25_index", "t24_bm25_index_append")
+    "t23_bm25_index", "t24_bm25_index_append", "t40_bpe_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

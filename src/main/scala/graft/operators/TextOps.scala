@@ -398,6 +398,62 @@ object TextOps {
     } finally loop.abort()
   }
 
+  /** Persist the BPE merge table as a build-once layout artifact (the
+    * t23/s04 `_graft_ident` discipline): train [[bpeTrain]]'s merges and
+    * write them under `layoutDir/merges`, skipped entirely when a
+    * COMPLETED layout with a matching ident already exists. The ident
+    * pins corpus plan + nMerges + minCount, written LAST — a crashed
+    * build is never served, a different corpus/config rebuilds instead
+    * of silently reusing stale merges.
+    *
+    * This is the missing half of the tokenizer pipeline shape: training
+    * runs once per corpus version (M driver-loop argmax rounds), every
+    * downstream segmentation run reads d rows of merges and pays only
+    * [[bpeSegment]]'s histogram-grain apply — pipelines stop retraining
+    * per run, and benchmarks of the apply path stop timing training.
+    */
+  def bpeTrainLayout(docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long, layoutDir: String): Unit = {
+    val spark = docs.sparkSession
+    val path = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val ident = s"graft-bpe-v1 nMerges=$nMerges minCount=$minCount " +
+      s"corpus=${docs.queryExecution.analyzed.semanticHash()}"
+    val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
+    val identMatches = fs.exists(identPath) && {
+      val in = fs.open(identPath)
+      try new String(in.readAllBytes(), "UTF-8") == ident
+      finally in.close()
+    }
+    if (!identMatches) {
+      if (fs.exists(path)) fs.delete(path, true)
+      bpeTrain(docs, textCol, nMerges, minCount)
+        .coalesce(1) // merge tables are vocabulary-sized: one file
+        .write.mode("overwrite").parquet(s"$layoutDir/merges")
+      val out = fs.create(identPath, true)
+      try out.write(ident.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Segment `docs` with the merge table stored by [[bpeTrainLayout]] —
+    * the apply-only serving path: read the (vocabulary-sized) merges in
+    * rank order, then [[bpeSegment]]'s histogram-grain fold. Fails
+    * loudly when no completed layout exists (the ident is written after
+    * the merges, so its presence proves a complete build). */
+  def bpeSegmentFromLayout(docs: DataFrame, textCol: String,
+      layoutDir: String, chunkEvery: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    val identPath = new org.apache.hadoop.fs.Path(layoutDir, "_graft_ident")
+    val fs = identPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(identPath),
+      s"no completed BPE layout at $layoutDir (run bpeTrainLayout first)")
+    val merges = spark.read.parquet(s"$layoutDir/merges")
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(r.fieldIndex("left_sym")),
+        r.getString(r.fieldIndex("right_sym")))).toSeq
+    bpeSegment(docs, textCol, merges, chunkEvery)
+  }
+
   /** Apply a learned BPE merge table ([[bpeTrain]]'s output order) to
     * the corpus, returning the segmented word histogram
     * `(word, cnt, syms)` — the tokenizer-application half of the BPE

@@ -10,6 +10,81 @@ import org.apache.spark.sql.functions._
   */
 object Text2Queries {
 
+  /** Shared t30/t40 oracle: t28's unrolled 4-merge CTE chain through
+    * s4 + the subword rollup — train-then-apply (t30) and the stored-
+    * layout apply (t40) must both reproduce it exactly. */
+  private val BpeApplySql: String =
+    """WITH w AS (
+    |  SELECT tok AS word, count(*) AS cnt FROM (
+    |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+    |    FROM documents)
+    |  GROUP BY tok),
+    |s0 AS (SELECT word, cnt,
+    |  list_transform(range(1, length(word)+1), i -> word[i]) AS syms FROM w),
+    |p1 AS (
+    |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+    |    SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+    |    FROM s0 WHERE len(syms) >= 2)
+    |  GROUP BY l, r),
+    |b1 AS (SELECT l, r, n FROM p1 WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1),
+    |s1 AS (
+    |  SELECT word, cnt,
+    |    string_split(substr(rep, 2, length(rep) - 2), chr(2)||chr(1)) AS syms
+    |  FROM (
+    |    SELECT word, cnt,
+    |      replace(chr(1) || array_to_string(syms, chr(2)||chr(1)) || chr(2),
+    |        chr(1) || (SELECT l FROM b1) || chr(2) || chr(1) || (SELECT r FROM b1) || chr(2),
+    |        chr(1) || (SELECT l FROM b1) || (SELECT r FROM b1) || chr(2)) AS rep
+    |    FROM s0)),
+    |p2 AS (
+    |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+    |    SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+    |    FROM s1 WHERE len(syms) >= 2)
+    |  GROUP BY l, r),
+    |b2 AS (SELECT l, r, n FROM p2 WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1),
+    |s2 AS (
+    |  SELECT word, cnt,
+    |    string_split(substr(rep, 2, length(rep) - 2), chr(2)||chr(1)) AS syms
+    |  FROM (
+    |    SELECT word, cnt,
+    |      replace(chr(1) || array_to_string(syms, chr(2)||chr(1)) || chr(2),
+    |        chr(1) || (SELECT l FROM b2) || chr(2) || chr(1) || (SELECT r FROM b2) || chr(2),
+    |        chr(1) || (SELECT l FROM b2) || (SELECT r FROM b2) || chr(2)) AS rep
+    |    FROM s1)),
+    |p3 AS (
+    |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+    |    SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+    |    FROM s2 WHERE len(syms) >= 2)
+    |  GROUP BY l, r),
+    |b3 AS (SELECT l, r, n FROM p3 WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1),
+    |s3 AS (
+    |  SELECT word, cnt,
+    |    string_split(substr(rep, 2, length(rep) - 2), chr(2)||chr(1)) AS syms
+    |  FROM (
+    |    SELECT word, cnt,
+    |      replace(chr(1) || array_to_string(syms, chr(2)||chr(1)) || chr(2),
+    |        chr(1) || (SELECT l FROM b3) || chr(2) || chr(1) || (SELECT r FROM b3) || chr(2),
+    |        chr(1) || (SELECT l FROM b3) || (SELECT r FROM b3) || chr(2)) AS rep
+    |    FROM s2)),
+    |p4 AS (
+    |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+    |    SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+    |    FROM s3 WHERE len(syms) >= 2)
+    |  GROUP BY l, r),
+    |b4 AS (SELECT l, r, n FROM p4 WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1),
+    |s4 AS (
+    |  SELECT word, cnt,
+    |    string_split(substr(rep, 2, length(rep) - 2), chr(2)||chr(1)) AS syms
+    |  FROM (
+    |    SELECT word, cnt,
+    |      replace(chr(1) || array_to_string(syms, chr(2)||chr(1)) || chr(2),
+    |        chr(1) || (SELECT l FROM b4) || chr(2) || chr(1) || (SELECT r FROM b4) || chr(2),
+    |        chr(1) || (SELECT l FROM b4) || (SELECT r FROM b4) || chr(2)) AS rep
+    |    FROM s3))
+    |SELECT sym, CAST(sum(cnt) AS BIGINT) AS n FROM (
+    |  SELECT cnt, unnest(syms) AS sym FROM s4)
+    |GROUP BY sym ORDER BY n DESC, sym LIMIT 20""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // ---- exact heavy hitters: top-3 tokens per language ----
@@ -881,76 +956,7 @@ object Text2Queries {
           .groupBy(col("sym")).agg(sum(col("cnt")).as("n"))
           .orderBy(col("n").desc, col("sym")).limit(20)
       },
-      Some("""WITH w AS (
-             |  SELECT tok AS word, count(*) AS cnt FROM (
-             |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
-             |    FROM documents)
-             |  GROUP BY tok),
-             |s0 AS (SELECT word, cnt,
-             |  list_transform(range(1, length(word)+1), i -> word[i]) AS syms FROM w),
-             |p1 AS (
-             |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
-             |    SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
-             |    FROM s0 WHERE len(syms) >= 2)
-             |  GROUP BY l, r),
-             |b1 AS (SELECT l, r, n FROM p1 WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1),
-             |s1 AS (
-             |  SELECT word, cnt,
-             |    string_split(substr(rep, 2, length(rep) - 2), chr(2)||chr(1)) AS syms
-             |  FROM (
-             |    SELECT word, cnt,
-             |      replace(chr(1) || array_to_string(syms, chr(2)||chr(1)) || chr(2),
-             |        chr(1) || (SELECT l FROM b1) || chr(2) || chr(1) || (SELECT r FROM b1) || chr(2),
-             |        chr(1) || (SELECT l FROM b1) || (SELECT r FROM b1) || chr(2)) AS rep
-             |    FROM s0)),
-             |p2 AS (
-             |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
-             |    SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
-             |    FROM s1 WHERE len(syms) >= 2)
-             |  GROUP BY l, r),
-             |b2 AS (SELECT l, r, n FROM p2 WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1),
-             |s2 AS (
-             |  SELECT word, cnt,
-             |    string_split(substr(rep, 2, length(rep) - 2), chr(2)||chr(1)) AS syms
-             |  FROM (
-             |    SELECT word, cnt,
-             |      replace(chr(1) || array_to_string(syms, chr(2)||chr(1)) || chr(2),
-             |        chr(1) || (SELECT l FROM b2) || chr(2) || chr(1) || (SELECT r FROM b2) || chr(2),
-             |        chr(1) || (SELECT l FROM b2) || (SELECT r FROM b2) || chr(2)) AS rep
-             |    FROM s1)),
-             |p3 AS (
-             |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
-             |    SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
-             |    FROM s2 WHERE len(syms) >= 2)
-             |  GROUP BY l, r),
-             |b3 AS (SELECT l, r, n FROM p3 WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1),
-             |s3 AS (
-             |  SELECT word, cnt,
-             |    string_split(substr(rep, 2, length(rep) - 2), chr(2)||chr(1)) AS syms
-             |  FROM (
-             |    SELECT word, cnt,
-             |      replace(chr(1) || array_to_string(syms, chr(2)||chr(1)) || chr(2),
-             |        chr(1) || (SELECT l FROM b3) || chr(2) || chr(1) || (SELECT r FROM b3) || chr(2),
-             |        chr(1) || (SELECT l FROM b3) || (SELECT r FROM b3) || chr(2)) AS rep
-             |    FROM s2)),
-             |p4 AS (
-             |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
-             |    SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
-             |    FROM s3 WHERE len(syms) >= 2)
-             |  GROUP BY l, r),
-             |b4 AS (SELECT l, r, n FROM p4 WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1),
-             |s4 AS (
-             |  SELECT word, cnt,
-             |    string_split(substr(rep, 2, length(rep) - 2), chr(2)||chr(1)) AS syms
-             |  FROM (
-             |    SELECT word, cnt,
-             |      replace(chr(1) || array_to_string(syms, chr(2)||chr(1)) || chr(2),
-             |        chr(1) || (SELECT l FROM b4) || chr(2) || chr(1) || (SELECT r FROM b4) || chr(2),
-             |        chr(1) || (SELECT l FROM b4) || (SELECT r FROM b4) || chr(2)) AS rep
-             |    FROM s3))
-             |SELECT sym, CAST(sum(cnt) AS BIGINT) AS n FROM (
-             |  SELECT cnt, unnest(syms) AS sym FROM s4)
-             |GROUP BY sym ORDER BY n DESC, sym LIMIT 20""".stripMargin)),
+      Some(BpeApplySql)),
 
     // ---- Winnowing document fingerprints (Schleimer et al. SIGMOD'03,
     //      the MOSS algorithm): k=8 char-gram hashes, window w=4, keep
@@ -1433,7 +1439,27 @@ object Text2Queries {
              |SELECT doc_id, min(nurl) AS url_norm,
              |  CAST(count(DISTINCT nurl) AS BIGINT) AS n_norm,
              |  CAST(count(*) AS BIGINT) AS n_variants
-             |FROM s5 GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM s5 GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- BPE apply from a STORED layout (t40, the t30 serving shape):
+    //      bpeTrainLayout persists the merge table once (content-keyed
+    //      ident, the t23/s04 build-if-absent pattern), the gate then
+    //      times APPLY-ONLY — the histogram-grain fold over the stored
+    //      merges. Output (and oracle) identical to t30: the stored
+    //      merges must reproduce training's segmentation exactly. ----
+    Q("t40_bpe_apply",
+      (s, dir) => {
+        val key = Tables.contentKey(s"$dir/documents.parquet")
+        val layout = graft.Scratch.dir(s"graft_bpe_$key")
+        val docs = Tables(s, dir, "documents")
+        graft.operators.TextOps.bpeTrainLayout(
+          docs, "text", nMerges = 4, minCount = 2L, layout)
+        graft.operators.TextOps.bpeSegmentFromLayout(docs, "text", layout)
+          .select(explode(col("syms")).as("sym"), col("cnt"))
+          .groupBy(col("sym")).agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("sym")).limit(20)
+      },
+      Some(BpeApplySql))
   )
 
   /** Per-document add-one-smoothed bigram-LM score (t13's model; see the

@@ -514,6 +514,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("bpeTrainLayout: build-once ident, apply matches training, config re-keys") {
+    import spark.implicits._
+    val docs = Seq(Tuple1((
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("text")
+    val layout = graft.Scratch.dir("spec_bpe_layout")
+    TextOps.bpeTrainLayout(docs, "text", nMerges = 4, minCount = 2L, layout)
+    // the stored merges reproduce training's segmentation exactly
+    val direct = TextOps.bpeSegment(docs, "text",
+        TextOps.bpeTrain(docs, "text", nMerges = 4).orderBy($"merge_rank")
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+      .select($"word", $"syms").as[(String, Seq[String])].collect().toMap
+    val viaLayout = TextOps.bpeSegmentFromLayout(docs, "text", layout)
+      .select($"word", $"syms").as[(String, Seq[String])].collect().toMap
+    assert(viaLayout == direct, viaLayout.toString)
+    // a second build with the same corpus+config is a no-op (ident hit):
+    // the merges file's mtime must not change
+    val mergesFile = new java.io.File(s"$layout/merges")
+    val before = mergesFile.lastModified()
+    TextOps.bpeTrainLayout(docs, "text", nMerges = 4, minCount = 2L, layout)
+    assert(mergesFile.lastModified() == before, "ident hit must skip rebuild")
+    // a different config re-keys and rebuilds
+    TextOps.bpeTrainLayout(docs, "text", nMerges = 2, minCount = 2L, layout)
+    assert(spark.read.parquet(s"$layout/merges").count() == 2L)
+    // serving an absent layout fails loudly, not with an empty segment
+    intercept[IllegalArgumentException] {
+      TextOps.bpeSegmentFromLayout(docs, "text",
+        graft.Scratch.dir("spec_bpe_nothere"))
+    }
+  }
+
   test("unigramTrain: EM concentrates mass on whole-word pieces, hand-traced") {
     import spark.implicits._
     // corpus: xyz x3, q x1. Seed: all 6 substrings of xyz tie at n=3
