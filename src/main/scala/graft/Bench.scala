@@ -10,6 +10,10 @@ package graft
   * INTEGER MILLISECONDS, same order as the "queries" keys. Both choices
   * exist to keep the whole line under the driver's 2000-char log-tail
   * capture — see the emission code below for the measured budget.
+  * "load" is the [start, end] 1-minute loadavg pair (contention
+  * evidence — see load1m); the full SPARK_GRAFT_BENCH_OUT artifact
+  * additionally carries per-rep start timestamps ("ts1"/"ts2", epoch
+  * ms) and per-rep loadavg ("l1"/"l2"), column-aligned with "queries".
   *
   * The headline set (~65 queries) spans every operator family; the full
   * registered suite runs with SPARK_GRAFT_BENCH_ALL=1. Two reasons for a
@@ -90,8 +94,19 @@ object Bench {
     "s04_ann_ivf_layout", "s08_ann_ivf_append", "s09_hard_negatives_layout",
     "t23_bm25_index", "t24_bm25_index_append", "t40_bpe_apply")
 
+  /** 1-minute system load from /proc/loadavg (-1.0 where unreadable) —
+    * the contention evidence the round artifact must carry: two
+    * consecutive rounds' headline numbers were inflated up to 4x by
+    * machine load (t32 6.40s vs 1.24s same-day idle, same code), and a
+    * bare duration cannot distinguish contention from regression. */
+  private def load1m(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = load1m()
     val spark = Sessions.get()
     val all = SparkEntry.queries
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
@@ -138,6 +153,11 @@ object Bench {
       // the single min-of-2 number gave the judge nothing to adjudicate
       // with. Rounded to ms downstream so the JSON tail stays in budget.
       val repTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // per-rep start instant (epoch ms) + 1-min loadavg at rep start:
+      // full-artifact-only load evidence (see load1m) — a rep whose
+      // loadavg is 2x the core count is contention, not a plan change
+      val repStarts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val repLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
       for (_ <- 1 to reps if err.isEmpty) {
         // CacheManager isolation: queries that persist internally
@@ -156,6 +176,8 @@ object Bench {
         // monotonically (d06 2.5s→9.0s, d07 10.9s→24.8s) through this
         // very clearCache call.
         Caches.sweep(spark)
+        repStarts += System.currentTimeMillis()
+        repLoads += load1m()
         val t0 = System.nanoTime()
         try { all(name)(spark, sfDir).count() }
         catch { case e: Throwable =>
@@ -174,7 +196,8 @@ object Bench {
       val partial = err.filter(_ => best != Double.MaxValue)
       val fatal = err.filter(_ => best == Double.MaxValue)
       (name, if (best != Double.MaxValue) best else -1.0,
-        fatal.map(name -> _), partial.map(name -> _), repTimes.toSeq)
+        fatal.map(name -> _), partial.map(name -> _), repTimes.toSeq,
+        repStarts.toSeq, repLoads.toSeq)
     }
     Caches.sweep(spark)
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
@@ -204,13 +227,13 @@ object Bench {
     val keyOf: String => String =
       if (results.map(r => shortKey(r._1)).distinct.size == results.size) shortKey
       else identity // collision (BENCH_ALL local mode): fall back to full names
-    val qs = results.map { case (k, v, _, _, _) => "\"" + keyOf(k) + "\":" + fmt2(v) }
+    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + keyOf(k) + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
     // rep i of query j lives at repCols(i)(j); pad failed reps with -1 so
     // every column aligns with the "queries" key order
     val repCols = (0 until reps).map { i =>
       "\"r" + (i + 1) + "\":[" +
-        results.map { case (_, _, _, _, ts) =>
+        results.map { case (_, _, _, _, ts, _, _) =>
           if (i < ts.size) ms(ts(i)).toString else "-1"
         }.mkString(",") + "]"
     }
@@ -234,10 +257,16 @@ object Bench {
     val flaky = results.flatMap(_._4).map { case (k, m) =>
       "\"" + keyOf(k) + "\":\"" + jesc(m) + "\""
     }.mkString("{", ",", "}")
-    val total = fmt(results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum)
+    val total = fmt(results.collect { case (_, v, _, _, _, _, _) if v >= 0 => v }.sum)
+    // load evidence in the TAIL line: 1-min loadavg at run start/end (the
+    // run spans minutes, so the pair brackets the contention window); the
+    // full artifact below carries the per-rep series. A "load":[16,17] on
+    // a 32-core box says the numbers are trustworthy; [100+,...] says the
+    // round's durations measure the machine, not the plans.
+    val loadPart = s""","load":[$loadStart,${load1m()}]"""
     def line(withReps: Boolean): String = {
       val repsPart = if (withReps) repCols.mkString(",", ",", "") else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$repsPart,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$repsPart,"errors":$errs,"flaky":$flaky$loadPart,"sf":"$sfDir"}"""
     }
     // last-resort degrade: a line that overflows the tail window loses its
     // HEAD, which is worse than losing the rep columns
@@ -248,14 +277,29 @@ object Bench {
     // (SPARK_GRAFT_BENCH_ALL=1) gets persisted once per round so drift
     // in non-headline queries is caught with data, not inference.
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      val fullQs = results.map { case (k, v, _, _, _) =>
+      val fullQs = results.map { case (k, v, _, _, _, _, _) =>
         "\"" + k + "\":" + fmt2(v) }.mkString("{", ",", "}")
       val fullErrs = results.flatMap(_._3).map { case (k, m) =>
         "\"" + k + "\":\"" + jesc(m) + "\"" }.mkString("{", ",", "}")
       val fullFlaky = results.flatMap(_._4).map { case (k, m) =>
         "\"" + k + "\":\"" + jesc(m) + "\"" }.mkString("{", ",", "}")
+      // per-rep wall-clock starts (epoch ms) and loadavg-at-start, same
+      // column alignment as r1/r2 — the evidence that lets a reader
+      // attribute a slow rep to the exact contention window it ran in
+      val tsCols = (0 until reps).map { i =>
+        "\"ts" + (i + 1) + "\":[" +
+          results.map { case (_, _, _, _, _, starts, _) =>
+            if (i < starts.size) starts(i).toString else "-1"
+          }.mkString(",") + "]"
+      }
+      val loadCols = (0 until reps).map { i =>
+        "\"l" + (i + 1) + "\":[" +
+          results.map { case (_, _, _, _, _, _, loads) =>
+            if (i < loads.size) fmt2(loads(i)).toString else "-1"
+          }.mkString(",") + "]"
+      }
       val fullLine =
-        s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$fullQs${repCols.mkString(",", ",", "")},"errors":$fullErrs,"flaky":$fullFlaky,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$fullQs${repCols.mkString(",", ",", "")}${tsCols.mkString(",", ",", "")}${loadCols.mkString(",", ",", "")},"errors":$fullErrs,"flaky":$fullFlaky$loadPart,"sf":"$sfDir"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), fullLine + "\n")
     }
     // stop FIRST, print LAST: the session teardown logs nothing after the
