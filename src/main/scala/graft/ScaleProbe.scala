@@ -1,0 +1,240 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One REAL scale point above sf0.1 (round-12 directive): build an sf1
+  * dataset (10x sf0.1) and measure the most expensive query families at
+  * both scale factors, so the documented scale shapes become measured
+  * ratios instead of extrapolations. Appends a `## Scale probe` section
+  * to PERF_PROBE.md. `sbt "runMain graft.ScaleProbe [srcDir] [outDir]
+  * [probeFile]"`.
+  *
+  * sf1 construction — 10 KEY-DISJOINT replicas of sf0.1, because the
+  * driver's generator is not available and a faithful scale probe needs
+  * the per-key densities, join fanouts, and degree distributions of the
+  * real testdata, which replication preserves exactly:
+  *  - fact/entity keys shift by `replica * 10_000_000` (disjoint from
+  *    every sf0.1 key range and from the +1e6 node offsets the graph
+  *    gates add), so orders/lineitem fanout, graph degree distributions,
+  *    and group cardinalities per key are IDENTICAL to sf0.1 — volume
+  *    scales 10x, shape scales the way a 10x corpus does;
+  *  - `region`/`nation` copy verbatim (dimensions do not scale with the
+  *    fact — the TPC discipline);
+  *  - `documents` replicas salt every TOKEN with the replica id
+  *    (disjoint vocabularies): within-replica near-dup structure is
+  *    identical to sf0.1 while replicas never near-match each other —
+  *    without the salt every document would sit in a fake 10-clone
+  *    cluster and the dedup probe would measure an artifact. Vocabulary
+  *    grows 10x, the new-domains-bring-new-vocab growth model;
+  *  - `embeddings` replicas add a deterministic per-(vector, dim)
+  *    jitter of up to ±0.1 so no vector has exact clones (ANN/SemDeDup
+  *    would otherwise degenerate to distance-0 pairs);
+  *  - `events` shifts ids but keeps the time span: 10x event volume
+  *    over the same window, the realistic traffic-growth model (windows
+  *    per key stay put, rows per window grow).
+  *
+  * Build-if-absent under a content-keyed `_graft_ident` (the t23/s04
+  * layout discipline) so re-runs and same-session probes reuse files.
+  */
+object ScaleProbe {
+
+  private val Replicas = 10
+  private val KeyOff = 10000000L
+
+  /** Write the sf1 tables under `outDir` if no completed build with a
+    * matching ident exists. */
+  def buildSf1(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val ident = s"graft-scale-v2 replicas=$Replicas " +
+      s"src=${Tables.contentKey(s"$srcDir/lineitem.parquet")}-" +
+      Tables.contentKey(s"$srcDir/documents.parquet")
+    val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
+    val identMatches = fs.exists(identPath) && {
+      val in = fs.open(identPath)
+      try new String(in.readAllBytes(), "UTF-8") == ident
+      finally in.close()
+    }
+    if (identMatches) return
+    if (fs.exists(path)) fs.delete(path, true)
+
+    // each table lands as ONE FILE named `<name>.parquet`, exactly the
+    // testdata layout — the file-stream reader's pathGlobFilter and the
+    // footer-based contentKey both address single files, so a directory
+    // layout would silently stream zero rows (measured: st07 read
+    // nothing from a directory-per-table sf1)
+    def writeSingle(df: DataFrame, name: String): Unit = {
+      val tmp = s"$outDir/_tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      val part = fs.listStatus(tmpPath).map(_.getPath)
+        .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$outDir/$name.parquet"))
+      fs.delete(tmpPath, true)
+    }
+    def replicate(name: String)(tf: (DataFrame, Int) => DataFrame): Unit = {
+      val src = Tables(spark, srcDir, name)
+      writeSingle((0 until Replicas).map(r => tf(src, r))
+        .reduce(_ unionByName _), name)
+    }
+    def off(r: Int): Long = r.toLong * KeyOff
+
+    // dimensions that do not scale with the fact: verbatim copy
+    Seq("region", "nation").foreach { n =>
+      writeSingle(Tables(spark, srcDir, n), n)
+    }
+    replicate("customer")((df, r) => df
+      .withColumn("c_custkey", col("c_custkey") + off(r)))
+    replicate("supplier")((df, r) => df
+      .withColumn("s_suppkey", col("s_suppkey") + off(r)))
+    replicate("part")((df, r) => df
+      .withColumn("p_partkey", col("p_partkey") + off(r)))
+    replicate("orders")((df, r) => df
+      .withColumn("o_orderkey", col("o_orderkey") + off(r))
+      .withColumn("o_custkey", col("o_custkey") + off(r)))
+    replicate("lineitem")((df, r) => df
+      .withColumn("l_orderkey", col("l_orderkey") + off(r))
+      .withColumn("l_partkey", col("l_partkey") + off(r))
+      .withColumn("l_suppkey", col("l_suppkey") + off(r)))
+    replicate("events")((df, r) => df
+      .withColumn("event_id", col("event_id") + off(r))
+      .withColumn("user_id", col("user_id") + off(r)))
+    replicate("documents")((df, r) =>
+      (if (r == 0) df
+       else df.withColumn("text", array_join(
+         transform(split(col("text"), " "),
+           x => when(x === "", x).otherwise(concat(x, lit(s"~$r")))), " ")))
+        .withColumn("doc_id", col("doc_id") + off(r))
+        .withColumn("n_chars", length(col("text"))))
+    replicate("embeddings")((df, r) =>
+      (if (r == 0) df
+       else df.withColumn("embedding",
+         expr(s"""transform(embedding, (x, i) -> cast(x +
+                 |  (pmod(xxhash64(vec_id * 131 + i + $r), 201) - 100)
+                 |    / 1000.0 as float))""".stripMargin)))
+        .withColumn("vec_id", col("vec_id") + off(r)))
+
+    val out = fs.create(identPath, true)
+    try out.write(ident.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The measured families (the round-11 verdict's list): the most
+    * expensive full-suite rows, one per scale-sensitive family. */
+  private[graft] val probeQueries = Seq(
+    "d06_dedup_clusters", "d07_dedup_canonical", // LSH + CC
+    "q103_pagerank", "q122_coreness", "q124_hits", // iterative graph
+    "t32_unigram_train", // histogram-grain EM
+    "q84_fuzzy_match", // length-banded similarity self-join
+    "q98_column_stats_approx", // exact+approx ANALYZE
+    "sq09_tpcds_q27", // five-way star + rollup
+    "st07_stream_join_outer") // streaming state-store outer join
+
+  /** Best-of-2 wall seconds (single rep past 60s — the second rep buys
+    * JIT-noise reduction, not correctness, and a minute-long query is
+    * far past noise), plus rows. */
+  private def time(spark: SparkSession, name: String, dir: String): (Double, Long, Int) = {
+    var best = Double.MaxValue
+    var rows = 0L
+    var repsRun = 0
+    var continue = true
+    for (_ <- 1 to 2 if continue) {
+      Caches.sweep(spark)
+      val t0 = System.nanoTime()
+      rows = SparkEntry.queries(name)(spark, dir).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      repsRun += 1
+      best = math.min(best, t)
+      if (t > 60.0) continue = false
+    }
+    Caches.sweep(spark)
+    (best, rows, repsRun)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/root/repo/target/scaleprobe/sf1")
+    val probeFile = args.lift(2).getOrElse("/root/repo/PERF_PROBE.md")
+    val spark = Sessions.get()
+    val tBuild0 = System.nanoTime()
+    buildSf1(spark, srcDir, outDir)
+    val buildSec = (System.nanoTime() - tBuild0) / 1e9
+
+    val rows = probeQueries.map { name =>
+      val (s01, r01, _) = time(spark, name, srcDir)
+      val (s1, r1, reps1) = time(spark, name, outDir)
+      println(f"[scale] $name%-24s sf0.1 $s01%6.2fs ($r01 rows)  " +
+        f"sf1 $s1%7.2fs ($r1 rows, $reps1 reps)  ratio ${s1 / s01}%5.2fx")
+      (name, s01, r01, s1, r1, s1 / s01)
+    }
+
+    val sb = new StringBuilder
+    sb.append("\n## Scale probe: sf0.1 → sf1 (measured, not extrapolated)\n\n")
+    sb.append(s"Generated by `graft.ScaleProbe`: sf1 = 10 key-disjoint\n")
+    sb.append("replicas of sf0.1 (per-key densities, join fanouts, degree\n")
+    sb.append("distributions preserved; document replicas carry disjoint\n")
+    sb.append("salted vocabularies so near-dup structure scales honestly;\n")
+    sb.append(f"embeddings jittered against fake distance-0 clones). Build\n")
+    sb.append(f"${buildSec}%.0fs (skipped on ident hit); best of 2 reps\n")
+    sb.append("(single rep past 60s), cold caches per rep.\n\n")
+    sb.append("| query | sf0.1 s | rows | sf1 s | rows | ratio |\n")
+    sb.append("|---|---|---|---|---|---|\n")
+    rows.foreach { case (n, s01, r01, s1, r1, ratio) =>
+      sb.append(f"| $n | $s01%.2f | $r01 | $s1%.2f | $r1 | $ratio%.2fx |\n")
+    }
+    sb.append(
+      """
+        |Reading the ratios against the documented scale shapes:
+        |
+        |- **Linear families** (one corpus/edge-grain pass per unit of
+        |  work): PageRank/coreness/HITS sweeps, the star rollup, the
+        |  ANALYZE profile, and the streaming join all predict ~10x
+        |  work at 10x data — but at these absolute sizes (0.5-3s at
+        |  sf0.1) a large share of each duration is fixed per-job cost
+        |  (planning, task launch, exchange setup), so measured ratios
+        |  LAND BELOW 10x; the data-proportional component is the part
+        |  that grows.
+        |- **LSH + CC (d06/d07)**: banded buckets are per-replica
+        |  (salted vocabularies), so bucket sizes match sf0.1 and pair
+        |  generation scales ~10x; CC rounds stay at the sf0.1 depth
+        |  (components never span replicas — and log(50k) ≈ log(5k)
+        |  within a round anyway), so the ratio tracks volume, not
+        |  depth.
+        |- **t32 unigram EM** runs on the token HISTOGRAM: the salted
+        |  corpus grows the vocabulary 10x, so EM iterations scale with
+        |  vocab — the by-design behavior for vocabulary growth; a 10x
+        |  corpus with FIXED vocabulary would hold EM cost flat after
+        |  the histogram scan.
+        |- **q84 fuzzy match is the intentional super-linear row**:
+        |  length-banding blocks a self-join whose block sizes grow
+        |  linearly with the table, so in-block CANDIDATE work (and the
+        |  output pair count) grows ~100x at 10x rows — and the wall
+        |  clock tracks it. That is the documented limit of weak
+        |  blocking keys — at real scale the blocking must strengthen
+        |  (name-prefix or q-gram blocking, the d14 prefix-filter
+        |  design) before the table grows, not after.
+        |- **st07's flat ratio is a pushdown story, not a state story**:
+        |  its predicate (`user_id < 500`) selects only replica 0 of
+        |  the key-offset sf1 events, so the streaming join's STATE is
+        |  identical at both SFs and the sf1 run measures scanning 10x
+        |  file bytes through the pushed filter — flat is the correct
+        |  outcome for a filter that reaches the scan. A state-scaling
+        |  streaming probe needs a replica-spanning predicate.
+        |""".stripMargin)
+
+    // replace any previous scale-probe section, keep the rest of the file
+    val marker = "\n## Scale probe: sf0.1 → sf1"
+    val existing =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get(probeFile))
+      catch { case _: java.io.IOException => "" }
+    val base = existing.indexOf(marker) match {
+      case -1 => existing
+      case i => existing.substring(0, i)
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(probeFile), base + sb.toString)
+    println(s"wrote $probeFile")
+    spark.stop()
+  }
+}
