@@ -436,7 +436,9 @@ object GraphOps {
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int): DataFrame =
-    hitsRun(edges, srcCol, dstCol, iterations).scores
+    // computeDelta = false: hits() callers ignore the delta, so the
+    // extra node-grain job (and the second kept auth) would be waste
+    hitsImpl(edges, srcCol, dstCol, iterations, computeDelta = false).scores
 
   /** Outcome of a [[hitsRun]] sweep budget: the normalized (id, auth,
     * hub) scores, the L1 distance between the last two sweeps'
@@ -452,7 +454,11 @@ object GraphOps {
     * delta costs one extra node-grain full-outer join + aggregate at
     * the end, over already-materialized vectors. */
   def hitsRun(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int): HitsRun = {
+      iterations: Int): HitsRun =
+    hitsImpl(edges, srcCol, dstCol, iterations, computeDelta = true)
+
+  private def hitsImpl(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, computeDelta: Boolean): HitsRun = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     // unnormalized sweeps grow magnitudes ~λ_max^k: on a heavy graph
     // (λ ~ 1e5) double overflow becomes plausible past a few hundred
@@ -479,11 +485,12 @@ object GraphOps {
           .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
           .select(col("dst").as("id"), col("auth"))
         // intermediate auth vectors ride the advance chain (freed when
-        // the next hub is solid); only the last TWO survive — the final
-        // for the output, its predecessor for the delta readout
-        auth = if (it >= iterations - 1) loop.keep(aPlan)._1
-          else loop.advance(aPlan)
-        if (it == iterations - 1) prevAuth = auth
+        // the next hub is solid); the final survives for the output,
+        // and (delta mode only) its predecessor for the delta readout
+        val retain = it == iterations ||
+          (computeDelta && it == iterations - 1)
+        auth = if (retain) loop.keep(aPlan)._1 else loop.advance(aPlan)
+        if (it == iterations - 1 && retain) prevAuth = auth
         hub = loop.advance(
           e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
             .groupBy(col("src")).agg(sum(col("auth")).as("hub"))
@@ -650,9 +657,15 @@ object GraphOps {
         remaining = coreNodes
         // rung skip: survivors all have core-degree >= the surviving
         // minimum m >= k, so the graph is its own k'-core for every
-        // k' <= m — the next peel that can remove anything is m+1
+        // k' <= m — the next peel that can remove anything is m+1.
+        // The jump costs one edge-grain min aggregate; it can save at
+        // most (kMax - k) confirm-peels, so on a SHALLOW capped ladder
+        // (fewer than 3 rungs left) the probe costs about what it could
+        // save and is skipped — measured: q122's dense kMax=4 ladder
+        // paid ~1s for probes that never jumped
+        val mayJump = kMax == 0 || kMax - k >= 3
         k =
-          if (n == 0) k + 1
+          if (n == 0 || !mayJump) k + 1
           else {
             val minDeg = coreDegrees(cur)
               .agg(min(col("core_deg")).as("_m")).head().getLong(0)
