@@ -59,7 +59,9 @@ object Bench {
     "q122_coreness", "sq08_tpcds_q3",
     // round-12: BPE apply from the STORED merge layout — the serving
     // path (t30 times train+apply by design; this is the pipeline shape)
-    "t40_bpe_apply",
+    // — and the PassJoin segment-blocked edit-distance join (the
+    // strong-blocking counterpart to q84's length-band fuzzy join)
+    "t40_bpe_apply", "q128_edit_distance_join",
     // dedup / similarity / text pipeline; d12/d13/s07/t17 rotated out
     // round 9 (sub-0.3s, families covered by d11/d14/s09/t15) to make
     // room for the r1/r2 rep columns inside the tail budget

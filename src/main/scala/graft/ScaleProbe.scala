@@ -127,6 +127,7 @@ object ScaleProbe {
     "q103_pagerank", "q122_coreness", "q124_hits", // iterative graph
     "t32_unigram_train", // histogram-grain EM
     "q84_fuzzy_match", // length-banded similarity self-join
+    "q128_edit_distance_join", // PassJoin segment-blocked edit join
     "q98_column_stats_approx", // exact+approx ANALYZE
     "sq09_tpcds_q27", // five-way star + rollup
     "st07_stream_join_outer") // streaming state-store outer join
@@ -214,6 +215,19 @@ object ScaleProbe {
         |  blocking keys — at real scale the blocking must strengthen
         |  (name-prefix or q-gram blocking, the d14 prefix-filter
         |  design) before the table grows, not after.
+        |- **q128 is the strong-blocking counter-design to q84**:
+        |  PassJoin segment blocking (position-anchored verbatim
+        |  windows) keeps candidate volume tracking true near-pair
+        |  density instead of block size. Note the honest corpus shape:
+        |  cross-replica document leads differ only in the single-char
+        |  salt digits of their first tokens (≤ 2 substitutions), so
+        |  sf1's TRUE pair count grows ~100x — and the wall clock still
+        |  grows an order of magnitude slower than q84's on the same
+        |  data. (A rare-q-gram prefix-filter variant was measured
+        |  first and REJECTED: on this low-entropy token-soup corpus
+        |  individual grams are common everywhere and its sf1 run cost
+        |  ~19x PassJoin's — selectivity needs position anchoring, not
+        |  rarity alone.)
         |- **st07's flat ratio is a pushdown story, not a state story**:
         |  its predicate (`user_id < 500`) selects only replica 0 of
         |  the key-offset sf1 events, so the streaming join's STATE is

@@ -618,6 +618,115 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT edit-distance self-join via partition-based blocking (the
+    * PassJoin design, Li, Deng & Feng VLDB'11): every unordered pair
+    * with `levenshtein ≤ maxDist`, no misses, no all-pairs compare —
+    * the strong-blocking design the sf0.1→sf1 scale probe demanded
+    * (the length-band-only fuzzy join q84 grows ~quadratically with
+    * the table; see PERF_PROBE.md).
+    *
+    * Pigeonhole: partition each string into `d+1` contiguous segments
+    * (d = maxDist; short segments first, the canonical even split).
+    * Each edit touches at most one segment, so `ed(s,t) ≤ d` leaves at
+    * least one segment of `s` UNTOUCHED — it appears in `t` verbatim,
+    * at a start position shifted by at most the net indels before it
+    * (|shift| ≤ d). Candidate generation is therefore an EQUI-JOIN on
+    * `(source length, segment index, segment text)`: the index side
+    * emits each string's d+1 segments; the probe side emits, for every
+    * candidate partner length `ls` within ±d of its own and every
+    * segment spec of `ls`, the substrings at starts within ±d of the
+    * segment's home position — O((2d+1)²·(d+1)) keys per string, a
+    * constant. Position-anchored segment keys are what make this
+    * selective where rare-q-gram prefixes are not: on a low-entropy
+    * corpus (natural-ish text over a small vocabulary) individual
+    * grams are common everywhere, but an aligned multi-char window
+    * matching VERBATIM already implies real similarity.
+    *
+    * Strings shorter than `d+1` (zero-length segments) take a
+    * dedicated LENGTH-BAND equi-join (the short side explodes its ±d
+    * length keys; partners join on exact length) — candidate volume
+    * O(|short| · band density), still never n².
+    *
+    * A final codegen'd `levenshtein` verify on candidate grain keeps
+    * false positives out; exactness = segment-candidates ∪
+    * short-band-candidates is a superset of all true pairs (property-
+    * tested against brute force on random indel-heavy corpora).
+    *
+    * Scale shape: two map-side constant-fanout explodes, one equi-join
+    * on segment keys, a candidate-grain distinct + verify — no df
+    * pass, no window, no cartesian. CACHING CONTRACT: persists its
+    * record projection for the pipeline (caller releases, as with the
+    * other persisting operators).
+    *
+    * @return (id_a, id_b, dist) with id_a < id_b, dist = levenshtein.
+    */
+  def editDistanceJoin(records: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val d = maxDist
+    val k = d + 1
+    val recs = materializeOnce(records
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .withColumn("len", length(col("s"))))
+    // canonical even split of length L into k segments, SHORT first:
+    // segment i (1-based) has ln_i = L div k (+1 for the last L mod k
+    // segments) and 1-based start st_i
+    def segLen(l: Column, i: Int): Column =
+      (l / k).cast("int") + when(lit(i) > lit(k) - l % k, 1).otherwise(0)
+    def segStart(l: Column, i: Int): Column =
+      (lit(i - 1) * (l / k).cast("int") +
+        greatest(lit(0), lit(i - 1) - (lit(k) - l % k)) + 1).cast("int")
+    // index side: the k segments of every string with len >= k
+    val indexSide = recs.filter(col("len") >= k)
+      .select(col("id"), col("len"),
+        explode(array((1 to k).map(i => struct(lit(i).as("i"),
+          col("s").substr(segStart(col("len"), i), segLen(col("len"), i))
+            .as("seg"))): _*)).as("e"))
+      .select(col("len").as("ls"), col("e.i").as("i"),
+        col("e.seg").as("seg"), col("id").as("id_x"))
+    // probe side: for each partner length ls in [len-d, len+d] with
+    // ls >= k, each segment spec of ls, all starts within ±d of home
+    val probeSpecs = (-d to d).flatMap { dl =>
+      (1 to k).map(i => (dl, i))
+    }
+    val probeSide = recs
+      .select(col("id"), col("s"), col("len"),
+        explode(array(probeSpecs.map { case (dl, i) =>
+          val ls = col("len") + dl
+          val ln = segLen(ls, i)
+          val home = segStart(ls, i)
+          struct(ls.cast("int").as("ls"), lit(i).as("i"),
+            greatest(lit(1), home - d).as("lo"),
+            least(col("len") - ln + 1, home + d).cast("int").as("hi"),
+            ln.as("ln"))
+        }: _*)).as("p"))
+      .filter(col("p.ls") >= k && col("p.ln") >= 1 && col("p.lo") <= col("p.hi"))
+      .select(col("id"), col("s"), col("p.ls").as("ls"), col("p.i").as("i"),
+        col("p.ln").as("ln"),
+        explode(sequence(col("p.lo"), col("p.hi"))).as("st"))
+      .select(col("ls"), col("i"),
+        col("s").substr(col("st"), col("ln")).as("seg"), col("id").as("id_y"))
+    val segCands = indexSide.join(probeSide, Seq("ls", "i", "seg"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+    // short-string path: len < k means zero-length segments — band on
+    // exact partner length via an exploded ±d key, an equi-join
+    val shortCands = recs.filter(col("len") < k)
+      .select(col("id").as("sid"),
+        explode(sequence(col("len") - d, col("len") + d)).as("lk"))
+      .join(recs.select(col("id").as("pid"), col("len").as("lk")), "lk")
+      .filter(col("sid") =!= col("pid"))
+      .select(least(col("sid"), col("pid")).as("id_a"),
+        greatest(col("sid"), col("pid")).as("id_b"))
+    segCands.unionByName(shortCands).distinct()
+      .join(recs.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(recs.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Entity resolution by the sorted-neighborhood method (Hernández &
     * Stolfo SIGMOD'95 merge/purge): records sorted by a normalization
     * key, candidate pairs proposed within a sliding window of `window`

@@ -219,6 +219,35 @@ object Extra6Queries {
              |SELECT f.lang, (w0 + w1 * x1 + w2 * x2) > 0 AS pred,
              |  CAST(count(*) AS BIGINT) AS n, w0, w1, w2
              |FROM f, wf GROUP BY f.lang, pred, w0, w1, w2
-             |ORDER BY lang, pred""".stripMargin))
+             |ORDER BY lang, pred""".stripMargin)),
+
+    // ---- exact edit-distance join via PassJoin segment blocking
+    //      (q128): the STRONG-blocking fuzzy join the sf1 scale probe
+    //      demanded (q84's length-band-only blocking grows
+    //      ~quadratically; see PERF_PROBE.md). The oracle is the
+    //      brute-force all-pairs levenshtein — so the hash match
+    //      verifies the blocking loses NOTHING, not just that the
+    //      verify filter is right. ----
+    Q("q128_edit_distance_join",
+      (s, dir) => {
+        import s.implicits._
+        // corpus: each document's 24-char LEAD (the crawl-pipeline
+        // title/lead-dedup shape) — mostly-distinct strings with sparse
+        // near pairs, where blocking matters; supplier/customer/part
+        // names are template pools whose pair structure is degenerate
+        // (all-match or exact-duplicate groups)
+        graft.operators.Dedup.editDistanceJoin(
+            Tables(s, dir, "documents")
+              .select($"doc_id", substring($"text", 1, 24).as("lead")),
+            "doc_id", "lead", maxDist = 2)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH d AS (SELECT doc_id, substring(text, 1, 24) AS lead
+             |  FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(levenshtein(a.lead, b.lead) AS BIGINT) AS dist
+             |FROM d a JOIN d b ON a.doc_id < b.doc_id
+             |WHERE levenshtein(a.lead, b.lead) <= 2
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }

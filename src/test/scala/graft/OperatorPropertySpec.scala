@@ -189,4 +189,43 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  // ---- editDistanceJoin vs brute-force all-pairs levenshtein ----
+
+  private def editDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
+  test("editDistanceJoin equals brute force (small alphabet, short/empty strings)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 3-letter alphabet, lengths 0..12: dense near-pairs, heavy
+    // insert/delete shifts, and strings below the segment floor
+    // (len < d+1 = 3, incl. empty) — the short-path guarantee and the
+    // ±d probe-shift bound are the parts a happy corpus never tests
+    val genStr = for {
+      n <- Gen.choose(0, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    for (seed <- 1L to 4L) {
+      val strs = sample(Gen.listOfN(30, genStr), seed * 13).zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }
+      val got = Dedup.editDistanceJoin(
+          strs.toDF("rid", "nm"), "rid", "nm", maxDist = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+        d = editDist(sa, sb) if d <= 2
+      } yield (ia, ib, d.toLong)).toSet
+      assert(got == want,
+        s"seed=$seed\n false pos: ${got.diff(want)}\n MISSED: ${want.diff(got)}")
+      spark.catalog.clearCache()
+    }
+  }
 }

@@ -655,6 +655,25 @@ class ScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("editDistanceJoin plans as equi-joins only — no cross products") {
+    import spark.implicits._
+    // candidate generation must be the segment-key equi-join plus the
+    // short-string length-key equi-join — a CartesianProduct or
+    // nested-loop join means the blocking fell through and the 100 TB
+    // self-join would enumerate n² pairs
+    val docs = Tables(spark, sf, "documents")
+      .select($"doc_id", substring($"text", 1, 24).as("lead"))
+    val out = graft.operators.Dedup.editDistanceJoin(docs, "doc_id", "lead",
+      maxDist = 2)
+    out.collect()
+    val bad = collectAll(out.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j.nodeName
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j.nodeName
+    }
+    assert(bad.isEmpty, s"non-equi join in editDistanceJoin plan: $bad")
+    spark.catalog.clearCache()
+  }
+
   test("pageRank returns a materialized rank table: plan depth constant in sweeps") {
     // Round-8 regression mode: the lazy loop built one iterations-deep
     // plan (237 physical nodes for 3 sweeps) that replanned and
