@@ -59,9 +59,10 @@ object Bench {
     "q122_coreness", "sq08_tpcds_q3",
     // round-12: BPE apply from the STORED merge layout — the serving
     // path (t30 times train+apply by design; this is the pipeline shape)
-    // — and the PassJoin segment-blocked edit-distance join (the
-    // strong-blocking counterpart to q84's length-band fuzzy join)
-    "t40_bpe_apply", "q128_edit_distance_join",
+    // — the PassJoin segment-blocked edit-distance join (the strong-
+    // blocking counterpart to q84's length-band fuzzy join), and the
+    // persisted-LSH ingest probe (build in warm-up, reps probe-only)
+    "t40_bpe_apply", "q128_edit_distance_join", "d17_lsh_index",
     // dedup / similarity / text pipeline; d12/d13/s07/t17 rotated out
     // round 9 (sub-0.3s, families covered by d11/d14/s09/t15) to make
     // room for the r1/r2 rep columns inside the tail budget
@@ -94,7 +95,8 @@ object Bench {
   private[graft] val layoutBuilders: Set[String] = Set(
     "q73_bucketed_join", "q87_partitioned_write", "q88_zorder_layout",
     "s04_ann_ivf_layout", "s08_ann_ivf_append", "s09_hard_negatives_layout",
-    "t23_bm25_index", "t24_bm25_index_append", "t40_bpe_apply")
+    "t23_bm25_index", "t24_bm25_index_append", "t40_bpe_apply",
+    "d17_lsh_index")
 
   /** 1-minute system load from /proc/loadavg (-1.0 where unreadable) —
     * the contention evidence the round artifact must carry: two

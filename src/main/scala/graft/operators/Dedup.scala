@@ -247,6 +247,166 @@ object Dedup {
         .select(col("id_a"), col("id_b"), col("jaccard")))
   }
 
+  /** PERSIST the MinHash-LSH band buckets as a serving layout (the
+    * layout contract BM25 postings (t23) and IVF cells (s04) set, now
+    * for near-dup ingest checks): band rows written
+    * `partitionBy(part)` with `part = pmod(bucket, nParts)`, each row
+    * carrying the doc's sorted shingle-hash array DENORMALIZED (the
+    * impact-index trick — probing then needs NO join against a
+    * corpus-wide sketch table; the ×bands storage buys join-free
+    * verification forever). [[lshProbeIndex]] checks an ingest batch
+    * against the stored corpus reading ONLY the batch's touched bucket
+    * partitions — the d10 daily-ingest shape upgraded from exact
+    * fingerprints to near-dup similarity, with no corpus scan and no
+    * corpus shuffle per batch.
+    *
+    * Layout under `layoutDir`: `buckets/` (band, bucket, id, shh)
+    * partitioned by `part`; `_graft_ident` written LAST (pins corpus
+    * plan + every parameter — a crashed build is never served, a
+    * changed corpus/config rebuilds; same discipline as
+    * `Retrieval.bm25IndexWrite`). Buckets larger than `maxBucket`
+    * members are dropped at build (the [[minhashLsh]] skew guard —
+    * boilerplate-shingle buckets would otherwise explode every probe;
+    * appends do not re-check, the documented t24-style append trade).
+    */
+  def lshIndexWrite(docs: DataFrame, idCol: String, textCol: String,
+      layoutDir: String, shingleSize: Int = 3, k: Int = 128,
+      bands: Int = 32, nParts: Int = 64, maxBucket: Int = 1000): Unit = {
+    require(k % bands == 0, s"bands must divide k: k=$k bands=$bands")
+    val spark = docs.sparkSession
+    val path = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val ident = lshParamIdent(shingleSize, k, bands, nParts) +
+      s" corpus=${docs.queryExecution.analyzed.semanticHash()}"
+    val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
+    val identMatches = fs.exists(identPath) && {
+      val in = fs.open(identPath)
+      try new String(in.readAllBytes(), "UTF-8") == ident
+      finally in.close()
+    }
+    if (!identMatches) {
+      if (fs.exists(path)) fs.delete(path, true)
+      val banded = lshBandRows(docs, idCol, textCol, shingleSize, k, bands,
+        nParts).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // skew guard at build: oversized buckets out, whole buckets
+        val keep = banded.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucket)
+          .select(col("band"), col("bucket"))
+        banded.join(keep, Seq("band", "bucket"), "left_semi")
+          .write.mode("overwrite").partitionBy("part")
+          .parquet(s"$layoutDir/buckets")
+      } finally banded.unpersist()
+      val out = fs.create(identPath, true)
+      try out.write(ident.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  private def lshParamIdent(shingleSize: Int, k: Int, bands: Int,
+      nParts: Int): String =
+    s"graft-lsh-v1 shingleSize=$shingleSize k=$k bands=$bands nParts=$nParts"
+
+  /** One doc's band rows: (part, band, bucket, id, shh) — shared by
+    * build, append, and the probe side. */
+  private def lshBandRows(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, k: Int, bands: Int, nParts: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        HashExprs.shingle_hashes(col(textCol), shingleSize).as("shh"))
+      .filter(size(col("shh")) > 0)
+      .withColumn("sig", HashExprs.minhash_sig(col("shh"), k))
+      .select(col("id"), col("shh"),
+        explode(bandKeys(col("sig"), bands, k / bands)).as("bk"))
+      .select(pmod(col("bk.bucket"), lit(nParts.toLong)).as("part"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+        col("id"), col("shh"))
+
+  /** APPEND an ingest batch's band rows to a persisted LSH layout (the
+    * t24 shape): the batch becomes part of the corpus future probes
+    * check against. Parameters must match the stored layout exactly
+    * (the ident pins them); a crash mid-append leaves the sentinel
+    * ident in place, so readers refuse a half-appended layout. */
+  def lshIndexAppend(newDocs: DataFrame, idCol: String, textCol: String,
+      layoutDir: String, shingleSize: Int = 3, k: Int = 128,
+      bands: Int = 32, nParts: Int = 64): Unit = {
+    val spark = newDocs.sparkSession
+    val path = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
+    require(fs.exists(identPath),
+      s"no LSH layout at $layoutDir (build before appending)")
+    val prevIdent = {
+      val in = fs.open(identPath)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    require(prevIdent.startsWith(lshParamIdent(shingleSize, k, bands, nParts)),
+      s"layout at $layoutDir was built with different parameters " +
+        s"('$prevIdent') — probing with these would silently miss pairs; " +
+        "rebuild instead of appending")
+    def writeIdent(s: String): Unit = {
+      val out = fs.create(identPath, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    writeIdent("APPENDING " + prevIdent)
+    lshBandRows(newDocs, idCol, textCol, shingleSize, k, bands, nParts)
+      .write.mode("append").partitionBy("part").parquet(s"$layoutDir/buckets")
+    writeIdent(prevIdent +
+      s" +append=${newDocs.queryExecution.analyzed.semanticHash()}")
+  }
+
+  /** Check an ingest batch for near-duplicates AGAINST the persisted
+    * corpus index: every (probe, corpus) pair with exact shingle
+    * Jaccard ≥ `threshold` whose signatures collide in ≥ 1 band.
+    *
+    * Scale shape: the batch's band keys + sketches compute map-side;
+    * its touched partition ids collect to the driver (bounded by
+    * min(nParts, bands·|batch|) values — the t23 touched-bucket
+    * contract) and PRUNE the buckets scan to those directories; the
+    * batch side broadcasts into the bucket equi-join, so the stored
+    * corpus never shuffles; candidates dedup per pair (one
+    * candidate-grain exchange) and verify ONCE per pair with the exact
+    * [[graft.functions.HashExprs.sorted_jaccard]]. Probe cost scales
+    * with the batch and its collisions, never with the corpus.
+    *
+    * @return (probe_id, corpus_id, jaccard), self-matches excluded.
+    */
+  def lshProbeIndex(spark: org.apache.spark.sql.SparkSession,
+      layoutDir: String, queryDocs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3, k: Int = 128,
+      bands: Int = 32, nParts: Int = 64,
+      threshold: Double = 0.8): DataFrame = {
+    val identPath = new org.apache.hadoop.fs.Path(layoutDir, "_graft_ident")
+    val fs = identPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(identPath),
+      s"no completed LSH layout at $layoutDir (run lshIndexWrite first)")
+    val prevIdent = {
+      val in = fs.open(identPath)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    require(prevIdent.startsWith(lshParamIdent(shingleSize, k, bands, nParts)),
+      s"layout at $layoutDir does not match probe parameters ('$prevIdent')")
+    val probe = materializeOnce(lshBandRows(
+      queryDocs, idCol, textCol, shingleSize, k, bands, nParts))
+    val touched = probe.select(col("part")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val corpus = spark.read.parquet(s"$layoutDir/buckets")
+      .filter(col("part").isin(touched: _*))
+    val cands = corpus.join(
+        broadcast(probe.select(col("band"), col("bucket"),
+          col("id").as("probe_id"), col("shh").as("p_shh"))),
+        Seq("band", "bucket"))
+      .filter(col("probe_id") =!= col("id"))
+      // multiple band collisions propose the same pair: dedup BEFORE the
+      // verify so exact Jaccard runs once per pair
+      .groupBy(col("probe_id"), col("id").as("corpus_id"))
+      .agg(first(col("p_shh")).as("p_shh"), first(col("shh")).as("c_shh"))
+    cands
+      .withColumn("jaccard",
+        round(HashExprs.sorted_jaccard(col("p_shh"), col("c_shh")), 3))
+      .filter(col("jaccard") >= threshold)
+      .select(col("probe_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** 64-bit SimHash over tokens — custom Catalyst expression, one pass.
     * `tokenHash` maps each token to a long; the xxhash64 default is the
     * fast path, [[portableTokenHash63]] the cross-engine-replicable one. */

@@ -996,6 +996,37 @@ object PipelineQueries {
              |     FROM documents WHERE doc_id < 400) AS dup_of_corpus
              |FROM documents WHERE doc_id >= 400 ORDER BY doc_id""".stripMargin)),
 
+    // ---- PERSISTED LSH band-bucket index (d17): the d10 ingest check
+    //      upgraded from exact fingerprints to NEAR-dup similarity —
+    //      lshIndexWrite persists the corpus band buckets once
+    //      (content-keyed ident, partition-pruned serving), the probe
+    //      batch reads only its touched bucket partitions with no
+    //      corpus scan/shuffle. Oracle = the d02 discipline: exact
+    //      all-CROSS-pairs Jaccard ≥ 0.8 (candidates verify exactly,
+    //      so only an LSH band miss could diverge — p ≈ 5e-8/pair). ----
+    Q("d17_lsh_index",
+      (s, dir) => {
+        import s.implicits._
+        val key = Tables.contentKey(s"$dir/documents.parquet")
+        val layout = graft.Scratch.dir(s"graft_lsh_idx_$key")
+        val docs = Tables(s, dir, "documents")
+        Dedup.lshIndexWrite(docs.filter($"doc_id" < 400),
+          "doc_id", "text", layout)
+        Dedup.lshProbeIndex(s, layout, docs.filter($"doc_id" >= 400),
+            "doc_id", "text", threshold = 0.8)
+          .orderBy($"probe_id", $"corpus_id")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+             |c AS (SELECT * FROM sh WHERE doc_id < 400),
+             |p AS (SELECT * FROM sh WHERE doc_id >= 400)
+             |SELECT p.doc_id AS probe_id, c.doc_id AS corpus_id,
+             |  round(len(list_intersect(p.sh, c.sh))::DOUBLE
+             |    / (len(p.sh) + len(c.sh) - len(list_intersect(p.sh, c.sh))), 3) AS jaccard
+             |FROM p JOIN c ON true
+             |WHERE round(len(list_intersect(p.sh, c.sh))::DOUBLE
+             |    / (len(p.sh) + len(c.sh) - len(list_intersect(p.sh, c.sh))), 3) >= 0.8
+             |ORDER BY probe_id, corpus_id""".stripMargin)),
+
     // the hyperplanes come from a seeded PRNG, but they are CONSTANTS —
     // embedding them as literals into generated oracle SQL makes even
     // seeded LSH hash-verifiable (signature, bucket join, ranking all

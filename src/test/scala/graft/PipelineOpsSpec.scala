@@ -546,6 +546,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lshIndex: append equals full build for probing; guards hold") {
+    import spark.implicits._
+    val docs = Tables(spark, TestSpark.sf, "documents")
+    val corpus1 = docs.filter($"doc_id" < 200)
+    val corpus2 = docs.filter($"doc_id" >= 200 && $"doc_id" < 400)
+    val probes = docs.filter($"doc_id" >= 400)
+    def pairs(layout: String): Set[(Long, Long, Double)] =
+      Dedup.lshProbeIndex(spark, layout, probes, "doc_id", "text",
+          threshold = 0.8)
+        .as[(Long, Long, Double)].collect().toSet
+    // full build vs build-then-append must serve identical results
+    val full = graft.Scratch.dir("spec_lsh_full")
+    Dedup.lshIndexWrite(docs.filter($"doc_id" < 400), "doc_id", "text", full)
+    val appended = graft.Scratch.dir("spec_lsh_appended")
+    Dedup.lshIndexWrite(corpus1, "doc_id", "text", appended)
+    Dedup.lshIndexAppend(corpus2, "doc_id", "text", appended)
+    val (a, b) = (pairs(full), pairs(appended))
+    assert(a == b, s"append diverged: only-full=${a.diff(b)} only-app=${b.diff(a)}")
+    assert(a.nonEmpty, "vacuous spec: no cross near-dup pairs in the corpus")
+    // parameter drift is refused, not silently served
+    intercept[IllegalArgumentException] {
+      Dedup.lshIndexAppend(corpus2, "doc_id", "text", appended, bands = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.lshProbeIndex(spark, appended, probes, "doc_id", "text", k = 64)
+    }
+    // probing an absent layout fails loudly
+    intercept[IllegalArgumentException] {
+      Dedup.lshProbeIndex(spark, graft.Scratch.dir("spec_lsh_nothere"),
+        probes, "doc_id", "text")
+    }
+    Caches.sweep(spark)
+  }
+
   test("unigramTrain: EM concentrates mass on whole-word pieces, hand-traced") {
     import spark.implicits._
     // corpus: xyz x3, q x1. Seed: all 6 substrings of xyz tie at n=3

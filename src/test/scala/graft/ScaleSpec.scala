@@ -674,6 +674,28 @@ class ScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("d17 probes the LSH layout reading only touched bucket partitions") {
+    val df = SparkEntry.queries("d17_lsh_index")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val bucketScans = collectAll(plan) {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("graft_lsh_idx")) => s
+    }
+    assert(bucketScans.nonEmpty, "no LSH layout scan in the probe plan")
+    assert(bucketScans.forall(_.partitionFilters.nonEmpty),
+      "buckets scan must prune to the probe batch's touched partitions")
+    // the stored corpus never re-reads from documents: at most the probe
+    // batch itself scans the table (possibly inside its cached relation)
+    val docScans = collectAll(plan) {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("documents")) => s
+    }
+    assert(docScans.size <= 1,
+      s"corpus re-scanned: ${docScans.size} documents scans in probe plan")
+    spark.catalog.clearCache()
+  }
+
   test("pageRank returns a materialized rank table: plan depth constant in sweeps") {
     // Round-8 regression mode: the lazy loop built one iterations-deep
     // plan (237 physical nodes for 3 sweeps) that replanned and
