@@ -128,6 +128,7 @@ object ScaleProbe {
     "t32_unigram_train", // histogram-grain EM
     "q84_fuzzy_match", // length-banded similarity self-join
     "q128_edit_distance_join", // PassJoin segment-blocked edit join
+    "d17_lsh_index", // persisted-LSH ingest probe (build-once layout)
     "q98_column_stats_approx", // exact+approx ANALYZE
     "sq09_tpcds_q27", // five-way star + rollup
     "st07_stream_join_outer") // streaming state-store outer join
@@ -228,6 +229,15 @@ object ScaleProbe {
         |  individual grams are common everywhere and its sf1 run cost
         |  ~19x PassJoin's — selectivity needs position anchoring, not
         |  rarity alone.)
+        |- **d17 measures the probe-side linearity claim**: the gate's
+        |  indexed corpus is FIXED across SFs (doc_id < 400 selects
+        |  replica 0 only, by the key-offset construction) while its
+        |  probe batch grows ~11x at sf1 — and the cost tracks the
+        |  batch, slightly sublinearly. Corpus-side independence is the
+        |  other half of the claim and is pinned structurally: the
+        |  probe plan reads only the batch's touched bucket partitions
+        |  (the ScaleSpec partition-pruning pin), so a 10x corpus adds
+        |  bucket rows only where the batch actually collides.
         |- **st07's flat ratio is a pushdown story, not a state story**:
         |  its predicate (`user_id < 500`) selects only replica 0 of
         |  the key-offset sf1 events, so the streaming join's STATE is
