@@ -528,6 +528,59 @@ object TextOps {
     folded.withColumn("syms", unpackSyms(col("_packed"))).drop("_packed")
   }
 
+  /** Corpus-grain BPE ENCODING: each document's ordered subword-piece
+    * stream under a learned merge table — the tokenize-for-training
+    * endpoint of the BPE stack ([[bpeTrain]] learns, [[bpeSegment]]
+    * segments the HISTOGRAM, this joins the histogram back to the
+    * corpus and emits per-document piece arrays ready for packing /
+    * id-mapping). Documents with no tokens yield an empty array, not a
+    * missing row.
+    *
+    * Scale shape: the segmentation runs once at histogram grain
+    * (corpus-size-independent — [[bpeSegment]]'s contract); the corpus
+    * pays one positional token explode, a vocabulary-grain equi-join
+    * (hint left to the planner: auto-broadcast when the vocabulary
+    * fits, shuffle otherwise — the honest default after the merge
+    * family's size-gate lesson), and ONE doc-grain shuffle to
+    * reassemble pieces in token order (array_sort on (pos, syms)
+    * structs fixes collect_list's nondeterminism, the q126 discipline).
+    *
+    * @return (id, pieces) — one row per input document.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], chunkEvery: Int = 50): DataFrame = {
+    val seg = bpeSegment(docs, textCol, merges, chunkEvery)
+      .select(col("word"), col("syms"))
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
+    val enc = toks.join(seg, Seq("word"))
+      .groupBy(col("id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("syms")))),
+        s => s.getField("syms"))).as("pieces"))
+    docs.select(col(idCol).as("id"))
+      .join(enc, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("pieces"), array().cast("array<string>")).as("pieces"))
+  }
+
+  /** [[bpeEncode]] against the merge table stored by [[bpeTrainLayout]]
+    * — the serving composition (stored merges, histogram-grain apply,
+    * corpus-grain reassembly). */
+  def bpeEncodeFromLayout(docs: DataFrame, idCol: String, textCol: String,
+      layoutDir: String, chunkEvery: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    val identPath = new org.apache.hadoop.fs.Path(layoutDir, "_graft_ident")
+    val fs = identPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(identPath),
+      s"no completed BPE layout at $layoutDir (run bpeTrainLayout first)")
+    val merges = spark.read.parquet(s"$layoutDir/merges")
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(r.fieldIndex("left_sym")),
+        r.getString(r.fieldIndex("right_sym")))).toSeq
+    bpeEncode(docs, idCol, textCol, merges, chunkEvery)
+  }
+
   /** Unigram-LM tokenizer training (Kudo 2018, the SentencePiece unigram
     * model) via Viterbi EM over the word HISTOGRAM — the second half of
     * the tokenizer-training pair next to [[bpeTrain]], and the same

@@ -13,8 +13,10 @@ object Text2Queries {
   /** Shared t30/t40 oracle: t28's unrolled 4-merge CTE chain through
     * s4 + the subword rollup — train-then-apply (t30) and the stored-
     * layout apply (t40) must both reproduce it exactly. */
-  private val BpeApplySql: String =
-    """WITH w AS (
+  /** The t28 4-merge CTE chain through the fully-merged histogram s4 —
+    * shared by the t30/t40 rollup oracle and the t41 encode oracle. */
+  private val BpeChainSql: String =
+    """w AS (
     |  SELECT tok AS word, count(*) AS cnt FROM (
     |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
     |    FROM documents)
@@ -80,10 +82,13 @@ object Text2Queries {
     |      replace(chr(1) || array_to_string(syms, chr(2)||chr(1)) || chr(2),
     |        chr(1) || (SELECT l FROM b4) || chr(2) || chr(1) || (SELECT r FROM b4) || chr(2),
     |        chr(1) || (SELECT l FROM b4) || (SELECT r FROM b4) || chr(2)) AS rep
-    |    FROM s3))
-    |SELECT sym, CAST(sum(cnt) AS BIGINT) AS n FROM (
-    |  SELECT cnt, unnest(syms) AS sym FROM s4)
-    |GROUP BY sym ORDER BY n DESC, sym LIMIT 20""".stripMargin
+    |    FROM s3))""".stripMargin
+
+  private val BpeApplySql: String =
+    s"""WITH $BpeChainSql
+       |SELECT sym, CAST(sum(cnt) AS BIGINT) AS n FROM (
+       |  SELECT cnt, unnest(syms) AS sym FROM s4)
+       |GROUP BY sym ORDER BY n DESC, sym LIMIT 20""".stripMargin
 
   def all: Seq[Q] = Seq(
 
@@ -1459,7 +1464,39 @@ object Text2Queries {
           .groupBy(col("sym")).agg(sum(col("cnt")).as("n"))
           .orderBy(col("n").desc, col("sym")).limit(20)
       },
-      Some(BpeApplySql))
+      Some(BpeApplySql)),
+
+    // ---- corpus-grain BPE encoding (t41, the tokenize-for-training
+    //      endpoint): each document's ordered subword stream under the
+    //      STORED merge table, reported as (n_pieces, md5 of the
+    //      space-joined stream) so the gate pins exact piece ORDER per
+    //      document without corpus-width result rows. Oracle = the t28
+    //      chain through s4 as a word→syms map, flattened over each
+    //      doc's token list in position order. ----
+    Q("t41_bpe_encode",
+      (s, dir) => {
+        val key = Tables.contentKey(s"$dir/documents.parquet")
+        val layout = graft.Scratch.dir(s"graft_bpe_$key")
+        val docs = Tables(s, dir, "documents")
+        graft.operators.TextOps.bpeTrainLayout(
+          docs, "text", nMerges = 4, minCount = 2L, layout)
+        graft.operators.TextOps.bpeEncodeFromLayout(docs, "doc_id", "text", layout)
+          .select(col("id").as("doc_id"),
+            size(col("pieces")).cast("long").as("n_pieces"),
+            md5(concat_ws(" ", col("pieces"))).as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $BpeChainSql,
+             |d AS (SELECT doc_id,
+             |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |mm AS (SELECT map(list(word), list(syms)) AS m FROM s4),
+             |enc AS (SELECT doc_id,
+             |  flatten(list_transform(toks, t -> map_extract(mm.m, t)[1])) AS pieces
+             |  FROM d, mm)
+             |SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
+             |  md5(array_to_string(pieces, ' ')) AS fp
+             |FROM enc ORDER BY doc_id""".stripMargin))
   )
 
   /** Per-document add-one-smoothed bigram-LM score (t13's model; see the

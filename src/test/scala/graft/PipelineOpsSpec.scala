@@ -546,6 +546,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeEncode: document order preserved, duplicate words, empty doc") {
+    import spark.implicits._
+    // merges (e,s)(es,t) learned on the classic corpus; encode a corpus
+    // with repeated words and an empty doc — the piece stream must be
+    // the per-token segmentations concatenated IN TOKEN ORDER
+    val docs = Seq(
+      (1L, "newest low newest"), // duplicate word, order matters
+      (2L, ""),                  // empty doc -> empty array, row kept
+      (3L, "widest")
+    ).toDF("doc_id", "text")
+    val merges = Seq(("e", "s"), ("es", "t"))
+    val got = TextOps.bpeEncode(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("n", "e", "w", "est", "l", "o", "w",
+      "n", "e", "w", "est"), got(1L).mkString(","))
+    assert(got(2L) == Seq.empty, got(2L).mkString(","))
+    assert(got(3L) == Seq("w", "i", "d", "est"), got(3L).mkString(","))
+  }
+
   test("lshIndex: append equals full build for probing; guards hold") {
     import spark.implicits._
     val docs = Tables(spark, TestSpark.sf, "documents")
