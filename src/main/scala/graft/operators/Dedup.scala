@@ -262,9 +262,9 @@ object Dedup {
     *
     * Layout under `layoutDir`: `buckets/` (band, bucket, id, shh)
     * partitioned by `part`; `_graft_ident` written LAST (pins corpus
-    * plan + every parameter — a crashed build is never served, a
-    * changed corpus/config rebuilds; same discipline as
-    * `Retrieval.bm25IndexWrite`). Buckets larger than `maxBucket`
+    * plan + every parameter INCLUDING `maxBucket` — a crashed build is
+    * never served, a changed corpus/config/skew-cap rebuilds; same
+    * discipline as `Retrieval.bm25IndexWrite`). Buckets larger than `maxBucket`
     * members are dropped at build (the [[minhashLsh]] skew guard —
     * boilerplate-shingle buckets would otherwise explode every probe;
     * appends do not re-check, the documented t24-style append trade).
@@ -276,7 +276,13 @@ object Dedup {
     val spark = docs.sparkSession
     val path = new org.apache.hadoop.fs.Path(layoutDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    // maxBucket changes which buckets survive the build-time skew guard,
+    // so it is part of the build identity: a re-run with a different cap
+    // must REBUILD, not silently serve the old layout. It rides after the
+    // shared prefix so append/probe (which take no maxBucket — the cap
+    // only acts at build) still match on lshParamIdent via startsWith.
     val ident = lshParamIdent(shingleSize, k, bands, nParts) +
+      s" maxBucket=$maxBucket" +
       s" corpus=${docs.queryExecution.analyzed.semanticHash()}"
     val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
     val identMatches = fs.exists(identPath) && {

@@ -431,6 +431,12 @@ object GraphOps {
     * Output totals read the final materialized vectors — cached blocks,
     * not recomputed plans.
     *
+    * CONTRACT: `iterations` must be in [1, 30] — the unnormalized
+    * sweeps grow magnitudes ~λ_maxᵏ, so a larger budget risks silent
+    * double overflow and the call THROWS instead (HITS converges long
+    * before 30 sweeps on real graphs; use [[hitsRun]]'s delta signal to
+    * verify the budget sufficed rather than raising it).
+    *
     * @return (id, auth, hub) for every node incident to an edge, each
     *         column summing to 1 (nodes without in-/out-edges score 0).
     */
@@ -450,9 +456,10 @@ object GraphOps {
   final case class HitsRun(scores: DataFrame, delta: Double, sweeps: Int)
 
   /** [[hits]] with the full convergence contract (see [[HitsRun]]).
-    * Same sparse sweep loop and scale shape as [[hits]]'s scaladoc; the
-    * delta costs one extra node-grain full-outer join + aggregate at
-    * the end, over already-materialized vectors. */
+    * Same sparse sweep loop, scale shape, and `iterations ∈ [1, 30]`
+    * contract as [[hits]]'s scaladoc; the delta costs one extra
+    * node-grain full-outer join + aggregate at the end, over
+    * already-materialized vectors. */
   def hitsRun(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int): HitsRun =
     hitsImpl(edges, srcCol, dstCol, iterations, computeDelta = true)

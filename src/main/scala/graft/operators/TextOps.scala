@@ -346,8 +346,11 @@ object TextOps {
 
   private def packSyms(syms: Column): Column =
     concat(lit(M1), array_join(syms, M2 + M1), lit(M2))
+  // pack([]) gives "␁␂" (length 2), whose substr is "" and split("")
+  // is [""] — NOT []; guard so empty symbol arrays round-trip exactly
   private def unpackSyms(packed: Column): Column =
-    split(packed.substr(lit(2), length(packed) - 2), M2 + M1)
+    when(length(packed) <= 2, array().cast("array<string>"))
+      .otherwise(split(packed.substr(lit(2), length(packed) - 2), M2 + M1))
 
   /** Greedy LEFT-TO-RIGHT application of one merge (l, r) -> lr to a
     * PACKED symbol string: string `replace` scans forward replacing
@@ -836,8 +839,11 @@ object TextOps {
   def zipfFit(docs: DataFrame, textCol: String,
       topRanks: Int = 100): DataFrame = {
     require(topRanks >= 2, s"need >= 2 ranks to fit: $topRanks")
-    // Σxq·yq grows as topRanks·(ln(topRanks)·1e6)·(ln(total)·1e6); the
-    // 10k cap keeps it ≥ 100× under Long overflow for any corpus
+    // Σxq·yq worst case ≈ topRanks · ln(topRanks)·1e6 · ln(maxCount)·1e6:
+    // at the 10k cap with counts near Long.MaxValue (ln ≈ 43.7) that is
+    // ~1e4 · 9.2e6 · 4.4e7 ≈ 4.0e18 — only ~2.3× under Long.MaxValue
+    // (9.2e18). The margin is REAL but thin: do NOT raise this cap
+    // without widening the moment sums (e.g. summing as decimal/double).
     require(topRanks <= 10000, s"topRanks capped at 10000: $topRanks")
     import org.apache.spark.sql.expressions.Window
     val top = docs

@@ -596,6 +596,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       Dedup.lshProbeIndex(spark, graft.Scratch.dir("spec_lsh_nothere"),
         probes, "doc_id", "text")
     }
+    // maxBucket is part of the build identity: a re-run with a different
+    // skew cap must REBUILD (ident changes), never serve the old layout
+    def identOf(layout: String): String = {
+      val p = new org.apache.hadoop.fs.Path(layout, "_graft_ident")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val before = identOf(full)
+    assert(before.contains("maxBucket=1000"), before)
+    Dedup.lshIndexWrite(docs.filter($"doc_id" < 400), "doc_id", "text", full,
+      maxBucket = 7)
+    val after = identOf(full)
+    assert(after != before && after.contains("maxBucket=7"), after)
+    // the rebuilt (tighter-cap) layout still probes without error, and
+    // append/probe (no maxBucket in their signature) accept the ident
+    Dedup.lshProbeIndex(spark, full, probes, "doc_id", "text").count()
     Caches.sweep(spark)
   }
 
