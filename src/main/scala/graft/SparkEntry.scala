@@ -20,6 +20,7 @@ object SparkEntry {
       graft.queries.LineageQueries.all ++
       graft.queries.PipelineQueries.all ++
       graft.queries.Text2Queries.all ++
+      graft.queries.Text3Queries.all ++
       graft.queries.StreamQueries.all ++
       graft.queries.SqlQueries.all ++
       graft.queries.SourceQueries.all

@@ -265,6 +265,69 @@ object Retrieval {
       queryTerms, k1, b, k)
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty 2001) — the language-modeling scorer next to BM25, the
+    * other canonical lexical ranking (Indri/Anserini's `-qld`):
+    * `score(Q,d) = Σ_{t∈Q} ln( (tf(t,d) + μ·cf(t)/|C|) / (|d| + μ) )`
+    * over documents matching ≥ 1 query term; terms the doc lacks still
+    * contribute their (negative) smoothed background mass, which is
+    * what separates QL from BM25's matched-terms-only sum.
+    *
+    * DETERMINISM (the t32/s10 discipline): every ln operand is built
+    * from exact integer columns cast to double in a fixed order
+    * (`(tf + (cf·μ)/|C|) / (dl + μ)` with cf·μ an exact long product),
+    * each term's ln quantizes to `round(·, 6)` micro-nats BEFORE the
+    * per-doc sum, so the sum is exact integer arithmetic and the final
+    * ranking an integer sort in any engine. Ties break by doc id.
+    *
+    * Scale shape — identical to [[bm25TopK]]'s: ONE corpus scan into a
+    * fixed-width (id, dl, tf_i) projection (tf via in-place array
+    * filters, no (doc, term) shuffle); collection stats (cf per term +
+    * total length |C|) collapse into a single map-side-combinable
+    * global aggregate (one broadcastable row); scoring is pure map work
+    * against that row; top-k is a TakeOrderedAndProject. Zero
+    * full-width shuffles. Caller owns cache release (file contract).
+    *
+    * @return top-k (doc_id, score_micro): the QL log-probability in
+    *         integer micro-nats (more negative = worse fit).
+    */
+  def qlDirichletTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], mu: Long = 2000L, k: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"duplicate query terms would double-count: $queryTerms")
+    require(mu > 0, s"mu must be positive: $mu")
+    val units = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf_$i")
+    }
+    val proj = units.select(
+      Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++ tfCols: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val statsAggs = Seq(sum(col("dl")).as("clen")) ++
+      queryTerms.indices.map(i => sum(col(s"tf_$i")).as(s"cf_$i"))
+    val stats = proj.agg(statsAggs.head, statsAggs.tail: _*)
+    // a query term absent from the WHOLE collection has cf = 0 and the
+    // smoothed numerator can hit ln(0) for docs lacking it — drop such
+    // terms from the sum (their P is undefined under pure Dirichlet;
+    // Anserini does the same by never scoring unseen terms)
+    val termMicro = queryTerms.indices.map { i =>
+      when(col(s"cf_$i") > 0,
+        round(log(
+          (col(s"tf_$i").cast("double") +
+            (col(s"cf_$i") * lit(mu)).cast("double") / col("clen").cast("double")) /
+            (col("dl") + lit(mu)).cast("double")) * 1e6).cast("long"))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val matched = queryTerms.indices.map(i => col(s"tf_$i")).reduce(_ + _) > 0
+    proj.crossJoin(broadcast(stats))
+      .filter(matched && col("dl") > 0)
+      .select(col("doc_id"), termMicro.as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Full inverted-index build: (postings, doclens, termdf, one-row
     * stats). The persist-once surface — postings are (term, doc_id, tf),
     * built with the canonical explode → aggregate shuffle; df rolls up

@@ -872,4 +872,59 @@ object TextOps {
       round(slope, 4).as("slope"),
       round((syd / 1e6 - slope * (sxd / 1e6)) / kd, 4).as("intercept"))
   }
+
+  /** Filter-funnel audit: run an ORDERED chain of keep-predicates over a
+    * corpus and report, per rule, how many rows entered it, how many it
+    * dropped, and how many it passed on — the pipeline-observability
+    * table every published cleaning recipe reports (CCNet/Gopher/Dolma
+    * "removed by rule X" tables), and the artifact that tells you which
+    * rule to loosen when retention craters. A row is charged to the
+    * FIRST rule it fails (later rules never see it — exactly the
+    * semantics of chained `.filter` stages), so the per-rule drops sum
+    * to total − kept by construction.
+    *
+    * Scale shape: ONE map pass computes each row's first-failing-rule
+    * index (a nested `when` chain — pure codegen, no shuffle), one tiny
+    * map-combined count by stage (≤ rules+1 groups), then the funnel
+    * columns via a window over those ≤ rules+1 rows. The corpus is
+    * never shuffled and never scanned twice.
+    *
+    * @param rules ordered (name, keep-predicate) pairs; a row must
+    *              satisfy ALL to survive. Names must be unique.
+    * @return one row per rule in chain order plus a final `kept` row:
+    *         (stage, rule, n_in, n_dropped, n_out); for `kept`,
+    *         n_in = n_out = survivors and n_dropped = 0.
+    */
+  def filterFunnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"duplicate rule names: ${rules.map(_._1)}")
+    import org.apache.spark.sql.expressions.Window
+    val keptStage = rules.size + 1
+    val firstFail = rules.zipWithIndex.foldRight(lit(keptStage): Column) {
+      case (((_, pred), i), rest) => when(!coalesce(pred, lit(false)),
+        lit(i + 1)).otherwise(rest)
+    }
+    val counts = df.select(firstFail.cast("long").as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n"))
+    // rules that dropped nothing still get a funnel row: join the counts
+    // onto a rules-literal frame (bounded — rules+1 rows)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ruleRows = (rules.zipWithIndex.map { case ((name, _), i) =>
+      ((i + 1).toLong, name)
+    } :+ (keptStage.toLong, "kept")).toDF("stage", "rule")
+    // n_in(stage) = rows that survived every earlier rule = Σ_{j>=stage} n
+    val wTail = Window.orderBy(col("stage").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ruleRows.join(counts, Seq("stage"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("n_in", sum(col("n")).over(wTail))
+      .select(col("stage"), col("rule"), col("n_in"),
+        when(col("stage") === keptStage, lit(0L)).otherwise(col("n"))
+          .as("n_dropped"),
+        when(col("stage") === keptStage, col("n_in"))
+          .otherwise(col("n_in") - col("n")).as("n_out"))
+      .orderBy(col("stage"))
+  }
 }

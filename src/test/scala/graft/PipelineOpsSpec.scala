@@ -809,4 +809,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no rows"))
   }
+
+  test("filterFunnel: first-fail charging, zero-drop rules, null = fail") {
+    import spark.implicits._
+    // len: fails r1 (<2); cap: fails r2 (>4); null text: fails r1 via
+    // the null-is-fail coalesce; two keepers; one fails only r3
+    val docs = Seq(
+      (1L, "a"),            // r1
+      (2L, "abcdef"),       // r2
+      (3L, null: String),   // r1 (null predicate = fail)
+      (4L, "abc"),          // kept
+      (5L, "abcd"),         // kept
+      (6L, "xyz")           // r3 (no 'a')
+    ).toDF("id", "text")
+    val got = TextOps.filterFunnel(docs, Seq(
+        "min_len" -> (length($"text") >= 2),
+        "max_len" -> (length($"text") <= 4),
+        "has_a" -> $"text".contains("a"),
+        "never_drops" -> lit(true)))
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "min_len", 6L, 2L, 4L),
+      (2L, "max_len", 4L, 1L, 3L),
+      (3L, "has_a", 3L, 1L, 2L),
+      (4L, "never_drops", 2L, 0L, 2L),
+      (5L, "kept", 2L, 0L, 2L)), got.toString)
+    // funnel invariants: drops sum to total − kept; stage outputs chain
+    assert(got.map(_._4).sum == 6L - got.last._3)
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._5 == b._3, s"stage ${a._1} n_out != stage ${b._1} n_in")
+    }
+    // survivors equal chained .filter
+    val chained = docs.filter(length($"text") >= 2)
+      .filter(length($"text") <= 4).filter($"text".contains("a")).count()
+    assert(got.last._3 == chained)
+    intercept[IllegalArgumentException] { TextOps.filterFunnel(docs, Seq.empty) }
+    intercept[IllegalArgumentException] {
+      TextOps.filterFunnel(docs, Seq("r" -> lit(true), "r" -> lit(false)))
+    }
+  }
 }

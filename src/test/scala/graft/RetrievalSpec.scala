@@ -208,4 +208,51 @@ class RetrievalSpec extends AnyFunSuite {
       spark.catalog.clearCache() // the returned rescore frame's cache (caller-owned)
     }
   }
+
+  test("qlDirichlet: hand-computed scores, background mass, unseen-term drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b"),   // tf(a)=2, tf(b)=1, dl=3
+      (2L, "b c"),     // matches only c
+      (3L, "c c c"),   // matches only c, higher tf
+      (4L, "d d"),     // matches nothing -> not retrieved
+      (5L, "")         // dl=0 -> excluded
+    ).toDF("doc_id", "text")
+    val mu = 10L
+    def got(terms: Seq[String]): Seq[(Long, Long)] = {
+      val r = Retrieval.qlDirichletTopK(docs, "doc_id", "text", terms, mu, k = 10)
+        .as[(Long, Long)].collect().toSeq
+      spark.catalog.clearCache()
+      r
+    }
+    // clen = 3 + 2 + 3 + 2 + 0 = 10; cf(a)=2, cf(c)=4
+    def micro(tf: Long, cf: Long, dl: Long): Long =
+      math.round(math.log((tf.toDouble + (cf * mu).toDouble / 10.0) /
+        (dl + mu).toDouble) * 1e6)
+    val expected = Seq(
+      1L -> (micro(2, 2, 3) + micro(0, 4, 3)),  // a present, c background
+      2L -> (micro(0, 2, 2) + micro(1, 4, 2)),
+      3L -> (micro(0, 2, 3) + micro(3, 4, 3)))
+      .sortBy { case (id, s) => (-s, id) }
+    assert(got(Seq("a", "c")) == expected, got(Seq("a", "c")).toString)
+    // a term absent from the whole collection contributes 0 to every doc:
+    // adding it must not change scores or ranking
+    assert(got(Seq("a", "c", "zebra")) == expected)
+    // doc 4 (no query term) and doc 5 (dl = 0) never retrieved
+    assert(!got(Seq("a", "c")).exists(r => r._1 == 4L || r._1 == 5L))
+  }
+
+  test("qlDirichlet: guards — empty/duplicate terms, non-positive mu") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Retrieval.qlDirichletTopK(docs, "doc_id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.qlDirichletTopK(docs, "doc_id", "text", Seq("a", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.qlDirichletTopK(docs, "doc_id", "text", Seq("a"), mu = 0L)
+    }
+  }
 }
