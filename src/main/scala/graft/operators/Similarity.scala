@@ -672,4 +672,239 @@ object Similarity {
         expr("aggregate(zip_with(vq, wq, (a, b) -> a * b), " +
           "cast(0 as bigint), (acc, x) -> acc + x)").as("proj"))
   }
+
+  /** A trained product-quantization codebook: `cents(sub)(code)` is the
+    * centroid of subspace `sub` (each an Array of `subDim` quantized-long
+    * components). Driver-resident by design — m·k·subDim longs is
+    * bounded metadata (64 centroids × 16 dims here; even a production
+    * 16×256 book is 4k small arrays), the same contract as the s10 Gram
+    * matrix, and holding it as literals is what makes encode and ADC
+    * scoring pure map work with ZERO shuffles over the corpus. */
+  final case class PqModel(m: Int, subDim: Int, k: Int, quantScale: Long,
+      cents: Array[Array[Array[Long]]]) {
+    require(cents.length == m && cents.forall(_.length == k) &&
+      cents.forall(_.forall(_.length == subDim)), "malformed codebook")
+  }
+
+  /** Quantized-long projection shared by the PQ surfaces: float→double
+    * is exact, one double multiply + round — identical operands,
+    * identical longs in any engine (the s10 discipline). */
+  private def vqProjected(emb: DataFrame, idCol: String, embCol: String,
+      quantScale: Long): DataFrame =
+    emb.select(col(idCol).as("id"),
+      expr(s"transform($embCol, x -> " +
+        s"cast(round(cast(x as double) * $quantScale.0) as bigint))").as("vq"))
+
+  /** Exact integer squared-L2 between two quantized-long arrays. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Train a product-quantization codebook (Jégou, Douze & Schmid,
+    * TPAMI 2011): split the `d` dims into `m` subspaces of `d/m`, run
+    * `iters` Lloyd steps with `k` centroids per subspace, return the
+    * codebook. PQ is the ANN memory-scale path the int8 path (s06)
+    * cannot reach: codes are m bytes per vector (16–64× under float32),
+    * small enough that a 100 TB embedding corpus's codes fit hot.
+    *
+    * ENGINE-EXACT training: embeddings quantize to longs, distances are
+    * integer squared-L2 (order-free sums), assignment ties break to the
+    * smallest code, and centroid updates are `floor(sum/count)` on an
+    * exact double quotient of exact integers (floor-safe: the quotient
+    * can't land within one ulp of a wrong integer at these magnitudes)
+    * — so the codebook is bit-identical in any engine and any partition
+    * order. Seeds are the `k` lowest-id vectors' subvectors (no RNG).
+    * Empty cells keep their previous centroid (the
+    * [[ivfCentroidsTrained]] rule).
+    *
+    * Scale shape: per Lloyd step, ONE corpus pass — subvectors explode
+    * map-side (m rows per vector), assignment joins the BROADCAST m·k
+    * codebook, and the update is a (sub, code, pos)-grain map-combined
+    * sum: the exchange carries m·k·subDim rows regardless of corpus
+    * size. The corpus itself never shuffles. The returned model is
+    * driver metadata (see [[PqModel]]).
+    */
+  def pqTrain(emb: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding", m: Int = 4, k: Int = 8,
+      iters: Int = 1, quantScale: Long = 1000L): PqModel = {
+    require(m >= 1 && k >= 1 && iters >= 0, s"bad pq params m=$m k=$k")
+    val vq = vqProjected(emb, idCol, embCol, quantScale)
+    val d = vq.select(size(col("vq"))).head().getInt(0)
+    require(d % m == 0, s"m=$m must divide dim d=$d")
+    val subDim = d / m
+    val subSlices = array((0 until m).map(s =>
+      slice(col("vq"), s * subDim + 1, subDim)): _*)
+    val subs = vq
+      .select(col("id"), posexplode(subSlices).as(Seq("sub", "x")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      import org.apache.spark.sql.expressions.Window
+      val wSeed = Window.partitionBy(col("sub")).orderBy(col("id"))
+      var cents = subs
+        .withColumn("rn", row_number().over(wSeed))
+        .filter(col("rn") <= k)
+        .select(col("sub"), (col("rn") - 1).cast("int").as("code"),
+          col("x").as("c"))
+        .localCheckpoint(true)
+      require(cents.count() == m.toLong * k,
+        s"not enough vectors to seed $k centroids per subspace")
+      for (_ <- 1 to iters) {
+        val assigned = subs.join(broadcast(cents), Seq("sub"))
+          .withColumn("ld", sqDist(col("x"), col("c")))
+          .groupBy(col("id"), col("sub"))
+          .agg(min(struct(col("ld"), col("code"))).as("mc"),
+            first(col("x")).as("x"))
+          .select(col("sub"), col("mc.code").as("code"), col("x"))
+        val updated = assigned
+          .select(col("sub"), col("code"), posexplode(col("x")).as(Seq("pos", "v")))
+          .groupBy(col("sub"), col("code"), col("pos"))
+          .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+            .cast("long").as("mv"))
+          .groupBy(col("sub"), col("code"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+          .select(col("sub"), col("code"), col("pm.mv").as("newc"))
+        cents = cents.select(col("sub"), col("code"), col("c").as("oldc"))
+          .join(updated, Seq("sub", "code"), "left")
+          .select(col("sub"), col("code"),
+            coalesce(col("newc"), col("oldc")).as("c"))
+          .localCheckpoint(true)
+      }
+      val arr = Array.ofDim[Array[Long]](m, k)
+      cents.collect().foreach { r =>
+        arr(r.getInt(0))(r.getInt(1)) =
+          r.getSeq[Long](2).toArray
+      }
+      PqModel(m, subDim, k, quantScale, arr)
+    } finally subs.unpersist()
+  }
+
+  /** Argmin code of one subspace against the model's literal centroids
+    * — the first index achieving the minimum distance, so ties break to
+    * the smallest code exactly like training's assignment. */
+  private def codeExpr(model: PqModel, sub: Int, x: Column): Column = {
+    val dists = array(model.cents(sub).map(c =>
+      sqDist(x, array(c.map(lit): _*))): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Encode every vector as its `m` nearest-centroid codes — the
+    * compressed representation a 100 TB corpus stores instead of floats.
+    * PURE MAP WORK: the codebook rides as literal arrays inside the
+    * projection (bounded driver metadata, see [[PqModel]]), so there is
+    * no join, no shuffle, and no second corpus pass — the one scan
+    * streams through whole-stage codegen. @return (id, codes). */
+  def pqEncode(emb: DataFrame, idCol: String, embCol: String,
+      model: PqModel): DataFrame = {
+    val vq = vqProjected(emb, idCol, embCol, model.quantScale)
+    val codes = array((0 until model.m).map { s =>
+      codeExpr(model, s, slice(col("vq"), s * model.subDim + 1, model.subDim))
+    }: _*)
+    vq.select(col("id"), codes.as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k: the query stays UNQUANTIZED-by-PQ
+    * (exact subvectors), each corpus vector is scored through its codes
+    * via the per-subspace lookup table `dist(q_sub, cent[sub][code])` —
+    * the Jégou et al. serving equation. The m·k table computes on the
+    * driver from the model + query (exact longs); scoring is then one
+    * map pass over the codes and the top-k a TakeOrderedAndProject —
+    * zero shuffles, and at scale it reads ONLY the m-byte codes column,
+    * never the float embeddings. Ties break by id.
+    * @return (id, adc) — integer squared-L2 estimate, ascending. */
+  def pqTopKAdc(emb: DataFrame, idCol: String, embCol: String,
+      model: PqModel, query: Seq[Double], kNN: Int = 10): DataFrame = {
+    require(query.length == model.m * model.subDim,
+      s"query dim ${query.length} != ${model.m * model.subDim}")
+    val qq = query.map(x => math.round(x * model.quantScale)).toArray
+    val table = Array.tabulate(model.m, model.k) { (s, c) =>
+      val cent = model.cents(s)(c)
+      var acc = 0L
+      var i = 0
+      while (i < model.subDim) {
+        val dd = qq(s * model.subDim + i) - cent(i)
+        acc += dd * dd
+        i += 1
+      }
+      acc
+    }
+    val codes = pqEncode(emb, idCol, embCol, model)
+    val adc = (0 until model.m).map { s =>
+      element_at(array(table(s).map(lit): _*),
+        element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    codes.select(col("id"), adc.as("adc"))
+      .orderBy(col("adc"), col("id"))
+      .limit(kNN)
+  }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
+    * — the diversity selector between retrieval and a context window:
+    * from the `poolSize` most query-relevant vectors, greedily pick `k`
+    * maximizing `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` (the first pick
+    * is pure relevance, the standard base case). Relevance and
+    * inter-candidate similarity are exact integer dot products of
+    * quantized-long vectors, λ rides in micro units
+    * (`score = λµ·rel − (1e6−λµ)·maxSim`, exact long arithmetic), and
+    * ties break by id — the selection is deterministic in any engine.
+    *
+    * Scale shape: relevance is ONE map pass over the corpus (query as a
+    * literal array) into a TakeOrderedAndProject pool — the only
+    * corpus-grain work. The greedy loop then runs k rounds over the
+    * materialized ≤poolSize-row pool: each round is a map scoring pass
+    * (selected vectors as literals — bounded driver metadata) and a
+    * 1-row argmax collect, the BPE-argmax contract. Corpus cost is
+    * independent of k.
+    *
+    * @return (rank, id, rel) — rank 1-based in selection order.
+    */
+  def mmrTopK(emb: DataFrame, idCol: String, embCol: String,
+      query: Seq[Double], poolSize: Int = 20, k: Int = 5,
+      lambdaMicro: Long = 500000L, quantScale: Long = 1000L): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need poolSize >= k >= 1: $poolSize, $k")
+    require(poolSize <= 1024, s"pool is driver-bounded metadata; $poolSize")
+    require(lambdaMicro >= 0 && lambdaMicro <= 1000000L,
+      s"lambdaMicro out of [0, 1e6]: $lambdaMicro")
+    val spark = emb.sparkSession
+    val vq = vqProjected(emb, idCol, embCol, quantScale)
+    val qq = query.map(x => math.round(x * quantScale))
+    val qLit = array(qq.map(lit): _*)
+    val dotQ = aggregate(zip_with(col("vq"), qLit, (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val pool = vq.select(col("id"), col("vq"), dotQ.as("rel"))
+      .orderBy(col("rel").desc, col("id"))
+      .limit(poolSize)
+      .localCheckpoint(true) // ≤ poolSize rows; k rounds re-read it
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[Long], Long)] // (rank-ordered: id, vq, rel)
+    for (_ <- 1 to k) {
+      val notPicked = selected.map(_._1).foldLeft(lit(true): Column) {
+        (acc, id) => acc && col("id") =!= lit(id)
+      }
+      val sims = selected.map { case (_, sv, _) =>
+        aggregate(zip_with(col("vq"), array(sv.map(lit): _*),
+          (a, b) => a * b), lit(0L), (acc, v) => acc + v)
+      }.toSeq
+      // functions.greatest demands >= 2 args; round 2 has one selected
+      val maxSim = sims match {
+        case Seq() => lit(0L)
+        case Seq(one) => one
+        case many => greatest(many: _*)
+      }
+      val score =
+        if (selected.isEmpty) lit(lambdaMicro) * col("rel") // pure relevance
+        else lit(lambdaMicro) * col("rel") -
+          lit(1000000L - lambdaMicro) * maxSim
+      val next = pool.filter(notPicked)
+        .select(col("id"), col("vq"), col("rel"), score.as("s"))
+        .orderBy(col("s").desc, col("id"))
+        .limit(1).collect()
+      require(next.nonEmpty, "pool exhausted before k picks (pool too small)")
+      val r = next.head
+      selected += ((r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    }
+    import spark.implicits._
+    selected.zipWithIndex.map { case ((id, _, rel), i) =>
+      ((i + 1).toLong, id, rel)
+    }.toSeq.toDF("rank", "id", "rel")
+  }
 }

@@ -874,6 +874,124 @@ object PipelineQueries {
              |  round(list_max(norm), 4) AS nmax
              |FROM nm ORDER BY vec_id""".stripMargin)),
 
+    // Product quantization (s12): train a 4-subspace × 4-code book (one
+    // integer-exact Lloyd step from lowest-id seeds), encode the corpus
+    // as 4 codes/vector, and serve a query by ADC lookup — the 16-64×
+    // memory-compression ANN path next to s06's int8. Everything is
+    // exact long arithmetic (quantized inputs, integer squared-L2,
+    // floor(sum/cnt) centroid updates), so the codebook, codes, and ADC
+    // distances are bit-identical in DuckDB's replay. Encode+score is a
+    // pure map pass (codebook as literals) + TakeOrderedAndProject.
+    Q("s12_pq_adc",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val model = graft.operators.Similarity.pqTrain(
+          emb, "vec_id", "embedding", m = 4, k = 4, iters = 1)
+        val query = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        graft.operators.Similarity
+          .pqTopKAdc(emb, "vec_id", "embedding", model, query, kNN = 10)
+          .select(col("id").as("vec_id"), col("adc"))
+      },
+      Some("""WITH vq AS (
+             |  SELECT vec_id AS id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS vq
+             |  FROM embeddings),
+             |sp AS (SELECT unnest(range(4)) AS sub),
+             |subs AS (
+             |  SELECT id, sp.sub, vq[sp.sub*16+1 : sp.sub*16+16] AS x
+             |  FROM vq, sp),
+             |seeds AS (
+             |  SELECT sub, CAST(rn - 1 AS INT) AS code, x AS c FROM (
+             |    SELECT sub, x,
+             |      row_number() OVER (PARTITION BY sub ORDER BY id) AS rn
+             |    FROM subs) WHERE rn <= 4),
+             |a1 AS (
+             |  SELECT id, sub, x, code, row_number() OVER (
+             |      PARTITION BY id, sub ORDER BY ld, code) AS rn
+             |  FROM (SELECT s.id, s.sub, s.x, c.code,
+             |      CAST(list_sum(list_transform(range(1, 17),
+             |        i -> (s.x[i] - c.c[i]) * (s.x[i] - c.c[i]))) AS BIGINT) AS ld
+             |    FROM subs s JOIN seeds c USING (sub))),
+             |asg AS (SELECT id, sub, x, code FROM a1 WHERE rn = 1),
+             |upd AS (
+             |  SELECT sub, code, i.i AS pos,
+             |    CAST(floor(CAST(sum(x[i.i + 1]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+             |  FROM asg, (SELECT unnest(range(16)) AS i) i
+             |  GROUP BY sub, code, i.i),
+             |c1 AS (SELECT sub, code, list(mv ORDER BY pos) AS c
+             |  FROM upd GROUP BY sub, code),
+             |cents AS (
+             |  SELECT s.sub, s.code, coalesce(c1.c, s.c) AS c
+             |  FROM seeds s LEFT JOIN c1 ON s.sub = c1.sub AND s.code = c1.code),
+             |enc AS (
+             |  SELECT id, sub, code FROM (
+             |    SELECT s.id, s.sub, c.code, row_number() OVER (
+             |        PARTITION BY s.id, s.sub ORDER BY
+             |        CAST(list_sum(list_transform(range(1, 17),
+             |          i -> (s.x[i] - c.c[i]) * (s.x[i] - c.c[i]))) AS BIGINT),
+             |        c.code) AS rn
+             |    FROM subs s JOIN cents c USING (sub)) WHERE rn = 1),
+             |qsubs AS (
+             |  SELECT sp.sub, q.vq[sp.sub*16+1 : sp.sub*16+16] AS qx
+             |  FROM (SELECT vq FROM vq WHERE id = 0) q, sp),
+             |tab AS (
+             |  SELECT c.sub, c.code,
+             |    CAST(list_sum(list_transform(range(1, 17),
+             |      i -> (qs.qx[i] - c.c[i]) * (qs.qx[i] - c.c[i]))) AS BIGINT) AS dist
+             |  FROM cents c JOIN qsubs qs USING (sub))
+             |SELECT e.id AS vec_id, CAST(sum(t.dist) AS BIGINT) AS adc
+             |FROM enc e JOIN tab t ON e.sub = t.sub AND e.code = t.code
+             |GROUP BY e.id
+             |ORDER BY adc, vec_id LIMIT 10""".stripMargin)),
+
+    // Maximal-marginal-relevance selection (s13): greedy diversity
+    // re-ranking over the top-8 relevance pool, 3 picks at λ=0.5 — the
+    // between-retrieval-and-context-window selector. Integer dot
+    // products + micro-unit λ make every argmax an exact integer sort;
+    // the oracle unrolls the three greedy rounds as CTEs.
+    Q("s13_mmr_select",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val query = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        graft.operators.Similarity.mmrTopK(emb, "vec_id", "embedding",
+            query, poolSize = 8, k = 3)
+          .select(col("rank"), col("id").as("vec_id"), col("rel"))
+      },
+      Some("""WITH vq AS (
+             |  SELECT vec_id AS id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS vq
+             |  FROM embeddings),
+             |q AS (SELECT vq AS qv FROM vq WHERE id = 0),
+             |rel AS (
+             |  SELECT id, vq, CAST(list_sum(list_transform(range(1, 65),
+             |    j -> vq[j] * qv[j])) AS BIGINT) AS rel
+             |  FROM vq, q),
+             |pool AS (SELECT * FROM rel ORDER BY rel DESC, id LIMIT 8),
+             |s1 AS (SELECT id, vq, rel FROM pool ORDER BY rel DESC, id LIMIT 1),
+             |c2 AS (
+             |  SELECT p.id, p.vq, p.rel, CAST(list_sum(list_transform(
+             |    range(1, 65), j -> p.vq[j] * s.vq[j])) AS BIGINT) AS ms
+             |  FROM pool p, s1 s WHERE p.id <> s.id),
+             |s2 AS (SELECT id, vq, rel FROM c2
+             |  ORDER BY 500000 * rel - 500000 * ms DESC, id LIMIT 1),
+             |c3 AS (
+             |  SELECT p.id, p.vq, p.rel, greatest(
+             |    CAST(list_sum(list_transform(range(1, 65),
+             |      j -> p.vq[j] * a.vq[j])) AS BIGINT),
+             |    CAST(list_sum(list_transform(range(1, 65),
+             |      j -> p.vq[j] * b.vq[j])) AS BIGINT)) AS ms
+             |  FROM pool p, s1 a, s2 b WHERE p.id <> a.id AND p.id <> b.id),
+             |s3 AS (SELECT id, vq, rel FROM c3
+             |  ORDER BY 500000 * rel - 500000 * ms DESC, id LIMIT 1)
+             |SELECT CAST(1 AS BIGINT) AS rank, id AS vec_id, rel FROM s1
+             |UNION ALL SELECT 2, id, rel FROM s2
+             |UNION ALL SELECT 3, id, rel FROM s3
+             |ORDER BY rank""".stripMargin)),
+
     // End-to-end training-data prep: quality gate -> exact-dedup
     // canonical selection -> temperature domain mixing -> per-language
     // corpus stats. One composed job — the full operator-family chain a

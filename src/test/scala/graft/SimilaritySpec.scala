@@ -275,4 +275,80 @@ class SimilaritySpec extends AnyFunSuite {
     assert(projs == Seq(8000000000L),
       s"overflowed or non-uniform projections: $projs")
   }
+
+  test("pq: codes are true argmins, ADC matches hand lookup, training deterministic") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f, 8.0f, 8.0f)),
+      (1L, Array(0.002f, 0.002f, 8.002f, 8.002f)),
+      (2L, Array(8.0f, 8.0f, 0.0f, 0.0f)),
+      (3L, Array(8.002f, 8.002f, 0.002f, 0.002f)),
+      (4L, Array(4.0f, 4.0f, 4.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val m1 = Similarity.pqTrain(emb, "vec_id", "embedding", m = 2, k = 2,
+      iters = 1)
+    val m2 = Similarity.pqTrain(emb, "vec_id", "embedding", m = 2, k = 2,
+      iters = 1)
+    assert(m1.cents.flatten.map(_.toSeq).toSeq ==
+      m2.cents.flatten.map(_.toSeq).toSeq, "training not deterministic")
+    assert(m1.m == 2 && m1.subDim == 2 && m1.k == 2)
+    // every emitted code is the argmin centroid (ties -> smaller code),
+    // recomputed independently in Scala from the model + raw vectors
+    val raw = emb.as[(Long, Array[Float])].collect().toMap
+    def vq(id: Long): Array[Long] =
+      raw(id).map(x => math.round(x.toDouble * 1000))
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", m1)
+      .as[(Long, Array[Int])].collect().toMap
+    for ((id, cs) <- codes; s <- 0 until 2) {
+      val sub = vq(id).slice(s * 2, s * 2 + 2)
+      val dists = m1.cents(s).map(c => sq(sub, c))
+      assert(dists(cs(s)) == dists.min &&
+        !dists.take(cs(s)).contains(dists.min),
+        s"id=$id sub=$s code=${cs(s)} not the first argmin of ${dists.toSeq}")
+    }
+    // ADC equals the hand-computed table lookup for every vector
+    val query = Seq(0.0, 0.0, 8.0, 8.0)
+    val qq = query.map(x => math.round(x * 1000)).toArray
+    val got = Similarity.pqTopKAdc(emb, "vec_id", "embedding", m1, query,
+      kNN = 5).as[(Long, Long)].collect().toSeq
+    val expect = codes.map { case (id, cs) =>
+      id -> (0 until 2).map(s =>
+        sq(qq.slice(s * 2, s * 2 + 2), m1.cents(s)(cs(s)))).sum
+    }.toSeq.sortBy { case (id, d) => (d, id) }
+    assert(got == expect, s"got=$got expect=$expect")
+    // m must divide the dimension
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(emb, "vec_id", "embedding", m = 3, k = 2)
+    }
+    Caches.sweep(spark)
+  }
+
+  test("mmr: near-duplicate loses to the diverse pick; λ=1 is pure relevance") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),    // a: top relevance
+      (2L, Array(0.999f, 0.001f, 0.0f, 0.0f)), // b: near-dup of a
+      (3L, Array(0.6f, 0.6f, 0.0f, 0.0f))      // c: diverse
+    ).toDF("vec_id", "embedding")
+    val q = Seq(0.9, 0.1, 0.0, 0.0)
+    def picks(lambdaMicro: Long): Seq[Long] =
+      Similarity.mmrTopK(emb, "vec_id", "embedding", q, poolSize = 3,
+        k = 3, lambdaMicro = lambdaMicro)
+        .orderBy($"rank").select($"id").as[Long].collect().toSeq
+    // λ=0.5: a first (pure rel), then the near-dup b is penalized by its
+    // a-similarity and the diverse c wins round 2
+    assert(picks(500000L) == Seq(1L, 3L, 2L))
+    // λ=1 (micro 1e6): the similarity term vanishes -> relevance order
+    assert(picks(1000000L) == Seq(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(emb, "vec_id", "embedding", q, poolSize = 2, k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(emb, "vec_id", "embedding", q, poolSize = 3, k = 1,
+        lambdaMicro = 2000000L)
+    }
+    Caches.sweep(spark)
+  }
 }
