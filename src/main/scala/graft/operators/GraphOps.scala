@@ -688,4 +688,140 @@ object GraphOps {
         rungs, peelRounds)
     } catch { case e: Throwable => loop.abort(); throw e }
   }
+
+  /** Outcome of an [[sccRun]]: (id, scc_id) labels for every node
+    * incident to a non-loop edge, whether every node got labeled within
+    * the round budget (the [[KCoreRun]] honesty contract), and the
+    * outer FW-BW rounds spent. `scc_id` is the MAX member id of the
+    * component (the coloring root — see [[sccRun]]). */
+  final case class SccRun(labels: DataFrame, converged: Boolean,
+      rounds: Int)
+
+  /** Strongly connected components of a DIRECTED edge set — [[sccRun]]
+    * without the accounting; logs a warning when the round budget ran
+    * out (unlabeled nodes are then ABSENT from the result, never
+    * mislabeled). */
+  def scc(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 30): DataFrame = {
+    val run = sccRun(edges, srcCol, dstCol, maxRounds)
+    if (!run.converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"scc hit maxRounds=$maxRounds with nodes still unlabeled — " +
+          "those nodes are omitted from the result. Raise maxRounds or " +
+          "use sccRun to act on the convergence signal.")
+    run.labels
+  }
+
+  /** Strongly connected components by iterative forward-coloring +
+    * backward confirmation (the distributed coloring algorithm, Orzan
+    * 2004 / the FW-BW family — Tarjan's stack walk does not
+    * distribute). Per outer round, over the still-unlabeled subgraph:
+    *
+    *  1. FORWARD: every node starts colored with its own id; colors
+    *     propagate along edge direction (`color(v) ← max(color(v),
+    *     max_{u→v} color(u))`) to a fixed point, after which
+    *     `color(v)` = the max id that can reach v. A root (`color(r) =
+    *     r`) is the max id of its SCC: no higher id reaches it, and
+    *     everything it reaches mutually with shares its color.
+    *  2. BACKWARD: from the roots, walk edges BACKWARD but only within
+    *     one color (`v` joins when some edge v→w has w marked and
+    *     color(v) = color(w)) to a fixed point. Marked nodes are
+    *     exactly the roots' SCCs (v marked ⟺ color(v) = r ∧ v reaches
+    *     r ⟺ r ↔ v; same-color pruning is lossless because every node
+    *     on a v→r path is itself reached by r and reaches r, so it has
+    *     color r too).
+    *  3. Labeled nodes leave; edges touching them drop; repeat.
+    *
+    * Every round removes at least the max-id node's SCC (the global max
+    * is always a root), and typically MANY components — all roots
+    * resolve per round. The adversarial case is a chain with ids
+    * decreasing along edges (one SCC per round) — hence the honest
+    * `maxRounds` + converged contract instead of a silent cap.
+    *
+    * Scale shape ([[IterativeLoop]], nested): the canonical edge set is
+    * pinned ONCE; each outer round pins its remaining-subgraph edge
+    * view and runs the two inner fixed points as node-grain advance
+    * chains — each sweep is one edge⋈state join + one dst- (resp.
+    * src-) grain aggregate/distinct, the PageRank sparse-matvec shape;
+    * state never exceeds node grain, block storage is O(1) in sweep
+    * count, and each round's label layer leaves the loop as a
+    * self-contained checkpoint. Convergence tests ride the advance
+    * counts plus one cached-block aggregate per forward sweep.
+    */
+  def sccRun(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 30): SccRun = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val outer = new IterativeLoop()
+    try {
+      val e0 = outer.pin(edges
+        .select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
+      var (rem, nRem) = outer.advanceCounted(
+        e0.select(explode(array(col("src"), col("dst"))).as("id")).distinct())
+      var layers = List.empty[DataFrame]
+      var rounds = 0
+      while (nRem > 0 && rounds < maxRounds) {
+        val inner = new IterativeLoop()
+        val layer =
+          try {
+            val eR = inner.pin(e0
+              .join(rem.select(col("id").as("src")), Seq("src"), "left_semi")
+              .join(rem.select(col("id").as("dst")), Seq("dst"), "left_semi")
+              .select(col("src"), col("dst")))
+            // 1. forward max-color propagation to fixed point
+            var colors = inner.advance(
+              rem.select(col("id"), col("id").as("color")))
+            var changed = 1L
+            while (changed > 0) {
+              val cand = eR
+                .join(colors.select(col("id").as("src"),
+                  col("color").as("cs")), Seq("src"))
+                .groupBy(col("dst")).agg(max(col("cs")).as("cin"))
+                .withColumnRenamed("dst", "id")
+              colors = inner.advance(colors
+                .join(cand, Seq("id"), "left")
+                .select(col("id"),
+                  greatest(col("color"),
+                    coalesce(col("cin"), col("color"))).as("color"),
+                  (coalesce(col("cin"), lit(Long.MinValue)) > col("color"))
+                    .cast("long").as("chg")))
+              changed = colors.agg(coalesce(sum(col("chg")), lit(0L)))
+                .head().getLong(0)
+            }
+            val (colorsK, _) =
+              inner.keep(colors.select(col("id"), col("color")))
+            // 2. backward same-color confirmation from the roots
+            var (marked, nM) = inner.advanceCounted(
+              colorsK.filter(col("id") === col("color")))
+            var grown = true
+            while (grown) {
+              val cand = eR
+                .join(marked.select(col("id").as("dst"),
+                  col("color").as("mc")), Seq("dst"))
+                .select(col("src").as("id"), col("mc").as("color"))
+                .distinct()
+                .join(colorsK, Seq("id", "color"), "left_semi")
+              val (m2, n2) = inner.advanceCounted(
+                marked.unionByName(cand).distinct())
+              grown = n2 > nM
+              marked = m2; nM = n2
+            }
+            inner.finish(marked.select(col("id"), col("color").as("scc_id")))
+          } catch { case t: Throwable => inner.abort(); throw t }
+        outer.pinCheckpoint(layer)
+        layers ::= layer
+        val (rem2, n2) = outer.advanceCounted(
+          rem.join(layer, Seq("id"), "left_anti").select(col("id")))
+        rem = rem2; nRem = n2
+        rounds += 1
+      }
+      val labels = layers match {
+        case Nil => rem.select(col("id"), col("id").as("scc_id")).limit(0)
+        case ls => ls.reduce(_ unionByName _)
+      }
+      SccRun(outer.finish(labels), nRem == 0, rounds)
+    } catch { case e: Throwable => outer.abort(); throw e }
+  }
 }

@@ -248,6 +248,46 @@ object Extra6Queries {
              |  CAST(levenshtein(a.lead, b.lead) AS BIGINT) AS dist
              |FROM d a JOIN d b ON a.doc_id < b.doc_id
              |WHERE levenshtein(a.lead, b.lead) <= 2
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- Strongly connected components (q129): FW-BW coloring over a
+    //      deterministic functional digraph on the customer key space
+    //      (two arithmetic out-edges per residue node — functional
+    //      graphs are cycle-rich, so multi-node SCCs exist at every SF).
+    //      scc_id = max member id (the coloring root). The oracle
+    //      computes ground truth from first principles: a recursive-CTE
+    //      transitive closure, mutual-reachability pairs, and max() per
+    //      node — no step of the iterative algorithm leaks into it. ----
+    Q("q129_scc",
+      (s, dir) => {
+        import s.implicits._
+        val nodes = Tables(s, dir, "customer")
+          .select(($"c_custkey" % 120).cast("long").as("id")).distinct()
+        val edges = nodes.select(explode(array(
+            struct($"id".as("src"), (($"id" * 3 + 7) % 120).as("dst")),
+            struct($"id".as("src"), (($"id" * $"id" + 1) % 120).as("dst"))))
+            .as("e"))
+          .select($"e.src".as("src"), $"e.dst".as("dst"))
+        GraphOps.scc(edges, "src", "dst").orderBy($"id")
+      },
+      Some("""WITH RECURSIVE nodes AS (
+             |  SELECT DISTINCT c_custkey % 120 AS id FROM customer),
+             |e0 AS (
+             |  SELECT id AS src, (id * 3 + 7) % 120 AS dst FROM nodes
+             |  UNION
+             |  SELECT id, (id * id + 1) % 120 FROM nodes),
+             |e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+             |vs AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+             |reach AS (
+             |  SELECT src, dst FROM e
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+             |mutual AS (
+             |  SELECT r1.src AS a, r1.dst AS b
+             |  FROM reach r1 JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src)
+             |SELECT CAST(v.id AS BIGINT) AS id,
+             |  CAST(greatest(v.id, coalesce(max(m.b), v.id)) AS BIGINT) AS scc_id
+             |FROM vs v LEFT JOIN mutual m ON m.a = v.id
+             |GROUP BY v.id ORDER BY id""".stripMargin))
   )
 }

@@ -282,4 +282,50 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), core.toString)
     spark.catalog.clearCache()
   }
+
+  test("scc: cycles group, bridges separate, scc_id is the max member") {
+    // 2-cycle {1,2} -> 3-cycle {3,4,5} -> singleton 6; plus an isolated
+    // 2-cycle {10,11} and a self-loop on 7 feeding 6 (self-loop drops,
+    // 7 stays a singleton)
+    val edges = Seq(
+      (1L, 2L), (2L, 1L),
+      (2L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 3L),
+      (5L, 6L),
+      (10L, 11L), (11L, 10L),
+      (7L, 7L), (7L, 6L)).toDF("src", "dst")
+    val run = GraphOps.sccRun(edges, "src", "dst")
+    val got = run.labels.as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 5L, 4L -> 5L, 5L -> 5L,
+      6L -> 6L, 7L -> 7L, 10L -> 11L, 11L -> 11L), got.toString)
+    assert(run.converged, "budget sufficed but converged=false")
+    // zero-residue contract: only the result's own checkpoint survives
+    val own = org.apache.spark.sql.graftbridge.Bridge
+      .checkpointRdds(run.labels).map(_.id).toSet
+    val held = spark.sparkContext.getPersistentRDDs.keySet.toSet -- own
+    assert(held.isEmpty, s"sccRun held non-result blocks: $held")
+    spark.catalog.clearCache()
+    Caches.sweep(spark)
+  }
+
+  test("sccRun: decreasing-id chain needs one round per SCC; cap is honest") {
+    // ids decrease along edges: forward coloring floods everything with
+    // the source's id, so only ONE root resolves per round — the
+    // adversarial case the converged flag exists for
+    val chain = Seq((4L, 3L), (3L, 2L), (2L, 1L)).toDF("src", "dst")
+    val full = GraphOps.sccRun(chain, "src", "dst")
+    assert(full.converged && full.rounds == 4, s"${full.rounds}")
+    assert(full.labels.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    val capped = GraphOps.sccRun(chain, "src", "dst", maxRounds = 2)
+    assert(!capped.converged && capped.rounds == 2)
+    // capped run labels only the resolved SCCs (4, then 3) — the
+    // unlabeled remainder is ABSENT, never mislabeled
+    assert(capped.labels.as[(Long, Long)].collect().toMap ==
+      Map(4L -> 4L, 3L -> 3L))
+    intercept[IllegalArgumentException] {
+      GraphOps.sccRun(chain, "src", "dst", maxRounds = 0)
+    }
+    Caches.sweep(spark)
+  }
 }
