@@ -873,6 +873,72 @@ object TextOps {
       round((syd / 1e6 - slope * (sxd / 1e6)) / kd, 4).as("intercept"))
   }
 
+  /** WordPiece segmentation (Wu et al. 2016; the BERT tokenizer's
+    * serving algorithm): greedy LONGEST-MATCH-FIRST over a fixed
+    * vocabulary — at each position take the longest vocabulary piece
+    * (continuation positions match the `##`-prefixed entries), and a
+    * word with no match at some position (or longer than `maxWordLen`
+    * characters) becomes one `unk` token, whole. Completes the
+    * tokenizer trio next to BPE (t28/t30) and unigram-LM (t32/t33):
+    * BPE/unigram TRAIN here; WordPiece is the apply path for the
+    * published vocabularies most models actually ship.
+    *
+    * Scale shape (the bpeSegment contract): segmentation runs at WORD
+    * HISTOGRAM grain — one corpus-grain token count, then the greedy
+    * fold evaluates once per DISTINCT word. The vocabulary rides as a
+    * broadcast map literal (driver-bounded metadata, like the BPE merge
+    * table), so the fold is pure per-row work: a `sequence(1,
+    * maxWordLen)` aggregate whose each step tries the ≤maxPieceLen
+    * candidate lengths longest-first against the vocab map. No join,
+    * no shuffle past the histogram.
+    *
+    * @return (word, pieces, cnt) — one row per distinct word.
+    */
+  def wordpieceSegment(docs: DataFrame, textCol: String,
+      vocab: Seq[String], maxWordLen: Int = 100,
+      unk: String = "[UNK]"): DataFrame = {
+    require(vocab.nonEmpty, "empty vocabulary")
+    require(vocab.distinct.size == vocab.size,
+      s"duplicate vocabulary entries")
+    require(vocab.forall(v => v.nonEmpty && v != "##"),
+      "vocabulary entries must be non-empty pieces")
+    require(maxWordLen >= 1, s"maxWordLen must be >= 1: $maxWordLen")
+    val maxPiece = vocab
+      .map(v => if (v.startsWith("##")) v.length - 2 else v.length).max
+    val mp = typedlit(vocab.map(_ -> true).toMap)
+    val words = docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val w = col("word")
+    val init = struct(lit(1).as("pos"),
+      array().cast("array<string>").as("parts"), lit(false).as("bad"))
+    val folded = aggregate(sequence(lit(1), lit(maxWordLen)), init,
+      (st, _) => {
+        val pos = st.getField("pos")
+        val parts = st.getField("parts")
+        val bad = st.getField("bad")
+        // longest-first candidate chain: the first vocab hit wins
+        val cands = (maxPiece to 1 by -1).map { l =>
+          val sub = w.substr(pos, lit(l))
+          val piece = when(pos === 1, sub).otherwise(concat(lit("##"), sub))
+          when(length(sub) === l && map_contains_key(mp, piece), piece)
+            .otherwise(lit(null).cast("string"))
+        }
+        val best = coalesce(cands: _*)
+        val bLen = when(substring(best, 1, 2) === "##", length(best) - 2)
+          .otherwise(length(best))
+        when(bad || pos > length(w), st)
+          .otherwise(when(best.isNull,
+            struct((length(w) + 1).as("pos"),
+              array(lit(unk)).as("parts"), lit(true).as("bad")))
+            .otherwise(struct((pos + bLen).as("pos"),
+              concat(parts, array(best)).as("parts"), bad.as("bad"))))
+      })
+    words.select(col("word"),
+      when(length(w) > maxWordLen, array(lit(unk)))
+        .otherwise(folded.getField("parts")).as("pieces"),
+      col("cnt"))
+  }
+
   /** Filter-funnel audit: run an ORDERED chain of keep-predicates over a
     * corpus and report, per rule, how many rows entered it, how many it
     * dropped, and how many it passed on — the pipeline-observability

@@ -9,7 +9,75 @@ import org.apache.spark.sql.functions._
   */
 object Text3Queries {
 
+  /** The t42 serving vocabulary, shared verbatim by the Spark gate and
+    * the oracle's VALUES list: single characters (minus `q`, so `query`
+    * exercises the whole-word [UNK] path), a handful of word/prefix
+    * pieces, and `##` continuations including multi-char suffixes that
+    * the greedy matcher must prefer over the single-char fallbacks. */
+  private val WpVocab: Seq[String] = {
+    val singles = "abcdefghijklmnoprstuvwy".map(_.toString)
+    val multi = Seq("join", "scan", "table", "row", "ha", "me", "val",
+      "sl", "fa", "the", "sm", "cus", "col", "fil")
+    val cont = singles.map("##" + _) ++ Seq("##sh", "##ch", "##rge",
+      "##ue", "##ow", "##st", "##mall", "##tomer", "##umn", "##ter")
+    singles ++ multi ++ cont
+  }
+
   def all: Seq[Q] = Seq(
+
+    // ---- WordPiece segmentation (t42): the BERT serving tokenizer —
+    //      greedy longest-match-first under a fixed vocabulary, `##`
+    //      continuations, whole-word [UNK] on a dead end. Histogram
+    //      grain (one token count, then a per-distinct-word fold with
+    //      the vocab as a broadcast map literal). The oracle replays
+    //      the greedy walk as a recursive CTE whose longest-match step
+    //      is an ORDER BY len DESC LIMIT 1 against the same VALUES
+    //      vocabulary — same algorithm, independent mechanics. ----
+    Q("t42_wordpiece",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        TextOps.wordpieceSegment(docs, "text", WpVocab)
+          .select(col("word"), concat_ws(" ", col("pieces")).as("seg"),
+            col("cnt"))
+          .orderBy(col("word"))
+      },
+      Some(s"""WITH RECURSIVE vocab(piece) AS (VALUES ${
+               WpVocab.map(v => s"('$v')").mkString(", ")}),
+             |v AS (SELECT piece,
+             |   CASE WHEN starts_with(piece, '##') THEN substr(piece, 3)
+             |        ELSE piece END AS raw,
+             |   starts_with(piece, '##') AS cont,
+             |   length(CASE WHEN starts_with(piece, '##') THEN substr(piece, 3)
+             |               ELSE piece END) AS len
+             | FROM vocab),
+             |words AS (SELECT word, count(*) AS cnt FROM (
+             |  SELECT unnest(list_filter(string_split(text, ' '),
+             |    x -> x <> '')) AS word FROM documents) GROUP BY word),
+             |step AS (
+             |  SELECT word, cnt, 1 AS pos, CAST([] AS VARCHAR[]) AS parts,
+             |    false AS bad, false AS done
+             |  FROM words WHERE length(word) <= 100
+             |  UNION ALL
+             |  SELECT word, cnt,
+             |    CASE WHEN best IS NULL THEN length(word) + 1
+             |         ELSE pos + blen END AS pos,
+             |    CASE WHEN best IS NULL THEN ['[UNK]']
+             |         ELSE list_append(parts, best) END AS parts,
+             |    best IS NULL AS bad,
+             |    CASE WHEN best IS NULL THEN true
+             |         ELSE pos + blen > length(word) END AS done
+             |  FROM (
+             |    SELECT s.word, s.cnt, s.pos, s.parts,
+             |      (SELECT piece FROM v WHERE v.cont = (s.pos > 1)
+             |         AND v.raw = substr(s.word, s.pos, v.len)
+             |       ORDER BY v.len DESC LIMIT 1) AS best,
+             |      (SELECT len FROM v WHERE v.cont = (s.pos > 1)
+             |         AND v.raw = substr(s.word, s.pos, v.len)
+             |       ORDER BY v.len DESC LIMIT 1) AS blen
+             |    FROM step s WHERE NOT s.done))
+             |SELECT word, array_to_string(parts, ' ') AS seg,
+             |  CAST(cnt AS BIGINT) AS cnt
+             |FROM step WHERE done ORDER BY word""".stripMargin)),
 
     // ---- Query-likelihood retrieval with Dirichlet smoothing (t43):
     //      the LM scorer next to BM25 (t22) — docs matching >= 1 query

@@ -810,6 +810,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no rows"))
   }
 
+  test("wordpieceSegment: greedy longest match, continuations, UNK, caps") {
+    import spark.implicits._
+    val docs = Seq(
+      Tuple1("unaffable unaffable abc abd a " + "x" * 101)
+    ).toDF("text")
+    val vocab = Seq("un", "##aff", "##able", "a", "ab", "abc", "##b",
+      "##c", "x", "##x")
+    val got = TextOps.wordpieceSegment(docs, "text", vocab)
+      .as[(String, Seq[String], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // the BERT-paper example: un + ##aff + ##able, counted twice
+    assert(got("unaffable") == ((Seq("un", "##aff", "##able"), 2L)))
+    // longest-first: whole-word "abc" beats "ab"+"##c" and "a"+...
+    assert(got("abc") == ((Seq("abc"), 1L)))
+    // dead end mid-word -> the WHOLE word is one [UNK]
+    assert(got("abd") == ((Seq("[UNK]"), 1L)))
+    assert(got("a") == ((Seq("a"), 1L)))
+    // over maxWordLen (101 x's) -> [UNK] without running the fold
+    assert(got("x" * 101) == ((Seq("[UNK]"), 1L)))
+    // a 100-char word still segments
+    val got100 = TextOps.wordpieceSegment(
+        Seq(Tuple1("x" * 100)).toDF("text"), "text", vocab)
+      .as[(String, Seq[String], Long)].collect().head
+    assert(got100._2 == "x" +: Seq.fill(99)("##x"))
+    intercept[IllegalArgumentException] {
+      TextOps.wordpieceSegment(docs, "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.wordpieceSegment(docs, "text", Seq("a", "a"))
+    }
+    Caches.sweep(spark)
+  }
+
   test("filterFunnel: first-fail charging, zero-drop rules, null = fail") {
     import spark.implicits._
     // len: fails r1 (<2); cap: fails r2 (>4); null text: fails r1 via
