@@ -63,6 +63,10 @@ object Bench {
     // blocking counterpart to q84's length-band fuzzy join), and the
     // persisted-LSH ingest probe (build in warm-up, reps probe-only)
     "t40_bpe_apply", "q128_edit_distance_join", "d17_lsh_index",
+    // round-13 wave: SCC (multi-round nested-loop graph family),
+    // WordPiece (histogram-grain fold), QL-Dirichlet (the BM25-shape LM
+    // scorer), PQ train+encode+ADC (integer Lloyd + map-only serving)
+    "q129_scc", "t42_wordpiece", "t43_ql_dirichlet", "s12_pq_adc",
     // dedup / similarity / text pipeline; d12/d13/s07/t17 rotated out
     // round 9 (sub-0.3s, families covered by d11/d14/s09/t15) to make
     // room for the r1/r2 rep columns inside the tail budget

@@ -78,7 +78,22 @@ object PlanAudit {
     "q128_edit_distance_join",
     // persisted-LSH ingest probe: the buckets scan must carry partition
     // filters (touched parts only) and the corpus must never re-scan
-    "d17_lsh_index")
+    "d17_lsh_index",
+    // round 13: QL-Dirichlet must keep the bm25TopK shape (one cached
+    // projection scan + broadcast stats row + TakeOrderedAndProject);
+    // the filter funnel is one map pass + a rules-bounded agg/window;
+    // WordPiece is histogram-grain (token count + per-word fold, no
+    // vocab join); PQ-ADC is a pure map over codes (codebook literals)
+    // + TakeOrdered; MMR's corpus-grain work is the one relevance
+    // TakeOrdered (pool rounds are bounded 1-row argmaxes); SCC labels
+    // leave as a self-contained checkpoint union scan
+    "t42_wordpiece", "t43_ql_dirichlet", "t44_filter_funnel",
+    "s12_pq_adc", "s13_mmr_select", "q129_scc",
+    // BM25F must keep the one-scan/broadcast-stats/TakeOrdered BM25
+    // shape with per-field widths folded into the same projection; PSI
+    // reduces each snapshot map-side to bucket grain before the
+    // full-outer join (no row-grain exchange)
+    "t45_bm25f", "q130_psi_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

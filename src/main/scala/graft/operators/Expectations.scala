@@ -117,4 +117,60 @@ object Expectations {
         coalesce(abs(col("z")) > zThreshold, lit(false)))
       .select(col("d"), col("n"), col("z"), col("is_anomaly"))
   }
+
+  /** Population-stability-index drift between two snapshots of one
+    * distribution (the standard model/data-monitoring drift score;
+    * PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over shared buckets, with the
+    * usual reading: <0.1 stable, 0.1–0.25 shifting, >0.25 drifted) —
+    * the delivery-over-delivery check a training-data pipeline runs on
+    * feature and length distributions before mixing a new crawl in.
+    *
+    * Buckets one side lacks are NOT epsilon-smoothed into the sum (an
+    * arbitrary epsilon would dominate the score): they surface as
+    * `one_sided` rows with a zero contribution, so the monitor can
+    * alert on new/vanished buckets separately — both facts are
+    * reported, neither is invented.
+    *
+    * DETERMINISM (the t32 discipline): shares are double quotients of
+    * exact longs (identical operands in any engine), the log ratio
+    * quantizes to round-6 BEFORE the product, and each bucket's
+    * contribution quantizes to integer nano-units before the total —
+    * so the PSI sum is exact integer arithmetic, order-free.
+    *
+    * Scale shape: one bucket-grain map-combined count per side, one
+    * full-outer join of the two (≤bucket-count-row) count tables, one
+    * broadcast totals row, and a window over the bucket rows for the
+    * total — the snapshots themselves never shuffle at row grain.
+    *
+    * @param bucketOf maps a row to its bucket id (applied to BOTH
+    *                 frames; must be deterministic).
+    * @return one row per bucket: (bucket, n_p, n_q, one_sided,
+    *         contrib_nano, psi_nano) — psi_nano repeats the integer
+    *         nano-PSI total on every row.
+    */
+  def psiDrift(p: DataFrame, q: DataFrame, bucketOf: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def cnt(df: DataFrame, out: String): DataFrame =
+      df.select(bucketOf.cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(out))
+    val joined = cnt(p, "n_p").join(cnt(q, "n_q"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_p"), lit(0L)).as("n_p"),
+        coalesce(col("n_q"), lit(0L)).as("n_q"))
+    val totals = joined.agg(sum(col("n_p")).as("tot_p"),
+      sum(col("n_q")).as("tot_q"))
+    val withTot = joined.crossJoin(broadcast(totals))
+    val pShare = col("n_p").cast("double") / col("tot_p").cast("double")
+    val qShare = col("n_q").cast("double") / col("tot_q").cast("double")
+    val lnq = round(log(pShare / qShare) * 1e6).cast("long")
+    val contrib = round((pShare - qShare) *
+      (lnq.cast("double") / 1e6) * 1e9).cast("long")
+    val rows = withTot.select(col("bucket"), col("n_p"), col("n_q"),
+      (col("n_p") === 0 || col("n_q") === 0).as("one_sided"),
+      when(col("n_p") > 0 && col("n_q") > 0, contrib)
+        .otherwise(lit(0L)).as("contrib_nano"))
+    rows.withColumn("psi_nano", sum(col("contrib_nano")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .orderBy(col("bucket"))
+  }
 }

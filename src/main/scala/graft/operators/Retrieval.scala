@@ -265,6 +265,72 @@ object Retrieval {
       queryTerms, k1, b, k)
   }
 
+  /** Field-weighted BM25F (Zaragoza, Craswell, Taylor, Saria &
+    * Robertson, TREC-13 2004 — the multi-field ranking the plain BM25
+    * cannot express without breaking term saturation): per field f,
+    * tf normalizes by that field's own length
+    * (`tf̃_f = tf_f / (1 + b_f·(dl_f/avgdl_f − 1))`), the weighted
+    * pseudo-frequency `tfp = Σ_f w_f·tf̃_f` then saturates ONCE
+    * (`idf · tfp/(k1 + tfp)`) — weighting fields before saturation is
+    * the whole point (a title hit must not saturate separately from
+    * body hits). df counts documents matching in ANY field.
+    *
+    * Scale shape — the [[bm25TopK]] contract: ONE corpus scan into a
+    * fixed-width (id, dl_f…, tf_{f,t}…) projection (token-array
+    * filters in place, no (doc, term) shuffle), one map-side-combined
+    * global stats row (n, per-field avgdl, per-term df), map-only
+    * scoring against the broadcast row, TakeOrderedAndProject top-k.
+    * Caller owns cache release (file contract).
+    *
+    * @param fields one entry per field: (token-array column, weight
+    *               w_f, length-norm b_f). Empty fields are safe
+    *               (zero tf contributes zero, never NaN).
+    * @return top-k (doc_id, score), round-4, ties by doc_id.
+    */
+  def bm25fTopK(docs: DataFrame, idCol: String,
+      fields: Seq[(Column, Double, Double)], queryTerms: Seq[String],
+      k1: Double = 1.2, k: Int = 10): DataFrame = {
+    require(fields.nonEmpty, "need at least one field")
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"duplicate query terms would double-count: $queryTerms")
+    val nf = fields.size
+    val base = docs.select(col(idCol).as("doc_id") +:
+      fields.zipWithIndex.map { case ((c, _, _), f) => c.as(s"f_$f") }: _*)
+    val proj = base.select(
+      Seq(col("doc_id")) ++
+        (0 until nf).map(f =>
+          size(col(s"f_$f")).cast("double").as(s"dl_$f")) ++
+        (for { f <- 0 until nf; i <- queryTerms.indices } yield
+          size(filter(col(s"f_$f"), x => x === lit(queryTerms(i))))
+            .cast("double").as(s"tf_${f}_$i")): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val statsAggs =
+      Seq(count(lit(1)).cast("double").as("n")) ++
+        (0 until nf).map(f => avg(col(s"dl_$f")).as(s"avgdl_$f")) ++
+        queryTerms.indices.map(i =>
+          sum(((0 until nf).map(f => col(s"tf_${f}_$i")).reduce(_ + _) > 0)
+            .cast("double")).as(s"df_$i"))
+    val stats = proj.agg(statsAggs.head, statsAggs.tail: _*)
+    val score = queryTerms.indices.map { i =>
+      val tfp = fields.zipWithIndex.map { case ((_, w, bf), f) =>
+        // tf > 0 implies dl > 0 and avgdl > 0; the guard keeps an
+        // all-empty field at exactly 0 instead of 0/NaN
+        when(col(s"tf_${f}_$i") > 0,
+          lit(w) * col(s"tf_${f}_$i") /
+            (lit(1.0) + lit(bf) * (col(s"dl_$f") / col(s"avgdl_$f") - 1.0)))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _)
+      when(tfp > 0, idf(col("n"), col(s"df_$i")) * tfp / (lit(k1) + tfp))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    proj.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 4).as("score"))
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
     * Lafferty 2001) — the language-modeling scorer next to BM25, the
     * other canonical lexical ranking (Indri/Anserini's `-qld`):

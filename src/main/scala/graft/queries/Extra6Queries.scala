@@ -288,6 +288,55 @@ object Extra6Queries {
              |SELECT CAST(v.id AS BIGINT) AS id,
              |  CAST(greatest(v.id, coalesce(max(m.b), v.id)) AS BIGINT) AS scc_id
              |FROM vs v LEFT JOIN mutual m ON m.a = v.id
-             |GROUP BY v.id ORDER BY id""".stripMargin))
+             |GROUP BY v.id ORDER BY id""".stripMargin)),
+
+    // ---- PSI drift monitor (q130): population-stability index of the
+    //      order-value distribution, early period vs late period, over
+    //      fixed 50k-wide buckets. Shares are double quotients of exact
+    //      longs, the log ratio quantizes round-6 BEFORE the product,
+    //      each bucket's contribution quantizes to nano-units before
+    //      the integer total — order-free cross-engine. One-sided
+    //      buckets are flagged, not epsilon-invented. ----
+    Q("q130_psi_drift",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables(s, dir, "orders")
+        val cut = lit("1998-01-01").cast("timestamp")
+        graft.operators.Expectations.psiDrift(
+          o.filter($"o_orderdate" < cut),
+          o.filter($"o_orderdate" >= cut),
+          floor($"o_totalprice" / 50000))
+      },
+      Some("""WITH cp AS (
+             |  SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+             |    count(*) AS n_p
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+             |  GROUP BY 1),
+             |cq AS (
+             |  SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+             |    count(*) AS n_q
+             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+             |  GROUP BY 1),
+             |j AS (
+             |  SELECT coalesce(cp.bucket, cq.bucket) AS bucket,
+             |    coalesce(n_p, 0) AS n_p, coalesce(n_q, 0) AS n_q
+             |  FROM cp FULL OUTER JOIN cq ON cp.bucket = cq.bucket),
+             |t AS (SELECT sum(n_p) AS tp, sum(n_q) AS tq FROM j),
+             |r AS (
+             |  SELECT bucket, CAST(n_p AS BIGINT) AS n_p,
+             |    CAST(n_q AS BIGINT) AS n_q,
+             |    (n_p = 0 OR n_q = 0) AS one_sided,
+             |    CASE WHEN n_p > 0 AND n_q > 0 THEN
+             |      CAST(round((CAST(n_p AS DOUBLE) / CAST(tp AS DOUBLE)
+             |                  - CAST(n_q AS DOUBLE) / CAST(tq AS DOUBLE))
+             |        * (CAST(CAST(round(ln((CAST(n_p AS DOUBLE) / CAST(tp AS DOUBLE))
+             |              / (CAST(n_q AS DOUBLE) / CAST(tq AS DOUBLE))) * 1e6)
+             |            AS BIGINT) AS DOUBLE) / 1e6)
+             |        * 1e9) AS BIGINT)
+             |    ELSE 0 END AS contrib_nano
+             |  FROM j, t)
+             |SELECT bucket, n_p, n_q, one_sided, contrib_nano,
+             |  CAST(sum(contrib_nano) OVER () AS BIGINT) AS psi_nano
+             |FROM r ORDER BY bucket""".stripMargin))
   )
 }

@@ -160,6 +160,69 @@ object Text3Queries {
              |    AS n_dropped,
              |  CAST(CASE WHEN rule = 'kept' THEN n_in ELSE n_in - n END
              |    AS BIGINT) AS n_out
-             |FROM w ORDER BY stage""".stripMargin))
+             |FROM w ORDER BY stage""".stripMargin)),
+
+    // ---- Field-weighted BM25F (t45): title = first 8 tokens at weight
+    //      2.0 / b 0.75, body = the rest at 1.0 / b 0.4. Per-field
+    //      length normalization, then ONE saturation over the weighted
+    //      pseudo-frequency (the Zaragoza et al. structure — a title
+    //      hit must not saturate separately from body hits); df counts
+    //      any-field matches. Same one-scan / broadcast-stats /
+    //      TakeOrdered shape as t22. Oracle restates the identical
+    //      float chain; round-4 ordering absorbs ln ulps (t22
+    //      precedent). ----
+    Q("t45_bm25f",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val toks = TextOps.tokens(col("text"))
+        Retrieval.bm25fTopK(docs, "doc_id",
+          Seq((slice(toks, 1, 8), 2.0, 0.75),
+            (slice(toks, 9, 1000000), 1.0, 0.4)),
+          Seq("join", "table", "merge"), k1 = 1.2, k = 10)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |fld AS (
+             |  SELECT doc_id, t[1:8] AS f0,
+             |    CASE WHEN len(t) >= 9 THEN t[9:len(t)]
+             |         ELSE CAST([] AS VARCHAR[]) END AS f1
+             |  FROM toks),
+             |proj AS (
+             |  SELECT doc_id,
+             |    CAST(len(f0) AS DOUBLE) AS dl0, CAST(len(f1) AS DOUBLE) AS dl1,
+             |    CAST(len(list_filter(f0, x -> x = 'join'))  AS DOUBLE) AS tf00,
+             |    CAST(len(list_filter(f1, x -> x = 'join'))  AS DOUBLE) AS tf10,
+             |    CAST(len(list_filter(f0, x -> x = 'table')) AS DOUBLE) AS tf01,
+             |    CAST(len(list_filter(f1, x -> x = 'table')) AS DOUBLE) AS tf11,
+             |    CAST(len(list_filter(f0, x -> x = 'merge')) AS DOUBLE) AS tf02,
+             |    CAST(len(list_filter(f1, x -> x = 'merge')) AS DOUBLE) AS tf12
+             |  FROM fld),
+             |stats AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    avg(dl0) AS a0, avg(dl1) AS a1,
+             |    sum(CASE WHEN tf00 + tf10 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+             |    sum(CASE WHEN tf01 + tf11 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+             |    sum(CASE WHEN tf02 + tf12 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+             |  FROM proj),
+             |tfp AS (
+             |  SELECT doc_id, n, df0, df1, df2,
+             |    (CASE WHEN tf00 > 0 THEN 2.0 * tf00 / (1.0 + 0.75 * (dl0 / a0 - 1.0)) ELSE 0.0 END
+             |     + CASE WHEN tf10 > 0 THEN 1.0 * tf10 / (1.0 + 0.4 * (dl1 / a1 - 1.0)) ELSE 0.0 END) AS tfp0,
+             |    (CASE WHEN tf01 > 0 THEN 2.0 * tf01 / (1.0 + 0.75 * (dl0 / a0 - 1.0)) ELSE 0.0 END
+             |     + CASE WHEN tf11 > 0 THEN 1.0 * tf11 / (1.0 + 0.4 * (dl1 / a1 - 1.0)) ELSE 0.0 END) AS tfp1,
+             |    (CASE WHEN tf02 > 0 THEN 2.0 * tf02 / (1.0 + 0.75 * (dl0 / a0 - 1.0)) ELSE 0.0 END
+             |     + CASE WHEN tf12 > 0 THEN 1.0 * tf12 / (1.0 + 0.4 * (dl1 / a1 - 1.0)) ELSE 0.0 END) AS tfp2
+             |  FROM proj, stats),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      CASE WHEN tfp0 > 0 THEN ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tfp0 / (1.2 + tfp0) ELSE 0.0 END
+             |    + CASE WHEN tfp1 > 0 THEN ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tfp1 / (1.2 + tfp1) ELSE 0.0 END
+             |    + CASE WHEN tfp2 > 0 THEN ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tfp2 / (1.2 + tfp2) ELSE 0.0 END,
+             |    4) AS score
+             |  FROM tfp)
+             |SELECT doc_id, score FROM scored
+             |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))
   )
 }

@@ -88,4 +88,32 @@ class ExpectationsSpec extends AnyFunSuite {
       .collect()
     assert(flat.forall(r => r.isNullAt(2) && !r.getBoolean(3)))
   }
+
+  test("psiDrift: hand-computed contributions, one-sided flags, identity = 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val p = Seq(1L, 1L, 1L, 2L).toDF("v")
+    val q = Seq(1L, 2L, 2L, 2L, 3L).toDF("v")
+    val got = Expectations.psiDrift(p, q, col("v"))
+      .as[(Long, Long, Long, Boolean, Long, Long)].collect().toSeq
+    def contrib(np: Long, tp: Long, nq: Long, tq: Long): Long = {
+      val ps = np.toDouble / tp.toDouble
+      val qs = nq.toDouble / tq.toDouble
+      val lnq = math.round(math.log(ps / qs) * 1e6).toDouble / 1e6
+      math.round((ps - qs) * lnq * 1e9)
+    }
+    val c1 = contrib(3, 4, 1, 5) // bucket 1: p-share .75 vs q-share .2
+    val c2 = contrib(1, 4, 3, 5) // bucket 2: .25 vs .6
+    val tot = c1 + c2            // bucket 3 is one-sided: contributes 0
+    assert(got == Seq(
+      (1L, 3L, 1L, false, c1, tot),
+      (2L, 1L, 3L, false, c2, tot),
+      (3L, 0L, 1L, true, 0L, tot)), got.toString)
+    // both contributions are positive (divergence in either direction)
+    assert(c1 > 0 && c2 > 0)
+    // identical snapshots: every contribution and the total are exactly 0
+    val same = Expectations.psiDrift(p, p, col("v"))
+      .as[(Long, Long, Long, Boolean, Long, Long)].collect().toSeq
+    assert(same.forall(r => r._5 == 0L && r._6 == 0L && !r._4), same.toString)
+  }
 }

@@ -242,6 +242,51 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!got(Seq("a", "c")).exists(r => r._1 == 4L || r._1 == 5L))
   }
 
+  test("bm25f: title weight breaks body ties; single field ranks like BM25") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta", "gamma delta gamma"),
+      (2L, "zeta beta", "gamma delta alpha"), // alpha only in body
+      (3L, "zeta eta", "delta delta delta")   // no query term
+    ).toDF("doc_id", "title", "body")
+    val fields = Seq(
+      (TextOps.tokens($"title"), 2.0, 0.75),
+      (TextOps.tokens($"body"), 1.0, 0.4))
+    val got = Retrieval.bm25fTopK(docs, "doc_id", fields, Seq("alpha"))
+      .as[(Long, Double)].collect().toSeq
+    spark.catalog.clearCache()
+    // both docs have one 'alpha'; doc 1's is in the weighted title field
+    assert(got.map(_._1) == Seq(1L, 2L), got.toString)
+    assert(got.head._2 > got(1)._2)
+    // single-field BM25F is a monotone transform of BM25
+    // (tf/B/(k1+tf/B) = tf/(tf+k1·B)) — rankings must coincide
+    val corpus = Tables(spark, sf, "documents").filter($"doc_id" < 300)
+    val f1 = Retrieval.bm25fTopK(corpus, "doc_id",
+        Seq((TextOps.tokens($"text"), 1.0, 0.75)), Seq("merge", "scan"), k = 15)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    spark.catalog.clearCache()
+    val classic = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        Seq("merge", "scan"), k = 15)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    spark.catalog.clearCache()
+    assert(f1 == classic, s"bm25f=$f1 bm25=$classic")
+    // a doc with an empty field scores finitely (no NaN poisoning)
+    val short = Seq((1L, "alpha", ""), (2L, "", "alpha beta"))
+      .toDF("doc_id", "title", "body")
+    val s2 = Retrieval.bm25fTopK(short, "doc_id",
+        Seq((TextOps.tokens($"title"), 2.0, 0.75),
+          (TextOps.tokens($"body"), 1.0, 0.4)), Seq("alpha"))
+      .as[(Long, Double)].collect().toSeq
+    spark.catalog.clearCache()
+    assert(s2.size == 2 && s2.forall(r => !r._2.isNaN && r._2 > 0), s2.toString)
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25fTopK(docs, "doc_id", Seq.empty, Seq("alpha"))
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25fTopK(docs, "doc_id", fields, Seq("a", "a"))
+    }
+  }
+
   test("qlDirichlet: guards — empty/duplicate terms, non-positive mu") {
     import spark.implicits._
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")

@@ -430,7 +430,8 @@ class ScaleSpec extends AnyFunSuite {
     // aggregation's SinglePartition collapse, which carries ONE
     // fixed-width partial row per input partition — corpus-width hash or
     // range repartitions mean the posting-list shuffle leaked back in
-    for (name <- Seq("t22_bm25", "p02_rag_retrieval")) {
+    for (name <- Seq("t22_bm25", "p02_rag_retrieval", "t43_ql_dirichlet",
+        "t45_bm25f")) {
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect()
       val plan = df.queryExecution.executedPlan
@@ -794,6 +795,99 @@ class ScaleSpec extends AnyFunSuite {
     }
     assert(exchanges.isEmpty,
       s"merge-on-read scan must not shuffle the base: $exchanges")
+    Caches.sweep(spark)
+  }
+
+  test("wordpiece segments at histogram grain: one scan, one word exchange") {
+    val docs = Tables(spark, sf, "documents")
+    val df = graft.operators.TextOps.wordpieceSegment(docs, "text",
+      Seq("a", "b", "##a", "##b", "ab"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val scans = collectAll(plan) { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, s"corpus must scan once: ${scans.size}")
+    // the only exchange is the word-grain count; the vocabulary rides
+    // as a map literal, never as a join side
+    val exchanges = collectAll(plan) { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size == 1, s"expected 1 word-grain exchange: " +
+      s"${exchanges.map(_.nodeName)}")
+    val joins = collectAll(plan) {
+      case j if j.nodeName.contains("Join") => j.nodeName
+    }
+    assert(joins.isEmpty, s"vocab must not join: $joins")
+    Caches.sweep(spark)
+  }
+
+  test("filter funnel: one corpus scan, exchanges bounded by the rule count") {
+    val df = SparkEntry.queries("t44_filter_funnel")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val scans = collectAll(plan) { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, s"corpus must scan once: ${scans.size}")
+    // stage-count exchange + the ≤(rules+1)-row window/join tail; the
+    // corpus itself never shuffles, so every exchange is group-grain
+    val exchanges = collectAll(plan) { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size <= 4,
+      s"funnel exchanges exploded: ${exchanges.map(_.nodeName)}")
+    Caches.sweep(spark)
+  }
+
+  test("PQ ADC serving is map-only: zero exchanges, codebook as literals") {
+    val emb = Tables(spark, sf, "embeddings")
+    val model = graft.operators.Similarity.pqTrain(
+      emb, "vec_id", "embedding", m = 4, k = 4, iters = 1)
+    val query = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val df = graft.operators.Similarity.pqTopKAdc(
+      emb, "vec_id", "embedding", model, query, kNN = 10)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val exchanges = collectAll(plan) { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty,
+      s"ADC must be map + TakeOrdered, found: ${exchanges.map(_.nodeName)}")
+    val joins = collectAll(plan) {
+      case j if j.nodeName.contains("Join") => j.nodeName
+    }
+    assert(joins.isEmpty, s"codebook must not join: $joins")
+    val kinds = collectAll(plan) { case p => p.nodeName }
+    assert(kinds.exists(_.contains("TakeOrderedAndProject")),
+      s"top-k must be TakeOrdered: ${kinds.mkString(",")}")
+    Caches.sweep(spark)
+  }
+
+  test("psi drift: snapshots reduce map-side, all exchanges bucket-grain") {
+    val df = SparkEntry.queries("q130_psi_drift")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // one scan per snapshot side; each collapses to bucket grain via a
+    // map-combined count BEFORE any join — the row-grain frames never
+    // shuffle, so every exchange carries ≤bucket-count rows (partial
+    // HashAggregate under each ShuffleExchange) or a 1-row totals /
+    // window collapse
+    val scans = collectAll(plan) { case s: FileSourceScanExec => s }
+    assert(scans.size == 2, s"one scan per snapshot: ${scans.size}")
+    val exchanges = collectAll(plan) { case e: ShuffleExchangeExec => e }
+    assert(exchanges.forall(e =>
+      e.outputPartitioning ==
+        org.apache.spark.sql.catalyst.plans.physical.SinglePartition ||
+        collectAll(e.child) {
+          case a if a.nodeName.contains("HashAggregate") => a }.nonEmpty),
+      s"row-grain exchange leaked: ${exchanges.map(_.nodeName)}")
+    Caches.sweep(spark)
+  }
+
+  test("scc labels leave as self-contained checkpoints: no joins, no exchanges") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val labels = graft.operators.GraphOps.scc(edges, "src", "dst")
+    val plan = labels.queryExecution.executedPlan
+    val bad = collectAll(plan) {
+      case p if p.nodeName.contains("Join") ||
+        p.isInstanceOf[ShuffleExchangeExec] => p.nodeName
+    }
+    assert(bad.isEmpty,
+      s"scc result must be a union of checkpoint scans, found: $bad")
     Caches.sweep(spark)
   }
 }
