@@ -702,8 +702,8 @@ object GraphOps {
     * out (unlabeled nodes are then ABSENT from the result, never
     * mislabeled). */
   def scc(edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 30): DataFrame = {
-    val run = sccRun(edges, srcCol, dstCol, maxRounds)
+      maxRounds: Int = 30, localTailEdges: Long = 50000L): DataFrame = {
+    val run = sccRun(edges, srcCol, dstCol, maxRounds, localTailEdges)
     if (!run.converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"scc hit maxRounds=$maxRounds with nodes still unlabeled — " +
@@ -747,10 +747,28 @@ object GraphOps {
     * count, and each round's label layer leaves the loop as a
     * self-contained checkpoint. Convergence tests ride the advance
     * counts plus one cached-block aggregate per forward sweep.
+    *
+    * HYBRID BASE CASE (the structure of the published parallel SCC
+    * methods — Hong, Oguntebi & Olukotun PPoPP 2013, Slota, Rajamanickam
+    * & Madduri IPDPS 2014: FW-BW peels the giant components in
+    * parallel, a SEQUENTIAL solver finishes the small-component tail,
+    * because that tail is where coloring's round count explodes — the
+    * decreasing-id chain pays one distributed round per SCC): once the
+    * remaining subgraph has at most `localTailEdges` edges, its edge
+    * list is collected (a size-gated, bounded driver grain — the BPE
+    * argmax / d×d Gram contract) and finished with one iterative-stack
+    * Tarjan pass; remaining nodes ISOLATED in the subgraph label
+    * themselves (id, id) distributively, so the collect is bounded by
+    * the edge cap alone, never by the node count. Labels are the max
+    * member id either way — the base case changes round count, never
+    * output. `rounds` counts DISTRIBUTED rounds only; pass
+    * `localTailEdges = 0` to force pure FW-BW (the spec path).
     */
   def sccRun(edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 30): SccRun = {
+      maxRounds: Int = 30, localTailEdges: Long = 50000L): SccRun = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    require(localTailEdges >= 0,
+      s"localTailEdges must be >= 0 (0 = pure FW-BW), got $localTailEdges")
     val outer = new IterativeLoop()
     try {
       val e0 = outer.pin(edges
@@ -762,60 +780,82 @@ object GraphOps {
         e0.select(explode(array(col("src"), col("dst"))).as("id")).distinct())
       var layers = List.empty[DataFrame]
       var rounds = 0
-      while (nRem > 0 && rounds < maxRounds) {
-        val inner = new IterativeLoop()
-        val layer =
-          try {
-            val eR = inner.pin(e0
-              .join(rem.select(col("id").as("src")), Seq("src"), "left_semi")
-              .join(rem.select(col("id").as("dst")), Seq("dst"), "left_semi")
-              .select(col("src"), col("dst")))
-            // 1. forward max-color propagation to fixed point
-            var colors = inner.advance(
-              rem.select(col("id"), col("id").as("color")))
-            var changed = 1L
-            while (changed > 0) {
-              val cand = eR
-                .join(colors.select(col("id").as("src"),
-                  col("color").as("cs")), Seq("src"))
-                .groupBy(col("dst")).agg(max(col("cs")).as("cin"))
-                .withColumnRenamed("dst", "id")
-              colors = inner.advance(colors
-                .join(cand, Seq("id"), "left")
-                .select(col("id"),
-                  greatest(col("color"),
-                    coalesce(col("cin"), col("color"))).as("color"),
-                  (coalesce(col("cin"), lit(Long.MinValue)) > col("color"))
-                    .cast("long").as("chg")))
-              changed = colors.agg(coalesce(sum(col("chg")), lit(0L)))
-                .head().getLong(0)
-            }
-            val (colorsK, _) =
-              inner.keep(colors.select(col("id"), col("color")))
-            // 2. backward same-color confirmation from the roots
-            var (marked, nM) = inner.advanceCounted(
-              colorsK.filter(col("id") === col("color")))
-            var grown = true
-            while (grown) {
-              val cand = eR
-                .join(marked.select(col("id").as("dst"),
-                  col("color").as("mc")), Seq("dst"))
-                .select(col("src").as("id"), col("mc").as("color"))
-                .distinct()
-                .join(colorsK, Seq("id", "color"), "left_semi")
-              val (m2, n2) = inner.advanceCounted(
-                marked.unionByName(cand).distinct())
-              grown = n2 > nM
-              marked = m2; nM = n2
-            }
-            inner.finish(marked.select(col("id"), col("color").as("scc_id")))
-          } catch { case t: Throwable => inner.abort(); throw t }
-        outer.pinCheckpoint(layer)
-        layers ::= layer
-        val (rem2, n2) = outer.advanceCounted(
-          rem.join(layer, Seq("id"), "left_anti").select(col("id")))
-        rem = rem2; nRem = n2
-        rounds += 1
+      var solvedLocally = false
+      while (nRem > 0 && !solvedLocally && rounds < maxRounds) {
+        val eRview = e0
+          .join(rem.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(rem.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+        if (localTailEdges > 0 && eRview.count() <= localTailEdges) {
+          // sequential base case: Tarjan over the ≤cap edge list, plus
+          // distributive (id, id) labels for subgraph-isolated nodes
+          val spark = edges.sparkSession
+          import spark.implicits._
+          val pairs = eRview.as[(Long, Long)].collect()
+          val endpoints = pairs.iterator
+            .flatMap(p => Iterator(p._1, p._2)).toSet
+          val iso = rem
+            .join(broadcast(spark.createDataset(endpoints.toSeq).toDF("id")),
+              Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("scc_id"))
+          val local = spark.createDataset(tarjanMaxLabels(pairs))
+            .toDF("id", "scc_id")
+          layers ::= outer.pinCheckpoint(
+            iso.unionByName(local).localCheckpoint(eager = true))
+          nRem = 0
+          solvedLocally = true
+        } else {
+          val inner = new IterativeLoop()
+          val layer =
+            try {
+              val eR = inner.pin(eRview)
+              // 1. forward max-color propagation to fixed point
+              var colors = inner.advance(
+                rem.select(col("id"), col("id").as("color")))
+              var changed = 1L
+              while (changed > 0) {
+                val cand = eR
+                  .join(colors.select(col("id").as("src"),
+                    col("color").as("cs")), Seq("src"))
+                  .groupBy(col("dst")).agg(max(col("cs")).as("cin"))
+                  .withColumnRenamed("dst", "id")
+                colors = inner.advance(colors
+                  .join(cand, Seq("id"), "left")
+                  .select(col("id"),
+                    greatest(col("color"),
+                      coalesce(col("cin"), col("color"))).as("color"),
+                    (coalesce(col("cin"), lit(Long.MinValue)) > col("color"))
+                      .cast("long").as("chg")))
+                changed = colors.agg(coalesce(sum(col("chg")), lit(0L)))
+                  .head().getLong(0)
+              }
+              val (colorsK, _) =
+                inner.keep(colors.select(col("id"), col("color")))
+              // 2. backward same-color confirmation from the roots
+              var (marked, nM) = inner.advanceCounted(
+                colorsK.filter(col("id") === col("color")))
+              var grown = true
+              while (grown) {
+                val cand = eR
+                  .join(marked.select(col("id").as("dst"),
+                    col("color").as("mc")), Seq("dst"))
+                  .select(col("src").as("id"), col("mc").as("color"))
+                  .distinct()
+                  .join(colorsK, Seq("id", "color"), "left_semi")
+                val (m2, n2) = inner.advanceCounted(
+                  marked.unionByName(cand).distinct())
+                grown = n2 > nM
+                marked = m2; nM = n2
+              }
+              inner.finish(marked.select(col("id"), col("color").as("scc_id")))
+            } catch { case t: Throwable => inner.abort(); throw t }
+          outer.pinCheckpoint(layer)
+          layers ::= layer
+          val (rem2, n2) = outer.advanceCounted(
+            rem.join(layer, Seq("id"), "left_anti").select(col("id")))
+          rem = rem2; nRem = n2
+          rounds += 1
+        }
       }
       val labels = layers match {
         case Nil => rem.select(col("id"), col("id").as("scc_id")).limit(0)
@@ -823,5 +863,61 @@ object GraphOps {
       }
       SccRun(outer.finish(labels), nRem == 0, rounds)
     } catch { case e: Throwable => outer.abort(); throw e }
+  }
+
+  /** Sequential Tarjan (1972) over a collected edge list — the
+    * [[sccRun]] base case. Explicit-stack DFS (no recursion: the cap
+    * admits ~50k-edge chains, far past JVM stack depth), one pass,
+    * O(V+E). Returns (node, max member id of its SCC) for every edge
+    * endpoint; labels are traversal-order-independent because only the
+    * component PARTITION feeds the max. */
+  private def tarjanMaxLabels(
+      pairs: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    val nodes = mutable.LinkedHashSet.empty[Long]
+    pairs.foreach { case (s, d) =>
+      nodes += s; nodes += d
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
+    }
+    val index = mutable.HashMap.empty[Long, Int]
+    val low = mutable.HashMap.empty[Long, Int]
+    val onStack = mutable.HashSet.empty[Long]
+    val stack = mutable.ArrayBuffer.empty[Long]
+    val work = mutable.ArrayBuffer.empty[(Long, Iterator[Long])]
+    var counter = 0
+    val out = mutable.ArrayBuffer.empty[(Long, Long)]
+    val emptyIt = Iterator.empty[Long]
+    def push(v: Long): Unit = {
+      index(v) = counter; low(v) = counter; counter += 1
+      stack += v; onStack += v
+      work += ((v, adj.get(v).map(_.iterator).getOrElse(emptyIt)))
+    }
+    for (root <- nodes if !index.contains(root)) {
+      push(root)
+      while (work.nonEmpty) {
+        val (v, it) = work.last
+        if (it.hasNext) {
+          val w = it.next()
+          if (!index.contains(w)) push(w)
+          else if (onStack(w)) low(v) = math.min(low(v), index(w))
+        } else {
+          work.remove(work.size - 1)
+          if (work.nonEmpty) {
+            val p = work.last._1
+            low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == index(v)) {
+            val comp = mutable.ArrayBuffer.empty[Long]
+            var w = 0L
+            while ({ w = stack.remove(stack.size - 1); onStack -= w
+              comp += w; w != v }) ()
+            val mx = comp.max
+            comp.foreach(c => out += ((c, mx)))
+          }
+        }
+      }
+    }
+    out.toSeq
   }
 }

@@ -294,10 +294,12 @@ class GraphOpsSpec extends AnyFunSuite {
       (5L, 6L),
       (10L, 11L), (11L, 10L),
       (7L, 7L), (7L, 6L)).toDF("src", "dst")
-    val run = GraphOps.sccRun(edges, "src", "dst")
+    val expect = Map(1L -> 2L, 2L -> 2L, 3L -> 5L, 4L -> 5L, 5L -> 5L,
+      6L -> 6L, 7L -> 7L, 10L -> 11L, 11L -> 11L)
+    // pure distributed FW-BW
+    val run = GraphOps.sccRun(edges, "src", "dst", localTailEdges = 0)
     val got = run.labels.as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 5L, 4L -> 5L, 5L -> 5L,
-      6L -> 6L, 7L -> 7L, 10L -> 11L, 11L -> 11L), got.toString)
+    assert(got == expect, got.toString)
     assert(run.converged, "budget sufficed but converged=false")
     // zero-residue contract: only the result's own checkpoint survives
     val own = org.apache.spark.sql.graftbridge.Bridge
@@ -306,6 +308,12 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(held.isEmpty, s"sccRun held non-result blocks: $held")
     spark.catalog.clearCache()
     Caches.sweep(spark)
+    // hybrid base case (default cap): same labels, zero distributed
+    // rounds — the whole graph fits the sequential tail
+    val hybrid = GraphOps.sccRun(edges, "src", "dst")
+    assert(hybrid.labels.as[(Long, Long)].collect().toMap == expect)
+    assert(hybrid.converged && hybrid.rounds == 0, s"${hybrid.rounds}")
+    Caches.sweep(spark)
   }
 
   test("sccRun: decreasing-id chain needs one round per SCC; cap is honest") {
@@ -313,19 +321,51 @@ class GraphOpsSpec extends AnyFunSuite {
     // the source's id, so only ONE root resolves per round — the
     // adversarial case the converged flag exists for
     val chain = Seq((4L, 3L), (3L, 2L), (2L, 1L)).toDF("src", "dst")
-    val full = GraphOps.sccRun(chain, "src", "dst")
+    val full = GraphOps.sccRun(chain, "src", "dst", localTailEdges = 0)
     assert(full.converged && full.rounds == 4, s"${full.rounds}")
     assert(full.labels.as[(Long, Long)].collect().toMap ==
       Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
-    val capped = GraphOps.sccRun(chain, "src", "dst", maxRounds = 2)
+    val capped = GraphOps.sccRun(chain, "src", "dst", maxRounds = 2,
+      localTailEdges = 0)
     assert(!capped.converged && capped.rounds == 2)
     // capped run labels only the resolved SCCs (4, then 3) — the
     // unlabeled remainder is ABSENT, never mislabeled
     assert(capped.labels.as[(Long, Long)].collect().toMap ==
       Map(4L -> 4L, 3L -> 3L))
+    // the hybrid base case dissolves the adversary: the chain fits the
+    // sequential tail, so it converges in ZERO distributed rounds even
+    // under the round cap that starves pure FW-BW
+    val hybrid = GraphOps.sccRun(chain, "src", "dst", maxRounds = 2)
+    assert(hybrid.converged && hybrid.rounds == 0)
+    assert(hybrid.labels.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
     intercept[IllegalArgumentException] {
       GraphOps.sccRun(chain, "src", "dst", maxRounds = 0)
     }
+    intercept[IllegalArgumentException] {
+      GraphOps.sccRun(chain, "src", "dst", localTailEdges = -1)
+    }
+    Caches.sweep(spark)
+  }
+
+  test("sccRun hybrid: distributed rounds peel, the base case takes the tail") {
+    // 3 edges > localTailEdges=1 forces round 1 distributed: it labels
+    // the 2-cycle {4,5} (root 5) but NOT the polluted singleton 1
+    // (color 5 reaches it, it reaches nothing back). Round 2's
+    // remaining subgraph {1} has ZERO edges ≤ 1, so the base case
+    // finishes — and node 1 takes the ISOLATED (id, id) path, since it
+    // is no edge's endpoint
+    val edges = Seq((5L, 4L), (4L, 5L), (5L, 1L)).toDF("src", "dst")
+    val run = GraphOps.sccRun(edges, "src", "dst", localTailEdges = 1)
+    assert(run.converged && run.rounds == 1, s"${run.rounds}")
+    assert(run.labels.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 4L -> 5L, 5L -> 5L))
+    // mixed tail WITH edges: chain (3→2→1) after round 1 peels {4}
+    val chain4 = Seq((4L, 3L), (3L, 2L), (2L, 1L)).toDF("src", "dst")
+    val mixed = GraphOps.sccRun(chain4, "src", "dst", localTailEdges = 2)
+    assert(mixed.converged && mixed.rounds == 1, s"${mixed.rounds}")
+    assert(mixed.labels.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
     Caches.sweep(spark)
   }
 }
