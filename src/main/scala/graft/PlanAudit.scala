@@ -93,7 +93,10 @@ object PlanAudit {
     // shape with per-field widths folded into the same projection; PSI
     // reduces each snapshot map-side to bucket grain before the
     // full-outer join (no row-grain exchange)
-    "t45_bm25f", "q130_psi_drift")
+    "t45_bm25f", "q130_psi_drift",
+    // ridge trains as ONE moment aggregate and serves map-side with
+    // literal weights; AUC reduces to score grain before its window
+    "q131_ridge_regression", "q132_auc_roc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

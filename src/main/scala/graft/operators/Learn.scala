@@ -72,4 +72,147 @@ object Learn {
       .map { case (x, wj) => x * lit(wj) }.reduce(_ + _)
     (z, z > 0.0)
   }
+
+  /** First-row cofactor determinant with a PINNED evaluation order
+    * (term0 − term1 + term2 …, left to right) — the same expression an
+    * oracle writes out longhand, so identical integer-valued operands
+    * give bit-identical IEEE doubles in any engine. */
+  private def detPinned(a: Vector[Vector[Double]]): Double =
+    if (a.size == 1) a(0)(0)
+    else a.indices.foldLeft(0.0) { (acc, j) =>
+      val minor = a.tail.map(r => r.indices.filterNot(_ == j).map(r).toVector)
+      val term = a(0)(j) * detPinned(minor)
+      if (j % 2 == 0) acc + term else acc - term
+    }
+
+  /** Ridge (L2-regularized) linear regression by the closed-form normal
+    * equations (Hoerl & Kennard 1970; OLS at `lambda = 0`):
+    * `(XᵀX + λI')w = Xᵀy` with an implicit intercept prepended and the
+    * intercept row of I' zeroed (the standard no-penalty-on-intercept
+    * convention). Returns the weights, intercept first.
+    *
+    * ENGINE-EXACT (a stricter discipline than [[logisticTrain]]'s,
+    * because the solve AMPLIFIES moment error by the system's condition
+    * number, so "float drift below the weight grid" no longer holds):
+    *  - features and target quantize to the 1/`grid` lattice and the
+    *    moment matrix accumulates as INTEGER sums of lattice products —
+    *    summation-order-free, exact in any engine;
+    *  - the solve is Cramer's rule over doubles CONVERTED FROM those
+    *    exact integers (every moment ≤ 2⁵³ by the overflow guard, so
+    *    the conversion is exact) with [[detPinned]]'s fixed evaluation
+    *    order — IEEE arithmetic on identical operands in an identical
+    *    order is bit-identical across engines;
+    *  - weights quantize to round-6 HALF_UP, the [[step]] grid.
+    *
+    * Overflow is GUARDED, not assumed: the one aggregate also returns
+    * each quantized column's max |value|, and the fit throws unless
+    * `maxAbs² · n` leaves 8× headroom under `Long.MaxValue` — raise
+    * the data's scale down or the grid down, never wrap silently (the
+    * zipfFit contract). A zero determinant (features collinear on the
+    * lattice) throws rather than returning garbage.
+    *
+    * Scale shape: ONE map-combined corpus aggregate of
+    * `(m(m+1)/2 + 2m + 2)` fixed-width values (the d×d Gram contract —
+    * the moment row is bounded metadata, `m ≤ 9`); the corpus never
+    * shuffles. The driver solve is O(m!) cofactor expansion — trivial
+    * at the enforced `m = features + 1 ≤ 9`, and the pinned order is
+    * exactly what makes it oracle-replicable.
+    */
+  def ridgeTrain(df: DataFrame, target: Column, features: Seq[Column],
+      lambda: Double = 0.0, grid: Long = 1000L): Array[Double] = {
+    require(features.nonEmpty && features.size <= 8,
+      s"need 1..8 features, got ${features.size}")
+    require(lambda >= 0.0, s"lambda must be >= 0, got $lambda")
+    require(grid >= 1L, s"grid must be >= 1, got $grid")
+    val m = features.size + 1
+    // xq(0) is the intercept: exactly `grid` lattice units (= 1.0)
+    val xq: Seq[Column] = lit(grid) +:
+      features.map(f => round(f.cast("double") * grid, 0).cast("long"))
+    val yq = round(target.cast("double") * grid, 0).cast("long")
+    val cols = xq :+ yq
+    val anyNull = cols.map(_.isNull.cast("long")).reduce(_ + _)
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+        (for (i <- 0 until m; j <- i until m)
+          yield sum(xq(i) * xq(j)).as(s"s_${i}_$j")) ++
+        (0 until m).map(i => sum(xq(i) * yq).as(s"t_$i")) ++
+        cols.indices.map(i => max(abs(cols(i))).as(s"mx_$i")) :+
+        sum(anyNull).as("nulls")
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    require(n > 0L, "ridgeTrain: input DataFrame has no rows — nothing to fit")
+    // a null feature/target would VANISH from its moment sums while the
+    // row still counts elsewhere — silently skewed fit; refuse instead
+    require(row.getLong(row.length - 1) == 0L,
+      "ridgeTrain: null feature/target values — filter or impute upstream")
+    val nGram = m * (m + 1) / 2
+    val mx = (0 until (m + 1)).map(i => row.getLong(1 + nGram + m + i)).max
+    // mx ≤ 3e9 first so mx·mx cannot itself wrap (a wrapped negative
+    // would satisfy any ≤ bound and defeat the guard)
+    require(mx <= 3_000_000_000L &&
+      mx * mx <= Long.MaxValue / 8 / math.max(n, 1L),
+      s"ridgeTrain: quantized magnitude $mx with $n rows risks Long " +
+        "overflow in the moment sums — rescale the data or lower grid")
+    val gram = Array.ofDim[Long](m, m)
+    var k = 1
+    for (i <- 0 until m; j <- i until m) {
+      gram(i)(j) = row.getLong(k); gram(j)(i) = row.getLong(k); k += 1
+    }
+    val lamq = Math.round(lambda * grid * grid)
+    for (j <- 1 until m) gram(j)(j) += lamq
+    val t = (0 until m).map(i => row.getLong(1 + nGram + i))
+    val a = Vector.tabulate(m, m)((i, j) => gram(i)(j).toDouble)
+    val d0 = detPinned(a)
+    require(d0 != 0.0, "ridgeTrain: singular normal equations — features " +
+      "are collinear at the quantization grid (drop one or raise grid)")
+    Array.tabulate(m) { j =>
+      val aj = Vector.tabulate(m, m)((r, c) =>
+        if (c == j) t(r).toDouble else gram(r)(c).toDouble)
+      BigDecimal(detPinned(aj) / d0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
+  /** Area under the ROC curve via the rank-sum (Mann–Whitney U)
+    * identity with midrank tie handling — the standard evaluation of a
+    * pipeline's quality/domain classifier:
+    * `AUC = (Σ ranks(positives) − P(P+1)/2) / (P·N)`.
+    *
+    * INTEGER-EXACT: per distinct score (ascending), the tied group's
+    * positives each take the midrank `r + (c+1)/2` (r = rows strictly
+    * below, c = group size); doubling clears the half — the aggregate
+    * accumulates `Σ p·(2r + c + 1)` as an exact long, and the only
+    * float op is the final one-row division, round-6 from identical
+    * integer operands in any engine.
+    *
+    * Scale shape: one map-combined score-grain count, one window over
+    * the score-grain rows for the running offset (a single-partition
+    * sort of DISTINCT scores — quantize a continuous score upstream,
+    * e.g. `round(s, 4)`, to keep that grain bounded; label grain never
+    * leaves the map side), one ≤score-count-row aggregate. The corpus
+    * shuffles once, at score grain.
+    *
+    * @return one row: (n_pos, n_neg, auc).
+    */
+  def aucRoc(df: DataFrame, label: Column, scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = df
+      .select(scoreCol.as("s"), label.cast("long").as("y"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+    val withRank = byScore.withColumn("r",
+      coalesce(sum(col("c")).over(
+        Window.orderBy(col("s")).rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+    val agg = withRank.agg(
+      sum(col("p")).as("n_pos"),
+      (sum(col("c")) - sum(col("p"))).as("n_neg"),
+      sum(col("p") * (lit(2L) * col("r") + col("c") + lit(1L)))
+        .as("rank2"))
+    agg.select(col("n_pos"), col("n_neg"),
+      // one-sided label sets have no ROC — null, not NaN/Inf
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round((col("rank2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
 }

@@ -337,6 +337,108 @@ object Extra6Queries {
              |  FROM j, t)
              |SELECT bucket, n_p, n_q, one_sided, contrib_nano,
              |  CAST(sum(contrib_nano) OVER () AS BIGINT) AS psi_nano
-             |FROM r ORDER BY bucket""".stripMargin))
+             |FROM r ORDER BY bucket""".stripMargin)),
+
+    // ---- Ridge regression by exact normal equations (q131): price ~
+    //      quantity + discount on lineitem, lambda 0.01, grid 1000.
+    //      Moments are INTEGER sums of lattice products (order-free any
+    //      engine), the solve is Cramer over doubles converted from
+    //      those exact integers with a PINNED evaluation order, weights
+    //      round-6 — then the fit is SERVED: one map pass buckets yhat
+    //      (identical literal operands -> identical doubles -> identical
+    //      floor in both engines). ----
+    Q("q131_ridge_regression",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables(s, dir, "lineitem").select(
+          ($"l_extendedprice" / 10000.0).as("y"),
+          $"l_quantity".cast("double").as("x1"),
+          $"l_discount".cast("double").as("x2"))
+        val w = graft.operators.Learn.ridgeTrain(
+          li, $"y", Seq($"x1", $"x2"), lambda = 0.01)
+        li.select((lit(w(0)) + lit(w(1)) * $"x1" + lit(w(2)) * $"x2")
+            .as("yhat"))
+          .groupBy(floor($"yhat" * 100).as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .select($"bucket", $"n",
+            lit(w(0)).as("w0"), lit(w(1)).as("w1"), lit(w(2)).as("w2"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH f AS (
+             |  SELECT l_extendedprice / 10000.0 AS y,
+             |    CAST(l_quantity AS DOUBLE) AS x1,
+             |    CAST(l_discount AS DOUBLE) AS x2
+             |  FROM lineitem),
+             |q AS (
+             |  SELECT CAST(1000 AS BIGINT) AS x0,
+             |    CAST(round(x1 * 1000, 0) AS BIGINT) AS xq1,
+             |    CAST(round(x2 * 1000, 0) AS BIGINT) AS xq2,
+             |    CAST(round(y * 1000, 0) AS BIGINT) AS yq
+             |  FROM f),
+             |mo AS (
+             |  SELECT CAST(sum(x0 * x0) AS BIGINT) AS s00,
+             |    CAST(sum(x0 * xq1) AS BIGINT) AS s01,
+             |    CAST(sum(x0 * xq2) AS BIGINT) AS s02,
+             |    CAST(sum(xq1 * xq1) AS BIGINT) + 10000 AS s11,
+             |    CAST(sum(xq1 * xq2) AS BIGINT) AS s12,
+             |    CAST(sum(xq2 * xq2) AS BIGINT) + 10000 AS s22,
+             |    CAST(sum(x0 * yq) AS BIGINT) AS t0,
+             |    CAST(sum(xq1 * yq) AS BIGINT) AS t1,
+             |    CAST(sum(xq2 * yq) AS BIGINT) AS t2
+             |  FROM q),
+             |dets AS (
+             |  SELECT
+             |    CAST(s00 AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+             |      - CAST(s01 AS DOUBLE) * (CAST(s01 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s02 AS DOUBLE))
+             |      + CAST(s02 AS DOUBLE) * (CAST(s01 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s02 AS DOUBLE)) AS d,
+             |    CAST(t0 AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+             |      - CAST(s01 AS DOUBLE) * (CAST(t1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(t2 AS DOUBLE))
+             |      + CAST(s02 AS DOUBLE) * (CAST(t1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(t2 AS DOUBLE)) AS d0,
+             |    CAST(s00 AS DOUBLE) * (CAST(t1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(t2 AS DOUBLE) * CAST(s12 AS DOUBLE))
+             |      - CAST(t0 AS DOUBLE) * (CAST(s01 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s02 AS DOUBLE))
+             |      + CAST(s02 AS DOUBLE) * (CAST(s01 AS DOUBLE) * CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE) * CAST(s02 AS DOUBLE)) AS d1,
+             |    CAST(s00 AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(t2 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(t1 AS DOUBLE))
+             |      - CAST(s01 AS DOUBLE) * (CAST(s01 AS DOUBLE) * CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE) * CAST(s02 AS DOUBLE))
+             |      + CAST(t0 AS DOUBLE) * (CAST(s01 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s02 AS DOUBLE)) AS d2
+             |  FROM mo),
+             |w AS (
+             |  SELECT round(d0 / d, 6) AS w0, round(d1 / d, 6) AS w1,
+             |    round(d2 / d, 6) AS w2
+             |  FROM dets)
+             |SELECT CAST(floor((w0 + w1 * x1 + w2 * x2) * 100) AS BIGINT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n, w0, w1, w2
+             |FROM f, w GROUP BY 1, w0, w1, w2 ORDER BY bucket""".stripMargin)),
+
+    // ---- ROC-AUC by the rank-sum identity (q132): how well does raw
+    //      document length separate English from non-English? Midrank
+    //      tie handling (integer n_chars scores tie heavily), the
+    //      doubled-rank sum keeps everything in exact longs, and the
+    //      only float op is the final 1-row division, round-6 from
+    //      identical integer operands. ----
+    Q("q132_auc_roc",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Learn.aucRoc(Tables(s, dir, "documents"),
+          ($"lang" === "en").cast("long"), $"n_chars")
+      },
+      Some("""WITH g AS (
+             |  SELECT n_chars AS s, count(*) AS c,
+             |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p
+             |  FROM documents GROUP BY 1),
+             |r AS (
+             |  SELECT s, c, p,
+             |    coalesce(sum(c) OVER (ORDER BY s
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+             |  FROM g),
+             |a AS (
+             |  SELECT sum(p) AS np, sum(c) - sum(p) AS nn,
+             |    sum(p * (2 * r + c + 1)) AS rank2
+             |  FROM r)
+             |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+             |  CASE WHEN np > 0 AND nn > 0 THEN
+             |    round(CAST(rank2 - np * (np + 1) AS DOUBLE)
+             |      / (2.0 * np * nn), 6)
+             |  END AS auc
+             |FROM a""".stripMargin))
   )
 }

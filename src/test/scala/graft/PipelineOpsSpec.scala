@@ -810,6 +810,63 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no rows"))
   }
 
+  test("ridgeTrain: exact OLS on exact data; lambda shrinks; guards fire") {
+    import spark.implicits._
+    val df = Seq((5.0, 1.0), (8.0, 2.0), (11.0, 3.0)).toDF("y", "x")
+    // y = 2 + 3x exactly: XtX = [[3,6],[6,14]], Xty = [24,54], det 6
+    val w = Learn.ridgeTrain(df, col("y"), Seq(col("x")))
+    assert(w.toSeq == Seq(2.0, 3.0), w.mkString(","))
+    // ridge at lambda=1: A = [[3,6],[6,15]], det 9 -> w = (4, 2): the
+    // slope shrinks toward zero, the free intercept compensates
+    val wr = Learn.ridgeTrain(df, col("y"), Seq(col("x")), lambda = 1.0)
+    assert(wr.toSeq == Seq(4.0, 2.0), wr.mkString(","))
+    // collinear features are singular AT THE LATTICE
+    val e1 = intercept[IllegalArgumentException] {
+      Learn.ridgeTrain(df.withColumn("x2", col("x") * 2), col("y"),
+        Seq(col("x"), col("x2")))
+    }
+    assert(e1.getMessage.contains("singular"))
+    val e2 = intercept[IllegalArgumentException] {
+      Learn.ridgeTrain(Seq.empty[(Double, Double)].toDF("y", "x"),
+        col("y"), Seq(col("x")))
+    }
+    assert(e2.getMessage.contains("no rows"))
+    val e3 = intercept[IllegalArgumentException] {
+      Learn.ridgeTrain(df.withColumn("x",
+          when(col("x") > 2, lit(null)).otherwise(col("x"))),
+        col("y"), Seq(col("x")))
+    }
+    assert(e3.getMessage.contains("null feature"))
+    // under ANSI (the session default) the moment sum itself throws on
+    // long overflow before the post-hoc max-magnitude guard can; either
+    // way the fit REFUSES loudly instead of wrapping
+    val e4 = intercept[Exception] {
+      Learn.ridgeTrain(df.withColumn("x", col("x") * 1e9), col("y"),
+        Seq(col("x")))
+    }
+    assert(e4.getMessage.toLowerCase.contains("overflow"))
+  }
+
+  test("aucRoc: midrank ties match hand math; separation pins 1 and 0") {
+    import spark.implicits._
+    val df = Seq((1L, 3.0), (0L, 1.0), (1L, 2.0), (0L, 2.0)).toDF("y", "s")
+    // ascending: s=1 rank 1 (neg); s=2 ranks {2,3} midrank 2.5 (one
+    // each); s=3 rank 4 (pos). AUC = (2.5+4 - 3)/(2*2) = 0.875
+    val got = Learn.aucRoc(df, col("y"), col("s"))
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(got == ((2L, 2L, Some(0.875))), got.toString)
+    val perfect = Seq((1L, 9.0), (1L, 8.0), (0L, 2.0), (0L, 1.0)).toDF("y", "s")
+    assert(Learn.aucRoc(perfect, col("y"), col("s"))
+      .as[(Long, Long, Option[Double])].collect().head._3 == Some(1.0))
+    val inverted = Seq((0L, 9.0), (0L, 8.0), (1L, 2.0), (1L, 1.0)).toDF("y", "s")
+    assert(Learn.aucRoc(inverted, col("y"), col("s"))
+      .as[(Long, Long, Option[Double])].collect().head._3 == Some(0.0))
+    // one-sided labels have no ROC: auc is null, not NaN
+    val oneSided = Seq((1L, 9.0), (1L, 8.0)).toDF("y", "s")
+    assert(Learn.aucRoc(oneSided, col("y"), col("s"))
+      .as[(Long, Long, Option[Double])].collect().head._3.isEmpty)
+  }
+
   test("wordpieceSegment: greedy longest match, continuations, UNK, caps") {
     import spark.implicits._
     val docs = Seq(

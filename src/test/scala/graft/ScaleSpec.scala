@@ -876,6 +876,44 @@ class ScaleSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("ridge serving is map-side: one scan, bucket-grain exchanges only") {
+    val df = SparkEntry.queries("q131_ridge_regression")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // the returned frame is the SERVING pass (training ran eagerly as
+    // ONE map-combined moment aggregate): one corpus scan, yhat as a
+    // literal-weight map expression, then a ≤bucket-count-grain agg
+    val scans = collectAll(plan) { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, s"serving must scan once: ${scans.size}")
+    val bad = collectAll(plan) {
+      case e: ShuffleExchangeExec if collectAll(e.child) {
+        case a if a.nodeName.contains("HashAggregate") => a }.isEmpty &&
+        e.outputPartitioning !=
+          org.apache.spark.sql.catalyst.plans.physical.SinglePartition => e
+    }
+    assert(bad.isEmpty, s"row-grain exchange leaked: ${bad.map(_.nodeName)}")
+    Caches.sweep(spark)
+  }
+
+  test("auc reduces map-side to score grain before the rank window") {
+    val df = SparkEntry.queries("q132_auc_roc")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val scans = collectAll(plan) { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, s"corpus must scan once: ${scans.size}")
+    // label grain never leaves the map side: every exchange sits above
+    // a partial aggregate (score-grain counts) or is the 1-partition
+    // window/final collapse over score-grain rows
+    val bad = collectAll(plan) {
+      case e: ShuffleExchangeExec if collectAll(e.child) {
+        case a if a.nodeName.contains("HashAggregate") => a }.isEmpty &&
+        e.outputPartitioning !=
+          org.apache.spark.sql.catalyst.plans.physical.SinglePartition => e
+    }
+    assert(bad.isEmpty, s"row-grain exchange leaked: ${bad.map(_.nodeName)}")
+    Caches.sweep(spark)
+  }
+
   test("scc labels leave as self-contained checkpoints: no joins, no exchanges") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
