@@ -96,7 +96,10 @@ object PlanAudit {
     "t45_bm25f", "q130_psi_drift",
     // ridge trains as ONE moment aggregate and serves map-side with
     // literal weights; AUC reduces to score grain before its window
-    "q131_ridge_regression", "q132_auc_roc")
+    "q131_ridge_regression", "q132_auc_roc",
+    // landmark BFS labels leave as checkpoint unions; quantile
+    // calibration is grain-collapse + group-partitioned window
+    "q133_landmark_distances", "t46_quantile_normalize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

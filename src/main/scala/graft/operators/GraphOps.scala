@@ -364,6 +364,83 @@ object GraphOps {
     loop.finish(layers.reduce(_ union _))
   }
 
+  /** Per-landmark BFS hop distances (the landmark/sketch-based
+    * shortest-path estimation scheme of Potamias, Bonchi, Castillo &
+    * Gionis CIKM 2009): one frontier expansion computes, for EVERY
+    * landmark simultaneously, the exact hop distance from that landmark
+    * to each node it reaches within `maxHops`. The per-node distance
+    * vector is the graph embedding large-graph systems precompute so a
+    * pairwise distance query becomes `min_l d(l,u) + d(l,v)` — an upper
+    * bound that is exact whenever a shortest u–v path passes a landmark
+    * (see [[landmarkUpperBound]]); on a symmetrized edge set the bound
+    * direction is well-defined.
+    *
+    * [[bfsDistances]] generalized by a landmark key: state and layers
+    * are (landmark, id) grain, so the frontier is at most k× the
+    * single-source one and every hop remains one equi-join + distinct +
+    * anti-join — work stays O(k · edges touched). Every landmark emits
+    * its own (l, l, 0) seed row whether or not it appears in the edge
+    * set (the oracle-visible convention). Same [[IterativeLoop]]
+    * caching contract as [[bfsDistances]].
+    *
+    * @return (landmark, id, dist) — one row per landmark × node
+    *         reached within `maxHops`.
+    */
+  def landmarkDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      landmarks: Seq[Long], maxHops: Int,
+      broadcastFrontierBelow: Long = 2_000_000L): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    require(landmarks.nonEmpty, "need at least one landmark")
+    require(landmarks.distinct.size == landmarks.size,
+      s"duplicate landmarks: $landmarks")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val loop = new IterativeLoop()
+    val e = loop.pin(edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")))
+    var (frontier, frontierSize) = loop.keep(
+      spark.createDataset(landmarks).toDF("landmark")
+        .select(col("landmark"), col("landmark").as("id")))
+    var layers = List(frontier.withColumn("dist", lit(0L)))
+    var hop = 1
+    while (hop <= maxHops && frontierSize > 0) {
+      val f = frontier.withColumnRenamed("id", "src")
+      val (next, nextSize) = loop.keep(e.join(
+          if (frontierSize <= broadcastFrontierBelow) broadcast(f) else f,
+          "src")
+        .select(col("landmark"), col("dst").as("id")).distinct()
+        // first appearance per (landmark, id) wins — min-dist semantics
+        .join(layers.map(_.select(col("landmark"), col("id")))
+          .reduce(_ union _), Seq("landmark", "id"), "left_anti"))
+      frontierSize = nextSize
+      if (frontierSize > 0) layers ::= next.withColumn("dist", lit(hop.toLong))
+      frontier = next
+      hop += 1
+    }
+    loop.finish(layers.reduce(_ union _))
+  }
+
+  /** The [[landmarkDistances]] serving side: for each (src, dst) row of
+    * `pairs`, the landmark upper bound `min_l d(l, src) + d(l, dst)`
+    * over landmarks that reach BOTH endpoints (null when none does —
+    * reported as unknown, never invented). Two joins against the
+    * precomputed node-grain distance table + one pair-grain min — the
+    * pairs side drives the cost, the graph is never re-traversed. */
+  def landmarkUpperBound(dists: DataFrame, pairs: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val du = dists.select(col("landmark"), col("id").as("_u"),
+      col("dist").as("_du"))
+    val dv = dists.select(col("landmark"), col("id").as("_v"),
+      col("dist").as("_dv"))
+    pairs.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .join(du, col("src") === col("_u"), "left")
+      .join(dv, du("landmark") === dv("landmark") &&
+        col("dst") === col("_v"), "left")
+      .groupBy(col("src"), col("dst"))
+      .agg(min(col("_du") + col("_dv")).as("dist_ub"))
+  }
+
   /** k-core decomposition by iterative peeling (Seidman 1983; the
     * Batagelj-Zaversnik bulk variant): repeatedly drop every node whose
     * degree in the CURRENT subgraph is below `k` until the subgraph is

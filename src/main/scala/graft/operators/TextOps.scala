@@ -993,4 +993,47 @@ object TextOps {
           .otherwise(col("n_in") - col("n")).as("n_out"))
       .orderBy(col("stage"))
   }
+
+  /** Per-group quantile-rank calibration of a score column — the
+    * cross-source normalization step before mixing corpora whose raw
+    * quality scores live on incomparable scales (the CCNet/FineWeb
+    * per-dump discipline: a fixed threshold on dump A's perplexity
+    * means something else on dump B's; ranks within the source are
+    * comparable). Each (group, score) pair maps to its midrank quantile
+    * `u = (r + (c+1)/2) / (n_g + 1)` — r rows strictly below, c tied
+    * rows, n_g the group size — so u ∈ (0, 1), ties share one value,
+    * and a global `u ≥ τ` cut takes (almost) the same fraction of
+    * every source.
+    *
+    * INTEGER-EXACT: u's numerator doubles to `2r + c + 1` (a long) and
+    * the denominator to `2(n_g + 1)`; both ride the output, and the
+    * round-6 double `u` is ONE division of identical integer operands
+    * in any engine.
+    *
+    * Scale shape: one (group, score)-grain map-combined count, one
+    * window PARTITIONED BY GROUP over those grains (parallel across
+    * groups — no single-partition sort), one group-grain total riding
+    * the same window frame. Row grain never shuffles; quantize a
+    * continuous score upstream (round-4) to bound the grain.
+    *
+    * @return (group, score, c, u_num2, u_den2, u) — one row per
+    *         distinct (group, score); join back on both to calibrate
+    *         row-grain data.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: Column,
+      scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(groupCol.as("grp"), scoreCol.as("score"))
+      .groupBy(col("grp"), col("score")).agg(count(lit(1)).as("c"))
+    val wBelow = Window.partitionBy(col("grp")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.select(col("grp"), col("score"), col("c"),
+        (lit(2L) * coalesce(sum(col("c")).over(wBelow), lit(0L)) +
+          col("c") + lit(1L)).as("u_num2"),
+        (lit(2L) * (sum(col("c")).over(wAll) + lit(1L))).as("u_den2"))
+      .withColumn("u", round(col("u_num2").cast("double") /
+        col("u_den2").cast("double"), 6))
+  }
 }

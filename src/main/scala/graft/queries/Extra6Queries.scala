@@ -439,6 +439,44 @@ object Extra6Queries {
              |    round(CAST(rank2 - np * (np + 1) AS DOUBLE)
              |      / (2.0 * np * nn), 6)
              |  END AS auc
-             |FROM a""".stripMargin))
+             |FROM a""".stripMargin)),
+
+    // ---- Landmark BFS distance vectors (q133): per-landmark exact hop
+    //      distances over the SYMMETRIZED customer↔supplier trade
+    //      graph, 3 landmarks, 3 hops — the precomputed embedding that
+    //      turns a pairwise distance query into min_l d(l,u)+d(l,v)
+    //      (Potamias et al. CIKM 2009). One frontier expansion carries
+    //      all landmarks at (landmark, id) grain. The oracle walks the
+    //      same graph with a recursive CTE and takes min(d) — BFS from
+    //      first principles, no frontier mechanics shared. ----
+    Q("q133_landmark_distances",
+      (s, dir) => {
+        import s.implicits._
+        val e0 = Tables(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_suppkey")
+          .join(Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".cast("long").as("src"),
+            ($"l_suppkey" + 1000000L).cast("long").as("dst"))
+        val edges = e0.unionByName(
+          e0.select($"dst".as("src"), $"src".as("dst")))
+        GraphOps.landmarkDistances(edges, "src", "dst",
+            Seq(1L, 2L, 3L), maxHops = 3)
+          .orderBy($"landmark", $"id")
+      },
+      Some("""WITH RECURSIVE e0 AS (
+             |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+             |    CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |e AS (SELECT src, dst FROM e0
+             |  UNION SELECT dst, src FROM e0),
+             |walk(l, id, d) AS (
+             |  SELECT CAST(l AS BIGINT), CAST(l AS BIGINT), 0
+             |  FROM (VALUES (1), (2), (3)) t(l)
+             |  UNION
+             |  SELECT w.l, e.dst, w.d + 1
+             |  FROM walk w JOIN e ON e.src = w.id WHERE w.d < 3)
+             |SELECT l AS landmark, id, CAST(min(d) AS BIGINT) AS dist
+             |FROM walk GROUP BY l, id ORDER BY landmark, id""".stripMargin))
   )
 }

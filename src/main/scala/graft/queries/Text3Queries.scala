@@ -223,6 +223,37 @@ object Text3Queries {
              |    4) AS score
              |  FROM tfp)
              |SELECT doc_id, score FROM scored
-             |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))
+             |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ---- Per-group quantile-rank calibration (t46): document length
+    //      calibrated WITHIN each language (the CCNet/FineWeb per-dump
+    //      normalization — raw scores live on incomparable scales
+    //      across sources; ranks within a source are comparable).
+    //      Midrank quantile u = (r + (c+1)/2)/(n_g + 1), carried as the
+    //      doubled integer numerator/denominator so the round-6 u is
+    //      ONE division of identical longs in both engines. ----
+    Q("t46_quantile_normalize",
+      (s, dir) => {
+        import s.implicits._
+        TextOps.quantileNormalize(Tables(s, dir, "documents"),
+            $"lang", $"n_chars".cast("long"))
+          .orderBy($"grp", $"score")
+      },
+      Some("""WITH g AS (
+             |  SELECT lang AS grp, CAST(n_chars AS BIGINT) AS score,
+             |    count(*) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |r AS (
+             |  SELECT grp, score, c,
+             |    2 * coalesce(sum(c) OVER (PARTITION BY grp ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      + c + 1 AS u_num2,
+             |    2 * (sum(c) OVER (PARTITION BY grp) + 1) AS u_den2
+             |  FROM g)
+             |SELECT grp, score, CAST(c AS BIGINT) AS c,
+             |  CAST(u_num2 AS BIGINT) AS u_num2,
+             |  CAST(u_den2 AS BIGINT) AS u_den2,
+             |  round(CAST(u_num2 AS DOUBLE) / CAST(u_den2 AS DOUBLE), 6) AS u
+             |FROM r ORDER BY grp, score""".stripMargin))
   )
 }

@@ -348,6 +348,43 @@ class GraphOpsSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("landmarkDistances: per-landmark hops, absent landmark seeds itself, bound serves") {
+    import spark.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val d = GraphOps.landmarkDistances(chain, "src", "dst",
+      Seq(1L, 3L, 99L), maxHops = 3)
+    val got = d.as[(Long, Long, Long)].collect().toSet
+    // directed: 1 reaches 2,3,4; 3 reaches 4; 99 is absent but still
+    // seeds its own (l, l, 0) row
+    assert(got == Set(
+      (1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 3L),
+      (3L, 3L, 0L), (3L, 4L, 1L),
+      (99L, 99L, 0L)), got.toString)
+    Caches.sweep(spark)
+    // maxHops=0: seeds only
+    val seeds = GraphOps.landmarkDistances(chain, "src", "dst",
+      Seq(2L), maxHops = 0).as[(Long, Long, Long)].collect().toSet
+    assert(seeds == Set((2L, 2L, 0L)))
+    Caches.sweep(spark)
+    // serving: symmetric path 1-2-3, landmark 2 sits ON the shortest
+    // 1..3 path, so the upper bound is exact; unreachable pairs null
+    val sym = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val sd = GraphOps.landmarkDistances(sym, "src", "dst", Seq(2L), 3)
+    val pairs = Seq((1L, 3L), (1L, 9L)).toDF("u", "v")
+    val ubm = GraphOps.landmarkUpperBound(sd, pairs, "u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(ubm == Map((1L, 3L) -> Some(2L), (1L, 9L) -> None), ubm.toString)
+    intercept[IllegalArgumentException] {
+      GraphOps.landmarkDistances(chain, "src", "dst", Seq(1L, 1L), 1)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.landmarkDistances(chain, "src", "dst", Seq.empty, 1)
+    }
+    Caches.sweep(spark)
+  }
+
   test("sccRun hybrid: distributed rounds peel, the base case takes the tail") {
     // 3 edges > localTailEdges=1 forces round 1 distributed: it labels
     // the 2-cycle {4,5} (root 5) but NOT the polluted singleton 1

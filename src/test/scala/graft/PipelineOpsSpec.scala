@@ -867,6 +867,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Option[Double])].collect().head._3.isEmpty)
   }
 
+  test("quantileNormalize: midrank quantiles per group, ties share, scales comparable") {
+    import spark.implicits._
+    // group a: scores 10,10,20 (n=3); group b: 5 (n=1)
+    val df = Seq(("a", 10L), ("a", 10L), ("a", 20L), ("b", 5L))
+      .toDF("g", "s")
+    val got = TextOps.quantileNormalize(df, col("g"), col("s"))
+      .orderBy(col("grp"), col("score"))
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    // a/10: r=0,c=2 -> num 3, den 8 -> 0.375; a/20: r=2,c=1 -> num 6
+    // -> 0.75; b/5: num 2, den 4 -> 0.5
+    assert(got == Seq(
+      ("a", 10L, 2L, 3L, 8L, 0.375),
+      ("a", 20L, 1L, 6L, 8L, 0.75),
+      ("b", 5L, 1L, 2L, 4L, 0.5)), got.toString)
+    // calibrated u is group-size-free: the max score of ANY group of
+    // the same shape lands on the same u — a global cut is fair
+    assert(got.filter(_._2 == 20L).map(_._6) == Seq(0.75))
+  }
+
   test("wordpieceSegment: greedy longest match, continuations, UNK, caps") {
     import spark.implicits._
     val docs = Seq(

@@ -914,6 +914,44 @@ class ScaleSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("landmark distances leave as self-contained checkpoints") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val d = graft.operators.GraphOps.landmarkDistances(
+      edges, "src", "dst", Seq(1L), maxHops = 2)
+    val plan = d.queryExecution.executedPlan
+    val bad = collectAll(plan) {
+      case p if p.nodeName.contains("Join") ||
+        p.isInstanceOf[ShuffleExchangeExec] => p.nodeName
+    }
+    assert(bad.isEmpty,
+      s"result must be a union of layer checkpoints, found: $bad")
+    Caches.sweep(spark)
+  }
+
+  test("quantile calibration: one scan, exchanges above aggregates only") {
+    val df = SparkEntry.queries("t46_quantile_normalize")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val scans = collectAll(plan) { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, s"corpus must scan once: ${scans.size}")
+    // the corpus collapses map-side to (group, score) grain; the window
+    // rides a group-keyed exchange of those grains (parallel across
+    // groups — no single-partition sort anywhere)
+    val bad = collectAll(plan) {
+      case e: ShuffleExchangeExec if collectAll(e.child) {
+        case a if a.nodeName.contains("HashAggregate") => a }.isEmpty => e
+    }
+    assert(bad.isEmpty, s"row-grain exchange leaked: ${bad.map(_.nodeName)}")
+    val single = collectAll(plan) {
+      case e: ShuffleExchangeExec if e.outputPartitioning ==
+        org.apache.spark.sql.catalyst.plans.physical.SinglePartition => e
+    }
+    assert(single.isEmpty,
+      s"group-partitioned windows must not collapse to one partition")
+    Caches.sweep(spark)
+  }
+
   test("scc labels leave as self-contained checkpoints: no joins, no exchanges") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
