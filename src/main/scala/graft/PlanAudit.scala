@@ -99,7 +99,9 @@ object PlanAudit {
     "q131_ridge_regression", "q132_auc_roc",
     // landmark BFS labels leave as checkpoint unions; quantile
     // calibration is grain-collapse + group-partitioned window
-    "q133_landmark_distances", "t46_quantile_normalize")
+    "q133_landmark_distances", "t46_quantile_normalize",
+    // Bellman-Ford state leaves as one checkpoint scan
+    "q134_shortest_paths")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -441,6 +441,88 @@ object GraphOps {
       .agg(min(col("_du") + col("_dv")).as("dist_ub"))
   }
 
+  /** Outcome of [[shortestPathsRun]]: node-grain (id, dist), whether
+    * relaxation reached a fixed point within the sweep budget, and the
+    * sweeps spent. After k sweeps `dist` is EXACTLY the shortest
+    * distance among paths of ≤ k edges (the Bellman-Ford invariant) —
+    * so a capped run is hop-bounded-exact, never approximately wrong. */
+  final case class ShortestPathsRun(dists: DataFrame, converged: Boolean,
+      sweeps: Int)
+
+  /** [[shortestPathsRun]] without the accounting; logs a warning when
+    * the budget ran out (distances are then the ≤`maxSweeps`-edge
+    * optima — see [[ShortestPathsRun]]). */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, source: Long, maxSweeps: Int): DataFrame = {
+    val run = shortestPathsRun(edges, srcCol, dstCol, weightCol, source,
+      maxSweeps)
+    if (!run.converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"shortestPaths hit maxSweeps=$maxSweeps before the fixed point — " +
+          s"distances are exact over ≤$maxSweeps-edge paths only")
+    run.dists
+  }
+
+  /** Single-source shortest paths over NONNEGATIVE integer edge weights
+    * by synchronous Bellman-Ford relaxation (the min-plus counterpart
+    * of [[pageRank]]'s sparse matvec; Dijkstra's priority queue does
+    * not distribute — frontier-parallel relaxation is the standard
+    * cluster formulation, cf. delta-stepping, Meyer & Sanders 2003).
+    * Each sweep relaxes out-edges of the FRONTIER (nodes whose distance
+    * improved last sweep — only they can improve a neighbor), merges
+    * with a full-outer min, and counts improvements; the fixed point is
+    * certified by a zero-improvement sweep.
+    *
+    * Weights are validated nonnegative up front (one aggregate over the
+    * pinned edge cache — a negative weight silently breaks the
+    * invariant, so it throws instead). Distance sums ride ANSI longs:
+    * overflow throws rather than wraps.
+    *
+    * Scale shape ([[IterativeLoop]]): per sweep ONE frontier⋈edges
+    * equi-join + one dst-grain min + one node-grain full-outer merge —
+    * state never exceeds node grain, the improvement count rides one
+    * cached-block aggregate, block storage is O(1) in sweeps.
+    */
+  def shortestPathsRun(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, source: Long, maxSweeps: Int): ShortestPathsRun = {
+    require(maxSweeps >= 1, s"maxSweeps must be >= 1, got $maxSweeps")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val loop = new IterativeLoop()
+    try {
+      val e = loop.pin(edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w")))
+      val minW = e.agg(min(col("w"))).head()
+      if (!minW.isNullAt(0)) require(minW.getLong(0) >= 0L,
+        s"shortestPaths requires nonnegative weights, found ${minW.getLong(0)}")
+      var state = loop.advance(
+        Seq((source, 0L, 1L)).toDF("id", "dist", "chg"))
+      var sweeps = 0
+      var changed = 1L
+      while (changed > 0 && sweeps < maxSweeps) {
+        val frontier = state.filter(col("chg") === 1L)
+          .select(col("id").as("src"), col("dist"))
+        val cand = e.join(frontier, Seq("src"))
+          .select(col("dst").as("id"), (col("dist") + col("w")).as("nd"))
+          .groupBy(col("id")).agg(min(col("nd")).as("nd"))
+        state = loop.advance(state.select(col("id"), col("dist"))
+          .join(cand, Seq("id"), "full_outer")
+          .select(col("id"),
+            least(coalesce(col("dist"), col("nd")),
+              coalesce(col("nd"), col("dist"))).as("dist"),
+            (coalesce(col("nd"), lit(Long.MaxValue)) <
+              coalesce(col("dist"), lit(Long.MaxValue)))
+              .cast("long").as("chg")))
+        changed = state.agg(coalesce(sum(col("chg")), lit(0L)))
+          .head().getLong(0)
+        sweeps += 1
+      }
+      ShortestPathsRun(loop.finish(state.select(col("id"), col("dist"))),
+        changed == 0L, sweeps)
+    } catch { case t: Throwable => loop.abort(); throw t }
+  }
+
   /** k-core decomposition by iterative peeling (Seidman 1983; the
     * Batagelj-Zaversnik bulk variant): repeatedly drop every node whose
     * degree in the CURRENT subgraph is below `k` until the subgraph is

@@ -477,6 +477,45 @@ object Extra6Queries {
              |  SELECT w.l, e.dst, w.d + 1
              |  FROM walk w JOIN e ON e.src = w.id WHERE w.d < 3)
              |SELECT l AS landmark, id, CAST(min(d) AS BIGINT) AS dist
-             |FROM walk GROUP BY l, id ORDER BY landmark, id""".stripMargin))
+             |FROM walk GROUP BY l, id ORDER BY landmark, id""".stripMargin)),
+
+    // ---- Weighted single-source shortest paths (q134): frontier-based
+    //      Bellman-Ford min-plus sweeps (Dijkstra's queue does not
+    //      distribute) over the symmetrized trade graph with small
+    //      deterministic integer weights (1 + (src+dst) mod 3). The
+    //      4-sweep budget is hop-bounded-EXACT by the Bellman-Ford
+    //      invariant — distances are the ≤4-edge optima, which is
+    //      precisely what the oracle's hop-capped recursive walk
+    //      computes; integer min-plus is exact in both engines. ----
+    Q("q134_shortest_paths",
+      (s, dir) => {
+        import s.implicits._
+        val e0 = Tables(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_suppkey")
+          .join(Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".cast("long").as("src"),
+            ($"l_suppkey" + 1000000L).cast("long").as("dst"))
+        val edges = e0.unionByName(
+            e0.select($"dst".as("src"), $"src".as("dst")))
+          .withColumn("w", lit(1L) + pmod($"src" + $"dst", lit(3L)))
+        GraphOps.shortestPaths(edges, "src", "dst", "w",
+            source = 1L, maxSweeps = 4)
+          .orderBy($"id")
+      },
+      Some("""WITH RECURSIVE e0 AS (
+             |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+             |    CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |es AS (SELECT src, dst FROM e0
+             |  UNION SELECT dst, src FROM e0),
+             |e AS (SELECT src, dst, 1 + (src + dst) % 3 AS w FROM es),
+             |walk(id, d, h) AS (
+             |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0
+             |  UNION
+             |  SELECT e.dst, wk.d + e.w, wk.h + 1
+             |  FROM walk wk JOIN e ON e.src = wk.id WHERE wk.h < 4)
+             |SELECT id, CAST(min(d) AS BIGINT) AS dist
+             |FROM walk GROUP BY id ORDER BY id""".stripMargin))
   )
 }

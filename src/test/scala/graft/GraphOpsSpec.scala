@@ -385,6 +385,41 @@ class GraphOpsSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("shortestPaths: hop-bounded exactness, convergence certificate, guards") {
+    import spark.implicits._
+    // direct 1→3 costs 10; the 2-edge detour 1→2→3 costs 2
+    val g = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val one = GraphOps.shortestPathsRun(g, "src", "dst", "w", 1L, 1)
+    assert(!one.converged && one.sweeps == 1)
+    // after 1 sweep: exact over ≤1-edge paths — the detour is invisible
+    assert(one.dists.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 10L))
+    Caches.sweep(spark)
+    val full = GraphOps.shortestPathsRun(g, "src", "dst", "w", 1L, 5)
+    // sweep 3 certifies the fixed point; the budget is not exhausted
+    assert(full.converged && full.sweeps == 3, s"${full.sweeps}")
+    assert(full.dists.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    Caches.sweep(spark)
+    // zero weights relax; unreachable nodes are ABSENT, not infinite
+    val z = Seq((1L, 2L, 0L), (5L, 6L, 1L)).toDF("src", "dst", "w")
+    val zr = GraphOps.shortestPathsRun(z, "src", "dst", "w", 1L, 3)
+    assert(zr.converged)
+    assert(zr.dists.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 0L, 2L -> 0L))
+    Caches.sweep(spark)
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.shortestPathsRun(
+        Seq((1L, 2L, -1L)).toDF("src", "dst", "w"), "src", "dst", "w", 1L, 2)
+    }
+    assert(e.getMessage.contains("nonnegative"))
+    intercept[IllegalArgumentException] {
+      GraphOps.shortestPathsRun(g, "src", "dst", "w", 1L, 0)
+    }
+    Caches.sweep(spark)
+  }
+
   test("sccRun hybrid: distributed rounds peel, the base case takes the tail") {
     // 3 edges > localTailEdges=1 forces round 1 distributed: it labels
     // the 2-cycle {4,5} (root 5) but NOT the polluted singleton 1

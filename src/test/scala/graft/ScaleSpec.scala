@@ -914,6 +914,19 @@ class ScaleSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("shortest-path state leaves as a self-contained checkpoint") {
+    import spark.implicits._
+    val g = Seq((1L, 2L, 1L), (2L, 3L, 2L)).toDF("src", "dst", "w")
+    val d = graft.operators.GraphOps.shortestPaths(
+      g, "src", "dst", "w", 1L, 3)
+    val bad = collectAll(d.queryExecution.executedPlan) {
+      case p if p.nodeName.contains("Join") ||
+        p.isInstanceOf[ShuffleExchangeExec] => p.nodeName
+    }
+    assert(bad.isEmpty, s"result must be one checkpoint scan, found: $bad")
+    Caches.sweep(spark)
+  }
+
   test("landmark distances leave as self-contained checkpoints") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
