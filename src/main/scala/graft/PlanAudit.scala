@@ -101,7 +101,11 @@ object PlanAudit {
     // calibration is grain-collapse + group-partitioned window
     "q133_landmark_distances", "t46_quantile_normalize",
     // Bellman-Ford state leaves as one checkpoint scan
-    "q134_shortest_paths")
+    "q134_shortest_paths",
+    // streaming drift monitor: the drift math is (day × bucket)-grain
+    // metadata riding group-partitioned windows over the memory-sink
+    // counts — the only corpus-grain work happened in the stream agg
+    "st16_stream_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -162,15 +162,72 @@ object Expectations {
     val withTot = joined.crossJoin(broadcast(totals))
     val pShare = col("n_p").cast("double") / col("tot_p").cast("double")
     val qShare = col("n_q").cast("double") / col("tot_q").cast("double")
-    val lnq = round(log(pShare / qShare) * 1e6).cast("long")
-    val contrib = round((pShare - qShare) *
-      (lnq.cast("double") / 1e6) * 1e9).cast("long")
     val rows = withTot.select(col("bucket"), col("n_p"), col("n_q"),
       (col("n_p") === 0 || col("n_q") === 0).as("one_sided"),
-      when(col("n_p") > 0 && col("n_q") > 0, contrib)
+      when(col("n_p") > 0 && col("n_q") > 0, contribNano(pShare, qShare))
         .otherwise(lit(0L)).as("contrib_nano"))
     rows.withColumn("psi_nano", sum(col("contrib_nano")).over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .orderBy(col("bucket"))
+  }
+
+  /** One bucket's nano-PSI contribution from the two shares — the
+    * round-6-ln-before-product integer-nano quantization shared by
+    * [[psiDrift]] and [[psiDriftSeries]]. */
+  private def contribNano(pShare: Column, qShare: Column): Column = {
+    val lnq = round(log(pShare / qShare) * 1e6).cast("long")
+    round((pShare - qShare) * (lnq.cast("double") / 1e6) * 1e9).cast("long")
+  }
+
+  /** [[psiDrift]] as a SERIES against one fixed reference: each group of
+    * `counts` (a monitoring window — a day, a delivery, a micro-batch
+    * watermark) scores its bucket histogram against the same reference
+    * histogram, yielding one PSI row per group — the shape a streaming
+    * drift monitor emits (gate st16 feeds it windowed stream counts).
+    * Same quantization discipline and same no-epsilon-invention stance
+    * as [[psiDrift]]: one-sided buckets are counted and excluded, never
+    * smoothed.
+    *
+    * Scale shape: inputs are ALREADY bucket-grain counts (the caller's
+    * aggregation did the only corpus-grain work); the reference is
+    * broadcast against the distinct group list, the full-outer join and
+    * both totals ride group-partitioned windows — everything here is
+    * (group × bucket)-grain metadata.
+    *
+    * @param counts (group, bucket, n) frame — `groupCol`/`bucketCol`/
+    *               `nCol` name its columns.
+    * @param ref    (bucket, n) reference histogram — `refBucketCol`/
+    *               `refNCol` name its columns.
+    * @return one row per group: (grp, n_buckets, n_one_sided, psi_nano).
+    */
+  def psiDriftSeries(counts: DataFrame, groupCol: Column, bucketCol: Column,
+      nCol: Column, ref: DataFrame, refBucketCol: Column,
+      refNCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cur = counts.select(groupCol.as("grp"),
+      bucketCol.cast("long").as("bucket"), nCol.cast("long").as("n_cur"))
+    val refN = ref.select(refBucketCol.cast("long").as("bucket"),
+      refNCol.cast("long").as("n_ref"))
+    val refAll = cur.select(col("grp")).distinct()
+      .crossJoin(broadcast(refN))
+    val joined = refAll.join(cur, Seq("grp", "bucket"), "full_outer")
+      .select(col("grp"), col("bucket"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"))
+    val w = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withTot = joined
+      .withColumn("tot_cur", sum(col("n_cur")).over(w))
+      .withColumn("tot_ref", sum(col("n_ref")).over(w))
+    val pShare = col("n_cur").cast("double") / col("tot_cur").cast("double")
+    val qShare = col("n_ref").cast("double") / col("tot_ref").cast("double")
+    withTot.select(col("grp"),
+        (col("n_cur") === 0 || col("n_ref") === 0).as("one_sided"),
+        when(col("n_cur") > 0 && col("n_ref") > 0,
+          contribNano(pShare, qShare)).otherwise(lit(0L)).as("contrib"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("one_sided").cast("long")).as("n_one_sided"),
+        sum(col("contrib")).as("psi_nano"))
   }
 }

@@ -476,6 +476,76 @@ object StreamQueries {
              |    row_number() OVER (PARTITION BY user_id
              |      ORDER BY ts DESC, event_id DESC) AS rn
              |  FROM events)
-             |WHERE rn = 1 ORDER BY user_id""".stripMargin))
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- streaming drift monitor (st16): the serving half of q130's
+    //      PSI — the monitored stream's daily value-histogram scores
+    //      against a FROZEN first-fortnight reference, one integer
+    //      nano-PSI row per day (Expectations.psiDriftSeries). The
+    //      stream side does the only corpus-grain work (a windowed
+    //      bucket count); the drift math is (day × bucket)-grain
+    //      metadata. Replayed input ⇒ batch-equal, which is exactly
+    //      what the oracle states. ----
+    Q("st16_stream_drift",
+      (s, dir) => {
+        import s.implicits._
+        val cut = lit("2024-01-15").cast("timestamp")
+        val counts = StreamOps.readEvents(s, dir)
+          .filter($"ts" >= cut)
+          .groupBy(window($"ts", "1 day"),
+            floor($"value" / 50).as("bucket"))
+          .agg(count(lit(1)).as("n"))
+        val cur = StreamOps.runToMemory(s, counts, "st16_out",
+            OutputMode.Complete())
+          .select(date_format($"window.start", "yyyy-MM-dd").as("day"),
+            $"bucket", $"n")
+        val ref = Tables(s, dir, "events").filter($"ts" < cut)
+          .groupBy(floor($"value" / 50).as("bucket"))
+          .agg(count(lit(1)).as("n"))
+        graft.operators.Expectations.psiDriftSeries(cur,
+            col("day"), col("bucket"), col("n"),
+            ref, col("bucket"), col("n"))
+          .orderBy($"grp")
+      },
+      Some("""WITH cur AS (
+             |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS grp,
+             |    CAST(floor(value / 50) AS BIGINT) AS bucket,
+             |    count(*) AS n_cur
+             |  FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+             |  GROUP BY 1, 2),
+             |ref AS (
+             |  SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+             |    count(*) AS n_ref
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-15'
+             |  GROUP BY 1),
+             |refall AS (
+             |  SELECT g.grp, r.bucket, r.n_ref
+             |  FROM (SELECT DISTINCT grp FROM cur) g, ref r),
+             |j AS (
+             |  SELECT coalesce(ra.grp, c.grp) AS grp,
+             |    coalesce(ra.bucket, c.bucket) AS bucket,
+             |    coalesce(c.n_cur, 0) AS n_cur, coalesce(ra.n_ref, 0) AS n_ref
+             |  FROM refall ra FULL OUTER JOIN cur c
+             |    ON ra.grp = c.grp AND ra.bucket = c.bucket),
+             |t AS (
+             |  SELECT grp, n_cur, n_ref,
+             |    sum(n_cur) OVER (PARTITION BY grp) AS tc,
+             |    sum(n_ref) OVER (PARTITION BY grp) AS tr
+             |  FROM j),
+             |r2 AS (
+             |  SELECT grp, (n_cur = 0 OR n_ref = 0) AS os,
+             |    CASE WHEN n_cur > 0 AND n_ref > 0 THEN
+             |      CAST(round((CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE)
+             |                  - CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE))
+             |        * (CAST(CAST(round(ln((CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE))
+             |              / (CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE))) * 1e6)
+             |            AS BIGINT) AS DOUBLE) / 1e6)
+             |        * 1e9) AS BIGINT)
+             |    ELSE 0 END AS contrib
+             |  FROM t)
+             |SELECT grp, CAST(count(*) AS BIGINT) AS n_buckets,
+             |  CAST(sum(CASE WHEN os THEN 1 ELSE 0 END) AS BIGINT) AS n_one_sided,
+             |  CAST(sum(contrib) AS BIGINT) AS psi_nano
+             |FROM r2 GROUP BY grp ORDER BY grp""".stripMargin))
   )
 }

@@ -116,4 +116,36 @@ class ExpectationsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Boolean, Long, Long)].collect().toSeq
     assert(same.forall(r => r._5 == 0L && r._6 == 0L && !r._4), same.toString)
   }
+
+  test("psiDriftSeries: per-group PSI vs one reference, proportional group = 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ref histogram {1:1, 2:3}; day A drifts {1:3, 2:1}; day B is ref
+    // scaled 2x {1:2, 2:6} -> identical shares, PSI exactly 0; day C
+    // has a ref-absent bucket 9 (one-sided) next to a matched bucket
+    val counts = Seq(
+      ("a", 1L, 3L), ("a", 2L, 1L),
+      ("b", 1L, 2L), ("b", 2L, 6L),
+      ("c", 1L, 4L), ("c", 9L, 4L)).toDF("g", "b", "n")
+    val ref = Seq((1L, 1L), (2L, 3L)).toDF("b", "n")
+    val got = Expectations.psiDriftSeries(counts, col("g"), col("b"),
+        col("n"), ref, col("b"), col("n"))
+      .orderBy(col("grp"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    def contrib(np: Long, tp: Long, nq: Long, tq: Long): Long = {
+      val ps = np.toDouble / tp.toDouble
+      val qs = nq.toDouble / tq.toDouble
+      val lnq = math.round(math.log(ps / qs) * 1e6).toDouble / 1e6
+      math.round((ps - qs) * lnq * 1e9)
+    }
+    val psiA = contrib(3, 4, 1, 4) + contrib(1, 4, 3, 4)
+    // day C: matched bucket 1 carries ALL the group's share (4/8 vs
+    // 1/4); buckets 2 (ref-only) and 9 (cur-only) are one-sided
+    val psiC = contrib(4, 8, 1, 4)
+    assert(got == Seq(
+      ("a", 2L, 0L, psiA),
+      ("b", 2L, 0L, 0L),
+      ("c", 3L, 2L, psiC)), got.toString)
+    assert(psiA > 0L)
+  }
 }
