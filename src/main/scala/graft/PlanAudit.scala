@@ -105,7 +105,10 @@ object PlanAudit {
     // streaming drift monitor: the drift math is (day × bucket)-grain
     // metadata riding group-partitioned windows over the memory-sink
     // counts — the only corpus-grain work happened in the stream agg
-    "st16_stream_drift")
+    "st16_stream_drift",
+    // two-stage PQ serving: ADC TakeOrdered shortlist broadcast into a
+    // semi-join, exact re-rank map-side — zero shuffles end to end
+    "s14_pq_rerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -837,6 +837,45 @@ object Similarity {
       .limit(kNN)
   }
 
+  /** Two-stage ANN serving — the production PQ pattern (Jégou, Douze &
+    * Schmid TPAMI 2011 §V: non-exhaustive search re-ranks a quantized
+    * short list with exact distances): stage 1 takes the `candidates`
+    * best ADC (code-level) matches, stage 2 re-scores ONLY those with
+    * the exact integer squared-L2 on the quantized-long vectors and
+    * returns the top `kNN`. The compression error that ADC admits
+    * (corpus vectors reduced to m codes) is undone for the short list,
+    * at the price of fetching `candidates` float rows — the standard
+    * recall-vs-IO dial.
+    *
+    * Scale shape: stage 1 is [[pqTopKAdc]] (map over the codes column +
+    * TakeOrdered); stage 2 BROADCASTS the ≤`candidates`-row id list
+    * into a semi-join on the corpus and scores map-side — with an
+    * id-bucketed layout ([[ivfWriteLayout]]-style) the fetch prunes to
+    * touched buckets instead of a filtered scan. Ties break by id at
+    * both stages; all arithmetic is exact longs.
+    *
+    * @return (id, dist) — exact integer squared-L2, ascending, ≤ kNN
+    *         rows drawn from the ADC short list.
+    */
+  def pqRerankTopK(emb: DataFrame, idCol: String, embCol: String,
+      model: PqModel, query: Seq[Double], candidates: Int = 50,
+      kNN: Int = 10): DataFrame = {
+    require(kNN >= 1 && candidates >= kNN,
+      s"need candidates >= kNN >= 1: $candidates, $kNN")
+    val cand = pqTopKAdc(emb, idCol, embCol, model, query, candidates)
+      .select(col("id"))
+    val vq = vqProjected(emb, idCol, embCol, model.quantScale)
+    val qq = query.map(x => math.round(x * model.quantScale))
+    val qLit = array(qq.map(lit): _*)
+    val d2 = aggregate(
+      zip_with(col("vq"), qLit, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+    vq.join(broadcast(cand), Seq("id"), "left_semi")
+      .select(col("id"), d2.as("dist"))
+      .orderBy(col("dist"), col("id"))
+      .limit(kNN)
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
     * — the diversity selector between retrieval and a context window:
     * from the `poolSize` most query-relevant vectors, greedily pick `k`

@@ -946,6 +946,85 @@ object PipelineQueries {
              |GROUP BY e.id
              |ORDER BY adc, vec_id LIMIT 10""".stripMargin)),
 
+    // Two-stage PQ serving (s14): ADC shortlist of 25, exact integer
+    // squared-L2 re-rank to top-10 — the Jégou et al. §V production
+    // pattern (compression error undone for the short list). The
+    // oracle replays the whole train→encode→ADC pipeline (the s12
+    // text), widens the LIMIT to the candidate count, and re-scores
+    // exactly — both stages' tie rules are pinned by id.
+    Q("s14_pq_rerank",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val model = graft.operators.Similarity.pqTrain(
+          emb, "vec_id", "embedding", m = 4, k = 4, iters = 1)
+        val query = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        graft.operators.Similarity
+          .pqRerankTopK(emb, "vec_id", "embedding", model, query,
+            candidates = 25, kNN = 10)
+          .select(col("id").as("vec_id"), col("dist"))
+      },
+      Some("""WITH vq AS (
+             |  SELECT vec_id AS id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS vq
+             |  FROM embeddings),
+             |sp AS (SELECT unnest(range(4)) AS sub),
+             |subs AS (
+             |  SELECT id, sp.sub, vq[sp.sub*16+1 : sp.sub*16+16] AS x
+             |  FROM vq, sp),
+             |seeds AS (
+             |  SELECT sub, CAST(rn - 1 AS INT) AS code, x AS c FROM (
+             |    SELECT sub, x,
+             |      row_number() OVER (PARTITION BY sub ORDER BY id) AS rn
+             |    FROM subs) WHERE rn <= 4),
+             |a1 AS (
+             |  SELECT id, sub, x, code, row_number() OVER (
+             |      PARTITION BY id, sub ORDER BY ld, code) AS rn
+             |  FROM (SELECT s.id, s.sub, s.x, c.code,
+             |      CAST(list_sum(list_transform(range(1, 17),
+             |        i -> (s.x[i] - c.c[i]) * (s.x[i] - c.c[i]))) AS BIGINT) AS ld
+             |    FROM subs s JOIN seeds c USING (sub))),
+             |asg AS (SELECT id, sub, x, code FROM a1 WHERE rn = 1),
+             |upd AS (
+             |  SELECT sub, code, i.i AS pos,
+             |    CAST(floor(CAST(sum(x[i.i + 1]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+             |  FROM asg, (SELECT unnest(range(16)) AS i) i
+             |  GROUP BY sub, code, i.i),
+             |c1 AS (SELECT sub, code, list(mv ORDER BY pos) AS c
+             |  FROM upd GROUP BY sub, code),
+             |cents AS (
+             |  SELECT s.sub, s.code, coalesce(c1.c, s.c) AS c
+             |  FROM seeds s LEFT JOIN c1 ON s.sub = c1.sub AND s.code = c1.code),
+             |enc AS (
+             |  SELECT id, sub, code FROM (
+             |    SELECT s.id, s.sub, c.code, row_number() OVER (
+             |        PARTITION BY s.id, s.sub ORDER BY
+             |        CAST(list_sum(list_transform(range(1, 17),
+             |          i -> (s.x[i] - c.c[i]) * (s.x[i] - c.c[i]))) AS BIGINT),
+             |        c.code) AS rn
+             |    FROM subs s JOIN cents c USING (sub)) WHERE rn = 1),
+             |qsubs AS (
+             |  SELECT sp.sub, q.vq[sp.sub*16+1 : sp.sub*16+16] AS qx
+             |  FROM (SELECT vq FROM vq WHERE id = 0) q, sp),
+             |tab AS (
+             |  SELECT c.sub, c.code,
+             |    CAST(list_sum(list_transform(range(1, 17),
+             |      i -> (qs.qx[i] - c.c[i]) * (qs.qx[i] - c.c[i]))) AS BIGINT) AS dist
+             |  FROM cents c JOIN qsubs qs USING (sub)),
+             |cand AS (
+             |  SELECT e.id, CAST(sum(t.dist) AS BIGINT) AS adc
+             |  FROM enc e JOIN tab t ON e.sub = t.sub AND e.code = t.code
+             |  GROUP BY e.id
+             |  ORDER BY adc, id LIMIT 25)
+             |SELECT v.id AS vec_id,
+             |  CAST(list_sum(list_transform(range(1, 65),
+             |    j -> (v.vq[j] - q.qv[j]) * (v.vq[j] - q.qv[j]))) AS BIGINT)
+             |    AS dist
+             |FROM vq v JOIN cand c ON v.id = c.id,
+             |  (SELECT vq AS qv FROM vq WHERE id = 0) q
+             |ORDER BY dist, vec_id LIMIT 10""".stripMargin)),
+
     // Maximal-marginal-relevance selection (s13): greedy diversity
     // re-ranking over the top-8 relevance pool, 3 picks at λ=0.5 — the
     // between-retrieval-and-context-window selector. Integer dot

@@ -965,6 +965,24 @@ class ScaleSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("pq rerank: shortlist broadcasts into a semi-join, zero shuffles") {
+    val df = SparkEntry.queries("s14_pq_rerank")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val exchanges = collectAll(plan) { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty,
+      s"both stages must be map + TakeOrdered + broadcast semi-join: " +
+        s"${exchanges.map(_.nodeName)}")
+    val semi = collectAll(plan) {
+      case p if p.nodeName.contains("BroadcastHashJoin") => p.nodeName
+    }
+    assert(semi.nonEmpty, "candidate fetch must be a broadcast semi-join")
+    val kinds = collectAll(plan) { case p => p.nodeName }
+    assert(kinds.exists(_.contains("TakeOrderedAndProject")),
+      kinds.mkString(","))
+    Caches.sweep(spark)
+  }
+
   test("scc labels leave as self-contained checkpoints: no joins, no exchanges") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))

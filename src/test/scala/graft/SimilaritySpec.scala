@@ -325,6 +325,37 @@ class SimilaritySpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("pqRerank: exact distances overturn ADC's code-level ties") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f, 8.0f, 8.0f)),
+      (1L, Array(0.002f, 0.002f, 8.002f, 8.002f)),
+      (2L, Array(8.0f, 8.0f, 0.0f, 0.0f)),
+      (3L, Array(8.002f, 8.002f, 0.002f, 0.002f)),
+      (4L, Array(4.0f, 4.0f, 4.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val m1 = Similarity.pqTrain(emb, "vec_id", "embedding", m = 2, k = 2,
+      iters = 1)
+    // 0 and 1 share codes, so their ADC is identical and stage 1 ties
+    // by id (0 first). The query IS vector 1: the exact re-rank must
+    // put 1 first with dist 0 — the compression error ADC cannot see
+    val q = Seq(0.002, 0.002, 8.002, 8.002)
+    val got = Similarity.pqRerankTopK(emb, "vec_id", "embedding", m1, q,
+      candidates = 5, kNN = 3).as[(Long, Long)].collect().toSeq
+    val raw = emb.as[(Long, Array[Float])].collect().toMap
+    def sq(id: Long): Long = raw(id)
+      .map(x => math.round(x.toDouble * 1000))
+      .zip(q.map(x => math.round(x * 1000)))
+      .map { case (a, b) => (a - b) * (a - b) }.sum
+    assert(got.head == ((1L, 0L)), got.toString)
+    assert(got == Seq(1L, 0L, 4L).map(id => (id, sq(id))), got.toString)
+    intercept[IllegalArgumentException] {
+      Similarity.pqRerankTopK(emb, "vec_id", "embedding", m1, q,
+        candidates = 2, kNN = 3)
+    }
+    Caches.sweep(spark)
+  }
+
   test("mmr: near-duplicate loses to the diverse pick; λ=1 is pure relevance") {
     import spark.implicits._
     val emb = Seq(
