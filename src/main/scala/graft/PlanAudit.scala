@@ -108,7 +108,10 @@ object PlanAudit {
     "st16_stream_drift",
     // two-stage PQ serving: ADC TakeOrdered shortlist broadcast into a
     // semi-join, exact re-rank map-side — zero shuffles end to end
-    "s14_pq_rerank")
+    "s14_pq_rerank",
+    // Theil-Sen collapses to day grain before its pairwise join;
+    // the A/B z-test serves from a 2-row group-grain checkpoint
+    "q135_theil_sen", "q136_ab_test")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

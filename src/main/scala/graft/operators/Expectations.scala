@@ -171,6 +171,52 @@ object Expectations {
       .orderBy(col("bucket"))
   }
 
+  /** Pooled two-proportion z-test (the standard A/B significance check
+    * a pipeline runs on conversion/quality rates between cohorts):
+    * `z = (p₁ − p₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂))` with the pooled
+    * `p̂ = (x₁+x₂)/(n₁+n₂)`. Group 1 is the LOWER group key, so the
+    * sign convention is pinned. Every input to the float chain is an
+    * exact long count; division and sqrt are IEEE correctly-rounded on
+    * identical operands, so round-6 z is engine-exact. Degenerate
+    * pools (p̂ ∈ {0, 1} — zero variance) return null z, not NaN.
+    *
+    * Scale shape: ONE map-combined group-grain aggregate (2 rows), a
+    * 2-row driver-free self-pair — the corpus never shuffles at row
+    * grain. Throws unless exactly two groups are present.
+    *
+    * @return ONE row: (grp_1, n_1, x_1, grp_2, n_2, x_2, z,
+    *         significant) — significant at |z| > 1.96 (two-sided 5%),
+    *         null when z is null.
+    */
+  def twoProportionZ(df: DataFrame, groupCol: Column,
+      successCol: Column): DataFrame = {
+    // one corpus pass into a group-grain checkpoint (bounded metadata)
+    // so the cardinality check and the self-pair share it
+    val counts = df.select(groupCol.as("grp"),
+        successCol.cast("boolean").cast("long").as("s"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("x"))
+      .localCheckpoint(true)
+    val g = counts.count()
+    require(g == 2, s"twoProportionZ needs exactly 2 groups, got $g")
+    val a = counts.select(col("grp").as("grp_1"), col("n").as("n_1"),
+      col("x").as("x_1"))
+    val b = counts.select(col("grp").as("grp_2"), col("n").as("n_2"),
+      col("x").as("x_2"))
+    val paired = a.join(b, col("grp_1") < col("grp_2"))
+    val p1 = col("x_1").cast("double") / col("n_1").cast("double")
+    val p2 = col("x_2").cast("double") / col("n_2").cast("double")
+    val pPool = (col("x_1") + col("x_2")).cast("double") /
+      (col("n_1") + col("n_2")).cast("double")
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_1").cast("double") +
+        lit(1.0) / col("n_2").cast("double")))
+    val z = when(pPool > 0.0 && pPool < 1.0, round((p1 - p2) / se, 6))
+    paired.select(col("grp_1"), col("n_1"), col("x_1"),
+      col("grp_2"), col("n_2"), col("x_2"), z.as("z"),
+      when(z.isNotNull, abs(z) > 1.96).as("significant"))
+  }
+
   /** One bucket's nano-PSI contribution from the two shares — the
     * round-6-ln-before-product integer-nano quantization shared by
     * [[psiDrift]] and [[psiDriftSeries]]. */

@@ -134,4 +134,48 @@ object TimeSeries {
         round(col("n") / col("_e"), 4).as("ratio"),
         (abs(col("n") / col("_e") - 1.0) > alertRatio).as("is_alert"))
   }
+
+  /** Theil–Sen robust trend of daily volume (Theil 1950 / Sen 1968 —
+    * the median of all pairwise day-slopes; up to ~29% of days can be
+    * wild outliers, a spike day that would drag a least-squares slope
+    * barely moves this one): the robust-statistics companion to
+    * [[ewmaDailyVolume]]'s trend-following and [[Expectations.volumeAnomalies]]'
+    * z-scores.
+    *
+    * DETERMINISM: each pairwise slope stays an exact (Δn, Δdays) LONG
+    * fraction; its double value divides identical operands in any
+    * engine, the median is the LOWER median (rank ⌈m/2⌉ of m) under a
+    * TOTAL order (value, then numerator, denominator, day pair — no
+    * tie is left to the engine), and only the reported slope rounds.
+    *
+    * Scale shape: the corpus collapses map-side to DAY grain (the q125
+    * contract — bounded metadata); the pairwise self-join and the
+    * single-partition median window run on day² ≤ ~266k rows for two
+    * years of days, never on event grain.
+    *
+    * @return ONE row: (n_pairs, slope_num, slope_den, slope) — slope in
+    *         events/day, round-6; the exact fraction rides beside it.
+    */
+  def theilSenDailyTrend(events: DataFrame, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.select(col(tsCol).cast("date").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val a = daily.select(col("d").as("da"), col("n").as("na"))
+    val b = daily.select(col("d").as("db"), col("n").as("nb"))
+    val pairs = a.join(b, col("da") < col("db"))
+      .select(col("da"), col("db"), (col("nb") - col("na")).as("num"),
+        datediff(col("db"), col("da")).cast("long").as("den"))
+    val v = col("num").cast("double") / col("den").cast("double")
+    val ranked = pairs.select(col("num"), col("den"), v.as("v"),
+      row_number().over(Window.orderBy(v, col("num"), col("den"),
+        col("da"), col("db"))).as("rn"),
+      count(lit(1)).over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)).as("cnt"))
+    // lower median rank ⌈m/2⌉ = ⌊(m+1)/2⌋ — Spark's `/` on longs is a
+    // DOUBLE divide, so floor it back to an integer rank
+    ranked.filter(col("rn") ===
+        floor((col("cnt") + lit(1L)) / lit(2L)).cast("long"))
+      .select(col("cnt").as("n_pairs"), col("num").as("slope_num"),
+        col("den").as("slope_den"), round(col("v"), 6).as("slope"))
+  }
 }

@@ -516,6 +516,71 @@ object Extra6Queries {
              |  SELECT e.dst, wk.d + e.w, wk.h + 1
              |  FROM walk wk JOIN e ON e.src = wk.id WHERE wk.h < 4)
              |SELECT id, CAST(min(d) AS BIGINT) AS dist
-             |FROM walk GROUP BY id ORDER BY id""".stripMargin))
+             |FROM walk GROUP BY id ORDER BY id""".stripMargin)),
+
+    // ---- Theil–Sen robust daily trend (q135): the median pairwise
+    //      day-slope of event volume (Theil 1950 / Sen 1968) — ~29% of
+    //      days can be wild outliers without moving it, unlike a
+    //      least-squares slope. Slopes stay exact (Δn, Δdays) long
+    //      fractions; the LOWER median is taken under a TOTAL order
+    //      (value, num, den, day pair), so no tie is engine-decided;
+    //      only the reported slope rounds. ----
+    Q("q135_theil_sen",
+      (s, dir) => TimeSeries.theilSenDailyTrend(
+        Tables(s, dir, "events"), "ts"),
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS d, count(*) AS n
+             |  FROM events GROUP BY 1),
+             |p AS (
+             |  SELECT a.d AS da, b.d AS db, b.n - a.n AS num,
+             |    CAST(date_diff('day', a.d, b.d) AS BIGINT) AS den
+             |  FROM daily a JOIN daily b ON a.d < b.d),
+             |o AS (
+             |  SELECT num, den,
+             |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS v,
+             |    row_number() OVER (ORDER BY
+             |      CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+             |      num, den, da, db) AS rn,
+             |    count(*) OVER () AS cnt
+             |  FROM p)
+             |SELECT CAST(cnt AS BIGINT) AS n_pairs,
+             |  CAST(num AS BIGINT) AS slope_num,
+             |  CAST(den AS BIGINT) AS slope_den, round(v, 6) AS slope
+             |FROM o WHERE rn = (cnt + 1) // 2""".stripMargin)),
+
+    // ---- Pooled two-proportion z-test (q136): purchase conversion,
+    //      even vs odd user cohorts — the A/B significance check run
+    //      in-engine. All float inputs are exact long counts; divide
+    //      and sqrt are IEEE correctly-rounded on identical operands,
+    //      so round-6 z is engine-exact; group 1 = the lower cohort
+    //      key pins the sign. ----
+    Q("q136_ab_test",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Expectations.twoProportionZ(
+          Tables(s, dir, "events"),
+          pmod($"user_id", lit(2L)), $"event_type" === "purchase")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id % 2 AS grp, count(*) AS n,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+             |  FROM events GROUP BY 1)
+             |SELECT a.grp AS grp_1, CAST(a.n AS BIGINT) AS n_1,
+             |  CAST(a.x AS BIGINT) AS x_1,
+             |  b.grp AS grp_2, CAST(b.n AS BIGINT) AS n_2,
+             |  CAST(b.x AS BIGINT) AS x_2,
+             |  round((CAST(a.x AS DOUBLE) / CAST(a.n AS DOUBLE)
+             |         - CAST(b.x AS DOUBLE) / CAST(b.n AS DOUBLE))
+             |    / sqrt((CAST(a.x + b.x AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
+             |      * (1.0 - CAST(a.x + b.x AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
+             |      * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))),
+             |    6) AS z,
+             |  abs(round((CAST(a.x AS DOUBLE) / CAST(a.n AS DOUBLE)
+             |         - CAST(b.x AS DOUBLE) / CAST(b.n AS DOUBLE))
+             |    / sqrt((CAST(a.x + b.x AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
+             |      * (1.0 - CAST(a.x + b.x AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
+             |      * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))),
+             |    6)) > 1.96 AS significant
+             |FROM c a JOIN c b ON a.grp < b.grp""".stripMargin))
   )
 }

@@ -117,6 +117,34 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(same.forall(r => r._5 == 0L && r._6 == 0L && !r._4), same.toString)
   }
 
+  test("twoProportionZ: hand z with pinned sign, degenerate null, group-count guard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // cohort 0: 1/4 convert; cohort 1: 3/4 convert
+    val df = Seq((0L, true), (0L, false), (0L, false), (0L, false),
+      (1L, true), (1L, true), (1L, true), (1L, false)).toDF("g", "ok")
+    val got = Expectations.twoProportionZ(df, col("g"), col("ok"))
+      .as[(Long, Long, Long, Long, Long, Long, Option[Double], Option[Boolean])]
+      .collect().head
+    val z = BigDecimal((0.25 - 0.75) /
+        math.sqrt(0.5 * 0.5 * (1.0 / 4 + 1.0 / 4)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == ((0L, 4L, 1L, 1L, 4L, 3L, Some(z), Some(false))),
+      got.toString)
+    assert(z == -1.414214)
+    // zero conversions anywhere: zero pooled variance -> null, not NaN
+    val none = Expectations.twoProportionZ(
+        df.withColumn("ok", lit(false)), col("g"), col("ok"))
+      .as[(Long, Long, Long, Long, Long, Long, Option[Double], Option[Boolean])]
+      .collect().head
+    assert(none._7.isEmpty && none._8.isEmpty, none.toString)
+    val e = intercept[IllegalArgumentException] {
+      Expectations.twoProportionZ(df.withColumn("g", col("g") % 1),
+        col("g"), col("ok"))
+    }
+    assert(e.getMessage.contains("exactly 2 groups"))
+  }
+
   test("psiDriftSeries: per-group PSI vs one reference, proportional group = 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -983,6 +983,39 @@ class ScaleSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("theil-sen: events collapse to day grain before the pairwise join") {
+    val df = SparkEntry.queries("q135_theil_sen")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val scans = collectAll(plan) { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, s"events must scan once: ${scans.size}")
+    // the only exchanges are the day-grain count partials and the
+    // single-partition median window over day²-bounded pair rows; the
+    // event grain never shuffles and never reaches the join
+    val bad = collectAll(plan) {
+      case e: ShuffleExchangeExec if collectAll(e.child) {
+        case a if a.nodeName.contains("HashAggregate") => a }.isEmpty &&
+        e.outputPartitioning !=
+          org.apache.spark.sql.catalyst.plans.physical.SinglePartition => e
+    }
+    assert(bad.isEmpty, s"row-grain exchange leaked: ${bad.map(_.nodeName)}")
+    Caches.sweep(spark)
+  }
+
+  test("two-proportion z serves from the group-grain checkpoint alone") {
+    val df = SparkEntry.queries("q136_ab_test")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // the ONE corpus pass happened inside the operator (checkpointed
+    // 2-row counts); the returned plan must not re-scan or shuffle
+    val scans = collectAll(plan) { case s: FileSourceScanExec => s }
+    assert(scans.isEmpty, s"result must not re-scan the corpus: $scans")
+    val exchanges = collectAll(plan) { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty,
+      s"2-row pairing must not shuffle: ${exchanges.map(_.nodeName)}")
+    Caches.sweep(spark)
+  }
+
   test("scc labels leave as self-contained checkpoints: no joins, no exchanges") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))

@@ -78,4 +78,27 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("2024-03-02", 8L, 6.6667, 1.2, true),
       ("2024-03-04", 2L, 2.0, 1.0, false)), got.mkString(","))
   }
+
+  test("theilSen: hand medians odd and even, outlier day barely moves the slope") {
+    import spark.implicits._
+    def days(ns: Int*) = ns.zipWithIndex.flatMap { case (n, i) =>
+      (1 to n).map(_ => f"2024-03-${i + 1}%02d 12:00:00")
+    }.toDF("s").select(col("s").cast("timestamp").as("ts"))
+    // counts 1,3,4 -> slopes 2/1, 3/2, 1/1 -> lower median (m=3, rn=2)
+    // is the exact fraction 3/2
+    val odd = TimeSeries.theilSenDailyTrend(days(1, 3, 4), "ts")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(odd == ((3L, 3L, 2L, 1.5)), odd.toString)
+    // counts 1,2,4,8 -> 6 slopes {1, 1.5, 2, 7/3, 3, 4}; lower median
+    // (m=6, rn=3) is 2/1
+    val even = TimeSeries.theilSenDailyTrend(days(1, 2, 4, 8), "ts")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(even == ((6L, 2L, 1L, 2.0)), even.toString)
+    // linear growth 10/day with one wild spike day: the median stays on
+    // the clean trend (least squares would be dragged far off)
+    val robust = TimeSeries.theilSenDailyTrend(
+      days(10, 20, 30, 40, 1000), "ts")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(robust._4 == 10.0, robust.toString)
+  }
 }
