@@ -111,7 +111,9 @@ object PlanAudit {
     "s14_pq_rerank",
     // Theil-Sen collapses to day grain before its pairwise join;
     // the A/B z-test serves from a 2-row group-grain checkpoint
-    "q135_theil_sen", "q136_ab_test")
+    "q135_theil_sen", "q136_ab_test",
+    // KS reduces both sides map-side to value grain before the window
+    "q137_ks_test")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -171,6 +171,55 @@ object Expectations {
       .orderBy(col("bucket"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test — the nonparametric
+    * did-the-distribution-shift check next to [[psiDrift]]'s bucketed
+    * score (KS needs no bucketing choice and is sensitive anywhere on
+    * the CDF): `D = max_v |F₁(v) − F₂(v)|` over the merged value set.
+    *
+    * INTEGER-EXACT: `D·n₁·n₂ = max_v |c₁(v)·n₂ − c₂(v)·n₁|` is an
+    * exact long (c_i = cumulative counts), carried as `d_num` beside
+    * the round-6 `d`; the 5% decision compares against Smirnov's
+    * asymptotic critical value `1.358·√((n₁+n₂)/(n₁n₂))` — one sqrt of
+    * identical operands, IEEE correctly-rounded, so the boolean is
+    * engine-exact too.
+    *
+    * Scale shape: one value-grain map-combined count per side, a
+    * full-outer merge of the two count tables, one single-partition
+    * cumulative window over DISTINCT values (quantize a continuous
+    * value upstream to bound that grain — the [[Learn.aucRoc]] caveat),
+    * one max. Row grain never shuffles.
+    *
+    * @return ONE row: (n_p, n_q, d_num, d, significant).
+    */
+  def ksTest(p: DataFrame, q: DataFrame, valueOf: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def cnt(df: DataFrame, out: String): DataFrame =
+      df.select(valueOf.cast("long").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as(out))
+    val g = cnt(p, "np").join(cnt(q, "nq"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("np"), lit(0L)).as("np"),
+        coalesce(col("nq"), lit(0L)).as("nq"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val c = g.select(
+      sum(col("np")).over(wCum).as("cp"), sum(col("nq")).over(wCum).as("cq"),
+      sum(col("np")).over(wAll).as("n_p"), sum(col("nq")).over(wAll).as("n_q"))
+    val agg = c.groupBy(col("n_p"), col("n_q"))
+      .agg(max(abs(col("cp") * col("n_q") - col("cq") * col("n_p")))
+        .as("d_num"))
+    val d = col("d_num").cast("double") /
+      (col("n_p").cast("double") * col("n_q").cast("double"))
+    val crit = lit(1.358) * sqrt(
+      (col("n_p") + col("n_q")).cast("double") /
+        (col("n_p").cast("double") * col("n_q").cast("double")))
+    agg.select(col("n_p"), col("n_q"), col("d_num"),
+      // empty sides have no CDF — null, not NaN
+      when(col("n_p") > 0 && col("n_q") > 0, round(d, 6)).as("d"),
+      when(col("n_p") > 0 && col("n_q") > 0, d > crit).as("significant"))
+  }
+
   /** Pooled two-proportion z-test (the standard A/B significance check
     * a pipeline runs on conversion/quality rates between cohorts):
     * `z = (p₁ − p₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂))` with the pooled

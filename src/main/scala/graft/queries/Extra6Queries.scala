@@ -581,6 +581,57 @@ object Extra6Queries {
              |      * (1.0 - CAST(a.x + b.x AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
              |      * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))),
              |    6)) > 1.96 AS significant
-             |FROM c a JOIN c b ON a.grp < b.grp""".stripMargin))
+             |FROM c a JOIN c b ON a.grp < b.grp""".stripMargin)),
+
+    // ---- Two-sample Kolmogorov–Smirnov (q137): did the order-value
+    //      distribution shift early→late? The nonparametric companion
+    //      to q130's bucketed PSI (no bucket-width choice; sensitive
+    //      anywhere on the CDF). D·n₁·n₂ = max|c₁·n₂ − c₂·n₁| is an
+    //      exact long carried beside the round-6 D; the 5% decision
+    //      compares the raw D against Smirnov's asymptotic critical
+    //      value — one IEEE sqrt of identical operands. ----
+    Q("q137_ks_test",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables(s, dir, "orders")
+        val cut = lit("1998-01-01").cast("timestamp")
+        graft.operators.Expectations.ksTest(
+          o.filter($"o_orderdate" < cut),
+          o.filter($"o_orderdate" >= cut),
+          floor($"o_totalprice"))
+      },
+      Some("""WITH a AS (
+             |  SELECT CAST(floor(o_totalprice) AS BIGINT) AS v
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+             |b AS (
+             |  SELECT CAST(floor(o_totalprice) AS BIGINT) AS v
+             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+             |ca AS (SELECT v, count(*) AS np FROM a GROUP BY 1),
+             |cb AS (SELECT v, count(*) AS nq FROM b GROUP BY 1),
+             |g AS (
+             |  SELECT coalesce(ca.v, cb.v) AS v,
+             |    coalesce(np, 0) AS np, coalesce(nq, 0) AS nq
+             |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+             |c AS (
+             |  SELECT sum(np) OVER (ORDER BY v) AS cp,
+             |    sum(nq) OVER (ORDER BY v) AS cq,
+             |    sum(np) OVER () AS n_p, sum(nq) OVER () AS n_q
+             |  FROM g),
+             |agg AS (
+             |  SELECT n_p, n_q, max(abs(cp * n_q - cq * n_p)) AS d_num
+             |  FROM c GROUP BY n_p, n_q)
+             |SELECT CAST(n_p AS BIGINT) AS n_p, CAST(n_q AS BIGINT) AS n_q,
+             |  CAST(d_num AS BIGINT) AS d_num,
+             |  CASE WHEN n_p > 0 AND n_q > 0 THEN
+             |    round(CAST(d_num AS DOUBLE)
+             |      / (CAST(n_p AS DOUBLE) * CAST(n_q AS DOUBLE)), 6)
+             |  END AS d,
+             |  CASE WHEN n_p > 0 AND n_q > 0 THEN
+             |    CAST(d_num AS DOUBLE)
+             |      / (CAST(n_p AS DOUBLE) * CAST(n_q AS DOUBLE))
+             |    > 1.358 * sqrt(CAST(n_p + n_q AS DOUBLE)
+             |      / (CAST(n_p AS DOUBLE) * CAST(n_q AS DOUBLE)))
+             |  END AS significant
+             |FROM agg""".stripMargin))
   )
 }

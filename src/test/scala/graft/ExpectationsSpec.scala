@@ -145,6 +145,29 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exactly 2 groups"))
   }
 
+  test("ksTest: integer D on hand CDFs, identical samples give 0, empty side null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // p = {1,2,3,4}, q = {3,4,5,6}: CDF gap peaks at v=2 (cp=2, cq=0)
+    // -> d_num = |2·4 − 0·4| = 8, D = 0.5
+    val p = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val q = Seq(3L, 4L, 5L, 6L).toDF("v")
+    val got = Expectations.ksTest(p, q, col("v"))
+      .as[(Long, Long, Long, Option[Double], Option[Boolean])].collect().head
+    assert(got._1 == 4L && got._2 == 4L && got._3 == 8L &&
+      got._4 == Some(0.5), got.toString)
+    // critical value at n=4,4: 1.358·√(8/16) ≈ 0.96 > 0.5 -> not sig.
+    assert(got._5 == Some(false), got.toString)
+    // identical samples: D exactly 0
+    val same = Expectations.ksTest(p, p, col("v"))
+      .as[(Long, Long, Long, Option[Double], Option[Boolean])].collect().head
+    assert(same._3 == 0L && same._4 == Some(0.0) && same._5 == Some(false))
+    // an empty side has no CDF: null, never NaN
+    val none = Expectations.ksTest(p, p.limit(0), col("v"))
+      .as[(Long, Long, Long, Option[Double], Option[Boolean])].collect().head
+    assert(none._2 == 0L && none._4.isEmpty && none._5.isEmpty, none.toString)
+  }
+
   test("psiDriftSeries: per-group PSI vs one reference, proportional group = 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
