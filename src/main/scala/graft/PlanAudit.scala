@@ -113,7 +113,10 @@ object PlanAudit {
     // the A/B z-test serves from a 2-row group-grain checkpoint
     "q135_theil_sen", "q136_ab_test",
     // KS reduces both sides map-side to value grain before the window
-    "q137_ks_test")
+    "q137_ks_test",
+    // curation pipeline: bounded calibration/rate tables broadcast into
+    // the corpus; no sort-merge join anywhere
+    "p04_curation_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1563,6 +1563,73 @@ object PipelineQueries {
              |  round(coalesce(1.0 / (60 + r_s), 0.0)
              |      + coalesce(1.0 / (60 + r_d), 0.0), 6) AS rrf
              |FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
-             |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin))
+             |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // End-to-end curation pipeline (p04): the three data-curation
+    // stages composed in ONE DAG — (1) hard quality gates (the t44
+    // funnel's survivor semantics), (2) per-language length calibration
+    // keeping the central u∈[0.05, 0.95] band (t46 — a fixed length cut
+    // would bite each language differently), (3) temperature-mixed keep
+    // draw over the SURVIVORS' counts (t15 — rates computed after
+    // filtering, the order that matters). Per-language survivor counts
+    // as the compact deterministic output; the oracle restates every
+    // stage as a CTE chain over the same md5 draw.
+    Q("p04_curation_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val gated = docs
+          .filter($"n_chars" >= 100 && $"n_chars" <= 20000)
+          .filter(size(graft.operators.TextOps.tokens($"text")) >= 10)
+        val cal = graft.operators.TextOps.quantileNormalize(
+            gated, $"lang", $"n_chars".cast("long"))
+          .select($"grp".as("lang"), $"score", $"u")
+        // the calibration table is bounded BY CONSTRUCTION (langs ×
+        // ≤20k distinct gated lengths) — broadcast it so the row-grain
+        // corpus never shuffles for the band cut
+        val banded = gated
+          .select($"doc_id", $"lang", $"n_chars".cast("long").as("score"))
+          .join(broadcast(cal), Seq("lang", "score"))
+          .filter($"u" >= 0.05 && $"u" <= 0.95)
+        graft.operators.Mixing.temperatureSample(banded, "lang", "doc_id",
+            alpha = 0.3, targetFrac = 0.5)
+          .filter($"keep")
+          .groupBy($"lang").agg(count(lit(1)).as("n_kept"))
+          .orderBy($"lang")
+      },
+      Some("""WITH gated AS (
+             |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS score
+             |  FROM documents
+             |  WHERE n_chars BETWEEN 100 AND 20000
+             |    AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 10),
+             |g AS (SELECT lang, score, count(*) AS c FROM gated GROUP BY 1, 2),
+             |r AS (
+             |  SELECT lang, score,
+             |    2 * coalesce(sum(c) OVER (PARTITION BY lang ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      + c + 1 AS u_num2,
+             |    2 * (sum(c) OVER (PARTITION BY lang) + 1) AS u_den2
+             |  FROM g),
+             |cal AS (
+             |  SELECT lang, score,
+             |    round(CAST(u_num2 AS DOUBLE) / CAST(u_den2 AS DOUBLE), 6) AS u
+             |  FROM r),
+             |banded AS (
+             |  SELECT ga.doc_id, ga.lang
+             |  FROM gated ga JOIN cal USING (lang, score)
+             |  WHERE u >= 0.05 AND u <= 0.95),
+             |c AS (SELECT lang, count(*) AS n_d FROM banded GROUP BY lang),
+             |t AS (SELECT sum(n_d) AS n_tot, sum(pow(n_d, 0.3)) AS z FROM c),
+             |rt AS (
+             |  SELECT lang, round(least(1.0,
+             |    0.5 * n_tot * (pow(n_d, 0.3) / z) / n_d), 6) AS rate
+             |  FROM c CROSS JOIN t),
+             |kept AS (
+             |  SELECT b.doc_id, b.lang
+             |  FROM banded b JOIN rt USING (lang)
+             |  WHERE (('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |    % 1000000) / 1000000.0 < rate)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+             |FROM kept GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

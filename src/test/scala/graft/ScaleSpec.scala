@@ -1032,6 +1032,27 @@ class ScaleSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("curation pipeline: corpus joins broadcast, exchanges above aggregates") {
+    val df = SparkEntry.queries("p04_curation_pipeline")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // the calibration and rate tables are bounded by construction and
+    // must BROADCAST into the row-grain corpus — a sort-merge join here
+    // means the 100 TB corpus shuffles for a dimension cut
+    val smj = collectAll(plan) {
+      case p if p.nodeName.contains("SortMergeJoin") => p.nodeName
+    }
+    assert(smj.isEmpty, s"corpus-side join must broadcast: $smj")
+    val bad = collectAll(plan) {
+      case e: ShuffleExchangeExec if collectAll(e.child) {
+        case a if a.nodeName.contains("HashAggregate") => a }.isEmpty &&
+        e.outputPartitioning !=
+          org.apache.spark.sql.catalyst.plans.physical.SinglePartition => e
+    }
+    assert(bad.isEmpty, s"row-grain exchange leaked: ${bad.map(_.nodeName)}")
+    Caches.sweep(spark)
+  }
+
   test("scc labels leave as self-contained checkpoints: no joins, no exchanges") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
