@@ -116,7 +116,9 @@ object PlanAudit {
     "q137_ks_test",
     // curation pipeline: bounded calibration/rate tables broadcast into
     // the corpus; no sort-merge join anywhere
-    "p04_curation_pipeline")
+    "p04_curation_pipeline",
+    // IR metrics: run-file-grain equi-joins, corpus untouched
+    "t47_ir_metrics")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

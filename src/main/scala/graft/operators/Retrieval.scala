@@ -776,4 +776,66 @@ object Retrieval {
     joined.select(col("doc_id"), size(matched).cast("long").as("n_occ"))
       .filter(col("n_occ") > 0)
   }
+
+  /** Offline IR evaluation of a run file against relevance judgments —
+    * the TREC-standard triple (MRR, Recall@k, nDCG@k; Järvelin &
+    * Kekäläinen TOIS 2002 for nDCG, binary gains) every retrieval
+    * change ships with. One row per judged query; queries with no
+    * relevant document retrieved score 0 (the trec_eval convention),
+    * and queries present only in the judgments still appear.
+    *
+    * DETERMINISM: ranks are integers, so `rr_micro = round(1e6 /
+    * first_rel_rank)` and each DCG gain `round(1e6 / log2(rank + 1))`
+    * quantize to micro-units BEFORE their integer sums (the t43
+    * micro-nat discipline — the lone libm log's ulp drift is ~1e-10 of
+    * the quantum); recall and ndcg are then single divisions of exact
+    * longs, round-6.
+    *
+    * Scale shape: runs are (queries × depth) and judgments (queries ×
+    * judged docs) — both orders of magnitude below corpus grain; one
+    * equi-join on (query, doc) + one query-grain aggregate each side.
+    * The corpus itself is never touched — evaluation consumes the run
+    * file, not the index.
+    *
+    * @param runs  retrieved lists: (query, doc, rank) with rank 1-based
+    *              within each query.
+    * @param qrels binary judgments: (query, doc) rows = relevant pairs.
+    * @return per query: (query, n_rel, first_rel_rank, rr_micro,
+    *         hits_at_k, recall_at_k, dcg_micro, idcg_micro, ndcg).
+    */
+  def irMetrics(runs: DataFrame, qidCol: String, docCol: String,
+      rankCol: String, qrels: DataFrame, relQidCol: String,
+      relDocCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val r = runs.select(col(qidCol).as("query"), col(docCol).as("doc"),
+      col(rankCol).cast("long").as("rank"))
+    val j = qrels.select(col(relQidCol).as("query"), col(relDocCol).as("doc"))
+      .distinct()
+    val perQ = j.groupBy(col("query")).agg(count(lit(1)).as("n_rel"))
+    val gain = round(lit(1e6) / (log(col("rank") + 1.0) / log(lit(2.0))), 0)
+      .cast("long")
+    val hits = r.join(j, Seq("query", "doc"), "left_semi")
+      .groupBy(col("query"))
+      .agg(min(col("rank")).as("first_rel_rank"),
+        sum(when(col("rank") <= k, 1L).otherwise(0L)).as("hits_at_k"),
+        sum(when(col("rank") <= k, gain).otherwise(lit(0L))).as("dcg_micro"))
+    // ideal DCG: the same gains over ranks 1..min(n_rel, k) — a pure
+    // expression of n_rel, no second pass over anything
+    val idcg = aggregate(
+      transform(sequence(lit(1L), least(col("n_rel"), lit(k.toLong))),
+        rk => round(lit(1e6) / (log(rk + 1.0) / log(lit(2.0))), 0)
+          .cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    perQ.join(hits, Seq("query"), "left")
+      .select(col("query"), col("n_rel"), col("first_rel_rank"),
+        coalesce(round(lit(1e6) / col("first_rel_rank"), 0).cast("long"),
+          lit(0L)).as("rr_micro"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        round(coalesce(col("hits_at_k"), lit(0L)).cast("double") /
+          col("n_rel").cast("double"), 6).as("recall_at_k"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        idcg.as("idcg_micro"),
+        round(coalesce(col("dcg_micro"), lit(0L)).cast("double") /
+          idcg.cast("double"), 6).as("ndcg"))
+  }
 }

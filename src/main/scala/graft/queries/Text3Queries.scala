@@ -254,6 +254,66 @@ object Text3Queries {
              |  CAST(u_num2 AS BIGINT) AS u_num2,
              |  CAST(u_den2 AS BIGINT) AS u_den2,
              |  round(CAST(u_num2 AS DOUBLE) / CAST(u_den2 AS DOUBLE), 6) AS u
-             |FROM r ORDER BY grp, score""".stripMargin))
+             |FROM r ORDER BY grp, score""".stripMargin)),
+
+    // ---- IR evaluation metrics (t47): MRR / Recall@10 / nDCG@10 of a
+    //      deterministic run file (per-language top-20 by length) vs
+    //      deterministic binary judgments (doc_id ≡ 0 mod 7) —
+    //      Retrieval.irMetrics, the trec_eval triple. Ranks are
+    //      integers, so rr and every DCG gain quantize to micro-units
+    //      BEFORE their integer sums (the t43 micro-nat discipline);
+    //      recall and ndcg are single round-6 divisions of exact
+    //      longs. Queries with nothing relevant retrieved score 0. ----
+    Q("t47_ir_metrics",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+        val runs = docs.select($"lang".as("query"), $"doc_id".as("doc"),
+            row_number().over(Window.partitionBy($"lang")
+              .orderBy($"n_chars".desc, $"doc_id")).as("rank"))
+          .filter($"rank" <= 20)
+        val qrels = docs.filter($"doc_id" % 7 === 0)
+          .select($"lang".as("query"), $"doc_id".as("doc"))
+        Retrieval.irMetrics(runs, "query", "doc", "rank",
+            qrels, "query", "doc", k = 10)
+          .orderBy($"query")
+      },
+      Some("""WITH runs AS (
+             |  SELECT lang AS query, doc_id AS doc,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY n_chars DESC, doc_id) AS rank
+             |  FROM documents QUALIFY rank <= 20),
+             |qrels AS (
+             |  SELECT DISTINCT lang AS query, doc_id AS doc
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |perq AS (SELECT query, count(*) AS n_rel FROM qrels GROUP BY 1),
+             |hits AS (
+             |  SELECT r.query, min(r.rank) AS first_rel_rank,
+             |    sum(CASE WHEN r.rank <= 10 THEN 1 ELSE 0 END) AS hits_at_k,
+             |    sum(CASE WHEN r.rank <= 10 THEN
+             |      CAST(round(1e6 / (ln(r.rank + 1.0) / ln(2.0)), 0) AS BIGINT)
+             |      ELSE 0 END) AS dcg_micro
+             |  FROM runs r JOIN qrels q ON r.query = q.query AND r.doc = q.doc
+             |  GROUP BY r.query),
+             |idcg AS (
+             |  SELECT query, n_rel,
+             |    CAST(list_sum(list_transform(range(1, least(n_rel, 10) + 1),
+             |      rk -> CAST(round(1e6 / (ln(rk + 1.0) / ln(2.0)), 0)
+             |        AS BIGINT))) AS BIGINT) AS idcg_micro
+             |  FROM perq)
+             |SELECT i.query, CAST(i.n_rel AS BIGINT) AS n_rel,
+             |  CAST(h.first_rel_rank AS BIGINT) AS first_rel_rank,
+             |  coalesce(CAST(round(1e6 / h.first_rel_rank, 0) AS BIGINT), 0)
+             |    AS rr_micro,
+             |  CAST(coalesce(h.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+             |  round(CAST(coalesce(h.hits_at_k, 0) AS DOUBLE)
+             |    / CAST(i.n_rel AS DOUBLE), 6) AS recall_at_k,
+             |  CAST(coalesce(h.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+             |  i.idcg_micro,
+             |  round(CAST(coalesce(h.dcg_micro, 0) AS DOUBLE)
+             |    / CAST(i.idcg_micro AS DOUBLE), 6) AS ndcg
+             |FROM idcg i LEFT JOIN hits h ON i.query = h.query
+             |ORDER BY i.query""".stripMargin))
   )
 }

@@ -287,6 +287,35 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("irMetrics: hand MRR/recall/nDCG with micro gains; zero-retrieval queries") {
+    import spark.implicits._
+    val runs = Seq(("q1", "x", 1L), ("q1", "a", 2L), ("q1", "y", 3L),
+      ("q1", "b", 4L), ("q2", "z", 1L)).toDF("query", "doc", "rank")
+    val qrels = Seq(("q1", "a"), ("q1", "b"), ("q1", "c"), ("q2", "w"))
+      .toDF("query", "doc")
+    val got = Retrieval.irMetrics(runs, "query", "doc", "rank",
+        qrels, "query", "doc", k = 3)
+      .orderBy($"query")
+      .as[(String, Long, Option[Long], Long, Long, Double, Long, Long, Double)]
+      .collect().toSeq
+    def g(rank: Long): Long =
+      math.round(1e6 / (math.log(rank + 1.0) / math.log(2.0)))
+    // q1: first relevant at rank 2 (rr 500000); within k=3 only 'a'
+    // counts (b sits at rank 4) -> recall 1/3; dcg = gain(2);
+    // idcg = gain(1)+gain(2)+gain(3) for min(n_rel=3, k=3) ideal slots
+    val idcg1 = g(1) + g(2) + g(3)
+    val nd1 = BigDecimal(g(2).toDouble / idcg1.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      ("q1", 3L, Some(2L), 500000L, 1L, 0.333333, g(2), idcg1, nd1),
+      // q2 retrieved nothing relevant: zeros, not nulls (trec_eval)
+      ("q2", 1L, None, 0L, 0L, 0.0, 0L, g(1), 0.0)), got.toString)
+    intercept[IllegalArgumentException] {
+      Retrieval.irMetrics(runs, "query", "doc", "rank",
+        qrels, "query", "doc", k = 0)
+    }
+  }
+
   test("qlDirichlet: guards — empty/duplicate terms, non-positive mu") {
     import spark.implicits._
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")

@@ -1053,6 +1053,27 @@ class ScaleSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("ir metrics consume the run file, never the corpus") {
+    val df = SparkEntry.queries("t47_ir_metrics")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // two scans build the run/qrel inputs (gate construction); the
+    // metric math itself joins (query, doc)-grain rows — run-file
+    // grain, orders of magnitude below corpus grain — and must never
+    // produce a cartesian
+    // 3 = run construction + the qrel frame's two uses (n_rel grain and
+    // the hit join) — in production runs/qrels are materialized run
+    // files, so these scans are run-file reads, not corpus reads
+    val scans = collectAll(plan) { case s: FileSourceScanExec => s }
+    assert(scans.size <= 3, s"scan fan-out grew: ${scans.size}")
+    val cart = collectAll(plan) {
+      case p if p.nodeName.contains("Cartesian") ||
+        p.nodeName.contains("BroadcastNestedLoop") => p.nodeName
+    }
+    assert(cart.isEmpty, s"metric joins must be equi-joins: $cart")
+    Caches.sweep(spark)
+  }
+
   test("scc labels leave as self-contained checkpoints: no joins, no exchanges") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
