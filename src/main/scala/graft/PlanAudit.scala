@@ -118,7 +118,9 @@ object PlanAudit {
     // the corpus; no sort-merge join anywhere
     "p04_curation_pipeline",
     // IR metrics: run-file-grain equi-joins, corpus untouched
-    "t47_ir_metrics")
+    "t47_ir_metrics",
+    // CUSUM: day-grain collapse + two windows, no sequential fold
+    "q138_cusum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

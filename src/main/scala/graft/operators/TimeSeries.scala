@@ -156,6 +156,56 @@ object TimeSeries {
     * @return ONE row: (n_pairs, slope_num, slope_den, slope) — slope in
     *         events/day, round-6; the exact fraction rides beside it.
     */
+  /** One-sided CUSUM changepoint detection on daily volume (Page,
+    * Biometrika 1954 — the sequential drift detector that catches a
+    * small sustained shift long before a per-day z-score does):
+    * `S_t = max(0, S_{t−1} + (x_t − k))`, alarm when `S_t > h`, with
+    * the allowance `k = μ·(1 + slack)` from the series' own mean.
+    *
+    * EXACT, WITHOUT A SEQUENTIAL FOLD: the clipped recursion has the
+    * prefix-sum closed form `S_t = P_t − min_{0≤j≤t} P_j` (P = running
+    * sum of deviations, P₀ = 0 the virtual start), so two windows —
+    * one cumulative sum, one inclusive running min floored at 0 —
+    * compute it. Deviations ride in integer MICRO-units (`x·1e6 −
+    * k_micro`; μ quantizes to micro from exact longs, the slack
+    * multiply is one IEEE product of identical operands), so S is an
+    * exact long in any engine and the alarm boolean is exact.
+    *
+    * Scale shape: corpus collapses map-side to DAY grain; both windows
+    * run single-partition over the bounded day rows (the q125/q135
+    * day-grain metadata contract).
+    *
+    * @return per day: (d, n, s_micro, alarm), ordered by day.
+    */
+  def cusumDailyVolume(events: DataFrame, tsCol: String,
+      slack: Double = 0.1, hDays: Double = 3.0): DataFrame = {
+    require(slack >= 0.0, s"slack must be >= 0, got $slack")
+    require(hDays > 0.0, s"hDays must be > 0, got $hDays")
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.select(col(tsCol).cast("date").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    // μ in micro-units from exact longs; k = μ(1+slack); the alarm
+    // threshold h is expressed in multiples of μ (hDays "mean days")
+    val muMicro = round(lit(1e6) * sum(col("n")).over(wAll).cast("double") /
+      count(lit(1)).over(wAll).cast("double"), 0).cast("long")
+    val kMicro = round(muMicro.cast("double") * (1.0 + slack), 0).cast("long")
+    val hMicro = round(muMicro.cast("double") * hDays, 0).cast("long")
+    val dev = daily.select(col("d"), col("n"),
+      (col("n") * lit(1000000L) - kMicro).as("dev"),
+      hMicro.as("h_micro"))
+    val wCum = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = dev.select(col("d"), col("n"), col("h_micro"),
+      sum(col("dev")).over(wCum).as("prefix"))
+    val runMin = least(lit(0L), min(col("prefix")).over(wCum))
+    p.select(col("d"), col("n"),
+        (col("prefix") - runMin).as("s_micro"),
+        ((col("prefix") - runMin) > col("h_micro")).as("alarm"))
+      .orderBy(col("d"))
+  }
+
   def theilSenDailyTrend(events: DataFrame, tsCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = events.select(col(tsCol).cast("date").as("d"))

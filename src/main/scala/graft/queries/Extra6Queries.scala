@@ -632,6 +632,41 @@ object Extra6Queries {
              |    > 1.358 * sqrt(CAST(n_p + n_q AS DOUBLE)
              |      / (CAST(n_p AS DOUBLE) * CAST(n_q AS DOUBLE)))
              |  END AS significant
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    // ---- CUSUM drift detector (q138): Page's one-sided cumulative-sum
+    //      chart on daily volume — catches a small SUSTAINED shift that
+    //      q121's per-day z-scores miss. Computed EXACTLY via the
+    //      prefix-sum closed form S_t = P_t − min_{0≤j≤t} P_j (two
+    //      windows, no sequential fold); deviations ride integer
+    //      micro-units so S and the alarm are engine-exact. ----
+    Q("q138_cusum",
+      (s, dir) => TimeSeries.cusumDailyVolume(
+        Tables(s, dir, "events"), "ts", slack = 0.1, hDays = 0.5),
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS d, count(*) AS n
+             |  FROM events GROUP BY 1),
+             |m AS (
+             |  SELECT d, n,
+             |    CAST(round(1e6 * CAST(sum(n) OVER () AS DOUBLE)
+             |      / CAST(count(*) OVER () AS DOUBLE), 0) AS BIGINT) AS mu
+             |  FROM daily),
+             |dv AS (
+             |  SELECT d, n,
+             |    n * 1000000 - CAST(round(CAST(mu AS DOUBLE) * 1.1, 0)
+             |      AS BIGINT) AS dev,
+             |    CAST(round(CAST(mu AS DOUBLE) * 0.5, 0) AS BIGINT) AS h
+             |  FROM m),
+             |p AS (
+             |  SELECT d, n, h, sum(dev) OVER (ORDER BY d) AS prefix
+             |  FROM dv),
+             |s AS (
+             |  SELECT d, n, h, prefix,
+             |    least(0, min(prefix) OVER (ORDER BY d)) AS rm
+             |  FROM p)
+             |SELECT d, CAST(n AS BIGINT) AS n,
+             |  CAST(prefix - rm AS BIGINT) AS s_micro,
+             |  (prefix - rm) > h AS alarm
+             |FROM s ORDER BY d""".stripMargin))
   )
 }

@@ -1074,6 +1074,22 @@ class ScaleSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("cusum collapses to day grain: one scan, aggregate-or-single exchanges") {
+    val df = SparkEntry.queries("q138_cusum")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val scans = collectAll(plan) { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, s"events must scan once: ${scans.size}")
+    val bad = collectAll(plan) {
+      case e: ShuffleExchangeExec if collectAll(e.child) {
+        case a if a.nodeName.contains("HashAggregate") => a }.isEmpty &&
+        e.outputPartitioning !=
+          org.apache.spark.sql.catalyst.plans.physical.SinglePartition => e
+    }
+    assert(bad.isEmpty, s"row-grain exchange leaked: ${bad.map(_.nodeName)}")
+    Caches.sweep(spark)
+  }
+
   test("scc labels leave as self-contained checkpoints: no joins, no exchanges") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))

@@ -79,6 +79,33 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("2024-03-04", 2L, 2.0, 1.0, false)), got.mkString(","))
   }
 
+  test("cusum: prefix-sum closed form matches the hand recursion; alarms fire") {
+    import spark.implicits._
+    def days(ns: Int*) = ns.zipWithIndex.flatMap { case (n, i) =>
+      (1 to n).map(_ => f"2024-03-${i + 1}%02d 12:00:00")
+    }.toDF("s").select(col("s").cast("timestamp").as("ts"))
+    // counts 10,10,100,100: mu=55, k=60.5e6 micro; dev -50.5, -50.5,
+    // +39.5, +39.5 (e6); prefix -50.5, -101, -61.5, -22; inclusive
+    // runmin -50.5, -101, -101, -101 -> S = 0, 0, 39.5e6, 79e6 —
+    // exactly max(0, S+dev) unrolled by hand
+    val got = TimeSeries.cusumDailyVolume(days(10, 10, 100, 100), "ts",
+        slack = 0.1, hDays = 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // h = 0.5·mu = 27.5e6: both step days alarm
+    assert(got.toSeq == Seq(
+      (10L, 0L, false), (10L, 0L, false),
+      (100L, 39500000L, true), (100L, 79000000L, true)), got.mkString(","))
+    // a generous threshold silences the alarm, values unchanged
+    val quiet = TimeSeries.cusumDailyVolume(days(10, 10, 100, 100), "ts",
+        slack = 0.1, hDays = 3.0)
+      .collect().map(r => (r.getLong(2), r.getBoolean(3)))
+    assert(quiet.map(_._1).toSeq == got.map(_._2).toSeq)
+    assert(quiet.forall(!_._2))
+    intercept[IllegalArgumentException] {
+      TimeSeries.cusumDailyVolume(days(1), "ts", slack = -0.1)
+    }
+  }
+
   test("theilSen: hand medians odd and even, outlier day barely moves the slope") {
     import spark.implicits._
     def days(ns: Int*) = ns.zipWithIndex.flatMap { case (n, i) =>
