@@ -120,7 +120,9 @@ object PlanAudit {
     // IR metrics: run-file-grain equi-joins, corpus untouched
     "t47_ir_metrics",
     // CUSUM: day-grain collapse + two windows, no sequential fold
-    "q138_cusum")
+    "q138_cusum",
+    // chi-square: cell-grain grid, margins as windows, one corpus pass
+    "q139_chi2_independence")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -171,6 +171,66 @@ object Expectations {
       .orderBy(col("bucket"))
   }
 
+  /** Pearson chi-square test of independence over a two-way
+    * contingency table (Pearson 1900) — are two categorical columns
+    * associated? — with Cramér's V as the normalized effect size. The
+    * third member of the engine's significance toolkit next to
+    * [[twoProportionZ]] (two rates) and [[ksTest]] (two continuous
+    * distributions).
+    *
+    * The FULL r×c grid is scored: combinations absent from the data
+    * (O = 0 but both margins positive) still contribute E — dropping
+    * them understates χ², so the grid is generated, not inferred from
+    * present cells. Each cell's `(O−E)²/E` computes from exact longs
+    * (margins ≤ n ≤ 2⁵³ convert exactly; E is one IEEE division) and
+    * quantizes to integer NANO-units before the order-free sum — the
+    * psiDrift discipline. `cramers_v = √(χ²/(n·min(r−1, c−1)))` rides
+    * one IEEE sqrt of the already-quantized χ². Degenerate tables
+    * (a single row or column level — dof 0) return null statistics.
+    *
+    * Scale shape: ONE map-combined (row, col)-grain count; the grid
+    * cross join, margin windows, and the final sum all run on the
+    * bounded r×c cell grain. The corpus never shuffles at row grain.
+    *
+    * @return ONE row: (n, n_rows, n_cols, dof, chi2_nano, chi2,
+    *         cramers_v).
+    */
+  def chiSquareIndependence(df: DataFrame, rowCol: Column,
+      colCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ONE corpus pass into the bounded r×c cell grain; margins and the
+    // grid all derive from this checkpoint, never from a re-scan
+    val cells = df.select(rowCol.as("r"), colCol.as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
+    val rows = cells.groupBy(col("r")).agg(sum(col("o")).as("rm"))
+    val cols = cells.groupBy(col("c")).agg(sum(col("o")).as("cm"))
+    val grid = rows.crossJoin(broadcast(cols))
+      .join(cells, Seq("r", "c"), "left")
+      .select(col("r"), col("c"), col("rm"), col("cm"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val n = sum(col("o")).over(wAll)
+    val e = (col("rm") * col("cm")).cast("double") / n.cast("double")
+    val contrib = round((col("o").cast("double") - e) *
+      (col("o").cast("double") - e) / e * 1e9, 0).cast("long")
+    val scored = grid.select(col("r"), col("c"), contrib.as("cn"),
+      n.as("n"),
+      size(collect_set(col("r")).over(wAll)).cast("long").as("n_rows"),
+      size(collect_set(col("c")).over(wAll)).cast("long").as("n_cols"))
+    val agg = scored.groupBy(col("n"), col("n_rows"), col("n_cols"))
+      .agg(sum(col("cn")).as("chi2_nano"))
+    val dof = (col("n_rows") - 1) * (col("n_cols") - 1)
+    val chi2 = col("chi2_nano").cast("double") / 1e9
+    agg.select(col("n"), col("n_rows"), col("n_cols"), dof.as("dof"),
+      when(dof > 0, col("chi2_nano")).as("chi2_nano"),
+      when(dof > 0, round(chi2, 6)).as("chi2"),
+      when(dof > 0, round(sqrt(chi2 / (col("n").cast("double") *
+        least(col("n_rows") - 1, col("n_cols") - 1).cast("double"))), 6))
+        .as("cramers_v"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov test — the nonparametric
     * did-the-distribution-shift check next to [[psiDrift]]'s bucketed
     * score (KS needs no bucketing choice and is sensitive anywhere on

@@ -667,6 +667,54 @@ object Extra6Queries {
              |SELECT d, CAST(n AS BIGINT) AS n,
              |  CAST(prefix - rm AS BIGINT) AS s_micro,
              |  (prefix - rm) > h AS alarm
-             |FROM s ORDER BY d""".stripMargin))
+             |FROM s ORDER BY d""".stripMargin)),
+
+    // ---- Chi-square independence + Cramér's V (q139): is event type
+    //      associated with the user cohort? The FULL r×c grid is
+    //      scored (absent combos still contribute E — dropping them
+    //      understates χ²); each cell quantizes to nano-units before
+    //      the order-free integer sum (the q130 discipline); V rides
+    //      one IEEE sqrt of the quantized χ². ----
+    Q("q139_chi2_independence",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Expectations.chiSquareIndependence(
+          Tables(s, dir, "events"),
+          $"event_type", pmod($"user_id", lit(3L)))
+      },
+      Some("""WITH cells AS (
+             |  SELECT event_type AS r, user_id % 3 AS c, count(*) AS o
+             |  FROM events GROUP BY 1, 2),
+             |rmg AS (SELECT r, sum(o) AS rm FROM cells GROUP BY 1),
+             |cmg AS (SELECT c, sum(o) AS cm FROM cells GROUP BY 1),
+             |t AS (
+             |  SELECT (SELECT count(*) FROM rmg) AS nr,
+             |    (SELECT count(*) FROM cmg) AS nc,
+             |    (SELECT sum(o) FROM cells) AS n),
+             |grid AS (
+             |  SELECT rmg.r, cmg.c, rmg.rm, cmg.cm,
+             |    coalesce(cells.o, 0) AS o
+             |  FROM rmg CROSS JOIN cmg
+             |  LEFT JOIN cells ON cells.r = rmg.r AND cells.c = cmg.c),
+             |contrib AS (
+             |  SELECT CAST(round((CAST(o AS DOUBLE) - e)
+             |      * (CAST(o AS DOUBLE) - e) / e * 1e9, 0) AS BIGINT) AS cn
+             |  FROM (SELECT o,
+             |      CAST(rm * cm AS DOUBLE) / CAST(n AS DOUBLE) AS e
+             |    FROM grid, t)),
+             |a AS (SELECT sum(cn) AS chi2_nano FROM contrib)
+             |SELECT CAST(t.n AS BIGINT) AS n, CAST(t.nr AS BIGINT) AS n_rows,
+             |  CAST(t.nc AS BIGINT) AS n_cols,
+             |  CAST((t.nr - 1) * (t.nc - 1) AS BIGINT) AS dof,
+             |  CASE WHEN (t.nr - 1) * (t.nc - 1) > 0 THEN
+             |    CAST(a.chi2_nano AS BIGINT) END AS chi2_nano,
+             |  CASE WHEN (t.nr - 1) * (t.nc - 1) > 0 THEN
+             |    round(CAST(a.chi2_nano AS DOUBLE) / 1e9, 6) END AS chi2,
+             |  CASE WHEN (t.nr - 1) * (t.nc - 1) > 0 THEN
+             |    round(sqrt(CAST(a.chi2_nano AS DOUBLE) / 1e9
+             |      / (CAST(t.n AS DOUBLE)
+             |        * CAST(least(t.nr - 1, t.nc - 1) AS DOUBLE))), 6)
+             |  END AS cramers_v
+             |FROM t, a""".stripMargin))
   )
 }

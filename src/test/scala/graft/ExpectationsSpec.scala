@@ -168,6 +168,42 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(none._2 == 0L && none._4.isEmpty && none._5.isEmpty, none.toString)
   }
 
+  test("chiSquare: hand 2x2, absent combos still charged, degenerate null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def rows(spec: (String, Long, Int)*) = spec.flatMap { case (r, c, k) =>
+      Seq.fill(k)((r, c))
+    }.toDF("r", "c")
+    // balanced 2x2 with a ±5 swing off E=15 everywhere:
+    // chi2 = 4·25/15 = 6.666667, V = sqrt(chi2/60)
+    val df = rows(("a", 0L, 10), ("a", 1L, 20), ("b", 0L, 20), ("b", 1L, 10))
+    val got = Expectations.chiSquareIndependence(df, col("r"), col("c"))
+      .as[(Long, Long, Long, Long, Option[Long], Option[Double], Option[Double])]
+      .collect().head
+    val cellNano = math.round((10.0 - 15.0) * (10.0 - 15.0) / 15.0 * 1e9)
+    val expectV = BigDecimal(math.sqrt(4 * cellNano / 1e9 / 60.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == ((60L, 2L, 2L, 1L, Some(4 * cellNano),
+      Some(6.666667), Some(expectV))), got.toString)
+    // an absent (b, 1) combo still contributes its E: the grid is
+    // generated from the margins, not from present cells
+    val sparse = rows(("a", 0L, 2), ("a", 1L, 1), ("b", 0L, 1))
+    val s2 = Expectations.chiSquareIndependence(sparse, col("r"), col("c"))
+      .as[(Long, Long, Long, Long, Option[Long], Option[Double], Option[Double])]
+      .collect().head
+    def nano(o: Double, e: Double): Long =
+      math.round((o - e) * (o - e) / e * 1e9)
+    val expect = nano(2, 3.0 * 3 / 4) + nano(1, 3.0 * 1 / 4) +
+      nano(1, 1.0 * 3 / 4) + nano(0, 1.0 * 1 / 4)
+    assert(s2._5 == Some(expect), s2.toString)
+    // one column level: dof 0, null statistics
+    val degen = rows(("a", 0L, 3), ("b", 0L, 2))
+    val d2 = Expectations.chiSquareIndependence(degen, col("r"), col("c"))
+      .as[(Long, Long, Long, Long, Option[Long], Option[Double], Option[Double])]
+      .collect().head
+    assert(d2._4 == 0L && d2._5.isEmpty && d2._6.isEmpty && d2._7.isEmpty)
+  }
+
   test("psiDriftSeries: per-group PSI vs one reference, proportional group = 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -1090,6 +1090,24 @@ class ScaleSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("chi-square reduces map-side to cell grain before the grid join") {
+    val df = SparkEntry.queries("q139_chi2_independence")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // the one corpus pass happened into the operator's cell-grain
+    // checkpoint; the served plan derives margins/grid from it alone
+    val scans = collectAll(plan) { case s: FileSourceScanExec => s }
+    assert(scans.isEmpty, s"served plan must not re-scan the corpus: $scans")
+    val bad = collectAll(plan) {
+      case e: ShuffleExchangeExec if collectAll(e.child) {
+        case a if a.nodeName.contains("HashAggregate") => a }.isEmpty &&
+        e.outputPartitioning !=
+          org.apache.spark.sql.catalyst.plans.physical.SinglePartition => e
+    }
+    assert(bad.isEmpty, s"row-grain exchange leaked: ${bad.map(_.nodeName)}")
+    Caches.sweep(spark)
+  }
+
   test("scc labels leave as self-contained checkpoints: no joins, no exchanges") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
