@@ -67,6 +67,11 @@ object Bench {
     // WordPiece (histogram-grain fold), QL-Dirichlet (the BM25-shape LM
     // scorer), PQ train+encode+ADC (integer Lloyd + map-only serving)
     "q129_scc", "t42_wordpiece", "t43_ql_dirichlet", "s12_pq_adc",
+    // round-13 second wave: landmark multi-source BFS (k× frontier
+    // state), two-stage PQ rerank (zero-shuffle serving), the curation
+    // pipeline composite, and IR metrics (run-file-grain eval)
+    "q133_landmark_distances", "s14_pq_rerank", "p04_curation_pipeline",
+    "t47_ir_metrics",
     // dedup / similarity / text pipeline; d12/d13/s07/t17 rotated out
     // round 9 (sub-0.3s, families covered by d11/d14/s09/t15) to make
     // room for the r1/r2 rep columns inside the tail budget

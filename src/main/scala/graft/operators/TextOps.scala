@@ -349,8 +349,15 @@ object TextOps {
   // pack([]) gives "␁␂" (length 2), whose substr is "" and split("")
   // is [""] — NOT []; guard so empty symbol arrays round-trip exactly
   private def unpackSyms(packed: Column): Column =
-    when(length(packed) <= 2, array().cast("array<string>"))
-      .otherwise(split(packed.substr(lit(2), length(packed) - 2), M2 + M1))
+    // the empty-pack round trip ([] -> "" -> []) rides an
+    // array_remove of the "" that splitting the empty interior yields —
+    // NOT a when(length ≤ 2) guard: `packed` is usually a deep codegen
+    // chain (pack → replace…), and a conditional re-references it a
+    // THIRD time (length + both split args), which measured ~2x on the
+    // t40 apply path. Legitimate symbols are never empty (packSyms
+    // delimits non-empty syms only), so removing "" is exact.
+    array_remove(
+      split(packed.substr(lit(2), length(packed) - 2), M2 + M1), "")
 
   /** Greedy LEFT-TO-RIGHT application of one merge (l, r) -> lr to a
     * PACKED symbol string: string `replace` scans forward replacing

@@ -956,8 +956,11 @@ object Text2Queries {
           .bpeTrain(docs, "text", nMerges = 4, minCount = 2L)
           .orderBy(col("merge_rank")).collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
+        // explode_outer + null filter: see t40 — a plain explode's
+        // inferred size() filter sinks the merge chain to token grain
         graft.operators.TextOps.bpeSegment(docs, "text", learned)
-          .select(explode(col("syms")).as("sym"), col("cnt"))
+          .select(explode_outer(col("syms")).as("sym"), col("cnt"))
+          .filter(col("sym").isNotNull)
           .groupBy(col("sym")).agg(sum(col("cnt")).as("n"))
           .orderBy(col("n").desc, col("sym")).limit(20)
       },
@@ -1459,8 +1462,15 @@ object Text2Queries {
         val docs = Tables(s, dir, "documents")
         graft.operators.TextOps.bpeTrainLayout(
           docs, "text", nMerges = 4, minCount = 2L, layout)
+        // explode_outer + null filter, NOT explode: a plain explode lets
+        // InferFiltersFromGenerate derive `size(syms) > 0` and push the
+        // whole merge chain BELOW the word histogram — re-evaluating it
+        // per token OCCURRENCE (~10x the distinct-word work; t40
+        // measured 1.4s -> 0.9s idle). The null filter sits on the generate
+        // output and cannot sink
         graft.operators.TextOps.bpeSegmentFromLayout(docs, "text", layout)
-          .select(explode(col("syms")).as("sym"), col("cnt"))
+          .select(explode_outer(col("syms")).as("sym"), col("cnt"))
+          .filter(col("sym").isNotNull)
           .groupBy(col("sym")).agg(sum(col("cnt")).as("n"))
           .orderBy(col("n").desc, col("sym")).limit(20)
       },
