@@ -17,6 +17,7 @@ object SparkEntry {
       graft.queries.Extra4Queries.all ++
       graft.queries.Extra5Queries.all ++
       graft.queries.Extra6Queries.all ++
+      graft.queries.Extra7Queries.all ++
       graft.queries.LineageQueries.all ++
       graft.queries.PipelineQueries.all ++
       graft.queries.Text2Queries.all ++

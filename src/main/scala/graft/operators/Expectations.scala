@@ -385,4 +385,82 @@ object Expectations {
         sum(col("one_sided").cast("long")).as("n_one_sided"),
         sum(col("contrib")).as("psi_nano"))
   }
+
+  /** Mutual information between two categorical columns, with the
+    * normalized variant — the effect-size companion to
+    * [[chiSquareIndependence]] from the information-theoretic side
+    * (Cover & Thomas ch. 2): `I(X;Y) = Σ_{x,y} p(x,y)·ln(p(x,y) /
+    * (p(x)p(y)))` in nats, and `NMI = I / √(H(X)·H(Y))` (the geometric
+    * normalization of Strehl & Ghosh JMLR 2002). A feature-selection /
+    * redundancy check a curation pipeline runs between metadata
+    * columns — "does source tell me anything about language?" — where
+    * chi-square only answers "are they dependent at all".
+    *
+    * Unlike chi-square, ABSENT cells contribute exactly 0
+    * (lim p→0 of p·ln p = 0), so only present cells are scored — no
+    * grid generation. ENGINE-EXACT: every share is a quotient of exact
+    * longs (≤2⁵³ converts exactly; products of two such doubles are one
+    * IEEE multiply on identical operands), the lone libm `ln` quantizes
+    * to round-6 micro-nats BEFORE the product, and each contribution
+    * quantizes to integer nano-nats before the order-free sum — the
+    * [[psiDrift]] discipline. Entropies ride the identical chain over
+    * the margin tables. MI contributions can be NEGATIVE per cell
+    * (ratio < 1); both engines round half away from zero. Null
+    * categories are excluded up front (margins join by equality; a
+    * null level would silently drop from the joint term but not the
+    * margins, skewing the score — exclusion is the honest contract).
+    * A single-level column yields MI = 0 and H = 0 → `nmi` null, never
+    * NaN.
+    *
+    * Scale shape: ONE map-combined corpus pass to the bounded (x, y)
+    * cell grain (checkpointed — margins and the joint term derive from
+    * it, never from a re-scan); margins broadcast back into the cell
+    * table; every aggregate downstream runs on cell/margin grain. The
+    * corpus never shuffles at row grain.
+    *
+    * @return ONE row: (n, n_x, n_y, mi_nano, mi, hx_nano, hy_nano,
+    *         nmi).
+    */
+  def mutualInformation(df: DataFrame, xCol: Column,
+      yCol: Column): DataFrame = {
+    val cells = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .select(xCol.as("x"), yCol.as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
+    val xm = cells.groupBy(col("x")).agg(sum(col("o")).as("m"))
+    val ym = cells.groupBy(col("y")).agg(sum(col("o")).as("m"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+
+    // round-6 micro-nat ln, the shared quantization step
+    def lnq(ratio: Column): Column =
+      round(log(ratio) * 1e6).cast("long").cast("double") / 1e6
+
+    val joint = cells
+      .join(broadcast(xm.withColumnRenamed("m", "xm")), Seq("x"))
+      .join(broadcast(ym.withColumnRenamed("m", "ym")), Seq("y"))
+      .crossJoin(broadcast(tot))
+    val pxy = col("o").cast("double") / col("n").cast("double")
+    val ratio = (col("o").cast("double") * col("n").cast("double")) /
+      (col("xm").cast("double") * col("ym").cast("double"))
+    val mi = joint.agg(
+      sum(round(pxy * lnq(ratio) * 1e9).cast("long")).as("mi_nano"))
+
+    def entropy(m: DataFrame, cnt: String, out: String): DataFrame = {
+      val share = col("m").cast("double") / col("n").cast("double")
+      m.crossJoin(broadcast(tot)).agg(
+        count(lit(1)).as(cnt),
+        sum(round(-share * lnq(share) * 1e9).cast("long")).as(out))
+    }
+    val hx = entropy(xm, "n_x", "hx_nano")
+    val hy = entropy(ym, "n_y", "hy_nano")
+
+    val nmi = round((col("mi_nano").cast("double") / 1e9) /
+      sqrt((col("hx_nano").cast("double") / 1e9) *
+        (col("hy_nano").cast("double") / 1e9)), 6)
+    tot.crossJoin(mi).crossJoin(hx).crossJoin(hy)
+      .select(col("n"), col("n_x"), col("n_y"), col("mi_nano"),
+        round(col("mi_nano").cast("double") / 1e9, 6).as("mi"),
+        col("hx_nano"), col("hy_nano"),
+        when(col("hx_nano") > 0 && col("hy_nano") > 0, nmi).as("nmi"))
+  }
 }

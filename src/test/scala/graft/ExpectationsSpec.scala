@@ -204,6 +204,37 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(d2._4 == 0L && d2._5.isEmpty && d2._6.isEmpty && d2._7.isEmpty)
   }
 
+  test("mutualInformation: independence 0, perfect dependence ln2/NMI 1, " +
+      "degenerate null, nulls excluded") {
+    import org.apache.spark.sql.functions._
+    def rows(spec: (String, Long, Int)*) = spec.flatMap { case (x, y, k) =>
+      Seq.fill(k)((x, y))
+    }.toDF("x", "y")
+    def one(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Long, Long, Double, Long, Long, Option[Double])]
+      .collect().head
+    // independent 2x2: every ratio is exactly 1, MI exactly 0, NMI 0
+    val ind = rows(("a", 0L, 10), ("a", 1L, 10), ("b", 0L, 10), ("b", 1L, 10))
+    val gi = one(Expectations.mutualInformation(ind, col("x"), col("y")))
+    assert(gi._4 == 0L && gi._5 == 0.0 && gi._8 == Some(0.0), gi.toString)
+    // perfectly dependent 2x2: MI = H(X) = H(Y) = ln 2 (quantized), NMI 1
+    val dep = rows(("a", 0L, 10), ("b", 1L, 10))
+    val gd = one(Expectations.mutualInformation(dep, col("x"), col("y")))
+    val ln2q = math.round(math.log(2.0) * 1e6) / 1e6 // 0.693147
+    val cell = math.round(0.5 * ln2q * 1e9)          // one cell's nano-nats
+    assert(gd == ((20L, 2L, 2L, 2 * cell, 0.693147, 2 * cell, 2 * cell,
+      Some(1.0))), gd.toString)
+    // single-level X: MI 0, H(X) 0 -> NMI null, never NaN
+    val degen = rows(("a", 0L, 5), ("a", 1L, 5))
+    val gg = one(Expectations.mutualInformation(degen, col("x"), col("y")))
+    assert(gg._4 == 0L && gg._6 == 0L && gg._8.isEmpty, gg.toString)
+    // null categories are excluded up front: n counts only complete rows
+    val withNull = Seq((Some("a"), Some(0L)), (Some("b"), Some(1L)),
+      (None, Some(0L)), (Some("a"), None)).toDF("x", "y")
+    val gn = one(Expectations.mutualInformation(withNull, col("x"), col("y")))
+    assert(gn._1 == 2L, gn.toString)
+  }
+
   test("psiDriftSeries: per-group PSI vs one reference, proportional group = 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
