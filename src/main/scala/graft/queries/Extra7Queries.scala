@@ -73,6 +73,61 @@ object Extra7Queries {
              |      / sqrt((CAST(hx.hx_nano AS DOUBLE) / 1e9)
              |           * (CAST(hy.hy_nano AS DOUBLE) / 1e9)), 6)
              |  END AS nmi
-             |FROM t, mi, hx, hy""".stripMargin))
+             |FROM t, mi, hx, hy""".stripMargin)),
+
+    // ---- Adamic-Adar link prediction (q141): which customer/supplier
+    //      pairs in the high-quantity trade graph are NOT yet adjacent
+    //      but share neighbors? Top-20 by the exact integer micro-AA
+    //      (1/ln(deg) quantizes round-6-ln-then-micro per center, so
+    //      the ranking is an integer sort in both engines); cn rides
+    //      the same pair-grain aggregate. maxDegree=1000 is above
+    //      every degree at any test SF (the cap is exercised in the
+    //      spec, not the gate). ----
+    Q("q141_link_prediction",
+      (s, dir) => {
+        import s.implicits._
+        val edges = Tables(s, dir, "lineitem")
+          .filter($"l_quantity" >= 49)
+          .select($"l_orderkey", $"l_suppkey")
+          .join(Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".cast("long").as("src"),
+            ($"l_suppkey" + 1000000L).cast("long").as("dst"))
+        graft.operators.GraphOps.linkPrediction(edges, "src", "dst")
+          .orderBy($"aa_micro".desc, $"u", $"v").limit(20)
+      },
+      Some("""WITH raw AS (
+             |  SELECT DISTINCT
+             |    least(o_custkey, l_suppkey + 1000000) AS u,
+             |    greatest(o_custkey, l_suppkey + 1000000) AS v
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_quantity >= 49 AND o_custkey <> l_suppkey + 1000000),
+             |deg AS (
+             |  SELECT id, count(*) AS deg FROM (
+             |    SELECT u AS id FROM raw UNION ALL SELECT v FROM raw)
+             |  GROUP BY 1),
+             |ctr AS (
+             |  SELECT id AS z, CAST(round(1e6
+             |      / (CAST(CAST(round(ln(CAST(deg AS DOUBLE)) * 1e6)
+             |          AS BIGINT) AS DOUBLE) / 1e6)) AS BIGINT) AS inv
+             |  FROM deg WHERE deg BETWEEN 2 AND 1000),
+             |adj AS (
+             |  SELECT z, n, inv FROM (
+             |    SELECT u AS z, v AS n FROM raw
+             |    UNION ALL SELECT v AS z, u AS n FROM raw) a
+             |  JOIN ctr USING (z)),
+             |p AS (
+             |  SELECT a1.n AS u, a2.n AS v, count(*) AS cn,
+             |    sum(a1.inv) AS aa_micro
+             |  FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.n < a2.n
+             |  GROUP BY 1, 2),
+             |np AS (
+             |  SELECT p.* FROM p LEFT JOIN raw
+             |    ON p.u = raw.u AND p.v = raw.v
+             |  WHERE raw.u IS NULL)
+             |SELECT u, v, CAST(cn AS BIGINT) AS cn,
+             |  CAST(aa_micro AS BIGINT) AS aa_micro,
+             |  round(CAST(aa_micro AS DOUBLE) / 1e6, 6) AS aa
+             |FROM np ORDER BY aa_micro DESC, u, v LIMIT 20""".stripMargin))
   )
 }

@@ -440,4 +440,37 @@ class GraphOpsSpec extends AnyFunSuite {
       Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
     Caches.sweep(spark)
   }
+
+  test("linkPrediction: hand AA on path/square, adjacency excluded, " +
+      "degree cap, canonicalization") {
+    def lp(edges: Seq[(Long, Long)], cap: Long = 1000L) = {
+      val got = GraphOps.linkPrediction(
+          edges.toDF("src", "dst"), "src", "dst", cap)
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      Caches.sweep(spark)
+      got
+    }
+    // micro-quantized 1/ln(deg), the operator's exact arithmetic
+    def inv(deg: Long): Long =
+      math.round(1e6 / (math.round(math.log(deg.toDouble) * 1e6) / 1e6))
+    // path 1-2-3: (1,3) share center 2 (deg 2); nothing else scores
+    assert(lp(Seq((1L, 2L), (2L, 3L))) ==
+      Map((1L, 3L) -> ((1L, inv(2)))))
+    // square: two opposite pairs, each via TWO deg-2 centers
+    val sq = lp(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(sq == Map((1L, 3L) -> ((2L, 2 * inv(2))),
+      (2L, 4L) -> ((2L, 2 * inv(2)))), sq.toString)
+    // triangle: every sharing pair is already adjacent -> empty
+    assert(lp(Seq((1L, 2L), (2L, 3L), (1L, 3L))).isEmpty)
+    // star on 4 leaves: cap 3 excludes the deg-4 hub entirely; cap 4
+    // admits it and every leaf pair scores 1/ln(4)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    assert(lp(star, cap = 3L).isEmpty)
+    val s4 = lp(star, cap = 4L)
+    assert(s4.size == 6 && s4.values.forall(_ == ((1L, inv(4)))), s4.toString)
+    // duplicate / reversed edges and self-loops canonicalize away
+    assert(lp(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L))) ==
+      Map((1L, 3L) -> ((1L, inv(2)))))
+  }
 }

@@ -656,6 +656,26 @@ class ScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("linkPrediction plans as equi-joins only and serves top-k without " +
+      "a global sort") {
+    val df = SparkEntry.queries("q141_link_prediction")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // the wedge enumeration is the z-keyed self-equi-join; anything
+    // nested-loop means the candidate generation fell through and the
+    // 100 TB graph would enumerate n² pairs
+    val bad = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j.nodeName
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j.nodeName
+    }
+    assert(bad.isEmpty, s"non-equi join in linkPrediction plan: $bad")
+    // top-20 rides TakeOrderedAndProject, never a full pair-grain sort
+    val topk = collectAll(plan) {
+      case t if t.nodeName.contains("TakeOrderedAndProject") => t }
+    assert(topk.nonEmpty, "expected TakeOrderedAndProject for the top-k")
+    Caches.sweep(spark)
+  }
+
   test("editDistanceJoin plans as equi-joins only — no cross products") {
     import spark.implicits._
     // candidate generation must be the segment-key equi-join plus the
