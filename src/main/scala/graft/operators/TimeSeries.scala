@@ -206,6 +206,63 @@ object TimeSeries {
       .orderBy(col("d"))
   }
 
+  /** Sample autocorrelation function of the daily event-volume series
+    * at lags 1..`maxLag` (Box & Jenkins ch. 2) — the
+    * is-there-weekly-seasonality / is-drift-persistent diagnostic next
+    * to [[cusumDailyVolume]] (which detects a sustained SHIFT; ACF
+    * characterizes the series' memory):
+    * `r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)²`.
+    *
+    * ENGINE-EXACT: the series is re-indexed by rank over day order, and
+    * both sides of `r_k` are cleared of the rational mean by
+    * multiplying through by n² — `num·n² = n²·Σx_t·x_{t−k} −
+    * n·S·(Σ_head + Σ_tail) + (n−k)·S²` and `den·n² = n²·Σx² − n·S²`
+    * are EXACT LONGS (daily counts are integers; ANSI makes any
+    * overflow at extreme magnitudes throw loudly — pre-scale the
+    * series if daily volumes approach 2³¹), so `r_k` is one IEEE
+    * division of identical operands, round-6 in any engine. A constant
+    * series (den = 0) yields null r, never NaN.
+    *
+    * Scale shape: the corpus collapses MAP-SIDE to day grain; the rank
+    * window, the lag self-join (rank = rank + k, an equi-join after
+    * the lag explode), and both aggregates run on bounded day/lag rows
+    * — the q125/q135 bounded-metadata contract. The event stream never
+    * shuffles at row grain.
+    *
+    * @return one row per lag k: (k, n_pairs, num_n2, den_n2, r).
+    */
+  def acfDailyVolume(events: DataFrame, tsCol: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val daily = events.select(col(tsCol).cast("date").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val ranked = daily.select(col("n").as("x"),
+      row_number().over(Window.orderBy(col("d"))).as("t"))
+    val glob = ranked.agg(count(lit(1)).as("cnt"), sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("sxx"))
+    // each day offers itself to every lag: (t + k, k, x) then equi-join
+    // back on the rank — day-grain × maxLag rows, still bounded metadata
+    val shifted = ranked
+      .select(explode(expr(s"sequence(1, $maxLag)")).as("k"),
+        col("t").as("t0"), col("x").as("xl"))
+      .select(col("k"), (col("t0") + col("k")).as("t"), col("xl"))
+    val perLag = ranked.join(shifted, Seq("t"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("x") * col("xl")).as("sxy"),
+        sum(col("x")).as("st"), sum(col("xl")).as("sh"))
+    val num = col("cnt") * col("cnt") * col("sxy") -
+      col("cnt") * col("s") * (col("st") + col("sh")) +
+      (col("cnt") - col("k")) * col("s") * col("s")
+    val den = col("cnt") * col("cnt") * col("sxx") -
+      col("cnt") * col("s") * col("s")
+    perLag.crossJoin(broadcast(glob))
+      .select(col("k").cast("long").as("k"), col("n_pairs"),
+        num.as("num_n2"), den.as("den_n2"),
+        when(den =!= 0L,
+          round(num.cast("double") / den.cast("double"), 6)).as("r"))
+      .orderBy(col("k"))
+  }
+
   def theilSenDailyTrend(events: DataFrame, tsCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = events.select(col(tsCol).cast("date").as("d"))

@@ -128,6 +128,42 @@ object Extra7Queries {
              |SELECT u, v, CAST(cn AS BIGINT) AS cn,
              |  CAST(aa_micro AS BIGINT) AS aa_micro,
              |  round(CAST(aa_micro AS DOUBLE) / 1e6, 6) AS aa
-             |FROM np ORDER BY aa_micro DESC, u, v LIMIT 20""".stripMargin))
+             |FROM np ORDER BY aa_micro DESC, u, v LIMIT 20""".stripMargin)),
+
+    // ---- Daily-volume autocorrelation (q142): ACF at lags 1..7 of
+    //      the event feed — the seasonality/memory diagnostic next to
+    //      q138's CUSUM. Both sides of r_k clear the rational mean by
+    //      multiplying through by n², so num/den are EXACT LONGS and
+    //      r_k is one round-6 IEEE division in either engine. ----
+    Q("q142_acf",
+      (s, dir) => {
+        graft.operators.TimeSeries.acfDailyVolume(
+          Tables(s, dir, "events"), "ts", maxLag = 7)
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS d, count(*) AS x
+             |  FROM events GROUP BY 1),
+             |ranked AS (
+             |  SELECT x, row_number() OVER (ORDER BY d) AS t FROM daily),
+             |g AS (
+             |  SELECT count(*) AS cnt, sum(x) AS s, sum(x * x) AS sxx
+             |  FROM ranked),
+             |lags AS (SELECT unnest(range(1, 8)) AS k),
+             |p AS (
+             |  SELECT k, count(*) AS n_pairs, sum(cur.x * prev.x) AS sxy,
+             |    sum(cur.x) AS st, sum(prev.x) AS sh
+             |  FROM lags, ranked cur
+             |  JOIN ranked prev ON cur.t = prev.t + k
+             |  GROUP BY k)
+             |SELECT CAST(k AS BIGINT) AS k, CAST(n_pairs AS BIGINT) AS n_pairs,
+             |  CAST(cnt * cnt * sxy - cnt * s * (st + sh)
+             |    + (cnt - k) * s * s AS BIGINT) AS num_n2,
+             |  CAST(cnt * cnt * sxx - cnt * s * s AS BIGINT) AS den_n2,
+             |  CASE WHEN cnt * cnt * sxx - cnt * s * s <> 0 THEN
+             |    round(CAST(cnt * cnt * sxy - cnt * s * (st + sh)
+             |        + (cnt - k) * s * s AS DOUBLE)
+             |      / CAST(cnt * cnt * sxx - cnt * s * s AS DOUBLE), 6)
+             |  END AS r
+             |FROM p, g ORDER BY k""".stripMargin))
   )
 }

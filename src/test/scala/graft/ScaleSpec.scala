@@ -1129,6 +1129,25 @@ class ScaleSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("acf collapses to day grain: one scan, aggregate-or-single exchanges") {
+    val df = SparkEntry.queries("q142_acf")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val scans = collectAll(plan) { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, s"events must scan once: ${scans.size}")
+    // the rank window, lag self-join, and both aggregates run on
+    // bounded day×lag rows — no exchange below an aggregate except the
+    // single-partition window
+    val bad = collectAll(plan) {
+      case e: ShuffleExchangeExec if collectAll(e.child) {
+        case a if a.nodeName.contains("HashAggregate") => a }.isEmpty &&
+        e.outputPartitioning !=
+          org.apache.spark.sql.catalyst.plans.physical.SinglePartition => e
+    }
+    assert(bad.isEmpty, s"row-grain exchange leaked: ${bad.map(_.nodeName)}")
+    Caches.sweep(spark)
+  }
+
   test("chi-square reduces map-side to cell grain before the grid join") {
     val df = SparkEntry.queries("q139_chi2_independence")(spark, sf)
     df.collect()

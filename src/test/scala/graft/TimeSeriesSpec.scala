@@ -128,4 +128,31 @@ class TimeSeriesSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().head
     assert(robust._4 == 10.0, robust.toString)
   }
+
+  test("acf: hand lags on an alternating series, constant null, " +
+      "short-series lags drop, guard") {
+    import spark.implicits._
+    def days(ns: Int*) = ns.zipWithIndex.flatMap { case (n, i) =>
+      (1 to n).map(_ => f"2024-03-${i + 1}%02d 12:00:00")
+    }.toDF("s").select(col("s").cast("timestamp").as("ts"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    // x = 1,3,1,3,1,3: n=6, S=12, Sxx=30 -> den·n² = 36·30 − 6·144 = 216
+    // k=1: sxy=15, st=11, sh=9 -> num = 540 − 1440 + 720 = −180
+    // k=2: sxy=20, st=sh=8   -> num = 720 − 1152 + 576 = 144
+    val got = run(TimeSeries.acfDailyVolume(days(1, 3, 1, 3, 1, 3), "ts",
+      maxLag = 2))
+    assert(got == Seq(
+      (1L, 5L, -180L, 216L, Some(-0.833333)),
+      (2L, 4L, 144L, 216L, Some(0.666667))), got.toString)
+    // constant series: den = 0, r null at every lag
+    val flat = run(TimeSeries.acfDailyVolume(days(5, 5, 5), "ts", maxLag = 2))
+    assert(flat.forall(r => r._4 == 0L && r._5.isEmpty), flat.toString)
+    // lags past the series length have no pairs and drop out
+    val short = run(TimeSeries.acfDailyVolume(days(1, 2, 3), "ts", maxLag = 5))
+    assert(short.map(_._1) == Seq(1L, 2L), short.toString)
+    intercept[IllegalArgumentException] {
+      TimeSeries.acfDailyVolume(days(1), "ts", maxLag = 0)
+    }
+  }
 }
