@@ -164,6 +164,73 @@ object Extra7Queries {
              |        + (cnt - k) * s * s AS DOUBLE)
              |      / CAST(cnt * cnt * sxx - cnt * s * s AS DOUBLE), 6)
              |  END AS r
-             |FROM p, g ORDER BY k""".stripMargin))
+             |FROM p, g ORDER BY k""".stripMargin)),
+
+    // ---- Newman modularity of a partition (q143): the quality meter
+    //      for community labels, scored on the high-quantity trade
+    //      graph under (a) a hash partition into 5 buckets and (b) the
+    //      all-in-one partition — which must score EXACTLY 0 (the
+    //      degree identity Σd_c = 2m makes 4m·e − (2m)² vanish), a
+    //      self-checking row. Q·4m² is an exact long; q is one round-6
+    //      division. ----
+    Q("q143_modularity",
+      (s, dir) => {
+        import s.implicits._
+        val edges = Tables(s, dir, "lineitem")
+          .filter($"l_quantity" >= 49)
+          .select($"l_orderkey", $"l_suppkey")
+          .join(Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".cast("long").as("src"),
+            ($"l_suppkey" + 1000000L).cast("long").as("dst"))
+        val nodes = edges.select($"src".as("id"))
+          .union(edges.select($"dst".as("id"))).distinct()
+        def score(tag: String, labs: org.apache.spark.sql.DataFrame) =
+          graft.operators.GraphOps.modularity(
+              edges, "src", "dst", labs, "id", "lab")
+            .select(lit(tag).as("part"), col("m"), col("n_dropped"),
+              col("n_communities"), col("q_num"), col("q_den"), col("q"))
+        score("hash5", nodes.select($"id", pmod($"id", lit(5L)).as("lab")))
+          .unionByName(
+            score("all_one", nodes.select($"id", lit(0L).as("lab"))))
+          .orderBy($"part")
+      },
+      Some("""WITH raw AS (
+             |  SELECT DISTINCT
+             |    least(o_custkey, l_suppkey + 1000000) AS u,
+             |    greatest(o_custkey, l_suppkey + 1000000) AS v
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_quantity >= 49 AND o_custkey <> l_suppkey + 1000000),
+             |lbl AS (
+             |  SELECT u AS lu, v AS lv, u % 5 AS cu, v % 5 AS cv FROM raw),
+             |m AS (SELECT count(*) AS m FROM raw),
+             |h_intra AS (
+             |  SELECT cu AS c, count(*) AS e_c FROM lbl
+             |  WHERE cu = cv GROUP BY 1),
+             |h_deg AS (
+             |  SELECT c, count(*) AS d_c FROM (
+             |    SELECT cu AS c FROM lbl UNION ALL SELECT cv FROM lbl)
+             |  GROUP BY 1),
+             |h AS (
+             |  SELECT count(*) AS n_communities,
+             |    sum(4 * m.m * coalesce(e_c, 0) - d_c * d_c) AS q_num
+             |  FROM h_deg LEFT JOIN h_intra USING (c), m),
+             |rows_out AS (
+             |  SELECT 'all_one' AS part, m.m, 0 AS n_dropped,
+             |    1 AS n_communities, 0 AS q_num, 4 * m.m * m.m AS q_den,
+             |    CASE WHEN m.m > 0 THEN 0.0 END AS q
+             |  FROM m
+             |  UNION ALL
+             |  SELECT 'hash5', m.m, 0, h.n_communities, h.q_num,
+             |    4 * m.m * m.m,
+             |    CASE WHEN m.m > 0 THEN round(CAST(h.q_num AS DOUBLE)
+             |      / CAST(4 * m.m * m.m AS DOUBLE), 6) END
+             |  FROM m, h)
+             |SELECT part, CAST(m AS BIGINT) AS m,
+             |  CAST(n_dropped AS BIGINT) AS n_dropped,
+             |  CAST(n_communities AS BIGINT) AS n_communities,
+             |  CAST(q_num AS BIGINT) AS q_num, CAST(q_den AS BIGINT) AS q_den,
+             |  q
+             |FROM rows_out ORDER BY part""".stripMargin))
   )
 }

@@ -473,4 +473,35 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(lp(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L))) ==
       Map((1L, 3L) -> ((1L, inv(2)))))
   }
+
+  test("modularity: two triangles + bridge, all-one scores 0, singletons " +
+      "negative, unlabeled edges counted") {
+    def mod(edges: Seq[(Long, Long)], labs: Seq[(Long, Long)]) = {
+      val got = GraphOps.modularity(edges.toDF("src", "dst"), "src", "dst",
+          labs.toDF("id", "lab"), "id", "lab")
+        .as[(Long, Long, Long, Long, Long, Option[Double])].collect().head
+      Caches.sweep(spark)
+      got
+    }
+    // triangles {1,2,3} and {4,5,6} joined by the bridge 3-4: m=7,
+    // e_c=3 and d_c=7 per triangle -> Q·4m² = 2·(84−49) = 70, Q=70/196
+    val tt = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val truePart = Seq(1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 1L, 5L -> 1L, 6L -> 1L)
+    assert(mod(tt, truePart) ==
+      ((7L, 0L, 2L, 70L, 196L, Some(0.357143))))
+    // the all-in-one partition scores EXACTLY 0 (Σd_c = 2m identity)
+    assert(mod(tt, (1L to 6L).map(_ -> 0L)) ==
+      ((7L, 0L, 1L, 0L, 196L, Some(0.0))))
+    // singletons: no intra edges, Q = −Σdeg²/4m² < 0; degrees are
+    // 2,2,3,3,2,2 -> Σd² = 4·4 + 2·9 = 34
+    val single = mod(tt, (1L to 6L).map(i => i -> i))
+    assert(single._4 == -34L && single._6.get < 0, single.toString)
+    // an unlabeled endpoint drops its edges from the scored graph,
+    // explicitly counted: node 4 missing -> bridge + 2 triangle edges
+    val partial = mod(tt, Seq(1L -> 0L, 2L -> 0L, 3L -> 0L,
+      5L -> 1L, 6L -> 1L))
+    assert(partial._1 == 4L && partial._2 == 3L, partial.toString)
+  }
 }

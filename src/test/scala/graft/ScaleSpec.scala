@@ -676,6 +676,27 @@ class ScaleSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("modularity serves from the labeled-edge checkpoint at community " +
+      "grain: no pair enumeration, no row-grain exchange") {
+    val df = SparkEntry.queries("q143_modularity")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val bad = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j.nodeName
+    }
+    assert(bad.isEmpty, s"pair enumeration leaked into modularity: $bad")
+    // everything after the labeled-edge checkpoint is community grain:
+    // exchanges only above aggregates or single-partition
+    val leaks = collectAll(plan) {
+      case e: ShuffleExchangeExec if collectAll(e.child) {
+        case a if a.nodeName.contains("HashAggregate") => a }.isEmpty &&
+        e.outputPartitioning !=
+          org.apache.spark.sql.catalyst.plans.physical.SinglePartition => e
+    }
+    assert(leaks.isEmpty, s"row-grain exchange leaked: ${leaks.map(_.nodeName)}")
+    Caches.sweep(spark)
+  }
+
   test("editDistanceJoin plans as equi-joins only — no cross products") {
     import spark.implicits._
     // candidate generation must be the segment-key equi-join plus the
