@@ -122,7 +122,21 @@ object PlanAudit {
     // CUSUM: day-grain collapse + two windows, no sequential fold
     "q138_cusum",
     // chi-square: cell-grain grid, margins as windows, one corpus pass
-    "q139_chi2_independence")
+    "q139_chi2_independence",
+    // mutual information: served from the cell-grain checkpoint,
+    // margins/entropies broadcast, no corpus re-scan
+    "q140_mutual_information",
+    // link prediction: z-keyed wedge self-equi-join, capped fanout,
+    // TakeOrdered top-k
+    "q141_link_prediction",
+    // ACF: day-grain collapse, rank window + lag-explode equi-join
+    "q142_acf",
+    // modularity: community-grain aggregates off the labeled-edge
+    // checkpoint, no pair enumeration
+    "q143_modularity",
+    // streaming CUSUM: reference mean broadcast as one row, day-grain
+    // prefix windows over the memory-sink counts
+    "st17_stream_cusum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

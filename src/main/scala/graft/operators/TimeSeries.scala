@@ -206,6 +206,60 @@ object TimeSeries {
       .orderBy(col("d"))
   }
 
+  /** [[cusumDailyVolume]] against a FROZEN reference: the monitored
+    * series' allowance `k = μ_ref(1+slack)` and threshold
+    * `h = μ_ref·hDays` derive from a SEPARATE reference window's mean,
+    * not from the monitored series itself — the shape a streaming
+    * monitor needs (the live series' own mean drifts WITH the shift
+    * you're trying to catch; gate st17 feeds it windowed stream
+    * counts, the [[Expectations.psiDriftSeries]] pattern).
+    *
+    * Same exact arithmetic as [[cusumDailyVolume]]: μ_ref quantizes to
+    * integer micro-units from exact longs, deviations ride micro-units,
+    * and the one-sided CUSUM uses the prefix-sum closed form
+    * `S_t = P_t − min_{0≤j≤t} P_j` — two windows over bounded day
+    * rows, no sequential fold. An EMPTY reference yields null scores
+    * (no mean to monitor against — never an invented one).
+    *
+    * Scale shape: inputs are ALREADY day-grain counts (the caller's
+    * aggregation did the only corpus-grain work); the reference
+    * reduces to one broadcast row and both windows run single-partition
+    * over bounded monitored days — the q138 metadata contract.
+    *
+    * @param daily    (day, n) monitored series — `dCol`/`nCol` name it.
+    * @param refDaily (day, n) reference series — `refNCol` names its
+    *                 count column.
+    * @return per monitored day: (d, n, s_micro, alarm), day-ordered.
+    */
+  def cusumSeries(daily: DataFrame, dCol: Column, nCol: Column,
+      refDaily: DataFrame, refNCol: Column,
+      slack: Double = 0.1, hDays: Double = 3.0): DataFrame = {
+    require(slack >= 0.0, s"slack must be >= 0, got $slack")
+    require(hDays > 0.0, s"hDays must be > 0, got $hDays")
+    val ref = refDaily.agg(
+      when(count(lit(1)) > 0,
+        round(lit(1e6) * sum(refNCol).cast("double") /
+          count(lit(1)).cast("double"), 0).cast("long")).as("mu_micro"))
+    val kMicro = round(col("mu_micro").cast("double") * (1.0 + slack), 0)
+      .cast("long")
+    val hMicro = round(col("mu_micro").cast("double") * hDays, 0)
+      .cast("long")
+    val dev = daily
+      .select(dCol.as("d"), nCol.cast("long").as("n"))
+      .crossJoin(broadcast(ref))
+      .select(col("d"), col("n"),
+        (col("n") * lit(1000000L) - kMicro).as("dev"), hMicro.as("h_micro"))
+    val wCum = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = dev.select(col("d"), col("n"), col("h_micro"),
+      sum(col("dev")).over(wCum).as("prefix"))
+    val runMin = least(lit(0L), min(col("prefix")).over(wCum))
+    p.select(col("d"), col("n"),
+        (col("prefix") - runMin).as("s_micro"),
+        ((col("prefix") - runMin) > col("h_micro")).as("alarm"))
+      .orderBy(col("d"))
+  }
+
   /** Sample autocorrelation function of the daily event-volume series
     * at lags 1..`maxLag` (Box & Jenkins ch. 2) — the
     * is-there-weekly-seasonality / is-drift-persistent diagnostic next

@@ -546,6 +546,61 @@ object StreamQueries {
              |SELECT grp, CAST(count(*) AS BIGINT) AS n_buckets,
              |  CAST(sum(CASE WHEN os THEN 1 ELSE 0 END) AS BIGINT) AS n_one_sided,
              |  CAST(sum(contrib) AS BIGINT) AS psi_nano
-             |FROM r2 GROUP BY grp ORDER BY grp""".stripMargin))
+             |FROM r2 GROUP BY grp ORDER BY grp""".stripMargin)),
+
+    // ---- streaming CUSUM monitor (st17): the serving half of q138 —
+    //      the monitored stream's daily volume runs Page's one-sided
+    //      CUSUM against a FROZEN first-fortnight reference mean
+    //      (TimeSeries.cusumSeries; the live series' own mean drifts
+    //      WITH the shift you're trying to catch, so the allowance must
+    //      come from a calibration window). The stream side does the
+    //      only corpus-grain work (a windowed count); the chart is
+    //      day-grain metadata via the exact prefix-sum closed form.
+    //      Replayed input ⇒ batch-equal, which the oracle states. ----
+    Q("st17_stream_cusum",
+      (s, dir) => {
+        import s.implicits._
+        val cut = lit("2024-01-15").cast("timestamp")
+        val counts = StreamOps.readEvents(s, dir)
+          .filter($"ts" >= cut)
+          .groupBy(window($"ts", "1 day"))
+          .agg(count(lit(1)).as("n"))
+        val cur = StreamOps.runToMemory(s, counts, "st17_out",
+            OutputMode.Complete())
+          .select(date_format($"window.start", "yyyy-MM-dd").as("day"), $"n")
+        val ref = Tables(s, dir, "events").filter($"ts" < cut)
+          .groupBy(to_date($"ts").as("d")).agg(count(lit(1)).as("n"))
+        graft.operators.TimeSeries.cusumSeries(cur,
+          col("day"), col("n"), ref, col("n"),
+          slack = 0.0, hDays = 1.0)
+      },
+      Some("""WITH ref AS (
+             |  SELECT date_trunc('day', ts) AS d, count(*) AS n
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1),
+             |mu AS (
+             |  SELECT CAST(round(1e6 * CAST(sum(n) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 0) AS BIGINT) AS mu FROM ref),
+             |cur AS (
+             |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+             |    count(*) AS n
+             |  FROM events WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY 1),
+             |dev AS (
+             |  SELECT d, n,
+             |    n * 1000000 - CAST(round(CAST(mu AS DOUBLE) * 1.0, 0)
+             |      AS BIGINT) AS dev,
+             |    CAST(round(CAST(mu AS DOUBLE) * 1.0, 0) AS BIGINT) AS h
+             |  FROM cur, mu),
+             |p AS (
+             |  SELECT d, n, h, sum(dev) OVER (ORDER BY d
+             |    ROWS UNBOUNDED PRECEDING) AS prefix FROM dev),
+             |r AS (
+             |  SELECT d, n, h, prefix,
+             |    least(CAST(0 AS BIGINT), min(prefix) OVER (ORDER BY d
+             |      ROWS UNBOUNDED PRECEDING)) AS runmin
+             |  FROM p)
+             |SELECT d, CAST(n AS BIGINT) AS n,
+             |  CAST(prefix - runmin AS BIGINT) AS s_micro,
+             |  (prefix - runmin) > h AS alarm
+             |FROM r ORDER BY d""".stripMargin))
   )
 }

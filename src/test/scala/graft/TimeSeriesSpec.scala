@@ -129,6 +129,34 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(robust._4 == 10.0, robust.toString)
   }
 
+  test("cusumSeries: frozen reference mean, alarms on the shifted series, " +
+      "empty reference null") {
+    import spark.implicits._
+    def series(ns: (String, Long)*) = ns.toDF("d", "n")
+    // reference mean 10 (days 10, 10); monitored 10, 25, 25:
+    // slack 0 -> k = 10e6; dev = 0, +15e6, +15e6; prefix 0, 15, 30 (e6);
+    // runmin 0 -> S = 0, 15e6, 30e6; h = 1 mean-day = 10e6: day 2 and 3
+    // alarm — exactly the hand recursion max(0, S+dev)
+    val ref = series("r1" -> 10L, "r2" -> 10L)
+    val mon = series("m1" -> 10L, "m2" -> 25L, "m3" -> 25L)
+    val got = TimeSeries.cusumSeries(mon, col("d"), col("n"),
+        ref, col("n"), slack = 0.0, hDays = 1.0)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(("m1", 10L, 0L, false),
+      ("m2", 25L, 15000000L, true), ("m3", 25L, 30000000L, true)),
+      got.toString)
+    // a quiet monitored series never accumulates (S floors at 0)
+    val quiet = TimeSeries.cusumSeries(series("m1" -> 9L, "m2" -> 8L),
+        col("d"), col("n"), ref, col("n"), slack = 0.0, hDays = 1.0)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(quiet.forall(r => r._3 == 0L && !r._4), quiet.toString)
+    // an empty reference has no mean: null scores, never an invented one
+    val none = TimeSeries.cusumSeries(mon, col("d"), col("n"),
+        ref.limit(0), col("n"), slack = 0.0, hDays = 1.0)
+      .as[(String, Long, Option[Long], Option[Boolean])].collect().toSeq
+    assert(none.forall(r => r._3.isEmpty && r._4.isEmpty), none.toString)
+  }
+
   test("acf: hand lags on an alternating series, constant null, " +
       "short-series lags drop, guard") {
     import spark.implicits._
