@@ -136,7 +136,10 @@ object PlanAudit {
     "q143_modularity",
     // streaming CUSUM: reference mean broadcast as one row, day-grain
     // prefix windows over the memory-sink counts
-    "st17_stream_cusum")
+    "st17_stream_cusum",
+    // spearman: day-grain collapse into the pair checkpoint, rank
+    // tables broadcast, one 5-moment aggregate
+    "q144_spearman")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -215,4 +215,63 @@ object Learn {
         round((col("rank2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
           (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
   }
+
+  /** Spearman rank correlation with midrank ties (Spearman 1904; the
+    * tie-correct form is Pearson over midranks) — the monotone-
+    * association meter next to [[aucRoc]] (same doubled-midrank
+    * machinery; AUC asks "does the score separate two classes",
+    * Spearman asks "do two series move together").
+    *
+    * ENGINE-EXACT: both columns' DOUBLED midranks
+    * (`2r = 2·cum_before + cnt + 1` per distinct value — integers even
+    * at ties; the global ×2 cancels in ρ) join back to the row pairs,
+    * and all five moments are exact long sums. The numerator
+    * `n·Σdxdy − Σdx·Σdy` and each denominator factor `n·Σd² − (Σd)²`
+    * stay exact longs (≲4n⁴ — ANSI throws loudly past n ≈ 38k rows;
+    * COLLAPSE GRAIN FIRST, the gate feeds day-grain series), and the
+    * two sqrt factors are taken SEPARATELY (their long product would
+    * overflow at n ≈ 165) — each an IEEE correctly-rounded sqrt of
+    * identical operands, so the round-6 ρ is engine-exact. Inputs cast
+    * to long (quantize continuous values upstream — the aucRoc
+    * caveat). A constant column has no ranking: null, never NaN.
+    *
+    * Scale shape: one pass into the checkpointed (x, y) pair grain;
+    * each rank table is a value-grain count + a single-partition
+    * window over DISTINCT values (bounded because the caller collapsed
+    * grain), broadcast back; one 5-moment aggregate. Nothing here
+    * touches the pre-collapse corpus.
+    *
+    * @return ONE row: (n, num, den_x, den_y, rho).
+    */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .localCheckpoint(true)
+    def ranks(c: String): DataFrame = {
+      val cnt = base.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      val before = coalesce(sum(col("cnt")).over(
+        Window.orderBy(col(c)).rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L))
+      cnt.select(col(c),
+        (lit(2L) * before + col("cnt") + lit(1L)).as("dr_" + c))
+    }
+    val joined = base
+      .join(broadcast(ranks("x")), Seq("x"))
+      .join(broadcast(ranks("y")), Seq("y"))
+    val m = joined.agg(count(lit(1)).as("n"),
+      sum(col("dr_x")).as("sx"), sum(col("dr_y")).as("sy"),
+      sum(col("dr_x") * col("dr_y")).as("sxy"),
+      sum(col("dr_x") * col("dr_x")).as("sxx"),
+      sum(col("dr_y") * col("dr_y")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val denX = col("n") * col("sxx") - col("sx") * col("sx")
+    val denY = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(col("n"), num.as("num"), denX.as("den_x"), denY.as("den_y"),
+      when(denX > 0 && denY > 0,
+        round(num.cast("double") /
+          (sqrt(denX.cast("double")) * sqrt(denY.cast("double"))), 6))
+        .as("rho"))
+  }
 }

@@ -231,6 +231,53 @@ object Extra7Queries {
              |  CAST(n_communities AS BIGINT) AS n_communities,
              |  CAST(q_num AS BIGINT) AS q_num, CAST(q_den AS BIGINT) AS q_den,
              |  q
-             |FROM rows_out ORDER BY part""".stripMargin))
+             |FROM rows_out ORDER BY part""".stripMargin)),
+
+    // ---- Spearman rank correlation (q144): do daily event volume and
+    //      daily user breadth move together? Doubled midranks (the
+    //      q132 machinery) make all five moments exact longs; the two
+    //      denominator sqrts are taken SEPARATELY (their long product
+    //      would overflow) — each IEEE correctly-rounded on identical
+    //      operands, so round-6 rho is engine-exact. Day grain keeps
+    //      n bounded at any corpus size. ----
+    Q("q144_spearman",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables(s, dir, "events")
+          .groupBy(to_date($"ts").as("d"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct($"user_id").as("n_users"))
+        graft.operators.Learn.spearman(daily, $"n_events", $"n_users")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS d, count(*) AS x,
+             |    count(DISTINCT user_id) AS y
+             |  FROM events GROUP BY 1),
+             |rx AS (
+             |  SELECT x, 2 * (sum(cnt) OVER (ORDER BY x
+             |      ROWS UNBOUNDED PRECEDING) - cnt) + cnt + 1 AS dr_x
+             |  FROM (SELECT x, count(*) AS cnt FROM daily GROUP BY 1)),
+             |ry AS (
+             |  SELECT y, 2 * (sum(cnt) OVER (ORDER BY y
+             |      ROWS UNBOUNDED PRECEDING) - cnt) + cnt + 1 AS dr_y
+             |  FROM (SELECT y, count(*) AS cnt FROM daily GROUP BY 1)),
+             |j AS (
+             |  SELECT dr_x, dr_y FROM daily
+             |  JOIN rx USING (x) JOIN ry USING (y)),
+             |m AS (
+             |  SELECT count(*) AS n, sum(dr_x) AS sx, sum(dr_y) AS sy,
+             |    sum(dr_x * dr_y) AS sxy, sum(dr_x * dr_x) AS sxx,
+             |    sum(dr_y * dr_y) AS syy
+             |  FROM j)
+             |SELECT CAST(n AS BIGINT) AS n,
+             |  CAST(n * sxy - sx * sy AS BIGINT) AS num,
+             |  CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+             |  CAST(n * syy - sy * sy AS BIGINT) AS den_y,
+             |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             |  END AS rho
+             |FROM m""".stripMargin))
   )
 }

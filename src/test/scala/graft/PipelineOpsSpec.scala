@@ -867,6 +867,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Option[Double])].collect().head._3.isEmpty)
   }
 
+  test("spearman: monotone pins ±1, midrank ties match hand math, " +
+      "constant column null, nulls excluded") {
+    import spark.implicits._
+    def rho(rows: Seq[(Long, Long)]) =
+      Learn.spearman(rows.toDF("x", "y"), col("x"), col("y"))
+        .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    // any strictly monotone map is rank-perfect
+    assert(rho(Seq((1L, 10L), (2L, 20L), (3L, 90L)))._5 == Some(1.0))
+    assert(rho(Seq((1L, 90L), (2L, 20L), (3L, 10L)))._5 == Some(-1.0))
+    // ties on x: doubled midranks dx = 2,5,5,8 vs dy = 2,4,6,8
+    // -> num 72, den_x 72, den_y 80, rho = 72/(√72·√80) = 0.948683
+    val tied = rho(Seq((1L, 1L), (2L, 2L), (2L, 3L), (3L, 4L)))
+    val expect = BigDecimal(72.0 / (math.sqrt(72.0) * math.sqrt(80.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(tied == ((4L, 72L, 72L, 80L, Some(expect))), tied.toString)
+    // a constant column has no ranking: null, never NaN
+    assert(rho(Seq((1L, 7L), (2L, 7L), (3L, 7L)))._5.isEmpty)
+    // null pairs are excluded before ranking
+    val withNull = Seq((Some(1L), Some(10L)), (Some(2L), Some(20L)),
+      (None, Some(99L)), (Some(3L), None)).toDF("x", "y")
+    val gn = Learn.spearman(withNull, col("x"), col("y"))
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(gn._1 == 2L && gn._5 == Some(1.0), gn.toString)
+  }
+
   test("quantileNormalize: midrank quantiles per group, ties share, scales comparable") {
     import spark.implicits._
     // group a: scores 10,10,20 (n=3); group b: 5 (n=1)

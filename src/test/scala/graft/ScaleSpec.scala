@@ -1169,6 +1169,25 @@ class ScaleSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("spearman serves from the pair checkpoint: no corpus re-scan, " +
+      "no row-grain exchange") {
+    val df = SparkEntry.queries("q144_spearman")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // the day-grain collapse happened into the operator's checkpoint;
+    // rank tables and the moment aggregate derive from it alone
+    val scans = collectAll(plan) { case s: FileSourceScanExec => s }
+    assert(scans.isEmpty, s"served plan must not re-scan the corpus: $scans")
+    val bad = collectAll(plan) {
+      case e: ShuffleExchangeExec if collectAll(e.child) {
+        case a if a.nodeName.contains("HashAggregate") => a }.isEmpty &&
+        e.outputPartitioning !=
+          org.apache.spark.sql.catalyst.plans.physical.SinglePartition => e
+    }
+    assert(bad.isEmpty, s"row-grain exchange leaked: ${bad.map(_.nodeName)}")
+    Caches.sweep(spark)
+  }
+
   test("chi-square reduces map-side to cell grain before the grid join") {
     val df = SparkEntry.queries("q139_chi2_independence")(spark, sf)
     df.collect()
