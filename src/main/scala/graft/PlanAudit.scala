@@ -139,7 +139,10 @@ object PlanAudit {
     "st17_stream_cusum",
     // spearman: day-grain collapse into the pair checkpoint, rank
     // tables broadcast, one 5-moment aggregate
-    "q144_spearman")
+    "q144_spearman",
+    // TextRank: one corpus scan to vocab-pair grain, pageRank node-grain
+    // sweeps, vocab-grain word join-back
+    "t48_textrank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1027,6 +1027,64 @@ object TextOps {
     *         distinct (group, score); join back on both to calibrate
     *         row-grain data.
     */
+  /** TextRank keyword extraction (Mihalcea & Tarau EMNLP 2004) at
+    * corpus scope: build the word co-occurrence graph (adjacent-token
+    * pairs, window 2 — the paper's default for keywords), run
+    * [[GraphOps.pageRank]] for a fixed sweep budget, and rank words by
+    * centrality — the unsupervised keyword extractor next to
+    * tf-idf/PMI (t06/t25 score words by FREQUENCY contrast; TextRank
+    * scores by graph CENTRALITY, surfacing connective vocabulary
+    * frequency alone misses). The composition proof that the text and
+    * graph halves of the engine share one data model.
+    *
+    * Words ride their PORTABLE 63-bit md5 hash through the rank loop
+    * (both engines replay it bit-for-bit; ids avoid string-collation
+    * drift in the canonical least/greatest edge dedup) and join back to
+    * the lexicographically-smallest word per id — deterministic even
+    * under a (≈2⁻⁶⁴-likely) hash collision. Self-pairs from repeated
+    * adjacent tokens are dropped with the other self-loops. Ranks carry
+    * [[GraphOps.pageRank]]'s stated float semantics; callers order on
+    * the ROUNDED rank (the q103 contract) so a last-bit divergence
+    * cannot reorder the cut.
+    *
+    * Scale shape: one corpus scan explodes to adjacent-pair grain and
+    * distincts to the VOCABULARY-pair grain (bounded by vocab², in
+    * practice ≪ corpus size) — everything after runs on that bounded
+    * graph via pageRank's node-grain sweeps; the word join-back is one
+    * vocab-grain aggregate off the same cached pair pass.
+    *
+    * @return (word, pr) for every co-occurring word, pr rounded to 7.
+    */
+  def textrankKeywords(docs: DataFrame, textCol: String,
+      iterations: Int = 3): DataFrame = {
+    val toks = tokens(col(textCol))
+    val pairs = docs.select(toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("h"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("t"))).as("bg"))
+      .select(col("bg.h").as("w1"), col("bg.t").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .select(col("w1"), col("w2"),
+        Dedup.portableTokenHash63(col("w1")).as("h1"),
+        Dedup.portableTokenHash63(col("w2")).as("h2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canon = pairs
+      .select(least(col("h1"), col("h2")).as("u"),
+        greatest(col("h1"), col("h2")).as("v"))
+      .distinct()
+    val edges = canon.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val pr = GraphOps.pageRank(edges, "src", "dst", iterations)
+    val words = pairs.select(col("h1").as("id"), col("w1").as("word"))
+      .union(pairs.select(col("h2").as("id"), col("w2").as("word")))
+      .groupBy(col("id")).agg(min(col("word")).as("word"))
+    pr.join(words, Seq("id"))
+      .select(col("word"), round(col("pr"), 7).as("pr"))
+  }
+
   def quantileNormalize(df: DataFrame, groupCol: Column,
       scoreCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -314,6 +314,87 @@ object Text3Queries {
              |  round(CAST(coalesce(h.dcg_micro, 0) AS DOUBLE)
              |    / CAST(i.idcg_micro AS DOUBLE), 6) AS ndcg
              |FROM idcg i LEFT JOIN hits h ON i.query = h.query
-             |ORDER BY i.query""".stripMargin))
+             |ORDER BY i.query""".stripMargin)),
+
+    // ---- TextRank keywords (t48): PageRank centrality over the
+    //      corpus word co-occurrence graph (adjacent tokens, window 2)
+    //      — the composition proof that the text and graph halves
+    //      share one data model. Words ride their portable 63-bit md5
+    //      hash through the 3 unrolled sweeps (the q103 oracle shape)
+    //      and join back to min(word) per id; the cut orders on the
+    //      ROUNDED rank so a last-bit float divergence cannot reorder
+    //      it. ----
+    Q("t48_textrank",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextOps.textrankKeywords(
+            Tables(s, dir, "documents"), "text", iterations = 3)
+          .orderBy($"pr".desc, $"word").limit(20)
+      },
+      Some("""WITH d AS (
+             |  SELECT list_filter(string_split(text, ' '), x -> x <> '')
+             |    AS toks
+             |  FROM documents),
+             |d2 AS (SELECT toks FROM d WHERE len(toks) >= 2),
+             |bg AS (
+             |  SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]))
+             |    AS bg
+             |  FROM d2),
+             |p AS (
+             |  SELECT bg[1] AS w1, bg[2] AS w2 FROM bg WHERE bg[1] <> bg[2]),
+             |ph AS (
+             |  SELECT w1, w2,
+             |    (((('0x' || substr(md5(w1), 1, 8))::BIGINT & 2147483647)
+             |      << 32) | ('0x' || substr(md5(w1), 9, 8))::BIGINT) AS h1,
+             |    (((('0x' || substr(md5(w2), 1, 8))::BIGINT & 2147483647)
+             |      << 32) | ('0x' || substr(md5(w2), 9, 8))::BIGINT) AS h2
+             |  FROM p),
+             |canon AS (
+             |  SELECT DISTINCT least(h1, h2) AS u, greatest(h1, h2) AS v
+             |  FROM ph),
+             |edges AS (
+             |  SELECT u AS src, v AS dst FROM canon
+             |  UNION ALL SELECT v, u FROM canon),
+             |nodes AS (SELECT DISTINCT src AS id FROM edges),
+             |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+             |deg AS (
+             |  SELECT src, CAST(count(*) AS DOUBLE) AS deg
+             |  FROM edges GROUP BY src),
+             |pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+             |pr1 AS (
+             |  SELECT nd.id, coalesce(
+             |    0.15 / (SELECT n FROM nn) + 0.85 * s.s,
+             |    0.15 / (SELECT n FROM nn)) AS pr
+             |  FROM nodes nd LEFT JOIN (
+             |    SELECT e.dst AS id, sum(p.pr / d.deg) AS s
+             |    FROM edges e JOIN pr0 p ON e.src = p.id
+             |      JOIN deg d ON e.src = d.src
+             |    GROUP BY e.dst) s ON nd.id = s.id),
+             |pr2 AS (
+             |  SELECT nd.id, coalesce(
+             |    0.15 / (SELECT n FROM nn) + 0.85 * s.s,
+             |    0.15 / (SELECT n FROM nn)) AS pr
+             |  FROM nodes nd LEFT JOIN (
+             |    SELECT e.dst AS id, sum(p.pr / d.deg) AS s
+             |    FROM edges e JOIN pr1 p ON e.src = p.id
+             |      JOIN deg d ON e.src = d.src
+             |    GROUP BY e.dst) s ON nd.id = s.id),
+             |pr3 AS (
+             |  SELECT nd.id, coalesce(
+             |    0.15 / (SELECT n FROM nn) + 0.85 * s.s,
+             |    0.15 / (SELECT n FROM nn)) AS pr
+             |  FROM nodes nd LEFT JOIN (
+             |    SELECT e.dst AS id, sum(p.pr / d.deg) AS s
+             |    FROM edges e JOIN pr2 p ON e.src = p.id
+             |      JOIN deg d ON e.src = d.src
+             |    GROUP BY e.dst) s ON nd.id = s.id),
+             |words AS (
+             |  SELECT id, min(word) AS word FROM (
+             |    SELECT h1 AS id, w1 AS word FROM ph
+             |    UNION ALL SELECT h2, w2 FROM ph)
+             |  GROUP BY id)
+             |SELECT w.word, round(p.pr, 7) AS pr
+             |FROM pr3 p JOIN words w ON p.id = w.id
+             |ORDER BY pr DESC, word LIMIT 20""".stripMargin))
   )
 }

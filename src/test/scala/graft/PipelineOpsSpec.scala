@@ -982,4 +982,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       TextOps.filterFunnel(docs, Seq("r" -> lit(true), "r" -> lit(false)))
     }
   }
+
+  test("textrankKeywords: hub outranks leaves, symmetric pair is 0.5, " +
+      "self-pairs and short docs drop") {
+    import spark.implicits._
+    def rank(texts: String*) = {
+      val got = TextOps.textrankKeywords(texts.toDF("text"), "text")
+        .orderBy(col("pr").desc, col("word"))
+        .as[(String, Double)].collect().toSeq
+      Caches.sweep(spark)
+      got
+    }
+    // star: 'c' co-occurs with three leaves — centrality puts it first
+    // even though every word has the same corpus frequency
+    val star = rank("c a", "c b", "c d")
+    assert(star.head._1 == "c" && star.size == 4, star.toString)
+    assert(star.tail.map(_._2).distinct.size == 1) // leaves tie exactly
+    assert(star.head._2 > star(1)._2)
+    // a single symmetric pair sits at the uniform fixed point 0.5
+    // ("a b a" contributes (a,b) twice; the canonical set keeps one)
+    assert(rank("a b a") == Seq(("a", 0.5), ("b", 0.5)))
+    // repeated-token self-pairs and sub-2-token docs contribute nothing
+    assert(rank("x x", "y").isEmpty)
+  }
 }
