@@ -142,7 +142,10 @@ object PlanAudit {
     "q144_spearman",
     // TextRank: one corpus scan to vocab-pair grain, pageRank node-grain
     // sweeps, vocab-grain word join-back
-    "t48_textrank")
+    "t48_textrank",
+    // Benford: one map-combined pass to 9 digit rows, grid + windows
+    // on that grain only
+    "q145_benford")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

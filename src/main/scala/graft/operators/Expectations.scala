@@ -386,6 +386,64 @@ object Expectations {
         sum(col("contrib")).as("psi_nano"))
   }
 
+  /** Benford first-significant-digit test (Newcomb 1881 / Benford 1938;
+    * Nigrini's forensic-accounting staple) — does a positive amount
+    * column follow the log distribution `P(d) = log₁₀(1 + 1/d)`
+    * organically-generated magnitudes follow? Fabricated, clipped, or
+    * unit-mangled feeds flunk it; the data-forensics member of the
+    * significance toolkit (chi-square GOODNESS-OF-FIT against a FIXED
+    * distribution, where [[chiSquareIndependence]] tests two observed
+    * columns against each other).
+    *
+    * ENGINE-EXACT digit extraction: values score on their integer
+    * CENTS (`round(x·100)` as a long), and the first digit is the
+    * first character of the integer's decimal string — identical in
+    * any engine, no log10-at-a-power-boundary hazard. Positive values
+    * under half a cent round to 0 and are excluded with the
+    * non-positives. Each Benford share quantizes to round-6
+    * micro-units BEFORE the expectation product; every `(O−E)²/E`
+    * quantizes to integer nano-units before the order-free sum (the
+    * [[chiSquareIndependence]] discipline). ALL NINE digits are always
+    * scored — an absent digit still contributes its full E. The 5%
+    * decision compares against the dof-8 critical value 15.507.
+    *
+    * Scale shape: ONE map-combined corpus pass to the 9-row digit
+    * grain; the grid generation, expectation math, and total all run
+    * on those 9 rows.
+    *
+    * @return 9 rows: (d, o, p_micro, contrib_nano, chi2_nano,
+    *         significant); statistics null when no value scored.
+    */
+  def benfordTest(df: DataFrame, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digits = df
+      .select(round(valueCol.cast("double") * 100).cast("long").as("cents"))
+      .filter(col("cents") >= 1L)
+      .select(substring(col("cents").cast("string"), 1, 1)
+        .cast("long").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("o"))
+    val grid = df.sparkSession.range(1, 10).select(col("id").as("d"))
+      .join(digits, Seq("d"), "left")
+      .select(col("d"), coalesce(col("o"), lit(0L)).as("o"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val n = sum(col("o")).over(wAll)
+    val pMicro = round(log10((col("d") + 1).cast("double") /
+      col("d").cast("double")) * 1e6).cast("long")
+    val e = n.cast("double") * (pMicro.cast("double") / 1e6)
+    val contrib = round((col("o").cast("double") - e) *
+      (col("o").cast("double") - e) / e * 1e9).cast("long")
+    val scored = grid.select(col("d"), col("o"), n.as("n"),
+      pMicro.as("p_micro"),
+      when(n > 0, contrib).as("contrib_nano"))
+    scored.select(col("d"), col("o"), col("p_micro"), col("contrib_nano"),
+        when(col("n") > 0,
+          sum(col("contrib_nano")).over(wAll)).as("chi2_nano"),
+        when(col("n") > 0, sum(col("contrib_nano")).over(wAll)
+          .cast("double") / 1e9 > 15.507).as("significant"))
+      .orderBy(col("d"))
+  }
+
   /** Mutual information between two categorical columns, with the
     * normalized variant — the effect-size companion to
     * [[chiSquareIndependence]] from the information-theoretic side

@@ -278,6 +278,59 @@ object Extra7Queries {
              |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
              |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
              |  END AS rho
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // ---- Benford first-digit test (q145): do order totals follow the
+    //      log distribution organic magnitudes follow? Digits extract
+    //      from integer cents' decimal string (no log10-at-boundary
+    //      hazard), Benford shares quantize to micro-units, (O−E)²/E
+    //      to nano-units before the order-free sum; all nine digits
+    //      always score. ----
+    Q("q145_benford",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Expectations.benfordTest(
+          Tables(s, dir, "orders"), $"o_totalprice")
+      },
+      Some("""WITH cents AS (
+             |  SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
+             |    AS BIGINT) AS cents
+             |  FROM orders),
+             |digits AS (
+             |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+             |    AS d, count(*) AS o
+             |  FROM cents WHERE cents >= 1 GROUP BY 1),
+             |grid AS (
+             |  SELECT g.d, coalesce(digits.o, 0) AS o
+             |  FROM (SELECT unnest(range(1, 10)) AS d) g
+             |  LEFT JOIN digits USING (d)),
+             |t AS (SELECT sum(o) AS n FROM grid),
+             |scored AS (
+             |  SELECT d, o,
+             |    CAST(round(log10(CAST(d + 1 AS DOUBLE)
+             |      / CAST(d AS DOUBLE)) * 1e6) AS BIGINT) AS p_micro,
+             |    CASE WHEN n > 0 THEN CAST(round(
+             |      (CAST(o AS DOUBLE) - CAST(n AS DOUBLE)
+             |        * (CAST(CAST(round(log10(CAST(d + 1 AS DOUBLE)
+             |            / CAST(d AS DOUBLE)) * 1e6) AS BIGINT) AS DOUBLE)
+             |          / 1e6))
+             |      * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE)
+             |        * (CAST(CAST(round(log10(CAST(d + 1 AS DOUBLE)
+             |            / CAST(d AS DOUBLE)) * 1e6) AS BIGINT) AS DOUBLE)
+             |          / 1e6))
+             |      / (CAST(n AS DOUBLE)
+             |        * (CAST(CAST(round(log10(CAST(d + 1 AS DOUBLE)
+             |            / CAST(d AS DOUBLE)) * 1e6) AS BIGINT) AS DOUBLE)
+             |          / 1e6))
+             |      * 1e9) AS BIGINT) END AS contrib_nano,
+             |    n
+             |  FROM grid, t)
+             |SELECT d, CAST(o AS BIGINT) AS o, p_micro, contrib_nano,
+             |  CASE WHEN n > 0 THEN
+             |    CAST(sum(contrib_nano) OVER () AS BIGINT) END AS chi2_nano,
+             |  CASE WHEN n > 0 THEN
+             |    CAST(sum(contrib_nano) OVER () AS DOUBLE) / 1e9 > 15.507
+             |  END AS significant
+             |FROM scored ORDER BY d""".stripMargin))
   )
 }

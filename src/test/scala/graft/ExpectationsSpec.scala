@@ -235,6 +235,43 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(gn._1 == 2L, gn.toString)
   }
 
+  test("benford: digit extraction from cents, absent digits charged, " +
+      "empty null, fabricated feed flagged") {
+    import org.apache.spark.sql.functions._
+    def run(vals: Seq[Double]) = Expectations
+      .benfordTest(vals.toDF("v"), col("v"))
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Boolean])]
+      .collect().toSeq
+    def pMicro(d: Int): Long = math.round(math.log10((d + 1.0) / d) * 1e6)
+    def nano(o: Long, n: Long, d: Int): Long = {
+      val e = n.toDouble * (pMicro(d).toDouble / 1e6)
+      math.round((o - e) * (o - e) / e * 1e9)
+    }
+    // digit = first char of integer CENTS: 123.45->1, 0.05->5, 950->9;
+    // 0.004 rounds to 0 cents and is excluded with the negative
+    val got = run(Seq(123.45, 0.05, 950.0, 0.004, -8.0))
+    assert(got.map(r => r._1 -> r._2).toMap ==
+      (1L to 9L).map(d => d -> (if (Set(1L, 5L, 9L)(d)) 1L else 0L)).toMap,
+      got.toString)
+    // all nine digits present; absent digits still charge their E
+    val expected = (1 to 9).map(d =>
+      nano(if (Set(1, 5, 9)(d)) 1L else 0L, 3L, d)).sum
+    assert(got.head._5 == Some(expected), s"${got.head._5} vs $expected")
+    // no scoreable value: 9 rows, null statistics
+    val empty = run(Seq(-1.0, 0.0))
+    assert(empty.size == 9 && empty.forall(r =>
+      r._2 == 0L && r._5.isEmpty && r._6.isEmpty), empty.toString)
+    // a fabricated all-9s feed flunks at dof-8/5%
+    val fake = run(Seq.fill(100)(900.0))
+    assert(fake.forall(_._6 == Some(true)), fake.toString)
+    // an exactly-Benford-shaped small sample is NOT flagged
+    val shape = (1 to 9).flatMap(d =>
+      Seq.fill(math.round(math.log10((d + 1.0) / d) * 100).toInt)(
+        d * 100.0))
+    val ok = run(shape)
+    assert(ok.forall(_._6 == Some(false)), ok.toString)
+  }
+
   test("psiDriftSeries: per-group PSI vs one reference, proportional group = 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
