@@ -301,6 +301,70 @@ object GraphOps {
         round(col("aa_micro").cast("double") / 1e6, 6).as("aa"))
   }
 
+  /** Graph diameter LOWER BOUND by the classic double BFS sweep
+    * (Magnien, Latapy & Habib 2009; exact on trees, and in practice
+    * tight on real-world graphs — the iFUB family builds on exactly
+    * this): BFS from a deterministic start (the smallest node id),
+    * take the farthest node reached (ties to the smallest id), BFS
+    * again from there — the second eccentricity is a certified lower
+    * bound on the undirected diameter, at the cost of exactly TWO BFS
+    * runs where the exact diameter needs |V|. The "how wide is this
+    * crawl graph" diagnostic next to [[bfsDistances]].
+    *
+    * HONEST under the hop budget: each sweep's `converged` flag is
+    * true only when its eccentricity came in strictly under `maxHops`
+    * (a sweep that touched the budget may have been truncated, so the
+    * bound could be an UNDER-estimate — the flags say so rather than
+    * hiding it). Unreachable components are invisible to a sweep by
+    * construction (a bound from one component; that is what "lower
+    * bound" means). Edges canonicalize undirected first. All integer
+    * hop math — engine-exact trivially.
+    *
+    * Scale shape: two [[bfsDistances]] runs (per hop: one frontier
+    * equi-join + distinct + anti-join, frontier broadcast below its
+    * bound) plus THREE bounded driver actions (min-id start, the 1-row
+    * farthest argmax, the 1-row eccentricity max — the BPE-argmax
+    * bounded-driver contract).
+    *
+    * @return ONE row: (start, ecc_start, start_converged, far,
+    *         ecc_far, far_converged, diameter_lb); EMPTY on an
+    *         edgeless graph.
+    */
+  def diameterLowerBound(edges: DataFrame, srcCol: String, dstCol: String,
+      maxHops: Int = 16): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val spark = edges.sparkSession
+    val canon = canonUndirected(edges, srcCol, dstCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = canon.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val schema = "start long, ecc_start long, start_converged boolean, " +
+      "far long, ecc_far long, far_converged boolean, diameter_lb long"
+    val startRow = canon.agg(min(col("u")).as("s")).collect()(0)
+    if (startRow.isNullAt(0))
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+    val start = startRow.getLong(0)
+    def sweep(from: Long): (Long, Long) = {
+      val d = bfsDistances(sym, "src", "dst",
+        spark.range(from, from + 1).select(col("id")), "id", maxHops)
+      // farthest node, ties to the smallest id — one 1-row action
+      val top = d.orderBy(col("dist").desc, col("id")).limit(1).collect()(0)
+      (top.getLong(0), top.getLong(1))
+    }
+    val (far, eccStart) = sweep(start)
+    val (_, eccFar) = sweep(far)
+    spark.range(1).select(lit(start).as("start"),
+      lit(eccStart).as("ecc_start"),
+      lit(eccStart < maxHops).as("start_converged"),
+      lit(far).as("far"), lit(eccFar).as("ecc_far"),
+      lit(eccFar < maxHops).as("far_converged"),
+      lit(eccFar).as("diameter_lb"))
+  }
+
   /** Newman modularity of a given partition (Newman & Girvan 2004,
     * eq. 5): `Q = Σ_c [ e_c/m − (d_c/2m)² ]` over an undirected graph —
     * how much denser are the communities than a degree-preserving

@@ -331,6 +331,59 @@ object Extra7Queries {
              |  CASE WHEN n > 0 THEN
              |    CAST(sum(contrib_nano) OVER () AS DOUBLE) / 1e9 > 15.507
              |  END AS significant
-             |FROM scored ORDER BY d""".stripMargin))
+             |FROM scored ORDER BY d""".stripMargin)),
+
+    // ---- Double-sweep diameter lower bound (q146): BFS from the
+    //      smallest node, BFS again from the farthest node reached —
+    //      a certified lower bound on the undirected diameter at the
+    //      cost of two BFS runs (exact diameter needs |V|). Integer
+    //      hop math; convergence flags say whether the hop budget
+    //      could have truncated the bound. ----
+    Q("q146_diameter",
+      (s, dir) => {
+        import s.implicits._
+        val edges = Tables(s, dir, "lineitem")
+          .filter($"l_quantity" >= 49)
+          .select($"l_orderkey", $"l_suppkey")
+          .join(Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".cast("long").as("src"),
+            ($"l_suppkey" + 1000000L).cast("long").as("dst"))
+        graft.operators.GraphOps.diameterLowerBound(
+          edges, "src", "dst", maxHops = 16)
+      },
+      Some("""WITH RECURSIVE raw AS (
+             |  SELECT DISTINCT
+             |    least(o_custkey, l_suppkey + 1000000) AS u,
+             |    greatest(o_custkey, l_suppkey + 1000000) AS v
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_quantity >= 49 AND o_custkey <> l_suppkey + 1000000),
+             |e AS (SELECT u AS src, v AS dst FROM raw
+             |  UNION SELECT v, u FROM raw),
+             |s0 AS (SELECT min(u) AS start FROM raw),
+             |w1(id, d) AS (
+             |  SELECT start, CAST(0 AS BIGINT) FROM s0
+             |  UNION
+             |  SELECT e.dst, w.d + 1 FROM w1 w JOIN e ON e.src = w.id
+             |  WHERE w.d < 16),
+             |d1 AS (SELECT id, min(d) AS dist FROM w1 GROUP BY id),
+             |far AS (
+             |  SELECT id AS far, dist AS ecc_start FROM d1
+             |  ORDER BY dist DESC, id LIMIT 1),
+             |w2(id, d) AS (
+             |  SELECT far, CAST(0 AS BIGINT) FROM far
+             |  UNION
+             |  SELECT e.dst, w.d + 1 FROM w2 w JOIN e ON e.src = w.id
+             |  WHERE w.d < 16),
+             |d2 AS (SELECT max(md) AS ecc_far FROM (
+             |  SELECT id, min(d) AS md FROM w2 GROUP BY id))
+             |SELECT CAST(s0.start AS BIGINT) AS start,
+             |  CAST(far.ecc_start AS BIGINT) AS ecc_start,
+             |  far.ecc_start < 16 AS start_converged,
+             |  CAST(far.far AS BIGINT) AS far,
+             |  CAST(d2.ecc_far AS BIGINT) AS ecc_far,
+             |  d2.ecc_far < 16 AS far_converged,
+             |  CAST(d2.ecc_far AS BIGINT) AS diameter_lb
+             |FROM s0, far, d2""".stripMargin))
   )
 }

@@ -504,4 +504,33 @@ class GraphOpsSpec extends AnyFunSuite {
       5L -> 1L, 6L -> 1L))
     assert(partial._1 == 4L && partial._2 == 3L, partial.toString)
   }
+
+  test("diameterLowerBound: exact on a path, honest on a truncating " +
+      "budget, empty graph empty") {
+    def dia(edges: Seq[(Long, Long)], hops: Int = 16) = {
+      val got = GraphOps.diameterLowerBound(
+          edges.toDF("src", "dst"), "src", "dst", hops)
+        .as[(Long, Long, Boolean, Long, Long, Boolean, Long)]
+        .collect().toSeq
+      Caches.sweep(spark)
+      got
+    }
+    // path 1-2-3-4-5: start=1, farthest=5 at 4 hops; the return sweep
+    // certifies the exact diameter 4 (double sweep is exact on trees)
+    assert(dia(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))) ==
+      Seq((1L, 4L, true, 5L, 4L, true, 4L)))
+    // lollipop: start in the clique, far end of the tail; exact too
+    val lolli = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    assert(dia(lolli) == Seq((1L, 3L, true, 5L, 3L, true, 3L)))
+    // a 2-hop budget on the 4-diameter path: the bound truncates and
+    // BOTH flags say so (ecc == maxHops, could have gone further)
+    assert(dia(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), hops = 2) ==
+      Seq((1L, 2L, false, 3L, 2L, false, 2L)))
+    // edgeless graph: EMPTY result, never a fabricated row
+    assert(dia(Seq((7L, 7L))).isEmpty)
+    intercept[IllegalArgumentException] {
+      GraphOps.diameterLowerBound(
+        Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", 0)
+    }
+  }
 }
