@@ -145,7 +145,9 @@ object PlanAudit {
     "t48_textrank",
     // Benford: one map-combined pass to 9 digit rows, grid + windows
     // on that grain only
-    "q145_benford")
+    "q145_benford",
+    // Mann-Kendall: day-grain collapse, bounded pairwise join, 1-row z
+    "q147_mann_kendall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -317,6 +317,56 @@ object TimeSeries {
       .orderBy(col("k"))
   }
 
+  /** Mann–Kendall trend test (Mann 1945 / Kendall 1975) on the daily
+    * event-volume series — IS the trend [[theilSenDailyTrend]]
+    * estimates statistically there at all? `S = Σ_{i<j} sign(x_j−x_i)`
+    * over time-ordered day pairs, variance with the tie correction
+    * `Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)`, and the
+    * continuity-corrected `z = (S∓1)/√Var` judged at the two-sided 5%
+    * level (|z| > 1.96). The standard nonparametric is-the-feed-
+    * growing check — no distribution assumed, outlier-robust like the
+    * Theil–Sen slope it accompanies.
+    *
+    * ENGINE-EXACT: S and Var·18 are exact longs (integer counts,
+    * integer tie groups; ANSI throws loudly at absurd magnitudes), so
+    * z is one IEEE divide-and-sqrt chain on identical operands,
+    * round-6 in any engine. Degenerate series (n < 2, or all values
+    * tied → Var = 0) return null z, never NaN; S = 0 pins z = 0
+    * exactly (the continuity correction moves TOWARD zero, never
+    * across it).
+    *
+    * Scale shape: the corpus collapses MAP-SIDE to day grain; the
+    * pairwise self-join (day² ≤ ~266k bounded-metadata rows — the
+    * Theil–Sen contract), the tie histogram, and the 1-row assembly
+    * never touch event grain.
+    *
+    * @return ONE row: (n, s, var18, z, significant).
+    */
+  def mannKendallDailyTrend(events: DataFrame, tsCol: String): DataFrame = {
+    val daily = events.select(col(tsCol).cast("date").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val a = daily.select(col("d").as("da"), col("n").as("na"))
+    val b = daily.select(col("d").as("db"), col("n").as("nb"))
+    val s = a.join(b, col("da") < col("db"))
+      .agg(coalesce(sum(signum(col("nb") - col("na")).cast("long")),
+        lit(0L)).as("s"))
+    val ties = daily.groupBy(col("n")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1) *
+        (lit(2L) * col("t") + 5)), lit(0L)).as("tie18"))
+    val cnt = daily.agg(count(lit(1)).as("n"))
+    val var18 = col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
+      col("tie18")
+    val zNum = when(col("s") > 0, col("s") - 1)
+      .when(col("s") < 0, col("s") + 1).otherwise(lit(0L))
+    val z = round(zNum.cast("double") /
+      sqrt(var18.cast("double") / 18.0), 6)
+    cnt.crossJoin(broadcast(s)).crossJoin(broadcast(ties))
+      .select(col("n"), col("s"), var18.as("var18"),
+        when(col("n") >= 2 && var18 > 0, z).as("z"),
+        when(col("n") >= 2 && var18 > 0, abs(z) > 1.96).as("significant"))
+  }
+
   def theilSenDailyTrend(events: DataFrame, tsCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = events.select(col(tsCol).cast("date").as("d"))

@@ -384,6 +384,44 @@ object Extra7Queries {
              |  CAST(d2.ecc_far AS BIGINT) AS ecc_far,
              |  d2.ecc_far < 16 AS far_converged,
              |  CAST(d2.ecc_far AS BIGINT) AS diameter_lb
-             |FROM s0, far, d2""".stripMargin))
+             |FROM s0, far, d2""".stripMargin)),
+
+    // ---- Mann–Kendall trend test (q147): is the daily event volume's
+    //      trend (whose slope q135's Theil–Sen estimates) there at
+    //      all? S and the tie-corrected Var·18 are exact longs over
+    //      the bounded day-pair grain; the continuity-corrected z is
+    //      one IEEE divide-and-sqrt chain, round-6 both engines. ----
+    Q("q147_mann_kendall",
+      (s, dir) => {
+        graft.operators.TimeSeries.mannKendallDailyTrend(
+          Tables(s, dir, "events"), "ts")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS d, count(*) AS n
+             |  FROM events GROUP BY 1),
+             |sv AS (
+             |  SELECT coalesce(sum(CASE WHEN b.n > a.n THEN 1
+             |      WHEN b.n < a.n THEN -1 ELSE 0 END), 0) AS s
+             |  FROM daily a JOIN daily b ON a.d < b.d),
+             |ties AS (
+             |  SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie18
+             |  FROM (SELECT count(*) AS t FROM daily GROUP BY n)),
+             |c AS (SELECT count(*) AS n FROM daily),
+             |v AS (
+             |  SELECT c.n, sv.s,
+             |    c.n * (c.n - 1) * (2 * c.n + 5) - ties.tie18 AS var18
+             |  FROM c, sv, ties)
+             |SELECT CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+             |  CAST(var18 AS BIGINT) AS var18,
+             |  CASE WHEN n >= 2 AND var18 > 0 THEN
+             |    round(CAST(CASE WHEN s > 0 THEN s - 1
+             |        WHEN s < 0 THEN s + 1 ELSE 0 END AS DOUBLE)
+             |      / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) END AS z,
+             |  CASE WHEN n >= 2 AND var18 > 0 THEN
+             |    abs(round(CAST(CASE WHEN s > 0 THEN s - 1
+             |        WHEN s < 0 THEN s + 1 ELSE 0 END AS DOUBLE)
+             |      / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)) > 1.96
+             |  END AS significant
+             |FROM v""".stripMargin))
   )
 }

@@ -157,6 +157,39 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(none.forall(r => r._3.isEmpty && r._4.isEmpty), none.toString)
   }
 
+  test("mannKendall: hand S with ties, all-tied null, strong trend " +
+      "flagged, continuity correction") {
+    import spark.implicits._
+    def days(ns: Int*) = ns.zipWithIndex.flatMap { case (n, i) =>
+      (1 to n).map(_ => f"2024-03-${i + 1}%02d 12:00:00")
+    }.toDF("s").select(col("s").cast("timestamp").as("ts"))
+    def run(df: org.apache.spark.sql.DataFrame) = TimeSeries
+      .mannKendallDailyTrend(df, "ts")
+      .as[(Long, Long, Long, Option[Double], Option[Boolean])]
+      .collect().head
+    def z6(num: Long, var18: Long): Double =
+      BigDecimal(num.toDouble / math.sqrt(var18.toDouble / 18.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 1,2,2,3: S = 5 (one tied pair contributes 0); tie group t=2
+    // subtracts 2·1·9 = 18 from n(n−1)(2n+5) = 156 -> var18 = 138;
+    // continuity-corrected z = (5−1)/√(138/18)
+    val tied = run(days(1, 2, 2, 3))
+    assert(tied == ((4L, 5L, 138L, Some(z6(4, 138)), Some(false))),
+      tied.toString)
+    // 10 strictly increasing days: S = 45, var18 = 2250,
+    // z = 44/√125 = 3.93548 -> significant
+    val strong = run(days(1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
+    assert(strong == ((10L, 45L, 2250L, Some(z6(44, 2250)), Some(true))),
+      strong.toString)
+    assert(strong._4 == Some(3.93548))
+    // all days tied: Var = 0 -> null, never NaN
+    val flat = run(days(5, 5, 5))
+    assert(flat._2 == 0L && flat._3 == 0L && flat._4.isEmpty &&
+      flat._5.isEmpty, flat.toString)
+    // a single day has no pairs
+    assert(run(days(7))._4.isEmpty)
+  }
+
   test("acf: hand lags on an alternating series, constant null, " +
       "short-series lags drop, guard") {
     import spark.implicits._
