@@ -147,7 +147,9 @@ object PlanAudit {
     // on that grain only
     "q145_benford",
     // Mann-Kendall: day-grain collapse, bounded pairwise join, 1-row z
-    "q147_mann_kendall")
+    "q147_mann_kendall",
+    // Gini: value-histogram grain, one cumulative window, 1-row output
+    "q148_gini")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -422,6 +422,41 @@ object Extra7Queries {
              |        WHEN s < 0 THEN s + 1 ELSE 0 END AS DOUBLE)
              |      / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)) > 1.96
              |  END AS significant
-             |FROM v""".stripMargin))
+             |FROM v""".stripMargin)),
+
+    // ---- Gini token concentration (q148): do a few documents hold
+    //      most of the corpus's token mass? Rank-weighted Gini over
+    //      per-doc token counts, computed at the VALUE-HISTOGRAM grain
+    //      (ties commute, so the rank sum needs no per-row sort);
+    //      num/den exact longs, gini one round-6 division. ----
+    Q("q148_gini",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables(s, dir, "documents")
+          .select(size(filter(split($"text", " "), t => t =!= ""))
+            .cast("long").as("n_tokens"))
+        graft.operators.ColumnStats.gini(toks, col("n_tokens"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT CAST(len(list_filter(string_split(text, ' '),
+             |    x -> x <> '')) AS BIGINT) AS v
+             |  FROM documents),
+             |hist AS (SELECT v, count(*) AS c FROM toks GROUP BY 1),
+             |cum AS (
+             |  SELECT v, c, coalesce(sum(c) OVER (ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS cp
+             |  FROM hist),
+             |agg AS (
+             |  SELECT sum(c) AS n, sum(v * c) AS total,
+             |    sum(v * (c * cp + (c * (c + 1)) // 2)) AS rank_mass
+             |  FROM cum)
+             |SELECT CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total,
+             |  CAST(2 * rank_mass - (n + 1) * total AS BIGINT) AS gini_num,
+             |  CAST(n * total AS BIGINT) AS gini_den,
+             |  CASE WHEN n > 0 AND total > 0 THEN
+             |    round(CAST(2 * rank_mass - (n + 1) * total AS DOUBLE)
+             |      / CAST(n * total AS DOUBLE), 6) END AS gini
+             |FROM agg""".stripMargin))
   )
 }

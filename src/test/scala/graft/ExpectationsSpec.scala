@@ -235,6 +235,27 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(gn._1 == 2L, gn.toString)
   }
 
+  test("gini: uniform 0, maximal (n-1)/n, tie invariance, zero/empty " +
+      "null, negative rejected") {
+    import org.apache.spark.sql.functions._
+    def run(vals: Seq[Long]) = graft.operators.ColumnStats
+      .gini(vals.toDF("v"), col("v"))
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    // perfectly even mass: G exactly 0
+    assert(run(Seq(5L, 5L, 5L, 5L)) == ((4L, 20L, 0L, 80L, Some(0.0))))
+    // one row holds everything: G = (n-1)/n = 0.75
+    assert(run(Seq(0L, 0L, 0L, 12L)) == ((4L, 12L, 36L, 48L, Some(0.75))))
+    // ties commute: histogram-grain rank mass equals the sorted per-row
+    // sum (1+4+6+12 = 23) -> num 6, den 32
+    assert(run(Seq(1L, 2L, 2L, 3L)) == ((4L, 8L, 6L, 32L, Some(0.1875))))
+    // all-zero mass and empty input have no concentration to measure
+    assert(run(Seq(0L, 0L))._5.isEmpty)
+    assert(run(Seq.empty[Long])._5.isEmpty)
+    // negative measures are undefined — loud, not silently wrong
+    val e = intercept[Exception] { run(Seq(-1L, 5L)) }
+    assert(e.getMessage.contains("negative"), e.getMessage)
+  }
+
   test("benford: digit extraction from cents, absent digits charged, " +
       "empty null, fabricated feed flagged") {
     import org.apache.spark.sql.functions._
