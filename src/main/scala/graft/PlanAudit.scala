@@ -149,7 +149,10 @@ object PlanAudit {
     // Mann-Kendall: day-grain collapse, bounded pairwise join, 1-row z
     "q147_mann_kendall",
     // Gini: value-histogram grain, one cumulative window, 1-row output
-    "q148_gini")
+    "q148_gini",
+    // binary near-dup: map-pass gram hashing into signature grain,
+    // banded bucket join + hamming verify (the d03 plan over binary)
+    "m08_binary_near_dup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

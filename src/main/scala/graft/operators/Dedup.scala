@@ -449,9 +449,21 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucket: Int = 1000,
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val sigs = materializeOnce(docs
+    simhashPairsFromSigs(docs
       .filter(size(TextOps.tokens(col(textCol))) > 0)
-      .select(col(idCol).as("id"), simhash(col(textCol), tokenHash).as("sig")))
+      .select(col(idCol).as("id"), simhash(col(textCol), tokenHash).as("sig")),
+      maxHamming, maxBucket)
+  }
+
+  /** [[simhashPairs]]' banding + verify stage over a PRECOMPUTED
+    * (id, sig) signature frame — the reuse point for non-text
+    * signatures (binary payloads via
+    * [[Multimodal.binarySimhashPairs]]). Same guarantee: with
+    * `maxHamming <= 3` and no bucket at `maxBucket`, the result is
+    * exactly the all-pairs hamming filter. */
+  def simhashPairsFromSigs(sigFrame: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val sigs = materializeOnce(sigFrame.select(col("id"), col("sig")))
     val banded = sigs.select(col("id"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("band"),

@@ -243,4 +243,54 @@ object Multimodal {
       .withColumn("bucket", expr(s"_startb div $budgetBytes"))
       .drop("_startb")
   }
+
+  /** Near-duplicate detection over OPAQUE BINARY payloads: SimHash of
+    * overlapping byte n-grams — the modality-agnostic near-dup signal
+    * for media columns (re-uploaded assets differing in a few metadata
+    * bytes, recompressed-but-identical payload runs), the binary
+    * sibling of the text pipeline's d03/d08. A real deployment would
+    * hash DECODED features (pHash pixels, audio chroma); with the
+    * decode stubbed ([[decode]]'s contract), content byte-grams are
+    * the honest equivalent and exercise the identical plumbing:
+    * signatures from the binary column, banded bucketing, hamming
+    * verify.
+    *
+    * Byte 4-grams slide at 1-BYTE stride over the payload's hex
+    * encoding (grams = 8 hex chars at stride 2 — alignment-free, so a
+    * single inserted byte still leaves most grams shared); each gram
+    * takes the FULL 63-bit [[Dedup.portableTokenHash63]] (d08's 32-bit
+    * prefix would leave the two high signature bands all-zero — every
+    * row in one bucket, saturating the band cap and silently breaking
+    * the exactness guarantee at corpus scale) and the signature is the
+    * bit-majority [[graft.functions.HashExprs.simhash64]]. Pairing is
+    * [[Dedup.simhashPairsFromSigs]] — banding + verify, exactly the
+    * all-pairs hamming filter at `maxHamming <= 3` while no bucket
+    * saturates. Payloads shorter than one gram are excluded (no
+    * signature to compare — exact dedup's job).
+    *
+    * Scale shape: gram hashing is one map pass over the binary column
+    * (array ops, no explode — per-row cost linear in payload bytes);
+    * everything after is signature-grain (8 bytes/row regardless of
+    * payload size), which is the point: the 100 TB media corpus
+    * reduces to kilobytes per million rows before anything shuffles.
+    *
+    * @return (id_a, id_b, hamming), id_a < id_b.
+    */
+  def binarySimhashPairs(media: DataFrame, idCol: String, binCol: String,
+      gramBytes: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    require(gramBytes >= 1, s"gramBytes must be >= 1, got $gramBytes")
+    val g = 2 * gramBytes
+    val hx = hex(col(binCol))
+    val grams = transform(
+      sequence(lit(1), length(hx) - (g - 1), lit(2)),
+      i => hx.substr(i, lit(g)))
+    val hashes = transform(grams, gm => Dedup.portableTokenHash63(gm))
+    val sigs = media
+      .select(col(idCol).as("id"), col(binCol))
+      .filter(length(col(binCol)) >= gramBytes)
+      .select(col("id"),
+        graft.functions.HashExprs.simhash64(hashes).as("sig"))
+    Dedup.simhashPairsFromSigs(sigs, maxHamming, maxBucket)
+  }
 }

@@ -1470,6 +1470,54 @@ object PipelineQueries {
              |  true AS disk_match
              |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin)),
 
+    // binary near-dup (m08): SimHash over overlapping byte 4-grams of
+    // the opaque media payload (hex-encoded, 1-byte stride — alignment-
+    // free), 63-bit portable md5 gram hashes (full-width bands),
+    // banding + hamming verify via Dedup.simhashPairsFromSigs. The
+    // modality-agnostic near-dup signal the media pipeline runs where
+    // text gets d03/d08.
+    Q("m08_binary_near_dup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        val media = Multimodal.fabricate(Tables(s, dir, "documents"))
+        Multimodal.binarySimhashPairs(media, "media_id", "content")
+          .withColumn("hamming", col("hamming").cast("long"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH hx AS (
+             |  SELECT doc_id AS media_id,
+             |    lpad(upper(to_hex(n_chars % 1024)), 8, '0')
+             |    || lpad(upper(to_hex(doc_id % 768)), 8, '0')
+             |    || upper(hex(encode(text))) AS h
+             |  FROM documents),
+             |g AS (
+             |  SELECT media_id,
+             |    unnest(list_transform(range(1, len(h) - 6, 2),
+             |      i -> substr(h, CAST(i AS INT), 8))) AS gm,
+             |    (len(h) - 6) // 2 AS n
+             |  FROM hx),
+             |t AS (
+             |  SELECT media_id,
+             |    (((('0x' || substr(md5(gm), 1, 8))::BIGINT & 2147483647)
+             |      << 32) | ('0x' || substr(md5(gm), 9, 8))::BIGINT) AS hsh,
+             |    n
+             |  FROM g),
+             |bits AS (
+             |  SELECT media_id, b,
+             |    CASE WHEN 2 * sum((hsh >> b) & 1) > any_value(n)
+             |      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+             |  FROM t CROSS JOIN (SELECT unnest(range(0, 63)) AS b)
+             |  GROUP BY media_id, b),
+             |sig AS (
+             |  SELECT media_id, CAST(sum(bit << b) AS BIGINT) AS sig
+             |  FROM bits GROUP BY media_id)
+             |SELECT a.media_id AS id_a, b.media_id AS id_b,
+             |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+             |FROM sig a JOIN sig b ON a.media_id < b.media_id
+             |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // GPT-style sequence layout: concatenate docs in id order, cut every
     // 512 tokens; each doc's (seq_id, offset) start position plus
     // whether it straddles a cut — the pretraining packing shape, where

@@ -983,6 +983,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("binarySimhashPairs: identical payloads at hamming 0, one flipped " +
+      "byte stays near, disjoint payloads far, short payloads excluded") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def pairs(rows: Seq[(Long, Array[Byte])], maxHamming: Int = 3) = {
+      val got = Multimodal.binarySimhashPairs(
+          rows.toDF("media_id", "content"), "media_id", "content",
+          maxHamming = maxHamming)
+        .as[(Long, Long, Int)].collect()
+        .map(r => (r._1, r._2) -> r._3.toLong).toMap
+      Caches.sweep(spark)
+      got
+    }
+    // 128-byte payload; flipping the LAST byte changes only the 4 grams
+    // covering it, shifting exactly ONE signature bit (pinned by the
+    // portable hash — replayed in python while writing this test), so
+    // the pair sits inside the banding guarantee (hamming <= 3)
+    val base = Array.tabulate[Byte](128)(i => (i % 251).toByte)
+    val flipped = base.clone(); flipped(127) = (flipped(127) ^ 0x01).toByte
+    val noise = Array.tabulate[Byte](128)(i => ((i * 37 + 11) % 241).toByte)
+    val all = pairs(Seq(1L -> base, 2L -> base, 3L -> flipped, 4L -> noise))
+    assert(all((1L, 2L)) == 0L, all.toString)
+    assert(all((1L, 3L)) == 1L, all.toString)
+    // the unrelated payload is far from everything: no pair involves 4
+    assert(all.keys.forall(k => k._1 != 4L && k._2 != 4L), all.toString)
+    // payloads under one gram have no signature to compare
+    assert(pairs(Seq(1L -> Array[Byte](1, 2), 2L -> Array[Byte](1, 2)))
+      .isEmpty)
+  }
+
   test("textrankKeywords: hub outranks leaves, symmetric pair is 0.5, " +
       "self-pairs and short docs drop") {
     import spark.implicits._
