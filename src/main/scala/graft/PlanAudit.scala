@@ -152,7 +152,10 @@ object PlanAudit {
     "q148_gini",
     // binary near-dup: map-pass gram hashing into signature grain,
     // banded bucket join + hamming verify (the d03 plan over binary)
-    "m08_binary_near_dup")
+    "m08_binary_near_dup",
+    // ROUGE: (pair, gram)-grain counts, one in-key full-outer merge,
+    // pair-grain aggregate
+    "t49_rouge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

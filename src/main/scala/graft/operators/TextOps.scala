@@ -1027,6 +1027,65 @@ object TextOps {
     *         distinct (group, score); join back on both to calibrate
     *         row-grain data.
     */
+  /** ROUGE-N overlap scoring (Lin, ACL 2004 workshop) between paired
+    * reference and candidate texts — the generation-eval companion to
+    * the retrieval metrics (t47): per pair, CLIPPED n-gram matches
+    * (multiset intersection, so a candidate repeating one reference
+    * n-gram five times scores it once per reference occurrence) give
+    * `P = m/n_hyp`, `R = m/n_ref`, and — because both share the same
+    * match count — `F1 = 2PR/(P+R) = 2m/(n_hyp+n_ref)` EXACTLY, one
+    * round-6 division of exact longs per metric. A side with no
+    * n-grams (under n tokens) has no score: null, never NaN.
+    *
+    * Scale shape: each side explodes to (pair, gram)-grain counts
+    * (map-combined), one full-outer gram merge INSIDE the pair key,
+    * one pair-grain aggregate — work linear in token count, partitioned
+    * by pair; no cross-pair anything.
+    *
+    * @return one row per pair: (id, n_ref, n_hyp, match_n, p, r, f1).
+    */
+  def rougeN(pairs: DataFrame, idCol: String, refCol: String,
+      hypCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(c: Column): Column =
+      if (n == 1) tokens(c)
+      else {
+        val t = tokens(c)
+        // control-char-joined windows: an unambiguous gram key
+        // ("ab"+"c" must not collide with "a"+"bc")
+        when(size(t) >= n,
+          transform(sequence(lit(1), size(t) - (n - 1)),
+            i => concat_ws("\u0001", slice(t, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))
+      }
+    def cnt(c: String, out: String): DataFrame =
+      pairs.select(col(idCol).as("id"), explode(grams(col(c))).as("g"))
+        .groupBy(col("id"), col("g")).agg(count(lit(1)).as(out))
+    val merged = cnt(refCol, "cr").join(cnt(hypCol, "ch"),
+        Seq("id", "g"), "full_outer")
+      .select(col("id"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ch"), lit(0L)).as("ch"))
+    val perPair = merged.groupBy(col("id")).agg(
+      sum(col("cr")).as("n_ref"), sum(col("ch")).as("n_hyp"),
+      sum(least(col("cr"), col("ch"))).as("match_n"))
+    // pairs where BOTH sides are under n tokens produce no gram rows at
+    // all — restore them with zero counts so every input pair reports
+    val ids = pairs.select(col(idCol).as("id")).distinct()
+    ids.join(perPair, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_hyp"), lit(0L)).as("n_hyp"),
+        coalesce(col("match_n"), lit(0L)).as("match_n"))
+      .select(col("id"), col("n_ref"), col("n_hyp"), col("match_n"),
+        when(col("n_hyp") > 0, round(col("match_n").cast("double") /
+          col("n_hyp").cast("double"), 6)).as("p"),
+        when(col("n_ref") > 0, round(col("match_n").cast("double") /
+          col("n_ref").cast("double"), 6)).as("r"),
+        when(col("n_ref") + col("n_hyp") > 0,
+          round(lit(2.0) * col("match_n").cast("double") /
+            (col("n_ref") + col("n_hyp")).cast("double"), 6)).as("f1"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau EMNLP 2004) at
     * corpus scope: build the word co-occurrence graph (adjacent-token
     * pairs, window 2 — the paper's default for keywords), run

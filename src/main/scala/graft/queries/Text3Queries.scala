@@ -395,6 +395,69 @@ object Text3Queries {
              |  GROUP BY id)
              |SELECT w.word, round(p.pr, 7) AS pr
              |FROM pr3 p JOIN words w ON p.id = w.id
-             |ORDER BY pr DESC, word LIMIT 20""".stripMargin))
+             |ORDER BY pr DESC, word LIMIT 20""".stripMargin)),
+
+    // ---- ROUGE-2 pair scoring (t49): clipped bigram-overlap P/R/F1
+    //      between each document and its 40-token head — the
+    //      generation-eval metric next to t47's retrieval triple. The
+    //      shared match count makes F1 = 2m/(n_ref+n_hyp) exactly; all
+    //      three metrics are single round-6 divisions of exact longs.
+    //      Sides under 2 tokens score null, never NaN. ----
+    Q("t49_rouge",
+      (s, dir) => {
+        import s.implicits._
+        val toks = filter(split($"text", " "), t => t =!= "")
+        val pairs = Tables(s, dir, "documents")
+          .select($"doc_id", $"text".as("ref"),
+            array_join(slice(toks, 1, 40), " ").as("hyp"))
+        graft.operators.TextOps.rougeN(pairs, "doc_id", "ref", "hyp", n = 2)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS rt
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, rt, rt[1:least(len(rt), 40)] AS ht FROM d),
+             |rg AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(rt) >= 2 THEN
+             |    list_transform(range(1, len(rt)),
+             |      i -> rt[CAST(i AS INT)] || chr(1) || rt[CAST(i AS INT) + 1])
+             |    ELSE []::VARCHAR[] END) AS g
+             |  FROM p),
+             |hg AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(ht) >= 2 THEN
+             |    list_transform(range(1, len(ht)),
+             |      i -> ht[CAST(i AS INT)] || chr(1) || ht[CAST(i AS INT) + 1])
+             |    ELSE []::VARCHAR[] END) AS g
+             |  FROM p),
+             |cr AS (SELECT doc_id, g, count(*) AS cr FROM rg GROUP BY 1, 2),
+             |ch AS (SELECT doc_id, g, count(*) AS ch FROM hg GROUP BY 1, 2),
+             |m AS (
+             |  SELECT coalesce(cr.doc_id, ch.doc_id) AS doc_id,
+             |    coalesce(cr, 0) AS cr, coalesce(ch, 0) AS ch
+             |  FROM cr FULL OUTER JOIN ch
+             |    ON cr.doc_id = ch.doc_id AND cr.g = ch.g),
+             |agg AS (
+             |  SELECT doc_id, sum(cr) AS n_ref, sum(ch) AS n_hyp,
+             |    sum(least(cr, ch)) AS match_n
+             |  FROM m GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+             |  CAST(coalesce(n_hyp, 0) AS BIGINT) AS n_hyp,
+             |  CAST(coalesce(match_n, 0) AS BIGINT) AS match_n,
+             |  CASE WHEN coalesce(n_hyp, 0) > 0 THEN
+             |    round(CAST(match_n AS DOUBLE) / CAST(n_hyp AS DOUBLE), 6)
+             |  END AS p,
+             |  CASE WHEN coalesce(n_ref, 0) > 0 THEN
+             |    round(CAST(match_n AS DOUBLE) / CAST(n_ref AS DOUBLE), 6)
+             |  END AS r,
+             |  CASE WHEN coalesce(n_ref, 0) + coalesce(n_hyp, 0) > 0 THEN
+             |    round(2.0 * CAST(match_n AS DOUBLE)
+             |      / CAST(n_ref + n_hyp AS DOUBLE), 6)
+             |  END AS f1
+             |FROM d LEFT JOIN agg USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -983,6 +983,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rougeN: clipped matches, identity 1, disjoint 0, repetition " +
+      "clipped, short sides null, unigram mode") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, String, String)], n: Int = 2) = TextOps
+      .rougeN(rows.toDF("id", "ref", "hyp"), "id", "ref", "hyp", n)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val got = run(Seq(
+      // identical: P = R = F1 = 1
+      (1L, "a b c d", "a b c d"),
+      // hyp "a b c" shares bigrams {ab, bc} of ref's 3 -> P=1, R=2/3,
+      // F1 = 2·2/(3+2) = 0.8
+      (2L, "a b c d", "a b c"),
+      // disjoint: all zero scores, not null
+      (3L, "a b c", "x y z"),
+      // repetition clips: hyp repeats "a b" three times (bigrams
+      // ab,ba,ab,ba,ab) but ref has ONE ab -> match 1
+      (4L, "a b", "a b a b a b"),
+      // one-token hyp: no bigram -> P null, R 0, F1 0
+      (5L, "a b c", "a"),
+      // both sides under n: everything null
+      (6L, "a", "b")))
+    assert(got(1L) == ((1L, 3L, 3L, 3L, Some(1.0), Some(1.0), Some(1.0))))
+    assert(got(2L) == ((2L, 3L, 2L, 2L, Some(1.0), Some(0.666667),
+      Some(0.8))))
+    assert(got(3L) == ((3L, 2L, 2L, 0L, Some(0.0), Some(0.0), Some(0.0))))
+    assert(got(4L) == ((4L, 1L, 5L, 1L, Some(0.2), Some(1.0),
+      Some(0.333333))))
+    assert(got(5L) == ((5L, 2L, 0L, 0L, None, Some(0.0), Some(0.0))))
+    assert(got(6L) == ((6L, 0L, 0L, 0L, None, None, None)))
+    // ROUGE-1: unigram multiset overlap
+    val uni = run(Seq((1L, "a a b", "a b b")), n = 1)
+    assert(uni(1L) == ((1L, 3L, 3L, 2L, Some(0.666667), Some(0.666667),
+      Some(0.666667))))
+    intercept[IllegalArgumentException] {
+      TextOps.rougeN(Seq((1L, "a", "b")).toDF("id", "ref", "hyp"),
+        "id", "ref", "hyp", 0)
+    }
+  }
+
   test("binarySimhashPairs: identical payloads at hamming 0, one flipped " +
       "byte stays near, disjoint payloads far, short payloads excluded") {
     import spark.implicits._
