@@ -155,7 +155,9 @@ object PlanAudit {
     "m08_binary_near_dup",
     // ROUGE: (pair, gram)-grain counts, one in-key full-outer merge,
     // pair-grain aggregate
-    "t49_rouge")
+    "t49_rouge",
+    // MMD: one posexplode pass to dim-grain conditional sums, d-row fold
+    "s15_embedding_mmd")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -946,4 +946,59 @@ object Similarity {
       ((i + 1).toLong, id, rel)
     }.toSeq.toDF("rank", "id", "rel")
   }
+
+  /** Embedding-distribution drift by linear-kernel Maximum Mean
+    * Discrepancy (Gretton et al. JMLR 2012; with the linear kernel
+    * `MMD² = ‖μ_P − μ_Q‖²` exactly — the mean-embedding distance):
+    * did this delivery's embedding distribution move against the
+    * reference's? The VECTOR-column member of the drift toolkit —
+    * q130's PSI buckets one scalar, KS one CDF; MMD compares whole
+    * embedding clouds in one number, and the linear kernel is the
+    * variant whose statistic a relational engine computes EXACTLY.
+    *
+    * ENGINE-EXACT: components quantize to `round(x·quantScale)` longs
+    * (float→double exact, one double multiply — the s10 contract), so
+    * per-dim sums are exact; clearing denominators gives
+    * `MMD²·(n_P·n_Q·scale)² = Σ_i (sp_i·n_Q − sq_i·n_P)²` — exact
+    * longs (ANSI throws loudly if a dim's cleared difference passes
+    * 2³¹·√d; pre-center the embeddings at that magnitude), and the
+    * final `mmd2` is one IEEE divide on identical operands, round-9
+    * (MMD² of near-identical clouds is genuinely tiny — round-6 would
+    * flatten real drift to 0).
+    *
+    * Scale shape: ONE corpus pass — posexplode to (dim)-grain
+    * conditional sums (d·partitions map-combined rows regardless of
+    * corpus size, the s10 Gram contract) plus a 2-number count row;
+    * the squared-diff fold runs on d rows. One-sided inputs (no P or
+    * no Q rows) return null, never NaN.
+    *
+    * @return ONE row: (n_p, n_q, mmd2_num, mmd2).
+    */
+  def embeddingMmd(emb: DataFrame, embCol: String, isP: Column,
+      quantScale: Long = 1000L): DataFrame = {
+    require(quantScale >= 1, s"quantScale must be >= 1, got $quantScale")
+    val vq = emb.filter(col(embCol).isNotNull)
+      .select(isP.as("is_p"),
+        expr(s"transform($embCol, x -> " +
+          s"cast(round(cast(x as double) * $quantScale.0) as bigint))")
+          .as("vq"))
+    val perDim = vq
+      .select(col("is_p"), posexplode(col("vq")).as(Seq("i", "v")))
+      .groupBy(col("i")).agg(
+        sum(when(col("is_p"), col("v")).otherwise(0L)).as("sp"),
+        sum(when(!col("is_p"), col("v")).otherwise(0L)).as("sq"))
+    val counts = vq.agg(
+      sum(when(col("is_p"), 1L).otherwise(0L)).as("n_p"),
+      sum(when(!col("is_p"), 1L).otherwise(0L)).as("n_q"))
+    val diff = col("sp") * col("n_q") - col("sq") * col("n_p")
+    val den = col("n_p").cast("double") * col("n_q").cast("double") *
+      quantScale.toDouble
+    perDim.crossJoin(broadcast(counts))
+      .groupBy(col("n_p"), col("n_q"))
+      .agg(sum(diff * diff).as("mmd2_num"))
+      .select(col("n_p"), col("n_q"), col("mmd2_num"),
+        when(col("n_p") > 0 && col("n_q") > 0,
+          round(col("mmd2_num").cast("double") / (den * den), 9))
+          .as("mmd2"))
+  }
 }

@@ -874,6 +874,46 @@ object PipelineQueries {
              |  round(list_max(norm), 4) AS nmax
              |FROM nm ORDER BY vec_id""".stripMargin)),
 
+    // Embedding-distribution drift via linear-kernel MMD (s15): did the
+    // high-label half's embedding cloud move against the low-label
+    // half's? MMD^2 = ||mu_P - mu_Q||^2 exactly; quantized-long sums,
+    // cleared denominators, one round-9 division — the vector-column
+    // member of the drift toolkit next to q130's scalar PSI.
+    Q("s15_embedding_mmd",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Similarity.embeddingMmd(
+          Tables(s, dir, "embeddings"), "embedding", $"label" < 5)
+      },
+      Some("""WITH vq AS (
+             |  SELECT label < 5 AS is_p,
+             |    list_transform(embedding, x ->
+             |      CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS vq
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |idx AS (SELECT unnest(range(0, 64)) AS i),
+             |c AS (
+             |  SELECT sum(CASE WHEN is_p THEN 1 ELSE 0 END) AS n_p,
+             |    sum(CASE WHEN is_p THEN 0 ELSE 1 END) AS n_q
+             |  FROM vq),
+             |pd AS (
+             |  SELECT i,
+             |    sum(CASE WHEN is_p THEN vq[i+1] ELSE 0 END) AS sp,
+             |    sum(CASE WHEN NOT is_p THEN vq[i+1] ELSE 0 END) AS sq
+             |  FROM vq, idx GROUP BY i),
+             |agg AS (
+             |  SELECT c.n_p, c.n_q,
+             |    sum((sp * n_q - sq * n_p) * (sp * n_q - sq * n_p))
+             |      AS mmd2_num
+             |  FROM pd, c GROUP BY c.n_p, c.n_q)
+             |SELECT CAST(n_p AS BIGINT) AS n_p, CAST(n_q AS BIGINT) AS n_q,
+             |  CAST(mmd2_num AS BIGINT) AS mmd2_num,
+             |  CASE WHEN n_p > 0 AND n_q > 0 THEN
+             |    round(CAST(mmd2_num AS DOUBLE)
+             |      / ((CAST(n_p AS DOUBLE) * CAST(n_q AS DOUBLE) * 1000.0)
+             |        * (CAST(n_p AS DOUBLE) * CAST(n_q AS DOUBLE) * 1000.0)),
+             |      9) END AS mmd2
+             |FROM agg""".stripMargin)),
+
     // Product quantization (s12): train a 4-subspace × 4-code book (one
     // integer-exact Lloyd step from lowest-id seeds), encode the corpus
     // as 4 codes/vector, and serve a query by ADC lookup — the 16-64×

@@ -382,4 +382,32 @@ class SimilaritySpec extends AnyFunSuite {
     }
     Caches.sweep(spark)
   }
+
+  test("embeddingMmd: identical clouds 0, unit shift 1, count-invariant " +
+      "means, one-sided null, null rows excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def mmd(rows: Seq[(Boolean, Array[Float])]) =
+      graft.operators.Similarity.embeddingMmd(
+          rows.toDF("p", "embedding"), "embedding", col("p"))
+        .as[(Long, Long, Long, Option[Double])].collect().head
+    val e1 = Array(1f, 0f); val e2 = Array(0f, 1f); val z = Array(0f, 0f)
+    // identical clouds: MMD^2 exactly 0
+    assert(mmd(Seq(true -> e1, true -> e2, false -> e1, false -> e2)) ==
+      ((2L, 2L, 0L, Some(0.0))))
+    // unit mean shift: ||mu_P - mu_Q||^2 = 1 exactly
+    assert(mmd(Seq(true -> e1, false -> z)) == ((1L, 1L, 1000000L,
+      Some(1.0))))
+    // duplicating P's rows leaves the MEAN (hence MMD) unchanged
+    assert(mmd(Seq(true -> e1, true -> e1, false -> z))._4 == Some(1.0))
+    // no Q side: null, never NaN
+    assert(mmd(Seq(true -> e1, true -> e2))._4.isEmpty)
+    // null embedding rows are excluded before quantization
+    val withNull = Seq((true, Some(e1)), (false, Some(z)),
+      (false, Option.empty[Array[Float]])).toDF("p", "embedding")
+    val gn = graft.operators.Similarity.embeddingMmd(
+        withNull, "embedding", col("p"))
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(gn == ((1L, 1L, 1000000L, Some(1.0))), gn.toString)
+  }
 }
