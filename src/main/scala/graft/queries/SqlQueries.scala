@@ -163,6 +163,32 @@ object SqlQueries {
       |ORDER BY sum_agg DESC, dt.d_year, item.i_category_id, item.i_category
       |LIMIT 100""".stripMargin
 
+  private val tpcdsQ52 =
+    """SELECT dt.d_year, item.i_brand_id brand_id, item.i_brand brand,
+      |  round(sum(ss_ext_sales_price), 2) ext_price
+      |FROM date_dim dt, store_sales, item
+      |WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+      |  AND store_sales.ss_item_sk = item.i_item_sk
+      |  AND item.i_manager_id = 1
+      |  AND dt.d_moy = 11
+      |  AND dt.d_year = 1998
+      |GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+      |ORDER BY dt.d_year, ext_price DESC, brand_id
+      |LIMIT 100""".stripMargin
+
+  private val tpcdsQ55 =
+    """SELECT i_brand_id brand_id, i_brand brand,
+      |  round(sum(ss_ext_sales_price), 2) ext_price
+      |FROM date_dim, store_sales, item
+      |WHERE d_date_sk = ss_sold_date_sk
+      |  AND ss_item_sk = i_item_sk
+      |  AND i_manager_id = 13
+      |  AND d_moy = 11
+      |  AND d_year = 1997
+      |GROUP BY i_brand, i_brand_id
+      |ORDER BY ext_price DESC, brand_id
+      |LIMIT 100""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // TPC-H Q5 shape: 5-way join through region, SQL text end-to-end
@@ -348,6 +374,14 @@ object SqlQueries {
 
     Q("sq10_tpcds_q42",
       (s, dir) => tpcdsSql(s, dir, tpcdsQ42),
-      Some(tpcdsCtes + tpcdsQ42))
+      Some(tpcdsCtes + tpcdsQ42)),
+
+    Q("sq11_tpcds_q52",
+      (s, dir) => tpcdsSql(s, dir, tpcdsQ52),
+      Some(tpcdsCtes + tpcdsQ52)),
+
+    Q("sq12_tpcds_q55",
+      (s, dir) => tpcdsSql(s, dir, tpcdsQ55),
+      Some(tpcdsCtes + tpcdsQ55))
   )
 }
