@@ -1027,6 +1027,48 @@ object TextOps {
     *         distinct (group, score); join back on both to calibrate
     *         row-grain data.
     */
+  /** Per-document lexical-richness statistics: Yule's characteristic
+    * K (Yule 1944, `K = 10⁴·(Σ_m m²V_m − N)/N²` over the word-
+    * frequency spectrum — LENGTH-INVARIANT repetitiveness, unlike the
+    * raw type-token ratio that collapses as docs grow) and Simpson's
+    * repeat rate `D = Σ c(c−1) / (N(N−1))` (the probability two
+    * sampled tokens are the same type). The vocabulary-quality signal
+    * next to t14's repetition fractions: template spam scores high K
+    * on ANY slice of itself, where TTR-style signals need a length
+    * gate first.
+    *
+    * ENGINE-EXACT: both numerators reduce to `s2 = Σ c²` and `n = Σ c`
+    * over the per-doc word counts — exact longs (`Σ m²V_m ≡ Σ c²`);
+    * each statistic is ONE round-6 IEEE division of identical
+    * operands. Token-less docs report zero counts with null K;
+    * single-token docs additionally null D (no token pair to sample).
+    *
+    * Scale shape: one explode to (doc, word)-grain map-combined
+    * counts, one doc-grain aggregate, one left join back to the id
+    * list — linear in tokens, partitioned by doc, nothing corpus-wide.
+    *
+    * @return one row per doc: (id, n, s2, yule_k, simpson_d).
+    */
+  def lexicalRichness(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(sum(col("c")).as("n"),
+        sum(col("c") * col("c")).as("s2"))
+    docs.select(col(idCol).as("id")).distinct()
+      .join(counts, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("s2"), lit(0L)).as("s2"))
+      .select(col("id"), col("n"), col("s2"),
+        when(col("n") > 0, round(lit(1e4) *
+          (col("s2") - col("n")).cast("double") /
+          (col("n") * col("n")).cast("double"), 6)).as("yule_k"),
+        when(col("n") > 1, round((col("s2") - col("n")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double"), 6)).as("simpson_d"))
+  }
+
   /** ROUGE-N overlap scoring (Lin, ACL 2004 workshop) between paired
     * reference and candidate texts — the generation-eval companion to
     * the retrieval metrics (t47): per pair, CLIPPED n-gram matches

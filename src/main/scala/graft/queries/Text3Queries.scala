@@ -458,6 +458,40 @@ object Text3Queries {
              |      / CAST(n_ref + n_hyp AS DOUBLE), 6)
              |  END AS f1
              |FROM d LEFT JOIN agg USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- lexical richness (t50): Yule's K and Simpson's repeat rate
+    //      per document — length-invariant repetitiveness next to
+    //      t14's raw fractions. Both reduce to (n, sum c^2) exact
+    //      longs; each statistic is one round-6 division. ----
+    Q("t50_lexical_richness",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextOps.lexicalRichness(
+            Tables(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             |      AS w
+             |  FROM documents),
+             |c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+             |a AS (
+             |  SELECT doc_id, sum(c) AS n, sum(c * c) AS s2
+             |  FROM c GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+             |  CAST(coalesce(a.s2, 0) AS BIGINT) AS s2,
+             |  CASE WHEN coalesce(a.n, 0) > 0 THEN
+             |    round(1e4 * CAST(a.s2 - a.n AS DOUBLE)
+             |      / CAST(a.n * a.n AS DOUBLE), 6) END AS yule_k,
+             |  CASE WHEN coalesce(a.n, 0) > 1 THEN
+             |    round(CAST(a.s2 - a.n AS DOUBLE)
+             |      / CAST(a.n * (a.n - 1) AS DOUBLE), 6) END AS simpson_d
+             |FROM (SELECT DISTINCT doc_id FROM documents) d
+             |LEFT JOIN a USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -983,6 +983,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lexicalRichness: all-distinct K 0, pure repetition extremes, " +
+      "hand spectrum, degenerate nulls") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, String)]) = TextOps
+      .lexicalRichness(rows.toDF("id", "text"), "id", "text")
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val got = run(Seq(
+      (1L, "a b c d"),      // all distinct: s2 = n -> K = 0, D = 0
+      (2L, "x x x x"),      // one type: s2 = 16 -> K = 1e4·12/16, D = 1
+      (3L, "a a b"),        // spectrum: s2 = 5 -> K = 1e4·2/9, D = 2/6
+      (4L, "only"),         // single token: D null (no pair)
+      (5L, " ")))           // token-less: zero counts, both null
+    assert(got(1L) == ((1L, 4L, 4L, Some(0.0), Some(0.0))))
+    assert(got(2L) == ((2L, 4L, 16L, Some(7500.0), Some(1.0))))
+    assert(got(3L) == ((3L, 3L, 5L, Some(2222.222222), Some(0.333333))))
+    assert(got(4L) == ((4L, 1L, 1L, Some(0.0), None)))
+    assert(got(5L) == ((5L, 0L, 0L, None, None)))
+  }
+
   test("rougeN: clipped matches, identity 1, disjoint 0, repetition " +
       "clipped, short sides null, unigram mode") {
     import spark.implicits._
