@@ -157,7 +157,9 @@ object PlanAudit {
     // pair-grain aggregate
     "t49_rouge",
     // MMD: one posexplode pass to dim-grain conditional sums, d-row fold
-    "s15_embedding_mmd")
+    "s15_embedding_mmd",
+    // attribution: one user-grain window shuffle, channel-grain agg
+    "q149_attribution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -126,4 +126,63 @@ object Sequences {
       .orderBy(col("n_keys").desc, col("path"))
       .limit(k)
   }
+
+  /** First- and last-touch conversion attribution — the standard
+    * marketing-analytics credit assignment, run in-engine: each
+    * conversion event credits (a) the nearest PRECEDING touch-channel
+    * event and (b) the user's first touch, per user in (ts, tie)
+    * order. Conversions with no preceding touch land in the explicit
+    * `(none)` channel — unattributed credit is visible, never dropped
+    * or reassigned.
+    *
+    * Determinism: both carries are `last/first(…, ignoreNulls)` over
+    * the strict (ts, tieCol) order with an EXCLUSIVE upper frame bound
+    * (a touch at the conversion's own timestamp attributes only if it
+    * sorts strictly before it); ties break on the unique `tieCol`, so
+    * an oracle replays the exact assignment. Conversion events
+    * themselves are never touches (even if listed in `channels`).
+    *
+    * Scale shape: ONE shuffle by user (both window carries share the
+    * same (user × order) window spec, so Spark plans a single sort +
+    * exchange), then a channel-grain map-combined aggregate — no
+    * self-joins, no per-conversion probing.
+    *
+    * @return one row per crediting channel (incl. "(none)"):
+    *         (channel, last_touch_n, first_touch_n, value), where
+    *         `value` is the round-2 sum of conversion values under
+    *         LAST-touch credit.
+    */
+  def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, convType: String,
+      channels: Seq[String], valueCol: String): DataFrame = {
+    require(channels.nonEmpty, "need at least one touch channel")
+    import org.apache.spark.sql.expressions.Window
+    val isTouch = col(typeCol).isin(channels: _*) &&
+      col(typeCol) =!= convType
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val credited = events
+      .withColumn("_last", last(when(isTouch, col(typeCol)), true).over(w))
+      .withColumn("_first", first(when(isTouch, col(typeCol)), true).over(w))
+      .filter(col(typeCol) === convType)
+      .select(coalesce(col("_last"), lit("(none)")).as("last_ch"),
+        coalesce(col("_first"), lit("(none)")).as("first_ch"),
+        // sum CENTS, not doubles: a float sum is aggregation-order-
+        // dependent; the integer sum is exact in any engine (q26 rule)
+        round(col(valueCol) * 100).cast("long").as("_cents"))
+    val lastC = credited.groupBy(col("last_ch").as("channel"))
+      .agg(count(lit(1)).as("last_touch_n"),
+        round(sum(col("_cents")).cast("double") / 100.0, 2).as("value"))
+    val firstC = credited.groupBy(col("first_ch").as("channel"))
+      .agg(count(lit(1)).as("first_touch_n"))
+    // full outer: a channel can hold only first-touch or only
+    // last-touch credit
+    lastC.join(firstC, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("last_touch_n"), lit(0L)).as("last_touch_n"),
+        coalesce(col("first_touch_n"), lit(0L)).as("first_touch_n"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+      .orderBy(col("channel"))
+  }
 }

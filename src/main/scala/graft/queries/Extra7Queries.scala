@@ -457,6 +457,50 @@ object Extra7Queries {
              |  CASE WHEN n > 0 AND total > 0 THEN
              |    round(CAST(2 * rank_mass - (n + 1) * total AS DOUBLE)
              |      / CAST(n * total AS DOUBLE), 6) END AS gini
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    // ---- first/last-touch attribution (q149): every purchase credits
+    //      its nearest preceding touch (view/click/signup — error is
+    //      deliberately NOT a channel) and the user's first touch;
+    //      purchases with no preceding touch land in the explicit
+    //      '(none)' channel. Credit values sum as exact cents. ----
+    Q("q149_attribution",
+      (s, dir) => {
+        graft.operators.Sequences.touchAttribution(
+          Tables(s, dir, "events"), "user_id", "ts", "event_id",
+          "event_type", convType = "purchase",
+          channels = Seq("view", "click", "signup"), valueCol = "value")
+      },
+      Some("""WITH c AS (
+             |  SELECT event_type, value,
+             |    last_value(CASE WHEN event_type IN ('view','click','signup')
+             |        THEN event_type END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS last_ch,
+             |    first_value(CASE WHEN event_type IN ('view','click','signup')
+             |        THEN event_type END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS first_ch
+             |  FROM events),
+             |p AS (
+             |  SELECT coalesce(last_ch, '(none)') AS lc,
+             |    coalesce(first_ch, '(none)') AS fc,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM c WHERE event_type = 'purchase'),
+             |lt AS (
+             |  SELECT lc AS channel, count(*) AS last_touch_n,
+             |    round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS value
+             |  FROM p GROUP BY 1),
+             |ft AS (
+             |  SELECT fc AS channel, count(*) AS first_touch_n
+             |  FROM p GROUP BY 1)
+             |SELECT channel,
+             |  CAST(coalesce(last_touch_n, 0) AS BIGINT) AS last_touch_n,
+             |  CAST(coalesce(first_touch_n, 0) AS BIGINT) AS first_touch_n,
+             |  coalesce(value, 0.0) AS value
+             |FROM lt FULL OUTER JOIN ft USING (channel)
+             |ORDER BY channel""".stripMargin))
   )
 }

@@ -84,4 +84,42 @@ class SequencesSpec extends AnyFunSuite {
       ("solo", 1L)),   // shorter-than-cap path kept
       got.toString)
   }
+
+  test("touchAttribution: last vs first credit, non-channel skipped, " +
+      "(none) bucket, exclusive same-ts frame, exact cents") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      // user 1: view -> click -> two purchases; the intervening
+      // purchase is never a touch, so BOTH credit last=click first=view
+      (1L, "2024-01-01 10:00:00", 10L, "view", 0.0),
+      (1L, "2024-01-01 10:01:00", 11L, "click", 0.0),
+      (1L, "2024-01-01 10:02:00", 12L, "purchase", 10.0),
+      (1L, "2024-01-01 10:03:00", 13L, "purchase", 5.5),
+      // user 2: purchase with no preceding anything -> (none)
+      (2L, "2024-01-01 11:00:00", 20L, "purchase", 2.0),
+      // user 3: error is NOT a channel; signup takes both credits
+      (3L, "2024-01-01 12:00:00", 30L, "signup", 0.0),
+      (3L, "2024-01-01 12:01:00", 31L, "error", 0.0),
+      (3L, "2024-01-01 12:02:00", 32L, "purchase", 1.0),
+      // user 4: view shares the purchase's TIMESTAMP but sorts after it
+      // on the tie column -> the exclusive frame leaves it unattributed
+      (4L, "2024-01-01 13:00:00", 40L, "purchase", 7.0),
+      (4L, "2024-01-01 13:00:00", 41L, "view", 0.0))
+      .toDF("user_id", "tss", "event_id", "event_type", "value")
+      .select($"user_id", $"tss".cast("timestamp").as("ts"), $"event_id",
+        $"event_type", $"value")
+    val got = Sequences.touchAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase", Seq("view", "click", "signup"), "value")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("(none)", 2L, 2L, 9.0),
+      ("click", 2L, 0L, 15.5),
+      ("signup", 1L, 1L, 1.0),
+      ("view", 0L, 2L, 0.0)), got.toString)
+    intercept[IllegalArgumentException] {
+      Sequences.touchAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase", Seq.empty, "value")
+    }
+  }
 }
