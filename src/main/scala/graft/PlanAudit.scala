@@ -159,7 +159,10 @@ object PlanAudit {
     // MMD: one posexplode pass to dim-grain conditional sums, d-row fold
     "s15_embedding_mmd",
     // attribution: one user-grain window shuffle, channel-grain agg
-    "q149_attribution")
+    "q149_attribution",
+    // LLR collocations: cached token pass, pair-grain counts, margin
+    // aggregates off the pair table, TakeOrdered top-k
+    "t51_llr_collocations")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -220,6 +220,71 @@ object TextOps {
       .select(col("w1"), col("w2"), col("c_ab"), col("pmi"))
   }
 
+  /** Dunning log-likelihood-ratio collocations (Dunning, CL 1993): the
+    * k adjacent token pairs with the highest G² over the pair's 2×2
+    * bigram-slot contingency table — the SIGNIFICANCE-calibrated
+    * collocation test next to [[pmiPhrases]] (PMI over-ranks rare
+    * pairs and needs a count floor by fiat; G² is exactly the
+    * low-count-safe statistic Dunning introduced for this). Margins
+    * are bigram-POSITION counts (`c(w1,·)`, `c(·,w2)`, N = bigram
+    * slots), the paper's formulation.
+    *
+    * ENGINE-EXACT: every O and margin is an exact long; each occupied
+    * cell's `ln(O·N/(R·C))` quantizes to round-6 micro-nats (the
+    * ratio's numerator/denominator are single IEEE products of exact
+    * longs), each `2·O·lnq` quantizes to integer nano-units, and G²
+    * is their order-free 4-term sum — so the ranking is an exact
+    * integer sort. Zero cells contribute exactly 0 (the O·ln O limit).
+    * ANSI throws loudly if a cell's nano-term passes 2⁶³ (N ≳ 1e12
+    * bigram slots — shard the corpus first).
+    *
+    * Scale shape: mirrors [[pmiPhrases]] — one cached token projection,
+    * one map-combined pair-grain count, two margin aggregates OFF the
+    * pair table (never a second corpus pass), broadcast totals, and
+    * TakeOrderedAndProject for the top-k.
+    *
+    * @return top-k rows: (w1, w2, c_ab, llr_nano, llr).
+    */
+  def llrCollocations(docs: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame = {
+    val base = docs.select(tokens(col(textCol)).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bigrams = base.filter(size(col("toks")) >= 2)
+      .select(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("h"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("t"))
+      .select(explode(arrays_zip(col("h"), col("t"))).as("bg"))
+      .select(col("bg.h").as("w1"), col("bg.t").as("w2"))
+    val cAb = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r1 = cAb.groupBy(col("w1")).agg(sum(col("c_ab")).as("r1"))
+    val c1 = cAb.groupBy(col("w2")).agg(sum(col("c_ab")).as("c1"))
+    val tot = cAb.agg(sum(col("c_ab")).as("nn"))
+    // one cell's nano-units: 2·O·lnq(O·N / (R·C)), exactly 0 at O = 0
+    def cell(o: Column, r: Column, c: Column): Column = {
+      val lnq = round(log((o.cast("double") * col("nn").cast("double")) /
+        (r.cast("double") * c.cast("double"))) * 1e6)
+        .cast("long").cast("double") / 1e6
+      when(o > 0, round(lit(2.0) * o.cast("double") * lnq * 1e9)
+        .cast("long")).otherwise(lit(0L))
+    }
+    val llrNano =
+      cell(col("c_ab"), col("r1"), col("c1")) +
+      cell(col("r1") - col("c_ab"), col("r1"), col("nn") - col("c1")) +
+      cell(col("c1") - col("c_ab"), col("nn") - col("r1"), col("c1")) +
+      cell(col("nn") - col("r1") - col("c1") + col("c_ab"),
+        col("nn") - col("r1"), col("nn") - col("c1"))
+    cAb.filter(col("c_ab") >= minCount)
+      .join(r1, "w1").join(c1, "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("llr_nano", llrNano)
+      .orderBy(col("llr_nano").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c_ab"), col("llr_nano"),
+        round(col("llr_nano").cast("double") / 1e9, 6).as("llr"))
+  }
+
   /** Training-sequence packing (GPT-style concat-then-split): documents
     * are concatenated in `idCol` order — `sepTokens` separator slots
     * (EOS/BOS) between consecutive docs — into one virtual token stream,

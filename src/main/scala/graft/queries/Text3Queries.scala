@@ -493,5 +493,38 @@ object Text3Queries {
              |FROM (SELECT DISTINCT doc_id FROM documents) d
              |LEFT JOIN a USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin))
+,
+    // ---- Dunning LLR collocations (t51): the significance-calibrated
+    //      collocation test next to t25's PMI — G² over each adjacent
+    //      pair's 2×2 bigram-slot contingency, every cell's 2·O·ln(O/E)
+    //      micro-quantized then nano-summed so the ranking is an exact
+    //      integer sort in both engines. ----
+    Q("t51_llr_collocations",
+      (s, dir) =>
+        graft.operators.TextOps.llrCollocations(
+          Tables(s, dir, "documents"), "text", minCount = 5L, k = 20),
+      Some("""             |WITH d AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |bgr AS (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS bg
+             |  FROM d WHERE len(toks) >= 2),
+             |bg2 AS (SELECT bg[1] AS w1, bg[2] AS w2 FROM bgr),
+             |cab AS (SELECT w1, w2, count(*) AS c_ab FROM bg2 GROUP BY 1, 2),
+             |rm AS (SELECT w1, sum(c_ab) AS r1 FROM cab GROUP BY 1),
+             |cm AS (SELECT w2, sum(c_ab) AS c1 FROM cab GROUP BY 1),
+             |t AS (SELECT sum(c_ab) AS nn FROM cab),
+             |j AS (
+             |  SELECT cab.w1, cab.w2, c_ab, r1, c1, nn
+             |  FROM cab JOIN rm USING (w1) JOIN cm USING (w2), t
+             |  WHERE c_ab >= 5),
+             |s AS (SELECT w1, w2, c_ab,
+             |(CASE WHEN c_ab > 0 THEN CAST(round(2.0 * (c_ab) * (CAST(CAST(round(ln((CAST(c_ab AS DOUBLE) * CAST(nn AS DOUBLE)) / (CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE))) * 1e6) AS BIGINT) AS DOUBLE) / 1e6) * 1e9) AS BIGINT) ELSE 0 END) +
+             |(CASE WHEN r1 - c_ab > 0 THEN CAST(round(2.0 * (r1 - c_ab) * (CAST(CAST(round(ln((CAST(r1 - c_ab AS DOUBLE) * CAST(nn AS DOUBLE)) / (CAST(r1 AS DOUBLE) * CAST(nn - c1 AS DOUBLE))) * 1e6) AS BIGINT) AS DOUBLE) / 1e6) * 1e9) AS BIGINT) ELSE 0 END) +
+             |(CASE WHEN c1 - c_ab > 0 THEN CAST(round(2.0 * (c1 - c_ab) * (CAST(CAST(round(ln((CAST(c1 - c_ab AS DOUBLE) * CAST(nn AS DOUBLE)) / (CAST(nn - r1 AS DOUBLE) * CAST(c1 AS DOUBLE))) * 1e6) AS BIGINT) AS DOUBLE) / 1e6) * 1e9) AS BIGINT) ELSE 0 END) +
+             |(CASE WHEN nn - r1 - c1 + c_ab > 0 THEN CAST(round(2.0 * (nn - r1 - c1 + c_ab) * (CAST(CAST(round(ln((CAST(nn - r1 - c1 + c_ab AS DOUBLE) * CAST(nn AS DOUBLE)) / (CAST(nn - r1 AS DOUBLE) * CAST(nn - c1 AS DOUBLE))) * 1e6) AS BIGINT) AS DOUBLE) / 1e6) * 1e9) AS BIGINT) ELSE 0 END) AS llr_nano
+             |FROM j)
+             |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+             |  CAST(llr_nano AS BIGINT) AS llr_nano,
+             |  round(CAST(llr_nano AS DOUBLE) / 1e9, 6) AS llr
+             |FROM s ORDER BY llr_nano DESC, w1, w2 LIMIT 20""".stripMargin))
   )
 }

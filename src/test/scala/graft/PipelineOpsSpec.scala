@@ -983,6 +983,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("llrCollocations: hand 2x2, zero cells contribute 0, minCount " +
+      "floor, independence scores 0") {
+    import spark.implicits._
+    def run(texts: Seq[String], minCount: Long = 1L) = TextOps
+      .llrCollocations(texts.toDF("text"), "text", minCount, k = 50)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // corpus "a b a b a c": bigram slots (a,b)x2 (b,a)x2 (a,c)x1 over
+    // TWO docs "a b a b a" + "c" won't chain; use one doc
+    val got = run(Seq("a b a b a c"))
+    // N=5; (a,b): O=2, R(a,·)=3, C(·,b)=2 — hand G² via the quantized
+    // chain replicated here
+    def lnq(x: Double): Double = math.round(math.log(x) * 1e6) / 1e6
+    def cell(o: Long, r: Long, c: Long, n: Long): Long =
+      if (o <= 0) 0L
+      else math.round(2.0 * o * lnq(o.toDouble * n / (r.toDouble * c)) * 1e9)
+    def g2(o: Long, r: Long, c: Long, n: Long): Long =
+      cell(o, r, c, n) + cell(r - o, r, n - c, n) +
+        cell(c - o, n - r, c, n) + cell(n - r - c + o, n - r, n - c, n)
+    // margins: R(a)=3 (ab,ab,ac), R(b)=2, C(a)=2, C(b)=2, C(c)=1
+    assert(got(("a", "b"))._2 == g2(2, 3, 2, 5), got.toString)
+    assert(got(("b", "a"))._2 == g2(2, 2, 2, 5))
+    assert(got(("a", "c"))._2 == g2(1, 3, 1, 5))
+    // a perfectly independent 2x2 (every cell at expectation) scores 0
+    // exactly: corpus with bigrams (x,y) (x,z) (w,y) (w,z) equally
+    val ind = run(Seq("x y", "x z", "w y", "w z"))
+    assert(ind(("x", "y")) == ((1L, 0L)), ind.toString)
+    // the count floor drops rare pairs entirely
+    assert(!run(Seq("a b a b a c"), minCount = 2L).contains(("a", "c")))
+  }
+
   test("lexicalRichness: all-distinct K 0, pure repetition extremes, " +
       "hand spectrum, degenerate nulls") {
     import spark.implicits._
