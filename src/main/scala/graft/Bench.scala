@@ -72,6 +72,13 @@ object Bench {
     // pipeline composite, and IR metrics (run-file-grain eval)
     "q133_landmark_distances", "s14_pq_rerank", "p04_curation_pipeline",
     "t47_ir_metrics",
+    // round-13 third wave: wedge-join link prediction (the capped
+    // self-join family), TextRank (pageRank over the word graph — the
+    // text×graph composition), binary-payload simhash (signature-grain
+    // near-dup over the media column), last/first-touch attribution
+    // (shared-window carries at user grain)
+    "q141_link_prediction", "t48_textrank", "m08_binary_near_dup",
+    "q149_attribution",
     // dedup / similarity / text pipeline; d12/d13/s07/t17 rotated out
     // round 9 (sub-0.3s, families covered by d11/d14/s09/t15) to make
     // room for the r1/r2 rep columns inside the tail budget

@@ -285,7 +285,16 @@ object Multimodal {
     val grams = transform(
       sequence(lit(1), length(hx) - (g - 1), lit(2)),
       i => hx.substr(i, lit(g)))
-    val hashes = transform(grams, gm => Dedup.portableTokenHash63(gm))
+    // md5 ONCE per gram (a direct portableTokenHash63(gm) inlines
+    // md5(gm) twice — its two halves are separate expression trees and
+    // codegen does not CSE inside a higher-order lambda; measured ~2x
+    // on the m08 gate), then both halves from the hex string
+    val hashes = transform(
+      transform(grams, gm => md5(gm)),
+      m => shiftleft(
+        conv(substring(m, 1, 8), 16, 10).cast("long")
+          .bitwiseAND(lit(0x7FFFFFFFL)), 32)
+        .bitwiseOR(conv(substring(m, 9, 8), 16, 10).cast("long")))
     val sigs = media
       .select(col(idCol).as("id"), col(binCol))
       .filter(length(col(binCol)) >= gramBytes)
