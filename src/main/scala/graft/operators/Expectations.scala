@@ -386,6 +386,41 @@ object Expectations {
         sum(col("contrib")).as("psi_nano"))
   }
 
+  /** Functional-dependency check (the profiling primitive behind
+    * normalization audits and key discovery, cf. Papenbrock et al.
+    * VLDB 2015's FD-discovery survey): does `lhs → rhs` hold — is
+    * every lhs value associated with at most ONE distinct rhs value?
+    * The single-pair building block a discovery loop calls per
+    * candidate; run it on claimed keys and denormalized copies before
+    * trusting a delivery ("order determines customer", "nation
+    * determines region").
+    *
+    * Semantics: NULL rhs values are invisible to the distinct count
+    * (standard `count(DISTINCT …)` in both engines), so a group with
+    * rhs {null, 'a'} does NOT violate; null LHS values form a group
+    * like any other. Violation counting is exact (a group violates iff
+    * it holds ≥ 2 distinct non-null rhs values).
+    *
+    * Scale shape: per FD one lhs-grain map-combined distinct-count
+    * aggregate plus a 1-row rollup — the minimum for an exact check;
+    * each FD shuffles on its own key (inherent: different keys), and
+    * the result is FD-grain metadata.
+    *
+    * @param fds (name, lhsCol, rhsCol) candidates over `df`.
+    * @return one row per FD: (fd, n_lhs, n_violating, holds).
+    */
+  def fdCheck(df: DataFrame, fds: Seq[(String, String, String)])
+      : DataFrame = {
+    require(fds.nonEmpty, "need at least one FD candidate")
+    fds.map { case (name, lhs, rhs) =>
+      df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("nd"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+          (col("n_violating") === 0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Benford first-significant-digit test (Newcomb 1881 / Benford 1938;
     * Nigrini's forensic-accounting staple) — does a positive amount
     * column follow the log distribution `P(d) = log₁₀(1 + 1/d)`

@@ -501,6 +501,62 @@ object Extra7Queries {
              |  CAST(coalesce(first_touch_n, 0) AS BIGINT) AS first_touch_n,
              |  coalesce(value, 0.0) AS value
              |FROM lt FULL OUTER JOIN ft USING (channel)
-             |ORDER BY channel""".stripMargin))
+             |ORDER BY channel""".stripMargin)),
+
+    // ---- functional-dependency audit (q150): do the claimed
+    //      dependencies hold? Order determines customer (PK) and
+    //      nation determines region hold; nation does NOT determine
+    //      market segment and an order does NOT determine its supplier
+    //      — exact violation counts per candidate. ----
+    Q("q150_fd_check",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Expectations.fdCheck(Tables(s, dir, "orders"),
+            Seq(("orders: o_orderkey -> o_custkey",
+              "o_orderkey", "o_custkey")))
+          .unionByName(graft.operators.Expectations.fdCheck(
+            Tables(s, dir, "customer"),
+            Seq(("customer: c_nationkey -> c_mktsegment",
+              "c_nationkey", "c_mktsegment"))))
+          .unionByName(graft.operators.Expectations.fdCheck(
+            Tables(s, dir, "lineitem"),
+            Seq(("lineitem: l_orderkey -> l_suppkey",
+              "l_orderkey", "l_suppkey"))))
+          .unionByName(graft.operators.Expectations.fdCheck(
+            Tables(s, dir, "nation"),
+            Seq(("nation: n_nationkey -> n_regionkey",
+              "n_nationkey", "n_regionkey"))))
+          .orderBy($"fd")
+      },
+      Some("""WITH a AS (
+             |  SELECT 'orders: o_orderkey -> o_custkey' AS fd,
+             |    count(*) AS n_lhs,
+             |    sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_violating
+             |  FROM (SELECT count(DISTINCT o_custkey) AS nd
+             |        FROM orders GROUP BY o_orderkey)),
+             |b AS (
+             |  SELECT 'customer: c_nationkey -> c_mktsegment' AS fd,
+             |    count(*) AS n_lhs,
+             |    sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_violating
+             |  FROM (SELECT count(DISTINCT c_mktsegment) AS nd
+             |        FROM customer GROUP BY c_nationkey)),
+             |c AS (
+             |  SELECT 'lineitem: l_orderkey -> l_suppkey' AS fd,
+             |    count(*) AS n_lhs,
+             |    sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_violating
+             |  FROM (SELECT count(DISTINCT l_suppkey) AS nd
+             |        FROM lineitem GROUP BY l_orderkey)),
+             |d AS (
+             |  SELECT 'nation: n_nationkey -> n_regionkey' AS fd,
+             |    count(*) AS n_lhs,
+             |    sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_violating
+             |  FROM (SELECT count(DISTINCT n_regionkey) AS nd
+             |        FROM nation GROUP BY n_nationkey)),
+             |u AS (SELECT * FROM a UNION ALL SELECT * FROM b
+             |  UNION ALL SELECT * FROM c UNION ALL SELECT * FROM d)
+             |SELECT fd, CAST(n_lhs AS BIGINT) AS n_lhs,
+             |  CAST(n_violating AS BIGINT) AS n_violating,
+             |  n_violating = 0 AS holds
+             |FROM u ORDER BY fd""".stripMargin))
   )
 }

@@ -235,6 +235,28 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(gn._1 == 2L, gn.toString)
   }
 
+  test("fdCheck: holding and violated FDs, null rhs invisible, null lhs " +
+      "groups, guard") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("a")),   // 1 -> {a}: holds
+      (Some(2L), Some("a")), (Some(2L), Some("b")),   // 2 -> {a,b}: bad
+      (Some(3L), Some("c")), (Some(3L), None),        // null rhs invisible
+      (None, Some("d")), (None, Some("d")))           // null lhs one group
+      .toDF("k", "v")
+    val got = Expectations.fdCheck(df, Seq(("k->v", "k", "v")))
+      .as[(String, Long, Long, Boolean)].collect().head
+    assert(got == (("k->v", 4L, 1L, false)), got.toString)
+    // a true dependency holds with zero violations
+    val ok = Expectations.fdCheck(df.filter(col("k") =!= 2L),
+        Seq(("k->v", "k", "v")))
+      .as[(String, Long, Long, Boolean)].collect().head
+    assert(ok == (("k->v", 2L, 0L, true)), ok.toString)
+    intercept[IllegalArgumentException] {
+      Expectations.fdCheck(df, Seq.empty)
+    }
+  }
+
   test("gini: uniform 0, maximal (n-1)/n, tie invariance, zero/empty " +
       "null, negative rejected") {
     import org.apache.spark.sql.functions._
