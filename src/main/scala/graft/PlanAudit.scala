@@ -162,7 +162,9 @@ object PlanAudit {
     "q149_attribution",
     // LLR collocations: cached token pass, pair-grain counts, margin
     // aggregates off the pair table, TakeOrdered top-k
-    "t51_llr_collocations")
+    "t51_llr_collocations",
+    // weighted PageRank: the pageRank sweep shape with strength joins
+    "q151_weighted_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -99,6 +99,60 @@ object GraphOps {
     loop.handoff()
   }
 
+  /** Weighted PageRank — [[pageRank]] over a weighted edge list, the
+    * crawl/trade-graph variant where link multiplicity matters:
+    * `pr'(v) = (1−d)/N + d·Σ_{u→v} pr(u)·w(u,v)/s(u)` with the
+    * out-STRENGTH `s(u) = Σ_out w` replacing out-degree. Shares
+    * [[pageRank]]'s stated float semantics (dangling nodes leak,
+    * no-in-edge nodes hold the teleport floor, fixed sweep budget,
+    * callers order on the ROUNDED rank) and its [[IterativeLoop]]
+    * caching contract. Non-positive weights are rejected up front —
+    * a zero-strength node would divide by zero, and negative "weights"
+    * are a different algorithm.
+    *
+    * Scale shape: identical to [[pageRank]] — the node/strength table
+    * is fused from one endpoint explode, each sweep is one edge-vs-rank
+    * join plus one dst-grain aggregate, rank state never exceeds node
+    * grain, stats-driven broadcast under `broadcastNodesBelow`.
+    */
+  def weightedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int, damping: Double = 0.85,
+      checkpointEvery: Int = 1,
+      broadcastNodesBelow: Long = 2_000_000L): DataFrame = {
+    require(iterations >= 1, s"need >=1 iteration, got $iterations")
+    val loop = new IterativeLoop(checkpointEvery)
+    val e = loop.pin(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("double").as("w"))
+      .withColumn("w", when(col("w") > 0, col("w")).otherwise(
+        raise_error(lit("weightedPageRank: weights must be > 0")))))
+    val nodeStr = loop.pin(e.select(explode(array(
+        struct(col("src").as("id"), col("w").as("s")),
+        struct(col("dst").as("id"), lit(0.0).as("s")))).as("x"))
+      .select(col("x.id").as("id"), col("x.s").as("s"))
+      .groupBy(col("id")).agg(sum(col("s")).as("strength")))
+    val n = nodeStr.count().toDouble
+    val str = nodeStr.filter(col("strength") > 0)
+      .select(col("id").as("src"), col("strength"))
+    val nodes = nodeStr.select(col("id"))
+    def bc(df: DataFrame): DataFrame =
+      if (n <= broadcastNodesBelow) broadcast(df) else df
+    val teleport = (1.0 - damping) / n
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    for (i <- 1 to iterations) {
+      val contrib = e.join(bc(pr), col("src") === col("id"))
+        .join(bc(str), "src")
+        .select(col("dst").as("id"),
+          (col("pr") * col("w") / col("strength")).as("c"))
+      val agg = contrib.groupBy(col("id"))
+        .agg((lit(teleport) + lit(damping) * sum(col("c"))).as("pr_new"))
+      val next = nodes.join(bc(agg), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("pr_new"), lit(teleport)).as("pr"))
+      pr = loop.advance(next, forceCheckpoint = i == iterations)
+    }
+    loop.handoff()
+  }
+
   /** Personalized PageRank (the random-walk-with-restart variant of
     * [[pageRank]]): restart mass returns to a SEED set instead of the
     * uniform vector, so scores measure proximity to the seeds — the

@@ -557,6 +557,77 @@ object Extra7Queries {
              |SELECT fd, CAST(n_lhs AS BIGINT) AS n_lhs,
              |  CAST(n_violating AS BIGINT) AS n_violating,
              |  n_violating = 0 AS holds
-             |FROM u ORDER BY fd""".stripMargin))
+             |FROM u ORDER BY fd""".stripMargin)),
+
+    // ---- weighted PageRank (q151): link multiplicity matters — the
+    //      symmetrized trade graph with deterministic integer weights
+    //      (the q134 construction), 3 sweeps, out-STRENGTH replacing
+    //      out-degree. Top-20 on the ROUNDED rank (the q103 float
+    //      contract: ln/÷ are not ulp-identical cross-engine; at 7
+    //      decimals both agree). ----
+    Q("q151_weighted_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = Tables(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_suppkey")
+          .join(Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".cast("long").as("a"),
+            ($"l_suppkey" + 1000000L).cast("long").as("b")).distinct()
+        val edges = pairs.select(explode(array(
+            struct($"a".as("src"), $"b".as("dst")),
+            struct($"b".as("src"), $"a".as("dst")))).as("e"))
+          .select($"e.src".as("src"), $"e.dst".as("dst"))
+          .withColumn("w", (lit(1L) + pmod($"src" + $"dst", lit(3L)))
+            .cast("double"))
+        graft.operators.GraphOps.weightedPageRank(
+            edges, "src", "dst", "w", iterations = 3)
+          .select($"id".as("node_id"), round($"pr", 7).as("pr"))
+          .orderBy($"pr".desc, $"node_id").limit(20)
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+             |    CAST(l_suppkey + 1000000 AS BIGINT) AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |), edges AS (
+             |  SELECT src, dst, CAST(1 + (src + dst) % 3 AS DOUBLE) AS w
+             |  FROM (SELECT a AS src, b AS dst FROM pairs
+             |        UNION ALL SELECT b, a FROM pairs)
+             |), nodes AS (
+             |  SELECT DISTINCT src AS id FROM edges
+             |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+             |st AS (
+             |  SELECT src, sum(w) AS s FROM edges GROUP BY src
+             |), pr0 AS (
+             |  SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM nodes
+             |), pr1 AS (
+             |  SELECT nd.id, coalesce(
+             |    0.15 / (SELECT n FROM nn) + 0.85 * s.sm,
+             |    0.15 / (SELECT n FROM nn)) AS pr
+             |  FROM nodes nd LEFT JOIN (
+             |    SELECT e.dst AS id, sum(p.pr * e.w / st.s) AS sm
+             |    FROM edges e JOIN pr0 p ON e.src = p.id
+             |      JOIN st ON e.src = st.src
+             |    GROUP BY e.dst) s ON nd.id = s.id
+             |), pr2 AS (
+             |  SELECT nd.id, coalesce(
+             |    0.15 / (SELECT n FROM nn) + 0.85 * s.sm,
+             |    0.15 / (SELECT n FROM nn)) AS pr
+             |  FROM nodes nd LEFT JOIN (
+             |    SELECT e.dst AS id, sum(p.pr * e.w / st.s) AS sm
+             |    FROM edges e JOIN pr1 p ON e.src = p.id
+             |      JOIN st ON e.src = st.src
+             |    GROUP BY e.dst) s ON nd.id = s.id
+             |), pr3 AS (
+             |  SELECT nd.id, coalesce(
+             |    0.15 / (SELECT n FROM nn) + 0.85 * s.sm,
+             |    0.15 / (SELECT n FROM nn)) AS pr
+             |  FROM nodes nd LEFT JOIN (
+             |    SELECT e.dst AS id, sum(p.pr * e.w / st.s) AS sm
+             |    FROM edges e JOIN pr2 p ON e.src = p.id
+             |      JOIN st ON e.src = st.src
+             |    GROUP BY e.dst) s ON nd.id = s.id)
+             |SELECT id AS node_id, round(pr, 7) AS pr FROM pr3
+             |ORDER BY pr DESC, node_id LIMIT 20""".stripMargin))
   )
 }

@@ -505,6 +505,33 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(partial._1 == 4L && partial._2 == 3L, partial.toString)
   }
 
+  test("weightedPageRank: uniform weights match pageRank, weight pull, " +
+      "positive-weight guard") {
+    def wpr(edges: Seq[(Long, Long, Double)], iters: Int) = {
+      val got = GraphOps.weightedPageRank(
+          edges.toDF("src", "dst", "w"), "src", "dst", "w", iters)
+        .as[(Long, Double)].collect().toMap
+      Caches.sweep(spark)
+      got
+    }
+    // uniform weights reduce exactly to the unweighted fixed point: a
+    // symmetric pair sits at 0.5 every sweep (the pageRank spec's case)
+    val pair = wpr(Seq((1L, 2L, 7.0), (2L, 1L, 7.0)), iters = 3)
+    assert(pair == Map(1L -> 0.5, 2L -> 0.5), pair.toString)
+    // node 0 splits mass 3:1 between 1 and 2: after one sweep from the
+    // uniform start, pr(1) = 0.05 + 0.85·(1/3)·(3/4), pr(2) same with 1/4
+    val star = wpr(Seq((0L, 1L, 3.0), (0L, 2L, 1.0),
+      (1L, 0L, 1.0), (2L, 0L, 1.0)), iters = 1)
+    assert(math.abs(star(1L) - (0.05 + 0.85 / 3.0 * 0.75)) < 1e-12,
+      star.toString)
+    assert(math.abs(star(2L) - (0.05 + 0.85 / 3.0 * 0.25)) < 1e-12)
+    assert(star(1L) > star(2L))
+    val e = intercept[Exception] {
+      wpr(Seq((1L, 2L, 0.0), (2L, 1L, 1.0)), iters = 1)
+    }
+    assert(e.getMessage.contains("weights must be > 0"), e.getMessage)
+  }
+
   test("diameterLowerBound: exact on a path, honest on a truncating " +
       "budget, empty graph empty") {
     def dia(edges: Seq[(Long, Long)], hops: Int = 16) = {
