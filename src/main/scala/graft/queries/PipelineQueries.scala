@@ -1653,6 +1653,147 @@ object PipelineQueries {
              |FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
              |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // End-to-end retrieval evaluation (p05): BM25 retrieval feeding the
+    // trec_eval metrics in ONE DAG — three 2-term queries retrieve
+    // top-20 (t22's scorer), ranks assigned on the round-4 score (the
+    // established float contract), and Retrieval.irMetrics judges them
+    // against deterministic qrels (docs with >= 3 occurrences of EVERY
+    // query term — graded strictly enough that recall/nDCG are
+    // non-degenerate). The integration proof that retrieval and
+    // evaluation compose; the oracle replays all three BM25 runs and
+    // the metric chain.
+    Q("p05_retrieval_eval",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+        val qs = Seq("qa" -> Seq("merge", "scan"),
+          "qb" -> Seq("hash", "join"), "qc" -> Seq("sort", "window"))
+        val runs = qs.map { case (qid, terms) =>
+          graft.operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+              terms, k = 20)
+            .select(lit(qid).as("qid"), col("doc_id"),
+              row_number().over(
+                Window.orderBy(col("score").desc, col("doc_id")))
+                .as("rank"))
+        }.reduce(_ unionByName _)
+        val toks = filter(split($"text", " "), t => t =!= "")
+        val qrels = qs.map { case (qid, terms) =>
+          docs.filter(terms.map(t =>
+              size(filter(toks, x => x === lit(t))) >= 3).reduce(_ && _))
+            .select(lit(qid).as("qid"), $"doc_id")
+        }.reduce(_ unionByName _)
+        graft.operators.Retrieval.irMetrics(runs, "qid", "doc_id", "rank",
+            qrels, "qid", "doc_id", k = 10)
+          .orderBy($"query")
+      },
+      Some("""             |WITH base AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |run_qa AS (
+             |  SELECT 'qa' AS qid, doc_id,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM (
+             |    SELECT doc_id, round(
+             |    (CASE WHEN tf_0 > 0 THEN ln(1.0 + (n - df_0 + 0.5) / (df_0 + 0.5)) * (tf_0 * 2.2) / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END)
+             |    + (CASE WHEN tf_1 > 0 THEN ln(1.0 + (n - df_1 + 0.5) / (df_1 + 0.5)) * (tf_1 * 2.2) / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END), 4) AS score
+             |    FROM (
+             |      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             |      CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf_0,
+             |      CAST(len(list_filter(toks, x -> x = 'scan')) AS DOUBLE) AS tf_1
+             |      FROM base) u, (
+             |      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |      sum(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+             |      sum(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1
+             |      FROM (SELECT CAST(len(toks) AS DOUBLE) AS dl,
+             |      CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf_0,
+             |      CAST(len(list_filter(toks, x -> x = 'scan')) AS DOUBLE) AS tf_1
+             |        FROM base) u0) st
+             |    WHERE (
+             |    (CASE WHEN tf_0 > 0 THEN ln(1.0 + (n - df_0 + 0.5) / (df_0 + 0.5)) * (tf_0 * 2.2) / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END)
+             |    + (CASE WHEN tf_1 > 0 THEN ln(1.0 + (n - df_1 + 0.5) / (df_1 + 0.5)) * (tf_1 * 2.2) / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END)) > 0.0
+             |    ORDER BY score DESC, doc_id LIMIT 20)),
+             |run_qb AS (
+             |  SELECT 'qb' AS qid, doc_id,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM (
+             |    SELECT doc_id, round(
+             |    (CASE WHEN tf_0 > 0 THEN ln(1.0 + (n - df_0 + 0.5) / (df_0 + 0.5)) * (tf_0 * 2.2) / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END)
+             |    + (CASE WHEN tf_1 > 0 THEN ln(1.0 + (n - df_1 + 0.5) / (df_1 + 0.5)) * (tf_1 * 2.2) / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END), 4) AS score
+             |    FROM (
+             |      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             |      CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_0,
+             |      CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf_1
+             |      FROM base) u, (
+             |      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |      sum(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+             |      sum(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1
+             |      FROM (SELECT CAST(len(toks) AS DOUBLE) AS dl,
+             |      CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_0,
+             |      CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf_1
+             |        FROM base) u0) st
+             |    WHERE (
+             |    (CASE WHEN tf_0 > 0 THEN ln(1.0 + (n - df_0 + 0.5) / (df_0 + 0.5)) * (tf_0 * 2.2) / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END)
+             |    + (CASE WHEN tf_1 > 0 THEN ln(1.0 + (n - df_1 + 0.5) / (df_1 + 0.5)) * (tf_1 * 2.2) / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END)) > 0.0
+             |    ORDER BY score DESC, doc_id LIMIT 20)),
+             |run_qc AS (
+             |  SELECT 'qc' AS qid, doc_id,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM (
+             |    SELECT doc_id, round(
+             |    (CASE WHEN tf_0 > 0 THEN ln(1.0 + (n - df_0 + 0.5) / (df_0 + 0.5)) * (tf_0 * 2.2) / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END)
+             |    + (CASE WHEN tf_1 > 0 THEN ln(1.0 + (n - df_1 + 0.5) / (df_1 + 0.5)) * (tf_1 * 2.2) / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END), 4) AS score
+             |    FROM (
+             |      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             |      CAST(len(list_filter(toks, x -> x = 'sort')) AS DOUBLE) AS tf_0,
+             |      CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf_1
+             |      FROM base) u, (
+             |      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |      sum(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+             |      sum(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1
+             |      FROM (SELECT CAST(len(toks) AS DOUBLE) AS dl,
+             |      CAST(len(list_filter(toks, x -> x = 'sort')) AS DOUBLE) AS tf_0,
+             |      CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf_1
+             |        FROM base) u0) st
+             |    WHERE (
+             |    (CASE WHEN tf_0 > 0 THEN ln(1.0 + (n - df_0 + 0.5) / (df_0 + 0.5)) * (tf_0 * 2.2) / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END)
+             |    + (CASE WHEN tf_1 > 0 THEN ln(1.0 + (n - df_1 + 0.5) / (df_1 + 0.5)) * (tf_1 * 2.2) / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END)) > 0.0
+             |    ORDER BY score DESC, doc_id LIMIT 20)),
+             |runs AS (SELECT * FROM run_qa UNION ALL SELECT * FROM run_qb
+             |  UNION ALL SELECT * FROM run_qc),
+             |qrels AS (
+             |  SELECT 'qa' AS qid, doc_id FROM base WHERE len(list_filter(toks, x -> x = 'merge')) >= 3 AND len(list_filter(toks, x -> x = 'scan')) >= 3
+             |  UNION ALL SELECT 'qb' AS qid, doc_id FROM base WHERE len(list_filter(toks, x -> x = 'hash')) >= 3 AND len(list_filter(toks, x -> x = 'join')) >= 3
+             |  UNION ALL SELECT 'qc' AS qid, doc_id FROM base WHERE len(list_filter(toks, x -> x = 'sort')) >= 3 AND len(list_filter(toks, x -> x = 'window')) >= 3),
+             |perq AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY 1),
+             |hits AS (
+             |  SELECT r.qid, min(r.rank) AS first_rel_rank,
+             |    sum(CASE WHEN r.rank <= 10 THEN 1 ELSE 0 END) AS hits_at_k,
+             |    sum(CASE WHEN r.rank <= 10 THEN
+             |      CAST(round(1e6 / (ln(r.rank + 1.0) / ln(2.0)), 0) AS BIGINT)
+             |      ELSE 0 END) AS dcg_micro
+             |  FROM runs r JOIN qrels q ON r.qid = q.qid AND r.doc_id = q.doc_id
+             |  GROUP BY r.qid),
+             |idcg AS (
+             |  SELECT qid, n_rel,
+             |    CAST(list_sum(list_transform(range(1, least(n_rel, 10) + 1),
+             |      rk -> CAST(round(1e6 / (ln(rk + 1.0) / ln(2.0)), 0)
+             |        AS BIGINT))) AS BIGINT) AS idcg_micro
+             |  FROM perq)
+             |SELECT i.qid AS query, CAST(i.n_rel AS BIGINT) AS n_rel,
+             |  CAST(h.first_rel_rank AS BIGINT) AS first_rel_rank,
+             |  coalesce(CAST(round(1e6 / h.first_rel_rank, 0) AS BIGINT), 0)
+             |    AS rr_micro,
+             |  CAST(coalesce(h.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+             |  round(CAST(coalesce(h.hits_at_k, 0) AS DOUBLE)
+             |    / CAST(i.n_rel AS DOUBLE), 6) AS recall_at_k,
+             |  CAST(coalesce(h.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+             |  i.idcg_micro,
+             |  round(CAST(coalesce(h.dcg_micro, 0) AS DOUBLE)
+             |    / CAST(i.idcg_micro AS DOUBLE), 6) AS ndcg
+             |FROM idcg i LEFT JOIN hits h ON i.qid = h.qid
+             |ORDER BY i.qid""".stripMargin)),
+
     // End-to-end curation pipeline (p04): the three data-curation
     // stages composed in ONE DAG — (1) hard quality gates (the t44
     // funnel's survivor semantics), (2) per-language length calibration
