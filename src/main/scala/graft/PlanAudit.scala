@@ -164,7 +164,9 @@ object PlanAudit {
     // aggregates off the pair table, TakeOrdered top-k
     "t51_llr_collocations",
     // weighted PageRank: the pageRank sweep shape with strength joins
-    "q151_weighted_pagerank")
+    "q151_weighted_pagerank",
+    // LM layout serving: probe reads only touched bucket partitions
+    "t52_lm_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

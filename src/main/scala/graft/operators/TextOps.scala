@@ -220,6 +220,113 @@ object TextOps {
       .select(col("w1"), col("w2"), col("c_ab"), col("pmi"))
   }
 
+  /** Persist the add-one-smoothed bigram language model as a
+    * bucket-partitioned LAYOUT — the train-once/score-forever shape of
+    * the CCNet-style LM quality filter (t13 computes model + scores in
+    * one pass; at 100 TB the model is an artifact you build once per
+    * corpus release and score every incoming delivery against — the
+    * same persist-once discipline as `Retrieval.bm25IndexWrite` and
+    * `Dedup.lshIndexWrite`).
+    *
+    * Layout: `bigrams/` (w1, w2, c) and `heads/` (w1, c1) both
+    * partitioned by `bucket = xxhash64(w1) % nBuckets` — scoring joins
+    * key on w1-derived buckets, so a probe batch reads ONLY the
+    * buckets its own bigrams touch; `stats/` one row (v = distinct
+    * token count, the smoothing denominator). Heads roll up from the
+    * WRITTEN bigrams (read-back — no second corpus pass, and c1 counts
+    * exactly what serving will scan). `_graft_ident` (nBuckets +
+    * corpus plan hash) written LAST: a crashed build is never served,
+    * a changed corpus/config rebuilds, a matching complete layout is
+    * reused untouched.
+    */
+  def lmIndexWrite(docs: DataFrame, textCol: String, layoutDir: String,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = docs.sparkSession
+    val path = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val ident = s"graft-lm-v1 nBuckets=$nBuckets " +
+      s"corpus=${docs.queryExecution.analyzed.semanticHash()}"
+    val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
+    def identMatches: Boolean =
+      fs.exists(identPath) && {
+        val in = fs.open(identPath)
+        try new String(in.readAllBytes(), "UTF-8") == ident
+        finally in.close()
+      }
+    if (!identMatches) {
+      if (fs.exists(path)) fs.delete(path, true)
+      val base = docs.select(tokens(col(textCol)).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        base.filter(size(col("toks")) >= 2)
+          .select(
+            slice(col("toks"), lit(1), size(col("toks")) - 1).as("h"),
+            slice(col("toks"), lit(2), size(col("toks")) - 1).as("t"))
+          .select(explode(arrays_zip(col("h"), col("t"))).as("bg"))
+          .select(col("bg.h").as("w1"), col("bg.t").as("w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+          .withColumn("bucket", pmod(xxhash64(col("w1")), lit(nBuckets.toLong)))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$layoutDir/bigrams")
+        spark.read.parquet(s"$layoutDir/bigrams")
+          .groupBy(col("bucket"), col("w1")).agg(sum(col("c")).as("c1"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$layoutDir/heads")
+        base.select(explode(col("toks")).as("t"))
+          .agg(countDistinct(col("t")).as("v"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$layoutDir/stats")
+      } finally base.unpersist()
+      val out = fs.create(identPath, true)
+      try out.write(ident.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Score a document batch against a [[lmIndexWrite]] layout: per-doc
+    * mean `log2((c+1)/(c1+v))` over its bigrams — EXACTLY the t13
+    * formula, so scoring corpus members through the layout reproduces
+    * the one-pass scores. Bigrams the model never saw take the add-one
+    * floor (`c=0`, and `c1=0` for an unseen head) — the smoothing path
+    * a NEW delivery exercises. Docs with <2 tokens have no bigrams and
+    * are excluded (the t13 contract).
+    *
+    * Scale shape: the batch explodes to (doc, bigram) grain; the
+    * layout joins are keyed on the w1-derived bucket and the probe
+    * reads ONLY touched bucket partitions (explicit partition filters
+    * from one bounded driver collect — the d17 probing discipline);
+    * the corpus itself is NEVER re-scanned at serving time.
+    */
+  def lmScoreFromIndex(spark: org.apache.spark.sql.SparkSession,
+      layoutDir: String, docs: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 64): DataFrame = {
+    val probe = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("h"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("t"))
+      .select(col("doc_id"), explode(arrays_zip(col("h"), col("t"))).as("bg"))
+      .select(col("doc_id"), col("bg.h").as("w1"), col("bg.t").as("w2"))
+      .withColumn("bucket", pmod(xxhash64(col("w1")), lit(nBuckets.toLong)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded driver grain: ≤nBuckets values, pushed as partition filters
+    val touched = probe.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val bg = spark.read.parquet(s"$layoutDir/bigrams")
+      .filter(col("bucket").isin(touched: _*))
+    val hd = spark.read.parquet(s"$layoutDir/heads")
+      .filter(col("bucket").isin(touched: _*))
+      .select(col("bucket"), col("w1"), col("c1"))
+    val v = spark.read.parquet(s"$layoutDir/stats").head().getLong(0)
+    probe
+      .join(bg, Seq("bucket", "w1", "w2"), "left_outer")
+      .join(hd, Seq("bucket", "w1"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log2((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+        (coalesce(col("c1"), lit(0L)) + lit(v.toDouble)))), 4)
+        .as("lm_score"))
+  }
+
   /** Dunning log-likelihood-ratio collocations (Dunning, CL 1993): the
     * k adjacent token pairs with the highest G² over the pair's 2×2
     * bigram-slot contingency table — the SIGNIFICANCE-calibrated

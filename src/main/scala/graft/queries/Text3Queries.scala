@@ -525,6 +525,42 @@ object Text3Queries {
              |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
              |  CAST(llr_nano AS BIGINT) AS llr_nano,
              |  round(CAST(llr_nano AS DOUBLE) / 1e9, 6) AS llr
-             |FROM s ORDER BY llr_nano DESC, w1, w2 LIMIT 20""".stripMargin))
+             |FROM s ORDER BY llr_nano DESC, w1, w2 LIMIT 20""".stripMargin)),
+
+    // ---- LM quality scoring from the PERSISTED model layout (t52):
+    //      t13's bigram-LM filter as train-once/score-forever — the
+    //      count model written bucket-partitioned once, a probe batch
+    //      scored reading only its touched buckets (never re-scanning
+    //      the corpus). Scores reproduce t13's one-pass formula
+    //      exactly for corpus members. ----
+    Q("t52_lm_index",
+      (s, dir) => {
+        import s.implicits._
+        val key = Tables.contentKey(s"$dir/documents.parquet")
+        val layout = graft.Scratch.dir(s"graft_lm_idx_$key")
+        val docs = Tables(s, dir, "documents")
+        TextOps.lmIndexWrite(docs, "text", layout)
+        TextOps.lmScoreFromIndex(s, layout,
+            docs.filter($"doc_id" < 50), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 2),
+             |big AS (SELECT doc_id,
+             |    unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS bg
+             |  FROM d2),
+             |bg2 AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM big),
+             |cnt AS (SELECT w1, w2, count(*) AS c FROM bg2 GROUP BY w1, w2),
+             |c1 AS (SELECT w1, sum(c) AS c1 FROM cnt GROUP BY w1),
+             |v AS (SELECT count(DISTINCT t) AS v
+             |      FROM (SELECT unnest(toks) AS t FROM d))
+             |SELECT doc_id,
+             |  round(avg(log2((c + 1.0) / (c1 + v))), 4) AS lm_score
+             |FROM bg2 JOIN cnt USING (w1, w2) JOIN c1 USING (w1)
+             |CROSS JOIN v
+             |WHERE doc_id < 50
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -983,6 +983,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lmIndex: layout scores match the hand formula, unseen bigrams " +
+      "take the smoothing floor, matching ident reuses the build") {
+    import spark.implicits._
+    val dir = graft.Scratch.dir("graft_lm_spec")
+    // corpus: "a b a b" + "b c" -> bigrams ab:2, ba:1, bc:1; c1: a->2,
+    // b->2; vocab v=3
+    val corpus = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    TextOps.lmIndexWrite(corpus, "text", dir, nBuckets = 4)
+    def score(rows: Seq[(Long, String)]) = TextOps
+      .lmScoreFromIndex(spark, dir, rows.toDF("doc_id", "text"),
+        "doc_id", "text", nBuckets = 4)
+      .as[(Long, Double)].collect().toMap
+    def lg(c: Long, c1: Long): Double =
+      math.log((c + 1.0) / (c1 + 3.0)) / math.log(2.0)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // corpus member doc 1: bigrams ab, ba, ab -> mean of lg(2,2)x2, lg(1,2)
+    val member = score(Seq(1L -> "a b a b"))
+    assert(member(1L) == r4((2 * lg(2, 2) + lg(1, 2)) / 3.0), member.toString)
+    // a NEW doc: "a c" unseen bigram with KNOWN head (c=0, c1=2); "z a"
+    // unseen head entirely (c=0, c1=0 -> the 1/v floor)
+    val fresh = score(Seq(9L -> "a c", 8L -> "z a"))
+    assert(fresh(9L) == r4(lg(0, 2)), fresh.toString)
+    assert(fresh(8L) == r4(lg(0, 0)), fresh.toString)
+    // sub-2-token docs are excluded (no bigrams to score)
+    assert(!score(Seq(7L -> "solo")).contains(7L))
+    // same corpus + params: the ident matches and the build is reused
+    // (idempotent — scores unchanged)
+    TextOps.lmIndexWrite(corpus, "text", dir, nBuckets = 4)
+    assert(score(Seq(1L -> "a b a b"))(1L) == member(1L))
+    Caches.sweep(spark)
+  }
+
   test("llrCollocations: hand 2x2, zero cells contribute 0, minCount " +
       "floor, independence scores 0") {
     import spark.implicits._

@@ -738,6 +738,32 @@ class ScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("t52 scores from the LM layout reading only touched bucket " +
+      "partitions; corpus never re-scanned") {
+    val df = SparkEntry.queries("t52_lm_index")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val layoutScans = collectAll(plan) {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("graft_lm_idx")) => s
+    }
+    assert(layoutScans.nonEmpty, "no LM layout scan in the probe plan")
+    // bigrams/heads scans carry the touched-bucket partition filters;
+    // the unpartitioned 1-row stats read is exempt
+    val partitioned = layoutScans.filterNot(
+      _.metadata.get("Location").exists(_.contains("stats")))
+    assert(partitioned.nonEmpty &&
+      partitioned.forall(_.partitionFilters.nonEmpty),
+      "layout scans must prune to the probe batch's touched buckets")
+    val docScans = collectAll(plan) {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("documents")) => s
+    }
+    assert(docScans.size <= 1,
+      s"corpus re-scanned: ${docScans.size} documents scans in probe plan")
+    Caches.sweep(spark)
+  }
+
   test("pageRank returns a materialized rank table: plan depth constant in sweeps") {
     // Round-8 regression mode: the lazy loop built one iterations-deep
     // plan (237 physical nodes for 3 sweeps) that replanned and
