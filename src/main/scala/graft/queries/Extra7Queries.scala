@@ -628,6 +628,43 @@ object Extra7Queries {
              |      JOIN st ON e.src = st.src
              |    GROUP BY e.dst) s ON nd.id = s.id)
              |SELECT id AS node_id, round(pr, 7) AS pr FROM pr3
-             |ORDER BY pr DESC, node_id LIMIT 20""".stripMargin))
+             |ORDER BY pr DESC, node_id LIMIT 20""".stripMargin)),
+
+    // ---- SCD2 point-in-time read (q152): two sequential type-2
+    //      merges (balance bumps at ts=100 and ts=200 for keys
+    //      %10 == 3), then the dimension AS OF ts=150 — changed keys
+    //      must show the VERSION CREATED AT 100 (closed at 200),
+    //      unchanged keys their original open row. The oracle states
+    //      the point-in-time truth directly; merge mechanics never
+    //      leak into it (the q123 stance). ----
+    Q("q152_scd2_asof",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables(s, dir, "customer")
+          .select($"c_custkey", $"c_acctbal")
+        val dim0 = cust
+          .withColumn("valid_from", lit(0L))
+          .withColumn("valid_to", lit(null).cast("long"))
+          .withColumn("is_current", lit(true))
+        def batch(bump: Double) = cust.filter($"c_custkey" % 10 === 3)
+          .withColumn("c_acctbal", round($"c_acctbal" + bump, 2))
+        val dim1 = graft.operators.Mutations
+          .scd2Merge(dim0, batch(100.0), "c_custkey", ts = 100L)
+        val dim2 = graft.operators.Mutations
+          .scd2Merge(dim1, batch(300.0), "c_custkey", ts = 200L)
+        graft.operators.Mutations.scd2AsOf(dim2, ts = 150L)
+          .filter($"c_custkey" % 25 === 3)
+          .select($"c_custkey", $"c_acctbal", $"valid_from", $"valid_to")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_custkey % 10 = 3 THEN round(c_acctbal + 100, 2)
+             |       ELSE c_acctbal END AS c_acctbal,
+             |  CAST(CASE WHEN c_custkey % 10 = 3 THEN 100 ELSE 0 END
+             |    AS BIGINT) AS valid_from,
+             |  CASE WHEN c_custkey % 10 = 3 THEN CAST(200 AS BIGINT)
+             |  END AS valid_to
+             |FROM customer WHERE c_custkey % 25 = 3
+             |ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -601,6 +601,40 @@ object StreamQueries {
              |SELECT d, CAST(n AS BIGINT) AS n,
              |  CAST(prefix - runmin AS BIGINT) AS s_micro,
              |  (prefix - runmin) > h AS alarm
-             |FROM r ORDER BY d""".stripMargin))
+             |FROM r ORDER BY d""".stripMargin)),
+
+    // ---- streaming per-window heavy hitters (st18): top-3 event
+    //      types per day maintained by the windowed stream count, the
+    //      rank applied over the bounded (day × type) state — the
+    //      "what dominated each window" monitor next to st10's raw
+    //      type counts. Rank is an integer row_number under a total
+    //      order; replayed input ⇒ batch-equal. ----
+    Q("st18_stream_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val counts = StreamOps.readEvents(s, dir)
+          .groupBy(window($"ts", "1 day"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+        StreamOps.runToMemory(s, counts, "st18_out", OutputMode.Complete())
+          .select(date_format($"window.start", "yyyy-MM-dd").as("day"),
+            $"event_type", $"n")
+          .withColumn("rnk", row_number().over(Window.partitionBy($"day")
+            .orderBy($"n".desc, $"event_type")).cast("long"))
+          .filter($"rnk" <= 3)
+          .orderBy($"day", $"rnk")
+      },
+      Some("""WITH c AS (
+             |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |    event_type, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |r AS (
+             |  SELECT day, event_type, n,
+             |    row_number() OVER (PARTITION BY day
+             |      ORDER BY n DESC, event_type) AS rnk
+             |  FROM c)
+             |SELECT day, event_type, CAST(n AS BIGINT) AS n,
+             |  CAST(rnk AS BIGINT) AS rnk
+             |FROM r WHERE rnk <= 3 ORDER BY day, rnk""".stripMargin))
   )
 }

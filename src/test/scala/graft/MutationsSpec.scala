@@ -324,4 +324,26 @@ class MutationsSpec extends AnyFunSuite {
     assert(Layout.prunedRead(spark, path, "id", lit(900L), lit(950L))
       .count() == 51L)
   }
+
+  test("scd2AsOf: interval boundaries half-open, open rows current, " +
+      "unborn keys absent") {
+    import spark.implicits._
+    // key 1: v1 valid [0,100), v2 valid [100,∞); key 2 born at 150
+    val dim = Seq(
+      (1L, "v1", 0L, Some(100L), false),
+      (1L, "v2", 100L, Option.empty[Long], true),
+      (2L, "x", 150L, Option.empty[Long], true))
+      .toDF("k", "v", "valid_from", "valid_to", "is_current")
+    def at(ts: Long) = Mutations.scd2AsOf(dim, ts)
+      .select($"k", $"v").as[(Long, String)].collect().toSet
+    assert(at(50L) == Set(1L -> "v1"))
+    // the boundary instant belongs to the NEW version (half-open)
+    assert(at(100L) == Set(1L -> "v2"))
+    assert(at(99L) == Set(1L -> "v1"))
+    // a later instant sees the open row plus the newly-born key
+    assert(at(150L) == Set(1L -> "v2", 2L -> "x"))
+    // before anything existed: empty, and unborn keys stay absent
+    assert(Mutations.scd2AsOf(dim.filter($"valid_from" > 0L), 50L)
+      .collect().isEmpty)
+  }
 }
