@@ -405,4 +405,61 @@ object Layout {
     fs.delete(tmp, true)
     n
   }
+
+  /** Order-free partition checksums for replica reconciliation — the
+    * anti-entropy primitive behind cross-region table sync and
+    * backup-integrity audits: each partition reduces to
+    * `(n, lo, hi)` where lo/hi are the SPLIT-HALF sums of every row's
+    * portable 63-bit md5 hash (`lo = Σ (h & 0xFFFFFFFF)`,
+    * `hi = Σ (h >> 32)` — each bounded by n·2³², so exact longs with
+    * no wrap up to ~2³¹ rows per partition where a raw Σh would
+    * overflow immediately; sums are ORDER-FREE, so any row order,
+    * partitioning, or engine produces the identical checksum). Two
+    * replicas whose (n, lo, hi) agree per partition hold the same
+    * multiset of row keys with overwhelming probability; one changed
+    * row flips the checksum.
+    *
+    * `rowKey` is the caller's deterministic string rendering of the
+    * row (concat the content-bearing fields in a FIXED order with an
+    * unambiguous separator) — nulls and float formatting are the
+    * caller's contract, kept out of this primitive on purpose.
+    *
+    * Scale shape: ONE map-combined partition-grain aggregate per
+    * replica — count-class cost; the diff below joins the two
+    * checksum tables at partition grain, never row grain.
+    */
+  def partitionChecksum(df: DataFrame, partCol: Column,
+      rowKey: Column): DataFrame = {
+    val h = graft.operators.Dedup.portableTokenHash63(rowKey)
+    df.select(partCol.as("part"), h.as("h"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("h").bitwiseAND(lit(0xFFFFFFFFL))).as("lo"),
+        sum(shiftright(col("h"), 32)).as("hi"))
+  }
+
+  /** Partition-grain diff of two replicas via [[partitionChecksum]]:
+    * one row per partition present in either replica, with
+    * `status ∈ {match, mismatch, only_a, only_b}` — the repair
+    * worklist (re-ship exactly the mismatching partitions, nothing
+    * else). Row grain never moves; only the two bounded checksum
+    * tables join. */
+  def replicaDiff(a: DataFrame, b: DataFrame, partCol: Column,
+      rowKey: Column): DataFrame = {
+    val ca = partitionChecksum(a, partCol, rowKey)
+      .withColumnRenamed("n", "n_a").withColumnRenamed("lo", "lo_a")
+      .withColumnRenamed("hi", "hi_a")
+    val cb = partitionChecksum(b, partCol, rowKey)
+      .withColumnRenamed("n", "n_b").withColumnRenamed("lo", "lo_b")
+      .withColumnRenamed("hi", "hi_b")
+    ca.join(cb, Seq("part"), "full_outer")
+      .select(col("part"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(col("n_a").isNull, "only_b")
+          .when(col("n_b").isNull, "only_a")
+          .when(col("n_a") === col("n_b") && col("lo_a") === col("lo_b") &&
+            col("hi_a") === col("hi_b"), "match")
+          .otherwise("mismatch").as("status"))
+  }
 }

@@ -403,23 +403,4 @@ object Mutations {
         greatest(col("mx"), col("_dmx")).as("mx")): _*)
   }
 
-  /** Point-in-time read over an SCD2 history table ([[scd2Merge]]'s
-    * output shape): the dimension exactly as it stood at `ts` — rows
-    * whose validity interval covers the instant, `valid_from <= ts <
-    * valid_to` with an open (null) `valid_to` meaning "still current".
-    * The AS-OF query is the reason SCD2 history exists at all: joins
-    * against fact rows use the fact's own timestamp here, audits replay
-    * yesterday's dimension, and q114-style time travel gets its
-    * dimension-side counterpart (q114 versions FILES; this versions
-    * ROWS).
-    *
-    * Keys born after `ts` (first `valid_from > ts`) are absent, exactly
-    * as they were then. PURE FILTER — one codegen predicate over the
-    * history scan, no shuffle, no join; at 100 TB a table partitioned
-    * or z-ordered on `valid_from` prunes most history files before the
-    * predicate runs.
-    */
-  def scd2AsOf(dim: DataFrame, ts: Long): DataFrame =
-    dim.filter(col("valid_from") <= ts &&
-      (col("valid_to").isNull || lit(ts) < col("valid_to")))
 }

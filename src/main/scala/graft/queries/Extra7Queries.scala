@@ -630,41 +630,69 @@ object Extra7Queries {
              |SELECT id AS node_id, round(pr, 7) AS pr FROM pr3
              |ORDER BY pr DESC, node_id LIMIT 20""".stripMargin)),
 
-    // ---- SCD2 point-in-time read (q152): two sequential type-2
-    //      merges (balance bumps at ts=100 and ts=200 for keys
-    //      %10 == 3), then the dimension AS OF ts=150 — changed keys
-    //      must show the VERSION CREATED AT 100 (closed at 200),
-    //      unchanged keys their original open row. The oracle states
-    //      the point-in-time truth directly; merge mechanics never
-    //      leak into it (the q123 stance). ----
-    Q("q152_scd2_asof",
+    // ---- replica reconciliation (q153): month-partition checksums of
+    //      two lineitem replicas — B perturbs one March row per order
+    //      (mismatch) and drops November entirely (only_a); every other
+    //      month must match. Checksums are order-free split-half sums
+    //      of the portable 63-bit row hash, so any row order /
+    //      partitioning / engine agrees; row grain never moves. ----
+    Q("q153_replica_diff",
       (s, dir) => {
         import s.implicits._
-        val cust = Tables(s, dir, "customer")
-          .select($"c_custkey", $"c_acctbal")
-        val dim0 = cust
-          .withColumn("valid_from", lit(0L))
-          .withColumn("valid_to", lit(null).cast("long"))
-          .withColumn("is_current", lit(true))
-        def batch(bump: Double) = cust.filter($"c_custkey" % 10 === 3)
-          .withColumn("c_acctbal", round($"c_acctbal" + bump, 2))
-        val dim1 = graft.operators.Mutations
-          .scd2Merge(dim0, batch(100.0), "c_custkey", ts = 100L)
-        val dim2 = graft.operators.Mutations
-          .scd2Merge(dim1, batch(300.0), "c_custkey", ts = 200L)
-        graft.operators.Mutations.scd2AsOf(dim2, ts = 150L)
-          .filter($"c_custkey" % 25 === 3)
-          .select($"c_custkey", $"c_acctbal", $"valid_from", $"valid_to")
-          .orderBy($"c_custkey")
+        val li = Tables(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+            month($"l_shipdate").cast("long").as("m"))
+        val a = li
+        val b = li.filter($"m" =!= 11)
+          .withColumn("l_quantity",
+            when($"m" === 3, $"l_quantity" + 1).otherwise($"l_quantity"))
+        // UNRESOLVED columns: the same key expression must re-resolve
+        // against EACH replica (a frame-bound df("col") would drag
+        // replica A's attribute ids into B's plan)
+        val key = concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+        graft.operators.Layout.replicaDiff(a, b, col("m"), key)
+          .orderBy($"part")
       },
-      Some("""SELECT c_custkey,
-             |  CASE WHEN c_custkey % 10 = 3 THEN round(c_acctbal + 100, 2)
-             |       ELSE c_acctbal END AS c_acctbal,
-             |  CAST(CASE WHEN c_custkey % 10 = 3 THEN 100 ELSE 0 END
-             |    AS BIGINT) AS valid_from,
-             |  CASE WHEN c_custkey % 10 = 3 THEN CAST(200 AS BIGINT)
-             |  END AS valid_to
-             |FROM customer WHERE c_custkey % 25 = 3
-             |ORDER BY c_custkey""".stripMargin))
+      Some("""WITH a AS (
+             |  SELECT month(l_shipdate) AS part,
+             |    concat_ws('|', l_orderkey, l_linenumber, l_quantity) AS k
+             |  FROM lineitem),
+             |b AS (
+             |  SELECT month(l_shipdate) AS part,
+             |    concat_ws('|', l_orderkey, l_linenumber,
+             |      CASE WHEN month(l_shipdate) = 3 THEN l_quantity + 1
+             |           ELSE l_quantity END) AS k
+             |  FROM lineitem WHERE month(l_shipdate) <> 11),
+             |ca AS (
+             |  SELECT part, count(*) AS n_a,
+             |    sum(((((('0x' || substr(md5(k), 1, 8))::BIGINT
+             |      & 2147483647) << 32)
+             |      | ('0x' || substr(md5(k), 9, 8))::BIGINT))
+             |      & 4294967295) AS lo_a,
+             |    sum(((((('0x' || substr(md5(k), 1, 8))::BIGINT
+             |      & 2147483647) << 32)
+             |      | ('0x' || substr(md5(k), 9, 8))::BIGINT)) >> 32) AS hi_a
+             |  FROM a GROUP BY part),
+             |cb AS (
+             |  SELECT part, count(*) AS n_b,
+             |    sum(((((('0x' || substr(md5(k), 1, 8))::BIGINT
+             |      & 2147483647) << 32)
+             |      | ('0x' || substr(md5(k), 9, 8))::BIGINT))
+             |      & 4294967295) AS lo_b,
+             |    sum(((((('0x' || substr(md5(k), 1, 8))::BIGINT
+             |      & 2147483647) << 32)
+             |      | ('0x' || substr(md5(k), 9, 8))::BIGINT)) >> 32) AS hi_b
+             |  FROM b GROUP BY part)
+             |SELECT coalesce(ca.part, cb.part) AS part,
+             |  CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+             |  CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+             |  CASE WHEN n_a IS NULL THEN 'only_b'
+             |       WHEN n_b IS NULL THEN 'only_a'
+             |       WHEN n_a = n_b AND lo_a = lo_b AND hi_a = hi_b
+             |         THEN 'match'
+             |       ELSE 'mismatch' END AS status
+             |FROM ca FULL OUTER JOIN cb ON ca.part = cb.part
+             |ORDER BY part""".stripMargin))
   )
 }

@@ -325,25 +325,29 @@ class MutationsSpec extends AnyFunSuite {
       .count() == 51L)
   }
 
-  test("scd2AsOf: interval boundaries half-open, open rows current, " +
-      "unborn keys absent") {
+  test("replicaDiff: order-free match, same-count content mismatch, " +
+      "one-sided partitions") {
     import spark.implicits._
-    // key 1: v1 valid [0,100), v2 valid [100,∞); key 2 born at 150
-    val dim = Seq(
-      (1L, "v1", 0L, Some(100L), false),
-      (1L, "v2", 100L, Option.empty[Long], true),
-      (2L, "x", 150L, Option.empty[Long], true))
-      .toDF("k", "v", "valid_from", "valid_to", "is_current")
-    def at(ts: Long) = Mutations.scd2AsOf(dim, ts)
-      .select($"k", $"v").as[(Long, String)].collect().toSet
-    assert(at(50L) == Set(1L -> "v1"))
-    // the boundary instant belongs to the NEW version (half-open)
-    assert(at(100L) == Set(1L -> "v2"))
-    assert(at(99L) == Set(1L -> "v1"))
-    // a later instant sees the open row plus the newly-born key
-    assert(at(150L) == Set(1L -> "v2", 2L -> "x"))
-    // before anything existed: empty, and unborn keys stay absent
-    assert(Mutations.scd2AsOf(dim.filter($"valid_from" > 0L), 50L)
-      .collect().isEmpty)
+    import org.apache.spark.sql.functions._
+    val a = Seq(("p1", "k1"), ("p1", "k2"), ("p2", "k3"))
+      .toDF("part", "k")
+    // p1 holds the same multiset in a DIFFERENT order -> match; p2 has
+    // the same row COUNT but different content -> the checksum, not the
+    // count, catches it; p3 exists only in B
+    val b = Seq(("p1", "k2"), ("p1", "k1"), ("p2", "kX"), ("p3", "k9"))
+      .toDF("part", "k")
+    val got = graft.operators.Layout.replicaDiff(a, b, col("part"), col("k"))
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      "p1" -> ((2L, 2L, "match")),
+      "p2" -> ((1L, 1L, "mismatch")),
+      "p3" -> ((0L, 1L, "only_b"))), got.toString)
+    // the reverse direction flags only_a symmetrically
+    val rev = graft.operators.Layout.replicaDiff(b, a, col("part"), col("k"))
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(rev("p3") == "only_a", rev.toString)
   }
+
 }
