@@ -166,7 +166,9 @@ object PlanAudit {
     // weighted PageRank: the pageRank sweep shape with strength joins
     "q151_weighted_pagerank",
     // LM layout serving: probe reads only touched bucket partitions
-    "t52_lm_index")
+    "t52_lm_index",
+    // skew report: key-grain count + 1-row stats + TakeOrdered top-k
+    "q154_skew_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -693,6 +693,41 @@ object Extra7Queries {
              |         THEN 'match'
              |       ELSE 'mismatch' END AS status
              |FROM ca FULL OUTER JOIN cb ON ca.part = cb.part
-             |ORDER BY part""".stripMargin))
+             |ORDER BY part""".stripMargin)),
+
+    // ---- join-key skew diagnosis (q154): should the lineitem⋈part
+    //      join salt? Top-10 heaviest part keys + the exact summary
+    //      statistics (max/mean ratio in integer micro-units) — the
+    //      measurement that decides between plain join, AQE split, and
+    //      the q68 salted join. ----
+    Q("q154_skew_report",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.SkewOps.skewReport(
+            Tables(s, dir, "lineitem"), $"l_partkey", k = 10)
+          .orderBy($"n".desc, $"key")
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(l_partkey AS VARCHAR) AS key, count(*) AS n
+             |  FROM lineitem GROUP BY 1),
+             |t AS (
+             |  SELECT count(*) AS n_keys, sum(n) AS total, max(n) AS mx
+             |  FROM c),
+             |top AS (
+             |  SELECT key, n,
+             |    CAST(round(CAST(n AS DOUBLE) * 1e6
+             |      / CAST(total AS DOUBLE)) AS BIGINT) AS share_micro,
+             |    CAST(NULL AS BIGINT) AS skew_ratio_micro
+             |  FROM c, t ORDER BY n DESC, key LIMIT 10),
+             |summary AS (
+             |  SELECT '(total)' AS key, CAST(total AS BIGINT) AS n,
+             |    CAST(1000000 AS BIGINT) AS share_micro,
+             |    CAST(round(CAST(mx AS DOUBLE) * 1e6
+             |      * CAST(n_keys AS DOUBLE) / CAST(total AS DOUBLE))
+             |      AS BIGINT) AS skew_ratio_micro
+             |  FROM t)
+             |SELECT * FROM (
+             |  SELECT * FROM top UNION ALL SELECT * FROM summary)
+             |ORDER BY n DESC, key""".stripMargin))
   )
 }
