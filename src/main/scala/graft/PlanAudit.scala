@@ -168,7 +168,9 @@ object PlanAudit {
     // LM layout serving: probe reads only touched bucket partitions
     "t52_lm_index",
     // skew report: key-grain count + 1-row stats + TakeOrdered top-k
-    "q154_skew_report")
+    "q154_skew_report",
+    // classification report: cell-grain checkpoint, class-grain joins
+    "q155_classification_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -216,6 +216,85 @@ object Learn {
           (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
   }
 
+  /** Multi-class classification report — the per-class
+    * precision/recall/F1 table (plus accuracy and macro-F1) every
+    * model evaluation prints, in-engine: the multi-class companion to
+    * [[aucRoc]] (binary ranking) that closes the train→score→evaluate
+    * loop around [[logisticTrain]] and the heuristic classifiers
+    * (gate q155 grades the t03 language identifier against gold
+    * labels).
+    *
+    * ENGINE-EXACT: every cell of the confusion matrix is an exact
+    * long; per class, `F1 = 2tp/(2tp+fp+fn)` EXACTLY (no P·R float
+    * chain), carried as round-micro integer `f1_micro` so the macro
+    * average is an order-free integer sum over classes; precision/
+    * recall/accuracy are single round-6 divisions. Classes that never
+    * appear as a prediction (or never as a label) still report —
+    * undefined precision/recall stay null, never NaN, and a null F1
+    * counts as 0 toward macro-F1 (the scikit-learn convention). Null
+    * labels/predictions are excluded up front.
+    *
+    * The `(overall)` summary row reuses the class schema, documented:
+    * tp = correct rows, fp = fn = errors, precision = recall =
+    * accuracy, f1 = MACRO-F1.
+    *
+    * Scale shape: ONE map-combined (label, pred)-grain count
+    * (checkpointed — margins, diagonal, and totals all derive from
+    * it); everything downstream runs at class grain.
+    *
+    * @return one row per class + "(overall)": (cls, tp, fp, fn,
+    *         precision, recall, f1).
+    */
+  def classificationReport(df: DataFrame, labelCol: Column,
+      predCol: Column): DataFrame = {
+    val cells = df
+      .select(labelCol.cast("string").as("l"), predCol.cast("string").as("p"))
+      .filter(col("l").isNotNull && col("p").isNotNull)
+      .groupBy(col("l"), col("p")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val classes = cells.select(col("l").as("cls"))
+      .union(cells.select(col("p").as("cls"))).distinct()
+    val rowN = cells.groupBy(col("l").as("cls")).agg(sum(col("n")).as("row_n"))
+    val colN = cells.groupBy(col("p").as("cls")).agg(sum(col("n")).as("col_n"))
+    val diag = cells.filter(col("l") === col("p"))
+      .select(col("l").as("cls"), col("n").as("tp0"))
+    val per = classes
+      .join(rowN, Seq("cls"), "left").join(colN, Seq("cls"), "left")
+      .join(diag, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("tp0"), lit(0L)).as("tp"),
+        (coalesce(col("col_n"), lit(0L)) - coalesce(col("tp0"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("row_n"), lit(0L)) - coalesce(col("tp0"), lit(0L)))
+          .as("fn"))
+    val f1Micro = when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+      round(lit(2e6) * col("tp").cast("double") /
+        (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+        .cast("long"))
+    val perOut = per.select(col("cls"), col("tp"), col("fp"), col("fn"),
+      when(col("tp") + col("fp") > 0, round(col("tp").cast("double") /
+        (col("tp") + col("fp")).cast("double"), 6)).as("precision"),
+      when(col("tp") + col("fn") > 0, round(col("tp").cast("double") /
+        (col("tp") + col("fn")).cast("double"), 6)).as("recall"),
+      when(f1Micro.isNotNull,
+        round(f1Micro.cast("double") / 1e6, 6)).as("f1"))
+    val macroAgg = per
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(f1Micro, lit(0L))).as("f1_sum"))
+    val totals = cells.agg(sum(col("n")).as("nn"),
+      sum(when(col("l") === col("p"), col("n")).otherwise(0L)).as("ok"))
+    val overall = totals.crossJoin(broadcast(macroAgg))
+      .select(lit("(overall)").as("cls"), col("ok").as("tp"),
+        (col("nn") - col("ok")).as("fp"), (col("nn") - col("ok")).as("fn"),
+        round(col("ok").cast("double") / col("nn").cast("double"), 6)
+          .as("precision"),
+        round(col("ok").cast("double") / col("nn").cast("double"), 6)
+          .as("recall"),
+        round(col("f1_sum").cast("double") /
+          (col("k").cast("double") * 1e6), 6).as("f1"))
+    perOut.unionByName(overall)
+  }
+
   /** Spearman rank correlation with midrank ties (Spearman 1904; the
     * tie-correct form is Pearson over midranks) — the monotone-
     * association meter next to [[aucRoc]] (same doubled-midrank

@@ -50,6 +50,84 @@ object PipelineQueries {
              |    * round(len(list_distinct($toksSql))::DOUBLE / len($toksSql), 4), 4) AS quality
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // classification report (q155): grade the t03 language identifier
+    // against gold labels — per-class precision/recall/F1 plus the
+    // (overall) accuracy/macro-F1 row. Every confusion cell is an
+    // exact long; F1 = 2tp/(2tp+fp+fn) exactly (no P*R float chain),
+    // carried micro-quantized so macro-F1 is an order-free integer
+    // sum. The eval loop around a real in-engine classifier.
+    Q("q155_classification_report",
+      (s, dir) => {
+        import s.implicits._
+        val preds = Tables(s, dir, "documents")
+          .select(TextOps.langId($"text").as("pred"), $"lang")
+        graft.operators.Learn.classificationReport(preds, $"lang", $"pred")
+          .orderBy($"cls")
+      },
+      Some {
+        def hits(ws: Seq[String]) =
+          s"len(list_filter($toksSql, x -> x IN (${ws.map("'" + _ + "'").mkString(", ")})))"
+        val en = hits(TextOps.langMarkers("en")); val de = hits(TextOps.langMarkers("de"))
+        val es = hits(TextOps.langMarkers("es")); val fr = hits(TextOps.langMarkers("fr"))
+        val zh = hits(TextOps.langMarkers("zh"))
+        val pred =
+          s"""CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+             |     WHEN $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+             |     WHEN $es >= $fr AND $es >= $zh THEN 'es'
+             |     WHEN $fr >= $zh THEN 'fr'
+             |     ELSE 'zh' END""".stripMargin
+        s"""WITH cells AS (
+           |  SELECT lang AS l, ($pred) AS p, count(*) AS n
+           |  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+           |cls AS (
+           |  SELECT l AS cls FROM cells UNION SELECT p FROM cells),
+           |rn AS (SELECT l AS cls, sum(n) AS row_n FROM cells GROUP BY 1),
+           |cn AS (SELECT p AS cls, sum(n) AS col_n FROM cells GROUP BY 1),
+           |dg AS (SELECT l AS cls, n AS tp0 FROM cells WHERE l = p),
+           |per AS (
+           |  SELECT cls.cls, coalesce(tp0, 0) AS tp,
+           |    coalesce(col_n, 0) - coalesce(tp0, 0) AS fp,
+           |    coalesce(row_n, 0) - coalesce(tp0, 0) AS fn
+           |  FROM cls LEFT JOIN rn USING (cls) LEFT JOIN cn USING (cls)
+           |  LEFT JOIN dg USING (cls)),
+           |perm AS (
+           |  SELECT cls, tp, fp, fn,
+           |    CASE WHEN 2 * tp + fp + fn > 0 THEN
+           |      CAST(round(2e6 * CAST(tp AS DOUBLE)
+           |        / CAST(2 * tp + fp + fn AS DOUBLE)) AS BIGINT)
+           |    END AS f1m
+           |  FROM per),
+           |mac AS (
+           |  SELECT count(*) AS k, sum(coalesce(f1m, 0)) AS f1_sum
+           |  FROM perm),
+           |tot AS (
+           |  SELECT sum(n) AS nn,
+           |    sum(CASE WHEN l = p THEN n ELSE 0 END) AS ok
+           |  FROM cells),
+           |perout AS (
+           |  SELECT cls, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           |    CAST(fn AS BIGINT) AS fn,
+           |    CASE WHEN tp + fp > 0 THEN
+           |      round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+           |    END AS precision,
+           |    CASE WHEN tp + fn > 0 THEN
+           |      round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+           |    END AS recall,
+           |    CASE WHEN f1m IS NOT NULL THEN
+           |      round(CAST(f1m AS DOUBLE) / 1e6, 6) END AS f1
+           |  FROM perm),
+           |ov AS (
+           |  SELECT '(overall)' AS cls, CAST(ok AS BIGINT) AS tp,
+           |    CAST(nn - ok AS BIGINT) AS fp, CAST(nn - ok AS BIGINT) AS fn,
+           |    round(CAST(ok AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS precision,
+           |    round(CAST(ok AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS recall,
+           |    round(CAST(f1_sum AS DOUBLE)
+           |      / (CAST(k AS DOUBLE) * 1e6), 6) AS f1
+           |  FROM tot, mac)
+           |SELECT * FROM (SELECT * FROM perout UNION ALL SELECT * FROM ov)
+           |ORDER BY cls""".stripMargin
+      }),
+
     Q("t03_lang_id",
       (s, dir) => {
         import s.implicits._

@@ -867,6 +867,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Option[Double])].collect().head._3.isEmpty)
   }
 
+  test("classificationReport: hand confusion table, never-predicted " +
+      "class nulls precision, macro counts it as 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq.fill(3)(("a", "a")) ++ Seq(("a", "b")) ++
+      Seq.fill(2)(("b", "b")) ++ Seq(("b", "a"), ("c", "a"))
+    val got = graft.operators.Learn.classificationReport(
+        rows.toDF("l", "p"), col("l"), col("p"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // a: tp 3, fp 2 (b->a, c->a), fn 1 -> P .6, R .75, F1 6/9
+    assert(got("a") == (("a", 3L, 2L, 1L, Some(0.6), Some(0.75),
+      Some(0.666667))), got.toString)
+    // b: tp 2, fp 1, fn 1 -> all 2/3
+    assert(got("b") == (("b", 2L, 1L, 1L, Some(0.666667), Some(0.666667),
+      Some(0.666667))))
+    // c never predicted: precision undefined (null), recall 0, F1 0
+    assert(got("c") == (("c", 0L, 0L, 1L, None, Some(0.0), Some(0.0))))
+    // overall: accuracy 5/8; macro-F1 = (666667+666667+0)/3e6
+    assert(got("(overall)") == (("(overall)", 5L, 3L, 3L, Some(0.625),
+      Some(0.625), Some(0.444445))), got.toString)
+  }
+
   test("spearman: monotone pins ±1, midrank ties match hand math, " +
       "constant column null, nulls excluded") {
     import spark.implicits._
