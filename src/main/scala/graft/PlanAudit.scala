@@ -170,7 +170,9 @@ object PlanAudit {
     // skew report: key-grain count + 1-row stats + TakeOrdered top-k
     "q154_skew_report",
     // classification report: cell-grain checkpoint, class-grain joins
-    "q155_classification_report")
+    "q155_classification_report",
+    // Kruskal-Wallis: value-grain midrank window, group-grain terms
+    "q156_kruskal_wallis")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

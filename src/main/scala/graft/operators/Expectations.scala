@@ -386,6 +386,72 @@ object Expectations {
         sum(col("contrib")).as("psi_nano"))
   }
 
+  /** Kruskal–Wallis H test (Kruskal & Wallis JASA 1952) — the K-GROUP
+    * member of the rank toolkit: do k samples come from the same
+    * distribution? ([[twoProportionZ]] compares two rates, [[ksTest]]
+    * two CDFs, [[Learn.aucRoc]] ranks two classes; this is the k-way
+    * rank ANOVA.) `H = 12/(N(N+1))·Σ R_i²/n_i − 3(N+1)` over midranks,
+    * with the tie correction `H' = H / (1 − Σ(t³−t)/(N³−N))`.
+    *
+    * EXACTNESS DISCIPLINE: doubled midranks (the aucRoc machinery)
+    * keep every rank sum `R2_i` an exact long; each group's
+    * `R2_i²/n_i` is ONE IEEE division of exact longs quantized to
+    * integer micro-units before the order-free sum; the tie sum
+    * `Σ(t³−t)` and `N³−N` are exact longs, so the corrected H is a
+    * short chain of IEEE ops on identical operands — round-6 in any
+    * engine. R2_i² stays exact below ~2³¹ ROWS — collapse grain first
+    * (the spearman contract; the gate feeds bounded day-grain data).
+    * The 5% decision compares H' against the caller's chi-square
+    * critical value for dof = k−1 (dof is data-dependent, so the
+    * caller owns the quantile). Degenerate inputs (k < 2, or every
+    * value tied → C = 0) return null statistics, never NaN.
+    *
+    * Scale shape: one (group, value)-grain map-combined count, one
+    * single-partition window over DISTINCT values for the midranks
+    * (quantize continuous values upstream — the ksTest caveat), then
+    * group-grain and 1-row aggregates.
+    *
+    * @return ONE row: (n, k, h, h_tie, significant).
+    */
+  def kruskalWallis(df: DataFrame, groupCol: Column, valueCol: Column,
+      critValue: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gv = df.select(groupCol.cast("string").as("g"),
+        valueCol.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val byV = gv.groupBy(col("v")).agg(sum(col("c")).as("t"))
+    val ranked = byV.select(col("v"), col("t"),
+      (lit(2L) * coalesce(sum(col("t")).over(
+        Window.orderBy(col("v")).rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)) +
+        col("t") + 1L).as("dr"))
+    val ties = ranked.agg(sum(col("t") * col("t") * col("t") - col("t"))
+      .as("tie_sum"))
+    val perG = gv.join(ranked.select(col("v"), col("dr")), Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("n_g"), sum(col("c") * col("dr")).as("r2"))
+    // each group's R2²/n_g: one IEEE divide of exact longs, quantized
+    // to micro-units before the order-free sum
+    val termMicro = round(col("r2").cast("double") * col("r2").cast("double")
+      / col("n_g").cast("double") * 1e6).cast("long")
+    val agg = perG.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+      sum(termMicro).as("s_micro"))
+    val n = col("n").cast("double")
+    // doubled ranks: R_i = R2_i/2 -> Σ R_i²/n_i = (Σ R2²/n)/4
+    val h = lit(12.0) / (n * (n + 1.0)) *
+      (col("s_micro").cast("double") / 1e6 / 4.0) - lit(3.0) * (n + 1.0)
+    val denom = (n * n * n - n) - col("tie_sum").cast("double")
+    val hTie = h * (n * n * n - n) / denom
+    agg.crossJoin(broadcast(ties))
+      .select(col("n"), col("k"),
+        when(col("k") >= 2, round(h, 6)).as("h"),
+        when(col("k") >= 2 && denom > 0, round(hTie, 6)).as("h_tie"),
+        when(col("k") >= 2 && denom > 0, hTie > critValue)
+          .as("significant"))
+  }
+
   /** Functional-dependency check (the profiling primitive behind
     * normalization audits and key discovery, cf. Papenbrock et al.
     * VLDB 2015's FD-discovery survey): does `lhs → rhs` hold — is

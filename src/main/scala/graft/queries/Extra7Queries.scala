@@ -728,6 +728,62 @@ object Extra7Queries {
              |  FROM t)
              |SELECT * FROM (
              |  SELECT * FROM top UNION ALL SELECT * FROM summary)
-             |ORDER BY n DESC, key""".stripMargin))
+             |ORDER BY n DESC, key""".stripMargin)),
+
+    // ---- Kruskal-Wallis H (q156): is the daily event volume
+    //      distributed the same across weekdays? The k-group rank
+    //      ANOVA completing the significance family (z-test 2 rates,
+    //      KS 2 CDFs, AUC 2 classes). Doubled midranks keep rank sums
+    //      exact; per-group R2^2/n_g quantizes micro before the
+    //      order-free sum; dof-6 5% critical value 12.592. Day grain
+    //      keeps N bounded at any corpus size. ----
+    Q("q156_kruskal_wallis",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables(s, dir, "events")
+          .groupBy(to_date($"ts").as("d"))
+          .agg(count(lit(1)).as("v"))
+          .select(weekday($"d").cast("string").as("g"), $"v")
+        graft.operators.Expectations.kruskalWallis(
+          daily, $"g", $"v", critValue = 12.592)
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS d, count(*) AS v
+             |  FROM events GROUP BY 1),
+             |gvr AS (
+             |  SELECT CAST(isodow(d) - 1 AS VARCHAR) AS g, v FROM daily),
+             |gv AS (SELECT g, v, count(*) AS c FROM gvr GROUP BY 1, 2),
+             |byv AS (SELECT v, sum(c) AS t FROM gv GROUP BY 1),
+             |rk AS (
+             |  SELECT v, t,
+             |    2 * coalesce(sum(t) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      + t + 1 AS dr
+             |  FROM byv),
+             |ties AS (SELECT sum(t * t * t - t) AS tie_sum FROM rk),
+             |perg AS (
+             |  SELECT g, sum(c) AS n_g, sum(c * dr) AS r2
+             |  FROM gv JOIN rk USING (v) GROUP BY g),
+             |agg AS (
+             |  SELECT count(*) AS k, sum(n_g) AS n,
+             |    sum(CAST(round(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+             |      / CAST(n_g AS DOUBLE) * 1e6) AS BIGINT)) AS s_micro
+             |  FROM perg),
+             |f AS (
+             |  SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+             |    12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+             |      * (CAST(s_micro AS DOUBLE) / 1e6 / 4.0)
+             |      - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+             |    CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+             |      - CAST(n AS DOUBLE) AS n3n,
+             |    CAST(tie_sum AS DOUBLE) AS ts
+             |  FROM agg, ties)
+             |SELECT n, k,
+             |  CASE WHEN k >= 2 THEN round(h, 6) END AS h,
+             |  CASE WHEN k >= 2 AND n3n - ts > 0 THEN
+             |    round(h * n3n / (n3n - ts), 6) END AS h_tie,
+             |  CASE WHEN k >= 2 AND n3n - ts > 0 THEN
+             |    h * n3n / (n3n - ts) > 12.592 END AS significant
+             |FROM f""".stripMargin))
   )
 }

@@ -235,6 +235,33 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(gn._1 == 2L, gn.toString)
   }
 
+  test("kruskalWallis: hand H tie-free and tied, all-tied null, " +
+      "single-group null, significance") {
+    import org.apache.spark.sql.functions._
+    def run(rows: Seq[(String, Long)], crit: Double = 12.592) =
+      Expectations.kruskalWallis(rows.toDF("g", "v"), col("g"), col("v"),
+          crit)
+        .as[(Long, Long, Option[Double], Option[Double], Option[Boolean])]
+        .collect().head
+    // a={1,2}, b={3,4}: H = 12/20·(9/2+49/2) − 15 = 2.4; no ties
+    val plain = run(Seq("a" -> 1L, "a" -> 2L, "b" -> 3L, "b" -> 4L))
+    assert(plain == ((4L, 2L, Some(2.4), Some(2.4), Some(false))),
+      plain.toString)
+    // a={1,1}, b={2}: midranks make H = 1.5; C = 1 − 6/24 -> H' = 2.0
+    val tied = run(Seq("a" -> 1L, "a" -> 1L, "b" -> 2L))
+    assert(tied == ((3L, 2L, Some(1.5), Some(2.0), Some(false))),
+      tied.toString)
+    // every value identical: C = 0 -> corrected stat null, never NaN
+    val flat = run(Seq("a" -> 5L, "a" -> 5L, "b" -> 5L))
+    assert(flat._3 == Some(0.0) && flat._4.isEmpty && flat._5.isEmpty,
+      flat.toString)
+    // one group: nothing to compare
+    assert(run(Seq("a" -> 1L, "a" -> 2L))._3.isEmpty)
+    // a tiny critical value flips significance on the same data
+    assert(run(Seq("a" -> 1L, "a" -> 2L, "b" -> 3L, "b" -> 4L),
+      crit = 1.0)._5 == Some(true))
+  }
+
   test("fdCheck: holding and violated FDs, null rhs invisible, null lhs " +
       "groups, guard") {
     import org.apache.spark.sql.functions._
