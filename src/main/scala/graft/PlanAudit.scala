@@ -172,7 +172,9 @@ object PlanAudit {
     // classification report: cell-grain checkpoint, class-grain joins
     "q155_classification_report",
     // Kruskal-Wallis: value-grain midrank window, group-grain terms
-    "q156_kruskal_wallis")
+    "q156_kruskal_wallis",
+    // burstiness: (term, doc)-grain count, term-grain moments, TakeOrdered
+    "t53_burstiness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -220,6 +220,53 @@ object TextOps {
       .select(col("w1"), col("w2"), col("c_ab"), col("pmi"))
   }
 
+  /** Term burstiness by the variance-to-mean ratio of per-document
+    * counts (Church & Gale 1995's burstiness observation: content
+    * words CLUMP — high VMR — while function words spread evenly,
+    * VMR ≈ 1 under the Poisson null): the
+    * which-terms-are-topical signal next to tf-idf (df-based) and
+    * [[zipfFit]] (frequency-shape). Boilerplate detectors also read
+    * it from the other end — a frequent term with VMR ≈ 1 is template
+    * glue.
+    *
+    * ENGINE-EXACT: with N = total docs and per-term integer moments
+    * (Σc, Σc²) over per-doc counts (docs missing the term count 0 —
+    * they contribute nothing to either sum but N carries them),
+    * `VMR = (N·Σc² − (Σc)²) / (N·Σc)` — numerator and denominator
+    * exact longs, one round-6 IEEE division. ANSI throws loudly at
+    * extreme magnitudes (N·Σc² ≲ 2⁶³).
+    *
+    * Scale shape: one (term, doc)-grain map-combined count, one
+    * term-grain moment aggregate, one broadcast 1-row N, and
+    * TakeOrderedAndProject for the top-k — no corpus-width shuffle
+    * past the term-doc grain.
+    *
+    * @return top-k by (vmr_num·den-cleared exactness) — rows
+    *         (term, n_docs, total, vmr), ranked on the exact integer
+    *         pair (num, den) via the rounded vmr with term tiebreak.
+    */
+  def burstiness(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long, k: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("doc"),
+        tokens(col(textCol)).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = base.count()
+    val perTermDoc = base
+      .select(col("doc"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc")).agg(count(lit(1)).as("c"))
+    val moments = perTermDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("s2"))
+      .filter(col("total") >= minCount)
+    val num = lit(nDocs) * col("s2") - col("total") * col("total")
+    val den = lit(nDocs) * col("total")
+    moments
+      .select(col("term"), col("n_docs"), col("total"),
+        round(num.cast("double") / den.cast("double"), 6).as("vmr"))
+      .orderBy(col("vmr").desc, col("term"))
+      .limit(k)
+  }
+
   /** Persist the add-one-smoothed bigram language model as a
     * bucket-partitioned LAYOUT — the train-once/score-forever shape of
     * the CCNet-style LM quality filter (t13 computes model + scores in

@@ -561,6 +561,36 @@ object Text3Queries {
              |FROM bg2 JOIN cnt USING (w1, w2) JOIN c1 USING (w1)
              |CROSS JOIN v
              |WHERE doc_id < 50
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- term burstiness (t53): which terms CLUMP across documents?
+    //      Church & Gale's variance-to-mean ratio of per-doc counts —
+    //      content words burst, template glue sits near the Poisson
+    //      VMR of 1. num/den exact longs (docs missing a term carry 0
+    //      into both moments via N alone), one round-6 division. ----
+    Q("t53_burstiness",
+      (s, dir) =>
+        graft.operators.TextOps.burstiness(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          minCount = 20L, k = 20),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |n AS (SELECT count(*) AS nd FROM d),
+             |tc AS (
+             |  SELECT term, doc_id, count(*) AS c FROM (
+             |    SELECT doc_id, unnest(toks) AS term FROM d)
+             |  GROUP BY 1, 2),
+             |m AS (
+             |  SELECT term, count(*) AS n_docs, sum(c) AS total,
+             |    sum(c * c) AS s2
+             |  FROM tc GROUP BY 1 HAVING sum(c) >= 20)
+             |SELECT term, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(total AS BIGINT) AS total,
+             |  round(CAST(nd * s2 - total * total AS DOUBLE)
+             |    / CAST(nd * total AS DOUBLE), 6) AS vmr
+             |FROM m, n
+             |ORDER BY vmr DESC, term LIMIT 20""".stripMargin))
   )
 }

@@ -1007,6 +1007,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("burstiness: bursty term outranks spread term, uniform VMR from " +
+      "hand moments, minCount floor") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, String)], minCount: Long = 1L) = TextOps
+      .burstiness(rows.toDF("doc_id", "text"), "doc_id", "text",
+        minCount, k = 50)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // 4 docs; 'burst' clumps (4 in one doc), 'flat' spreads (1 each)
+    val got = run(Seq(
+      (1L, "burst burst burst burst flat"),
+      (2L, "flat x"), (3L, "flat x"), (4L, "flat x")))
+    // burst: N=4, sums over PRESENT docs only (absent carry 0):
+    // total 4, s2 16 -> VMR = (4*16 - 16)/(4*4) = 3.0
+    assert(got("burst") == ((1L, 4L, 3.0)), got.toString)
+    // flat: total 4, s2 4 -> VMR = (16-16)/16 = 0.0 (sub-Poisson:
+    // exactly one per doc is MORE even than random)
+    assert(got("flat") == ((4L, 4L, 0.0)), got.toString)
+    assert(got("burst")._3 > got("x")._3)
+    // the count floor drops rare terms entirely
+    assert(!run(Seq((1L, "rare common common")), minCount = 2L)
+      .contains("rare"))
+  }
+
   test("lmIndex: layout scores match the hand formula, unseen bigrams " +
       "take the smoothing floor, matching ident reuses the build") {
     import spark.implicits._
