@@ -125,6 +125,16 @@ object LineageExtractor {
         case g: Generate =>
           val src = refLineage(g.generator)
           g.generatorOutput.foreach(a => memo(a.exprId) = src)
+        case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          // cached fragment: walk the plan that BUILT the cache, then map
+          // its outputs to the substituted fragment's attribute ids
+          // POSITIONALLY (CacheManager re-keys the cached outputs to the
+          // current query's expected attributes on substitution)
+          val cached = imr.cacheBuilder.logicalPlan
+          walk(cached)
+          imr.output.zip(cached.output).foreach { case (o, c) =>
+            memo(o.exprId) = memo.getOrElse(c.exprId, Set.empty[ColumnRef])
+          }
         case e: Expand =>
           // cube/rollup/grouping-sets/distinct-agg: output i is the
           // positional union over all projections' i-th expression
@@ -214,6 +224,14 @@ object LineageExtractor {
         case ij: graft.plans.IntervalJoin =>
           n("IntervalJoin",
             s"by ${ij.leftBy.sql}=${ij.rightBy.sql} window=${ij.windowUs}us")
+        // a cached fragment (CacheManager's withCachedData substitution):
+        // lineage must SEE THROUGH the cache to the plan that built it —
+        // the sources a query answers from do not change because the
+        // bytes were served from memory
+        case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          LNode(id, "CachedRelation",
+            s"[${imr.output.map(_.name).mkString(", ")}]",
+            Seq(build(imr.cacheBuilder.logicalPlan, s"$id.0")))
         case other => n(other.nodeName, "")
       }
     }
@@ -404,7 +422,7 @@ object LineageExtractor {
   def report(qe: QueryExecution): LineageReport = {
     val plan = qe.optimizedPlan
     val inputs = mutable.LinkedHashMap.empty[String, TableMeta]
-    plan.foreach {
+    def collectInputs(p: LogicalPlan): Unit = p.foreach {
       case r: LogicalRelation => val m = tableMeta(r); inputs.getOrElseUpdate(m.name, m)
       case r: DataSourceV2Relation => val m = tableMeta(r); inputs.getOrElseUpdate(m.name, m)
       // RDD-backed sources (e.g. the connector-free avro read) carry no
@@ -415,8 +433,14 @@ object LineageExtractor {
           inputs.getOrElseUpdate(s.name,
             TableMeta(s.name, s.path, r.output.map(_.name), s.format))
         }
+      // a cached fragment: the query still ANSWERS FROM the relations
+      // that built the cache — recurse into the cached logical plan so
+      // caching a hot table never makes its lineage vanish
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        collectInputs(imr.cacheBuilder.logicalPlan)
       case _ => ()
     }
+    collectInputs(plan)
     // views are inlined away by the optimizer — their identity + SQL text
     // live only in the ANALYZED plan's View nodes (the reference records
     // view inputs with original+expanded SQL the same way)

@@ -208,7 +208,12 @@ class LineageSpec extends AnyFunSuite {
     SparkEntry.registry.foreach { q =>
       val df = q.fn(spark, sf)
       val plan = df.queryExecution.optimizedPlan
-      val inputCols: Set[ColumnRef] = plan.collect {
+      // scanned columns must see through cached fragments exactly like
+      // the extractor does (an operator-persisted fragment substitutes
+      // InMemoryRelation into the optimized plan)
+      def scannedCols(
+          p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+          : Set[ColumnRef] = p.collect {
         case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
           val name = r.relation match {
             case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -217,8 +222,11 @@ class LineageSpec extends AnyFunSuite {
               if (base.contains('.')) base.substring(0, base.lastIndexOf('.')) else base
             case _ => "?"
           }
-          r.output.map(a => ColumnRef(name, a.name))
+          r.output.map(a => ColumnRef(name, a.name)).toSet
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          scannedCols(m.cacheBuilder.logicalPlan)
       }.flatten.toSet
+      val inputCols: Set[ColumnRef] = scannedCols(plan)
       val l = LineageExtractor.columnLineage(plan)
       l.foreach { case (out, srcs) =>
         // constrain only refs that claim parquet-table origin; generic
@@ -240,5 +248,35 @@ class LineageSpec extends AnyFunSuite {
     assert(rep.columnLineage("p_us") == Set(ColumnRef("events", "ts")))
     assert(rep.columnLineage("c_us") == Set(ColumnRef("events", "ts")))
     assert(rep.columnLineage("user_id") == Set(ColumnRef("events", "user_id")))
+  }
+
+  test("lineage sees through a cached fragment to the relations that " +
+      "built it") {
+    import spark.implicits._
+    // cache a projection of the base table, then query THROUGH the cache:
+    // the optimizer substitutes InMemoryRelation for the fragment, but
+    // the report must still name the base table and resolve columns to it
+    val frag = graft.Tables(spark, sf, "orders")
+      .select($"o_custkey", $"o_totalprice")
+    frag.persist().count()
+    try {
+      val q = frag.groupBy($"o_custkey")
+        .agg(sum($"o_totalprice").as("total"))
+      // precondition: the cache actually substituted into this plan
+      assert(q.queryExecution.optimizedPlan.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+      }.nonEmpty, "expected the cached fragment in the optimized plan")
+      val rep = LineageExtractor.report(q.queryExecution)
+      assert(rep.inputs.map(_.name).contains("orders"),
+        s"cached inputs lost: ${rep.inputs.map(_.name)}")
+      assert(rep.columnLineage("total") ==
+        Set(ColumnRef("orders", "o_totalprice")), rep.columnLineage.toString)
+      // the graph renders the cache explicitly with the building plan
+      // underneath — served-from-memory is visible, not hidden
+      assert(rep.graph.treeString.contains("CachedRelation"))
+    } finally {
+      frag.unpersist()
+      graft.Caches.sweep(spark)
+    }
   }
 }
