@@ -152,6 +152,9 @@ object Expectations {
     import org.apache.spark.sql.expressions.Window
     def cnt(df: DataFrame, out: String): DataFrame =
       df.select(bucketOf.cast("long").as("bucket"))
+        // null buckets would never match across the full-outer join —
+        // each side's null row would enter the shares separately
+        .where(col("bucket").isNotNull)
         .groupBy(col("bucket")).agg(count(lit(1)).as(out))
     val joined = cnt(p, "n_p").join(cnt(q, "n_q"), Seq("bucket"), "full_outer")
       .select(col("bucket"),
@@ -199,8 +202,13 @@ object Expectations {
       colCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // ONE corpus pass into the bounded r×c cell grain; margins and the
-    // grid all derive from this checkpoint, never from a re-scan
+    // grid all derive from this checkpoint, never from a re-scan.
+    // Null levels are excluded up front (the mutualInformation
+    // contract): the grid join is null-rejecting, so a null level
+    // would inflate the margins while its observed count fell to 0,
+    // corrupting chi2, dof, and Cramér's V.
     val cells = df.select(rowCol.as("r"), colCol.as("c"))
+      .where(col("r").isNotNull && col("c").isNotNull)
       .groupBy(col("r"), col("c")).agg(count(lit(1)).as("o"))
       .localCheckpoint(true)
     val rows = cells.groupBy(col("r")).agg(sum(col("o")).as("rm"))
@@ -255,6 +263,9 @@ object Expectations {
     import org.apache.spark.sql.expressions.Window
     def cnt(df: DataFrame, out: String): DataFrame =
       df.select(valueOf.cast("long").as("v"))
+        // a null value has no place on a CDF, and the full-outer merge
+        // would keep each side's null row separate, skewing D
+        .where(col("v").isNotNull)
         .groupBy(col("v")).agg(count(lit(1)).as(out))
     val g = cnt(p, "np").join(cnt(q, "nq"), Seq("v"), "full_outer")
       .select(col("v"), coalesce(col("np"), lit(0L)).as("np"),
@@ -303,11 +314,15 @@ object Expectations {
     // so the cardinality check and the self-pair share it
     val counts = df.select(groupCol.as("grp"),
         successCol.cast("boolean").cast("long").as("s"))
+      // a null group key would pass the 2-group require but vanish from
+      // the `grp_1 < grp_2` self-pair (null < x is null), silently
+      // returning an empty frame — reject it up front instead
+      .where(col("grp").isNotNull)
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"), sum(col("s")).as("x"))
       .localCheckpoint(true)
     val g = counts.count()
-    require(g == 2, s"twoProportionZ needs exactly 2 groups, got $g")
+    require(g == 2, s"twoProportionZ needs exactly 2 non-null groups, got $g")
     val a = counts.select(col("grp").as("grp_1"), col("n").as("n_1"),
       col("x").as("x_1"))
     val b = counts.select(col("grp").as("grp_2"), col("n").as("n_2"),

@@ -1220,32 +1220,6 @@ object TextOps {
       .orderBy(col("stage"))
   }
 
-  /** Per-group quantile-rank calibration of a score column — the
-    * cross-source normalization step before mixing corpora whose raw
-    * quality scores live on incomparable scales (the CCNet/FineWeb
-    * per-dump discipline: a fixed threshold on dump A's perplexity
-    * means something else on dump B's; ranks within the source are
-    * comparable). Each (group, score) pair maps to its midrank quantile
-    * `u = (r + (c+1)/2) / (n_g + 1)` — r rows strictly below, c tied
-    * rows, n_g the group size — so u ∈ (0, 1), ties share one value,
-    * and a global `u ≥ τ` cut takes (almost) the same fraction of
-    * every source.
-    *
-    * INTEGER-EXACT: u's numerator doubles to `2r + c + 1` (a long) and
-    * the denominator to `2(n_g + 1)`; both ride the output, and the
-    * round-6 double `u` is ONE division of identical integer operands
-    * in any engine.
-    *
-    * Scale shape: one (group, score)-grain map-combined count, one
-    * window PARTITIONED BY GROUP over those grains (parallel across
-    * groups — no single-partition sort), one group-grain total riding
-    * the same window frame. Row grain never shuffles; quantize a
-    * continuous score upstream (round-4) to bound the grain.
-    *
-    * @return (group, score, c, u_num2, u_den2, u) — one row per
-    *         distinct (group, score); join back on both to calibrate
-    *         row-grain data.
-    */
   /** Per-document lexical-richness statistics: Yule's characteristic
     * K (Yule 1944, `K = 10⁴·(Σ_m m²V_m − N)/N²` over the word-
     * frequency spectrum — LENGTH-INVARIANT repetitiveness, unlike the
@@ -1405,6 +1379,32 @@ object TextOps {
       .select(col("word"), round(col("pr"), 7).as("pr"))
   }
 
+  /** Per-group quantile-rank calibration of a score column — the
+    * cross-source normalization step before mixing corpora whose raw
+    * quality scores live on incomparable scales (the CCNet/FineWeb
+    * per-dump discipline: a fixed threshold on dump A's perplexity
+    * means something else on dump B's; ranks within the source are
+    * comparable). Each (group, score) pair maps to its midrank quantile
+    * `u = (r + (c+1)/2) / (n_g + 1)` — r rows strictly below, c tied
+    * rows, n_g the group size — so u ∈ (0, 1), ties share one value,
+    * and a global `u ≥ τ` cut takes (almost) the same fraction of
+    * every source.
+    *
+    * INTEGER-EXACT: u's numerator doubles to `2r + c + 1` (a long) and
+    * the denominator to `2(n_g + 1)`; both ride the output, and the
+    * round-6 double `u` is ONE division of identical integer operands
+    * in any engine.
+    *
+    * Scale shape: one (group, score)-grain map-combined count, one
+    * window PARTITIONED BY GROUP over those grains (parallel across
+    * groups — no single-partition sort), one group-grain total riding
+    * the same window frame. Row grain never shuffles; quantize a
+    * continuous score upstream (round-4) to bound the grain.
+    *
+    * @return (group, score, c, u_num2, u_den2, u) — one row per
+    *         distinct (group, score); join back on both to calibrate
+    *         row-grain data.
+    */
   def quantileNormalize(df: DataFrame, groupCol: Column,
       scoreCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

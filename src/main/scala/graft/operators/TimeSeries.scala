@@ -135,27 +135,6 @@ object TimeSeries {
         (abs(col("n") / col("_e") - 1.0) > alertRatio).as("is_alert"))
   }
 
-  /** Theil–Sen robust trend of daily volume (Theil 1950 / Sen 1968 —
-    * the median of all pairwise day-slopes; up to ~29% of days can be
-    * wild outliers, a spike day that would drag a least-squares slope
-    * barely moves this one): the robust-statistics companion to
-    * [[ewmaDailyVolume]]'s trend-following and [[Expectations.volumeAnomalies]]'
-    * z-scores.
-    *
-    * DETERMINISM: each pairwise slope stays an exact (Δn, Δdays) LONG
-    * fraction; its double value divides identical operands in any
-    * engine, the median is the LOWER median (rank ⌈m/2⌉ of m) under a
-    * TOTAL order (value, then numerator, denominator, day pair — no
-    * tie is left to the engine), and only the reported slope rounds.
-    *
-    * Scale shape: the corpus collapses map-side to DAY grain (the q125
-    * contract — bounded metadata); the pairwise self-join and the
-    * single-partition median window run on day² ≤ ~266k rows for two
-    * years of days, never on event grain.
-    *
-    * @return ONE row: (n_pairs, slope_num, slope_den, slope) — slope in
-    *         events/day, round-6; the exact fraction rides beside it.
-    */
   /** One-sided CUSUM changepoint detection on daily volume (Page,
     * Biometrika 1954 — the sequential drift detector that catches a
     * small sustained shift long before a per-day z-score does):
@@ -367,6 +346,27 @@ object TimeSeries {
         when(col("n") >= 2 && var18 > 0, abs(z) > 1.96).as("significant"))
   }
 
+  /** Theil–Sen robust trend of daily volume (Theil 1950 / Sen 1968 —
+    * the median of all pairwise day-slopes; up to ~29% of days can be
+    * wild outliers, a spike day that would drag a least-squares slope
+    * barely moves this one): the robust-statistics companion to
+    * [[ewmaDailyVolume]]'s trend-following and [[Expectations.volumeAnomalies]]'
+    * z-scores.
+    *
+    * DETERMINISM: each pairwise slope stays an exact (Δn, Δdays) LONG
+    * fraction; its double value divides identical operands in any
+    * engine, the median is the LOWER median (rank ⌈m/2⌉ of m) under a
+    * TOTAL order (value, then numerator, denominator, day pair — no
+    * tie is left to the engine), and only the reported slope rounds.
+    *
+    * Scale shape: the corpus collapses map-side to DAY grain (the q125
+    * contract — bounded metadata); the pairwise self-join and the
+    * single-partition median window run on day² ≤ ~266k rows for two
+    * years of days, never on event grain.
+    *
+    * @return ONE row: (n_pairs, slope_num, slope_den, slope) — slope in
+    *         events/day, round-6; the exact fraction rides beside it.
+    */
   def theilSenDailyTrend(events: DataFrame, tsCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = events.select(col(tsCol).cast("date").as("d"))

@@ -142,7 +142,7 @@ class ExpectationsSpec extends AnyFunSuite {
       Expectations.twoProportionZ(df.withColumn("g", col("g") % 1),
         col("g"), col("ok"))
     }
-    assert(e.getMessage.contains("exactly 2 groups"))
+    assert(e.getMessage.contains("exactly 2 non-null groups"))
   }
 
   test("ksTest: integer D on hand CDFs, identical samples give 0, empty side null") {
@@ -202,6 +202,41 @@ class ExpectationsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Option[Long], Option[Double], Option[Double])]
       .collect().head
     assert(d2._4 == 0L && d2._5.isEmpty && d2._6.isEmpty && d2._7.isEmpty)
+  }
+
+  test("null handling: chi2/ks/psi/twoProportionZ ignore null keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // chiSquare: null levels in either column are excluded up front, so
+    // the statistic over a null-polluted frame equals the clean frame's
+    val clean = Seq(("a", Some(0L)), ("a", Some(1L)), ("a", Some(1L)),
+      ("b", Some(0L)), ("b", Some(0L)), ("b", Some(1L))).toDF("r", "c")
+    val dirty = clean.union(Seq((null: String, Some(0L)), ("a", None),
+      (null: String, None)).toDF("r", "c"))
+    val want = Expectations.chiSquareIndependence(clean, col("r"), col("c"))
+      .collect().toSeq
+    val got = Expectations.chiSquareIndependence(dirty, col("r"), col("c"))
+      .collect().toSeq
+    assert(got == want, s"$got vs $want")
+    // ksTest: null values never enter either CDF
+    val p = Seq(Some(1L), Some(2L), None).toDF("v")
+    val q = Seq(Some(1L), Some(2L), None, None).toDF("v")
+    val ks = Expectations.ksTest(p, q, col("v"))
+      .as[(Long, Long, Long, Option[Double], Option[Boolean])].collect().head
+    assert(ks._1 == 2L && ks._2 == 2L && ks._3 == 0L && ks._4 == Some(0.0))
+    // psiDrift: null buckets are dropped, not split into two one-sided rows
+    val psi = Expectations.psiDrift(p, q, col("v"))
+      .as[(Long, Long, Long, Boolean, Long, Long)].collect().toSeq
+    assert(psi == Seq((1L, 1L, 1L, false, 0L, 0L),
+      (2L, 1L, 1L, false, 0L, 0L)), psi.toString)
+    // twoProportionZ: a null group key is rejected by the 2-group guard
+    // instead of silently dropping out of the self-pair
+    val nullGrp = Seq((Some(0L), true), (Some(0L), false),
+      (None: Option[Long], true), (None: Option[Long], false)).toDF("g", "ok")
+    val e = intercept[IllegalArgumentException] {
+      Expectations.twoProportionZ(nullGrp, col("g"), col("ok"))
+    }
+    assert(e.getMessage.contains("exactly 2 non-null groups"))
   }
 
   test("mutualInformation: independence 0, perfect dependence ln2/NMI 1, " +
