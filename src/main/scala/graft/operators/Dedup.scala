@@ -46,7 +46,7 @@ object Dedup {
     * that (the incremental-dedup shape, d10) — the cache path is for
     * single-job runs where signatures fit the executors' spill tier.
     */
-  private def materializeOnce(df: DataFrame): DataFrame =
+  private[operators] def materializeOnce(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact duplicate marking: rows flagged canonical iff they carry the

@@ -419,6 +419,119 @@ object GraphOps {
       lit(eccFar).as("diameter_lb"))
   }
 
+  /** Graph diameter BRACKET by iFUB (iterative Fringe Upper Bound —
+    * Crescenzi, Grossi, Habib, Lanzi & Marino, TCS 2013), closing the
+    * [[diameterLowerBound]] bracket from above: BFS from a hub root r,
+    * then sweep the BFS tree's fringes top-down — after ALL nodes at
+    * depth ≥ i have had their eccentricity measured, every remaining
+    * node sits at depth ≤ i−1 and no path through the root can exceed
+    * 2(i−1), so `ub = 2(i−1)` while `lb` carries the max eccentricity
+    * seen; the loop stops when they meet, CERTIFYING the exact diameter
+    * of the root's component. On real-world (small-world) graphs the
+    * bracket closes within a few fringe levels — the paper's point —
+    * where the exact diameter naively needs |V| BFS runs.
+    *
+    * Root choice: the MAX-DEGREE node (ties to the smallest id) — the
+    * iFUB-hd variant; hubs have small eccentricity, and a small
+    * `ecc(r)` is both a tight initial `ub = 2·ecc(r)` and few levels.
+    * `lb` seeds from `max(ecc(r), ecc(far))` with `far` the farthest
+    * node of r's BFS tree (ties to the smallest id) — the
+    * double-sweep bound, one extra BFS.
+    *
+    * HONEST under its budgets, the q146 discipline: `converged` is
+    * true only when the bracket CLOSED with no truncation anywhere —
+    * every BFS finished under `maxHops`, no fringe exceeded
+    * `fringeCap` (fringe node ids collect to the driver as landmark
+    * seeds — the bounded-driver contract needs a cap), and the total
+    * eccentricity-sweep budget `maxSweeps` was never exceeded. A
+    * truncated run still returns the valid bracket held at stop time
+    * (lb is always certified; ub is certified once level `ecc(r)` has
+    * been fully processed) with `diameter` null. Disconnected graphs:
+    * the bracket is for the ROOT'S component (a BFS cannot see other
+    * components — q146's "that is what lower bound means" stance).
+    * All hop math is integer — engine-exact trivially.
+    *
+    * Scale shape: 2 + Σ|fringe| BFS sweeps, but each LEVEL runs as ONE
+    * [[landmarkDistances]] frontier expansion ((landmark, id)-grain
+    * state, ≤ fringeCap× the single-source cost) — per hop one
+    * equi-join + distinct + anti-join, frontier broadcast below bound;
+    * plus THREE bounded driver actions per level (fringe ids ≤
+    * fringeCap, a 1-row eccentricity max, the loop scalars).
+    *
+    * @return ONE row: (root, ecc_root, far, ecc_far, lb, ub, n_sweeps,
+    *         n_levels, converged, diameter) — diameter null unless
+    *         converged; EMPTY frame on an edgeless graph.
+    */
+  def diameterBounds(edges: DataFrame, srcCol: String, dstCol: String,
+      maxHops: Int = 32, maxSweeps: Int = 4096,
+      fringeCap: Int = 4096): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    require(maxSweeps >= 3, s"maxSweeps must be >= 3, got $maxSweeps")
+    require(fringeCap >= 1, s"fringeCap must be >= 1, got $fringeCap")
+    val spark = edges.sparkSession
+    val canon = canonUndirected(edges, srcCol, dstCol)
+    val sym = canon.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val schema = "root long, ecc_root long, far long, ecc_far long, " +
+      "lb long, ub long, n_sweeps long, n_levels long, " +
+      "converged boolean, diameter long"
+    def emptyResult = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+    // hub root: max degree, ties to the smallest id — one 1-row action
+    val rootRow = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("src")).limit(1).collect()
+    if (rootRow.isEmpty) { sym.unpersist(); return emptyResult }
+    val root = rootRow(0).getLong(0)
+    // root BFS: the level structure every fringe sweep keys off
+    val dRoot = bfsDistances(sym, "src", "dst",
+        spark.range(root, root + 1).select(col("id")), "id", maxHops)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val farRow = dRoot.orderBy(col("dist").desc, col("id")).limit(1).collect()(0)
+    val (far, eccRoot) = (farRow.getLong(0), farRow.getLong(1))
+    val eccFar = bfsDistances(sym, "src", "dst",
+        spark.range(far, far + 1).select(col("id")), "id", maxHops)
+      .agg(max(col("dist"))).collect()(0).getLong(0)
+    var truncated = eccRoot >= maxHops || eccFar >= maxHops
+    var lb = math.max(eccRoot, eccFar)
+    var ub = 2 * eccRoot
+    var sweeps = 2L
+    var levels = 0L
+    var i = eccRoot
+    while (lb < ub && i >= 1 && !truncated) {
+      val fringeRows = dRoot.filter(col("dist") === i)
+        .select(col("id")).limit(fringeCap + 1).collect()
+      if (fringeRows.length > fringeCap ||
+          sweeps + fringeRows.length > maxSweeps) {
+        truncated = true // budget exceeded: keep the bracket, say so
+      } else {
+        val fringe = fringeRows.map(_.getLong(0)).toSeq
+        // one multi-source expansion measures every fringe node's
+        // eccentricity simultaneously — level cost ≈ one BFS, not |F_i|
+        val eccTop = landmarkDistances(sym, "src", "dst", fringe, maxHops)
+          .agg(max(col("dist")).as("b")).collect()(0).getLong(0)
+        sweeps += fringe.length
+        levels += 1
+        if (eccTop >= maxHops) truncated = true
+        lb = math.max(lb, eccTop)
+        ub = if (lb >= 2 * (i - 1)) lb else 2 * (i - 1)
+        i -= 1
+      }
+    }
+    sym.unpersist()
+    dRoot.unpersist()
+    val converged = !truncated && lb == ub
+    spark.range(1).select(lit(root).as("root"),
+      lit(eccRoot).as("ecc_root"), lit(far).as("far"),
+      lit(eccFar).as("ecc_far"), lit(lb).as("lb"), lit(ub).as("ub"),
+      lit(sweeps).as("n_sweeps"), lit(levels).as("n_levels"),
+      lit(converged).as("converged"),
+      (if (converged) lit(lb) else lit(null).cast("long")).as("diameter"))
+  }
+
   /** Newman modularity of a given partition (Newman & Girvan 2004,
     * eq. 5): `Q = Σ_c [ e_c/m − (d_c/2m)² ]` over an undirected graph —
     * how much denser are the communities than a degree-preserving

@@ -278,7 +278,17 @@ object Multimodal {
     */
   def binarySimhashPairs(media: DataFrame, idCol: String, binCol: String,
       gramBytes: Int = 4, maxHamming: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    Dedup.simhashPairsFromSigs(
+      binarySignatures(media, idCol, binCol, gramBytes), maxHamming, maxBucket)
+
+  /** The (id, sig) signature frame behind [[binarySimhashPairs]] — ONE
+    * map pass over the binary column (the only payload-grain work in
+    * the whole binary-near-dup family), factored out so the persisted
+    * layout ([[binarySimhashIndexWrite]]) can hash the corpus ONCE and
+    * probes hash only their batch. */
+  def binarySignatures(media: DataFrame, idCol: String, binCol: String,
+      gramBytes: Int = 4): DataFrame = {
     require(gramBytes >= 1, s"gramBytes must be >= 1, got $gramBytes")
     val g = 2 * gramBytes
     val hx = hex(col(binCol))
@@ -295,11 +305,169 @@ object Multimodal {
         conv(substring(m, 1, 8), 16, 10).cast("long")
           .bitwiseAND(lit(0x7FFFFFFFL)), 32)
         .bitwiseOR(conv(substring(m, 9, 8), 16, 10).cast("long")))
-    val sigs = media
+    media
       .select(col(idCol).as("id"), col(binCol))
       .filter(length(col(binCol)) >= gramBytes)
       .select(col("id"),
         graft.functions.HashExprs.simhash64(hashes).as("sig"))
-    Dedup.simhashPairsFromSigs(sigs, maxHamming, maxBucket)
+  }
+
+  /** One signature's four 16-bit band rows, keyed for the persisted
+    * layout: (part, band, bucket, id, sig) with
+    * `part = pmod(bucket, nParts)` — shared by build, append, and the
+    * probe side, the [[Dedup.lshIndexWrite]] `lshBandRows` analog. The
+    * signature is DENORMALIZED onto every band row (8 bytes × 4 — the
+    * impact-index trade), so probing verifies hamming join-free. */
+  private def sigBandRows(sigs: DataFrame, nParts: Int): DataFrame =
+    sigs.select(col("id"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("band"),
+            shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("bucket"))
+        }: _*)).as("bk"), col("sig"))
+      .select(pmod(col("bk.bucket"), lit(nParts.toLong)).as("part"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+        col("id"), col("sig"))
+
+  private def binarySimhashParamIdent(gramBytes: Int, nParts: Int): String =
+    s"graft-binsimhash-v1 gramBytes=$gramBytes nParts=$nParts"
+
+  /** PERSIST the binary-SimHash band buckets as a serving layout — the
+    * [[Dedup.lshIndexWrite]] / t52 build-once discipline applied to the
+    * media corpus, killing the per-run corpus re-hash that made the
+    * pairwise m08 gate the suite's slowest row: the expensive part of
+    * binary near-dup is the per-gram md5 over every payload byte, and a
+    * corpus's signatures never change, so they are computed ONCE here
+    * and every ingest batch afterwards probes the stored buckets.
+    *
+    * Layout under `layoutDir`: `buckets/` (band, bucket, id, sig)
+    * partitioned by `part = pmod(bucket, nParts)`; `_graft_ident`
+    * written LAST, pinning every parameter INCLUDING `maxBucket` (a
+    * different skew cap keeps different buckets — it must rebuild, the
+    * d17 ADVICE lesson) plus the corpus plan hash — a crashed build is
+    * never served, a changed corpus rebuilds. Buckets above `maxBucket`
+    * members drop whole at build (the [[Dedup.simhashPairsFromSigs]]
+    * skew guard — a saturated band bucket would explode every probe;
+    * appends do not re-check, the documented t24-style append trade).
+    *
+    * Scale shape: one payload-grain map pass (the signatures), one
+    * signature-grain skew-guard aggregate, one partitioned write. The
+    * payload column never shuffles — band rows are 4×~40 bytes per
+    * media row regardless of payload size. */
+  def binarySimhashIndexWrite(media: DataFrame, idCol: String,
+      binCol: String, layoutDir: String, gramBytes: Int = 4,
+      nParts: Int = 64, maxBucket: Int = 1000): Unit = {
+    val spark = media.sparkSession
+    val path = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val ident = binarySimhashParamIdent(gramBytes, nParts) +
+      s" maxBucket=$maxBucket" +
+      s" corpus=${media.queryExecution.analyzed.semanticHash()}"
+    val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
+    val identMatches = fs.exists(identPath) && {
+      val in = fs.open(identPath)
+      try new String(in.readAllBytes(), "UTF-8") == ident
+      finally in.close()
+    }
+    if (!identMatches) {
+      if (fs.exists(path)) fs.delete(path, true)
+      val banded = sigBandRows(
+          binarySignatures(media, idCol, binCol, gramBytes), nParts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val keep = banded.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucket)
+          .select(col("band"), col("bucket"))
+        banded.join(keep, Seq("band", "bucket"), "left_semi")
+          .write.mode("overwrite").partitionBy("part")
+          .parquet(s"$layoutDir/buckets")
+      } finally banded.unpersist()
+      val out = fs.create(identPath, true)
+      try out.write(ident.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** APPEND an ingest batch's signatures to a persisted binary-SimHash
+    * layout (the batch joins the corpus future probes check against).
+    * Parameters must match the stored layout (the ident pins them); a
+    * crash mid-append leaves the APPENDING sentinel, so readers refuse
+    * a half-appended layout — the [[Dedup.lshIndexAppend]] contract. */
+  def binarySimhashIndexAppend(newMedia: DataFrame, idCol: String,
+      binCol: String, layoutDir: String, gramBytes: Int = 4,
+      nParts: Int = 64): Unit = {
+    val spark = newMedia.sparkSession
+    val path = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
+    require(fs.exists(identPath),
+      s"no binary-SimHash layout at $layoutDir (build before appending)")
+    val prevIdent = {
+      val in = fs.open(identPath)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    require(prevIdent.startsWith(binarySimhashParamIdent(gramBytes, nParts)),
+      s"layout at $layoutDir was built with different parameters " +
+        s"('$prevIdent') — probing with these would silently miss pairs; " +
+        "rebuild instead of appending")
+    def writeIdent(s: String): Unit = {
+      val out = fs.create(identPath, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    writeIdent("APPENDING " + prevIdent)
+    sigBandRows(binarySignatures(newMedia, idCol, binCol, gramBytes), nParts)
+      .write.mode("append").partitionBy("part").parquet(s"$layoutDir/buckets")
+    writeIdent(prevIdent +
+      s" +append=${newMedia.queryExecution.analyzed.semanticHash()}")
+  }
+
+  /** Check an ingest batch for binary near-duplicates AGAINST the
+    * persisted corpus layout: every (probe, corpus) pair within
+    * `maxHamming` whose signatures collide in ≥ 1 of the four 16-bit
+    * bands — with `maxHamming <= 3` that is EXACTLY the all-pairs
+    * hamming filter (pigeonhole) while no build-time bucket saturated.
+    *
+    * Scale shape: only the BATCH's payloads hash (the corpus was
+    * hashed once at build); the batch's touched partition ids collect
+    * to the driver (bounded by min(nParts, 4·|batch|) values) and
+    * PRUNE the buckets scan to those directories; the batch side
+    * broadcasts into the bucket equi-join so the stored corpus never
+    * shuffles; pairs dedup across bands (one candidate-grain exchange)
+    * and hamming verifies from the two DENORMALIZED signatures — no
+    * join back to any corpus-wide table. Probe cost scales with the
+    * batch and its collisions, never with the corpus.
+    *
+    * @return (probe_id, corpus_id, hamming), self-matches excluded.
+    */
+  def binarySimhashProbeIndex(spark: SparkSession, layoutDir: String,
+      batch: DataFrame, idCol: String, binCol: String, gramBytes: Int = 4,
+      nParts: Int = 64, maxHamming: Int = 3): DataFrame = {
+    val identPath = new org.apache.hadoop.fs.Path(layoutDir, "_graft_ident")
+    val fs = identPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(identPath),
+      s"no completed binary-SimHash layout at $layoutDir " +
+        "(run binarySimhashIndexWrite first)")
+    val prevIdent = {
+      val in = fs.open(identPath)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    require(prevIdent.startsWith(binarySimhashParamIdent(gramBytes, nParts)),
+      s"layout at $layoutDir does not match probe parameters ('$prevIdent')")
+    val probe = Dedup.materializeOnce(sigBandRows(
+      binarySignatures(batch, idCol, binCol, gramBytes), nParts))
+    val touched = probe.select(col("part")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val corpus = spark.read.parquet(s"$layoutDir/buckets")
+      .filter(col("part").isin(touched: _*))
+    corpus.join(
+        broadcast(probe.select(col("band"), col("bucket"),
+          col("id").as("probe_id"), col("sig").as("p_sig"))),
+        Seq("band", "bucket"))
+      .filter(col("probe_id") =!= col("id"))
+      // multiple band collisions propose the same pair once
+      .groupBy(col("probe_id"), col("id").as("corpus_id"))
+      .agg(first(col("p_sig")).as("p_sig"), first(col("sig")).as("c_sig"))
+      .withColumn("hamming",
+        bit_count(col("p_sig").bitwiseXOR(col("c_sig"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("probe_id"), col("corpus_id"), col("hamming"))
   }
 }

@@ -341,6 +341,44 @@ object LineageQueries {
              |  ('events', 'hdfs', false),
              |  ('sink_scheme.parquet', 'file', true))
              |  AS t(sink_name, scheme, is_local)
-             |ORDER BY sink_name""".stripMargin))
+             |ORDER BY sink_name""".stripMargin)),
+
+    // lineage through a CACHED mid-plan fragment: CacheManager
+    // substitutes InMemoryRelation for the persisted projection, but the
+    // query still ANSWERS FROM the relations that built the cache — the
+    // report must keep naming the base table (as inputs AND per-column),
+    // not report a memory segment as the source. The extractor walks the
+    // cacheBuilder's logical plan and maps the re-keyed cache outputs
+    // positionally (Extract.scala InMemoryRelation cases).
+    Q("lx14_lineage_cached_fragment",
+      (s, dir) => {
+        import s.implicits._
+        val frag = Tables(s, dir, "orders")
+          .select($"o_custkey", $"o_totalprice")
+        frag.persist().count()
+        try {
+          val q = frag.groupBy($"o_custkey")
+            .agg(sum($"o_totalprice").as("total"))
+          // the gate must FAIL (not vacuously pass) if the cache did not
+          // substitute — an uncached plan would test nothing
+          require(q.queryExecution.optimizedPlan.collect {
+            case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+          }.nonEmpty, "cached fragment did not substitute into the plan")
+          val rep = LineageExtractor.report(q.queryExecution)
+          val colRows = rep.columnLineage.toSeq.flatMap { case (out, refs) =>
+            refs.toSeq.map(r => (out, r.table, r.column))
+          }
+          val inRows = rep.inputs.map(m => ("_input", m.name, ""))
+          s.createDataFrame(colRows ++ inRows)
+            .toDF("out_col", "src_table", "src_col")
+            .orderBy("out_col", "src_table", "src_col")
+        } finally frag.unpersist()
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('_input', 'orders', ''),
+             |  ('o_custkey', 'orders', 'o_custkey'),
+             |  ('total', 'orders', 'o_totalprice'))
+             |  AS t(out_col, src_table, src_col)
+             |ORDER BY out_col, src_table, src_col""".stripMargin))
   )
 }

@@ -1636,6 +1636,62 @@ object PipelineQueries {
              |WHERE bit_count(xor(a.sig, b.sig)) <= 3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- PERSISTED binary-SimHash index (m09): m08's near-dup check
+    //      upgraded to the d17/t52 build-once discipline — the corpus
+    //      payloads hash ONCE into a bucket-partitioned signature
+    //      layout (content-keyed ident written last), and each ingest
+    //      batch probes only its touched bucket partitions; the
+    //      corpus is never re-hashed and never shuffles per batch.
+    //      Oracle = exact all-CROSS-pairs hamming ≤ 3 over the same
+    //      portable signatures (banding at maxHamming ≤ 3 is exact by
+    //      pigeonhole while no bucket saturates). ----
+    Q("m09_binary_simhash_index",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        val key = Tables.contentKey(s"$dir/documents.parquet")
+        val layout = graft.Scratch.dir(s"graft_binsimhash_idx_$key")
+        val media = Multimodal.fabricate(Tables(s, dir, "documents"))
+        Multimodal.binarySimhashIndexWrite(
+          media.filter($"media_id" < 400), "media_id", "content", layout)
+        Multimodal.binarySimhashProbeIndex(s, layout,
+            media.filter($"media_id" >= 400), "media_id", "content")
+          .orderBy($"probe_id", $"corpus_id")
+      },
+      Some("""WITH hx AS (
+             |  SELECT doc_id AS media_id,
+             |    lpad(upper(to_hex(n_chars % 1024)), 8, '0')
+             |    || lpad(upper(to_hex(doc_id % 768)), 8, '0')
+             |    || upper(hex(encode(text))) AS h
+             |  FROM documents),
+             |g AS (
+             |  SELECT media_id,
+             |    unnest(list_transform(range(1, len(h) - 6, 2),
+             |      i -> substr(h, CAST(i AS INT), 8))) AS gm,
+             |    (len(h) - 6) // 2 AS n
+             |  FROM hx),
+             |t AS (
+             |  SELECT media_id,
+             |    (((('0x' || substr(md5(gm), 1, 8))::BIGINT & 2147483647)
+             |      << 32) | ('0x' || substr(md5(gm), 9, 8))::BIGINT) AS hsh,
+             |    n
+             |  FROM g),
+             |bits AS (
+             |  SELECT media_id, b,
+             |    CASE WHEN 2 * sum((hsh >> b) & 1) > any_value(n)
+             |      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+             |  FROM t CROSS JOIN (SELECT unnest(range(0, 63)) AS b)
+             |  GROUP BY media_id, b),
+             |sig AS (
+             |  SELECT media_id, CAST(sum(bit << b) AS BIGINT) AS sig
+             |  FROM bits GROUP BY media_id)
+             |SELECT p.media_id AS probe_id, c.media_id AS corpus_id,
+             |  CAST(bit_count(xor(p.sig, c.sig)) AS BIGINT) AS hamming
+             |FROM sig p JOIN sig c ON c.media_id < 400
+             |WHERE p.media_id >= 400
+             |  AND bit_count(xor(p.sig, c.sig)) <= 3
+             |ORDER BY probe_id, corpus_id""".stripMargin)),
+
     // GPT-style sequence layout: concatenate docs in id order, cut every
     // 512 tokens; each doc's (seq_id, offset) start position plus
     // whether it straddles a cut — the pretraining packing shape, where

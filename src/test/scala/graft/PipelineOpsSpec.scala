@@ -616,6 +616,69 @@ class PipelineOpsSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("binarySimhashIndex: probe equals pairwise; append equals full build; guards") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Multimodal.fabricate(Tables(spark, TestSpark.sf, "documents"))
+    val corpus1 = media.filter($"media_id" < 200)
+    val corpus2 = media.filter($"media_id" >= 200 && $"media_id" < 400)
+    val batch = media.filter($"media_id" >= 400)
+    def pairs(layout: String): Set[(Long, Long, Long)] =
+      Multimodal.binarySimhashProbeIndex(spark, layout, batch,
+          "media_id", "content")
+        .as[(Long, Long, Long)].collect().toSet
+    // full build vs build-then-append must serve identical results
+    val full = graft.Scratch.dir("spec_binsh_full")
+    Multimodal.binarySimhashIndexWrite(media.filter($"media_id" < 400),
+      "media_id", "content", full)
+    val appended = graft.Scratch.dir("spec_binsh_appended")
+    Multimodal.binarySimhashIndexWrite(corpus1, "media_id", "content", appended)
+    Multimodal.binarySimhashIndexAppend(corpus2, "media_id", "content", appended)
+    val (a, b) = (pairs(full), pairs(appended))
+    assert(a == b, s"append diverged: only-full=${a.diff(b)} only-app=${b.diff(a)}")
+    // probe result equals the batch-vs-corpus slice of the pairwise op
+    // (binarySimhashPairs is the all-pairs-exact reference at hamming<=3)
+    val reference = Multimodal.binarySimhashPairs(
+        media.filter($"media_id" < 400).unionAll(batch),
+        "media_id", "content")
+      .as[(Long, Long, Long)].collect().toSet
+      .filter(t => (t._1 >= 400) != (t._2 >= 400))
+      .map(t => if (t._1 >= 400) t else (t._2, t._1, t._3))
+    assert(a == reference,
+      s"probe diverged from pairwise: only-probe=${a.diff(reference)} " +
+        s"only-pairwise=${reference.diff(a)}")
+    // parameter drift refused, never silently served
+    intercept[IllegalArgumentException] {
+      Multimodal.binarySimhashIndexAppend(corpus2, "media_id", "content",
+        appended, gramBytes = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.binarySimhashProbeIndex(spark, appended, batch,
+        "media_id", "content", nParts = 32)
+    }
+    // probing an absent layout fails loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.binarySimhashProbeIndex(spark,
+        graft.Scratch.dir("spec_binsh_nothere"), batch, "media_id", "content")
+    }
+    // maxBucket is build identity: a different cap re-keys and rebuilds
+    def identOf(layout: String): String = {
+      val p = new org.apache.hadoop.fs.Path(layout, "_graft_ident")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val before = identOf(full)
+    assert(before.contains("maxBucket=1000"), before)
+    Multimodal.binarySimhashIndexWrite(media.filter($"media_id" < 400),
+      "media_id", "content", full, maxBucket = 7)
+    val after = identOf(full)
+    assert(after != before && after.contains("maxBucket=7"), after)
+    Multimodal.binarySimhashProbeIndex(spark, full, batch,
+      "media_id", "content").count()
+    Caches.sweep(spark)
+  }
+
   test("unigramTrain: EM concentrates mass on whole-word pieces, hand-traced") {
     import spark.implicits._
     // corpus: xyz x3, q x1. Seed: all 6 substrings of xyz tie at n=3

@@ -738,6 +738,29 @@ class ScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("m09 probes the binary-SimHash layout reading only touched bucket " +
+      "partitions; corpus payloads never re-hashed") {
+    val df = SparkEntry.queries("m09_binary_simhash_index")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val bucketScans = collectAll(plan) {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("graft_binsimhash_idx")) => s
+    }
+    assert(bucketScans.nonEmpty, "no signature layout scan in the probe plan")
+    assert(bucketScans.forall(_.partitionFilters.nonEmpty),
+      "buckets scan must prune to the probe batch's touched partitions")
+    // the corpus payloads hash ONCE at build: the probe plan reads
+    // documents at most once (the batch side), never the corpus slice
+    val docScans = collectAll(plan) {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("documents")) => s
+    }
+    assert(docScans.size <= 1,
+      s"corpus re-scanned: ${docScans.size} documents scans in probe plan")
+    spark.catalog.clearCache()
+  }
+
   test("t52 scores from the LM layout reading only touched bucket " +
       "partitions; corpus never re-scanned") {
     val df = SparkEntry.queries("t52_lm_index")(spark, sf)
