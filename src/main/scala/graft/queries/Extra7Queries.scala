@@ -386,6 +386,97 @@ object Extra7Queries {
              |  CAST(d2.ecc_far AS BIGINT) AS diameter_lb
              |FROM s0, far, d2""".stripMargin)),
 
+    // ---- iFUB diameter bracket (q157): closes q146's bound from
+    //      above — hub-rooted BFS, then fringe levels sweep top-down
+    //      (each level ONE multi-source landmark expansion); when
+    //      lb meets 2(i-1) the EXACT diameter of the root's component
+    //      is certified. The oracle replays the whole run: root
+    //      choice, both seed sweeps, per-level fringe eccentricities,
+    //      and the monotone stop rule, all in integer hop math. The
+    //      graph is q146's bipartite cust-supp shape, filtered to stay
+    //      all-pairs-replayable in DuckDB. ----
+    Q("q157_diameter_ifub",
+      (s, dir) => {
+        import s.implicits._
+        val edges = Tables(s, dir, "lineitem")
+          .filter($"l_quantity" >= 50)
+          .select($"l_orderkey", $"l_suppkey")
+          .join(Tables(s, dir, "orders")
+              .filter($"o_custkey" < 500)
+              .select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".cast("long").as("src"),
+            ($"l_suppkey" + 1000000L).cast("long").as("dst"))
+        graft.operators.GraphOps.diameterBounds(
+          edges, "src", "dst", maxHops = 32)
+      },
+      Some("""WITH RECURSIVE raw AS (
+             |  SELECT DISTINCT
+             |    least(o_custkey, l_suppkey + 1000000) AS u,
+             |    greatest(o_custkey, l_suppkey + 1000000) AS v
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_quantity >= 50 AND o_custkey < 500
+             |    AND o_custkey <> l_suppkey + 1000000),
+             |e AS (SELECT u AS src, v AS dst FROM raw
+             |  UNION SELECT v, u FROM raw),
+             |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
+             |r0 AS (SELECT src AS root FROM deg ORDER BY dg DESC, src LIMIT 1),
+             |wr(id, d) AS (
+             |  SELECT root, CAST(0 AS BIGINT) FROM r0
+             |  UNION
+             |  SELECT e.dst, w.d + 1 FROM wr w JOIN e ON e.src = w.id
+             |  WHERE w.d < 32),
+             |dr AS (SELECT id, min(d) AS dist FROM wr GROUP BY id),
+             |farq AS (SELECT id AS far, dist AS er FROM dr
+             |  ORDER BY dist DESC, id LIMIT 1),
+             |wall(s, id, d) AS (
+             |  SELECT id, id, CAST(0 AS BIGINT) FROM dr
+             |  UNION
+             |  SELECT w.s, e.dst, w.d + 1 FROM wall w JOIN e ON e.src = w.id
+             |  WHERE w.d < 32),
+             |ecc AS (SELECT s, max(md) AS ec FROM (
+             |  SELECT s, id, min(d) AS md FROM wall GROUP BY s, id)
+             |  GROUP BY s),
+             |base AS (
+             |  SELECT farq.er, farq.far, ecc.ec AS eccf,
+             |    greatest(farq.er, ecc.ec) AS lb0
+             |  FROM farq JOIN ecc ON ecc.s = farq.far),
+             |lvl AS (
+             |  SELECT dr.dist AS i, max(ecc.ec) AS b, count(*) AS f
+             |  FROM dr JOIN ecc ON ecc.s = dr.id
+             |  WHERE dr.dist >= 1 GROUP BY dr.dist),
+             |sim AS (
+             |  SELECT i, max(b) OVER (ORDER BY i DESC) AS btop,
+             |    sum(f) OVER (ORDER BY i DESC) AS fcum
+             |  FROM lvl),
+             |fin AS (
+             |  SELECT base.*,
+             |    CASE WHEN base.lb0 >= 2 * base.er THEN NULL
+             |      ELSE (SELECT max(sim.i) FROM sim
+             |            WHERE greatest(base.lb0, sim.btop) >= 2 * (sim.i - 1))
+             |    END AS st
+             |  FROM base),
+             |res AS (
+             |  SELECT fin.er, fin.far, fin.eccf,
+             |    CASE WHEN fin.st IS NULL THEN fin.lb0
+             |      ELSE greatest(fin.lb0,
+             |        (SELECT btop FROM sim WHERE i = fin.st)) END AS dia,
+             |    CASE WHEN fin.st IS NULL THEN 2
+             |      ELSE 2 + (SELECT fcum FROM sim WHERE i = fin.st)
+             |      END AS nsw,
+             |    CASE WHEN fin.st IS NULL THEN 0
+             |      ELSE fin.er - fin.st + 1 END AS nlv
+             |  FROM fin)
+             |SELECT CAST(r0.root AS BIGINT) AS root,
+             |  CAST(res.er AS BIGINT) AS ecc_root,
+             |  CAST(res.far AS BIGINT) AS far,
+             |  CAST(res.eccf AS BIGINT) AS ecc_far,
+             |  CAST(res.dia AS BIGINT) AS lb, CAST(res.dia AS BIGINT) AS ub,
+             |  CAST(res.nsw AS BIGINT) AS n_sweeps,
+             |  CAST(res.nlv AS BIGINT) AS n_levels,
+             |  true AS converged, CAST(res.dia AS BIGINT) AS diameter
+             |FROM r0, res""".stripMargin)),
+
     // ---- Mann–Kendall trend test (q147): is the daily event volume's
     //      trend (whose slope q135's Theil–Sen estimates) there at
     //      all? S and the tie-corrected Var·18 are exact longs over

@@ -560,4 +560,51 @@ class GraphOpsSpec extends AnyFunSuite {
         Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", 0)
     }
   }
+
+  test("diameterBounds: iFUB certifies exact diameters, truncates honestly") {
+    def dia(edges: Seq[(Long, Long)], hops: Int = 32, sweeps: Int = 4096,
+        cap: Int = 4096) = {
+      val got = GraphOps.diameterBounds(
+          edges.toDF("src", "dst"), "src", "dst", hops, sweeps, cap)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long, Boolean,
+          Option[Long])]
+        .collect().toSeq
+      Caches.sweep(spark)
+      got
+    }
+    // path 0-1-2-3-4: root = max degree tie -> 1 (deg 2), ecc 3, far=4,
+    // ecc_far=4 -> lb=4, ub=6; level 3 = {4}, ecc 4 -> lb=4 >= 2*(3-1)
+    // -> CLOSED after one level: diameter 4, sweeps 2+1, levels 1
+    assert(dia(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))) ==
+      Seq((1L, 3L, 4L, 4L, 4L, 4L, 3L, 1L, true, Some(4L))))
+    // star 0-{1..5}: root = hub 0, ecc 1, far=1, ecc_far=2 -> lb=2 ==
+    // ub=2*1 at entry: certified with ZERO fringe levels (iFUB's early
+    // exit — the hub root makes the bracket close before any sweep)
+    assert(dia(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L))) ==
+      Seq((0L, 1L, 1L, 2L, 2L, 2L, 2L, 0L, true, Some(2L))))
+    // 6-cycle 0..5: root 0 (all deg 2, tie -> min id), ecc 3, far=3,
+    // ecc_far=3 -> lb=3, ub=6; level 3 = {3} ecc 3 -> ub=4; level 2 =
+    // {2,4} ecc 3 -> lb=3 >= 2*(2-1) -> diameter 3, sweeps 2+1+2=5
+    val c6 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 0L))
+    assert(dia(c6) == Seq((0L, 3L, 3L, 3L, 3L, 3L, 5L, 2L, true, Some(3L))))
+    // the same cycle under maxSweeps=4: level 3 fits (3 sweeps used),
+    // level 2 would need 5 > 4 -> STOP with the bracket held at that
+    // point (lb=3, ub=4), converged=false, diameter null — announced,
+    // never silently wrong
+    assert(dia(c6, sweeps = 4) ==
+      Seq((0L, 3L, 3L, 3L, 3L, 4L, 3L, 1L, false, None)))
+    // fringeCap=1 on the cycle: level 2 has 2 nodes > cap -> same stop
+    assert(dia(c6, cap = 1) ==
+      Seq((0L, 3L, 3L, 3L, 3L, 4L, 3L, 1L, false, None)))
+    // a hop budget that truncates the root BFS poisons everything: the
+    // flags say so and no diameter is claimed
+    val path = dia(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)), hops = 2)
+    assert(path.size == 1 && !path.head._9 && path.head._10.isEmpty, path)
+    // edgeless graph: EMPTY result
+    assert(dia(Seq((7L, 7L))).isEmpty)
+    intercept[IllegalArgumentException] {
+      GraphOps.diameterBounds(
+        Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", 0)
+    }
+  }
 }
