@@ -924,13 +924,17 @@ object GraphOps {
   /** HITS hubs & authorities (Kleinberg 1999) on a DIRECTED edge set:
     * `iterations` mutual-reinforcement sweeps —
     * `auth_t(v) = Σ_{u→v} hub_{t-1}(u)`, `hub_t(u) = Σ_{u→v} auth_t(v)`
-    * — from the all-ones start, L1-normalized ONCE on output (the
-    * unnormalized sweeps compute the same direction as per-sweep
-    * normalization, without two extra global aggregates per sweep; at
-    * small sweep budgets magnitudes stay ~degreeᵏ, far from overflow).
-    * The link-graph quality signal complementing [[pageRank]]: hubs are
-    * directories/link farms, authorities the pages worth keeping — the
-    * crawl-corpus curation pair.
+    * — each vector L1-NORMALIZED PER SWEEP in integer nano-units (the
+    * q127/s10 quantized-trajectory discipline): scores ride as longs
+    * summing to ~1e9, each raw sweep sum is an exact long in any
+    * aggregation order, its global total is an exact long, and the
+    * normalization `round(raw·1e9/total)` is one IEEE multiply-divide
+    * of identical operands — so every sweep's vector is bit-identical
+    * in any engine at ANY sweep budget, and magnitudes can never
+    * overflow (the former `iterations ≤ 30` unnormalized-growth cap is
+    * gone, not widened). The link-graph quality signal complementing
+    * [[pageRank]]: hubs are directories/link farms, authorities the
+    * pages worth keeping — the crawl-corpus curation pair.
     *
     * Scale shape ([[IterativeLoop]]): the sweep state is SPARSE — a
     * node absent from the hub (resp. auth) table has score 0 and
@@ -938,20 +942,15 @@ object GraphOps {
     * dst-grain map-combined sum, then one edge⋈auth join + src-grain
     * sum, with no full-node join anywhere in the loop (halves per-sweep
     * join work vs the dense encoding; measured 4.4s → the dense
-    * nodes-join variant on the sf0.1 trade graph). Zeros materialize
-    * once, in the final output's node left-joins. Block storage is O(1)
-    * in the sweep budget: intermediate auth vectors ride the advance
-    * chain (released as soon as the following hub is solid); only the
-    * LAST TWO sweeps' auths are `keep`-checkpointed — the final one for
-    * the output, its predecessor for [[hitsRun]]'s delta readout.
-    * Output totals read the final materialized vectors — cached blocks,
-    * not recomputed plans.
-    *
-    * CONTRACT: `iterations` must be in [1, 30] — the unnormalized
-    * sweeps grow magnitudes ~λ_maxᵏ, so a larger budget risks silent
-    * double overflow and the call THROWS instead (HITS converges long
-    * before 30 sweeps on real graphs; use [[hitsRun]]'s delta signal to
-    * verify the budget sufficed rather than raising it).
+    * nodes-join variant on the sf0.1 trade graph). Each normalization
+    * is a 1-row aggregate over the just-materialized node-grain vector
+    * broadcast back as a cross join — cached blocks, not plan re-runs.
+    * Zeros materialize once, in the final output's node left-joins.
+    * Block storage is O(1) in the sweep budget: intermediate vectors
+    * ride the advance chain (released as soon as the following one is
+    * solid); only the LAST TWO sweeps' auths are `keep`-checkpointed —
+    * the final one for the output, its predecessor for [[hitsRun]]'s
+    * delta readout.
     *
     * @return (id, auth, hub) for every node incident to an edge, each
     *         column summing to 1 (nodes without in-/out-edges score 0).
@@ -972,10 +971,11 @@ object GraphOps {
   final case class HitsRun(scores: DataFrame, delta: Double, sweeps: Int)
 
   /** [[hits]] with the full convergence contract (see [[HitsRun]]).
-    * Same sparse sweep loop, scale shape, and `iterations ∈ [1, 30]`
-    * contract as [[hits]]'s scaladoc; the delta costs one extra
-    * node-grain full-outer join + aggregate at the end, over
-    * already-materialized vectors. */
+    * Same sparse nano-normalized sweep loop and scale shape as
+    * [[hits]]'s scaladoc; the delta costs one extra node-grain
+    * full-outer join + aggregate at the end, over already-materialized
+    * vectors, and is itself an exact integer sum (both vectors are
+    * nano longs) with one terminal divide. */
   def hitsRun(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int): HitsRun =
     hitsImpl(edges, srcCol, dstCol, iterations, computeDelta = true)
@@ -983,56 +983,66 @@ object GraphOps {
   private def hitsImpl(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, computeDelta: Boolean): HitsRun = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    // unnormalized sweeps grow magnitudes ~λ_max^k: on a heavy graph
-    // (λ ~ 1e5) double overflow becomes plausible past a few hundred
-    // sweeps, and HITS converges in far fewer — cap the budget instead
-    // of silently overflowing (normalize per sweep if a larger budget
-    // is ever genuinely needed)
-    require(iterations <= 30,
-      s"iterations capped at 30 (unnormalized sweeps grow ~λ_max^k; " +
-        s"HITS converges long before): got $iterations")
     val loop = new IterativeLoop()
+    // L1-normalize a materialized (id, c) long vector into nano units:
+    // total = exact long (order-free), round(c·1e9/total) = identical
+    // IEEE ops on identical operands in any engine. The 1-row total
+    // broadcasts back over the cached blocks — no plan re-run.
+    def normNano(vec: DataFrame, c: String): DataFrame =
+      vec.crossJoin(broadcast(vec.agg(sum(col(c)).as("_t"))))
+        .select(col("id"), round(col(c).cast("double") * lit(1e9) /
+          col("_t").cast("double")).cast("long").as(c))
     try {
       val e = loop.pin(edges
         .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
         .distinct())
       val nodes = loop.pin(e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct())
-      // sparse initial hub: only nodes WITH out-edges can ever push mass
-      var hub = loop.advance(e.select(col("src").as("id")).distinct()
-        .select(col("id"), lit(1.0).as("hub")))
+      // sparse normalized start: the out-edge nodes split one L1 unit
+      // (round(1e9/|H|) nano each — |H| is an exact count, so the seed
+      // is the same long everywhere)
+      val h0 = e.select(col("src").as("id")).distinct()
+      var hub = loop.advance(h0
+        .crossJoin(broadcast(h0.agg(count(lit(1)).as("_n"))))
+        .select(col("id"), round(lit(1e9) / col("_n").cast("double"))
+          .cast("long").as("hub")))
       var auth: DataFrame = null
       var prevAuth: DataFrame = null
       for (it <- 1 to iterations) {
-        val aPlan = e.join(hub.select(col("id").as("src"), col("hub")), "src")
-          .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
-          .select(col("dst").as("id"), col("auth"))
-        // intermediate auth vectors ride the advance chain (freed when
-        // the next hub is solid); the final survives for the output,
+        // raw sweep: exact long sums of nano scores (≤ ~1e9 + slop
+        // total, so no overflow at any sweep count or graph size)
+        val aRaw = loop.advance(
+          e.join(hub.select(col("id").as("src"), col("hub")), "src")
+            .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
+            .select(col("dst").as("id"), col("auth")))
+        // normalized vectors ride the advance chain (freed when the
+        // next vector is solid); the final survives for the output,
         // and (delta mode only) its predecessor for the delta readout
+        val aPlan = normNano(aRaw, "auth")
         val retain = it == iterations ||
           (computeDelta && it == iterations - 1)
         auth = if (retain) loop.keep(aPlan)._1 else loop.advance(aPlan)
         if (it == iterations - 1 && retain) prevAuth = auth
-        hub = loop.advance(
+        val hRaw = loop.advance(
           e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
             .groupBy(col("src")).agg(sum(col("auth")).as("hub"))
             .select(col("src").as("id"), col("hub")))
+        hub = loop.advance(normNano(hRaw, "hub"))
       }
-      // Σ|a_k/‖a_k‖ − a_{k-1}/‖a_{k-1}‖|: one node-grain job over the
-      // two kept vectors, BEFORE finish releases their blocks
+      // Σ|a_k − a_{k-1}| over the two kept NANO vectors: an exact
+      // integer sum, one terminal divide — before finish releases them
       val delta =
         if (prevAuth == null) Double.NaN
         else {
           val cur = auth.select(col("id"), col("auth").as("_a"))
           val prv = prevAuth.select(col("id"), col("auth").as("_p"))
-          val tots = broadcast(cur.agg(sum(col("_a")).as("_at"))
-            .crossJoin(prv.agg(sum(col("_p")).as("_pt"))))
-          cur.join(prv, Seq("id"), "full_outer").crossJoin(tots)
-            .agg(sum(abs(coalesce(col("_a"), lit(0.0)) / col("_at") -
-              coalesce(col("_p"), lit(0.0)) / col("_pt"))).as("_d"))
-            .head().getDouble(0)
+          cur.join(prv, Seq("id"), "full_outer")
+            .agg(sum(abs(coalesce(col("_a"), lit(0L)) -
+              coalesce(col("_p"), lit(0L)))).as("_d"))
+            .head().getLong(0) / 1e9
         }
+      // output in [0,1]: divide each nano vector by its OWN exact total
+      // (~1e9 ± rounding slop), so the columns sum to exactly 1
       val totals = broadcast(auth.agg(sum(col("auth")).as("_at"))
         .crossJoin(hub.agg(sum(col("hub")).as("_ht"))))
       val scores = loop.finish(nodes
@@ -1040,8 +1050,10 @@ object GraphOps {
         .join(hub, Seq("id"), "left_outer")
         .crossJoin(totals)
         .select(col("id"),
-          (coalesce(col("auth"), lit(0.0)) / col("_at")).as("auth"),
-          (coalesce(col("hub"), lit(0.0)) / col("_ht")).as("hub")))
+          (coalesce(col("auth"), lit(0L)).cast("double") /
+            col("_at").cast("double")).as("auth"),
+          (coalesce(col("hub"), lit(0L)).cast("double") /
+            col("_ht").cast("double")).as("hub")))
       HitsRun(scores, delta, iterations)
     } catch { case t: Throwable => loop.abort(); throw t }
   }

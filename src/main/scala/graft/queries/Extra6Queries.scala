@@ -62,12 +62,15 @@ object Extra6Queries {
 
     // ---- HITS hubs & authorities (q124): 2 mutual-reinforcement
     //      sweeps over the DIRECTED customer→supplier trade graph
-    //      (GraphOps.hits on IterativeLoop; unnormalized sweeps, one L1
-    //      normalization on output). Customers are pure hubs (no
-    //      in-edges → auth 0), suppliers pure authorities — the gate
-    //      ranks authorities. The oracle unrolls both sweeps as CTEs
-    //      (the q103 pattern); ordering is on the ROUNDED score so a
-    //      last-bit float divergence cannot reorder the cut. ----
+    //      (GraphOps.hits on IterativeLoop; every sweep L1-normalized
+    //      in integer NANO-units — raw sums and totals are exact
+    //      longs, the quantization one IEEE multiply-divide of
+    //      identical operands, so the trajectory is bit-identical in
+    //      both engines at any sweep count). Customers are pure hubs
+    //      (no in-edges → auth 0), suppliers pure authorities — the
+    //      gate ranks authorities. The oracle replays the nano sweeps
+    //      as CTEs; ordering is on the ROUNDED score so the cut is
+    //      stable. ----
     Q("q124_hits",
       (s, dir) => {
         import s.implicits._
@@ -89,31 +92,41 @@ object Extra6Queries {
              |nodes AS (
              |  SELECT DISTINCT id FROM (
              |    SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
-             |a1 AS (
-             |  SELECT n.id, coalesce(s.a, 0.0) AS auth FROM nodes n
-             |  LEFT JOIN (SELECT dst AS id, CAST(count(*) AS DOUBLE) AS a
-             |             FROM e GROUP BY dst) s ON n.id = s.id),
-             |h1 AS (
-             |  SELECT n.id, coalesce(s.h, 0.0) AS hub FROM nodes n
-             |  LEFT JOIN (SELECT e.src AS id, sum(a1.auth) AS h
-             |             FROM e JOIN a1 ON e.dst = a1.id GROUP BY e.src) s
-             |    ON n.id = s.id),
-             |a2 AS (
-             |  SELECT n.id, coalesce(s.a, 0.0) AS auth FROM nodes n
-             |  LEFT JOIN (SELECT e.dst AS id, sum(h1.hub) AS a
-             |             FROM e JOIN h1 ON e.src = h1.id GROUP BY e.dst) s
-             |    ON n.id = s.id),
-             |h2 AS (
-             |  SELECT n.id, coalesce(s.h, 0.0) AS hub FROM nodes n
-             |  LEFT JOIN (SELECT e.src AS id, sum(a2.auth) AS h
-             |             FROM e JOIN a2 ON e.dst = a2.id GROUP BY e.src) s
-             |    ON n.id = s.id),
+             |h0 AS (
+             |  SELECT src AS id, CAST(round(1e9 /
+             |    (SELECT CAST(count(DISTINCT src) AS DOUBLE) FROM e))
+             |    AS BIGINT) AS hub
+             |  FROM (SELECT DISTINCT src FROM e)),
+             |a1r AS (SELECT e.dst AS id, sum(h0.hub) AS r
+             |  FROM e JOIN h0 ON e.src = h0.id GROUP BY e.dst),
+             |a1 AS (SELECT id, CAST(round(CAST(r AS DOUBLE) * 1e9 /
+             |    (SELECT CAST(sum(r) AS DOUBLE) FROM a1r)) AS BIGINT) AS auth
+             |  FROM a1r),
+             |h1r AS (SELECT e.src AS id, sum(a1.auth) AS r
+             |  FROM e JOIN a1 ON e.dst = a1.id GROUP BY e.src),
+             |h1 AS (SELECT id, CAST(round(CAST(r AS DOUBLE) * 1e9 /
+             |    (SELECT CAST(sum(r) AS DOUBLE) FROM h1r)) AS BIGINT) AS hub
+             |  FROM h1r),
+             |a2r AS (SELECT e.dst AS id, sum(h1.hub) AS r
+             |  FROM e JOIN h1 ON e.src = h1.id GROUP BY e.dst),
+             |a2 AS (SELECT id, CAST(round(CAST(r AS DOUBLE) * 1e9 /
+             |    (SELECT CAST(sum(r) AS DOUBLE) FROM a2r)) AS BIGINT) AS auth
+             |  FROM a2r),
+             |h2r AS (SELECT e.src AS id, sum(a2.auth) AS r
+             |  FROM e JOIN a2 ON e.dst = a2.id GROUP BY e.src),
+             |h2 AS (SELECT id, CAST(round(CAST(r AS DOUBLE) * 1e9 /
+             |    (SELECT CAST(sum(r) AS DOUBLE) FROM h2r)) AS BIGINT) AS hub
+             |  FROM h2r),
              |at AS (SELECT sum(auth) AS t FROM a2),
              |ht AS (SELECT sum(hub) AS t FROM h2)
-             |SELECT a2.id AS node_id,
-             |  round(a2.auth / at.t, 7) AS auth,
-             |  round(h2.hub / ht.t, 7) AS hub
-             |FROM a2 JOIN h2 ON a2.id = h2.id, at, ht
+             |SELECT n.id AS node_id,
+             |  round(CAST(coalesce(a2.auth, 0) AS DOUBLE)
+             |    / CAST(at.t AS DOUBLE), 7) AS auth,
+             |  round(CAST(coalesce(h2.hub, 0) AS DOUBLE)
+             |    / CAST(ht.t AS DOUBLE), 7) AS hub
+             |FROM nodes n
+             |LEFT JOIN a2 ON n.id = a2.id
+             |LEFT JOIN h2 ON n.id = h2.id, at, ht
              |ORDER BY auth DESC, node_id LIMIT 20""".stripMargin)),
 
     // ---- EWMA daily-volume tracking (q125): trend-following feed

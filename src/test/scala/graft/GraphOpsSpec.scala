@@ -210,11 +210,16 @@ class GraphOpsSpec extends AnyFunSuite {
   test("hits: hand-computed two-sweep fixed values, pure hubs and authorities") {
     import spark.implicits._
     // 1→3, 2→3, 3→5: nodes 1,2 are pure hubs (no in-edges → auth 0),
-    // 5 a pure authority. Unrolled by hand: a1 = indegree = {3:2, 5:1};
-    // h1 = out-sum = {1:2, 2:2, 3:1}; a2 = {3: h1(1)+h1(2) = 4, 5: h1(3) = 1};
-    // h2 = {1:4, 2:4, 3:1}. L1-normalized: auth 3 = 4/5, 5 = 1/5;
-    // hub 1 = 2 = 4/9, 3 = 1/9. All sums are small exact integers, so
-    // the divisions are bit-identical — exact equality, no tolerance.
+    // 5 a pure authority. Nano trace: h0 = 333333333 each (1e9/3);
+    // a1r = {3: 666666666, 5: 333333333}, A1 = 999999999 → a1 =
+    // {3: 666666667, 5: 333333333} (2/3 and 1/3 of 1e9, rounded);
+    // h1 = {1: 400000000, 2: 400000000, 3: 200000000} (H1r =
+    // 1666666667); a2r = {3: 800000000, 5: 200000000}, A2 = 1e9 exact
+    // → a2 = {3: 8e8, 5: 2e8}; h2 = {1: 444444444, 2: 444444444,
+    // 3: 111111111} (H2r = 1.8e9). Output: auth = a2/1e9 = {0.8, 0.2};
+    // hub totals 999999999 → 444444444/999999999 = 4/9 EXACTLY (real
+    // ratio is exactly 4/9, so the correctly-rounded double equals
+    // 4.0/9), 1/9 likewise — exact equality, no tolerance.
     val g = Seq((1L, 3L), (2L, 3L), (3L, 5L)).toDF("src", "dst")
     val got = GraphOps.hits(g, "src", "dst", iterations = 2)
       .as[(Long, Double, Double)].collect()
@@ -227,20 +232,33 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
-  test("hitsRun: delta pins the last-two-sweep L1 change; NaN at one sweep; budget cap") {
+  test("hitsRun: delta pins the last-two-sweep L1 change; NaN at one sweep; " +
+      "50 normalized sweeps reach the fixed point") {
     import spark.implicits._
     val g = Seq((1L, 3L), (2L, 3L), (3L, 5L)).toDF("src", "dst")
-    // normalized a1 = {3: 2/3, 5: 1/3}; a2 = {3: 4/5, 5: 1/5}
-    // delta = |4/5 - 2/3| + |1/5 - 1/3| = 4/15
+    // nano a1 = {3: 666666667, 5: 333333333}; a2 = {3: 8e8, 5: 2e8}
+    // delta = (133333333 + 133333333) / 1e9 — an exact integer sum
     val run = GraphOps.hitsRun(g, "src", "dst", iterations = 2)
     assert(run.sweeps == 2)
-    assert(math.abs(run.delta - 4.0 / 15) < 1e-12, run.delta.toString)
+    assert(run.delta == 266666666L / 1e9, run.delta.toString)
     // one sweep has no predecessor vector: delta is NaN by contract
     assert(GraphOps.hitsRun(g, "src", "dst", iterations = 1).delta.isNaN)
-    // the sweep budget is a hard contract, not a silent overflow path
-    intercept[IllegalArgumentException] {
-      GraphOps.hitsRun(g, "src", "dst", iterations = 31)
-    }
+    // per-sweep normalization retired the old iterations<=30 overflow
+    // cap: 50 sweeps run fine and land ON the QUANTIZED fixed point
+    // (auth mass halves toward node 3 each sweep until node 5 pins at
+    // exactly 1 nano — round(0.5) keeps it alive — a self-consistent
+    // state: a = {3: 999999999, 5: 1}, h = {1: 5e8, 2: 5e8, 3: 1},
+    // hub total 1000000001; delta exactly 0 once consecutive sweeps
+    // repeat it)
+    val long = GraphOps.hitsRun(g, "src", "dst", iterations = 50)
+    assert(long.sweeps == 50 && long.delta == 0.0, long.delta.toString)
+    val scores = long.scores.as[(Long, Double, Double)].collect()
+      .map { case (id, a, h) => id -> ((a, h)) }.toMap
+    assert(scores == Map(
+      1L -> ((0.0, 500000000L / 1000000001L.toDouble)),
+      2L -> ((0.0, 500000000L / 1000000001L.toDouble)),
+      3L -> ((999999999L / 1e9, 1L / 1000000001L.toDouble)),
+      5L -> ((1L / 1e9, 0.0))), scores.toString)
     Caches.sweep(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
