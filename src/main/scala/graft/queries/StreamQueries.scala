@@ -635,6 +635,76 @@ object StreamQueries {
              |  FROM c)
              |SELECT day, event_type, CAST(n AS BIGINT) AS n,
              |  CAST(rnk AS BIGINT) AS rnk
-             |FROM r WHERE rnk <= 3 ORDER BY day, rnk""".stripMargin))
+             |FROM r WHERE rnk <= 3 ORDER BY day, rnk""".stripMargin)),
+
+    // ---- streaming MICROBATCH lineage (st19): a RUNNING stream's
+    //      per-microbatch OpenLineage RunEvents must parent correctly
+    //      under the pipeline-level run and carry the DEFINITION's
+    //      column lineage. The gate replays every captured event from
+    //      a fresh definition report with the same identities
+    //      (deterministic v3 batch runId over streamRunId:bN, parent
+    //      facet, microbatch facet, eventTime) and requires EXACT
+    //      string equality — parenting, run-id determinism, and the
+    //      column-lineage facet all pinned at once. Complements lx05
+    //      (pre-start definition lineage): this is the lineage the
+    //      listener emits while the stream RUNS. ----
+    Q("st19_stream_microbatch_lineage",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.Trigger
+        val listener = graft.streaming.StreamLineageListener.install(s)
+        val key = "spark.sql.shuffle.partitions"
+        val prev = s.conf.get(key)
+        try {
+          s.conf.set(key, math.min(4, prev.toInt))
+          val agg = StreamOps.hourlyCounts(StreamOps.readEvents(s, dir)).toDF()
+          listener.trackPlan("st19_out", agg)
+          // inline runToMemory: the query HANDLE is needed for the
+          // pipeline-level runId every batch must parent under
+          val q = agg.writeStream.outputMode(OutputMode.Complete())
+            .format("memory").queryName("st19_out")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val streamRun = q.runId.toString
+          // progress events arrive on the listener bus asynchronously
+          val deadline = System.currentTimeMillis() + 15000
+          while (!listener.openLineageEvents.exists(
+              _.contains("\"name\":\"st19_out\"")) &&
+            System.currentTimeMillis() < deadline) Thread.sleep(50)
+          val evs = listener.openLineageEvents
+            .filter(_.contains("\"name\":\"st19_out\""))
+          val defRep = graft.lineage.LineageExtractor
+            .reportStreamingDefinition(agg)
+          val tsRe = "\"eventTime\":\"([^\"]+)\"".r
+          val bidRe = "\"batchId\":(\\d+)".r
+          val replayed = evs.nonEmpty && evs.forall { ev =>
+            val ts = tsRe.findFirstMatchIn(ev).map(_.group(1)).getOrElse("")
+            val bid = bidRe.findFirstMatchIn(ev).map(_.group(1)).getOrElse("-1")
+            val runId = java.util.UUID.nameUUIDFromBytes(
+              s"$streamRun:b$bid".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)).toString
+            val batchFacet =
+              s""""microbatch":{"_producer":"urn:graft:spark-lineage",""" +
+                s""""_schemaURL":"https://openlineage.io/spec/2-0-2/OpenLineage.json#/$$defs/RunFacet",""" +
+                s""""batchId":$bid,"streamRunId":"$streamRun"}"""
+            ev == defRep.openLineageJson(
+              jobNamespace = "graft-streams", jobName = "st19_out",
+              runId = runId, eventTime = ts,
+              parent = Some((streamRun, "graft-streams", "st19_out")),
+              extraRunFacets = Seq(batchFacet))
+          }
+          Seq(("microbatch_events_captured", evs.nonEmpty),
+            ("microbatch_replays_definition_under_parent", replayed))
+            .toDF("chk", "ok").orderBy($"chk")
+        } finally {
+          s.conf.set(key, prev)
+          s.streams.removeListener(listener)
+        }
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('microbatch_events_captured', true),
+             |  ('microbatch_replays_definition_under_parent', true))
+             |  AS t(chk, ok)
+             |ORDER BY chk""".stripMargin))
   )
 }
