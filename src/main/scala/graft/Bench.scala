@@ -86,8 +86,11 @@ object Bench {
     // round-14: m08's pairwise binary near-dup (which re-hashed every
     // payload's grams per run — the suite's slowest gate) rotated out
     // for the persisted-signature serving path: build in warm-up, timed
-    // reps probe the stored bucket partitions only
-    "m09_binary_simhash_index",
+    // reps probe the stored bucket partitions only; plus the round's
+    // new families — iFUB diameter bracket (landmark fringe sweeps),
+    // dHash gradient signatures, ANN recall eval, Welch t
+    "m09_binary_simhash_index", "q157_diameter_ifub", "m10_binary_dhash",
+    "s16_ann_recall", "q158_welch_ttest",
     // dedup / similarity / text pipeline; d12/d13/s07/t17 rotated out
     // round 9 (sub-0.3s, families covered by d11/d14/s09/t15) to make
     // room for the r1/r2 rep columns inside the tail budget

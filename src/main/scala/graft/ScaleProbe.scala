@@ -120,8 +120,9 @@ object ScaleProbe {
     try out.write(ident.getBytes("UTF-8")) finally out.close()
   }
 
-  /** The measured families (the round-11 verdict's list): the most
-    * expensive full-suite rows, one per scale-sensitive family. */
+  /** The measured families (the round-11 verdict's list, extended round
+    * 14 with the round-13/14 heavies): the most expensive full-suite
+    * rows, one per scale-sensitive family. */
   private[graft] val probeQueries = Seq(
     "d06_dedup_clusters", "d07_dedup_canonical", // LSH + CC
     "q103_pagerank", "q122_coreness", "q124_hits", // iterative graph
@@ -131,7 +132,16 @@ object ScaleProbe {
     "d17_lsh_index", // persisted-LSH ingest probe (build-once layout)
     "q98_column_stats_approx", // exact+approx ANALYZE
     "sq09_tpcds_q27", // five-way star + rollup
-    "st07_stream_join_outer") // streaming state-store outer join
+    "st07_stream_join_outer", // streaming state-store outer join
+    // round-13/14 heavies (round-13 verdict #7):
+    "m08_binary_near_dup", // pairwise payload-grain gram hashing
+    "m09_binary_simhash_index", // its build-once serving counterpart
+    "q146_diameter", // double-sweep BFS
+    "q157_diameter_ifub", // iFUB fringe sweeps (landmark expansions)
+    "q151_weighted_pagerank", // weighted iterative graph
+    "t48_textrank", // pageRank over the word graph
+    "t52_lm_index", // persisted bigram-LM bucket-pruned serving
+    "s12_pq_adc") // PQ train + encode + map-only ADC serving
 
   /** Best-of-2 wall seconds (single rep past 60s — the second rep buys
     * JIT-noise reduction, not correctness, and a minute-long query is

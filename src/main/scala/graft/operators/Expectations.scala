@@ -341,6 +341,81 @@ object Expectations {
       when(z.isNotNull, abs(z) > 1.96).as("significant"))
   }
 
+  /** Welch's unequal-variance t-test on MEANS (Welch, Biometrika 1947)
+    * — the significance check for "did the average change" where
+    * [[twoProportionZ]] answers it for rates:
+    * `t = (m₁ − m₂)/√(s₁²/n₁ + s₂²/n₂)` with the Welch–Satterthwaite
+    * effective degrees of freedom. The A/B staple for quality scores,
+    * latencies, and document lengths between cohorts.
+    *
+    * ENGINE-EXACT inputs: `valueCol` must be INTEGER-VALUED (quantize a
+    * continuous metric upstream — the ksTest caveat); per group the
+    * test needs only (n, Σv, Σv²), where n and Σv are exact longs and
+    * Σv² rides as DECIMAL(38,0) (exact in any aggregation order; a
+    * long Σv² would overflow past ~3e18). Every float downstream
+    * (means, the n−1 sample variances, t, df) is a fixed chain of IEEE
+    * ops on identical operands in any engine; t rounds to 6, df to 4.
+    * Null group keys and null values are excluded up front (the
+    * chi-square lesson). Degenerate inputs return null statistics: a
+    * group with n < 2 has no sample variance; two zero-variance groups
+    * have no t.
+    *
+    * `significant` uses the NORMAL approximation (|t| > 1.96, two-sided
+    * 5%) — exact t-quantiles need the incomplete beta; at the corpus
+    * sizes this engine targets df is large and the approximation is the
+    * standard one. df rides the output so a caller with a t-table can
+    * re-decide.
+    *
+    * Scale shape: ONE map-combined group-grain aggregate (2 rows), a
+    * 2-row driver-free self-pair — the twoProportionZ shape; the corpus
+    * never shuffles at row grain. Throws unless exactly two non-null
+    * groups are present.
+    *
+    * @return ONE row: (grp_1, n_1, grp_2, n_2, t, df_w, significant) —
+    *         group 1 is the LOWER group key (pinned sign convention).
+    */
+  def welchTTest(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val counts = df.select(groupCol.as("grp"), valueCol.cast("long").as("v"))
+      .where(col("grp").isNotNull && col("v").isNotNull)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(col("v").cast("decimal(38,0)") * col("v").cast("decimal(38,0)"))
+          .as("s2"))
+      .localCheckpoint(true)
+    val g = counts.count()
+    require(g == 2, s"welchTTest needs exactly 2 non-null groups, got $g")
+    val a = counts.select(col("grp").as("grp_1"), col("n").as("n_1"),
+      col("s1").as("s1_1"), col("s2").as("s2_1"))
+    val b = counts.select(col("grp").as("grp_2"), col("n").as("n_2"),
+      col("s1").as("s1_2"), col("s2").as("s2_2"))
+    val paired = a.join(b, col("grp_1") < col("grp_2"))
+    def mean(s1: Column, n: Column) = s1.cast("double") / n.cast("double")
+    // sample variance from the exact moments: (Σv² − (Σv)²/n)/(n−1) —
+    // guarded internally (null below n=2) because ANSI mode raises on
+    // the n−1=0 divide even while evaluating a CaseWhen CONDITION
+    def sVar(s1: Column, s2: Column, n: Column) =
+      when(n >= 2,
+        (s2.cast("double") -
+          s1.cast("double") * s1.cast("double") / n.cast("double")) /
+          (n.cast("double") - lit(1.0)))
+    val va = sVar(col("s1_1"), col("s2_1"), col("n_1"))
+    val vb = sVar(col("s1_2"), col("s2_2"), col("n_2"))
+    val qa = va / col("n_1").cast("double")
+    val qb = vb / col("n_2").cast("double")
+    val tOk = col("n_1") >= 2 && col("n_2") >= 2 && (qa + qb) > 0.0
+    val t = when(tOk,
+      round((mean(col("s1_1"), col("n_1")) - mean(col("s1_2"), col("n_2"))) /
+        sqrt(qa + qb), 6))
+    val dfDen = qa * qa / (col("n_1").cast("double") - lit(1.0)) +
+      qb * qb / (col("n_2").cast("double") - lit(1.0))
+    val dfW = when(tOk && dfDen > 0.0,
+      round((qa + qb) * (qa + qb) / dfDen, 4))
+    paired.select(col("grp_1"), col("n_1"), col("grp_2"), col("n_2"),
+      t.as("t"), dfW.as("df_w"),
+      when(t.isNotNull, abs(t) > 1.96).as("significant"))
+  }
+
   /** One bucket's nano-PSI contribution from the two shares — the
     * round-6-ln-before-product integer-nano quantization shared by
     * [[psiDrift]] and [[psiDriftSeries]]. */

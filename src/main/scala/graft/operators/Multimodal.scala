@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
@@ -311,6 +311,51 @@ object Multimodal {
       .select(col("id"),
         graft.functions.HashExprs.simhash64(hashes).as("sig"))
   }
+
+  /** 63-bit DIFFERENCE hash (dHash — the gradient member of the
+    * perceptual-hash family; on real images it thresholds adjacent
+    * downsampled pixels, and with the decode stubbed ([[decode]]'s
+    * contract) adjacent payload bytes are the honest equivalent):
+    * `bit_i = [byte_{i+1} > byte_i]` over the payload's first 64
+    * bytes. The GRADIENT near-dup signal next to
+    * [[binarySignatures]]' gram-majority SimHash: dHash keys on local
+    * ordering (robust to uniform brightness/offset shifts, position-
+    * sensitive), SimHash on content distribution (alignment-free) —
+    * a real media pipeline runs both. 63 bits, not 64: the MSB-first
+    * integer fold stays inside a signed long (the
+    * [[Dedup.portableTokenHash63]] masking discipline), so no step
+    * can overflow under ANSI mode in any engine.
+    *
+    * Scale shape: one map pass over the binary column, 63 fixed-width
+    * hex-pair comparisons per row — O(1) per row regardless of payload
+    * size (vs SimHash's per-gram cost), then signature grain.
+    * Payloads under 64 bytes are excluded (no full signature —
+    * exact dedup's job).
+    *
+    * @return (id, sig) — sig in [0, 2⁶³).
+    */
+  def binaryDhash(media: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    val hx = hex(col(binCol))
+    def byteAt(pos: Column) =
+      conv(hx.substr(pos, lit(2)), 16, 10).cast("long")
+    val bits = transform(sequence(lit(0), lit(62)), i =>
+      (byteAt(i * 2 + 3) > byteAt(i * 2 + 1)).cast("long"))
+    media.select(col(idCol).as("id"), col(binCol))
+      .filter(length(col(binCol)) >= 64)
+      .select(col("id"),
+        aggregate(reverse(bits), lit(0L),
+          (acc, b) => acc * 2 + b).as("sig"))
+  }
+
+  /** [[binaryDhash]] paired: every (id_a, id_b, hamming) within
+    * `maxHamming` — [[Dedup.simhashPairsFromSigs]]' banding + verify
+    * (exactly the all-pairs hamming filter at `maxHamming <= 3` while
+    * no bucket saturates). */
+  def binaryDhashPairs(media: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    Dedup.simhashPairsFromSigs(
+      binaryDhash(media, idCol, binCol), maxHamming, maxBucket)
 
   /** One signature's four 16-bit band rows, keyed for the persisted
     * layout: (part, band, bucket, id, sig) with

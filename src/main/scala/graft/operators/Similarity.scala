@@ -183,6 +183,44 @@ object Similarity {
       ivfProbe(queries, cent, nProbe, idCol, embCol), k)
   }
 
+  /** ANN index-quality evaluation: per-query recall@k of the IVF index
+    * ([[ivfTopK]]) against the exact brute-force ground truth
+    * ([[bruteForceTopK]]) — the acceptance test every ANN deployment
+    * runs before trusting an index (tune nProbe until measured recall
+    * clears the bar, then serve). Both paths are deterministic, so the
+    * recall numbers are part of the index's CONTRACT, not sampling
+    * noise — a config change that degrades recall fails the gate.
+    *
+    * Recall counts ID-SET overlap (the standard ann-benchmarks
+    * definition): a cosine tie broken differently by the two rankers
+    * counts as a miss only if the IDs actually differ.
+    *
+    * Scale shape: ground truth is brute-force ONLY over the sampled
+    * query batch (broadcast queries, map-side heap — the corpus never
+    * shuffles; the point of an eval is that the sample is small), the
+    * IVF side probes as in serving, and the comparison joins two
+    * ≤|queries|·k row sets.
+    *
+    * @return one row per query: (q_id, n_exact, n_hit, recall) —
+    *         n_exact ≤ k when the corpus is small, recall = round-4
+    *         n_hit/n_exact.
+    */
+  def annRecallAtK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int, centEvery: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k, idCol, embCol)
+      .select(col("q_id"), col("n_id"))
+    val approx = ivfTopK(corpus, queries, k, nProbe, centEvery, idCol, embCol)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "n_id"), "left_outer")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 4)
+          .as("recall"))
+  }
+
   /** Build the persisted IVF layout: cell assignment written partitioned
     * by cell id, plus the centroid table under `layoutDir/_centroids`
     * (underscore prefix = invisible to Spark's file index when the

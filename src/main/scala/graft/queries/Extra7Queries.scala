@@ -477,6 +477,54 @@ object Extra7Queries {
              |  true AS converged, CAST(res.dia AS BIGINT) AS diameter
              |FROM r0, res""".stripMargin)),
 
+    // ---- Welch's t-test (q158): the MEANS member of the significance
+    //      toolkit (q136 tests rates, q137 distributions, q139
+    //      association) — unequal-variance t with Welch–Satterthwaite
+    //      df over integer cents, from exact (n, Σv, Σv²) moments
+    //      (Σv² as DECIMAL(38,0)/HUGEINT); the float chain is fixed-
+    //      order IEEE on identical operands, round-6 t / round-4 df
+    //      in both engines. ----
+    Q("q158_welch_ttest",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Expectations.welchTTest(
+          Tables(s, dir, "orders"),
+          $"o_orderkey" % 2,
+          round($"o_totalprice" * 100).cast("long"))
+      },
+      Some("""WITH v AS (
+             |  SELECT o_orderkey % 2 AS grp,
+             |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
+             |      AS BIGINT) AS v
+             |  FROM orders),
+             |c AS (
+             |  SELECT grp, count(*) AS n, sum(v) AS s1,
+             |    sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s2
+             |  FROM v GROUP BY grp),
+             |p AS (
+             |  SELECT a.grp AS grp_1, a.n AS n_1, a.s1 AS s11, a.s2 AS s21,
+             |    b.grp AS grp_2, b.n AS n_2, b.s1 AS s12, b.s2 AS s22
+             |  FROM c a JOIN c b ON a.grp < b.grp),
+             |m AS (
+             |  SELECT grp_1, n_1, grp_2, n_2,
+             |    (CAST(s21 AS DOUBLE) - CAST(s11 AS DOUBLE)
+             |      * CAST(s11 AS DOUBLE) / CAST(n_1 AS DOUBLE))
+             |      / (CAST(n_1 AS DOUBLE) - 1.0) / CAST(n_1 AS DOUBLE) AS qa,
+             |    (CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE)
+             |      * CAST(s12 AS DOUBLE) / CAST(n_2 AS DOUBLE))
+             |      / (CAST(n_2 AS DOUBLE) - 1.0) / CAST(n_2 AS DOUBLE) AS qb,
+             |    CAST(s11 AS DOUBLE) / CAST(n_1 AS DOUBLE)
+             |      - CAST(s12 AS DOUBLE) / CAST(n_2 AS DOUBLE) AS md
+             |  FROM p)
+             |SELECT CAST(grp_1 AS BIGINT) AS grp_1, n_1,
+             |  CAST(grp_2 AS BIGINT) AS grp_2, n_2,
+             |  round(md / sqrt(qa + qb), 6) AS t,
+             |  round((qa + qb) * (qa + qb)
+             |    / (qa * qa / (CAST(n_1 AS DOUBLE) - 1.0)
+             |      + qb * qb / (CAST(n_2 AS DOUBLE) - 1.0)), 4) AS df_w,
+             |  abs(round(md / sqrt(qa + qb), 6)) > 1.96 AS significant
+             |FROM m""".stripMargin)),
+
     // ---- Mann–Kendall trend test (q147): is the daily event volume's
     //      trend (whose slope q135's Theil–Sen estimates) there at
     //      all? S and the tie-corrected Var·18 are exact longs over

@@ -649,6 +649,68 @@ object PipelineQueries {
              |  FROM probe p JOIN assign a ON p.c_id = a.c_id AND a.n_id <> p.q_id)
              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
 
+    // ---- ANN recall@k eval (s16): IVF's per-query recall against the
+    //      exact brute-force ground truth — the acceptance test run
+    //      before trusting an index config (both paths deterministic,
+    //      so recall is contract, not noise; the oracle composes the
+    //      s01 and s03 replays and counts id-set overlap). ----
+    Q("s16_ann_recall",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+        graft.operators.Similarity.annRecallAtK(
+            emb, emb.filter($"vec_id" < 10), k = 5, nProbe = 2,
+            centEvery = 25)
+          .orderBy(col("q_id"))
+      },
+      Some("""WITH exact AS (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                                     CAST(e.embedding AS DOUBLE[])), 5) DESC,
+             |        e.vec_id) AS rn
+             |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+             |    WHERE q.vec_id < 10)
+             |  WHERE rn <= 5),
+             |cent AS (
+             |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+             |  FROM embeddings WHERE vec_id % 25 = 0),
+             |assign AS (
+             |  SELECT n_id, n_emb, c_id FROM (
+             |    SELECT e.vec_id AS n_id, CAST(e.embedding AS DOUBLE[]) AS n_emb,
+             |      c_id,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |                                     c_emb), 5) DESC, c_id) AS arn
+             |    FROM embeddings e CROSS JOIN cent)
+             |  WHERE arn = 1),
+             |probe AS (
+             |  SELECT q_id, q_emb, c_id FROM (
+             |    SELECT q.vec_id AS q_id, CAST(q.embedding AS DOUBLE[]) AS q_emb,
+             |      c_id,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                                     c_emb), 5) DESC, c_id) AS prn
+             |    FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 10)
+             |  WHERE prn <= 2),
+             |approx AS (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT p.q_id, a.n_id,
+             |      row_number() OVER (PARTITION BY p.q_id ORDER BY
+             |        round(list_cosine_similarity(p.q_emb, a.n_emb), 5) DESC,
+             |        a.n_id) AS rn
+             |    FROM probe p JOIN assign a ON p.c_id = a.c_id AND a.n_id <> p.q_id)
+             |  WHERE rn <= 5)
+             |SELECT x.q_id, count(*) AS n_exact,
+             |  CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_hit,
+             |  round(CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS recall
+             |FROM exact x
+             |LEFT JOIN approx a ON x.q_id = a.q_id AND x.n_id = a.n_id
+             |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin)),
+
     // IVF over a PERSISTED cell-partitioned layout: the probe join prunes
     // the scan down to the probed cells' partitions. Output contract (and
     // oracle) identical to s03 — what changes is the physical story.
@@ -1642,9 +1704,16 @@ object PipelineQueries {
     //      layout (content-keyed ident written last), and each ingest
     //      batch probes only its touched bucket partitions; the
     //      corpus is never re-hashed and never shuffles per batch.
-    //      Oracle = exact all-CROSS-pairs hamming ≤ 3 over the same
-    //      portable signatures (banding at maxHamming ≤ 3 is exact by
-    //      pigeonhole while no bucket saturates). ----
+    //      Split direction is the SERVING shape: the BULK of the table
+    //      (media_id >= 400 — grows with SF) is the indexed corpus,
+    //      the FIXED 400-payload head is the ingest batch, so the
+    //      timed cost is batch hashing + pruned bucket reads and stays
+    //      put as the corpus grows (the sf1 probe measures this
+    //      directly; d17 demonstrates the complementary
+    //      batch-growth direction). Oracle = exact all-CROSS-pairs
+    //      hamming ≤ 3 over the same portable signatures (banding at
+    //      maxHamming ≤ 3 is exact by pigeonhole while no bucket
+    //      saturates). ----
     Q("m09_binary_simhash_index",
       (s, dir) => {
         import s.implicits._
@@ -1653,9 +1722,9 @@ object PipelineQueries {
         val layout = graft.Scratch.dir(s"graft_binsimhash_idx_$key")
         val media = Multimodal.fabricate(Tables(s, dir, "documents"))
         Multimodal.binarySimhashIndexWrite(
-          media.filter($"media_id" < 400), "media_id", "content", layout)
+          media.filter($"media_id" >= 400), "media_id", "content", layout)
         Multimodal.binarySimhashProbeIndex(s, layout,
-            media.filter($"media_id" >= 400), "media_id", "content")
+            media.filter($"media_id" < 400), "media_id", "content")
           .orderBy($"probe_id", $"corpus_id")
       },
       Some("""WITH hx AS (
@@ -1687,10 +1756,47 @@ object PipelineQueries {
              |  FROM bits GROUP BY media_id)
              |SELECT p.media_id AS probe_id, c.media_id AS corpus_id,
              |  CAST(bit_count(xor(p.sig, c.sig)) AS BIGINT) AS hamming
-             |FROM sig p JOIN sig c ON c.media_id < 400
-             |WHERE p.media_id >= 400
+             |FROM sig p JOIN sig c ON c.media_id >= 400
+             |WHERE p.media_id < 400
              |  AND bit_count(xor(p.sig, c.sig)) <= 3
              |ORDER BY probe_id, corpus_id""".stripMargin)),
+
+    // ---- binary dHash near-dup (m10): the GRADIENT perceptual-hash
+    //      signal next to m08's gram-majority SimHash — bit_i =
+    //      [byte_{i+1} > byte_i] over the payload's first 64 bytes,
+    //      63-bit signature (ANSI-safe fold), banding + hamming verify
+    //      shared with m08. O(1) per row: 63 fixed hex-pair compares,
+    //      independent of payload size. ----
+    Q("m10_binary_dhash",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        val media = Multimodal.fabricate(Tables(s, dir, "documents"))
+        Multimodal.binaryDhashPairs(media, "media_id", "content")
+          .withColumn("hamming", col("hamming").cast("long"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH hx AS (
+             |  SELECT doc_id AS media_id,
+             |    lpad(upper(to_hex(n_chars % 1024)), 8, '0')
+             |    || lpad(upper(to_hex(doc_id % 768)), 8, '0')
+             |    || upper(hex(encode(text))) AS h
+             |  FROM documents),
+             |ok AS (SELECT media_id, h FROM hx WHERE len(h) >= 128),
+             |bits AS (
+             |  SELECT media_id, i,
+             |    CASE WHEN ('0x' || substr(h, CAST(2*i+3 AS INT), 2))::BIGINT
+             |           > ('0x' || substr(h, CAST(2*i+1 AS INT), 2))::BIGINT
+             |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+             |  FROM ok CROSS JOIN (SELECT unnest(range(0, 63)) AS i)),
+             |sig AS (
+             |  SELECT media_id, CAST(sum(b << i) AS BIGINT) AS sig
+             |  FROM bits GROUP BY media_id)
+             |SELECT a.media_id AS id_a, b.media_id AS id_b,
+             |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+             |FROM sig a JOIN sig b ON a.media_id < b.media_id
+             |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // GPT-style sequence layout: concatenate docs in id order, cut every
     // 512 tokens; each doc's (seq_id, offset) start position plus

@@ -239,6 +239,55 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exactly 2 non-null groups"))
   }
 
+  test("welchTTest: hand t and df, degenerate nulls, null keys excluded, guard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A = {1,2,3} (var 1), B = {2,4,6,8} (var 20/3):
+    // qa = 1/3, qb = 5/3, t = (2-5)/sqrt(2), df = 4/(1/18 + 25/27)
+    val df = Seq((0L, 1L), (0L, 2L), (0L, 3L),
+      (1L, 2L), (1L, 4L), (1L, 6L), (1L, 8L)).toDF("g", "v")
+    val got = Expectations.welchTTest(df, col("g"), col("v"))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Boolean])].collect().head
+    // replicate the exact float chain (moments -> variances -> t, df)
+    val qa = (14.0 - 6.0 * 6.0 / 3.0) / (3.0 - 1.0) / 3.0
+    val qb = (120.0 - 20.0 * 20.0 / 4.0) / (4.0 - 1.0) / 4.0
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val t = r((6.0 / 3.0 - 20.0 / 4.0) / math.sqrt(qa + qb), 6)
+    val dfW = r((qa + qb) * (qa + qb) /
+      (qa * qa / (3.0 - 1.0) + qb * qb / (4.0 - 1.0)), 4)
+    assert(got == ((0L, 3L, 1L, 4L, Some(t), Some(dfW), Some(true))),
+      got.toString)
+    assert(t == -2.12132 && dfW == 4.0755, s"$t $dfW")
+    // null group keys and null values are excluded, not miscounted
+    val dirty = df.union(Seq((0L, 9L)).toDF("g", "v")
+        .select(lit(null).cast("long").as("g"), col("v")))
+      .union(Seq((0L, 9L)).toDF("g", "v")
+        .select(col("g"), lit(null).cast("long").as("v")))
+    val d2 = Expectations.welchTTest(dirty, col("g"), col("v"))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Boolean])].collect().head
+    assert(d2 == got, s"$d2 vs $got")
+    // a single-member group has no sample variance: null stats, not NaN
+    val small = Seq((0L, 5L), (1L, 2L), (1L, 4L)).toDF("g", "v")
+    val s2 = Expectations.welchTTest(small, col("g"), col("v"))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Boolean])].collect().head
+    assert(s2._5.isEmpty && s2._6.isEmpty && s2._7.isEmpty, s2.toString)
+    // two zero-variance groups: no t either
+    val flat = Seq((0L, 5L), (0L, 5L), (1L, 7L), (1L, 7L)).toDF("g", "v")
+    val f2 = Expectations.welchTTest(flat, col("g"), col("v"))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Boolean])].collect().head
+    assert(f2._5.isEmpty && f2._6.isEmpty && f2._7.isEmpty, f2.toString)
+    val e = intercept[IllegalArgumentException] {
+      Expectations.welchTTest(df.withColumn("g", col("g") % 1),
+        col("g"), col("v"))
+    }
+    assert(e.getMessage.contains("exactly 2 non-null groups"))
+  }
+
   test("mutualInformation: independence 0, perfect dependence ln2/NMI 1, " +
       "degenerate null, nulls excluded") {
     import org.apache.spark.sql.functions._

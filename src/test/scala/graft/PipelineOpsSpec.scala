@@ -679,6 +679,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("binaryDhash: hand signatures, short payload excluded, pairs verify") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.col
+    // ascending bytes: every adjacent pair rises -> all 63 bits set;
+    // descending: none; nearUp flips ONLY bit 62 (byte 63 dropped to 0);
+    // a 32-byte payload has no full signature and is excluded
+    val up = Array.tabulate(64)(i => i.toByte)
+    val down = Array.tabulate(64)(i => (63 - i).toByte)
+    val nearUp = up.clone(); nearUp(63) = 0
+    val short = Array.tabulate(32)(i => i.toByte)
+    val media = Seq((1L, up), (2L, down), (3L, nearUp), (4L, short))
+      .toDF("media_id", "content")
+    val sigs = Multimodal.binaryDhash(media, "media_id", "content")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs == Map(1L -> Long.MaxValue, 2L -> 0L,
+      3L -> (Long.MaxValue - (1L << 62))), sigs.toString)
+    val pairs = Multimodal.binaryDhashPairs(media, "media_id", "content")
+      .withColumn("hamming", col("hamming").cast("long"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 3L, 1L)), pairs.toString)
+    Caches.sweep(spark)
+  }
+
   test("unigramTrain: EM concentrates mass on whole-word pieces, hand-traced") {
     import spark.implicits._
     // corpus: xyz x3, q x1. Seed: all 6 substrings of xyz tie at n=3

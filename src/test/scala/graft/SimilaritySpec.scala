@@ -410,4 +410,25 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Long, Option[Double])].collect().head
     assert(gn == ((1L, 1L, 1000000L, Some(1.0))), gn.toString)
   }
+
+  test("annRecallAtK: IVF's cell miss is measured, more probes recover it") {
+    import spark.implicits._
+    // 2 cells (centroids = ids 0 and 2): {0, 1} near the x axis,
+    // {2, 3} near y. Query 1's EXACT top-2 = {0, 3}, but with
+    // nProbe = 1 IVF only sees cell 0 = {0} -> recall 1/2; nProbe = 2
+    // sees both cells -> recall 1
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 1L)
+    val one = graft.operators.Similarity.annRecallAtK(
+        emb, q, k = 2, nProbe = 1, centEvery = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(one == Seq((1L, 2L, 1L, 0.5)), one.toString)
+    val two = graft.operators.Similarity.annRecallAtK(
+        emb, q, k = 2, nProbe = 2, centEvery = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(two == Seq((1L, 2L, 2L, 1.0)), two.toString)
+  }
 }
