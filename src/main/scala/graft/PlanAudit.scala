@@ -174,7 +174,24 @@ object PlanAudit {
     // Kruskal-Wallis: value-grain midrank window, group-grain terms
     "q156_kruskal_wallis",
     // burstiness: (term, doc)-grain count, term-grain moments, TakeOrdered
-    "t53_burstiness")
+    "t53_burstiness",
+    // round 14: binary-SimHash serving — the buckets scan must carry
+    // partition filters (touched parts only) and hash only the probe
+    // batch's payloads (the d17 discipline over binary signatures)
+    "m09_binary_simhash_index",
+    // dHash: one map pass (63 fixed hex-pair compares) to signature
+    // grain, then the shared banded bucket join + hamming verify
+    "m10_binary_dhash",
+    // Welch t: one group-grain moment aggregate, a 2-row self-pair
+    "q158_welch_ttest",
+    // ANN recall eval: brute force over the sampled queries only
+    // (broadcast queries, TakeOrdered heap), IVF as in serving, the
+    // comparison a join of two bounded top-k sets.
+    // (lx14 and q157 are intentionally absent: lineage gates are
+    // driver-side graph walks with LocalRelation results, and q157's
+    // fringe sweeps reuse bfsDistances' audited loop shape with a
+    // 1-row literal result — nothing scan-shaped to pin.)
+    "s16_ann_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -255,6 +255,45 @@ object ScaleProbe {
         |  file bytes through the pushed filter — flat is the correct
         |  outcome for a filter that reaches the scan. A state-scaling
         |  streaming probe needs a replica-spanning predicate.
+        |- **m08 vs m09 is the pairwise-vs-serving contrast measured**:
+        |  m08 re-hashes EVERY payload's hex grams per run — linear in
+        |  total payload bytes (~10x) plus genuine near-dup mass growth
+        |  (the token salt leaves most intra-word 4-byte grams intact,
+        |  so replicas stay within hamming ≤ 3 of each other and the
+        |  TRUE cross-pair count grows superlinearly — the banding
+        |  absorbs it, verify stays per-candidate). m09 indexes the
+        |  bulk corpus ONCE (build in warm-up rep, ident-keyed) and its
+        |  timed cost is hashing the FIXED 400-payload ingest batch +
+        |  reading only its touched bucket partitions — the correct
+        |  serving row stays near-flat as the corpus grows 10x. (The
+        |  round-14 first probe measured the gate's ORIGINAL split —
+        |  growing batch vs fixed corpus, 109.5s at sf1, barely under
+        |  pairwise m08 — which is why the gate now serves the
+        |  fixed-batch direction; d17 keeps the batch-growth direction
+        |  covered.)
+        |- **q146 (double sweep) grows mildly (its graph spans
+        |  replicas)**: per-hop frontier joins touch 10x edges but at
+        |  these absolute sizes per-hop fixed costs dominate; the
+        |  convergence flags stay true, so the bound is still
+        |  certified, just cheap.
+        |- **q157 (iFUB) is pushdown-flat BY CONSTRUCTION**: its gate
+        |  graph filters `o_custkey < 500`, which the key-offset sf1
+        |  keeps inside replica 0 — identical graph at both SFs, flat
+        |  wall clock, and the all-pairs-replayable DuckDB oracle stays
+        |  feasible. The scale-sensitive machinery (per-level landmark
+        |  fringe expansions = bfsDistances' loop) is exactly what
+        |  q146/q133 measure under growth.
+        |- **q151/t48 mirror q103**: weighted sweeps and the word-graph
+        |  PageRank both track the pageRank family's ~3-5x (fixed
+        |  per-sweep costs amortizing over 10x edges).
+        |- **t52 serving stays near-flat**: the bigram-LM layout is
+        |  built from a FIXED training slice; scoring reads only the
+        |  probe batch's touched bucket partitions — the build-once
+        |  contract measured.
+        |- **s12 (PQ ADC) tracks volume**: train on the fixed head,
+        |  encode + ADC are map-only over 10x vectors — ~4x measured
+        |  (fixed costs amortizing), no exchange anywhere (ScaleSpec
+        |  pins zero).
         |""".stripMargin)
 
     // replace any previous scale-probe section, keep the rest of the file

@@ -1010,24 +1010,31 @@ object GraphOps {
       var prevAuth: DataFrame = null
       for (it <- 1 to iterations) {
         // raw sweep: exact long sums of nano scores (≤ ~1e9 + slop
-        // total, so no overflow at any sweep count or graph size)
+        // total, so no overflow at any sweep count or graph size).
+        // Only the RAW vectors materialize (2 per sweep, the pre-
+        // normalization cadence); each normNano stays a LAZY wrapper
+        // over the cached raw blocks, so a sweep pays its two joins
+        // plus two 1-row total aggregates over cached node-grain
+        // blocks — measured: eager norm materialization cost ~1.6x
+        // (q124 3.5s → 5.6s at sf0.1)
         val aRaw = loop.advance(
           e.join(hub.select(col("id").as("src"), col("hub")), "src")
             .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
             .select(col("dst").as("id"), col("auth")))
-        // normalized vectors ride the advance chain (freed when the
-        // next vector is solid); the final survives for the output,
-        // and (delta mode only) its predecessor for the delta readout
+        // normalized vectors ride the advance chain through their raw
+        // parents (freed when the next raw is solid); the final
+        // survives for the output, and (delta mode only) its
+        // predecessor for the delta readout
         val aPlan = normNano(aRaw, "auth")
         val retain = it == iterations ||
           (computeDelta && it == iterations - 1)
-        auth = if (retain) loop.keep(aPlan)._1 else loop.advance(aPlan)
+        auth = if (retain) loop.keep(aPlan)._1 else aPlan
         if (it == iterations - 1 && retain) prevAuth = auth
         val hRaw = loop.advance(
           e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
             .groupBy(col("src")).agg(sum(col("auth")).as("hub"))
             .select(col("src").as("id"), col("hub")))
-        hub = loop.advance(normNano(hRaw, "hub"))
+        hub = normNano(hRaw, "hub")
       }
       // Σ|a_k − a_{k-1}| over the two kept NANO vectors: an exact
       // integer sum, one terminal divide — before finish releases them
