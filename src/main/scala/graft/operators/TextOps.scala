@@ -41,6 +41,48 @@ object TextOps {
   /** Token count as LONG (DuckDB len() returns BIGINT). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Per-document n-gram NOVELTY against a reference corpus: the
+    * fraction of a doc's DISTINCT word n-grams absent from the
+    * reference's n-gram set — the memorization/contamination-strength
+    * signal next to d09's boolean overlap flag (d09 says "this doc
+    * contains an eval n-gram"; novelty says HOW MUCH of the doc is
+    * already covered — a doc at novelty 0 restates the reference, one
+    * near 1 brings genuinely new text). The fraction is one IEEE
+    * division of exact long counts, round-4 — engine-exact.
+    *
+    * Scale shape: the reference collapses ONCE to its distinct
+    * gram-grain set (at 100 TB, persist it — the d10/d17 build-once
+    * shape — and broadcast below threshold); scoring is one gram-grain
+    * explode, one equi-join against that set, one doc-grain
+    * map-combined count pair, and a join back to the id list. No
+    * all-pairs anything.
+    *
+    * @return one row per doc: (id, n_grams, n_known, novelty) —
+    *         novelty null for docs with no full n-gram (shorter than
+    *         n tokens: nothing to score, the honest non-answer).
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val refGrams = ref
+      .select(explode(shingles(col(refTextCol), n)).as("g")).distinct()
+    val docGrams = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("g"))
+    val scored = docGrams
+      .join(refGrams.withColumn("hit", lit(1L)), Seq("g"), "left_outer")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_known"))
+    docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        when(col("n_grams").isNotNull,
+          round(lit(1.0) -
+            col("n_known").cast("double") / col("n_grams").cast("double"),
+            4)).as("novelty"))
+  }
+
   /** Winnowing fingerprint set (Schleimer, Wilkerson & Aiken, SIGMOD'03
     * "Winnowing: Local Algorithms for Document Fingerprinting"): hash
     * every `k`-character gram of the canonicalized text, slide a window

@@ -236,6 +236,59 @@ object Extra3Queries {
              |  true AS within_5pct, true AS bounded_by_daily_sum
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ---- HLL set-INTERSECTION estimate (q159): audience overlap from
+    //      sketches alone via inclusion–exclusion — |A∩B| ≈ est(A) +
+    //      est(B) − est(A∪B), where est(A∪B) is one hll_union_agg
+    //      merge of the two stored sketches (q89's incremental-
+    //      distinct pattern asked the segment-overlap question every
+    //      audience system asks: "how many users both click and
+    //      purchase", answered WITHOUT re-scanning raw events).
+    //      Inclusion–exclusion compounds the three estimates' errors
+    //      against a possibly-small intersection, so the band is
+    //      honest about it: 15% of the LARGER side + 5 absolute (the
+    //      q89/q98 band-check discipline — HLL is deterministic, so
+    //      the boolean is stable, and the exact values ride beside
+    //      it). ----
+    Q("q159_hll_intersection",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "events")
+          .filter($"event_type".isin("click", "purchase"))
+        // stage 1: one stored sketch per segment (persisted in prod)
+        val sk = e.groupBy($"event_type")
+          .agg(hll_sketch_agg($"user_id").as("sk"),
+            countDistinct($"user_id").as("exact_n"))
+        val a = sk.filter($"event_type" === "click")
+          .select($"sk".as("sk_a"), $"exact_n".as("n_click_exact"))
+        val b = sk.filter($"event_type" === "purchase")
+          .select($"sk".as("sk_b"), $"exact_n".as("n_purchase_exact"))
+        // stage 2: union estimate from the two sketches alone
+        val u = sk.agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_u"))
+        val estA = hll_sketch_estimate($"sk_a")
+        val estB = hll_sketch_estimate($"sk_b")
+        val exact = e.groupBy($"user_id")
+          .agg(countDistinct($"event_type").as("k"))
+          .filter($"k" === 2)
+          .agg(count(lit(1)).as("n_inter_exact"))
+        a.crossJoin(b).crossJoin(broadcast(u)).crossJoin(broadcast(exact))
+          .select($"n_click_exact", $"n_purchase_exact", $"n_inter_exact",
+            (abs(estA + estB - $"est_u" - $"n_inter_exact") <=
+              greatest($"n_click_exact", $"n_purchase_exact") * 0.15 + 5)
+              .as("inter_within_band"))
+      },
+      Some("""WITH seg AS (
+             |  SELECT user_id, event_type FROM events
+             |  WHERE event_type IN ('click', 'purchase'))
+             |SELECT
+             |  (SELECT count(DISTINCT user_id) FROM seg
+             |   WHERE event_type = 'click') AS n_click_exact,
+             |  (SELECT count(DISTINCT user_id) FROM seg
+             |   WHERE event_type = 'purchase') AS n_purchase_exact,
+             |  (SELECT count(*) FROM (
+             |    SELECT user_id FROM seg GROUP BY user_id
+             |    HAVING count(DISTINCT event_type) = 2)) AS n_inter_exact,
+             |  true AS inter_within_band""".stripMargin)),
+
     // ---- Z-order (Morton) clustered layout: files own compact
     //      rectangles of (l_partkey, l_suppkey) space, so parquet
     //      min/max stats prune a box predicate on EITHER dimension

@@ -379,6 +379,35 @@ object LineageQueries {
              |  ('o_custkey', 'orders', 'o_custkey'),
              |  ('total', 'orders', 'o_totalprice'))
              |  AS t(out_col, src_table, src_col)
+             |ORDER BY out_col, src_table, src_col""".stripMargin)),
+
+    // lineage through a CUSTOM logical plan (the native as-of join —
+    // graft's own LogicalPlan node, not a Catalyst builtin): the
+    // extractor's attribute chase must pierce operator nodes it has no
+    // special case for, resolving the join's outputs back to the base
+    // table's columns on BOTH sides. Pins in CORRECTNESS what
+    // LineageSpec asserts in-process (the q74 asof report).
+    Q("lx15_lineage_custom_plan",
+      (s, dir) => {
+        val df = CoreQueries.all.find(_.name == "q74_asof_native")
+          .getOrElse(Core2Queries.all.find(_.name == "q74_asof_native").get)
+          .fn(s, dir)
+        val rep = LineageExtractor.report(df.queryExecution)
+        val colRows = rep.columnLineage.toSeq.flatMap { case (out, refs) =>
+          refs.toSeq.map(r => (out, r.table, r.column))
+        }
+        val inRows = rep.inputs.map(m => ("_input", m.name, ""))
+        s.createDataFrame(colRows ++ inRows)
+          .toDF("out_col", "src_table", "src_col")
+          .orderBy("out_col", "src_table", "src_col")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('_input', 'events', ''),
+             |  ('c_us', 'events', 'ts'),
+             |  ('event_id', 'events', 'event_id'),
+             |  ('p_us', 'events', 'ts'),
+             |  ('user_id', 'events', 'user_id'))
+             |  AS t(out_col, src_table, src_col)
              |ORDER BY out_col, src_table, src_col""".stripMargin))
   )
 }

@@ -1351,6 +1351,41 @@ object PipelineQueries {
              |SELECT doc_id, chunk_id, tok_start, score FROM sc WHERE score > 0.0
              |ORDER BY score DESC, doc_id, chunk_id LIMIT 10""".stripMargin)),
 
+    // ---- n-gram novelty (t54): HOW MUCH of each ingest doc's distinct
+    //      3-gram set the existing corpus already covers — d09's
+    //      contamination flag upgraded to a per-doc coverage fraction
+    //      (novelty 0 = restates the corpus, 1 = genuinely new text);
+    //      the memorization-risk signal a training-data pipeline
+    //      thresholds before admitting a crawl batch. ----
+    Q("t54_ngram_novelty",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        TextOps.ngramNovelty(docs.filter($"doc_id" >= 400), "doc_id", "text",
+            docs.filter($"doc_id" < 400), "text")
+          .orderBy($"id")
+      },
+      Some(s"""WITH refg AS (
+             |  SELECT DISTINCT unnest($shinglesSql) AS g
+             |  FROM documents WHERE doc_id < 400),
+             |dg AS (
+             |  SELECT doc_id, unnest($shinglesSql) AS g
+             |  FROM documents WHERE doc_id >= 400),
+             |sc AS (
+             |  SELECT dg.doc_id, count(*) AS n_grams,
+             |    CAST(sum(CASE WHEN refg.g IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_known
+             |  FROM dg LEFT JOIN refg ON dg.g = refg.g
+             |  GROUP BY dg.doc_id)
+             |SELECT d.doc_id AS id,
+             |  coalesce(sc.n_grams, 0) AS n_grams,
+             |  coalesce(sc.n_known, 0) AS n_known,
+             |  CASE WHEN sc.n_grams IS NOT NULL THEN
+             |    round(1.0 - CAST(sc.n_known AS DOUBLE)
+             |      / CAST(sc.n_grams AS DOUBLE), 4) END AS novelty
+             |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+             |WHERE d.doc_id >= 400 ORDER BY id""".stripMargin)),
+
     // ---- incremental (batch-over-corpus) dedup: a new ingestion batch
     //      checks its fingerprints against the existing corpus only —
     //      the daily-ingest shape, where the corpus side is a bloom/

@@ -18,6 +18,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows(2L) == Seq("one two three", "two three four"))
   }
 
+  test("ngramNovelty: hand fractions, all-known 0, all-new 1, short doc null") {
+    import spark.implicits._
+    val ref = Seq(Tuple1("a b c d")).toDF("text") // grams: "a b c", "b c d"
+    val docs = Seq(
+      (1L, "a b c d e"), // {"a b c","b c d","c d e"}: 2 of 3 known
+      (2L, "x y z w"),   // nothing known -> novelty 1
+      (3L, "a b"),       // no full 3-gram -> (0, 0, null)
+      (4L, "a b c")      // fully known -> novelty 0
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps
+      .ngramNovelty(docs, "doc_id", "text", ref, "text")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((3L, 2L, Some(0.3333))),
+      2L -> ((2L, 0L, Some(1.0))),
+      3L -> ((0L, 0L, None)),
+      4L -> ((1L, 1L, Some(0.0)))), got.toString)
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     import spark.implicits._
     val df = Seq(Tuple1("A  b\tC"), Tuple1("a b c")).toDF("text")
