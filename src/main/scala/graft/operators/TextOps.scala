@@ -1141,6 +1141,76 @@ object TextOps {
       round((syd / 1e6 - slope * (sxd / 1e6)) / kd, 4).as("intercept"))
   }
 
+  /** Heaps'-law vocabulary-growth fit (Heaps 1978 / Herdan): V(N) ≈
+    * k·N^β — how fast NEW vocabulary arrives as the corpus grows, the
+    * growth-side companion to [[zipfFit]]'s static frequency shape. A
+    * pipeline watches β across crawl deliveries: natural corpora sit
+    * near β ≈ 0.4–0.6; β collapsing toward 0 means the delivery
+    * re-treads known vocabulary (template/boilerplate floods), β near
+    * 1 means token soup (random strings, encoding breakage).
+    *
+    * Construction: docs bucket by `idCol div bucketSize` (the corpus's
+    * own ingest order), each bucket contributes its token count and
+    * its FIRST-SEEN distinct words (min-bucket per word — one word-
+    * grain aggregate, the distributed way to get cumulative distinct
+    * counts without re-scanning prefixes); cumulative (N_b, V_b) then
+    * OLS of round-6-micro ln V on ln N — the zipfFit quantize-then-
+    * integer-moments discipline, so both engines fit identical points
+    * and the slope divides identical exact operands.
+    *
+    * Scale shape: one corpus token pass (materialized once, read by
+    * both aggregates), word-grain + bucket-grain aggregates, then
+    * everything rides bucket-grain windows (bounded metadata — size
+    * the buckets so their count stays ≤ ~10⁴; the moment products stay
+    * ~4 decades under Long range at that bound).
+    *
+    * @return one row per bucket: (b, n_cum, v_cum, beta, k_ln) —
+    *         beta/k_ln are the fit, repeated on every row (the
+    *         psiDrift shape); empty-token leading buckets are dropped
+    *         (no point to fit).
+    */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
+      bucketSize: Long = 100): DataFrame = {
+    require(bucketSize >= 1, s"bucketSize must be >= 1: $bucketSize")
+    import org.apache.spark.sql.expressions.Window
+    val tokRows = Dedup.materializeOnce(docs.select(
+      expr(s"`$idCol` div $bucketSize").as("b"),
+      explode(tokens(col(textCol))).as("w")))
+    val nt = tokRows.groupBy(col("b")).agg(count(lit(1)).as("nt"))
+    val nv = tokRows.groupBy(col("w")).agg(min(col("b")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("nv"))
+    val per = nt.join(nv, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("nt"), lit(0L)).as("nt"),
+        coalesce(col("nv"), lit(0L)).as("nv"))
+    val wCum = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = per
+      .select(col("b"), sum(col("nt")).over(wCum).as("n_cum"),
+        sum(col("nv")).over(wCum).as("v_cum"))
+      .filter(col("n_cum") > 0 && col("v_cum") > 0)
+      .select(col("b"), col("n_cum"), col("v_cum"),
+        round(log(col("n_cum").cast("double")) * 1e6).cast("long").as("xq"),
+        round(log(col("v_cum").cast("double")) * 1e6).cast("long").as("yq"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val withM = pts.select(col("b"), col("n_cum"), col("v_cum"),
+      count(lit(1)).over(wAll).as("k"),
+      sum(col("xq")).over(wAll).as("sx"), sum(col("yq")).over(wAll).as("sy"),
+      sum(col("xq") * col("yq")).over(wAll).as("sxy"),
+      sum(col("xq") * col("xq")).over(wAll).as("sxx"))
+    // integer sums → double ONCE each, then the closed form (k·sxy
+    // would wrap in long, hence double — the zipfFit convention)
+    val kd = col("k").cast("double")
+    val sxd = col("sx").cast("double")
+    val syd = col("sy").cast("double")
+    val beta = (kd * col("sxy").cast("double") - sxd * syd) /
+      (kd * col("sxx").cast("double") - sxd * sxd)
+    withM.select(col("b"), col("n_cum"), col("v_cum"),
+        round(beta, 4).as("beta"),
+        round((syd / 1e6 - beta * (sxd / 1e6)) / kd, 4).as("k_ln"))
+      .orderBy(col("b"))
+  }
+
   /** WordPiece segmentation (Wu et al. 2016; the BERT tokenizer's
     * serving algorithm): greedy LONGEST-MATCH-FIRST over a fixed
     * vocabulary — at each position take the longest vocabulary piece

@@ -1386,6 +1386,56 @@ object PipelineQueries {
              |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
              |WHERE d.doc_id >= 400 ORDER BY id""".stripMargin)),
 
+    // ---- Heaps'-law vocabulary growth (t55): V(N) ≈ k·N^β fitted over
+    //      ingest-ordered buckets — the growth-side companion to t37's
+    //      Zipf frequency fit; β collapsing toward 0 flags template
+    //      floods, β near 1 token soup. First-seen-bucket per word =
+    //      the distributed cumulative-distinct construction; quantized
+    //      logs + integer moments = the zipfFit determinism. ----
+    Q("t55_heaps_law",
+      (s, dir) => {
+        import s.implicits._
+        TextOps.heapsLaw(Tables(s, dir, "documents"), "doc_id", "text")
+      },
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id // 100 AS b, unnest($toksSql) AS w
+             |  FROM documents),
+             |nt AS (SELECT b, count(*) AS nt FROM tok GROUP BY b),
+             |nv AS (SELECT b, count(*) AS nv FROM (
+             |    SELECT w, min(b) AS b FROM tok GROUP BY w) GROUP BY b),
+             |per AS (
+             |  SELECT coalesce(nt.b, nv.b) AS b,
+             |    coalesce(nt.nt, 0) AS nt, coalesce(nv.nv, 0) AS nv
+             |  FROM nt FULL JOIN nv ON nt.b = nv.b),
+             |cum AS (
+             |  SELECT b,
+             |    sum(nt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS n_cum,
+             |    sum(nv) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS v_cum
+             |  FROM per),
+             |pts AS (
+             |  SELECT b, CAST(n_cum AS BIGINT) AS n_cum,
+             |    CAST(v_cum AS BIGINT) AS v_cum,
+             |    CAST(round(ln(CAST(n_cum AS DOUBLE)) * 1e6) AS BIGINT) AS xq,
+             |    CAST(round(ln(CAST(v_cum AS DOUBLE)) * 1e6) AS BIGINT) AS yq
+             |  FROM cum WHERE n_cum > 0 AND v_cum > 0),
+             |m AS (
+             |  SELECT count(*) AS k, sum(xq) AS sx, sum(yq) AS sy,
+             |    sum(xq * yq) AS sxy, sum(xq * xq) AS sxx
+             |  FROM pts)
+             |SELECT CAST(pts.b AS BIGINT) AS b, pts.n_cum, pts.v_cum,
+             |  round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS beta,
+             |  round((CAST(sy AS DOUBLE) / 1e6
+             |    - ((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |      / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             |      * (CAST(sx AS DOUBLE) / 1e6)) / CAST(k AS DOUBLE), 4)
+             |    AS k_ln
+             |FROM pts, m ORDER BY b""".stripMargin)),
+
     // ---- incremental (batch-over-corpus) dedup: a new ingestion batch
     //      checks its fingerprints against the existing corpus only —
     //      the daily-ingest shape, where the corpus side is a bloom/

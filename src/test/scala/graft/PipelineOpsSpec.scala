@@ -38,6 +38,41 @@ class PipelineOpsSpec extends AnyFunSuite {
       4L -> ((1L, 1L, Some(0.0)))), got.toString)
   }
 
+  test("heapsLaw: hand-fit beta over growing vocab, flat vocab fits ~0") {
+    import spark.implicits._
+    // bucketSize=1: each doc is a bucket. Cumulative points:
+    // (N,V) = (2,2), (4,3), (7,5) — vocabulary still growing
+    val docs = Seq((0L, "a b"), (1L, "a c"), (2L, "a d e"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps.heapsLaw(docs, "doc_id", "text", 1L)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    // replicate the quantize-then-moments chain exactly
+    val pts = Seq((2L, 2L), (4L, 3L), (7L, 5L)).map { case (n, v) =>
+      (math.round(math.log(n.toDouble) * 1e6),
+        math.round(math.log(v.toDouble) * 1e6))
+    }
+    val k = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val beta = (k.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (k.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val kLn = r4((sy.toDouble / 1e6 - beta * (sx.toDouble / 1e6)) / k.toDouble)
+    assert(got == Seq((0L, 2L, 2L, r4(beta), kLn), (1L, 4L, 3L, r4(beta), kLn),
+      (2L, 7L, 5L, r4(beta), kLn)), got.toString)
+    // sublinear growth: 0 < beta < 1 on this corpus
+    assert(r4(beta) > 0.5 && r4(beta) < 1.0, beta.toString)
+    // saturated vocabulary: V flat after bucket 0 -> beta fits ~0
+    val flat = Seq((0L, "a b c"), (1L, "a b c"), (2L, "b c a"))
+      .toDF("doc_id", "text")
+    val fGot = graft.operators.TextOps.heapsLaw(flat, "doc_id", "text", 1L)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(fGot.forall(r => r._4 == 0.0), fGot.mkString(","))
+    Caches.sweep(spark)
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     import spark.implicits._
     val df = Seq(Tuple1("A  b\tC"), Tuple1("a b c")).toDF("text")
