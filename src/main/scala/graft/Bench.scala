@@ -91,7 +91,8 @@ object Bench {
     // dHash gradient signatures, ANN recall eval, Welch t
     "m09_binary_simhash_index", "q157_diameter_ifub", "m10_binary_dhash",
     "s16_ann_recall", "q158_welch_ttest", "t54_ngram_novelty",
-    "q159_hll_intersection", "t55_heaps_law",
+    "q159_hll_intersection", "t55_heaps_law", "q160_retention_halflife",
+    "st20_stream_novelty",
     // dedup / similarity / text pipeline; d12/d13/s07/t17 rotated out
     // round 9 (sub-0.3s, families covered by d11/d14/s09/t15) to make
     // room for the r1/r2 rep columns inside the tail budget

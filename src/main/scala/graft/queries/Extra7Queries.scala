@@ -525,6 +525,110 @@ object Extra7Queries {
              |  abs(round(md / sqrt(qa + qb), 6)) > 1.96 AS significant
              |FROM m""".stripMargin)),
 
+    // ---- Retention half-life (q160): q117's cohort curves reduced to
+    //      the ONE number a growth review asks for — fit ln(retention)
+    //      against day-offset (exponential-decay model) and report the
+    //      half-life in days. RIGHT-CENSORING-AWARE pooling: offset o
+    //      only pools cohorts whose observation window covers o
+    //      (cohort_day + o <= max_day) — naive pooling would let late
+    //      cohorts' missing tails read as churn. Quantized round-6
+    //      micro-ln retention + integer moments (the zipfFit/t55
+    //      discipline); ln 2 as a shared literal so half-life is one
+    //      IEEE divide of identical operands. ----
+    Q("q160_retention_halflife",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+          .select($"user_id", to_date($"ts").as("d"))
+        val first = ev.groupBy($"user_id").agg(min($"d").as("cohort_day"))
+        val act = ev.join(first, "user_id")
+          .select($"user_id", $"cohort_day",
+            datediff($"d", $"cohort_day").cast("long").as("o"))
+          .distinct()
+        val maxDay = ev.agg(max($"d").as("max_day"))
+        val sizes = first.groupBy($"cohort_day")
+          .agg(count(lit(1)).as("sz"))
+        val perOff = act.filter($"o" >= 1).groupBy($"cohort_day", $"o")
+          .agg(countDistinct($"user_id").as("a"))
+        // eligible (cohort, offset) grid — date-grain bounded metadata
+        val grid = sizes.crossJoin(broadcast(maxDay))
+          .withColumn("span", datediff($"max_day", $"cohort_day").cast("long"))
+          .filter($"span" >= 1)
+          .select($"cohort_day", $"sz",
+            explode(sequence(lit(1L), $"span")).as("o"))
+        val pooled = grid.join(perOff, Seq("cohort_day", "o"), "left_outer")
+          .groupBy($"o")
+          .agg(sum(coalesce($"a", lit(0L))).as("num"), sum($"sz").as("den"))
+          .filter($"num" > 0)
+        val pts = pooled.select($"o",
+          round(log($"num".cast("double") / $"den".cast("double")) * 1e6)
+            .cast("long").as("yq"))
+        val m = pts.agg(count(lit(1)).as("k"),
+          sum($"o").as("sx"), sum($"yq").as("sy"),
+          sum($"o" * $"yq").as("sxy"), sum($"o" * $"o").as("sxx"))
+        val kd = $"k".cast("double")
+        val slopeMicro = (kd * $"sxy".cast("double") -
+          $"sx".cast("double") * $"sy".cast("double")) /
+          (kd * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double"))
+        m.select($"k".as("n_points"),
+          round(slopeMicro / 1e6, 6).as("slope"),
+          when(slopeMicro < 0.0,
+            round(lit(0.6931471805599453) / (slopeMicro / -1e6), 4))
+            .as("half_life_days"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+             |f AS (SELECT user_id, min(d) AS cohort_day FROM ev
+             |  GROUP BY user_id),
+             |act AS (
+             |  SELECT DISTINCT ev.user_id, f.cohort_day,
+             |    CAST(date_diff('day', f.cohort_day, ev.d) AS BIGINT) AS o
+             |  FROM ev JOIN f USING (user_id)),
+             |mx AS (SELECT max(d) AS max_day FROM ev),
+             |sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS sz
+             |  FROM f GROUP BY cohort_day),
+             |po AS (
+             |  SELECT cohort_day, o, CAST(count(DISTINCT user_id) AS BIGINT) AS a
+             |  FROM act WHERE o >= 1 GROUP BY cohort_day, o),
+             |grid AS (
+             |  SELECT sz.cohort_day, sz.sz,
+             |    unnest(generate_series(CAST(1 AS BIGINT),
+             |      CAST(date_diff('day', sz.cohort_day, mx.max_day) AS BIGINT)))
+             |      AS o
+             |  FROM sz, mx
+             |  WHERE date_diff('day', sz.cohort_day, mx.max_day) >= 1),
+             |pooled AS (
+             |  SELECT grid.o, CAST(sum(coalesce(po.a, 0)) AS BIGINT) AS num,
+             |    CAST(sum(grid.sz) AS BIGINT) AS den
+             |  FROM grid LEFT JOIN po
+             |    ON grid.cohort_day = po.cohort_day AND grid.o = po.o
+             |  GROUP BY grid.o HAVING sum(coalesce(po.a, 0)) > 0),
+             |pts AS (
+             |  SELECT o, CAST(round(ln(CAST(num AS DOUBLE)
+             |    / CAST(den AS DOUBLE)) * 1e6) AS BIGINT) AS yq
+             |  FROM pooled),
+             |m AS (
+             |  SELECT count(*) AS k, sum(o) AS sx, sum(yq) AS sy,
+             |    sum(o * yq) AS sxy, sum(o * o) AS sxx
+             |  FROM pts)
+             |SELECT k AS n_points,
+             |  round(((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 1e6, 6)
+             |    AS slope,
+             |  CASE WHEN ((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) < 0.0 THEN
+             |    round(0.6931471805599453
+             |      / (((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |      / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / -1e6), 4)
+             |  END AS half_life_days
+             |FROM m""".stripMargin)),
+
     // ---- Mann–Kendall trend test (q147): is the daily event volume's
     //      trend (whose slope q135's Theil–Sen estimates) there at
     //      all? S and the tie-corrected Var·18 are exact longs over

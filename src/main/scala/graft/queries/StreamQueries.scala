@@ -11,6 +11,15 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object StreamQueries {
 
+  /** DuckDB fragment for distinct word-3-gram shingles (the
+    * PipelineQueries helper, inlined for st20's oracle). */
+  private val shinglesSqlStream =
+    s"""list_distinct(list_transform(
+       |  generate_series(1, len(list_filter(string_split(text, ' '),
+       |    x -> x <> '')) - 2),
+       |  i -> array_to_string(list_slice(list_filter(string_split(text, ' '),
+       |    x -> x <> ''), i, i + 2), ' ')))""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     Q("st01_stream_hourly",
@@ -636,6 +645,49 @@ object StreamQueries {
              |SELECT day, event_type, CAST(n AS BIGINT) AS n,
              |  CAST(rnk AS BIGINT) AS rnk
              |FROM r WHERE rnk <= 3 ORDER BY day, rnk""".stripMargin)),
+
+    // ---- streaming n-gram novelty (st20): t54's memorization-risk
+    //      fraction computed ON INGEST — the documents stream explodes
+    //      to gram grain, stream-static left-joins the CORPUS's
+    //      distinct gram set (the static side is the persisted
+    //      reference a production stream would broadcast), and the
+    //      per-doc coverage aggregates in Complete mode. Replayed
+    //      input ⇒ batch-equal: the oracle is t54's, minus gram-less
+    //      docs (a stream aggregate only emits keys it saw). ----
+    Q("st20_stream_novelty",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.TextOps
+        val stream = StreamOps.readDocuments(s, dir).filter($"doc_id" >= 400)
+        val refGrams = Tables(s, dir, "documents").filter($"doc_id" < 400)
+          .select(explode(TextOps.shingles($"text", 3)).as("g")).distinct()
+        val grams = stream.select($"doc_id",
+          explode(TextOps.shingles($"text", 3)).as("g"))
+        val scored = grams
+          .join(refGrams.withColumn("hit", lit(1L)), Seq("g"), "left_outer")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce($"hit", lit(0L))).as("n_known"))
+        StreamOps.runToMemory(s, scored, "st20_out", OutputMode.Complete())
+          .select($"doc_id", $"n_grams", $"n_known",
+            round(lit(1.0) - $"n_known".cast("double")
+              / $"n_grams".cast("double"), 4).as("novelty"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH refg AS (
+             |  SELECT DISTINCT unnest($shinglesSqlStream) AS g
+             |  FROM documents WHERE doc_id < 400),
+             |dg AS (
+             |  SELECT doc_id, unnest($shinglesSqlStream) AS g
+             |  FROM documents WHERE doc_id >= 400)
+             |SELECT dg.doc_id, count(*) AS n_grams,
+             |  CAST(sum(CASE WHEN refg.g IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_known,
+             |  round(1.0 - CAST(sum(CASE WHEN refg.g IS NOT NULL
+             |      THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 4) AS novelty
+             |FROM dg LEFT JOIN refg ON dg.g = refg.g
+             |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin)),
 
     // ---- streaming MICROBATCH lineage (st19): a RUNNING stream's
     //      per-microbatch OpenLineage RunEvents must parent correctly
