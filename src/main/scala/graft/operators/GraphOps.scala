@@ -986,12 +986,20 @@ object GraphOps {
     val loop = new IterativeLoop()
     // L1-normalize a materialized (id, c) long vector into nano units:
     // total = exact long (order-free), round(c·1e9/total) = identical
-    // IEEE ops on identical operands in any engine. The 1-row total
-    // broadcasts back over the cached blocks — no plan re-run.
-    def normNano(vec: DataFrame, c: String): DataFrame =
-      vec.crossJoin(broadcast(vec.agg(sum(col(c)).as("_t"))))
-        .select(col("id"), round(col(c).cast("double") * lit(1e9) /
-          col("_t").cast("double")).cast("long").as(c))
+    // IEEE ops on identical operands in any engine. The total is ONE
+    // 1-row driver action over the cached blocks (the loop-scalar
+    // bounded-driver contract) inlined as a LITERAL, so the norm stays
+    // a pure map and the sweep join keeps the raw vector's statistics
+    // — a crossJoin(broadcast(agg)) wrapper here inflated AQE's size
+    // estimate and flipped the edge⋈vector join from broadcast to a
+    // per-sweep shuffle of the edge set (measured 2.5s → 6.8s on q124)
+    def normNano(vec: DataFrame, c: String): DataFrame = {
+      val row = vec.agg(sum(col(c))).head()
+      if (row.isNullAt(0)) vec // empty vector: nothing to normalize
+      else vec.select(col("id"),
+        round(col(c).cast("double") * lit(1e9) /
+          lit(row.getLong(0).toDouble)).cast("long").as(c))
+    }
     try {
       val e = loop.pin(edges
         .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -999,13 +1007,15 @@ object GraphOps {
       val nodes = loop.pin(e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct())
       // sparse normalized start: the out-edge nodes split one L1 unit
-      // (round(1e9/|H|) nano each — |H| is an exact count, so the seed
-      // is the same long everywhere)
-      val h0 = e.select(col("src").as("id")).distinct()
-      var hub = loop.advance(h0
-        .crossJoin(broadcast(h0.agg(count(lit(1)).as("_n"))))
-        .select(col("id"), round(lit(1e9) / col("_n").cast("double"))
-          .cast("long").as("hub")))
+      // (round(1e9/|H|) nano each — |H| is an exact count via one
+      // driver action, inlined as a literal for the same stats reason
+      // as normNano)
+      val h0 = loop.advance(e.select(col("src").as("id")).distinct())
+      val nH = h0.count()
+      var hub: DataFrame =
+        if (nH == 0) h0.select(col("id"), lit(0L).as("hub"))
+        else h0.select(col("id"),
+          round(lit(1e9) / lit(nH.toDouble)).cast("long").as("hub"))
       var auth: DataFrame = null
       var prevAuth: DataFrame = null
       for (it <- 1 to iterations) {
