@@ -15,11 +15,11 @@ package graft
   * additionally carries per-rep start timestamps ("ts1"/"ts2", epoch
   * ms) and per-rep loadavg ("l1"/"l2"), column-aligned with "queries".
   *
-  * The headline set (~65 queries) spans every operator family; the full
-  * registered suite runs with SPARK_GRAFT_BENCH_ALL=1. Two reasons for a
-  * curated subset: per-query numbers should measure plans (not 120×
-  * fixed per-query session costs), and the output line must stay short
-  * enough that log-tail capture keeps the whole JSON intact.
+  * The headline set (~100 queries) spans every operator family; the
+  * full registered suite runs with SPARK_GRAFT_BENCH_ALL=1. Two reasons
+  * for a curated subset: per-query numbers should measure plans (not
+  * 300× fixed per-query session costs), and the output line must stay
+  * short enough that log-tail capture keeps the whole JSON intact.
   *
   * Headline "queries" values are the PER-QUERY MIN across this run's
   * reps AND the round's idle full-suite artifact (newest
