@@ -92,7 +92,7 @@ object Bench {
     "m09_binary_simhash_index", "q157_diameter_ifub", "m10_binary_dhash",
     "s16_ann_recall", "q158_welch_ttest", "t54_ngram_novelty",
     "q159_hll_intersection", "t55_heaps_law", "q160_retention_halflife",
-    "st20_stream_novelty",
+    "st20_stream_novelty", "m11_binary_dhash_index",
     // dedup / similarity / text pipeline; d12/d13/s07/t17 rotated out
     // round 9 (sub-0.3s, families covered by d11/d14/s09/t15) to make
     // room for the r1/r2 rep columns inside the tail budget
@@ -126,7 +126,7 @@ object Bench {
     "q73_bucketed_join", "q87_partitioned_write", "q88_zorder_layout",
     "s04_ann_ivf_layout", "s08_ann_ivf_append", "s09_hard_negatives_layout",
     "t23_bm25_index", "t24_bm25_index_append", "t40_bpe_apply",
-    "d17_lsh_index", "m09_binary_simhash_index")
+    "d17_lsh_index", "m09_binary_simhash_index", "m11_binary_dhash_index")
 
   /** 1-minute system load from /proc/loadavg (-1.0 where unreadable) —
     * the contention evidence the round artifact must carry: two

@@ -400,36 +400,11 @@ object Multimodal {
     * media row regardless of payload size. */
   def binarySimhashIndexWrite(media: DataFrame, idCol: String,
       binCol: String, layoutDir: String, gramBytes: Int = 4,
-      nParts: Int = 64, maxBucket: Int = 1000): Unit = {
-    val spark = media.sparkSession
-    val path = new org.apache.hadoop.fs.Path(layoutDir)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val ident = binarySimhashParamIdent(gramBytes, nParts) +
-      s" maxBucket=$maxBucket" +
-      s" corpus=${media.queryExecution.analyzed.semanticHash()}"
-    val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
-    val identMatches = fs.exists(identPath) && {
-      val in = fs.open(identPath)
-      try new String(in.readAllBytes(), "UTF-8") == ident
-      finally in.close()
-    }
-    if (!identMatches) {
-      if (fs.exists(path)) fs.delete(path, true)
-      val banded = sigBandRows(
-          binarySignatures(media, idCol, binCol, gramBytes), nParts)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val keep = banded.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucket)
-          .select(col("band"), col("bucket"))
-        banded.join(keep, Seq("band", "bucket"), "left_semi")
-          .write.mode("overwrite").partitionBy("part")
-          .parquet(s"$layoutDir/buckets")
-      } finally banded.unpersist()
-      val out = fs.create(identPath, true)
-      try out.write(ident.getBytes("UTF-8")) finally out.close()
-    }
-  }
+      nParts: Int = 64, maxBucket: Int = 1000): Unit =
+    sigIndexWrite(binarySignatures(media, idCol, binCol, gramBytes),
+      binarySimhashParamIdent(gramBytes, nParts),
+      media.queryExecution.analyzed.semanticHash().toString,
+      layoutDir, nParts, maxBucket)
 
   /** APPEND an ingest batch's signatures to a persisted binary-SimHash
     * layout (the batch joins the corpus future probes check against).
@@ -438,31 +413,11 @@ object Multimodal {
     * a half-appended layout — the [[Dedup.lshIndexAppend]] contract. */
   def binarySimhashIndexAppend(newMedia: DataFrame, idCol: String,
       binCol: String, layoutDir: String, gramBytes: Int = 4,
-      nParts: Int = 64): Unit = {
-    val spark = newMedia.sparkSession
-    val path = new org.apache.hadoop.fs.Path(layoutDir)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
-    require(fs.exists(identPath),
-      s"no binary-SimHash layout at $layoutDir (build before appending)")
-    val prevIdent = {
-      val in = fs.open(identPath)
-      try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    }
-    require(prevIdent.startsWith(binarySimhashParamIdent(gramBytes, nParts)),
-      s"layout at $layoutDir was built with different parameters " +
-        s"('$prevIdent') — probing with these would silently miss pairs; " +
-        "rebuild instead of appending")
-    def writeIdent(s: String): Unit = {
-      val out = fs.create(identPath, true)
-      try out.write(s.getBytes("UTF-8")) finally out.close()
-    }
-    writeIdent("APPENDING " + prevIdent)
-    sigBandRows(binarySignatures(newMedia, idCol, binCol, gramBytes), nParts)
-      .write.mode("append").partitionBy("part").parquet(s"$layoutDir/buckets")
-    writeIdent(prevIdent +
-      s" +append=${newMedia.queryExecution.analyzed.semanticHash()}")
-  }
+      nParts: Int = 64): Unit =
+    sigIndexAppend(binarySignatures(newMedia, idCol, binCol, gramBytes),
+      binarySimhashParamIdent(gramBytes, nParts),
+      newMedia.queryExecution.analyzed.semanticHash().toString,
+      layoutDir, nParts)
 
   /** Check an ingest batch for binary near-duplicates AGAINST the
     * persisted corpus layout: every (probe, corpus) pair within
@@ -484,20 +439,120 @@ object Multimodal {
     */
   def binarySimhashProbeIndex(spark: SparkSession, layoutDir: String,
       batch: DataFrame, idCol: String, binCol: String, gramBytes: Int = 4,
-      nParts: Int = 64, maxHamming: Int = 3): DataFrame = {
+      nParts: Int = 64, maxHamming: Int = 3): DataFrame =
+    sigProbeIndex(spark, layoutDir,
+      binarySignatures(batch, idCol, binCol, gramBytes),
+      binarySimhashParamIdent(gramBytes, nParts), nParts, maxHamming)
+
+  private def binaryDhashParamIdent(nParts: Int): String =
+    s"graft-bindhash-v1 nParts=$nParts"
+
+  /** [[binaryDhash]]'s signatures as a persisted serving layout — the
+    * second instantiation of the generic 64-bit-signature index
+    * ([[sigIndexWrite]]); same bucket-partitioned, ident-last,
+    * probe-only-touched-partitions contract as
+    * [[binarySimhashIndexWrite]]. A media pipeline keeps BOTH layouts:
+    * the gram-majority SimHash index catches content-level near-dups,
+    * the gradient dHash index catches re-encodes that preserve local
+    * ordering — one ingest batch probes each without re-hashing any
+    * corpus. */
+  def binaryDhashIndexWrite(media: DataFrame, idCol: String,
+      binCol: String, layoutDir: String, nParts: Int = 64,
+      maxBucket: Int = 1000): Unit =
+    sigIndexWrite(binaryDhash(media, idCol, binCol),
+      binaryDhashParamIdent(nParts),
+      media.queryExecution.analyzed.semanticHash().toString,
+      layoutDir, nParts, maxBucket)
+
+  /** [[binarySimhashIndexAppend]]'s contract for the dHash layout. */
+  def binaryDhashIndexAppend(newMedia: DataFrame, idCol: String,
+      binCol: String, layoutDir: String, nParts: Int = 64): Unit =
+    sigIndexAppend(binaryDhash(newMedia, idCol, binCol),
+      binaryDhashParamIdent(nParts),
+      newMedia.queryExecution.analyzed.semanticHash().toString,
+      layoutDir, nParts)
+
+  /** [[binarySimhashProbeIndex]]'s contract for the dHash layout. */
+  def binaryDhashProbeIndex(spark: SparkSession, layoutDir: String,
+      batch: DataFrame, idCol: String, binCol: String,
+      nParts: Int = 64, maxHamming: Int = 3): DataFrame =
+    sigProbeIndex(spark, layoutDir, binaryDhash(batch, idCol, binCol),
+      binaryDhashParamIdent(nParts), nParts, maxHamming)
+
+  // ---- the generic persisted 64-bit-signature index: any (id, sig)
+  // producer (gram-majority SimHash, gradient dHash, a future pHash
+  // over real decoded pixels) gets build/append/probe with one shared
+  // discipline — bucket-partitioned band rows, skew-guarded build,
+  // ident written LAST (params + maxBucket + corpus plan hash), the
+  // APPENDING sentinel, partition-pruned broadcast probes ----
+
+  private def readIdent(fs: org.apache.hadoop.fs.FileSystem,
+      identPath: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(identPath)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  private def sigIndexWrite(sigs: DataFrame, paramIdent: String,
+      corpusHash: String, layoutDir: String, nParts: Int,
+      maxBucket: Int): Unit = {
+    val spark = sigs.sparkSession
+    val path = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val ident = paramIdent + s" maxBucket=$maxBucket corpus=$corpusHash"
+    val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
+    if (fs.exists(identPath) && readIdent(fs, identPath) == ident) return
+    if (fs.exists(path)) fs.delete(path, true)
+    val banded = sigBandRows(sigs, nParts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // skew guard at build: oversized buckets drop whole (a saturated
+      // band bucket would explode every probe; appends do not re-check
+      // — the documented t24-style append trade)
+      val keep = banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucket)
+        .select(col("band"), col("bucket"))
+      banded.join(keep, Seq("band", "bucket"), "left_semi")
+        .write.mode("overwrite").partitionBy("part")
+        .parquet(s"$layoutDir/buckets")
+    } finally banded.unpersist()
+    val out = fs.create(identPath, true)
+    try out.write(ident.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def sigIndexAppend(sigs: DataFrame, paramIdent: String,
+      batchHash: String, layoutDir: String, nParts: Int): Unit = {
+    val spark = sigs.sparkSession
+    val path = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
+    require(fs.exists(identPath),
+      s"no signature layout at $layoutDir (build before appending)")
+    val prevIdent = readIdent(fs, identPath)
+    require(prevIdent.startsWith(paramIdent),
+      s"layout at $layoutDir was built with different parameters " +
+        s"('$prevIdent') — probing with these would silently miss pairs; " +
+        "rebuild instead of appending")
+    def writeIdent(s: String): Unit = {
+      val out = fs.create(identPath, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    writeIdent("APPENDING " + prevIdent)
+    sigBandRows(sigs, nParts)
+      .write.mode("append").partitionBy("part").parquet(s"$layoutDir/buckets")
+    writeIdent(prevIdent + s" +append=$batchHash")
+  }
+
+  private def sigProbeIndex(spark: SparkSession, layoutDir: String,
+      probeSigs: DataFrame, paramIdent: String, nParts: Int,
+      maxHamming: Int): DataFrame = {
     val identPath = new org.apache.hadoop.fs.Path(layoutDir, "_graft_ident")
     val fs = identPath.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(identPath),
-      s"no completed binary-SimHash layout at $layoutDir " +
-        "(run binarySimhashIndexWrite first)")
-    val prevIdent = {
-      val in = fs.open(identPath)
-      try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    }
-    require(prevIdent.startsWith(binarySimhashParamIdent(gramBytes, nParts)),
-      s"layout at $layoutDir does not match probe parameters ('$prevIdent')")
-    val probe = Dedup.materializeOnce(sigBandRows(
-      binarySignatures(batch, idCol, binCol, gramBytes), nParts))
+      s"no completed signature layout at $layoutDir (build first)")
+    require(readIdent(fs, identPath).startsWith(paramIdent),
+      s"layout at $layoutDir does not match probe parameters " +
+        s"('${readIdent(fs, identPath)}')")
+    val probe = Dedup.materializeOnce(sigBandRows(probeSigs, nParts))
     val touched = probe.select(col("part")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val corpus = spark.read.parquet(s"$layoutDir/buckets")

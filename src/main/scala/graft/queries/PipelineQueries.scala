@@ -1883,6 +1883,49 @@ object PipelineQueries {
              |WHERE bit_count(xor(a.sig, b.sig)) <= 3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- PERSISTED dHash index (m11): m10's gradient signatures
+    //      under the generic signature-index discipline (the m09
+    //      machinery's second instantiation) — bulk corpus indexed
+    //      once, the fixed 400-payload head probes only its touched
+    //      bucket partitions. Oracle = exact all-CROSS-pairs dHash
+    //      hamming ≤ 3 (banding exact by pigeonhole below
+    //      saturation). ----
+    Q("m11_binary_dhash_index",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        val key = Tables.contentKey(s"$dir/documents.parquet")
+        val layout = graft.Scratch.dir(s"graft_bindhash_idx_$key")
+        val media = Multimodal.fabricate(Tables(s, dir, "documents"))
+        Multimodal.binaryDhashIndexWrite(
+          media.filter($"media_id" >= 400), "media_id", "content", layout)
+        Multimodal.binaryDhashProbeIndex(s, layout,
+            media.filter($"media_id" < 400), "media_id", "content")
+          .orderBy($"probe_id", $"corpus_id")
+      },
+      Some("""WITH hx AS (
+             |  SELECT doc_id AS media_id,
+             |    lpad(upper(to_hex(n_chars % 1024)), 8, '0')
+             |    || lpad(upper(to_hex(doc_id % 768)), 8, '0')
+             |    || upper(hex(encode(text))) AS h
+             |  FROM documents),
+             |ok AS (SELECT media_id, h FROM hx WHERE len(h) >= 128),
+             |bits AS (
+             |  SELECT media_id, i,
+             |    CASE WHEN ('0x' || substr(h, CAST(2*i+3 AS INT), 2))::BIGINT
+             |           > ('0x' || substr(h, CAST(2*i+1 AS INT), 2))::BIGINT
+             |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+             |  FROM ok CROSS JOIN (SELECT unnest(range(0, 63)) AS i)),
+             |sig AS (
+             |  SELECT media_id, CAST(sum(b << i) AS BIGINT) AS sig
+             |  FROM bits GROUP BY media_id)
+             |SELECT p.media_id AS probe_id, c.media_id AS corpus_id,
+             |  CAST(bit_count(xor(p.sig, c.sig)) AS BIGINT) AS hamming
+             |FROM sig p JOIN sig c ON c.media_id >= 400
+             |WHERE p.media_id < 400
+             |  AND bit_count(xor(p.sig, c.sig)) <= 3
+             |ORDER BY probe_id, corpus_id""".stripMargin)),
+
     // GPT-style sequence layout: concatenate docs in id order, cut every
     // 512 tokens; each doc's (seq_id, offset) start position plus
     // whether it straddles a cut — the pretraining packing shape, where

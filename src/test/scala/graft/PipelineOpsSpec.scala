@@ -758,6 +758,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("binaryDhashIndex: probe equals pairwise slice; append equals full; guards") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.col
+    val media = Multimodal.fabricate(Tables(spark, TestSpark.sf, "documents"))
+    val batch = media.filter($"media_id" < 400)
+    def pairs(layout: String): Set[(Long, Long, Long)] =
+      Multimodal.binaryDhashProbeIndex(spark, layout, batch,
+          "media_id", "content")
+        .as[(Long, Long, Long)].collect().toSet
+    val full = graft.Scratch.dir("spec_dhash_full")
+    Multimodal.binaryDhashIndexWrite(media.filter($"media_id" >= 400),
+      "media_id", "content", full)
+    val appended = graft.Scratch.dir("spec_dhash_appended")
+    Multimodal.binaryDhashIndexWrite(
+      media.filter($"media_id" >= 400 && $"media_id" < 500),
+      "media_id", "content", appended)
+    Multimodal.binaryDhashIndexAppend(media.filter($"media_id" >= 500),
+      "media_id", "content", appended)
+    val (a, b) = (pairs(full), pairs(appended))
+    assert(a == b, s"append diverged: only-full=${a.diff(b)} only-app=${b.diff(a)}")
+    // probe result = the batch-vs-corpus slice of the exact pairwise op
+    val reference = Multimodal.binaryDhashPairs(media, "media_id", "content")
+      .withColumn("hamming", col("hamming").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+      .filter(t => (t._1 < 400) != (t._2 < 400))
+      .map(t => if (t._1 < 400) t else (t._2, t._1, t._3))
+    assert(a == reference,
+      s"probe diverged from pairwise: only-probe=${a.diff(reference)} " +
+        s"only-pairwise=${reference.diff(a)}")
+    // a SimHash layout refuses dHash probes (param ident mismatch) and
+    // vice versa — the cross-family guard the shared machinery must keep
+    val sim = graft.Scratch.dir("spec_dhash_simlayout")
+    Multimodal.binarySimhashIndexWrite(media.filter($"media_id" >= 400),
+      "media_id", "content", sim)
+    intercept[IllegalArgumentException] {
+      Multimodal.binaryDhashProbeIndex(spark, sim, batch,
+        "media_id", "content")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.binaryDhashIndexAppend(batch, "media_id", "content", sim)
+    }
+    Caches.sweep(spark)
+  }
+
   test("unigramTrain: EM concentrates mass on whole-word pieces, hand-traced") {
     import spark.implicits._
     // corpus: xyz x3, q x1. Seed: all 6 substrings of xyz tie at n=3

@@ -761,6 +761,27 @@ class ScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("m11 probes the dHash layout reading only touched bucket " +
+      "partitions; corpus payloads never re-hashed") {
+    val df = SparkEntry.queries("m11_binary_dhash_index")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val bucketScans = collectAll(plan) {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("graft_bindhash_idx")) => s
+    }
+    assert(bucketScans.nonEmpty, "no dHash layout scan in the probe plan")
+    assert(bucketScans.forall(_.partitionFilters.nonEmpty),
+      "buckets scan must prune to the probe batch's touched partitions")
+    val docScans = collectAll(plan) {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("documents")) => s
+    }
+    assert(docScans.size <= 1,
+      s"corpus re-scanned: ${docScans.size} documents scans in probe plan")
+    spark.catalog.clearCache()
+  }
+
   test("t52 scores from the LM layout reading only touched bucket " +
       "partitions; corpus never re-scanned") {
     val df = SparkEntry.queries("t52_lm_index")(spark, sf)
