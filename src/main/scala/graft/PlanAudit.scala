@@ -177,8 +177,9 @@ object PlanAudit {
     "t53_burstiness",
     // round 14: binary-SimHash serving — the buckets scan must carry
     // partition filters (touched parts only) and hash only the probe
-    // batch's payloads (the d17 discipline over binary signatures)
-    "m09_binary_simhash_index",
+    // batch's payloads (the d17 discipline over binary signatures);
+    // m11 is the dHash instantiation of the same generic index
+    "m09_binary_simhash_index", "m11_binary_dhash_index",
     // dHash: one map pass (63 fixed hex-pair compares) to signature
     // grain, then the shared banded bucket join + hamming verify
     "m10_binary_dhash",
