@@ -128,6 +128,26 @@ object Bench {
     "t23_bm25_index", "t24_bm25_index_append", "t40_bpe_apply",
     "d17_lsh_index", "m09_binary_simhash_index", "m11_binary_dhash_index")
 
+  /** Parse a full-suite artifact's per-query floors: its "queries" map
+    * by FULL query name, kept only when the artifact ran on the SAME
+    * sf directory (a floor from another scale is meaningless) and a
+    * value is non-negative (-1 marks a failed query — never a floor).
+    * Any malformed input yields the empty map — the floor rule is
+    * opportunistic and must never fail a bench run. */
+  private[graft] def parseFloor(txt: String, sfDir: String): Map[String, Double] = {
+    // same-sf guard: the artifact records the directory it ran on
+    if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
+    else {
+      val qRe = raw""""([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r
+      val start = txt.indexOf("\"queries\":{")
+      val end = if (start < 0) -1 else txt.indexOf("}", start)
+      if (end < 0) Map.empty
+      else qRe.findAllMatchIn(txt.substring(start + 11, end))
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter(_._2 >= 0).toMap
+    }
+  }
+
   /** 1-minute system load from /proc/loadavg (-1.0 where unreadable) —
     * the contention evidence the round artifact must carry: two
     * consecutive rounds' headline numbers were inflated up to 4x by
@@ -266,20 +286,8 @@ object Bench {
             .sortBy(-_._1).headOption.map(_._2)
         }
     val floor: Map[String, Double] = floorSrc.flatMap { p =>
-      scala.util.Try {
-        val txt = java.nio.file.Files.readString(p)
-        // same-sf guard: the artifact records the directory it ran on
-        if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty[String, Double]
-        else {
-          val qRe = raw""""([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r
-          val start = txt.indexOf("\"queries\":{")
-          val end = if (start < 0) -1 else txt.indexOf("}", start)
-          if (end < 0) Map.empty[String, Double]
-          else qRe.findAllMatchIn(txt.substring(start + 11, end))
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .filter(_._2 >= 0).toMap
-        }
-      }.toOption
+      scala.util.Try(
+        parseFloor(java.nio.file.Files.readString(p), sfDir)).toOption
     }.getOrElse(Map.empty)
     val floored = results.map { case r @ (name, best, fatal, partial, ts, starts, loads) =>
       floor.get(name) match {

@@ -38,6 +38,25 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"unknown headline entries: ${missing.mkString(", ")}")
   }
 
+  test("bench floor parser: same-sf full names, -1 skipped, junk is empty") {
+    val art = """{"metric":"total","value":9.9,"unit":"sec","reps":2,""" +
+      """"queries":{"q01_scan_filter_project":0.55,"m09_binary_simhash_index":1.27,""" +
+      """"q99_broken":-1},"errors":{},"flaky":{},"load":[0.5,0.7],""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+    // matching sf: full-name floors, failed (-1) rows excluded
+    assert(Bench.parseFloor(art, "/root/testdata/sf0.1") ==
+      Map("q01_scan_filter_project" -> 0.55,
+        "m09_binary_simhash_index" -> 1.27))
+    // a floor from another scale factor is meaningless: empty
+    assert(Bench.parseFloor(art, "/root/testdata/sf0.01").isEmpty)
+    // malformed/truncated artifacts degrade to no floor, never a throw
+    assert(Bench.parseFloor("""{"queries":""", "/root/testdata/sf0.1").isEmpty)
+    assert(Bench.parseFloor("", "/root/testdata/sf0.1").isEmpty)
+    assert(Bench.parseFloor(
+      """{"sf":"/root/testdata/sf0.1","noqueries":1}""",
+      "/root/testdata/sf0.1").isEmpty)
+  }
+
   test("oracle column names match spark output column names") {
     // The driver sorts columns by name before hashing — a name mismatch
     // fails the gate even with identical values. Cheap static guard: every
