@@ -289,9 +289,11 @@ object Bench {
       scala.util.Try(
         parseFloor(java.nio.file.Files.readString(p), sfDir)).toOption
     }.getOrElse(Map.empty)
+    var flooredCount = 0
     val floored = results.map { case r @ (name, best, fatal, partial, ts, starts, loads) =>
       floor.get(name) match {
         case Some(f) if best >= 0 && f < best =>
+          flooredCount += 1
           (name, f, fatal, partial, ts, starts, loads)
         case _ => r
       }
@@ -354,10 +356,13 @@ object Bench {
       "\"" + keyOf(k) + "\":\"" + jesc(m) + "\""
     }.mkString("{", ",", "}")
     val total = fmt(floored.collect { case (_, v, _, _, _, _, _) if v >= 0 => v }.sum)
-    // provenance marker: which artifact floored this line (absent when
-    // no floor applied — full-suite runs, local iteration, missing file)
+    // provenance marker: which artifact floored this line and how many
+    // rows it actually replaced (absent when nothing was replaced — a
+    // run already at or below every floor reports raw measurements and
+    // must not read as floored)
     val floorPart =
-      if (floor.nonEmpty) s""","floor":"${floorSrc.get.getFileName}""""
+      if (flooredCount > 0)
+        s""","floor":"${floorSrc.get.getFileName}","floored":$flooredCount"""
       else ""
     // load evidence in the TAIL line: 1-min loadavg at run start/end (the
     // run spans minutes, so the pair brackets the contention window); the

@@ -445,8 +445,10 @@ object GraphOps {
     * seeds — the bounded-driver contract needs a cap), and the total
     * eccentricity-sweep budget `maxSweeps` was never exceeded. A
     * truncated run still returns the valid bracket held at stop time
-    * (lb is always certified; ub is certified once level `ecc(r)` has
-    * been fully processed) with `diameter` null. Disconnected graphs:
+    * (lb is always certified — observed distances are genuine; ub only
+    * ever advances on a COMPLETE fringe sweep, so a hop-truncated
+    * sweep keeps the pre-sweep ub rather than claiming the
+    * under-measured 2(i−1)) with `diameter` null. Disconnected graphs:
     * the bracket is for the ROOT'S component (a BFS cannot see other
     * components — q146's "that is what lower bound means" stance).
     * All hop math is integer — engine-exact trivially.
@@ -515,10 +517,18 @@ object GraphOps {
           .agg(max(col("dist")).as("b")).collect()(0).getLong(0)
         sweeps += fringe.length
         levels += 1
-        if (eccTop >= maxHops) truncated = true
+        // observed distances are genuine distances, so lb may always
+        // absorb them; the ub step is certified ONLY by a complete
+        // sweep — a hop-truncated one under-measures the fringe's max
+        // eccentricity, and 2(i-1) would then be an INVALID upper
+        // bound (the diameter can exceed it through the truncated
+        // tail), so the pre-sweep bracket is kept and announced
         lb = math.max(lb, eccTop)
-        ub = if (lb >= 2 * (i - 1)) lb else 2 * (i - 1)
-        i -= 1
+        if (eccTop >= maxHops) truncated = true
+        else {
+          ub = if (lb >= 2 * (i - 1)) lb else 2 * (i - 1)
+          i -= 1
+        }
       }
     }
     sym.unpersist()
@@ -1010,8 +1020,8 @@ object GraphOps {
       // (round(1e9/|H|) nano each — |H| is an exact count via one
       // driver action, inlined as a literal for the same stats reason
       // as normNano)
-      val h0 = loop.advance(e.select(col("src").as("id")).distinct())
-      val nH = h0.count()
+      val (h0, nH) = loop.advanceCounted(
+        e.select(col("src").as("id")).distinct())
       var hub: DataFrame =
         if (nH == 0) h0.select(col("id"), lit(0L).as("hub"))
         else h0.select(col("id"),

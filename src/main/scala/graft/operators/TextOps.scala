@@ -1161,8 +1161,11 @@ object TextOps {
     * Scale shape: one corpus token pass (materialized once, read by
     * both aggregates), word-grain + bucket-grain aggregates, then
     * everything rides bucket-grain windows (bounded metadata — size
-    * the buckets so their count stays ≤ ~10⁴; the moment products stay
-    * ~4 decades under Long range at that bound).
+    * the buckets so their count stays ≤ ~10⁴). The second-order moment
+    * sums ride as DECIMAL(38,0) (the welchTTest Σv² discipline): at
+    * the 10⁴-bucket bound on a ~10¹⁴-token corpus, Σxq² ≈ 1.0e19
+    * exceeds Long range — a long sum would wrap (or throw under ANSI)
+    * exactly at the advertised envelope.
     *
     * @return one row per bucket: (b, n_cum, v_cum, beta, k_ln) —
     *         beta/k_ln are the fit, repeated on every row (the
@@ -1196,8 +1199,10 @@ object TextOps {
     val withM = pts.select(col("b"), col("n_cum"), col("v_cum"),
       count(lit(1)).over(wAll).as("k"),
       sum(col("xq")).over(wAll).as("sx"), sum(col("yq")).over(wAll).as("sy"),
-      sum(col("xq") * col("yq")).over(wAll).as("sxy"),
-      sum(col("xq") * col("xq")).over(wAll).as("sxx"))
+      sum(col("xq").cast("decimal(38,0)") * col("yq").cast("decimal(38,0)"))
+        .over(wAll).as("sxy"),
+      sum(col("xq").cast("decimal(38,0)") * col("xq").cast("decimal(38,0)"))
+        .over(wAll).as("sxx"))
     // integer sums → double ONCE each, then the closed form (k·sxy
     // would wrap in long, hence double — the zipfFit convention)
     val kd = col("k").cast("double")

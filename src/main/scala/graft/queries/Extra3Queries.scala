@@ -254,10 +254,13 @@ object Extra3Queries {
         import s.implicits._
         val e = Tables(s, dir, "events")
           .filter($"event_type".isin("click", "purchase"))
-        // stage 1: one stored sketch per segment (persisted in prod)
+        // stage 1: one stored sketch per segment (persisted in prod) —
+        // localCheckpointed because a/b/u all derive from it: without
+        // it each would re-run the events scan + sketch aggregation
         val sk = e.groupBy($"event_type")
           .agg(hll_sketch_agg($"user_id").as("sk"),
             countDistinct($"user_id").as("exact_n"))
+          .localCheckpoint(true)
         val a = sk.filter($"event_type" === "click")
           .select($"sk".as("sk_a"), $"exact_n".as("n_click_exact"))
         val b = sk.filter($"event_type" === "purchase")

@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
 
   /** DuckDB fragment for whitespace tokens, empties dropped. */
-  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private[queries] val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
   /** DuckDB fragment for distinct word-3-gram shingles. */
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     s"""list_distinct(list_transform(
        |  generate_series(1, len($toksSql) - 2),
        |  i -> array_to_string(list_slice($toksSql, i, i + 2), ' ')))""".stripMargin
@@ -1420,7 +1420,8 @@ object PipelineQueries {
              |  FROM cum WHERE n_cum > 0 AND v_cum > 0),
              |m AS (
              |  SELECT count(*) AS k, sum(xq) AS sx, sum(yq) AS sy,
-             |    sum(xq * yq) AS sxy, sum(xq * xq) AS sxx
+             |    sum(CAST(xq AS HUGEINT) * CAST(yq AS HUGEINT)) AS sxy,
+             |    sum(CAST(xq AS HUGEINT) * CAST(xq AS HUGEINT)) AS sxx
              |  FROM pts)
              |SELECT CAST(pts.b AS BIGINT) AS b, pts.n_cum, pts.v_cum,
              |  round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)

@@ -11,14 +11,10 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object StreamQueries {
 
-  /** DuckDB fragment for distinct word-3-gram shingles (the
-    * PipelineQueries helper, inlined for st20's oracle). */
-  private val shinglesSqlStream =
-    s"""list_distinct(list_transform(
-       |  generate_series(1, len(list_filter(string_split(text, ' '),
-       |    x -> x <> '')) - 2),
-       |  i -> array_to_string(list_slice(list_filter(string_split(text, ' '),
-       |    x -> x <> ''), i, i + 2), ' ')))""".stripMargin
+  /** DuckDB fragment for distinct word-3-gram shingles — PipelineQueries'
+    * single definition, shared so t54 and st20's oracles can never
+    * drift apart on tokenization. */
+  private val shinglesSqlStream = PipelineQueries.shinglesSql
 
   def all: Seq[Q] = Seq(
 
@@ -719,10 +715,23 @@ object StreamQueries {
           q.awaitTermination()
           val streamRun = q.runId.toString
           // progress events arrive on the listener bus asynchronously
+          // and PER MICROBATCH: stopping at the first match would
+          // snapshot before later batches' events land (a regression in
+          // batch 2+ would then pass on listener-bus timing) — wait
+          // until the matching-event count has been stable for a quiet
+          // period, bounded by the deadline
+          def matching() = listener.openLineageEvents
+            .count(_.contains("\"name\":\"st19_out\""))
           val deadline = System.currentTimeMillis() + 15000
-          while (!listener.openLineageEvents.exists(
-              _.contains("\"name\":\"st19_out\"")) &&
-            System.currentTimeMillis() < deadline) Thread.sleep(50)
+          var seen = matching()
+          var stableSince = System.currentTimeMillis()
+          while ((seen == 0 ||
+              System.currentTimeMillis() - stableSince < 2000) &&
+            System.currentTimeMillis() < deadline) {
+            Thread.sleep(50)
+            val now = matching()
+            if (now != seen) { seen = now; stableSince = System.currentTimeMillis() }
+          }
           val evs = listener.openLineageEvents
             .filter(_.contains("\"name\":\"st19_out\""))
           val defRep = graft.lineage.LineageExtractor

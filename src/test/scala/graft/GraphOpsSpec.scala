@@ -618,6 +618,21 @@ class GraphOpsSpec extends AnyFunSuite {
     // flags say so and no diameter is claimed
     val path = dia(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)), hops = 2)
     assert(path.size == 1 && !path.head._9 && path.head._10.isEmpty, path)
+    // fringe-sweep truncation keeps the PRE-SWEEP ub: this graph's far
+    // node (3, min id at depth 2) has ecc 2 while its level-mate 9 has
+    // ecc 3 = the true diameter — the double sweep UNDERestimates. At
+    // hops=3 both seed sweeps finish (ecc 2 < 3) but the level-2 fringe
+    // sweep observes 3 == maxHops: lb absorbs the genuine distance, ub
+    // must STAY at the certified pre-sweep 4 (the buggy 2(i-1) update
+    // would claim an uncertified ub), diameter stays null
+    val g2 = Seq((0L, 1L), (0L, 2L), (0L, 4L), (1L, 3L), (2L, 3L),
+      (4L, 3L), (2L, 9L))
+    assert(dia(g2, hops = 3) ==
+      Seq((0L, 2L, 3L, 2L, 3L, 4L, 4L, 1L, false, None)))
+    // same graph with hop room: the fringe sweep completes, lb=3 meets
+    // 2(i-1)=2 -> certified diameter 3 — iFUB certifying what the
+    // double sweep alone (lb0 = 2) could not
+    assert(dia(g2) == Seq((0L, 2L, 3L, 2L, 3L, 3L, 4L, 1L, true, Some(3L))))
     // edgeless graph: EMPTY result
     assert(dia(Seq((7L, 7L))).isEmpty)
     intercept[IllegalArgumentException] {
