@@ -24,8 +24,12 @@ package graft
   * Headline "queries" values are the PER-QUERY MIN across this run's
   * reps AND the round's idle full-suite artifact (newest
   * BENCH_FULL_r{N}.json, same sf — see the floor block in main): the
-  * plan's cost, not the machine's mood. "floor" names the artifact when
-  * one applied; r1/r2 always carry this run's raw rep times.
+  * plan's cost, not the machine's mood. "floor" names the artifact
+  * whenever one was CONSUMED (even with "floored":0 rows replaced);
+  * r1/r2 always carry this run's raw rep times. The BENCH_OUT artifact
+  * itself is always RAW measurements — never floored — and stamps
+  * "load_warn":true when it ran under load, which disqualifies it as a
+  * future floor source.
   *
   * Failures are NEVER silent: a failed query reports -1 in "queries" and
   * its exception under "errors".
@@ -93,6 +97,10 @@ object Bench {
     "s16_ann_recall", "q158_welch_ttest", "t54_ngram_novelty",
     "q159_hll_intersection", "t55_heaps_law", "q160_retention_halflife",
     "st20_stream_novelty", "m11_binary_dhash_index",
+    // round 15: the ingest-serving m08 rotates back in (persisted-layout
+    // probe, built in warm-up — the cost profile the round-14 rotation
+    // note asked for) and IVFADC (the composed FAISS-shape serving path)
+    "m08_binary_near_dup", "s17_ivf_adc",
     // dedup / similarity / text pipeline; d12/d13/s07/t17 rotated out
     // round 9 (sub-0.3s, families covered by d11/d14/s09/t15) to make
     // room for the r1/r2 rep columns inside the tail budget
@@ -126,7 +134,8 @@ object Bench {
     "q73_bucketed_join", "q87_partitioned_write", "q88_zorder_layout",
     "s04_ann_ivf_layout", "s08_ann_ivf_append", "s09_hard_negatives_layout",
     "t23_bm25_index", "t24_bm25_index_append", "t40_bpe_apply",
-    "d17_lsh_index", "m09_binary_simhash_index", "m11_binary_dhash_index")
+    "d17_lsh_index", "m08_binary_near_dup", "m09_binary_simhash_index",
+    "m11_binary_dhash_index")
 
   /** Parse a full-suite artifact's per-query floors: its "queries" map
     * by FULL query name, kept only when the artifact ran on the SAME
@@ -135,8 +144,15 @@ object Bench {
     * Any malformed input yields the empty map — the floor rule is
     * opportunistic and must never fail a bench run. */
   private[graft] def parseFloor(txt: String, sfDir: String): Map[String, Double] = {
-    // same-sf guard: the artifact records the directory it ran on
-    if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
+    // same-sf guard: the artifact records the directory it ran on.
+    // load_warn guard: an artifact that stamped ITSELF as having run on
+    // a loaded machine (see the BENCH_OUT block) is not a floor — its
+    // rows carry contention, and flooring against them silently keeps
+    // the contention (the round-14 full-suite artifact ran at load
+    // [3.71, 4.88] and inflated four graph rows >1.4x on untouched
+    // code).
+    if (!txt.contains(s""""sf":"$sfDir"""") ||
+        txt.contains("\"load_warn\":true")) Map.empty
     else {
       val qRe = raw""""([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r
       val start = txt.indexOf("\"queries\":{")
@@ -356,14 +372,16 @@ object Bench {
       "\"" + keyOf(k) + "\":\"" + jesc(m) + "\""
     }.mkString("{", ",", "}")
     val total = fmt(floored.collect { case (_, v, _, _, _, _, _) if v >= 0 => v }.sum)
-    // provenance marker: which artifact floored this line and how many
-    // rows it actually replaced (absent when nothing was replaced — a
-    // run already at or below every floor reports raw measurements and
-    // must not read as floored)
-    val floorPart =
-      if (flooredCount > 0)
-        s""","floor":"${floorSrc.get.getFileName}","floored":$flooredCount"""
-      else ""
+    // provenance marker: which artifact the floor rule CONSUMED and how
+    // many rows it actually replaced — emitted whenever an artifact was
+    // read (floored may be 0), so a partially- or zero-floored total
+    // can never silently read as a bare measurement (ADVICE r14: the
+    // marker used to appear only when >= 1 row was replaced)
+    val floorPart = floorSrc match {
+      case Some(p) if floor.nonEmpty =>
+        s""","floor":"${p.getFileName}","floored":$flooredCount"""
+      case _ => ""
+    }
     // load evidence in the TAIL line: 1-min loadavg at run start/end (the
     // run spans minutes, so the pair brackets the contention window); the
     // full artifact below carries the per-rep series. A "load":[16,17] on
@@ -382,8 +400,25 @@ object Bench {
     // names, all reps, no tail budget — how the full registered suite
     // (SPARK_GRAFT_BENCH_ALL=1) gets persisted once per round so drift
     // in non-headline queries is caught with data, not inference.
+    // ALWAYS RAW: the artifact persists MEASUREMENTS, never floored
+    // values — a floored artifact feeding the next run's floor would be
+    // a one-way ratchet where reported times only ever decrease
+    // (ADVICE r14). It also stamps "load_warn":true when the bracketing
+    // 1-min loadavg exceeded SPARK_GRAFT_LOAD_WARN (default 2.5 — an
+    // idle 32-core box sits well under 2): parseFloor refuses such an
+    // artifact, so a contended full-suite run can never become the
+    // round's floor source (the round-14 evidence defect).
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      val fullQs = floored.map { case (k, v, _, _, _, _, _) =>
+      val loadEnd = load1m()
+      val warnAt = sys.env.get("SPARK_GRAFT_LOAD_WARN")
+        .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(2.5)
+      val loadWarn = math.max(loadStart, loadEnd) > warnAt
+      if (loadWarn) System.err.println(
+        s"[bench] WARNING: run bracketed by load [$loadStart, $loadEnd] " +
+          s"> $warnAt — artifact stamped load_warn, unusable as a floor")
+      val rawTotal = fmt(results.collect {
+        case (_, v, _, _, _, _, _) if v >= 0 => v }.sum)
+      val fullQs = results.map { case (k, v, _, _, _, _, _) =>
         "\"" + k + "\":" + fmt2(v) }.mkString("{", ",", "}")
       val fullErrs = results.flatMap(_._3).map { case (k, m) =>
         "\"" + k + "\":\"" + jesc(m) + "\"" }.mkString("{", ",", "}")
@@ -404,8 +439,9 @@ object Bench {
             if (i < loads.size) fmt2(loads(i)).toString else "-1"
           }.mkString(",") + "]"
       }
+      val warnPart = if (loadWarn) ""","load_warn":true""" else ""
       val fullLine =
-        s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$fullQs${repCols.mkString(",", ",", "")}${tsCols.mkString(",", ",", "")}${loadCols.mkString(",", ",", "")},"errors":$fullErrs,"flaky":$fullFlaky$loadPart$floorPart,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$rawTotal,"unit":"sec","reps":$reps,"queries":$fullQs${repCols.mkString(",", ",", "")}${tsCols.mkString(",", ",", "")}${loadCols.mkString(",", ",", "")},"errors":$fullErrs,"flaky":$fullFlaky,"load":[$loadStart,$loadEnd]$warnPart,"sf":"$sfDir"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), fullLine + "\n")
     }
     // stop FIRST, print LAST: the session teardown logs nothing after the

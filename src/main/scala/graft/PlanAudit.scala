@@ -150,8 +150,10 @@ object PlanAudit {
     "q147_mann_kendall",
     // Gini: value-histogram grain, one cumulative window, 1-row output
     "q148_gini",
-    // binary near-dup: map-pass gram hashing into signature grain,
-    // banded bucket join + hamming verify (the d03 plan over binary)
+    // binary near-dup at ingest (r15 serving shape): the BATCH hashes
+    // once into signature grain — within-batch banded bucket join +
+    // hamming verify, unioned with the partition-pruned probe of the
+    // persisted corpus layout (the m09 scan discipline)
     "m08_binary_near_dup",
     // ROUGE: (pair, gram)-grain counts, one in-key full-outer merge,
     // pair-grain aggregate
@@ -188,11 +190,32 @@ object PlanAudit {
     // ANN recall eval: brute force over the sampled queries only
     // (broadcast queries, TakeOrdered heap), IVF as in serving, the
     // comparison a join of two bounded top-k sets.
-    // (lx14 and q157 are intentionally absent: lineage gates are
-    // driver-side graph walks with LocalRelation results, and q157's
-    // fringe sweeps reuse bfsDistances' audited loop shape with a
-    // 1-row literal result — nothing scan-shaped to pin.)
-    "s16_ann_recall")
+    // (lx gates are intentionally absent: they are driver-side graph
+    // walks with LocalRelation results — nothing scan-shaped to pin.)
+    "s16_ann_recall",
+    // round 15 (the r14 verdict's missing pins): the diameter family's
+    // RETURNED plans are 1-row literal selects (the loop's per-hop
+    // frontier shape is bfsDistances'/landmarkDistances' audited one;
+    // the pin here evidences exactly that — no scan, no join, no
+    // exchange survives into the result)
+    "q146_diameter", "q157_diameter_ifub",
+    // HLL intersection: three sketch rows off ONE localCheckpointed
+    // 2-row sketch table (the events scan must appear zero times here)
+    "q159_hll_intersection",
+    // retention half-life: cohort-grain regression — the events scan
+    // feeds date-grain metadata; everything after the distinct is
+    // (cohort, offset)-grain with a broadcast max-day row
+    "q160_retention_halflife",
+    // n-gram novelty: gram-grain left-semi against the reference corpus
+    // (no all-pairs, batch side drives), doc-grain aggregate
+    "t54_ngram_novelty",
+    // Heaps' law: bucket-grain moments (the token pass collapses to
+    // per-bucket (x, y) before any join), 1-row fit
+    "t55_heaps_law",
+    // IVFADC: probed cell ids broadcast-semi-join into the assignment,
+    // ADC a pure map over the pruned members' codes (codebook + LUT as
+    // literals), TakeOrderedAndProject — nothing corpus-wide shuffles
+    "s17_ivf_adc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -134,8 +134,8 @@ object ScaleProbe {
     "sq09_tpcds_q27", // five-way star + rollup
     "st07_stream_join_outer", // streaming state-store outer join
     // round-13/14 heavies (round-13 verdict #7):
-    "m08_binary_near_dup", // pairwise payload-grain gram hashing
-    "m09_binary_simhash_index", // its build-once serving counterpart
+    "m08_binary_near_dup", // ingest near-dup vs the persisted layout (r15)
+    "m09_binary_simhash_index", // the build-once serving counterpart
     "q146_diameter", // double-sweep BFS
     "q157_diameter_ifub", // iFUB fringe sweeps (landmark expansions)
     "q151_weighted_pagerank", // weighted iterative graph
@@ -154,8 +154,11 @@ object ScaleProbe {
     * that). */
   private def time(spark: SparkSession, name: String, dir: String): (Double, Long, Int) = {
     if (Bench.layoutBuilders.contains(name)) {
+      // NonFatal only: a fatal JVM error (OOM, LinkageError) must
+      // propagate — swallowing it would let the timed rep run in a
+      // corrupted session and report a misleading failure
       try SparkEntry.queries(name)(spark, dir).count()
-      catch { case _: Throwable => () } // the timed rep will report it
+      catch { case scala.util.control.NonFatal(_) => () } // timed rep reports it
       finally Caches.sweep(spark)
     }
     var best = Double.MaxValue
@@ -268,24 +271,27 @@ object ScaleProbe {
         |  file bytes through the pushed filter — flat is the correct
         |  outcome for a filter that reaches the scan. A state-scaling
         |  streaming probe needs a replica-spanning predicate.
-        |- **m08 vs m09 is the pairwise-vs-serving contrast measured**:
-        |  m08 re-hashes EVERY payload's hex grams per run — linear in
-        |  total payload bytes (~10x) plus genuine near-dup mass growth
-        |  (the token salt leaves most intra-word 4-byte grams intact,
-        |  so replicas stay within hamming ≤ 3 of each other and the
-        |  TRUE cross-pair count grows superlinearly — the banding
-        |  absorbs it, verify stays per-candidate). m09 indexes the
-        |  bulk corpus ONCE (pre-built untimed, ident-keyed) and its
-        |  timed cost is hashing the FIXED 400-payload ingest batch +
-        |  reading only its touched bucket partitions — the correct
-        |  serving row stays near-flat as the corpus grows 10x. Two
-        |  earlier mis-measurements are part of the record: the gate's
-        |  ORIGINAL split (growing batch vs fixed corpus) measured
-        |  109.5s at sf1 — barely under pairwise m08 — so the gate now
-        |  serves the fixed-batch direction (d17 keeps the batch-growth
-        |  direction covered); and before the untimed pre-build rule,
-        |  the sf1 row reported the one-time 10x-corpus BUILD (~107s)
-        |  as if it were steady state.
+        |- **m08 and m09 both measure the SERVING shape now** (the
+        |  round-14 directive: m08's whole-corpus re-hash — 109.8s at
+        |  sf1, barely under pairwise — is gone from the gate): m09 is
+        |  the pure batch-vs-corpus probe; m08 is the full ingest
+        |  report (within-batch banding + the same probe) against the
+        |  SHARED persisted layout, pre-built untimed and ident-keyed.
+        |  Both rows' timed cost is hashing the FIXED 400-payload
+        |  ingest batch + reading only its touched bucket partitions —
+        |  near-flat as the corpus grows 10x. The retired pairwise
+        |  sweep stays available as binarySimhashPairs (the one-off
+        |  backfill tool, spec-covered in PipelineOpsSpec) and its
+        |  scale story stays documented: linear in total payload bytes
+        |  plus superlinear true near-dup mass (the token salt leaves
+        |  most intra-word 4-byte grams intact, so replicas stay
+        |  within hamming ≤ 3 — banding absorbs it, verify stays
+        |  per-candidate). Two earlier mis-measurements are part of
+        |  the record: the ORIGINAL m09 split (growing batch vs fixed
+        |  corpus) measured 109.5s at sf1, so the gates serve the
+        |  fixed-batch direction (d17 keeps batch-growth covered); and
+        |  before the untimed pre-build rule, the sf1 row reported the
+        |  one-time 10x-corpus BUILD (~107s) as steady state.
         |- **q146 (double sweep) grows mildly (its graph spans
         |  replicas)**: per-hop frontier joins touch 10x edges but at
         |  these absolute sizes per-hop fixed costs dominate; the

@@ -21,6 +21,16 @@ final class LineageListener extends QueryExecutionListener {
 
   private val buf = new ConcurrentLinkedQueue[(String, LineageReport)]()
 
+  // per-callback extraction wall nanos, parallel to successful reports —
+  // the evidence for BASELINE.md's "<50 ms per query" overhead pledge
+  // (measured by LineageOverheadProbe; the callback runs on Spark's
+  // listener-bus thread, so this is extraction COST, off the query's
+  // critical path)
+  private val overheadBuf = new ConcurrentLinkedQueue[java.lang.Long]()
+
+  /** Wall nanos each successful extraction took, in callback order. */
+  def overheadsNs: Seq[Long] = overheadBuf.asScala.map(_.longValue).toSeq
+
   /** Session-lifetime catalog accumulation across every observed query
     * (the reference keeps one implicit `Model` for the session and every
     * converted entity registers into it, `Model.scala:5-22`). */
@@ -38,13 +48,15 @@ final class LineageListener extends QueryExecutionListener {
   /** Full reset: reports AND the session-lifetime registry — for reusing
     * one listener across logically separate sessions (test fixtures).
     */
-  def clearAll(): Unit = { buf.clear(); registry.clear() }
+  def clearAll(): Unit = { buf.clear(); overheadBuf.clear(); registry.clear() }
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
     try {
+      val t0 = System.nanoTime()
       val report = LineageExtractor.report(qe)
       buf.add(funcName -> report)
       registry.add(report)
+      overheadBuf.add(System.nanoTime() - t0)
     } catch {
       case e: Throwable =>
         // lineage must never fail the query path

@@ -352,9 +352,12 @@ object Expectations {
     * continuous metric upstream — the ksTest caveat); per group the
     * test needs only (n, Σv, Σv²), where n and Σv are exact longs and
     * Σv² rides as DECIMAL(38,0) (exact in any aggregation order; a
-    * long Σv² would overflow past ~3e18). Every float downstream
-    * (means, the n−1 sample variances, t, df) is a fixed chain of IEEE
-    * ops on identical operands in any engine; t rounds to 6, df to 4.
+    * long Σv² would overflow past ~3e18), and the variance NUMERATOR
+    * `n·Σv² − (Σv)²` is formed in decimal too — exact, so the
+    * mean-vs-variance cancellation a double-first subtraction suffers
+    * cannot occur. Every float downstream (means, the divides, t, df)
+    * is a fixed chain of IEEE ops on identical operands in any engine;
+    * t rounds to 6, df to 4.
     * Null group keys and null values are excluded up front (the
     * chi-square lesson). Degenerate inputs return null statistics: a
     * group with n < 2 has no sample variance; two zero-variance groups
@@ -391,14 +394,20 @@ object Expectations {
       col("s1").as("s1_2"), col("s2").as("s2_2"))
     val paired = a.join(b, col("grp_1") < col("grp_2"))
     def mean(s1: Column, n: Column) = s1.cast("double") / n.cast("double")
-    // sample variance from the exact moments: (Σv² − (Σv)²/n)/(n−1) —
-    // guarded internally (null below n=2) because ANSI mode raises on
+    // sample variance from the exact moments, numerator IN DECIMAL:
+    // (n·Σv² − (Σv)²) is exact in DECIMAL(38,0) before the ONE cast to
+    // double, so a large mean with a small variance cannot cancel
+    // catastrophically (casting Σv² to double first loses the low bits
+    // the subtraction needs). Envelope: n·Σv² and (Σv)² must fit 38
+    // digits — |Σv| < 1e19 always holds (long), n·Σv² < 1e38 allows
+    // ~1e18 rows of 1e10-magnitude values; ANSI throws loudly past it.
+    // Guarded internally (null below n=2) because ANSI mode raises on
     // the n−1=0 divide even while evaluating a CaseWhen CONDITION
     def sVar(s1: Column, s2: Column, n: Column) =
       when(n >= 2,
-        (s2.cast("double") -
-          s1.cast("double") * s1.cast("double") / n.cast("double")) /
-          (n.cast("double") - lit(1.0)))
+        (s2 * n.cast("decimal(38,0)") -
+          s1.cast("decimal(38,0)") * s1.cast("decimal(38,0)")).cast("double") /
+          n.cast("double") / (n.cast("double") - lit(1.0)))
     val va = sVar(col("s1_1"), col("s2_1"), col("n_1"))
     val vb = sVar(col("s1_2"), col("s2_2"), col("n_2"))
     val qa = va / col("n_1").cast("double")

@@ -434,9 +434,15 @@ object GraphOps {
     * Root choice: the MAX-DEGREE node (ties to the smallest id) — the
     * iFUB-hd variant; hubs have small eccentricity, and a small
     * `ecc(r)` is both a tight initial `ub = 2·ecc(r)` and few levels.
-    * `lb` seeds from `max(ecc(r), ecc(far))` with `far` the farthest
-    * node of r's BFS tree (ties to the smallest id) — the
-    * double-sweep bound, one extra BFS.
+    * `far` is the farthest node of r's BFS tree (ties to the smallest
+    * id); its eccentricity — the double-sweep lower bound — is NOT a
+    * separate BFS: `far` sits in the DEEPEST fringe (depth `ecc(r)`),
+    * so the first fringe sweep measures `ecc(far)` as one of its
+    * per-landmark maxima and `lb` absorbs it with the rest of the
+    * level (the round-14 verdict's duplicated-sweep fix — the old
+    * dedicated far-BFS re-ran exactly what the first level expansion
+    * computes). Only a run truncated BEFORE that first sweep pays a
+    * fallback far-BFS to honor the `ecc_far` output column.
     *
     * HONEST under its budgets, the q146 discipline: `converged` is
     * true only when the bracket CLOSED with no truncation anywhere —
@@ -453,12 +459,14 @@ object GraphOps {
     * components — q146's "that is what lower bound means" stance).
     * All hop math is integer — engine-exact trivially.
     *
-    * Scale shape: 2 + Σ|fringe| BFS sweeps, but each LEVEL runs as ONE
-    * [[landmarkDistances]] frontier expansion ((landmark, id)-grain
-    * state, ≤ fringeCap× the single-source cost) — per hop one
-    * equi-join + distinct + anti-join, frontier broadcast below bound;
-    * plus THREE bounded driver actions per level (fringe ids ≤
-    * fringeCap, a 1-row eccentricity max, the loop scalars).
+    * Scale shape: 1 + Σ|fringe| BFS sweeps (the root BFS, then the
+    * fringes — the double sweep's second BFS rides the first fringe
+    * level), but each LEVEL runs as ONE [[landmarkDistances]] frontier
+    * expansion ((landmark, id)-grain state, ≤ fringeCap× the
+    * single-source cost) — per hop one equi-join + distinct +
+    * anti-join, frontier broadcast below bound; plus TWO bounded
+    * driver actions per level (fringe ids ≤ fringeCap, then ONE 1-row
+    * read of the level's max eccentricity + far's own).
     *
     * @return ONE row: (root, ecc_root, far, ecc_far, lb, ub, n_sweeps,
     *         n_levels, converged, diameter) — diameter null unless
@@ -494,13 +502,14 @@ object GraphOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val farRow = dRoot.orderBy(col("dist").desc, col("id")).limit(1).collect()(0)
     val (far, eccRoot) = (farRow.getLong(0), farRow.getLong(1))
-    val eccFar = bfsDistances(sym, "src", "dst",
-        spark.range(far, far + 1).select(col("id")), "id", maxHops)
-      .agg(max(col("dist"))).collect()(0).getLong(0)
-    var truncated = eccRoot >= maxHops || eccFar >= maxHops
-    var lb = math.max(eccRoot, eccFar)
+    // ecc(far) is measured by the FIRST fringe sweep (far is in the
+    // deepest fringe by construction) — never a dedicated BFS unless
+    // the run truncates before that sweep (fallback below)
+    var eccFar = -1L
+    var truncated = eccRoot >= maxHops
+    var lb = eccRoot
     var ub = 2 * eccRoot
-    var sweeps = 2L
+    var sweeps = 1L
     var levels = 0L
     var i = eccRoot
     while (lb < ub && i >= 1 && !truncated) {
@@ -513,8 +522,16 @@ object GraphOps {
         val fringe = fringeRows.map(_.getLong(0)).toSeq
         // one multi-source expansion measures every fringe node's
         // eccentricity simultaneously — level cost ≈ one BFS, not |F_i|
-        val eccTop = landmarkDistances(sym, "src", "dst", fringe, maxHops)
-          .agg(max(col("dist")).as("b")).collect()(0).getLong(0)
+        val eccPer = landmarkDistances(sym, "src", "dst", fringe, maxHops)
+          .groupBy(col("landmark")).agg(max(col("dist")).as("ec"))
+        // ONE 1-row action reads both loop scalars: the level's max
+        // eccentricity AND (deepest level only) far's own — the
+        // double-sweep bound rides the expansion it would duplicate
+        val top = eccPer.agg(max(col("ec")).as("b"),
+          max(when(col("landmark") === lit(far), col("ec"))).as("ef"))
+          .collect()(0)
+        val eccTop = top.getLong(0)
+        if (i == eccRoot) eccFar = top.getLong(1)
         sweeps += fringe.length
         levels += 1
         // observed distances are genuine distances, so lb may always
@@ -530,6 +547,17 @@ object GraphOps {
           i -= 1
         }
       }
+    }
+    if (eccFar < 0) {
+      // truncated before the deepest fringe swept: pay the dedicated
+      // far-BFS only on this rare path so ecc_far stays a MEASURED
+      // value (root-truncated runs, over-cap deepest fringes)
+      eccFar = bfsDistances(sym, "src", "dst",
+          spark.range(far, far + 1).select(col("id")), "id", maxHops)
+        .agg(max(col("dist"))).collect()(0).getLong(0)
+      sweeps += 1
+      lb = math.max(lb, eccFar)
+      if (eccFar >= maxHops) truncated = true
     }
     sym.unpersist()
     dRoot.unpersist()
@@ -953,9 +981,12 @@ object GraphOps {
     * sum, with no full-node join anywhere in the loop (halves per-sweep
     * join work vs the dense encoding; measured 4.4s → the dense
     * nodes-join variant on the sf0.1 trade graph). Each normalization
-    * is a 1-row aggregate over the just-materialized node-grain vector
-    * broadcast back as a cross join — cached blocks, not plan re-runs.
-    * Zeros materialize once, in the final output's node left-joins.
+    * total rides the sweep's OWN materializing aggregate
+    * ([[IterativeLoop.advanceSummed]]) — zero extra driver actions, so
+    * the loop keeps [[pageRank]]'s one-action-per-materialization
+    * cadence and the norm is a lazy literal-scaled map over the cached
+    * raw blocks. Zeros materialize once, in the final output's node
+    * left-joins.
     * Block storage is O(1) in the sweep budget: intermediate vectors
     * ride the advance chain (released as soon as the following one is
     * solid); only the LAST TWO sweeps' auths are `keep`-checkpointed —
@@ -996,20 +1027,23 @@ object GraphOps {
     val loop = new IterativeLoop()
     // L1-normalize a materialized (id, c) long vector into nano units:
     // total = exact long (order-free), round(c·1e9/total) = identical
-    // IEEE ops on identical operands in any engine. The total is ONE
-    // 1-row driver action over the cached blocks (the loop-scalar
-    // bounded-driver contract) inlined as a LITERAL, so the norm stays
-    // a pure map and the sweep join keeps the raw vector's statistics
+    // IEEE ops on identical operands in any engine. The total arrives
+    // from [[IterativeLoop.advanceSummed]] — the sweep's OWN
+    // materializing aggregate, so normalization costs ZERO extra
+    // driver actions (it used to be a separate 1-row agg per vector:
+    // 2·iterations stage barriers, the round-14 verdict's one perf
+    // complaint) — and is inlined as a LITERAL, so the norm stays a
+    // pure map and the sweep join keeps the raw vector's statistics
     // — a crossJoin(broadcast(agg)) wrapper here inflated AQE's size
     // estimate and flipped the edge⋈vector join from broadcast to a
     // per-sweep shuffle of the edge set (measured 2.5s → 6.8s on q124)
-    def normNano(vec: DataFrame, c: String): DataFrame = {
-      val row = vec.agg(sum(col(c))).head()
-      if (row.isNullAt(0)) vec // empty vector: nothing to normalize
-      else vec.select(col("id"),
-        round(col(c).cast("double") * lit(1e9) /
-          lit(row.getLong(0).toDouble)).cast("long").as(c))
-    }
+    def normNano(vec: DataFrame, c: String, total: Option[Long]): DataFrame =
+      total match {
+        case None => vec // empty vector: nothing to normalize
+        case Some(t) => vec.select(col("id"),
+          round(col(c).cast("double") * lit(1e9) /
+            lit(t.toDouble)).cast("long").as(c))
+      }
     try {
       val e = loop.pin(edges
         .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -1032,29 +1066,31 @@ object GraphOps {
         // raw sweep: exact long sums of nano scores (≤ ~1e9 + slop
         // total, so no overflow at any sweep count or graph size).
         // Only the RAW vectors materialize (2 per sweep, the pre-
-        // normalization cadence); each normNano stays a LAZY wrapper
-        // over the cached raw blocks, so a sweep pays its two joins
-        // plus two 1-row total aggregates over cached node-grain
-        // blocks — measured: eager norm materialization cost ~1.6x
-        // (q124 3.5s → 5.6s at sf0.1)
-        val aRaw = loop.advance(
+        // normalization cadence) — and each materialization IS the
+        // normalization-total aggregate (advanceSummed), so a sweep
+        // pays exactly its two join-aggregate jobs, matching
+        // pageRank's one-action-per-materialization cadence; each
+        // normNano stays a LAZY wrapper over the cached raw blocks —
+        // measured: eager norm materialization cost ~1.6x (q124 3.5s
+        // → 5.6s at sf0.1)
+        val (aRaw, aTot) = loop.advanceSummed(
           e.join(hub.select(col("id").as("src"), col("hub")), "src")
             .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
-            .select(col("dst").as("id"), col("auth")))
+            .select(col("dst").as("id"), col("auth")), "auth")
         // normalized vectors ride the advance chain through their raw
         // parents (freed when the next raw is solid); the final
         // survives for the output, and (delta mode only) its
         // predecessor for the delta readout
-        val aPlan = normNano(aRaw, "auth")
+        val aPlan = normNano(aRaw, "auth", aTot)
         val retain = it == iterations ||
           (computeDelta && it == iterations - 1)
         auth = if (retain) loop.keep(aPlan)._1 else aPlan
         if (it == iterations - 1 && retain) prevAuth = auth
-        val hRaw = loop.advance(
+        val (hRaw, hTot) = loop.advanceSummed(
           e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
             .groupBy(col("src")).agg(sum(col("auth")).as("hub"))
-            .select(col("src").as("id"), col("hub")))
-        hub = normNano(hRaw, "hub")
+            .select(col("src").as("id"), col("hub")), "hub")
+        hub = normNano(hRaw, "hub", hTot)
       }
       // Σ|a_k − a_{k-1}| over the two kept NANO vectors: an exact
       // integer sum, one terminal divide — before finish releases them

@@ -100,20 +100,44 @@ final class IterativeLoop(
     advanceCounted(next, forceCheckpoint)._1
 
   /** [[advance]] + the new state's row count (convergence tests, traces).
-    * On the persist path the count IS the materializing action, so it is
-    * never an extra job; on the checkpoint path it is one count over
-    * already-local blocks. */
+    * The count IS the materializing action on BOTH paths — the
+    * checkpoint is taken LAZILY (`eager = false` marks the RDD; the
+    * count's job computes it, writes the blocks, and truncates lineage
+    * in one pass — Spark backfills any partition a partial first action
+    * skipped), so a round costs ONE job, never a
+    * materialize-then-count pair. */
   def advanceCounted(
       next: DataFrame, forceCheckpoint: Boolean = false): (DataFrame, Long) = {
     require(!closed, "IterativeLoop already finished/aborted")
     round += 1
     val ckpt = forceCheckpoint || round % checkpointEvery == 0
     val (cur, n) =
-      if (ckpt) { val c = next.localCheckpoint(eager = true); (c, c.count()) }
+      if (ckpt) { val c = next.localCheckpoint(eager = false); (c, c.count()) }
       else { val c = next.persist(level); (c, c.count()) }
     state.foreach { case (df, wasCkpt) => release(df, wasCkpt) }
     state = Some((cur, ckpt))
     (cur, n)
+  }
+
+  /** [[advance]] + the exact long SUM of `sumCol` over the new state
+    * (None on an empty/all-null column), fused so the 1-row aggregate
+    * IS the materializing action — the normalization total a
+    * per-sweep-normalized loop (HITS) needs costs ZERO extra jobs
+    * instead of a separate driver round-trip per sweep: the lazy
+    * checkpoint's blocks are written by the aggregate's own job. */
+  def advanceSummed(next: DataFrame, sumCol: String,
+      forceCheckpoint: Boolean = false): (DataFrame, Option[Long]) = {
+    require(!closed, "IterativeLoop already finished/aborted")
+    round += 1
+    val ckpt = forceCheckpoint || round % checkpointEvery == 0
+    val cur =
+      if (ckpt) next.localCheckpoint(eager = false) else next.persist(level)
+    val row = cur.agg(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.col(sumCol))).head()
+    val total = if (row.isNullAt(0)) None else Some(row.getLong(0))
+    state.foreach { case (df, wasCkpt) => release(df, wasCkpt) }
+    state = Some((cur, ckpt))
+    (cur, total)
   }
 
   /** Materialize + count a frame the loop must RETAIN past later rounds
@@ -127,7 +151,11 @@ final class IterativeLoop(
     * explainString before this was a checkpoint). */
   def keep(df: DataFrame): (DataFrame, Long) = {
     require(!closed, "IterativeLoop already finished/aborted")
-    val c = df.localCheckpoint(eager = true)
+    // lazy checkpoint: the count below is the materializing action
+    // (one job, not a checkpoint-then-count pair — the advanceCounted
+    // discipline); registered for release BEFORE counting so an abort
+    // on a failed count still frees whatever partially materialized
+    val c = df.localCheckpoint(eager = false)
     pins += ((c, true))
     (c, c.count())
   }

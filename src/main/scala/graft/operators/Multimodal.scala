@@ -444,6 +444,41 @@ object Multimodal {
       binarySignatures(batch, idCol, binCol, gramBytes),
       binarySimhashParamIdent(gramBytes, nParts), nParts, maxHamming)
 
+  /** The INGEST-TIME binary near-dup report — every near-dup pair
+    * INVOLVING a new batch, i.e. what a media pipeline actually asks at
+    * ingest: batch-internal pairs ([[Dedup.simhashPairsFromSigs]]
+    * banding over the batch's own signatures) plus batch-vs-corpus
+    * pairs from the persisted layout ([[binarySimhashProbeIndex]]),
+    * normalized to `id_a < id_b`. The whole-corpus pairwise sweep
+    * ([[binarySimhashPairs]]) is the one-off backfill tool; THIS is the
+    * steady state, and its cost profile is the point: the corpus
+    * payloads hash once at [[binarySimhashIndexWrite]] and never again,
+    * the batch's payloads hash ONCE here (one materialized signature
+    * frame shared by the within-batch banding and the probe), and the
+    * probe reads only the batch's touched bucket partitions — per-batch
+    * cost scales with the batch, never the corpus.
+    *
+    * @return (id_a, id_b, hamming), id_a < id_b, deduplicated across
+    *         the two sources (a pair could appear in both only when an
+    *         id sits in batch AND corpus; the signatures — hence
+    *         hamming — agree, so either copy is correct). */
+  def binarySimhashIngestPairs(spark: SparkSession, layoutDir: String,
+      batch: DataFrame, idCol: String, binCol: String, gramBytes: Int = 4,
+      nParts: Int = 64, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val sigs = Dedup.materializeOnce(
+      binarySignatures(batch, idCol, binCol, gramBytes))
+    val within = Dedup.simhashPairsFromSigs(sigs, maxHamming, maxBucket)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("long").as("hamming"))
+    val cross = sigProbeIndex(spark, layoutDir, sigs,
+        binarySimhashParamIdent(gramBytes, nParts), nParts, maxHamming)
+      .select(least(col("probe_id"), col("corpus_id")).as("id_a"),
+        greatest(col("probe_id"), col("corpus_id")).as("id_b"),
+        col("hamming"))
+    within.unionByName(cross).dropDuplicates("id_a", "id_b")
+  }
+
   private def binaryDhashParamIdent(nParts: Int): String =
     s"graft-bindhash-v1 nParts=$nParts"
 
@@ -500,7 +535,17 @@ object Multimodal {
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val ident = paramIdent + s" maxBucket=$maxBucket corpus=$corpusHash"
     val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
-    if (fs.exists(identPath) && readIdent(fs, identPath) == ident) return
+    if (fs.exists(identPath)) {
+      val stored = readIdent(fs, identPath)
+      // ident hit — INCLUDING a stored ident that differs only by
+      // completed '+append=' suffixes: re-running the original build
+      // job after appends must NOT silently delete the appended
+      // batches' signatures (an idempotency-looking call would
+      // otherwise drop them and probes would miss those pairs). A
+      // stored 'APPENDING ' prefix never matches (crashed append —
+      // the layout is untrusted and rebuilds).
+      if (stored == ident || stored.startsWith(ident + " +append=")) return
+    }
     if (fs.exists(path)) fs.delete(path, true)
     val banded = sigBandRows(sigs, nParts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

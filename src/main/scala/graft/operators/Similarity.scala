@@ -914,6 +914,48 @@ object Similarity {
       .limit(kNN)
   }
 
+  /** IVFADC — the composed billion-scale ANN serving layout (Jégou,
+    * Douze & Schmid TPAMI 2011 §VII; the FAISS IVFADC architecture): an
+    * IVF coarse quantizer prunes the corpus to the query's `nProbe`
+    * nearest cells, then ADC scores ONLY those cells' members through
+    * their PQ codes. [[ivfTopK]] (cell pruning, exact in-cell scoring)
+    * and [[pqTopKAdc]] (ADC over the WHOLE corpus) each carry one half
+    * of the trick; production deployments run both at once — this is
+    * that composition, deterministic end to end: modulo-subset
+    * centroids and round-5 cosine cell ranks with id tiebreaks (the s03
+    * contract), the exact-long codebook/LUT (the s12 contract),
+    * adc-then-id output order. The query itself is not excluded (the
+    * pqTopKAdc convention — self-hits score 0 and rank first).
+    *
+    * Scale shape: the cell assignment is the BUILD-TIME artifact (one
+    * corpus pass; at 100 TB it persists partitioned by cell — the
+    * [[ivfBuildLayout]] shape — and the recomputation here disappears
+    * behind the layout); serving touches `nProbe/|cells|` of the
+    * corpus, reads only those members' m-byte codes (ADC is a pure map
+    * with the lookup table as literals), and ends in one
+    * TakeOrderedAndProject. Nothing corpus-wide shuffles: the probed
+    * cell ids ride a broadcast semi-join into the assignment.
+    *
+    * @return (id, adc) — integer squared-L2 estimate ascending, ties by
+    *         id, ≤ `kNN` rows drawn from the probed cells only.
+    */
+  def ivfAdcTopK(corpus: DataFrame, idCol: String, embCol: String,
+      model: PqModel, query: Seq[Double], kNN: Int = 10, nProbe: Int = 2,
+      centEvery: Int = 25): DataFrame = {
+    require(kNN >= 1 && nProbe >= 1 && centEvery >= 1,
+      s"bad ivfadc params kNN=$kNN nProbe=$nProbe centEvery=$centEvery")
+    val cent = ivfCentroids(corpus, centEvery, idCol, embCol)
+    val qLit = array(query.map(lit): _*)
+    val cells = cent
+      .withColumn("ccos", round(cosine(qLit, col("c_emb")), 5))
+      .orderBy(col("ccos").desc, col("c_id"))
+      .limit(nProbe).select(col("c_id"))
+    val members = ivfAssign(corpus, cent, idCol, embCol)
+      .join(broadcast(cells), Seq("c_id"), "left_semi")
+      .select(col("n_id").as(idCol), col("n_emb").as(embCol))
+    pqTopKAdc(members, idCol, embCol, model, query, kNN)
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
     * — the diversity selector between retrieval and a context window:
     * from the `poolSize` most query-relevant vectors, greedily pick `k`

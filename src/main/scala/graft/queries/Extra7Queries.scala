@@ -390,9 +390,12 @@ object Extra7Queries {
     //      above — hub-rooted BFS, then fringe levels sweep top-down
     //      (each level ONE multi-source landmark expansion); when
     //      lb meets 2(i-1) the EXACT diameter of the root's component
-    //      is certified. The oracle replays the whole run: root
-    //      choice, both seed sweeps, per-level fringe eccentricities,
-    //      and the monotone stop rule, all in integer hop math. The
+    //      is certified. The double-sweep seed rides the FIRST fringe
+    //      level (far sits in the deepest fringe — no dedicated far
+    //      BFS). The oracle replays the whole run: root choice, the
+    //      root sweep, per-level fringe eccentricities (ecc_far read
+    //      off the deepest level), and the monotone stop rule, all in
+    //      integer hop math. The
     //      graph is q146's bipartite cust-supp shape, filtered to stay
     //      all-pairs-replayable in DuckDB. ----
     Q("q157_diameter_ifub",
@@ -451,21 +454,15 @@ object Extra7Queries {
              |  FROM lvl),
              |fin AS (
              |  SELECT base.*,
-             |    CASE WHEN base.lb0 >= 2 * base.er THEN NULL
-             |      ELSE (SELECT max(sim.i) FROM sim
-             |            WHERE greatest(base.lb0, sim.btop) >= 2 * (sim.i - 1))
-             |    END AS st
+             |    (SELECT max(sim.i) FROM sim
+             |     WHERE greatest(base.lb0, sim.btop) >= 2 * (sim.i - 1)) AS st
              |  FROM base),
              |res AS (
              |  SELECT fin.er, fin.far, fin.eccf,
-             |    CASE WHEN fin.st IS NULL THEN fin.lb0
-             |      ELSE greatest(fin.lb0,
-             |        (SELECT btop FROM sim WHERE i = fin.st)) END AS dia,
-             |    CASE WHEN fin.st IS NULL THEN 2
-             |      ELSE 2 + (SELECT fcum FROM sim WHERE i = fin.st)
-             |      END AS nsw,
-             |    CASE WHEN fin.st IS NULL THEN 0
-             |      ELSE fin.er - fin.st + 1 END AS nlv
+             |    greatest(fin.lb0,
+             |      (SELECT btop FROM sim WHERE i = fin.st)) AS dia,
+             |    1 + (SELECT fcum FROM sim WHERE i = fin.st) AS nsw,
+             |    fin.er - fin.st + 1 AS nlv
              |  FROM fin)
              |SELECT CAST(r0.root AS BIGINT) AS root,
              |  CAST(res.er AS BIGINT) AS ecc_root,
@@ -507,12 +504,14 @@ object Extra7Queries {
              |  FROM c a JOIN c b ON a.grp < b.grp),
              |m AS (
              |  SELECT grp_1, n_1, grp_2, n_2,
-             |    (CAST(s21 AS DOUBLE) - CAST(s11 AS DOUBLE)
-             |      * CAST(s11 AS DOUBLE) / CAST(n_1 AS DOUBLE))
-             |      / (CAST(n_1 AS DOUBLE) - 1.0) / CAST(n_1 AS DOUBLE) AS qa,
-             |    (CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE)
-             |      * CAST(s12 AS DOUBLE) / CAST(n_2 AS DOUBLE))
-             |      / (CAST(n_2 AS DOUBLE) - 1.0) / CAST(n_2 AS DOUBLE) AS qb,
+             |    CAST(s21 * CAST(n_1 AS HUGEINT) - CAST(s11 AS HUGEINT)
+             |        * CAST(s11 AS HUGEINT) AS DOUBLE)
+             |      / CAST(n_1 AS DOUBLE) / (CAST(n_1 AS DOUBLE) - 1.0)
+             |      / CAST(n_1 AS DOUBLE) AS qa,
+             |    CAST(s22 * CAST(n_2 AS HUGEINT) - CAST(s12 AS HUGEINT)
+             |        * CAST(s12 AS HUGEINT) AS DOUBLE)
+             |      / CAST(n_2 AS DOUBLE) / (CAST(n_2 AS DOUBLE) - 1.0)
+             |      / CAST(n_2 AS DOUBLE) AS qb,
              |    CAST(s11 AS DOUBLE) / CAST(n_1 AS DOUBLE)
              |      - CAST(s12 AS DOUBLE) / CAST(n_2 AS DOUBLE) AS md
              |  FROM p)

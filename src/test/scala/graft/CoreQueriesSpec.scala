@@ -55,6 +55,10 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(Bench.parseFloor(
       """{"sf":"/root/testdata/sf0.1","noqueries":1}""",
       "/root/testdata/sf0.1").isEmpty)
+    // an artifact that stamped itself load_warn (ran under contention)
+    // must never serve as a floor — its rows carry the machine's mood
+    val loaded = art.replace(""","sf":""", ""","load_warn":true,"sf":""")
+    assert(Bench.parseFloor(loaded, "/root/testdata/sf0.1").isEmpty)
   }
 
   test("oracle column names match spark output column names") {

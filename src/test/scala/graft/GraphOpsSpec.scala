@@ -590,30 +590,34 @@ class GraphOpsSpec extends AnyFunSuite {
       Caches.sweep(spark)
       got
     }
-    // path 0-1-2-3-4: root = max degree tie -> 1 (deg 2), ecc 3, far=4,
-    // ecc_far=4 -> lb=4, ub=6; level 3 = {4}, ecc 4 -> lb=4 >= 2*(3-1)
-    // -> CLOSED after one level: diameter 4, sweeps 2+1, levels 1
+    // path 0-1-2-3-4: root = max degree tie -> 1 (deg 2), ecc 3, far=4
+    // -> lb=3, ub=6; level 3 = {4}, ecc 4 (this IS the far sweep —
+    // ecc_far reads off the deepest fringe, no dedicated BFS) -> lb=4
+    // >= 2*(3-1) -> CLOSED after one level: diameter 4, sweeps 1+1,
+    // levels 1
     assert(dia(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))) ==
-      Seq((1L, 3L, 4L, 4L, 4L, 4L, 3L, 1L, true, Some(4L))))
-    // star 0-{1..5}: root = hub 0, ecc 1, far=1, ecc_far=2 -> lb=2 ==
-    // ub=2*1 at entry: certified with ZERO fringe levels (iFUB's early
-    // exit — the hub root makes the bracket close before any sweep)
+      Seq((1L, 3L, 4L, 4L, 4L, 4L, 2L, 1L, true, Some(4L))))
+    // star 0-{1..5}: root = hub 0, ecc 1, far=1 -> lb=1 < ub=2, so the
+    // ONE fringe level {1..5} sweeps (5 landmarks, one expansion),
+    // measuring ecc_far=2 with it: lb=2 == ub -> diameter 2, sweeps
+    // 1+5, levels 1 — the deepest-fringe ride of the double sweep
+    // trades the star's pathological fringe for the saved far-BFS
     assert(dia(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L))) ==
-      Seq((0L, 1L, 1L, 2L, 2L, 2L, 2L, 0L, true, Some(2L))))
-    // 6-cycle 0..5: root 0 (all deg 2, tie -> min id), ecc 3, far=3,
-    // ecc_far=3 -> lb=3, ub=6; level 3 = {3} ecc 3 -> ub=4; level 2 =
-    // {2,4} ecc 3 -> lb=3 >= 2*(2-1) -> diameter 3, sweeps 2+1+2=5
+      Seq((0L, 1L, 1L, 2L, 2L, 2L, 6L, 1L, true, Some(2L))))
+    // 6-cycle 0..5: root 0 (all deg 2, tie -> min id), ecc 3, far=3 ->
+    // lb=3, ub=6; level 3 = {3} ecc 3 (= ecc_far) -> ub=4; level 2 =
+    // {2,4} ecc 3 -> lb=3 >= 2*(2-1) -> diameter 3, sweeps 1+1+2=4
     val c6 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 0L))
-    assert(dia(c6) == Seq((0L, 3L, 3L, 3L, 3L, 3L, 5L, 2L, true, Some(3L))))
-    // the same cycle under maxSweeps=4: level 3 fits (3 sweeps used),
-    // level 2 would need 5 > 4 -> STOP with the bracket held at that
+    assert(dia(c6) == Seq((0L, 3L, 3L, 3L, 3L, 3L, 4L, 2L, true, Some(3L))))
+    // the same cycle under maxSweeps=3: level 3 fits (2 sweeps used),
+    // level 2 would need 4 > 3 -> STOP with the bracket held at that
     // point (lb=3, ub=4), converged=false, diameter null — announced,
-    // never silently wrong
-    assert(dia(c6, sweeps = 4) ==
-      Seq((0L, 3L, 3L, 3L, 3L, 4L, 3L, 1L, false, None)))
+    // never silently wrong (ecc_far already measured by level 3)
+    assert(dia(c6, sweeps = 3) ==
+      Seq((0L, 3L, 3L, 3L, 3L, 4L, 2L, 1L, false, None)))
     // fringeCap=1 on the cycle: level 2 has 2 nodes > cap -> same stop
     assert(dia(c6, cap = 1) ==
-      Seq((0L, 3L, 3L, 3L, 3L, 4L, 3L, 1L, false, None)))
+      Seq((0L, 3L, 3L, 3L, 3L, 4L, 2L, 1L, false, None)))
     // a hop budget that truncates the root BFS poisons everything: the
     // flags say so and no diameter is claimed
     val path = dia(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)), hops = 2)
@@ -628,11 +632,11 @@ class GraphOpsSpec extends AnyFunSuite {
     val g2 = Seq((0L, 1L), (0L, 2L), (0L, 4L), (1L, 3L), (2L, 3L),
       (4L, 3L), (2L, 9L))
     assert(dia(g2, hops = 3) ==
-      Seq((0L, 2L, 3L, 2L, 3L, 4L, 4L, 1L, false, None)))
+      Seq((0L, 2L, 3L, 2L, 3L, 4L, 3L, 1L, false, None)))
     // same graph with hop room: the fringe sweep completes, lb=3 meets
     // 2(i-1)=2 -> certified diameter 3 — iFUB certifying what the
     // double sweep alone (lb0 = 2) could not
-    assert(dia(g2) == Seq((0L, 2L, 3L, 2L, 3L, 3L, 4L, 1L, true, Some(3L))))
+    assert(dia(g2) == Seq((0L, 2L, 3L, 2L, 3L, 3L, 3L, 1L, true, Some(3L))))
     // edgeless graph: EMPTY result
     assert(dia(Seq((7L, 7L))).isEmpty)
     intercept[IllegalArgumentException] {

@@ -89,6 +89,21 @@ class IterativeLoopSpec extends AnyFunSuite {
       s"bpeTrain leaked: ${persistentIds -- before}")
   }
 
+  test("advanceSummed: the sum rides the materializing action, None on empty, " +
+      "blocks release like advance") {
+    Caches.sweep(spark)
+    val loop = new IterativeLoop()
+    val (s1, t1) = loop.advanceSummed(
+      spark.range(5).select(col("id").as("v")), "v")
+    assert(t1.contains(10L)) // 0+1+2+3+4
+    assert(s1.count() == 5L) // state is materialized and readable
+    // empty next state: None, not a throw and not Some(0)
+    val (s2, t2) = loop.advanceSummed(s1.filter(col("v") < 0L), "v")
+    assert(t2.isEmpty && s2.count() == 0L)
+    loop.abort()
+    assert(persistentIds.isEmpty, "advanceSummed state must release on abort")
+  }
+
   test("abort releases pinned and advanced state; handoff transfers only the result") {
     Caches.sweep(spark)
     val loop = new IterativeLoop(checkpointEvery = 2)

@@ -691,6 +691,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     Multimodal.binarySimhashIndexAppend(corpus2, "media_id", "content", appended)
     val (a, b) = (pairs(full), pairs(appended))
     assert(a == b, s"append diverged: only-full=${a.diff(b)} only-app=${b.diff(a)}")
+    // r15 ADVICE fix: re-running the ORIGINAL build job after appends is
+    // an ident HIT (the stored ident differs only by '+append=' suffixes)
+    // — the appended batches' signatures must SURVIVE; the old
+    // any-mismatch-rebuilds rule silently deleted them and probes missed
+    // their pairs from then on
+    Multimodal.binarySimhashIndexWrite(corpus1, "media_id", "content", appended)
+    assert(pairs(appended) == a,
+      "idempotent-looking rebuild dropped appended signatures")
     // probe result equals the batch-vs-corpus slice of the pairwise op
     // (binarySimhashPairs is the all-pairs-exact reference at hamming<=3)
     val reference = Multimodal.binarySimhashPairs(
@@ -731,6 +739,73 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(after != before && after.contains("maxBucket=7"), after)
     Multimodal.binarySimhashProbeIndex(spark, full, batch,
       "media_id", "content").count()
+    Caches.sweep(spark)
+  }
+
+  test("ivfAdcTopK: equals ADC restricted to exactly the probed cells' members") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 4, k = 4, iters = 1)
+    val query = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val got = Similarity.ivfAdcTopK(emb, "vec_id", "embedding", model, query,
+      kNN = 10, nProbe = 2, centEvery = 25).as[(Long, Long)].collect().toSeq
+    // independent replay of the coarse quantizer with plain DataFrame ops
+    val cent = emb.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
+    val qLit = array(query.map(lit): _*)
+    val cells = cent
+      .withColumn("ccos", round(Similarity.cosine(qLit, $"c_emb"), 5))
+      .orderBy($"ccos".desc, $"c_id").limit(2)
+      .select($"c_id").as[Long].collect().toSet
+    val members = emb.select($"vec_id".as("n_id"), $"embedding".as("n_emb"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", round(Similarity.cosine($"n_emb", $"c_emb"), 5))
+      .groupBy($"n_id")
+      .agg(max(struct($"ccos", (-$"c_id").as("neg"))).as("m"))
+      .select($"n_id", (-$"m.neg").as("c_id"))
+      .filter($"c_id".isin(cells.toSeq: _*))
+      .select($"n_id").as[Long].collect().toSet
+    // the composition contract: IVFADC == pqTopKAdc over the members only
+    val ref = Similarity.pqTopKAdc(
+        emb.filter($"vec_id".isin(members.toSeq: _*)),
+        "vec_id", "embedding", model, query, kNN = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == ref, s"got=$got ref=$ref")
+    assert(got.nonEmpty && got.map(_._1).forall(members),
+      s"result escaped the probed cells: $got vs $members")
+    // pruning is REAL on this fixture: the probed cells hold a strict
+    // subset of the corpus
+    assert(members.size < emb.count())
+    Caches.sweep(spark)
+  }
+
+  test("binarySimhashIngestPairs: exactly the batch-involving slice of pairwise") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Multimodal.fabricate(Tables(spark, TestSpark.sf, "documents"))
+    val corpus = media.filter($"media_id" >= 400)
+    val batch = media.filter($"media_id" < 400)
+    val layout = graft.Scratch.dir("spec_binsh_ingest")
+    Multimodal.binarySimhashIndexWrite(corpus, "media_id", "content", layout)
+    val got = Multimodal.binarySimhashIngestPairs(spark, layout, batch,
+        "media_id", "content")
+      .as[(Long, Long, Long)].collect().toSet
+    // reference: the all-pairs-exact pairwise sweep (hamming<=3),
+    // restricted to pairs with at least one side in the batch — the
+    // ingest report must equal it exactly (within-batch pairs AND
+    // batch-vs-corpus pairs, nothing corpus-internal)
+    val ref = Multimodal.binarySimhashPairs(media, "media_id", "content")
+      .as[(Long, Long, Long)].collect().toSet
+      .filter(t => t._1 < 400 || t._2 < 400)
+    assert(got == ref,
+      s"only-ingest=${got.diff(ref)} only-pairwise=${ref.diff(got)}")
+    assert(got.exists(t => t._1 < 400 && t._2 < 400) &&
+      got.exists(t => t._2 >= 400),
+      s"fixture must exercise BOTH sources (within=${got.count(t => t._2 < 400)}, " +
+        s"cross=${got.count(t => t._2 >= 400)})")
     Caches.sweep(spark)
   }
 
