@@ -412,10 +412,16 @@ object Bench {
       val loadEnd = load1m()
       val warnAt = sys.env.get("SPARK_GRAFT_LOAD_WARN")
         .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(2.5)
-      val loadWarn = math.max(loadStart, loadEnd) > warnAt
+      // START load only: it is sampled before the Spark session spins
+      // up, so it measures the MACHINE's contention. The end (and the
+      // per-rep l1/l2 columns) are recorded as evidence but do not
+      // trigger the stamp — a 32-thread run's own tail work can push
+      // the 1-min loadavg past any fixed threshold on a perfectly idle
+      // box, and a false load_warn would disqualify a legitimate floor
+      val loadWarn = loadStart > warnAt
       if (loadWarn) System.err.println(
-        s"[bench] WARNING: run bracketed by load [$loadStart, $loadEnd] " +
-          s"> $warnAt — artifact stamped load_warn, unusable as a floor")
+        s"[bench] WARNING: run started at load $loadStart > $warnAt — " +
+          "artifact stamped load_warn, unusable as a floor")
       val rawTotal = fmt(results.collect {
         case (_, v, _, _, _, _, _) if v >= 0 => v }.sum)
       val fullQs = results.map { case (k, v, _, _, _, _, _) =>

@@ -58,7 +58,8 @@ object GraphOps {
       broadcastNodesBelow: Long = 2_000_000L): DataFrame = {
     require(iterations >= 1, s"need >=1 iteration, got $iterations")
     val loop = new IterativeLoop(checkpointEvery)
-    val e = loop.pin(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val e0 = loop.pin(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val e = compactPinned(loop, e0, e0.count())
     // node list and out-degree FUSED into one table via endpoint explode
     // — one shuffle and one action build the edge cache, the node set,
     // and the degree table together (separate distinct + groupBy passes
@@ -121,11 +122,12 @@ object GraphOps {
       broadcastNodesBelow: Long = 2_000_000L): DataFrame = {
     require(iterations >= 1, s"need >=1 iteration, got $iterations")
     val loop = new IterativeLoop(checkpointEvery)
-    val e = loop.pin(edges
+    val eP = loop.pin(edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("double").as("w"))
       .withColumn("w", when(col("w") > 0, col("w")).otherwise(
         raise_error(lit("weightedPageRank: weights must be > 0")))))
+    val e = compactPinned(loop, eP, eP.count())
     val nodeStr = loop.pin(e.select(explode(array(
         struct(col("src").as("id"), col("w").as("s")),
         struct(col("dst").as("id"), lit(0.0).as("s")))).as("x"))
@@ -187,7 +189,8 @@ object GraphOps {
       broadcastNodesBelow: Long = 2_000_000L): DataFrame = {
     require(iterations >= 1, s"need >=1 iteration, got $iterations")
     val loop = new IterativeLoop(checkpointEvery)
-    val e = loop.pin(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val e0 = loop.pin(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val e = compactPinned(loop, e0, e0.count())
     // fused (id, deg, r) node table: out-degree from the endpoint
     // explode (the pageRank fusion), restart flag from a broadcast
     // semi-ish left join against the (tiny, deduped) seed set
@@ -390,10 +393,25 @@ object GraphOps {
     val spark = edges.sparkSession
     val canon = canonUndirected(edges, srcCol, dstCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sym = canon.select(explode(array(
+    val symRaw = canon.select(explode(array(
         struct(col("u").as("src"), col("v").as("dst")),
         struct(col("v").as("src"), col("u").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // persist + compact once so BOTH sweeps inherit the few-partition
+    // cache (the compactPinned rationale) instead of re-deriving sym
+    // from canon and recaching per sweep; released by Caches.sweep
+    // with canon, as before
+    val symP = symRaw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym =
+      if (symP.rdd.getNumPartitions > compactParts &&
+          symP.count() <= compactEdgesBelow) {
+        val c = symP.repartition(compactParts)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.count()
+        symP.unpersist()
+        c
+      } else symP
     val schema = "start long, ecc_start long, start_converged boolean, " +
       "far long, ecc_far long, far_converged boolean, diameter_lb long"
     val startRow = canon.agg(min(col("u")).as("s")).collect()(0)
@@ -480,11 +498,24 @@ object GraphOps {
     require(fringeCap >= 1, s"fringeCap must be >= 1, got $fringeCap")
     val spark = edges.sparkSession
     val canon = canonUndirected(edges, srcCol, dstCol)
-    val sym = canon.select(explode(array(
+    val symRaw = canon.select(explode(array(
         struct(col("u").as("src"), col("v").as("dst")),
         struct(col("v").as("src"), col("u").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // compact ONCE here so the root BFS and every fringe-level landmark
+    // expansion inherit the few-partition cache instead of each paying
+    // its own recache (the compactPinned rationale; inner loops see ≤
+    // compactParts partitions and skip)
+    val sym =
+      if (symRaw.rdd.getNumPartitions > compactParts &&
+          symRaw.count() <= compactEdgesBelow) {
+        val c = symRaw.repartition(compactParts)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.count()
+        symRaw.unpersist()
+        c
+      } else symRaw
     val schema = "root long, ecc_root long, far long, ecc_far long, " +
       "lb long, ub long, n_sweeps long, n_levels long, " +
       "converged boolean, diameter long"
@@ -681,8 +712,9 @@ object GraphOps {
     // PPR) grow linearly and can afford persist between checkpoints;
     // double-reference loops cannot.
     val loop = new IterativeLoop(checkpointEvery = 1)
-    val e = loop.pin(edges.select(col(srcCol).cast("long").as("src"),
+    val e0 = loop.pin(edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")))
+    val e = compactPinned(loop, e0, e0.count())
     val nodes = loop.pin(
       e.select(explode(array(col("src"), col("dst"))).as("id")).distinct())
     val n = nodes.count()
@@ -717,8 +749,18 @@ object GraphOps {
     * is O(edges touched by expansion), the BFS optimum. Early exit on
     * an empty frontier. Each hop's frontier is materialized and the
     * superseded one released (the pageRank iterative-plan lesson);
-    * `visited` is rebuilt as a union of ≤maxHops node-grain frontiers,
-    * localCheckpointed on exit so the returned table is self-contained.
+    * `visited` is rebuilt as a union of ≤maxHops node-grain frontiers
+    * (broadcast into the anti-join below the bound), localCheckpointed
+    * on exit so the returned table is self-contained.
+    *
+    * TWO EXECUTION PATHS, one semantics (spec-pinned equal): a graph at
+    * or under `driverFrontierBelow` edges runs the hop loop with
+    * DRIVER-RESIDENT frontier/visited sets (node-grain longs — the
+    * bounded-driver contract; the edges stay cached on the cluster and
+    * each hop is one InSet-filtered job), because at that size the
+    * distributed loop's per-hop fixed costs (checkpoint job, broadcast
+    * builds, exchange) dominate by ~10×. Above the bound — the 100 TB
+    * regime — the distributed frontier loop runs unchanged.
     *
     * CACHING CONTRACT ([[IterativeLoop]]): edge set + every hop's
     * frontier persist during the loop (frontiers are `keep`s, not
@@ -726,32 +768,100 @@ object GraphOps {
     * operator-held blocks are released before return (the returned
     * table is localCheckpoint state, freed on GC or `Caches.sweep`).
     */
+  /** Recache a pinned SMALL edge set at [[compactParts]] partitions:
+    * hop-dominated loops relaunch tasks over the edge cache EVERY hop,
+    * so its partition count is a per-hop fixed cost — a 24k-edge sf0.1
+    * graph at the session's 32 shuffle partitions measured 4.98s for a
+    * 9-hop sweep vs 2.70s recached at 4 (q146's shape). The count
+    * doubles as the pin's materialization (the loop would pay it on the
+    * first hop anyway); above the bound, or already compact, the layout
+    * is untouched — at scale this is a no-op. */
+  private val compactEdgesBelow = 1_000_000L
+  private val compactParts = 4
+  private def compactPinned(loop: IterativeLoop, e0: DataFrame,
+      n: Long): DataFrame =
+    if (n <= compactEdgesBelow && e0.rdd.getNumPartitions > compactParts)
+      loop.pin(e0.repartition(compactParts))
+    else e0
+
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
       sources: DataFrame, idCol: String, maxHops: Int,
-      broadcastFrontierBelow: Long = 2_000_000L): DataFrame = {
+      broadcastFrontierBelow: Long = 2_000_000L,
+      driverFrontierBelow: Long = 1_000_000L): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val loop = new IterativeLoop()
-    val e = loop.pin(edges.select(col(srcCol).cast("long").as("src"),
+    val e0 = loop.pin(edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")))
+    val nE = e0.count()
+    // SMALL-GRAPH fast path: a ≤driverFrontierBelow-edge graph's BFS is
+    // dominated by per-hop FIXED costs in the distributed loop (a
+    // checkpoint job + two broadcast builds + a distinct exchange per
+    // hop — ~0.3s/hop regardless of data; q146's 24k-edge sf0.1 sweep
+    // measured 4.98s for 9 hops). Here the frontier and visited sets
+    // ride the DRIVER (node-grain longs, bounded by the node count of a
+    // ≤1M-edge graph — the iFUB fringeCap bounded-driver contract) and
+    // each hop is ONE job over the cached compacted edge partitions: an
+    // InSet frontier filter + distinct + collect of the new layer. The
+    // EDGES never leave the cluster; semantics are identical (the spec
+    // pins both paths equal on the same graphs) and above the bound the
+    // distributed frontier loop below runs unchanged — at 100 TB this
+    // branch never fires.
+    if (nE <= driverFrontierBelow) {
+      val e = compactPinned(loop, e0, nE)
+      try {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        var frontier = sources.select(col(idCol).cast("long").as("id"))
+          .distinct().collect().map(_.getLong(0))
+        val visited = scala.collection.mutable.HashSet.empty[Long]
+        visited ++= frontier
+        val layers = scala.collection.mutable.ListBuffer.empty[(Long, Array[Long])]
+        layers += ((0L, frontier))
+        var hop = 1
+        while (hop <= maxHops && frontier.nonEmpty) {
+          val next = e.filter(col("src").isInCollection(frontier.toSeq))
+            .select(col("dst")).distinct()
+            .collect().map(_.getLong(0)).filterNot(visited)
+          visited ++= next
+          if (next.nonEmpty) layers += ((hop.toLong, next))
+          frontier = next
+          hop += 1
+        }
+        return spark.createDataset(
+          layers.toSeq.flatMap { case (d, ids) => ids.map(id => (id, d)) })
+          .toDF("id", "dist")
+      } finally loop.abort()
+    }
+    val e = compactPinned(loop, e0, nE)
     var (frontier, frontierSize) = loop.keep(
       sources.select(col(idCol).cast("long").as("id")).distinct())
     var layers = List(frontier.withColumn("dist", lit(0L)))
+    var visitedSize = frontierSize
     var hop = 1
     while (hop <= maxHops && frontierSize > 0) {
       // stats-driven build side from the count the materialization just
       // paid for: a below-bound frontier broadcasts into the edge join
       // (the edge set never shuffles — the textbook BFS-on-MapReduce
-      // move); a huge frontier falls back to the shuffle join
+      // move); a huge frontier falls back to the shuffle join. The
+      // visited anti-join gets the same treatment from the layer counts
+      // already paid for: a below-bound visited set broadcasts, so the
+      // expansion's only exchange is the distinct — on hop-dominated
+      // small-world graphs the per-hop fixed cost is the whole game
+      // (the q146/q157 bench rows), and one stage per hop is the floor
       val f = frontier.withColumnRenamed("id", "src")
+      val visited = layers.map(_.select(col("id"))).reduce(_ union _)
       val (next, nextSize) = loop.keep(e.join(
           if (frontierSize <= broadcastFrontierBelow) broadcast(f) else f,
           "src")
         .select(col("dst").as("id")).distinct()
         // min-dist semantics: a node joins the BFS tree at its FIRST
         // frontier appearance; later paths must not re-add it
-        .join(layers.map(_.select(col("id"))).reduce(_ union _),
+        .join(
+          if (visitedSize <= broadcastFrontierBelow) broadcast(visited)
+          else visited,
           Seq("id"), "left_anti"))
       frontierSize = nextSize
+      visitedSize += nextSize
       if (frontierSize > 0) layers ::= next.withColumn("dist", lit(hop.toLong))
       frontier = next
       hop += 1
@@ -791,23 +901,31 @@ object GraphOps {
     val spark = edges.sparkSession
     import spark.implicits._
     val loop = new IterativeLoop()
-    val e = loop.pin(edges.select(col(srcCol).cast("long").as("src"),
+    val e0 = loop.pin(edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")))
+    val e = compactPinned(loop, e0, e0.count())
     var (frontier, frontierSize) = loop.keep(
       spark.createDataset(landmarks).toDF("landmark")
         .select(col("landmark"), col("landmark").as("id")))
     var layers = List(frontier.withColumn("dist", lit(0L)))
+    var visitedSize = frontierSize
     var hop = 1
     while (hop <= maxHops && frontierSize > 0) {
       val f = frontier.withColumnRenamed("id", "src")
+      val visited = layers.map(_.select(col("landmark"), col("id")))
+        .reduce(_ union _)
       val (next, nextSize) = loop.keep(e.join(
           if (frontierSize <= broadcastFrontierBelow) broadcast(f) else f,
           "src")
         .select(col("landmark"), col("dst").as("id")).distinct()
-        // first appearance per (landmark, id) wins — min-dist semantics
-        .join(layers.map(_.select(col("landmark"), col("id")))
-          .reduce(_ union _), Seq("landmark", "id"), "left_anti"))
+        // first appearance per (landmark, id) wins — min-dist semantics;
+        // a below-bound visited set broadcasts (the bfsDistances rule)
+        .join(
+          if (visitedSize <= broadcastFrontierBelow) broadcast(visited)
+          else visited,
+          Seq("landmark", "id"), "left_anti"))
       frontierSize = nextSize
+      visitedSize += nextSize
       if (frontierSize > 0) layers ::= next.withColumn("dist", lit(hop.toLong))
       frontier = next
       hop += 1
@@ -885,9 +1003,10 @@ object GraphOps {
     import spark.implicits._
     val loop = new IterativeLoop()
     try {
-      val e = loop.pin(edges.select(col(srcCol).cast("long").as("src"),
+      val eP = loop.pin(edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("w")))
+      val e = compactPinned(loop, eP, eP.count())
       val minW = e.agg(min(col("w"))).head()
       if (!minW.isNullAt(0)) require(minW.getLong(0) >= 0L,
         s"shortestPaths requires nonnegative weights, found ${minW.getLong(0)}")
@@ -1045,9 +1164,10 @@ object GraphOps {
             lit(t.toDouble)).cast("long").as(c))
       }
     try {
-      val e = loop.pin(edges
+      val eP = loop.pin(edges
         .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
         .distinct())
+      val e = compactPinned(loop, eP, eP.count())
       val nodes = loop.pin(e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct())
       // sparse normalized start: the out-edge nodes split one L1 unit

@@ -93,6 +93,30 @@ class GraphOpsSpec extends AnyFunSuite {
       "early exit on an exhausted frontier must still return all layers")
   }
 
+  test("bfs: the driver-frontier fast path and the distributed loop agree " +
+      "on every graph shape") {
+    // the small-graph path keeps frontier/visited on the driver; above
+    // driverFrontierBelow the distributed frontier loop runs — force
+    // each with the bound and pin identical (id, dist) sets
+    def both(edges: Seq[(Long, Long)], srcs: Seq[Long], hops: Int) = {
+      def run(driverBelow: Long) = GraphOps.bfsDistances(
+          edges.toDF("src", "dst"), "src", "dst", srcs.toDF("id"), "id",
+          hops, driverFrontierBelow = driverBelow)
+        .as[(Long, Long)].collect().toSet
+      val (fast, dist) = (run(Long.MaxValue), run(0L))
+      assert(fast == dist, s"paths diverged: fast=$fast dist=$dist")
+      Caches.sweep(spark)
+      fast
+    }
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 10L))
+    both(chain, Seq(1L), hops = 3)
+    both(chain, Seq(1L), hops = 10)
+    both(chain, Seq(1L, 9L), hops = 10) // multi-source
+    both(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)), Seq(3L), hops = 5) // cycle
+    both(chain, Seq(42L), hops = 3) // source absent from the edge set
+    both(chain, Seq(1L), hops = 0)  // zero hops: sources only
+  }
+
   private def lpa(edges: Seq[(Long, Long)], sweeps: Int): Map[Long, Long] = {
     val got = GraphOps.labelPropagation(
         edges.toDF("src", "dst"), "src", "dst", sweeps)
