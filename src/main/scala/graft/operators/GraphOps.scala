@@ -886,14 +886,23 @@ object GraphOps {
     * anti-join — work stays O(k · edges touched). Every landmark emits
     * its own (l, l, 0) seed row whether or not it appears in the edge
     * set (the oracle-visible convention). Same [[IterativeLoop]]
-    * caching contract as [[bfsDistances]].
+    * caching contract as [[bfsDistances]] — and the same TWO-PATH rule:
+    * when BOTH the edge count and the (landmark, id) pair-state bound
+    * `|landmarks|·|edges|` sit at or under `driverFrontierBelow`, the
+    * per-landmark frontiers ride the driver and each hop is ONE job
+    * collecting the union frontier's adjacency (edge rows touched this
+    * hop — bounded by the pair-state bound), with every landmark's
+    * advance computed driver-side from the shared adjacency map; above
+    * it, the distributed (landmark, id)-grain loop runs unchanged
+    * (spec-pinned equal).
     *
     * @return (landmark, id, dist) — one row per landmark × node
     *         reached within `maxHops`.
     */
   def landmarkDistances(edges: DataFrame, srcCol: String, dstCol: String,
       landmarks: Seq[Long], maxHops: Int,
-      broadcastFrontierBelow: Long = 2_000_000L): DataFrame = {
+      broadcastFrontierBelow: Long = 2_000_000L,
+      driverFrontierBelow: Long = 1_000_000L): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     require(landmarks.nonEmpty, "need at least one landmark")
     require(landmarks.distinct.size == landmarks.size,
@@ -903,7 +912,43 @@ object GraphOps {
     val loop = new IterativeLoop()
     val e0 = loop.pin(edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")))
-    val e = compactPinned(loop, e0, e0.count())
+    val nE = e0.count()
+    if (nE <= driverFrontierBelow &&
+        landmarks.size.toLong * nE <= driverFrontierBelow) {
+      val e = compactPinned(loop, e0, nE)
+      try {
+        var frontiers: Map[Long, Array[Long]] =
+          landmarks.map(l => l -> Array(l)).toMap
+        val visited = scala.collection.mutable.Map(
+          landmarks.map(l => l -> scala.collection.mutable.HashSet(l)): _*)
+        val rows = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+        landmarks.foreach(l => rows += ((l, l, 0L)))
+        var hop = 1
+        while (hop <= maxHops && frontiers.valuesIterator.exists(_.nonEmpty)) {
+          // ONE job: the union frontier's out-adjacency; each landmark
+          // then advances driver-side off the shared map (HashSet.add
+          // dedups within-hop multi-paths AND marks visited)
+          val unionIds = frontiers.valuesIterator.flatten.toArray.distinct
+          val adj = e.filter(col("src").isInCollection(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(unionIds)))
+            .select(col("src"), col("dst")).collect()
+            .groupBy(_.getLong(0))
+            .map { case (s, rs) => s -> rs.map(_.getLong(1)) }
+          frontiers = frontiers.map { case (l, f) =>
+            val vis = visited(l)
+            val next = f.iterator
+              .flatMap(id => adj.getOrElse(id, Array.empty[Long]))
+              .filter(vis.add).toArray
+            next.foreach(id => rows += ((l, id, hop.toLong)))
+            l -> next
+          }
+          hop += 1
+        }
+        return spark.createDataset(rows.toSeq)
+          .toDF("landmark", "id", "dist")
+      } finally loop.abort()
+    }
+    val e = compactPinned(loop, e0, nE)
     var (frontier, frontierSize) = loop.keep(
       spark.createDataset(landmarks).toDF("landmark")
         .select(col("landmark"), col("landmark").as("id")))

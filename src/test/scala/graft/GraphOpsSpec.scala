@@ -427,6 +427,26 @@ class GraphOpsSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("landmarkDistances: driver and distributed paths agree on every shape") {
+    import spark.implicits._
+    def both(edges: Seq[(Long, Long)], lms: Seq[Long], hops: Int) = {
+      def run(driverBelow: Long) = GraphOps.landmarkDistances(
+          edges.toDF("src", "dst"), "src", "dst", lms, hops,
+          driverFrontierBelow = driverBelow)
+        .as[(Long, Long, Long)].collect().toSet
+      val (fast, dist) = (run(Long.MaxValue), run(0L))
+      assert(fast == dist, s"paths diverged: fast=$fast dist=$dist")
+      Caches.sweep(spark)
+      fast
+    }
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    both(chain, Seq(1L, 3L, 99L), hops = 3) // absent landmark self-seeds
+    both(chain, Seq(2L), hops = 0)          // seeds only
+    both(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)),
+      Seq(1L, 2L, 3L), hops = 5)            // cycle, all nodes landmarks
+    both(chain ++ Seq((1L, 3L)), Seq(1L), hops = 4) // same-hop multi-path dedup
+  }
+
   test("shortestPaths: hop-bounded exactness, convergence certificate, guards") {
     import spark.implicits._
     // direct 1→3 costs 10; the 2-edge detour 1→2→3 costs 2
