@@ -97,8 +97,11 @@ object PlanAudit {
     // ridge trains as ONE moment aggregate and serves map-side with
     // literal weights; AUC reduces to score grain before its window
     "q131_ridge_regression", "q132_auc_roc",
-    // landmark BFS labels leave as checkpoint unions; quantile
-    // calibration is grain-collapse + group-partitioned window
+    // landmark BFS labels leave join- and exchange-free: checkpoint
+    // unions on the distributed path, a LocalRelation on the r15
+    // small-graph driver path (the gate's sf0.1 graph sits under the
+    // bound); quantile calibration is grain-collapse +
+    // group-partitioned window
     "q133_landmark_distances", "t46_quantile_normalize",
     // Bellman-Ford state leaves as one checkpoint scan
     "q134_shortest_paths",

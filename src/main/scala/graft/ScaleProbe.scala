@@ -293,17 +293,22 @@ object ScaleProbe {
         |  before the untimed pre-build rule, the sf1 row reported the
         |  one-time 10x-corpus BUILD (~107s) as steady state.
         |- **q146 (double sweep) grows mildly (its graph spans
-        |  replicas)**: per-hop frontier joins touch 10x edges but at
-        |  these absolute sizes per-hop fixed costs dominate; the
-        |  convergence flags stay true, so the bound is still
-        |  certified, just cheap.
+        |  replicas)**: both SFs sit under the r15 small-graph bound
+        |  (24k → 240k edges ≤ 1M), so both ride the driver-frontier
+        |  path — the ratio measures the per-hop adjacency jobs
+        |  touching 10x cached edge rows, and the convergence flags
+        |  stay true, so the bound is still certified, just cheap.
+        |  Above the bound the distributed frontier loop takes over
+        |  (spec-pinned equal) and the cost model shifts to
+        |  O(edges touched) per hop.
         |- **q157 (iFUB) is pushdown-flat BY CONSTRUCTION**: its gate
         |  graph filters `o_custkey < 500`, which the key-offset sf1
         |  keeps inside replica 0 — identical graph at both SFs, flat
         |  wall clock, and the all-pairs-replayable DuckDB oracle stays
-        |  feasible. The scale-sensitive machinery (per-level landmark
-        |  fringe expansions = bfsDistances' loop) is exactly what
-        |  q146/q133 measure under growth.
+        |  feasible; its root sweep and fringe expansions ride the same
+        |  driver-frontier path as q146 at this size. The
+        |  scale-sensitive distributed machinery is what q103/q151/t48
+        |  measure under growth.
         |- **q151/t48 mirror q103**: weighted sweeps and the word-graph
         |  PageRank both track the pageRank family's ~3-5x (fixed
         |  per-sweep costs amortizing over 10x edges).

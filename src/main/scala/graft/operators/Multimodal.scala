@@ -379,7 +379,7 @@ object Multimodal {
   /** PERSIST the binary-SimHash band buckets as a serving layout — the
     * [[Dedup.lshIndexWrite]] / t52 build-once discipline applied to the
     * media corpus, killing the per-run corpus re-hash that made the
-    * pairwise m08 gate the suite's slowest row: the expensive part of
+    * old pairwise m08 gate the suite's slowest row: the expensive part of
     * binary near-dup is the per-gram md5 over every payload byte, and a
     * corpus's signatures never change, so they are computed ONCE here
     * and every ingest batch afterwards probes the stored buckets.
