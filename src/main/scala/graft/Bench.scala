@@ -99,8 +99,9 @@ object Bench {
     "st20_stream_novelty", "m11_binary_dhash_index",
     // round 15: the ingest-serving m08 rotates back in (persisted-layout
     // probe, built in warm-up — the cost profile the round-14 rotation
-    // note asked for) and IVFADC (the composed FAISS-shape serving path)
-    "m08_binary_near_dup", "s17_ivf_adc",
+    // note asked for), IVFADC (the composed FAISS-shape serving path),
+    // and its persisted layout (build in warm-up, probe-only reps)
+    "m08_binary_near_dup", "s17_ivf_adc", "s18_ivf_adc_layout",
     // dedup / similarity / text pipeline; d12/d13/s07/t17 rotated out
     // round 9 (sub-0.3s, families covered by d11/d14/s09/t15) to make
     // room for the r1/r2 rep columns inside the tail budget
@@ -135,7 +136,7 @@ object Bench {
     "s04_ann_ivf_layout", "s08_ann_ivf_append", "s09_hard_negatives_layout",
     "t23_bm25_index", "t24_bm25_index_append", "t40_bpe_apply",
     "d17_lsh_index", "m08_binary_near_dup", "m09_binary_simhash_index",
-    "m11_binary_dhash_index")
+    "m11_binary_dhash_index", "s18_ivf_adc_layout")
 
   /** Parse a full-suite artifact's per-query floors: its "queries" map
     * by FULL query name, kept only when the artifact ran on the SAME

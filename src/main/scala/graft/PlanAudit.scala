@@ -218,7 +218,12 @@ object PlanAudit {
     // IVFADC: probed cell ids broadcast-semi-join into the assignment,
     // ADC a pure map over the pruned members' codes (codebook + LUT as
     // literals), TakeOrderedAndProject — nothing corpus-wide shuffles
-    "s17_ivf_adc")
+    "s17_ivf_adc",
+    // persisted IVFADC: the codes scan must carry c_id partition
+    // filters (probed cells only) and the plan must hold NO corpus
+    // parquet scan, no codebook training, no join — a pruned read +
+    // literal-LUT map + TakeOrderedAndProject
+    "s18_ivf_adc_layout")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

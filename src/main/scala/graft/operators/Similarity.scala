@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -849,12 +849,14 @@ object Similarity {
     * zero shuffles, and at scale it reads ONLY the m-byte codes column,
     * never the float embeddings. Ties break by id.
     * @return (id, adc) — integer squared-L2 estimate, ascending. */
-  def pqTopKAdc(emb: DataFrame, idCol: String, embCol: String,
-      model: PqModel, query: Seq[Double], kNN: Int = 10): DataFrame = {
+  /** The per-subspace ADC lookup table for one query against a codebook
+    * — m·k exact-long squared distances, computed on the driver (the
+    * Jégou et al. serving equation's precomputation). */
+  private def adcLut(model: PqModel, query: Seq[Double]): Array[Array[Long]] = {
     require(query.length == model.m * model.subDim,
       s"query dim ${query.length} != ${model.m * model.subDim}")
     val qq = query.map(x => math.round(x * model.quantScale)).toArray
-    val table = Array.tabulate(model.m, model.k) { (s, c) =>
+    Array.tabulate(model.m, model.k) { (s, c) =>
       val cent = model.cents(s)(c)
       var acc = 0L
       var i = 0
@@ -865,12 +867,21 @@ object Similarity {
       }
       acc
     }
-    val codes = pqEncode(emb, idCol, embCol, model)
-    val adc = (0 until model.m).map { s =>
-      element_at(array(table(s).map(lit): _*),
-        element_at(col("codes"), s + 1) + 1)
+  }
+
+  /** ADC distance of a codes column under a literal lookup table — a
+    * pure map expression (the table rides as literals, so the scan
+    * stays inside whole-stage codegen). */
+  private def adcExpr(table: Array[Array[Long]], codes: Column): Column =
+    table.indices.map { s =>
+      element_at(array(table(s).map(lit): _*), element_at(codes, s + 1) + 1)
     }.reduce(_ + _)
-    codes.select(col("id"), adc.as("adc"))
+
+  def pqTopKAdc(emb: DataFrame, idCol: String, embCol: String,
+      model: PqModel, query: Seq[Double], kNN: Int = 10): DataFrame = {
+    val table = adcLut(model, query)
+    val codes = pqEncode(emb, idCol, embCol, model)
+    codes.select(col("id"), adcExpr(table, col("codes")).as("adc"))
       .orderBy(col("adc"), col("id"))
       .limit(kNN)
   }
@@ -954,6 +965,127 @@ object Similarity {
       .join(broadcast(cells), Seq("c_id"), "left_semi")
       .select(col("n_id").as(idCol), col("n_emb").as(embCol))
     pqTopKAdc(members, idCol, embCol, model, query, kNN)
+  }
+
+  /** PERSIST the IVFADC serving layout — [[ivfAdcTopK]]'s build side
+    * paid ONCE: the PQ CODES of every corpus vector written PARTITIONED
+    * BY CELL (the only per-vector state ADC serving reads — m small
+    * ints instead of d floats), plus the centroid table
+    * (`_centroids/`) and the codebook (`_pqmodel/`), under the
+    * ident-written-last crash discipline ([[ivfBuildLayout]] /
+    * `Multimodal.sigIndexWrite`): a crashed build leaves no valid
+    * ident and is never served; a changed corpus or parameter set
+    * mismatches and rebuilds. `model` is BY-NAME — on an ident hit
+    * (the steady state) the codebook is never trained or evaluated,
+    * so repeat build calls cost one ident read.
+    *
+    * Scale shape: one corpus pass (assignment crossJoins the broadcast
+    * centroid subset map-side, codes are a pure map under the literal
+    * codebook), one cell-partitioned write of m-byte-scale rows. At
+    * 100 TB the codes layout is 16–64× smaller than the float corpus
+    * and the ONLY thing the serving tier stores hot.
+    */
+  def ivfAdcBuildLayout(corpus: DataFrame, centEvery: Int,
+      layoutDir: String, idCol: String = "vec_id",
+      embCol: String = "embedding", m: Int = 4, k: Int = 8,
+      quantScale: Long = 1000L)(model: => PqModel): Unit = {
+    val spark = corpus.sparkSession
+    val path = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val ident = s"graft-ivfadc-v1 centEvery=$centEvery m=$m k=$k " +
+      s"quantScale=$quantScale " +
+      s"corpus=${corpus.queryExecution.analyzed.semanticHash()}"
+    val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
+    val identMatches = fs.exists(identPath) && {
+      val in = fs.open(identPath)
+      try new String(in.readAllBytes(), "UTF-8") == ident
+      finally in.close()
+    }
+    if (identMatches) return
+    if (fs.exists(path)) fs.delete(path, true)
+    val mdl = model
+    require(mdl.m == m && mdl.k == k && mdl.quantScale == quantScale,
+      s"model (m=${mdl.m}, k=${mdl.k}, quantScale=${mdl.quantScale}) " +
+        s"does not match the layout parameters (m=$m, k=$k, " +
+        s"quantScale=$quantScale)")
+    val cent = ivfCentroids(corpus, centEvery, idCol, embCol)
+    // assignment + encode in ONE pass: codes computed inline so c_id
+    // rides along (pqEncode would drop it and force a join back)
+    val assign = ivfAssign(corpus, cent, idCol, embCol)
+    val vq = assign.select(col("c_id"), col("n_id").as("id"),
+      expr(s"transform(n_emb, x -> " +
+        s"cast(round(cast(x as double) * $quantScale.0) as bigint))").as("vq"))
+    val codesCol = array((0 until mdl.m).map { s =>
+      codeExpr(mdl, s, slice(col("vq"), s * mdl.subDim + 1, mdl.subDim))
+    }: _*)
+    vq.select(col("c_id"), col("id"), codesCol.as("codes"))
+      .write.mode("overwrite").partitionBy("c_id")
+      .parquet(s"$layoutDir/codes")
+    cent.coalesce(1).write.mode("overwrite")
+      .parquet(s"$layoutDir/_centroids")
+    import spark.implicits._
+    spark.createDataset(for {
+        s <- 0 until mdl.m; c <- 0 until mdl.k
+      } yield (s, c, mdl.cents(s)(c).toSeq))
+      .toDF("sub", "code", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$layoutDir/_pqmodel")
+    val out = fs.create(identPath, true)
+    try out.write(ident.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Serve one query from a persisted IVFADC layout
+    * ([[ivfAdcBuildLayout]]) — the steady-state path a production ANN
+    * tier runs thousands of times per build: rank the layout's OWN
+    * kB-sized centroid table against the query (one bounded
+    * `limit(nProbe)` action), then scan ONLY the probed cells' CODE
+    * partitions (partition pruning on `c_id` — `nProbe/|cells|` of an
+    * already 16–64×-compressed corpus) through the literal ADC lookup
+    * table into one TakeOrderedAndProject. The float corpus is never
+    * touched; neither is the codebook training. Identical results to
+    * [[ivfAdcTopK]] by construction (spec-pinned).
+    *
+    * @return (id, adc) — integer squared-L2 estimate ascending, ties
+    *         by id, ≤ `kNN` rows from the probed cells.
+    */
+  def ivfAdcProbeLayout(spark: SparkSession, layoutDir: String,
+      query: Seq[Double], kNN: Int = 10, nProbe: Int = 2): DataFrame = {
+    require(kNN >= 1 && nProbe >= 1, s"bad probe params kNN=$kNN nProbe=$nProbe")
+    val identPath = new org.apache.hadoop.fs.Path(layoutDir, "_graft_ident")
+    val fs = identPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(identPath),
+      s"no completed IVFADC layout at $layoutDir (build first)")
+    val ident = {
+      val in = fs.open(identPath)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    require(ident.startsWith("graft-ivfadc-v1 "),
+      s"layout at $layoutDir is not an IVFADC layout ('$ident')")
+    val quantScale = raw"quantScale=(\d+)".r.findFirstMatchIn(ident)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"malformed IVFADC ident '$ident'"))
+    // rebuild the codebook from the layout — m·k bounded rows
+    val mrows = spark.read.parquet(s"$layoutDir/_pqmodel")
+      .select(col("sub").cast("int"), col("code").cast("int"), col("c"))
+      .collect()
+    val m = mrows.map(_.getInt(0)).max + 1
+    val k = mrows.map(_.getInt(1)).max + 1
+    val subDim = mrows.head.getSeq[Long](2).length
+    val cents = Array.ofDim[Array[Long]](m, k)
+    mrows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
+    val model = PqModel(m, subDim, k, quantScale, cents)
+    val qLit = array(query.map(lit): _*)
+    val cells = spark.read.parquet(s"$layoutDir/_centroids")
+      .withColumn("ccos", round(cosine(qLit, col("c_emb")), 5))
+      .orderBy(col("ccos").desc, col("c_id"))
+      .limit(nProbe).select(col("c_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val table = adcLut(model, query)
+    spark.read.parquet(s"$layoutDir/codes")
+      .filter(col("c_id").isin(cells: _*))
+      .select(col("id"), adcExpr(table, col("codes")).as("adc"))
+      .orderBy(col("adc"), col("id"))
+      .limit(kNN)
   }
 
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)

@@ -1302,6 +1302,107 @@ object PipelineQueries {
              |GROUP BY e.id
              |ORDER BY adc, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- PERSISTED IVFADC layout (s18): s17's build side stored once
+    //      — cell-partitioned PQ codes + centroid table + codebook
+    //      under the ident-written-last discipline — and served
+    //      steady-state: the probe ranks the layout's own centroids,
+    //      scans ONLY the probed cells' code partitions (partition
+    //      pruning on c_id), and never touches the float corpus or
+    //      retrains (the build's codebook argument is by-name and is
+    //      not evaluated on an ident hit). Results are identical to
+    //      s17 by construction, so the oracle IS s17's composed
+    //      replay. ----
+    Q("s18_ivf_adc_layout",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val key = Tables.contentKey(s"$dir/embeddings.parquet")
+        val layout = graft.Scratch.dir(s"graft_ivfadc_$key")
+        graft.operators.Similarity.ivfAdcBuildLayout(
+          emb, centEvery = 25, layout, "vec_id", "embedding",
+          m = 4, k = 4, quantScale = 1000L)(
+          graft.operators.Similarity.pqTrain(
+            emb, "vec_id", "embedding", m = 4, k = 4, iters = 1))
+        val query = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        graft.operators.Similarity.ivfAdcProbeLayout(
+            s, layout, query, kNN = 10, nProbe = 2)
+          .select(col("id").as("vec_id"), col("adc"))
+      },
+      Some("""WITH vq AS (
+             |  SELECT vec_id AS id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS vq
+             |  FROM embeddings),
+             |cent AS (
+             |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+             |  FROM embeddings WHERE vec_id % 25 = 0),
+             |assign AS (
+             |  SELECT n_id, c_id FROM (
+             |    SELECT e.vec_id AS n_id, c_id,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |                                     c_emb), 5) DESC, c_id) AS arn
+             |    FROM embeddings e CROSS JOIN cent)
+             |  WHERE arn = 1),
+             |probe AS (
+             |  SELECT c_id FROM (
+             |    SELECT c_id, row_number() OVER (ORDER BY
+             |      round(list_cosine_similarity(
+             |        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+             |         WHERE vec_id = 0), c_emb), 5) DESC, c_id) AS prn
+             |    FROM cent)
+             |  WHERE prn <= 2),
+             |allowed AS (
+             |  SELECT n_id AS id FROM assign JOIN probe USING (c_id)),
+             |sp AS (SELECT unnest(range(4)) AS sub),
+             |subs AS (
+             |  SELECT id, sp.sub, vq[sp.sub*16+1 : sp.sub*16+16] AS x
+             |  FROM vq, sp),
+             |seeds AS (
+             |  SELECT sub, CAST(rn - 1 AS INT) AS code, x AS c FROM (
+             |    SELECT sub, x,
+             |      row_number() OVER (PARTITION BY sub ORDER BY id) AS rn
+             |    FROM subs) WHERE rn <= 4),
+             |a1 AS (
+             |  SELECT id, sub, x, code, row_number() OVER (
+             |      PARTITION BY id, sub ORDER BY ld, code) AS rn
+             |  FROM (SELECT s.id, s.sub, s.x, c.code,
+             |      CAST(list_sum(list_transform(range(1, 17),
+             |        i -> (s.x[i] - c.c[i]) * (s.x[i] - c.c[i]))) AS BIGINT) AS ld
+             |    FROM subs s JOIN seeds c USING (sub))),
+             |asg AS (SELECT id, sub, x, code FROM a1 WHERE rn = 1),
+             |upd AS (
+             |  SELECT sub, code, i.i AS pos,
+             |    CAST(floor(CAST(sum(x[i.i + 1]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+             |  FROM asg, (SELECT unnest(range(16)) AS i) i
+             |  GROUP BY sub, code, i.i),
+             |c1 AS (SELECT sub, code, list(mv ORDER BY pos) AS c
+             |  FROM upd GROUP BY sub, code),
+             |cents AS (
+             |  SELECT s.sub, s.code, coalesce(c1.c, s.c) AS c
+             |  FROM seeds s LEFT JOIN c1 ON s.sub = c1.sub AND s.code = c1.code),
+             |enc AS (
+             |  SELECT id, sub, code FROM (
+             |    SELECT s.id, s.sub, c.code, row_number() OVER (
+             |        PARTITION BY s.id, s.sub ORDER BY
+             |        CAST(list_sum(list_transform(range(1, 17),
+             |          i -> (s.x[i] - c.c[i]) * (s.x[i] - c.c[i]))) AS BIGINT),
+             |        c.code) AS rn
+             |    FROM subs s JOIN cents c USING (sub)
+             |    WHERE s.id IN (SELECT id FROM allowed)) WHERE rn = 1),
+             |qsubs AS (
+             |  SELECT sp.sub, q.vq[sp.sub*16+1 : sp.sub*16+16] AS qx
+             |  FROM (SELECT vq FROM vq WHERE id = 0) q, sp),
+             |tab AS (
+             |  SELECT c.sub, c.code,
+             |    CAST(list_sum(list_transform(range(1, 17),
+             |      i -> (qs.qx[i] - c.c[i]) * (qs.qx[i] - c.c[i]))) AS BIGINT) AS dist
+             |  FROM cents c JOIN qsubs qs USING (sub))
+             |SELECT e.id AS vec_id, CAST(sum(t.dist) AS BIGINT) AS adc
+             |FROM enc e JOIN tab t ON e.sub = t.sub AND e.code = t.code
+             |GROUP BY e.id
+             |ORDER BY adc, vec_id LIMIT 10""".stripMargin)),
+
     // Maximal-marginal-relevance selection (s13): greedy diversity
     // re-ranking over the top-8 relevance pool, 3 picks at λ=0.5 — the
     // between-retrieval-and-context-window selector. Integer dot

@@ -782,6 +782,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("ivfAdc layout: probe equals the inline composition; ident discipline; " +
+      "lazy codebook") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    def model = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 4, k = 4, iters = 1)
+    val query = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val layout = graft.Scratch.dir("spec_ivfadc")
+    Similarity.ivfAdcBuildLayout(emb, 25, layout, "vec_id", "embedding",
+      m = 4, k = 4, quantScale = 1000L)(model)
+    val probe = Similarity.ivfAdcProbeLayout(spark, layout, query,
+      kNN = 10, nProbe = 2).as[(Long, Long)].collect().toSeq
+    val inline = Similarity.ivfAdcTopK(emb, "vec_id", "embedding", model,
+      query, kNN = 10, nProbe = 2, centEvery = 25)
+      .as[(Long, Long)].collect().toSeq
+    assert(probe == inline, s"probe=$probe inline=$inline")
+    // steady state: a repeat build is an ident HIT — the by-name model
+    // must NOT be evaluated (training again would be the whole cost)
+    var trained = false
+    Similarity.ivfAdcBuildLayout(emb, 25, layout, "vec_id", "embedding",
+      m = 4, k = 4, quantScale = 1000L)({ trained = true; model })
+    assert(!trained, "ident hit must not evaluate the codebook")
+    // changed parameters mismatch the ident and rebuild (k=4 -> k=2)
+    Similarity.ivfAdcBuildLayout(emb, 25, layout, "vec_id", "embedding",
+      m = 4, k = 2, quantScale = 1000L)(
+      Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 2, iters = 1))
+    val probe2 = Similarity.ivfAdcProbeLayout(spark, layout, query,
+      kNN = 10, nProbe = 2).as[(Long, Long)].collect().toSeq
+    assert(probe2.nonEmpty && probe2.map(_._1) != probe.map(_._1) ||
+      probe2.map(_._2) != probe.map(_._2) || probe2 != probe,
+      "k=2 rebuild must change the codes/ADC")
+    // a mismatched-model build is refused loudly
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAdcBuildLayout(emb, 25,
+        graft.Scratch.dir("spec_ivfadc_bad"), "vec_id", "embedding",
+        m = 4, k = 8, quantScale = 1000L)(model) // model has k=4
+    }
+    // probing an absent layout fails loudly
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAdcProbeLayout(spark,
+        graft.Scratch.dir("spec_ivfadc_nothere"), query)
+    }
+    Caches.sweep(spark)
+  }
+
   test("binarySimhashIngestPairs: exactly the batch-involving slice of pairwise") {
     import spark.implicits._
     import graft.operators.Multimodal
