@@ -102,6 +102,7 @@ object Bench {
     // note asked for), IVFADC (the composed FAISS-shape serving path),
     // and its persisted layout (build in warm-up, probe-only reps)
     "m08_binary_near_dup", "s17_ivf_adc", "s18_ivf_adc_layout",
+    "q161_distance_distribution",
     // dedup / similarity / text pipeline; d12/d13/s07/t17 rotated out
     // round 9 (sub-0.3s, families covered by d11/d14/s09/t15) to make
     // room for the r1/r2 rep columns inside the tail budget

@@ -223,7 +223,11 @@ object PlanAudit {
     // filters (probed cells only) and the plan must hold NO corpus
     // parquet scan, no codebook training, no join — a pruned read +
     // literal-LUT map + TakeOrderedAndProject
-    "s18_ivf_adc_layout")
+    "s18_ivf_adc_layout",
+    // distance distribution: dist-grain windows over ≤maxHops rows on
+    // top of the landmark expansion's (landmark, id) distances — the
+    // result plan must carry no corpus-grain shuffle
+    "q161_distance_distribution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -601,6 +601,90 @@ object GraphOps {
       (if (converged) lit(lb) else lit(null).cast("long")).as("diameter"))
   }
 
+  /** Pairwise hop-distance DISTRIBUTION with effective-diameter flags —
+    * the neighborhood-function family (Palmer, Gibbons & Faloutsos' ANF
+    * quantity; the "how far apart is this graph, typically" diagnostic
+    * that complements [[diameterLowerBound]]'s worst case): for every
+    * ordered pair (u, v), u ≠ v, reachable within `maxHops` on the
+    * symmetrized graph, bucket d(u, v) and emit one row per distance
+    * with the count, the running cumulative, and the cumulative SHARE
+    * in exact integer micro-units — `eff_90` marks the effective
+    * diameter (the smallest distance covering ≥ 90% of reachable
+    * pairs, the standard ANF/HyperANF readout).
+    *
+    * Exact vs sampled: `sampleEvery = 1` measures ALL sources — the
+    * exact distribution (what the gate pins against a full recursive
+    * SQL replay). At scale exactness is |V| BFS runs; the standard
+    * estimator (Eppstein & Wang 2004) samples sources — here the
+    * DETERMINISTIC sample `id % sampleEvery == 0` (engine-replayable,
+    * no RNG), whose distribution is exact over the sampled source
+    * rows, an unbiased estimate of the full one for id-independent
+    * structure. The landmark list rides the driver (the fringeCap
+    * bounded-driver contract): `maxLandmarks` caps it loudly — sample
+    * harder rather than silently truncate.
+    *
+    * ENGINE-EXACT: hop math is integer; the cumulative share is
+    * `(cum·1e6) div total` — exact long integer division in both
+    * engines (envelope: cum·1e6 must fit a long, i.e. < ~9.2e12
+    * sampled pairs; ANSI throws loudly past it).
+    *
+    * Scale shape: ONE [[landmarkDistances]] expansion over the sample
+    * (k× the single-source cost, driver fast path under its bounds —
+    * q161's gate raises `driverFrontierBelow` explicitly since its
+    * pair-state is small even where |landmarks|·|edges| is not), a
+    * (landmark, id)-grain distance aggregate into ≤ maxHops dist-grain
+    * rows, and windows over those rows only.
+    *
+    * @return (dist, n_pairs, cum_pairs, total_pairs, cum_share_micro,
+    *         eff_90) ordered by dist; EMPTY on an edgeless graph.
+    */
+  def distanceDistribution(edges: DataFrame, srcCol: String, dstCol: String,
+      maxHops: Int, sampleEvery: Int = 1, maxLandmarks: Int = 65536,
+      driverFrontierBelow: Long = 1_000_000L): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    require(sampleEvery >= 1, s"sampleEvery must be >= 1, got $sampleEvery")
+    require(maxLandmarks >= 1, s"maxLandmarks must be >= 1, got $maxLandmarks")
+    val spark = edges.sparkSession
+    val canon = canonUndirected(edges, srcCol, dstCol)
+    val sym = canon.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val schema = "dist long, n_pairs long, cum_pairs long, " +
+      "total_pairs long, cum_share_micro long, eff_90 boolean"
+    val lmRows = sym.select(col("src").as("id")).distinct()
+      .filter(pmod(col("id"), lit(sampleEvery.toLong)) === 0)
+      .orderBy(col("id")).limit(maxLandmarks + 1).collect()
+    require(lmRows.length <= maxLandmarks,
+      s"source sample exceeds maxLandmarks=$maxLandmarks — raise " +
+        "sampleEvery (the bounded-driver contract: the sample list " +
+        "rides the driver)")
+    if (lmRows.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+    val landmarks = lmRows.map(_.getLong(0)).toSeq
+    val dd = landmarkDistances(sym, "src", "dst", landmarks, maxHops,
+        driverFrontierBelow = driverFrontierBelow)
+      .filter(col("dist") > 0)
+      .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+    import org.apache.spark.sql.expressions.Window
+    val byDist = Window.orderBy(col("dist"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dd.select(col("dist"), col("n_pairs"),
+        sum(col("n_pairs")).over(byDist).as("cum_pairs"),
+        sum(col("n_pairs")).over(all).as("total_pairs"))
+      .withColumn("_prev", lag(col("cum_pairs"), 1).over(byDist))
+      .select(col("dist"), col("n_pairs"), col("cum_pairs"),
+        col("total_pairs"),
+        expr("(cum_pairs * 1000000L) div total_pairs").as("cum_share_micro"),
+        (expr("(cum_pairs * 1000000L) div total_pairs") >= 900000L &&
+          coalesce(expr("(_prev * 1000000L) div total_pairs") < 900000L,
+            lit(true))).as("eff_90"))
+      .orderBy(col("dist"))
+  }
+
   /** Newman modularity of a given partition (Newman & Girvan 2004,
     * eq. 5): `Q = Σ_c [ e_c/m − (d_c/2m)² ]` over an undirected graph —
     * how much denser are the communities than a degree-preserving

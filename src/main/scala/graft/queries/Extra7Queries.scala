@@ -474,6 +474,65 @@ object Extra7Queries {
              |  true AS converged, CAST(res.dia AS BIGINT) AS diameter
              |FROM r0, res""".stripMargin)),
 
+    // ---- Distance distribution + effective diameter (q161): the
+    //      neighborhood-function readout (ANF family) over q157's
+    //      all-pairs-replayable graph — one row per hop distance with
+    //      exact pair counts, cumulative micro-shares (integer `div`,
+    //      engine-exact), and the eff_90 effective-diameter flag.
+    //      sampleEvery=1 = the EXACT distribution (the oracle replays
+    //      every source's BFS recursively); the sampled estimator is
+    //      the documented scale path. driverFrontierBelow raised
+    //      explicitly: the graph's pair-state (nodes²) is small even
+    //      though |landmarks|·|edges| crosses the default bound. ----
+    Q("q161_distance_distribution",
+      (s, dir) => {
+        import s.implicits._
+        val edges = Tables(s, dir, "lineitem")
+          .filter($"l_quantity" >= 50)
+          .select($"l_orderkey", $"l_suppkey")
+          .join(Tables(s, dir, "orders")
+              .filter($"o_custkey" < 500)
+              .select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".cast("long").as("src"),
+            ($"l_suppkey" + 1000000L).cast("long").as("dst"))
+        graft.operators.GraphOps.distanceDistribution(
+          edges, "src", "dst", maxHops = 32,
+          driverFrontierBelow = 8_000_000L)
+      },
+      Some("""WITH RECURSIVE raw AS (
+             |  SELECT DISTINCT
+             |    least(o_custkey, l_suppkey + 1000000) AS u,
+             |    greatest(o_custkey, l_suppkey + 1000000) AS v
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_quantity >= 50 AND o_custkey < 500
+             |    AND o_custkey <> l_suppkey + 1000000),
+             |e AS (SELECT u AS src, v AS dst FROM raw
+             |  UNION SELECT v, u FROM raw),
+             |nodes AS (SELECT DISTINCT src AS id FROM e),
+             |w(s, id, d) AS (
+             |  SELECT id, id, CAST(0 AS BIGINT) FROM nodes
+             |  UNION
+             |  SELECT w.s, e.dst, w.d + 1 FROM w JOIN e ON e.src = w.id
+             |  WHERE w.d < 32),
+             |dmin AS (SELECT s, id, min(d) AS dist FROM w GROUP BY s, id),
+             |dd AS (SELECT dist, count(*) AS n_pairs FROM dmin
+             |  WHERE dist > 0 GROUP BY dist),
+             |c0 AS (SELECT dist, CAST(n_pairs AS BIGINT) AS n_pairs,
+             |  CAST(sum(n_pairs) OVER (ORDER BY dist) AS BIGINT) AS cum_pairs,
+             |  CAST(sum(n_pairs) OVER () AS BIGINT) AS total_pairs
+             |  FROM dd),
+             |c AS (SELECT c0.*,
+             |  lag(cum_pairs) OVER (ORDER BY dist) AS prev_cum
+             |  FROM c0)
+             |SELECT CAST(dist AS BIGINT) AS dist, n_pairs, cum_pairs,
+             |  total_pairs,
+             |  (cum_pairs * 1000000) // total_pairs AS cum_share_micro,
+             |  (cum_pairs * 1000000) // total_pairs >= 900000
+             |    AND coalesce((prev_cum * 1000000) // total_pairs < 900000,
+             |      true) AS eff_90
+             |FROM c ORDER BY dist""".stripMargin)),
+
     // ---- Welch's t-test (q158): the MEANS member of the significance
     //      toolkit (q136 tests rates, q137 distributions, q139
     //      association) — unequal-variance t with Welch–Satterthwaite

@@ -427,6 +427,36 @@ class GraphOpsSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("distanceDistribution: exact path-graph pairs, deterministic sample, " +
+      "eff_90 flag, empty graph") {
+    import spark.implicits._
+    def dist(edges: Seq[(Long, Long)], every: Int = 1,
+        driverBelow: Long = 1_000_000L) =
+      GraphOps.distanceDistribution(edges.toDF("src", "dst"), "src", "dst",
+          maxHops = 8, sampleEvery = every,
+          driverFrontierBelow = driverBelow)
+        .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    // sym path 0-1-2-3: 6 pairs at d=1, 4 at d=2, 2 at d=3; micro
+    // shares 500000 / 833333 / 1000000; eff_90 fires exactly where the
+    // cumulative first crosses 90%
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val exact = Seq(
+      (1L, 6L, 6L, 12L, 500000L, false),
+      (2L, 4L, 10L, 12L, 833333L, false),
+      (3L, 2L, 12L, 12L, 1000000L, true))
+    assert(dist(path) == exact)
+    // the distributed landmark loop produces the identical distribution
+    assert(dist(path, driverBelow = 0L) == exact)
+    // deterministic id%2 source sample {0, 2}: rows (0,·) and (2,·)
+    assert(dist(path, every = 2) == Seq(
+      (1L, 3L, 3L, 6L, 500000L, false),
+      (2L, 2L, 5L, 6L, 833333L, false),
+      (3L, 1L, 6L, 6L, 1000000L, true)))
+    // self-loop-only graph: empty
+    assert(dist(Seq((5L, 5L))).isEmpty)
+    Caches.sweep(spark)
+  }
+
   test("landmarkDistances: driver and distributed paths agree on every shape") {
     import spark.implicits._
     def both(edges: Seq[(Long, Long)], lms: Seq[Long], hops: Int) = {
