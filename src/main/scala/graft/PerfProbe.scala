@@ -156,9 +156,14 @@ object PerfProbe {
     // + the 100 clique roots (hop-1 burst of 4,900 nodes)
     val bfsSeeds = spark.range(20).select(($"id" * 1000 + chainBase).as("id"))
       .unionByName(spark.range(100).select(($"id" * 50).as("id")))
+    // driverFrontierBelow = 0 forces the DISTRIBUTED frontier loop —
+    // this probe measures the broadcast-vs-shuffle frontier JOIN, which
+    // the 142k-edge graph's small-graph driver fast path would
+    // otherwise bypass entirely (both variants would time identical
+    // driver-side code and a distributed-join regression would hide)
     def runBfs(bound: Long) = graft.operators.GraphOps.bfsDistances(
       graphEdges, "src", "dst", bfsSeeds, "id", maxHops = 10,
-      broadcastFrontierBelow = bound)
+      broadcastFrontierBelow = bound, driverFrontierBelow = 0L)
     val bfsBroadcast = time2("bfs_10hops_broadcast_frontier")(runBfs(2000000L))
     val bfsShuffle = time2("bfs_10hops_shuffle_frontier")(runBfs(0L))
     require(bfsBroadcast._3 == bfsShuffle._3,

@@ -393,25 +393,14 @@ object GraphOps {
     val spark = edges.sparkSession
     val canon = canonUndirected(edges, srcCol, dstCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val symRaw = canon.select(explode(array(
-        struct(col("u").as("src"), col("v").as("dst")),
-        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     // persist + compact once so BOTH sweeps inherit the few-partition
     // cache (the compactPinned rationale) instead of re-deriving sym
     // from canon and recaching per sweep; released by Caches.sweep
     // with canon, as before
-    val symP = symRaw
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sym =
-      if (symP.rdd.getNumPartitions > compactParts &&
-          symP.count() <= compactEdgesBelow) {
-        val c = symP.repartition(compactParts)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        c.count()
-        symP.unpersist()
-        c
-      } else symP
+    val sym = compactPersisted(canon.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
     val schema = "start long, ecc_start long, start_converged boolean, " +
       "far long, ecc_far long, far_converged boolean, diameter_lb long"
     val startRow = canon.agg(min(col("u")).as("s")).collect()(0)
@@ -463,16 +452,18 @@ object GraphOps {
     * fallback far-BFS to honor the `ecc_far` output column.
     *
     * HONEST under its budgets, the q146 discipline: `converged` is
-    * true only when the bracket CLOSED with no truncation anywhere —
-    * every BFS finished under `maxHops`, no fringe exceeded
-    * `fringeCap` (fringe node ids collect to the driver as landmark
-    * seeds — the bounded-driver contract needs a cap), and the total
-    * eccentricity-sweep budget `maxSweeps` was never exceeded. A
-    * truncated run still returns the valid bracket held at stop time
-    * (lb is always certified — observed distances are genuine; ub only
-    * ever advances on a COMPLETE fringe sweep, so a hop-truncated
-    * sweep keeps the pre-sweep ub rather than claiming the
-    * under-measured 2(i−1)) with `diameter` null. Disconnected graphs:
+    * true exactly when the bracket CLOSED (lb == ub) with a COMPLETE
+    * root sweep — lb is always a certified lower bound (observed
+    * distances are genuine), and ub only ever holds certified values
+    * (the initial 2·ecc(root), valid iff the root BFS finished under
+    * `maxHops`, plus complete-sweep updates — a hop-truncated sweep
+    * keeps the pre-sweep ub rather than claiming the under-measured
+    * 2(i−1)), so a closed bracket is a certificate even when a fringe
+    * exceeded `fringeCap` (fringe node ids collect to the driver as
+    * landmark seeds — the bounded-driver contract needs a cap) or the
+    * `maxSweeps` budget ran out. A run stopped with lb < ub returns
+    * the valid bracket held at stop time with `diameter` null.
+    * Disconnected graphs:
     * the bracket is for the ROOT'S component (a BFS cannot see other
     * components — q146's "that is what lower bound means" stance).
     * All hop math is integer — engine-exact trivially.
@@ -498,24 +489,14 @@ object GraphOps {
     require(fringeCap >= 1, s"fringeCap must be >= 1, got $fringeCap")
     val spark = edges.sparkSession
     val canon = canonUndirected(edges, srcCol, dstCol)
-    val symRaw = canon.select(explode(array(
-        struct(col("u").as("src"), col("v").as("dst")),
-        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // compact ONCE here so the root BFS and every fringe-level landmark
     // expansion inherit the few-partition cache instead of each paying
     // its own recache (the compactPinned rationale; inner loops see ≤
     // compactParts partitions and skip)
-    val sym =
-      if (symRaw.rdd.getNumPartitions > compactParts &&
-          symRaw.count() <= compactEdgesBelow) {
-        val c = symRaw.repartition(compactParts)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        c.count()
-        symRaw.unpersist()
-        c
-      } else symRaw
+    val sym = compactPersisted(canon.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
     val schema = "root long, ecc_root long, far long, ecc_far long, " +
       "lb long, ub long, n_sweeps long, n_levels long, " +
       "converged boolean, diameter long"
@@ -592,7 +573,18 @@ object GraphOps {
     }
     sym.unpersist()
     dRoot.unpersist()
-    val converged = !truncated && lb == ub
+    // Certification rule: lb is ALWAYS a valid lower bound (every
+    // observed distance is genuine), and ub only ever holds CERTIFIED
+    // values — the initial 2·ecc(root) (valid iff the root BFS
+    // finished under maxHops) and complete-sweep updates. So a CLOSED
+    // bracket certifies whenever the root sweep was complete,
+    // REGARDLESS of fringe-cap/budget truncation: a star whose one
+    // fringe exceeds fringeCap still certifies from the seed
+    // eccentricities alone (lb = ecc_far = 2 = ub), and a
+    // hop-truncated fringe sweep whose genuine distances already meet
+    // ub closes the bracket too (the r15 self-review fix — the old
+    // !truncated guard threw away certificates both bounds had earned).
+    val converged = lb == ub && eccRoot < maxHops
     spark.range(1).select(lit(root).as("root"),
       lit(eccRoot).as("ecc_root"), lit(far).as("far"),
       lit(eccFar).as("ecc_far"), lit(lb).as("lb"), lit(ub).as("ub"),
@@ -646,10 +638,13 @@ object GraphOps {
     require(maxLandmarks >= 1, s"maxLandmarks must be >= 1, got $maxLandmarks")
     val spark = edges.sparkSession
     val canon = canonUndirected(edges, srcCol, dstCol)
-    val sym = canon.select(explode(array(
+    // persist + compact once: the sample collect and the landmark
+    // expansion's pin both read sym — unpersisted they would each
+    // re-derive the whole canonicalize+symmetrize chain from source
+    val sym = compactPersisted(canon.select(explode(array(
         struct(col("u").as("src"), col("v").as("dst")),
         struct(col("v").as("src"), col("u").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
     val schema = "dist long, n_pairs long, cum_pairs long, " +
       "total_pairs long, cum_share_micro long, eff_90 boolean"
     val lmRows = sym.select(col("src").as("id")).distinct()
@@ -659,14 +654,19 @@ object GraphOps {
       s"source sample exceeds maxLandmarks=$maxLandmarks — raise " +
         "sampleEvery (the bounded-driver contract: the sample list " +
         "rides the driver)")
-    if (lmRows.isEmpty)
+    if (lmRows.isEmpty) {
+      sym.unpersist()
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType.fromDDL(schema))
+    }
     val landmarks = lmRows.map(_.getLong(0)).toSeq
-    val dd = landmarkDistances(sym, "src", "dst", landmarks, maxHops,
-        driverFrontierBelow = driverFrontierBelow)
-      .filter(col("dist") > 0)
+    val dists = landmarkDistances(sym, "src", "dst", landmarks, maxHops,
+      driverFrontierBelow = driverFrontierBelow)
+    // the expansion result is self-contained (driver LocalRelation or
+    // checkpoint) — sym's blocks are no longer referenced
+    sym.unpersist()
+    val dd = dists.filter(col("dist") > 0)
       .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
     import org.apache.spark.sql.expressions.Window
     val byDist = Window.orderBy(col("dist"))
@@ -820,6 +820,44 @@ object GraphOps {
     loop.handoff()
   }
 
+  /** Recache a pinned SMALL edge set at [[compactParts]] partitions:
+    * hop-dominated loops relaunch tasks over the edge cache EVERY hop,
+    * so its partition count is a per-hop fixed cost — a 24k-edge sf0.1
+    * graph at the session's 32 shuffle partitions measured 4.98s for a
+    * 9-hop sweep vs 2.70s recached at 4 (q146's shape). The compact
+    * copy is materialized and the RAW pin released immediately (in that
+    * order — the repartition reads the raw cache), so edge blocks are
+    * never held twice for the loop's lifetime. Above the bound, or
+    * already compact, the layout is untouched — at scale this is a
+    * no-op. */
+  private val compactEdgesBelow = 1_000_000L
+  private val compactParts = 4
+  private def compactPinned(loop: IterativeLoop, e0: DataFrame,
+      n: Long): DataFrame =
+    if (n <= compactEdgesBelow && e0.rdd.getNumPartitions > compactParts) {
+      val c = loop.pin(e0.repartition(compactParts))
+      c.count()
+      loop.releasePin(e0)
+      c
+    } else e0
+
+  /** [[compactPinned]] for NON-loop frames (the diameter operators'
+    * symmetrized edge sets, q161's sample source): persist `raw`,
+    * recache at [[compactParts]] when small, release the raw copy —
+    * the caller owns (and must eventually unpersist) the returned
+    * frame. */
+  private def compactPersisted(raw: DataFrame): DataFrame = {
+    val p = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (p.count() <= compactEdgesBelow &&
+        p.rdd.getNumPartitions > compactParts) {
+      val c = p.repartition(compactParts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      p.unpersist()
+      c
+    } else p
+  }
+
   /** Multi-source BFS hop distances over a directed edge list (the
     * Pregel frontier-expansion shape): every node reachable from any
     * source within `maxHops` gets its MINIMUM hop count (sources at 0).
@@ -838,13 +876,15 @@ object GraphOps {
     * on exit so the returned table is self-contained.
     *
     * TWO EXECUTION PATHS, one semantics (spec-pinned equal): a graph at
-    * or under `driverFrontierBelow` edges runs the hop loop with
+    * or under `driverFrontierBelow` edges — PROVIDED the distinct
+    * source set also fits the same bound — runs the hop loop with
     * DRIVER-RESIDENT frontier/visited sets (node-grain longs — the
     * bounded-driver contract; the edges stay cached on the cluster and
     * each hop is one InSet-filtered job), because at that size the
     * distributed loop's per-hop fixed costs (checkpoint job, broadcast
-    * builds, exchange) dominate by ~10×. Above the bound — the 100 TB
-    * regime — the distributed frontier loop runs unchanged.
+    * builds, exchange) dominate by ~10×. Above either bound — the
+    * 100 TB regime, or a huge seed set over a small graph — the
+    * distributed frontier loop runs unchanged.
     *
     * CACHING CONTRACT ([[IterativeLoop]]): edge set + every hop's
     * frontier persist during the loop (frontiers are `keep`s, not
@@ -852,22 +892,6 @@ object GraphOps {
     * operator-held blocks are released before return (the returned
     * table is localCheckpoint state, freed on GC or `Caches.sweep`).
     */
-  /** Recache a pinned SMALL edge set at [[compactParts]] partitions:
-    * hop-dominated loops relaunch tasks over the edge cache EVERY hop,
-    * so its partition count is a per-hop fixed cost — a 24k-edge sf0.1
-    * graph at the session's 32 shuffle partitions measured 4.98s for a
-    * 9-hop sweep vs 2.70s recached at 4 (q146's shape). The count
-    * doubles as the pin's materialization (the loop would pay it on the
-    * first hop anyway); above the bound, or already compact, the layout
-    * is untouched — at scale this is a no-op. */
-  private val compactEdgesBelow = 1_000_000L
-  private val compactParts = 4
-  private def compactPinned(loop: IterativeLoop, e0: DataFrame,
-      n: Long): DataFrame =
-    if (n <= compactEdgesBelow && e0.rdd.getNumPartitions > compactParts)
-      loop.pin(e0.repartition(compactParts))
-    else e0
-
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
       sources: DataFrame, idCol: String, maxHops: Int,
       broadcastFrontierBelow: Long = 2_000_000L,
@@ -890,33 +914,40 @@ object GraphOps {
     // pins both paths equal on the same graphs) and above the bound the
     // distributed frontier loop below runs unchanged — at 100 TB this
     // branch never fires.
-    if (nE <= driverFrontierBelow) {
-      val e = compactPinned(loop, e0, nE)
-      try {
-        val spark = edges.sparkSession
-        import spark.implicits._
-        var frontier = sources.select(col(idCol).cast("long").as("id"))
-          .distinct().collect().map(_.getLong(0))
-        val visited = scala.collection.mutable.HashSet.empty[Long]
-        visited ++= frontier
-        val layers = scala.collection.mutable.ListBuffer.empty[(Long, Array[Long])]
-        layers += ((0L, frontier))
-        var hop = 1
-        while (hop <= maxHops && frontier.nonEmpty) {
-          val next = e.filter(col("src").isInCollection(frontier.toSeq))
-            .select(col("dst")).distinct()
-            .collect().map(_.getLong(0)).filterNot(visited)
-          visited ++= next
-          if (next.nonEmpty) layers += ((hop.toLong, next))
-          frontier = next
-          hop += 1
-        }
-        return spark.createDataset(
-          layers.toSeq.flatMap { case (d, ids) => ids.map(id => (id, d)) })
-          .toDF("id", "dist")
-      } finally loop.abort()
-    }
     val e = compactPinned(loop, e0, nE)
+    if (nE <= driverFrontierBelow) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      // the SEED set must fit the same driver bound: collect one row
+      // past it and fall back to the distributed loop when exceeded —
+      // a huge source table over a small graph must not OOM the driver
+      // (the edge bound alone says nothing about |sources|)
+      val lim = (math.min(driverFrontierBelow, Int.MaxValue - 2L) + 1L).toInt
+      val srcRows = sources.select(col(idCol).cast("long").as("id"))
+        .distinct().limit(lim).collect()
+      if (srcRows.length <= driverFrontierBelow) {
+        try {
+          var frontier = srcRows.map(_.getLong(0))
+          val visited = scala.collection.mutable.HashSet.empty[Long]
+          visited ++= frontier
+          val layers = scala.collection.mutable.ListBuffer.empty[(Long, Array[Long])]
+          layers += ((0L, frontier))
+          var hop = 1
+          while (hop <= maxHops && frontier.nonEmpty) {
+            val next = e.filter(col("src").isInCollection(frontier.toSeq))
+              .select(col("dst")).distinct()
+              .collect().map(_.getLong(0)).filterNot(visited)
+            visited ++= next
+            if (next.nonEmpty) layers += ((hop.toLong, next))
+            frontier = next
+            hop += 1
+          }
+          return spark.createDataset(
+            layers.toSeq.flatMap { case (d, ids) => ids.map(id => (id, d)) })
+            .toDF("id", "dist")
+        } finally loop.abort()
+      }
+    }
     var (frontier, frontierSize) = loop.keep(
       sources.select(col(idCol).cast("long").as("id")).distinct())
     var layers = List(frontier.withColumn("dist", lit(0L)))
@@ -997,9 +1028,9 @@ object GraphOps {
     val e0 = loop.pin(edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")))
     val nE = e0.count()
+    val e = compactPinned(loop, e0, nE)
     if (nE <= driverFrontierBelow &&
         landmarks.size.toLong * nE <= driverFrontierBelow) {
-      val e = compactPinned(loop, e0, nE)
       try {
         var frontiers: Map[Long, Array[Long]] =
           landmarks.map(l => l -> Array(l)).toMap
@@ -1032,7 +1063,6 @@ object GraphOps {
           .toDF("landmark", "id", "dist")
       } finally loop.abort()
     }
-    val e = compactPinned(loop, e0, nE)
     var (frontier, frontierSize) = loop.keep(
       spark.createDataset(landmarks).toDF("landmark")
         .select(col("landmark"), col("landmark").as("id")))

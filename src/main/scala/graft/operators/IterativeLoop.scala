@@ -93,6 +93,17 @@ final class IterativeLoop(
     * result must not re-read their upstream). */
   def pinCheckpoint(df: DataFrame): DataFrame = { pins += ((df, true)); df }
 
+  /** Release ONE pinned frame early (by reference) — for staging pins a
+    * derived pin supersedes (an edge cache recached at fewer partitions:
+    * the raw copy must not double block storage for the loop's
+    * lifetime). The caller must have MATERIALIZED the successor first,
+    * or it will recompute through the freed parent. No-op for frames
+    * this loop never pinned. */
+  def releasePin(df: DataFrame): Unit = {
+    val i = pins.indexWhere(_._1 eq df)
+    if (i >= 0) { val (d, c) = pins.remove(i); release(d, c) }
+  }
+
   /** Materialize the next round's state, release its predecessor, and
     * truncate lineage on the cadence (or when `forceCheckpoint`, for
     * final rounds whose state becomes the loop result via [[handoff]]). */

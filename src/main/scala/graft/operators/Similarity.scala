@@ -1009,16 +1009,17 @@ object Similarity {
         s"does not match the layout parameters (m=$m, k=$k, " +
         s"quantScale=$quantScale)")
     val cent = ivfCentroids(corpus, centEvery, idCol, embCol)
-    // assignment + encode in ONE pass: codes computed inline so c_id
-    // rides along (pqEncode would drop it and force a join back)
+    // codes come from the EXACT encode path the probe contract is
+    // defined against (pqEncode → vqProjected) — re-stating the
+    // quantization inline would open a silent-drift channel between
+    // the persisted codes and the inline ivfAdcTopK results the probe
+    // must match bit-for-bit; the id-keyed join back to the cell
+    // assignment is build-time-only cost
     val assign = ivfAssign(corpus, cent, idCol, embCol)
-    val vq = assign.select(col("c_id"), col("n_id").as("id"),
-      expr(s"transform(n_emb, x -> " +
-        s"cast(round(cast(x as double) * $quantScale.0) as bigint))").as("vq"))
-    val codesCol = array((0 until mdl.m).map { s =>
-      codeExpr(mdl, s, slice(col("vq"), s * mdl.subDim + 1, mdl.subDim))
-    }: _*)
-    vq.select(col("c_id"), col("id"), codesCol.as("codes"))
+      .select(col("n_id").as("id"), col("n_emb"), col("c_id"))
+    val codes = pqEncode(assign, "id", "n_emb", mdl)
+    assign.select(col("id"), col("c_id")).join(codes, Seq("id"))
+      .select(col("c_id"), col("id"), col("codes"))
       .write.mode("overwrite").partitionBy("c_id")
       .parquet(s"$layoutDir/codes")
     cent.coalesce(1).write.mode("overwrite")

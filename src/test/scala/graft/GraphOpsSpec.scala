@@ -678,6 +678,15 @@ class GraphOpsSpec extends AnyFunSuite {
     // trades the star's pathological fringe for the saved far-BFS
     assert(dia(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L))) ==
       Seq((0L, 1L, 1L, 2L, 2L, 2L, 6L, 1L, true, Some(2L))))
+    // same star with fringeCap=3: the one fringe (5 leaves) exceeds the
+    // cap so no fringe sweep runs — the fallback far-BFS measures
+    // ecc_far=2, closing the bracket (lb=2 == ub=2) from the seed
+    // eccentricities alone; a closed bracket with a complete root
+    // sweep IS a certificate, cap truncation notwithstanding (the r15
+    // self-review fix — the old !truncated guard returned null here)
+    assert(dia(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L)),
+        cap = 3) ==
+      Seq((0L, 1L, 1L, 2L, 2L, 2L, 2L, 0L, true, Some(2L))))
     // 6-cycle 0..5: root 0 (all deg 2, tie -> min id), ecc 3, far=3 ->
     // lb=3, ub=6; level 3 = {3} ecc 3 (= ecc_far) -> ub=4; level 2 =
     // {2,4} ecc 3 -> lb=3 >= 2*(2-1) -> diameter 3, sweeps 1+1+2=4
