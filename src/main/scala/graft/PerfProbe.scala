@@ -457,16 +457,17 @@ object PerfProbe {
       |degraded mode: one extra exchange of the base — tolerable as a
       |safety net, wrong as a steady state.
       |""".stripMargin)
-    // a full regeneration must not drop ScaleProbe's measured section —
-    // carry it over verbatim (ScaleProbe itself replaces it in place)
-    val scaleMarker = "\n## Scale probe: sf0.1 → sf1"
+    // a full regeneration must not drop the OTHER probes' measured
+    // sections — carry everything from the first sibling marker onward
+    // verbatim (LineageOverheadProbe sits before the scale section and
+    // each probe replaces only its own section in place)
+    val siblingMarkers = Seq("\n## Lineage listener overhead",
+      "\n## Scale probe: sf0.1 → sf1")
     val prior =
       try java.nio.file.Files.readString(java.nio.file.Paths.get(out))
       catch { case _: java.io.IOException => "" }
-    val carried = prior.indexOf(scaleMarker) match {
-      case -1 => ""
-      case i => prior.substring(i)
-    }
+    val keepFrom = siblingMarkers.map(prior.indexOf).filter(_ >= 0)
+    val carried = if (keepFrom.isEmpty) "" else prior.substring(keepFrom.min)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(out), sb.toString + carried)
     results.foreach { case (l, s, r) => println(f"[probe] $l%-28s $s%8.2fs  $r rows") }
