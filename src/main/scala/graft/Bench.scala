@@ -103,6 +103,8 @@ object Bench {
     // and its persisted layout (build in warm-up, probe-only reps)
     "m08_binary_near_dup", "s17_ivf_adc", "s18_ivf_adc_layout",
     "q161_distance_distribution",
+    // round 16: the IVFADC recall contract (round-15 directive #5)
+    "s19_ivf_adc_recall",
     // dedup / similarity / text pipeline; d12/d13/s07/t17 rotated out
     // round 9 (sub-0.3s, families covered by d11/d14/s09/t15) to make
     // room for the r1/r2 rep columns inside the tail budget
@@ -152,9 +154,18 @@ object Bench {
     // rows carry contention, and flooring against them silently keeps
     // the contention (the round-14 full-suite artifact ran at load
     // [3.71, 4.88] and inflated four graph rows >1.4x on untouched
-    // code).
-    if (!txt.contains(s""""sf":"$sfDir"""") ||
-        txt.contains("\"load_warn\":true")) Map.empty
+    // code). Both guards anchor to the artifact's top-level TAIL — the
+    // segment from the last `"load":[` on (errors/flaky strings precede
+    // it, and their JSON-escaped content still contains the raw
+    // searched substrings, so a whole-text contains() could
+    // false-match either guard against an error message — ADVICE r15);
+    // an artifact without load evidence at all (pre-r14 format) is
+    // refused outright, since its contention is unknowable.
+    val t = txt.trim
+    val tailIdx = t.lastIndexOf("\"load\":[")
+    val tail = if (tailIdx < 0) "" else t.substring(tailIdx)
+    if (!tail.endsWith(s""""sf":"$sfDir"}""") ||
+        tail.contains("\"load_warn\":true")) Map.empty
     else {
       val qRe = raw""""([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r
       val start = txt.indexOf("\"queries\":{")
@@ -414,15 +425,30 @@ object Bench {
       val loadEnd = load1m()
       val warnAt = sys.env.get("SPARK_GRAFT_LOAD_WARN")
         .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(2.5)
-      // START load only: it is sampled before the Spark session spins
-      // up, so it measures the MACHINE's contention. The end (and the
-      // per-rep l1/l2 columns) are recorded as evidence but do not
-      // trigger the stamp — a 32-thread run's own tail work can push
-      // the 1-min loadavg past any fixed threshold on a perfectly idle
-      // box, and a false load_warn would disqualify a legitimate floor
-      val loadWarn = loadStart > warnAt
+      // TWO contention signals trigger the stamp (round-15 lesson: an
+      // artifact that STARTED at 2.27 — under the start threshold —
+      // climbed to l1 9.47 mid-run and inflated 37 rows ~20%; start
+      // load alone is not sufficient):
+      //  1. start load > warnAt (default 2.5) — sampled before the
+      //     Spark session spins up, so it is pure machine contention;
+      //  2. the per-rep l1 SERIES — sampled at each rep start, after a
+      //     cache sweep — with max > SPARK_GRAFT_LOAD_WARN_RUN
+      //     (default 6.0) or median > warnAt. The in-run max threshold
+      //     sits HIGHER than the start one because the run's own
+      //     32-thread work contributes (measured idle full suites top
+      //     out at l1 ~1.8, so 6.0 still has 3x headroom); the median
+      //     check catches a run that was moderately but PERSISTENTLY
+      //     contended without ever spiking.
+      val repL1 = results.flatMap(_._7).filter(_ >= 0).sorted
+      val runWarnAt = sys.env.get("SPARK_GRAFT_LOAD_WARN_RUN")
+        .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(6.0)
+      val runMax = if (repL1.isEmpty) -1.0 else repL1.last
+      val runMedian = if (repL1.isEmpty) -1.0 else repL1(repL1.size / 2)
+      val loadWarn = loadStart > warnAt || runMax > runWarnAt ||
+        runMedian > warnAt
       if (loadWarn) System.err.println(
-        s"[bench] WARNING: run started at load $loadStart > $warnAt — " +
+        s"[bench] WARNING: contended run (start $loadStart/$warnAt, " +
+          s"in-run max $runMax/$runWarnAt, median $runMedian/$warnAt) — " +
           "artifact stamped load_warn, unusable as a floor")
       val rawTotal = fmt(results.collect {
         case (_, v, _, _, _, _, _) if v >= 0 => v }.sum)

@@ -227,7 +227,12 @@ object PlanAudit {
     // distance distribution: dist-grain windows over ≤maxHops rows on
     // top of the landmark expansion's (landmark, id) distances — the
     // result plan must carry no corpus-grain shuffle
-    "q161_distance_distribution")
+    "q161_distance_distribution",
+    // IVFADC recall: the exact side must be per-eval-query map passes
+    // ending in TakeOrderedAndProject (query as literal array, corpus
+    // never shuffles), the approx side s17's serving plan; the union is
+    // 3 bounded branches
+    "s19_ivf_adc_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -395,19 +395,26 @@ object GraphOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // persist + compact once so BOTH sweeps inherit the few-partition
     // cache (the compactPinned rationale) instead of re-deriving sym
-    // from canon and recaching per sweep; released by Caches.sweep
-    // with canon, as before
+    // from canon and recaching per sweep; released IN-FUNCTION before
+    // every return (the diameterBounds/distanceDistribution cleanup
+    // discipline — ADVICE r15: leaving the release to an external
+    // Caches.sweep accumulated persisted edge copies across repeated
+    // library calls). Safe because every returned value below is a
+    // driver-collected literal — nothing lazy still reads the caches.
     val sym = compactPersisted(canon.select(explode(array(
         struct(col("u").as("src"), col("v").as("dst")),
         struct(col("v").as("src"), col("u").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    def release(): Unit = { sym.unpersist(); canon.unpersist() }
     val schema = "start long, ecc_start long, start_converged boolean, " +
       "far long, ecc_far long, far_converged boolean, diameter_lb long"
     val startRow = canon.agg(min(col("u")).as("s")).collect()(0)
-    if (startRow.isNullAt(0))
+    if (startRow.isNullAt(0)) {
+      release()
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType.fromDDL(schema))
+    }
     val start = startRow.getLong(0)
     def sweep(from: Long): (Long, Long) = {
       val d = bfsDistances(sym, "src", "dst",
@@ -418,6 +425,7 @@ object GraphOps {
     }
     val (far, eccStart) = sweep(start)
     val (_, eccFar) = sweep(far)
+    release()
     spark.range(1).select(lit(start).as("start"),
       lit(eccStart).as("ecc_start"),
       lit(eccStart < maxHops).as("start_converged"),
@@ -449,7 +457,11 @@ object GraphOps {
     * level (the round-14 verdict's duplicated-sweep fix — the old
     * dedicated far-BFS re-ran exactly what the first level expansion
     * computes). Only a run truncated BEFORE that first sweep pays a
-    * fallback far-BFS to honor the `ecc_far` output column.
+    * fallback far-BFS to honor the `ecc_far` output column — and only
+    * when the `maxSweeps` budget still has room for it: `n_sweeps`
+    * NEVER exceeds `maxSweeps` (the budget is total), so a run whose
+    * budget is already spent reports `ecc_far` NULL instead of
+    * over-spending one sweep to measure it.
     *
     * HONEST under its budgets, the q146 discipline: `converged` is
     * true exactly when the bracket CLOSED (lb == ub) with a COMPLETE
@@ -560,10 +572,14 @@ object GraphOps {
         }
       }
     }
-    if (eccFar < 0) {
+    if (eccFar < 0 && sweeps < maxSweeps) {
       // truncated before the deepest fringe swept: pay the dedicated
       // far-BFS only on this rare path so ecc_far stays a MEASURED
-      // value (root-truncated runs, over-cap deepest fringes)
+      // value (root-truncated runs, over-cap deepest fringes) — and
+      // only while the sweep budget has room for it (ADVICE r15: the
+      // unguarded fallback could report n_sweeps > maxSweeps, breaking
+      // the docstring's total-budget contract); with the budget
+      // exhausted, ecc_far stays NULL below rather than over-spending
       eccFar = bfsDistances(sym, "src", "dst",
           spark.range(far, far + 1).select(col("id")), "id", maxHops)
         .agg(max(col("dist"))).collect()(0).getLong(0)
@@ -587,7 +603,10 @@ object GraphOps {
     val converged = lb == ub && eccRoot < maxHops
     spark.range(1).select(lit(root).as("root"),
       lit(eccRoot).as("ecc_root"), lit(far).as("far"),
-      lit(eccFar).as("ecc_far"), lit(lb).as("lb"), lit(ub).as("ub"),
+      // ecc_far is NULL only when the sweep budget ran out before far's
+      // eccentricity was ever measured (fallback skipped above)
+      (if (eccFar >= 0) lit(eccFar) else lit(null).cast("long"))
+        .as("ecc_far"), lit(lb).as("lb"), lit(ub).as("ub"),
       lit(sweeps).as("n_sweeps"), lit(levels).as("n_levels"),
       lit(converged).as("converged"),
       (if (converged) lit(lb) else lit(null).cast("long")).as("diameter"))

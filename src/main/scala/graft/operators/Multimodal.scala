@@ -459,9 +459,11 @@ object Multimodal {
     * cost scales with the batch, never the corpus.
     *
     * @return (id_a, id_b, hamming), id_a < id_b, deduplicated across
-    *         the two sources (a pair could appear in both only when an
-    *         id sits in batch AND corpus; the signatures — hence
-    *         hamming — agree, so either copy is correct). */
+    *         the two sources by MIN hamming (a pair appears in both
+    *         only when an id sits in batch AND corpus; if that id was
+    *         re-ingested with DIFFERENT payload bytes the two copies'
+    *         hamming can differ, and min() keeps the closest measured
+    *         distance deterministically). */
   def binarySimhashIngestPairs(spark: SparkSession, layoutDir: String,
       batch: DataFrame, idCol: String, binCol: String, gramBytes: Int = 4,
       nParts: Int = 64, maxHamming: Int = 3,
@@ -476,7 +478,15 @@ object Multimodal {
       .select(least(col("probe_id"), col("corpus_id")).as("id_a"),
         greatest(col("probe_id"), col("corpus_id")).as("id_b"),
         col("hamming"))
-    within.unionByName(cross).dropDuplicates("id_a", "id_b")
+    // pair-grain dedup by MIN hamming, not dropDuplicates: an id living
+    // in BOTH batch and corpus with different payload bytes hashes to
+    // two different signatures, so the within/cross copies of a pair can
+    // disagree on hamming and dropDuplicates would keep whichever copy
+    // won the shuffle race (ADVICE r15) — min() is deterministic and
+    // keeps the closest measured distance; same one candidate-grain
+    // exchange either way
+    within.unionByName(cross).groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
   }
 
   private def binaryDhashParamIdent(nParts: Int): String =

@@ -992,8 +992,13 @@ object Similarity {
     val spark = corpus.sparkSession
     val path = new org.apache.hadoop.fs.Path(layoutDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val ident = s"graft-ivfadc-v1 centEvery=$centEvery m=$m k=$k " +
-      s"quantScale=$quantScale " +
+    // EVERY code-affecting parameter lives in the ident: idCol/embCol
+    // change which columns the codes were built from even when the
+    // corpus PLAN (hence its semanticHash) is unchanged — omitting them
+    // would make a column switch a silent ident hit serving stale codes
+    // (ADVICE r15).
+    val ident = s"graft-ivfadc-v2 centEvery=$centEvery m=$m k=$k " +
+      s"quantScale=$quantScale idCol=$idCol embCol=$embCol " +
       s"corpus=${corpus.queryExecution.analyzed.semanticHash()}"
     val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
     val identMatches = fs.exists(identPath) && {
@@ -1059,7 +1064,10 @@ object Similarity {
       val in = fs.open(identPath)
       try new String(in.readAllBytes(), "UTF-8") finally in.close()
     }
-    require(ident.startsWith("graft-ivfadc-v1 "),
+    // v1 layouts stay servable — the v2 ident only ADDED idCol/embCol
+    // to the build key (ADVICE r15); nothing the probe reads changed
+    require(ident.startsWith("graft-ivfadc-v1 ") ||
+        ident.startsWith("graft-ivfadc-v2 "),
       s"layout at $layoutDir is not an IVFADC layout ('$ident')")
     val quantScale = raw"quantScale=(\d+)".r.findFirstMatchIn(ident)
       .map(_.group(1).toLong)
@@ -1087,6 +1095,61 @@ object Similarity {
       .select(col("id"), adcExpr(table, col("codes")).as("adc"))
       .orderBy(col("adc"), col("id"))
       .limit(kNN)
+  }
+
+  /** IVFADC end-to-end recall@k — the [[annRecallAtK]] acceptance test
+    * for the COMPOSED serving path ([[ivfAdcTopK]]): the quantized path
+    * stacks PQ distortion ON TOP of cell pruning, so IVF recall (s16)
+    * alone does not bound it; this measures the stack. Ground truth is
+    * the exact integer squared-L2 top-k over the FULL corpus on the
+    * quantized-long vectors — the very metric ADC estimates (and what
+    * [[pqRerankTopK]]'s stage 2 computes), so the recall isolates
+    * cell-pruning + code-compression loss, not quantization rounding.
+    * Both paths are deterministic (modulo centroids, exact-long LUT,
+    * id tiebreaks), so per-query recall is CONTRACT, not noise — and
+    * `meets_floor` asserts the floor per query: a config change that
+    * degrades recall below it fails the gate.
+    *
+    * Scale shape: the eval batch is bounded by construction (`queryIds`
+    * is a driver-side list — the s13/s16 eval stance); per query the
+    * exact side is ONE map pass over the corpus with the query as a
+    * literal array into a TakeOrderedAndProject (no shuffle, corpus
+    * never moves), and the approx side is the serving path itself.
+    * Recall counts ID-SET overlap (the ann-benchmarks definition).
+    *
+    * @return one row per query id: (q_id, n_exact, n_hit, recall,
+    *         meets_floor) — recall = round-4 n_hit/n_exact.
+    */
+  def ivfAdcRecallAtK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+      nProbe: Int, centEvery: Int, model: PqModel,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      recallFloor: Double = 0.5): DataFrame = {
+    require(queryIds.nonEmpty && queryIds.size <= 1000,
+      s"queryIds is the bounded eval batch (got ${queryIds.size})")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vq = vqProjected(corpus, idCol, embCol, model.quantScale)
+    val perQuery = queryIds.map { qid =>
+      val query = corpus.filter(col(idCol) === qid)
+        .select(col(embCol).cast("array<double>"))
+        .head().getSeq[Double](0)
+      val qLit = array(query.map(x =>
+        lit(math.round(x * model.quantScale))): _*)
+      val exact = vq
+        .select(col("id"), sqDist(col("vq"), qLit).as("dist"))
+        .orderBy(col("dist"), col("id")).limit(k)
+        .select(col("id"))
+      val approx = ivfAdcTopK(corpus, idCol, embCol, model, query,
+          kNN = k, nProbe = nProbe, centEvery = centEvery)
+        .select(col("id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("id"), "left_outer")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(qid).as("q_id"), col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact").cast("double"),
+            4).as("recall"))
+    }
+    perQuery.reduce(_ unionByName _)
+      .withColumn("meets_floor", col("recall") >= lit(recallFloor))
   }
 
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)

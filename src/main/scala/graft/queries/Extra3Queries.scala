@@ -449,36 +449,52 @@ object Extra3Queries {
              |FROM lineitem WHERE l_orderkey < 500
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
-    // ---- fuzzy self-match (entity resolution): edit-distance <= 2 pairs
-    //      without O(n²) — LOSSLESS length-band blocking (|len(a)-len(b)|
-    //      <= k is necessary for lev <= k), expressed as an equi-join on
-    //      exploded candidate lengths so it shuffles instead of
-    //      nested-looping; exact levenshtein verification on candidates
-    //      only. At 100 TB the blocker would add q-gram keys; the length
-    //      band alone already bounds each bucket to one length class. ----
+    // ---- fuzzy match (entity resolution, the INGEST shape): a BOUNDED
+    //      batch of dirty names — 40 master names with one deterministic
+    //      character substitution, the typo'd-record arrival a master-
+    //      data pipeline actually resolves — matched against the FULL
+    //      supplier master table at edit distance <= 2. Blocking is the
+    //      lossless length band (|len(a)-len(b)| <= 2 is necessary for
+    //      lev <= 2) with the batch side exploding its ±2 length keys
+    //      and BROADCAST, so the master table never shuffles: one master
+    //      scan, candidates = |master| x (batch rows in band) — linear
+    //      in the corpus with a constant batch factor. Re-scoped round
+    //      16 (the m08 precedent): the old whole-corpus length-band
+    //      SELF-join measured 85.7x wall at 10x data (block sizes grow
+    //      with the table — the weak-blocking anti-pattern) and is
+    //      retired to the ScaleProbe pedagogy probe; whole-corpus fuzzy
+    //      self-joins belong to the position-anchored PassJoin design
+    //      (q128 / Dedup.editDistanceJoin). ----
     Q("q84_fuzzy_match",
       (s, dir) => {
         import s.implicits._
         val sup = Tables(s, dir, "supplier")
-        val a = sup.select($"s_suppkey".as("id_a"), $"s_name".as("name_a"),
-          length($"s_name").as("la"))
-        val b = sup.select($"s_suppkey".as("id_b"), $"s_name".as("name_b"),
-          length($"s_name").as("lb"))
-        // measured: the threshold-bounded levenshtein(a, b, 3) variant is
-        // ~30% SLOWER here (its per-call banding overhead beats the DP
-        // saving at these string lengths) — the full distance wins
-        a.withColumn("lb", explode(sequence($"la" - 2, $"la" + 2)))
-          .join(b, Seq("lb"))
-          .filter($"id_a" < $"id_b")
+        // dirty ingest batch: position 9 ('#') substituted — lev 1 from
+        // the source row, lev <= 2 to masters one digit away from it
+        val batch = sup.filter($"s_suppkey" <= 40)
+          .select(($"s_suppkey" + 500000L).as("id_b"),
+            concat(substring($"s_name", 1, 8), lit("X"),
+              expr("substring(s_name, 10)")).as("name_b"))
+          .withColumn("la",
+            explode(sequence(length($"name_b") - 2, length($"name_b") + 2)))
+        sup.select($"s_suppkey".as("id_a"), $"s_name".as("name_a"),
+            length($"s_name").as("la"))
+          .join(broadcast(batch), Seq("la"))
           .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
           .filter($"dist" <= 2)
           .select($"id_a", $"id_b", $"dist")
           .orderBy($"id_a", $"id_b")
       },
-      Some("""SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
-             |  levenshtein(a.s_name, b.s_name) AS dist
-             |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
-             |WHERE levenshtein(a.s_name, b.s_name) <= 2
+      Some("""WITH batch AS (
+             |  SELECT s_suppkey + 500000 AS id_b,
+             |    concat(substring(s_name, 1, 8), 'X', substring(s_name, 10))
+             |      AS name_b
+             |  FROM supplier WHERE s_suppkey <= 40)
+             |SELECT m.s_suppkey AS id_a, b.id_b,
+             |  CAST(levenshtein(m.s_name, b.name_b) AS BIGINT) AS dist
+             |FROM supplier m JOIN batch b
+             |  ON abs(length(m.s_name) - length(b.name_b)) <= 2
+             |WHERE levenshtein(m.s_name, b.name_b) <= 2
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- approx percentile (t-digest-family sketch) gated within a

@@ -59,6 +59,26 @@ class CoreQueriesSpec extends AnyFunSuite {
     // must never serve as a floor — its rows carry the machine's mood
     val loaded = art.replace(""","sf":""", ""","load_warn":true,"sf":""")
     assert(Bench.parseFloor(loaded, "/root/testdata/sf0.1").isEmpty)
+    // ANCHORED guards (ADVICE r15): JSON-escaped content inside an
+    // errors string still contains the raw searched substrings — the
+    // guards must read the top-level tail, not the whole text.
+    // (a) an error message embedding \"load_warn\":true must NOT
+    //     disqualify an artifact whose own tail is clean
+    val errEmbed = art.replace(""""errors":{}""",
+      """"errors":{"q50":"plan said \"load_warn\":true somewhere"}""")
+    assert(Bench.parseFloor(errEmbed, "/root/testdata/sf0.1").nonEmpty)
+    // (b) an error message embedding the TARGET sf must not make an
+    //     other-sf artifact pass the same-sf guard
+    val sfEmbed = art
+      .replace(""""errors":{}""",
+        """"errors":{"q50":"read \"sf\":\"/root/testdata/sf0.1\" oops"}""")
+      .replace(""""sf":"/root/testdata/sf0.1"}""",
+        """"sf":"/root/testdata/sf1"}""")
+    assert(Bench.parseFloor(sfEmbed, "/root/testdata/sf0.1").isEmpty)
+    // (c) a pre-r14 artifact with no load evidence at all: contention
+    //     unknowable, refused
+    val noLoad = art.replace(""","load":[0.5,0.7]""", "")
+    assert(Bench.parseFloor(noLoad, "/root/testdata/sf0.1").isEmpty)
   }
 
   test("oracle column names match spark output column names") {

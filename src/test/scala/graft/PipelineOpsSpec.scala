@@ -815,6 +815,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(probe2.nonEmpty && probe2.map(_._1) != probe.map(_._1) ||
       probe2.map(_._2) != probe.map(_._2) || probe2 != probe,
       "k=2 rebuild must change the codes/ADC")
+    // a changed embedding COLUMN over the same corpus plan must
+    // mismatch the ident and rebuild (ADVICE r15: idCol/embCol are
+    // code-affecting but invisible to the corpus plan's semanticHash —
+    // pre-fix this was a silent ident hit serving the old column's
+    // codes)
+    val emb2 = emb.withColumn("embedding2",
+      transform($"embedding", x => -x))
+    val layout2 = graft.Scratch.dir("spec_ivfadc_col")
+    Similarity.ivfAdcBuildLayout(emb2, 25, layout2, "vec_id", "embedding",
+      m = 4, k = 4, quantScale = 1000L)(
+      Similarity.pqTrain(emb2, "vec_id", "embedding", m = 4, k = 4, iters = 1))
+    var retrained = false
+    Similarity.ivfAdcBuildLayout(emb2, 25, layout2, "vec_id", "embedding2",
+      m = 4, k = 4, quantScale = 1000L)({
+      retrained = true
+      Similarity.pqTrain(emb2, "vec_id", "embedding2", m = 4, k = 4, iters = 1)
+    })
+    assert(retrained, "an embCol change must rebuild, not ident-hit")
     // a mismatched-model build is refused loudly
     intercept[IllegalArgumentException] {
       Similarity.ivfAdcBuildLayout(emb, 25,
@@ -825,6 +843,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Similarity.ivfAdcProbeLayout(spark,
         graft.Scratch.dir("spec_ivfadc_nothere"), query)
+    }
+    Caches.sweep(spark)
+  }
+
+  test("ivfAdcRecallAtK: deterministic per-query contract, floor consistent") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 1)
+    def run() = Similarity.ivfAdcRecallAtK(emb, Seq(0L, 1L, 2L), k = 10,
+        nProbe = 4, centEvery = 25, model, recallFloor = 0.2)
+      .orderBy($"q_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    val got = run()
+    assert(got.map(_._1) == Seq(0L, 1L, 2L))
+    // ground truth is the full-corpus quantized top-k: n_exact == k here
+    assert(got.forall(_._2 == 10L), got.toString)
+    // the query's own vector is exact rank 1 (dist 0) and always
+    // survives the approx path (its assigned cell IS the probe's
+    // top-ranked cell — same cosine ranking, same tiebreak — and its
+    // own-code ADC is the global MINIMUM: sum of per-subspace argmin
+    // distances), so recall is never 0; and recall is the round-4 hit
+    // share with meets_floor EXACTLY recall >= floor
+    got.foreach { case (q, ne, nh, rec, floor) =>
+      assert(nh >= 1 && nh <= ne, s"q$q hits=$nh")
+      assert(rec == BigDecimal(nh.toDouble / ne)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"q$q rec=$rec")
+      assert(floor == (rec >= 0.2), s"q$q floor=$floor rec=$rec")
+    }
+    // both paths are deterministic: recall is contract, not noise
+    assert(run() == got)
+    // bounded eval batch is a contract, not a suggestion
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAdcRecallAtK(emb, Seq.empty, k = 10, nProbe = 4,
+        centEvery = 25, model)
     }
     Caches.sweep(spark)
   }
@@ -853,6 +907,38 @@ class PipelineOpsSpec extends AnyFunSuite {
       got.exists(t => t._2 >= 400),
       s"fixture must exercise BOTH sources (within=${got.count(t => t._2 < 400)}, " +
         s"cross=${got.count(t => t._2 >= 400)})")
+    Caches.sweep(spark)
+  }
+
+  test("binarySimhashIngestPairs: divergent re-ingest dedups to MIN hamming") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // an id living in BOTH batch and corpus with DIFFERENT payload bytes
+    // makes the within/cross copies of a pair disagree on hamming —
+    // ADVICE r15: dropDuplicates kept whichever copy won the shuffle
+    // race; the contract is the deterministic MIN. Fixture: corpus holds
+    // payloads A (id 400) and B (id 401) with 0 < ham(sig A, sig B) <= 3;
+    // the batch re-ingests id 401 with payload A, so pair (400, 401)
+    // arrives as within=0, cross(400A vs 401B)=h>0, cross(401A vs 400A)=0
+    // — min is 0, a race could report h.
+    val media = Multimodal.fabricate(Tables(spark, TestSpark.sf, "documents"))
+    val seed = Multimodal.binarySimhashPairs(media, "media_id", "content")
+      .filter($"hamming" > 0).orderBy($"id_a", $"id_b").limit(1)
+      .as[(Long, Long, Long)].head()
+    def payload(id: Long): Array[Byte] = media
+      .filter($"media_id" === id).select($"content")
+      .head().getAs[Array[Byte]](0)
+    val (pa, pb) = (payload(seed._1), payload(seed._2))
+    val corpus = Seq((400L, pa), (401L, pb)).toDF("media_id", "content")
+    val batch = Seq((400L, pa), (401L, pa)).toDF("media_id", "content")
+    val layout = graft.Scratch.dir("spec_binsh_divergent")
+    Multimodal.binarySimhashIndexWrite(corpus, "media_id", "content", layout)
+    val got = Multimodal.binarySimhashIngestPairs(spark, layout, batch,
+        "media_id", "content")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((400L, 401L, 0L)),
+      s"expected the MIN-hamming copy (0), got $got (divergent copy was " +
+        s"hamming ${seed._3})")
     Caches.sweep(spark)
   }
 
