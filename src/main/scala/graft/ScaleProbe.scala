@@ -182,6 +182,25 @@ object ScaleProbe {
         .filter(col("dist") <= 2)
         .select(col("id_a"), col("id_b"), col("dist"))
     }),
+    "x_s17_fixed_cells" -> ((s: SparkSession, dir: String) => {
+      // s17's gate keeps the oracle-replayable modulo construction
+      // (centEvery=25 ⇒ CELL COUNT GROWS WITH THE CORPUS, so inline
+      // assignment is |corpus|·|cells| = quadratic — measured, see the
+      // notes); this probe applies the production cell-count rule
+      // (FIX the cell count — the FAISS √n-to-constant guidance) by
+      // scaling centEvery with the corpus: ~240 cells at every SF,
+      // assignment back to one linear broadcast pass
+      val emb = Tables(s, dir, "embeddings")
+      val n = emb.count()
+      val centEvery = math.max(25L, n / 240L).toInt
+      val model = graft.operators.Similarity.pqTrain(
+        emb, "vec_id", "embedding", m = 4, k = 4, iters = 1)
+      val query = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      graft.operators.Similarity.ivfAdcTopK(emb, "vec_id", "embedding",
+        model, query, kNN = 10, nProbe = 2, centEvery = centEvery)
+    }),
     "x_q161_distributed_growing" -> ((s: SparkSession, dir: String) => {
       val edges = Tables(s, dir, "lineitem")
         .filter(col("l_quantity") >= 50)
@@ -376,13 +395,14 @@ object ScaleProbe {
         |  REPLICA-SPANNING predicate `user_id % 10_000_000 < 500` —
         |  the identical 500-user slice of every replica — so sf1
         |  carries genuinely 10x join state (10x keys, same per-key
-        |  window density) AND 10x output. Its ratio reads as the
-        |  state-store's volume response: rows-scanned, state
-        |  inserts/lookups, and emitted rows all scale 10x while
-        |  per-microbatch fixed costs amortize — expect the ratio
-        |  well under 10x but clearly off the gate's flat line. The
-        |  modulo predicate deliberately does NOT push to parquet
-        |  (that is the point: every replica's bytes reach the join).
+        |  window density) and emits 10x rows (the row counts in the
+        |  table are the direct evidence). The modulo predicate
+        |  deliberately does NOT push to parquet — every replica's
+        |  bytes reach the join. Measured reading: at these absolute
+        |  sizes the wall stays microbatch-fixed-cost-bound (the ratio
+        |  lands near the gate's), i.e. the state store absorbs a
+        |  10x-keys/10x-output step without becoming the bottleneck —
+        |  the volume response shows in rows, not yet in seconds.
         |- **m08 and m09 both measure the SERVING shape now** (the
         |  round-14 directive: m08's whole-corpus re-hash — 109.8s at
         |  sf1, barely under pairwise — is gone from the gate): m09 is
@@ -432,14 +452,37 @@ object ScaleProbe {
         |  encode + ADC are map-only over 10x vectors — ~4x measured
         |  (fixed costs amortizing), no exchange anywhere (ScaleSpec
         |  pins zero).
-        |- **s17 (IVFADC) tracks the probed slice, not the corpus**:
-        |  centroid ranking is one pass over the modulo subset
-        |  (corpus/25 rows), assignment is a broadcast crossJoin pass,
-        |  and ADC encodes/scores ONLY the 2 probed cells' members —
-        |  at 10x corpus the probed slice is 10x, so the row reads
-        |  like s12's volume-tracking with a smaller constant. The
-        |  training (pqTrain, one Lloyd step) re-runs per call here;
-        |  s18 is where it disappears.
+        |- **s17 (IVFADC inline) — the round-16 performance story, in
+        |  full**: the first measured sf1 run came in at 27-82s
+        |  (44x), and chasing it found TWO structural defects in the
+        |  IVF/PQ family, both fixed this round. (1) `max(struct(cos,
+        |  -id)) + first(emb)` aggregates have IMMUTABLE buffer types,
+        |  so Spark planned a SortAggregate — a full sort of the
+        |  n·|cells| scored cross-join rows with the embedding payload
+        |  carried through (19.7s measured for that stage alone);
+        |  assignment and pqTrain's Lloyd argmin now ride the
+        |  bounded-heap TypedImperativeAggregate (TopKAgg k=1 —
+        |  ObjectHashAggregate, identical argmax/argmin + tiebreak
+        |  semantics, every gate hash-identical) with a node-grain id
+        |  join re-attaching the payload. (2) A MB-scale corpus file
+        |  arrives as 1-2 parquet splits, and the |cells|-way fanout
+        |  multiplied n·|cells| cosine evaluations onto one thread —
+        |  ivfAssign/pqTrain now repartition up to the session
+        |  parallelism ONLY when the scan is narrower than the core
+        |  count (no-op at 100 TB partition counts). Post-fix: s17
+        |  ~4.4s and s03 1.6s at sf1 (from 27s/24s). What REMAINS at
+        |  fixed centEvery is the honest O(n·|cells|) = O(n²/25)
+        |  arithmetic of the modulo cell construction the DuckDB
+        |  oracles replay verbatim across s03/s04/s16-s19 — cheap at
+        |  these SFs once parallel, but quadratic in principle; the
+        |  two production answers are measured in the next two rows.
+        |- **x_s17_fixed_cells is s17 under the production cell-count
+        |  rule** (probe-only): centEvery scales with the corpus so the
+        |  cell count PINS (~240 at every SF — the FAISS guidance), and
+        |  assignment is one linear broadcast pass; with s18 (assignment
+        |  paid once in the persisted layout, serving reads only probed
+        |  code partitions) these are the two ways the quadratic term
+        |  never reaches production.
         |- **s18 (persisted IVFADC) is the serving-flat row**: the
         |  layout (codes partitioned by cell + centroids + codebook)
         |  pre-builds untimed per SF; the timed probe ranks the
@@ -447,12 +490,18 @@ object ScaleProbe {
         |  CODE partitions — near-flat as the corpus grows 10x, the
         |  s13/m09 build-once contract on the quantized path.
         |- **s19 (IVFADC recall) is three brute-force evals plus
-        |  serving**: the exact side is one map pass over the corpus
-        |  per eval query (3 TakeOrdered passes — linear, the
-        |  dominant term), the approx side is s17's serving slice; the
-        |  RESULT is the contract (per-query recall >= 0.5 gated at
-        |  sf0.01 by hash) — the row is here so the eval's own cost
-        |  stays measured, not because recall changes with SF.
+        |  serving, dominated by its in-gate pqTrain** (m=8, k=16 —
+        |  one Lloyd step over the corpus, re-run per call by the
+        |  gate's construction): the exact side is one linear map pass
+        |  per eval query into a TakeOrdered, the approx side is s17's
+        |  serving slice (its three identical assignment subtrees
+        |  dedupe through exchange reuse). The RESULT is the contract
+        |  (per-query recall >= 0.2 gated at sf0.01 by hash); the row
+        |  is here so the eval's own cost stays measured — and
+        |  honestly: recall at a FIXED code budget declines as the
+        |  corpus adds ADC distractors (0.3-0.5 at sf0.01, 0.2-0.3 at
+        |  sf0.1, fraction-pinned nProbe), which is why the floor sits
+        |  at the bench-scale operating point.
         |- **q161's gate rides the bounded driver path flat BY
         |  CONSTRUCTION** (its `o_custkey < 500` graph is replica-0
         |  pinned, like q157, and its pair-state is small — the gate
@@ -461,15 +510,18 @@ object ScaleProbe {
         |- **x_q161_distributed_growing forces the DISTRIBUTED landmark
         |  loop** (`driverFrontierBelow = 0`, probe-only) on a
         |  replica-spanning graph (`o_custkey % 10_000_000 < 500`) with
-        |  the sampled estimator (`sampleEvery = 8` — the documented
-        |  scale path for a quantity whose exact state is
-        |  nodes x landmarks): at sf1 the graph has 10x nodes and 10x
-        |  landmarks, so (landmark, node) pair state grows ~100x — the
-        |  expected super-linear ratio is the SAMPLING dial's case,
-        |  priced per hop as one equi-join + distinct + anti-join with
-        |  the stats-driven broadcast choice. Production keeps
-        |  landmark count FIXED as the graph grows (raise sampleEvery),
-        |  which returns the family to linear.
+        |  the sampled estimator (`sampleEvery = 8`): at sf1 the graph
+        |  has 10x nodes and 10x landmarks, so (landmark, node) pair
+        |  state grows ~100x. Measured reading: the ratio stays
+        |  near-flat — at these graph sizes the distributed loop is
+        |  per-hop FIXED-cost bound (checkpoint + broadcast builds +
+        |  one distinct exchange per hop, ~0.3s/hop; the very costs the
+        |  driver path exists to skip), and a 100x pair-state step from
+        |  a few hundred thousand rows is invisible next to them. The
+        |  row's value is the measured per-hop price of the loop that
+        |  RUNS at 100 TB; production additionally keeps the landmark
+        |  count FIXED as the graph grows (raise sampleEvery), keeping
+        |  state linear in nodes.
         |""".stripMargin)
 
     // replace any previous scale-probe section, keep the rest of the file

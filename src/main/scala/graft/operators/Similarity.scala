@@ -131,19 +131,47 @@ object Similarity {
     corpus.filter(col(idCol) % centEvery === 0)
       .select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
 
-  /** Cell assignment: argmax via max(struct(cos, -c_id)) — partial-aggs
-    * map-side, so only n rows (not n×|cent|) reach the exchange. */
+  /** Cell assignment: per-vector argmax over the broadcast centroids via
+    * the bounded-heap aggregate ([[graft.functions.TopKAgg]] at k=1 —
+    * same contract: highest score, ties to the smallest id), then ONE
+    * node-grain id join to re-attach the embedding.
+    *
+    * NOT `max(struct(ccos, -c_id)) + first(n_emb)`: struct- and
+    * array-buffered declarative aggregates are immutable buffer types,
+    * so Spark plans a SortAggregate — a FULL SORT of the n·|cells|
+    * scored cross-join rows with the embedding payload carried through
+    * (measured round 16 at sf1: 19.7s for the sort-agg formulation vs
+    * 0.7s for the hash path on 16M scored rows). The heap buffer is a
+    * TypedImperativeAggregate, so the argmax OBJECT-HASH-aggregates
+    * map-side — only n (id, cell) rows reach the exchange, and the
+    * embedding never rides through the aggregate at all. */
   private def ivfAssign(
       corpus: DataFrame, cent: DataFrame,
-      idCol: String, embCol: String): DataFrame =
-    corpus
-      .select(col(idCol).as("n_id"), col(embCol).as("n_emb"))
+      idCol: String, embCol: String): DataFrame = {
+    val src = corpus.select(col(idCol).as("n_id"), col(embCol).as("n_emb"))
+    // FANOUT-AWARE PARALLELISM: the |cells|-way broadcast cross join
+    // multiplies per-row work by a factor that GROWS with the corpus
+    // (cells = corpus/centEvery), so an under-partitioned input — a
+    // MB-scale corpus file arrives as 1-2 parquet splits — serializes
+    // n·|cells| cosine evaluations onto one or two threads (measured
+    // round 16: ~20s single-threaded at sf1 vs ~2s spread). Repartition
+    // up to the session parallelism ONLY when the scan is narrower than
+    // the core count; at 100 TB the corpus already carries far more
+    // partitions than cores and this is a no-op.
+    val para = corpus.sparkSession.sparkContext.defaultParallelism
+    val fanned = if (src.rdd.getNumPartitions < para)
+      src.repartition(para) else src
+    val best = fanned
       .crossJoin(broadcast(cent))
       .withColumn("ccos", round(cosine(col("n_emb"), col("c_emb")), 5))
       .groupBy(col("n_id"))
-      .agg(max(struct(col("ccos"), (-col("c_id")).as("neg"))).as("m"),
-        first(col("n_emb")).as("n_emb"))
-      .select(col("n_id"), col("n_emb"), (-col("m.neg")).as("c_id"))
+      .agg(graft.functions.TopKAgg.top_k_by(col("ccos"), col("c_id"), 1)
+        .as("tk"))
+      .select(col("n_id"), element_at(col("tk.id"), 1).as("c_id"))
+    corpus.select(col(idCol).as("n_id"), col(embCol).as("n_emb"))
+      .join(best, Seq("n_id"))
+      .select(col("n_id"), col("n_emb"), col("c_id"))
+  }
 
   /** Per-query probe cells: the `nProbe` nearest centroids. */
   private def ivfProbe(
@@ -766,7 +794,14 @@ object Similarity {
       embCol: String = "embedding", m: Int = 4, k: Int = 8,
       iters: Int = 1, quantScale: Long = 1000L): PqModel = {
     require(m >= 1 && k >= 1 && iters >= 0, s"bad pq params m=$m k=$k")
-    val vq = vqProjected(emb, idCol, embCol, quantScale)
+    val vq0 = vqProjected(emb, idCol, embCol, quantScale)
+    // fanout-aware parallelism (the ivfAssign rationale): the m-way
+    // subvector explode and the k-way codebook join multiply per-row
+    // work, so an under-partitioned corpus scan would serialize the
+    // Lloyd step onto one or two threads; no-op at real partition counts
+    val para = emb.sparkSession.sparkContext.defaultParallelism
+    val vq = if (vq0.rdd.getNumPartitions < para)
+      vq0.repartition(para) else vq0
     val d = vq.select(size(col("vq"))).head().getInt(0)
     require(d % m == 0, s"m=$m must divide dim d=$d")
     val subDim = d / m
@@ -777,22 +812,37 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       import org.apache.spark.sql.expressions.Window
+      // seeds = the k lowest-id vectors' subvectors: take the k ids
+      // FIRST (one bounded TakeOrdered), then rank only their m·k rows
+      // — ranking ALL of subs through a row_number window sorted the
+      // whole n·m frame in m partitions just to keep k rows per sub
+      val seedIds = vq.select(col("id")).orderBy(col("id")).limit(k)
       val wSeed = Window.partitionBy(col("sub")).orderBy(col("id"))
-      var cents = subs
+      var cents = subs.join(broadcast(seedIds), Seq("id"))
         .withColumn("rn", row_number().over(wSeed))
-        .filter(col("rn") <= k)
         .select(col("sub"), (col("rn") - 1).cast("int").as("code"),
           col("x").as("c"))
         .localCheckpoint(true)
       require(cents.count() == m.toLong * k,
         s"not enough vectors to seed $k centroids per subspace")
       for (_ <- 1 to iters) {
-        val assigned = subs.join(broadcast(cents), Seq("sub"))
+        // argmin over the broadcast codebook via the bounded-heap
+        // aggregate (min ld = max -ld, ties to the smallest code — the
+        // exact min(struct(ld, code)) contract; -ld is exact in double,
+        // |ld| << 2^53), then ONE (id, sub)-grain join back to the
+        // persisted subs for the subvector. The struct-min + first(x)
+        // formulation forced a SortAggregate over the n·m·k scored rows
+        // with the subvector payload carried through (the ivfAssign
+        // finding, round 16).
+        val best = subs.join(broadcast(cents), Seq("sub"))
           .withColumn("ld", sqDist(col("x"), col("c")))
           .groupBy(col("id"), col("sub"))
-          .agg(min(struct(col("ld"), col("code"))).as("mc"),
-            first(col("x")).as("x"))
-          .select(col("sub"), col("mc.code").as("code"), col("x"))
+          .agg(graft.functions.TopKAgg.top_k_by(
+            -col("ld").cast("double"), col("code").cast("long"), 1).as("tk"))
+          .select(col("id"), col("sub"),
+            element_at(col("tk.id"), 1).cast("int").as("code"))
+        val assigned = subs.join(best, Seq("id", "sub"))
+          .select(col("sub"), col("code"), col("x"))
         val updated = assigned
           .select(col("sub"), col("code"), posexplode(col("x")).as(Seq("pos", "v")))
           .groupBy(col("sub"), col("code"), col("pos"))
