@@ -466,17 +466,25 @@ object Similarity {
   def ivfCentroidsTrained(
       corpus: DataFrame, centEvery: Int, iters: Int = 3,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("n_id"),
+    val c0 = corpus.select(col(idCol).as("n_id"),
       col(embCol).cast("array<double>").as("n_emb"))
+    // fanout-aware parallelism + heap-aggregate argmax: the ivfAssign
+    // rationale (round 16) — the |cells|-way fanout must not serialize
+    // onto a 1-2-split scan, and the struct-max/first(emb) formulation
+    // forced a SortAggregate over every scored pair per Lloyd iteration
+    val para = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = if (c0.rdd.getNumPartitions < para) c0.repartition(para) else c0
     var cent = ivfCentroids(corpus, centEvery, idCol, embCol)
       .select(col("c_id"), col("c_emb").cast("array<double>").as("c_emb"))
     for (_ <- 1 to iters) {
-      val assigned = c.crossJoin(broadcast(cent))
+      val best = c.crossJoin(broadcast(cent))
         .withColumn("ccos", cosine(col("n_emb"), col("c_emb")))
         .groupBy(col("n_id"))
-        .agg(max(struct(col("ccos"), (-col("c_id")).as("neg"))).as("m"),
-          first(col("n_emb")).as("n_emb"))
-        .select((-col("m.neg")).as("c_id"), col("n_emb"))
+        .agg(graft.functions.TopKAgg.top_k_by(col("ccos"), col("c_id"), 1)
+          .as("tk"))
+        .select(col("n_id"), element_at(col("tk.id"), 1).as("c_id"))
+      val assigned = c.join(best, Seq("n_id"))
+        .select(col("c_id"), col("n_emb"))
       // per-(cell, dim) mean — partial-aggregated map-side, so the
       // exchange carries |cent|·d rows, not n·d
       val updated = assigned
