@@ -426,29 +426,35 @@ object Bench {
       val warnAt = sys.env.get("SPARK_GRAFT_LOAD_WARN")
         .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(2.5)
       // TWO contention signals trigger the stamp (round-15 lesson: an
-      // artifact that STARTED at 2.27 — under the start threshold —
-      // climbed to l1 9.47 mid-run and inflated 37 rows ~20%; start
-      // load alone is not sufficient):
+      // artifact whose start load passed the guard carried mid-run
+      // contention that inflated 37 rows ~20%; start load alone is not
+      // sufficient):
       //  1. start load > warnAt (default 2.5) — sampled before the
       //     Spark session spins up, so it is pure machine contention;
-      //  2. the per-rep l1 SERIES — sampled at each rep start, after a
-      //     cache sweep — with max > SPARK_GRAFT_LOAD_WARN_RUN
-      //     (default 6.0) or median > warnAt. The in-run max threshold
-      //     sits HIGHER than the start one because the run's own
-      //     32-thread work contributes (measured idle full suites top
-      //     out at l1 ~1.8, so 6.0 still has 3x headroom); the median
-      //     check catches a run that was moderately but PERSISTENTLY
-      //     contended without ever spiking.
+      //  2. the per-rep l1 series' LOW percentile (p10) >
+      //     SPARK_GRAFT_LOAD_WARN_RUN (default 2.25). CALIBRATION,
+      //     measured across three full-suite artifacts: during a
+      //     continuous local[32] run the 1-min loadavg is dominated by
+      //     the run's OWN work — median 2.7-3.7 and max 5.8-9.1 on
+      //     genuinely idle machines — so central/upper statistics
+      //     (median, p90, max) cannot separate external contention
+      //     from self-load at any fixed threshold (the r15 idle run's
+      //     own series topped at 9.05 vs the contaminated run's 9.47).
+      //     What DOES separate them is the series' FLOOR: between
+      //     heavy gates the loadavg decays toward the machine's
+      //     external baseline — measured p10 1.70/1.83 on the two
+      //     known-idle runs vs 2.53 on the known-contaminated one;
+      //     2.25 is the midpoint. A floor that never drops below it
+      //     means something OUTSIDE the run kept the machine busy the
+      //     whole time.
       val repL1 = results.flatMap(_._7).filter(_ >= 0).sorted
       val runWarnAt = sys.env.get("SPARK_GRAFT_LOAD_WARN_RUN")
-        .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(6.0)
-      val runMax = if (repL1.isEmpty) -1.0 else repL1.last
-      val runMedian = if (repL1.isEmpty) -1.0 else repL1(repL1.size / 2)
-      val loadWarn = loadStart > warnAt || runMax > runWarnAt ||
-        runMedian > warnAt
+        .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(2.25)
+      val runP10 = if (repL1.isEmpty) -1.0 else repL1(repL1.size / 10)
+      val loadWarn = loadStart > warnAt || runP10 > runWarnAt
       if (loadWarn) System.err.println(
         s"[bench] WARNING: contended run (start $loadStart/$warnAt, " +
-          s"in-run max $runMax/$runWarnAt, median $runMedian/$warnAt) — " +
+          s"in-run l1 floor p10 $runP10/$runWarnAt) — " +
           "artifact stamped load_warn, unusable as a floor")
       val rawTotal = fmt(results.collect {
         case (_, v, _, _, _, _, _) if v >= 0 => v }.sum)

@@ -483,12 +483,18 @@ object ScaleProbe {
         |  paid once in the persisted layout, serving reads only probed
         |  code partitions) these are the two ways the quadratic term
         |  never reaches production.
-        |- **s18 (persisted IVFADC) is the serving-flat row**: the
-        |  layout (codes partitioned by cell + centroids + codebook)
-        |  pre-builds untimed per SF; the timed probe ranks the
-        |  kB-scale centroid table and scans only the probed cells'
-        |  CODE partitions — near-flat as the corpus grows 10x, the
-        |  s13/m09 build-once contract on the quantized path.
+        |- **s18 (persisted IVFADC) serves from the layout**: codes
+        |  partitioned by cell + centroids + codebook pre-build
+        |  untimed per SF; the timed probe ranks the centroid table
+        |  and scans only the probed cells' CODE partitions. The code
+        |  read stays ~constant with the corpus (the modulo
+        |  construction pins the average CELL SIZE at ~centEvery, so
+        |  2 probed cells hold ~50 codes at every SF); the part that
+        |  grows 10x is the centroid table itself (cells = corpus/25)
+        |  — still kB-scale here, and pinned too once the cell COUNT
+        |  is pinned (the x_s17_fixed_cells construction). Sub-second
+        |  to ~2s absolute; the build-once contract on the quantized
+        |  path, with the growth term named.
         |- **s19 (IVFADC recall) is three brute-force evals plus
         |  serving, dominated by its in-gate pqTrain** (m=8, k=16 —
         |  one Lloyd step over the corpus, re-run per call by the
