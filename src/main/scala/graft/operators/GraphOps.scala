@@ -827,11 +827,17 @@ object GraphOps {
     for (i <- 1 to sweeps) {
       val votes = e.join(bc(lab.select(col("id").as("src"), col("label"))), "src")
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-      // plurality with min-label tie-break as ONE hash agg: max of
-      // (cnt, -label) is lexicographic — highest count, then lowest label
+      // plurality with min-label tie-break as ONE agg via the
+      // bounded-heap aggregate (TopKAgg k=1 — highest count, ties to
+      // the lowest label; cnt is exact in double far below 2^53). The
+      // former max(struct(cnt, -label)) had an immutable struct buffer,
+      // which forces SortAggregate — a sort of the (node, label) vote
+      // grain every sweep (the round-16 IVF-family finding)
       val winner = votes.groupBy(col("dst"))
-        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("w"))
-        .select(col("dst").as("id"), (-col("w.nl")).as("label_new"))
+        .agg(graft.functions.TopKAgg.top_k_by(
+          col("cnt").cast("double"), col("label"), 1).as("w"))
+        .select(col("dst").as("id"),
+          element_at(col("w.id"), 1).as("label_new"))
       val next = lab.join(bc(winner), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("label_new"), col("label")).as("label"))
       lab = loop.advance(next, forceCheckpoint = i == sweeps)

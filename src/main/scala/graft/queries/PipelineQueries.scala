@@ -536,14 +536,18 @@ object PipelineQueries {
           .select($"vec_id", $"embedding")
         val a = emb.select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
         val b = emb.select($"vec_id".as("n_id"), $"embedding".as("n_emb"))
-        // argmax via max(struct(cos, -n_id)): partial-aggregates map-side,
-        // so only |Q| rows shuffle — vs a window sort moving all |Q|×n
-        // scored pairs (same (cos desc, n_id asc) tie order)
+        // argmax via the bounded-heap aggregate (TopKAgg k=1 — same
+        // (cos desc, n_id asc) tie order): only |Q| rows shuffle, and
+        // the partial agg HASH-aggregates map-side. The former
+        // max(struct(cos, -n_id)) had an immutable struct buffer, which
+        // forces SortAggregate — a full sort of all |Q|×n scored pairs
+        // (the round-16 IVF-family finding)
         a.crossJoin(b).filter($"q_id" =!= $"n_id")
           .withColumn("cos", round(Similarity.cosine($"q_emb", $"n_emb"), 5))
           .groupBy($"q_id")
-          .agg(max(struct($"cos", (-$"n_id").as("neg_id"))).as("m"))
-          .select($"q_id", (-$"m.neg_id").as("n_id"), $"m.cos".as("cos"))
+          .agg(graft.functions.TopKAgg.top_k_by($"cos", $"n_id", 1).as("tk"))
+          .select($"q_id", element_at($"tk.id", 1).as("n_id"),
+            element_at($"tk.score", 1).as("cos"))
           .orderBy($"q_id")
       },
       Some("""SELECT q_id, n_id, cos FROM (
