@@ -281,8 +281,15 @@ object Dedup {
     // must REBUILD, not silently serve the old layout. It rides after the
     // shared prefix so append/probe (which take no maxBucket — the cap
     // only acts at build) still match on lshParamIdent via startsWith.
+    // cols ride AFTER the shared prefix (append/probe match on
+    // lshParamIdent via startsWith and legitimately use their OWN batch
+    // column names — band rows normalize to (part, band, bucket, id,
+    // shh) regardless); at BUILD they are code-affecting: the same
+    // corpus plan with a different id/text column is a different layout
+    // and must rebuild, not silently ident-hit (the r15 ivfadc ADVICE
+    // class, swept across every layout round 16)
     val ident = lshParamIdent(shingleSize, k, bands, nParts) +
-      s" maxBucket=$maxBucket" +
+      s" cols=$idCol/$textCol maxBucket=$maxBucket" +
       s" corpus=${docs.queryExecution.analyzed.semanticHash()}"
     val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
     val identMatches = fs.exists(identPath) && {

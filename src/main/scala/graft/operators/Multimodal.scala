@@ -403,7 +403,9 @@ object Multimodal {
       nParts: Int = 64, maxBucket: Int = 1000): Unit =
     sigIndexWrite(binarySignatures(media, idCol, binCol, gramBytes),
       binarySimhashParamIdent(gramBytes, nParts),
-      media.queryExecution.analyzed.semanticHash().toString,
+      // cols are code-affecting but invisible to the corpus plan hash
+      // (the r15 ivfadc ADVICE class): ride them in the build identity
+      s"${media.queryExecution.analyzed.semanticHash()} cols=$idCol/$binCol",
       layoutDir, nParts, maxBucket)
 
   /** APPEND an ingest batch's signatures to a persisted binary-SimHash

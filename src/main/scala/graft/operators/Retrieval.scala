@@ -452,6 +452,7 @@ object Retrieval {
     val path = new org.apache.hadoop.fs.Path(layoutDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val ident = s"graft-bm25-v2 nBuckets=$nBuckets " +
+      s"cols=$idCol/$textCol " + // code-affecting, invisible to the plan hash
       s"corpus=${docs.queryExecution.analyzed.semanticHash()}"
     val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
     def identMatches: Boolean =
@@ -705,6 +706,7 @@ object Retrieval {
     val path = new org.apache.hadoop.fs.Path(layoutDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val ident = s"graft-pos-v1 nBuckets=$nBuckets " +
+      s"cols=$idCol/$textCol " + // code-affecting, invisible to the plan hash
       s"corpus=${docs.queryExecution.analyzed.semanticHash()}"
     val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
     def identMatches: Boolean =

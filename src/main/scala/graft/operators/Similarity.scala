@@ -293,6 +293,7 @@ object Similarity {
       .map(c => s"cent=${c.queryExecution.analyzed.semanticHash()}")
       .getOrElse(s"centEvery=$centEvery")
     val ident = s"graft-ivf-v2 $centIdent " +
+      s"cols=$idCol/$embCol " + // code-affecting, invisible to the plan hash
       s"corpus=${corpus.queryExecution.analyzed.semanticHash()}"
     val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
     def identMatches: Boolean =

@@ -335,6 +335,7 @@ object TextOps {
     val path = new org.apache.hadoop.fs.Path(layoutDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val ident = s"graft-lm-v1 nBuckets=$nBuckets " +
+      s"cols=$textCol " + // code-affecting, invisible to the plan hash
       s"corpus=${docs.queryExecution.analyzed.semanticHash()}"
     val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
     def identMatches: Boolean =
@@ -710,6 +711,7 @@ object TextOps {
     val path = new org.apache.hadoop.fs.Path(layoutDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val ident = s"graft-bpe-v1 nMerges=$nMerges minCount=$minCount " +
+      s"cols=$textCol " + // code-affecting, invisible to the plan hash
       s"corpus=${docs.queryExecution.analyzed.semanticHash()}"
     val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
     val identMatches = fs.exists(identPath) && {

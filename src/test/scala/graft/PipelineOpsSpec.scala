@@ -883,6 +883,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("layout idents carry the build columns: a column switch rebuilds") {
+    // the r15 ivfadc ADVICE class, swept across every persisted layout
+    // round 16: id/text/bin/emb column names are code-affecting but
+    // invisible to the corpus PLAN's semanticHash — without them in the
+    // ident, rebuilding over the same corpus with a different column is
+    // a silent ident hit serving stale data
+    import graft.operators.{Dedup, Multimodal}
+    def ident(dir: String): String = {
+      val p = new org.apache.hadoop.fs.Path(dir, "_graft_ident")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val media = Multimodal.fabricate(Tables(spark, TestSpark.sf, "documents"))
+      .withColumn("content2", col("content"))
+    val simhashDir = graft.Scratch.dir("spec_ident_cols_simhash")
+    Multimodal.binarySimhashIndexWrite(media, "media_id", "content", simhashDir)
+    val s1 = ident(simhashDir)
+    assert(s1.contains("cols=media_id/content"), s1)
+    Multimodal.binarySimhashIndexWrite(media, "media_id", "content2", simhashDir)
+    val s2 = ident(simhashDir)
+    assert(s2.contains("cols=media_id/content2") && s1 != s2,
+      s"binCol switch must rebuild, ident stayed '$s2'")
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .withColumn("text2", col("text"))
+    val lshDir = graft.Scratch.dir("spec_ident_cols_lsh")
+    Dedup.lshIndexWrite(docs, "doc_id", "text", lshDir)
+    val l1 = ident(lshDir)
+    assert(l1.contains("cols=doc_id/text "), l1)
+    Dedup.lshIndexWrite(docs, "doc_id", "text2", lshDir)
+    val l2 = ident(lshDir)
+    assert(l2.contains("cols=doc_id/text2") && l1 != l2,
+      s"textCol switch must rebuild, ident stayed '$l2'")
+    Caches.sweep(spark)
+  }
+
   test("binarySimhashIngestPairs: exactly the batch-involving slice of pairwise") {
     import spark.implicits._
     import graft.operators.Multimodal

@@ -1292,6 +1292,27 @@ class ScaleSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("argmax paths hash-aggregate: no SortAggregate in IVF/d05/LPA plans") {
+    // the round-16 finding, pinned: struct-/array-buffered aggregates
+    // (max(struct(...)), first(<array>)) are immutable buffer types and
+    // force SortAggregate — a full sort of every scored row with the
+    // payload carried through (19.7s measured at sf1 for ivfAssign's
+    // stage alone vs 0.7s hashed). The argmax surfaces now ride the
+    // bounded-heap TypedImperativeAggregate (ObjectHashAggregate); this
+    // pin fails if a refactor reintroduces a sort-forcing aggregate
+    // anywhere in these plans.
+    for (name <- Seq("s03_ann_ivf", "s17_ivf_adc", "d05_embedding_nn",
+        "q113_label_propagation")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val sorts = collectAll(df.queryExecution.executedPlan) {
+        case p if p.nodeName.contains("SortAggregate") => p.nodeName
+      }
+      assert(sorts.isEmpty, s"$name planned SortAggregate: $sorts")
+      Caches.sweep(spark)
+    }
+  }
+
   test("scc labels leave as self-contained checkpoints: no joins, no exchanges") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
