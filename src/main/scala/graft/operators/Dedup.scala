@@ -410,9 +410,16 @@ object Dedup {
         Seq("band", "bucket"))
       .filter(col("probe_id") =!= col("id"))
       // multiple band collisions propose the same pair: dedup BEFORE the
-      // verify so exact Jaccard runs once per pair
-      .groupBy(col("probe_id"), col("id").as("corpus_id"))
-      .agg(first(col("p_shh")).as("p_shh"), first(col("shh")).as("c_shh"))
+      // verify so exact Jaccard runs once per pair. distinct(), NOT
+      // groupBy + first(<array>): every copy of a pair carries the
+      // identical sketch arrays (same ids ⇒ same shh), so row-distinct
+      // is semantically equal — and first() over an array buffer is an
+      // immutable-type aggregate, which would force a SortAggregate of
+      // the whole candidate set with both sketch payloads carried
+      // through (the round-16 finding)
+      .select(col("probe_id"), col("id").as("corpus_id"),
+        col("p_shh"), col("shh").as("c_shh"))
+      .distinct()
     cands
       .withColumn("jaccard",
         round(HashExprs.sorted_jaccard(col("p_shh"), col("c_shh")), 3))

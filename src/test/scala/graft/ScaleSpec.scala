@@ -1302,7 +1302,7 @@ class ScaleSpec extends AnyFunSuite {
     // pin fails if a refactor reintroduces a sort-forcing aggregate
     // anywhere in these plans.
     for (name <- Seq("s03_ann_ivf", "s17_ivf_adc", "d05_embedding_nn",
-        "q113_label_propagation")) {
+        "q113_label_propagation", "d17_lsh_index")) {
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect()
       val sorts = collectAll(df.queryExecution.executedPlan) {
