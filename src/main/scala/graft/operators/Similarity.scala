@@ -176,24 +176,24 @@ object Similarity {
   /** Per-query probe cells: the `nProbe` nearest centroids. */
   private def ivfProbe(
       queries: DataFrame, cent: DataFrame, nProbe: Int,
-      idCol: String, embCol: String): DataFrame = {
-    // the probe heap hash-aggregates; carrying the query embedding as
-    // first(q_emb) alongside it would force the whole |Q|·|cells|
-    // scored frame through a SortAggregate (array agg buffers are
-    // immutable types — the round-16 finding), so the embedding rides
-    // back in via one |Q|-grain id join instead
-    val probed = queries
+      idCol: String, embCol: String): DataFrame =
+    queries
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
       .crossJoin(broadcast(cent))
       .withColumn("ccos", round(cosine(col("q_emb"), col("c_emb")), 5))
       .groupBy(col("q_id"))
+      // carrying first(q_emb) through THIS aggregate is safe from the
+      // round-16 SortAggregate trap: the heap aggregate is a
+      // TypedImperativeAggregate, and its presence upgrades the whole
+      // aggregate to ObjectHashAggregate — the declarative first() rides
+      // along hashed (plan-pinned: the no-SortAggregate ScaleSpec test
+      // covers s03/s17). The ivfAssign failure mode needed BOTH its
+      // functions declarative-immutable (max(struct) + first) to fall to
+      // SortAggregate. Keeping the carry means the possibly-remote query
+      // batch scans ONCE (the s04/s09 single-scan serving pins).
       .agg(graft.functions.TopKAgg.top_k_by(col("ccos"), col("c_id"), nProbe)
-        .as("tk"))
-      .select(col("q_id"), explode(col("tk.id")).as("c_id"))
-    queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
-      .join(probed, Seq("q_id"))
-      .select(col("q_id"), col("q_emb"), col("c_id"))
-  }
+        .as("tk"), first(col("q_emb")).as("q_emb"))
+      .select(col("q_id"), col("q_emb"), explode(col("tk.id")).as("c_id"))
 
   /** Rank the probed cells' members by exact cosine per query; an
     * optional `band` keeps only cosines in [lo, hi) before the heap (the
