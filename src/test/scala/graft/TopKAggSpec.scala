@@ -37,6 +37,42 @@ class TopKAggSpec extends AnyFunSuite {
     }
   }
 
+  test("k=1 heap is EXACTLY max(struct(score, -id)) — the round-16 argmax swap") {
+    // ivfAssign / pqTrain / labelPropagation / d05 replaced their
+    // declarative struct-max argmax (SortAggregate-forcing) with
+    // top_k_by(k=1); this property pins the swap's semantic claim on
+    // random data with engineered ties, duplicate ids, and NaN scores
+    // (both orderings treat NaN as greatest — SQL sort semantics).
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(4000) { i =>
+      val g = rnd.nextInt(40).toLong
+      // coarse scores force ties; occasional NaN exercises the
+      // deterministic-NaN contract
+      val s = if (rnd.nextInt(50) == 0) Double.NaN
+        else rnd.nextInt(6).toDouble / 2.0
+      (g, s, rnd.nextInt(200).toLong)
+    }
+    val df = rows.toDF("g", "s", "id").repartition(7)
+    val viaHeap = df.groupBy($"g")
+      .agg(TopKAgg.top_k_by($"s", $"id", 1).as("tk"))
+      .select($"g", element_at($"tk.score", 1).as("s"),
+        element_at($"tk.id", 1).as("id"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val viaStruct = df.groupBy($"g")
+      .agg(max(struct($"s", (-$"id").as("neg"))).as("m"))
+      .select($"g", $"m.s", (-$"m.neg").as("id"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(viaHeap.keySet == viaStruct.keySet)
+    viaHeap.foreach { case (g, (hs, hi)) =>
+      val (ss, si) = viaStruct(g)
+      // compare via Double.compare so NaN == NaN
+      assert(java.lang.Double.compare(hs, ss) == 0 && hi == si,
+        s"group $g: heap=($hs,$hi) struct=($ss,$si)")
+    }
+    Caches.sweep(spark)
+  }
+
   test("null scores/ids are skipped; partial merge across partitions agrees") {
     import spark.implicits._
     val rows = (1L to 1000L).map(i => ("g", i.toDouble % 97, i)) :+
