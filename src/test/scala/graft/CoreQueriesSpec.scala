@@ -81,6 +81,55 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(Bench.parseFloor(noLoad, "/root/testdata/sf0.1").isEmpty)
   }
 
+  test("monotone artifact rule: a noisier refresh never wins") {
+    val sf = "/root/testdata/sf0.1"
+    // 3-gate artifact with an l1 floor of p10 = 1.5 (sorted: 1.5 @ idx 0)
+    def art(l1: String, extra: String = "") =
+      """{"metric":"total","value":9.9,"unit":"sec","reps":2,""" +
+        """"queries":{"q01_a":0.55,"q02_b":1.27,"q03_c":2.0},""" +
+        s""""r1":[550,1270,2000],"r2":[560,1280,2010],""" +
+        s""""ts1":[1,2,3],"ts2":[4,5,6],"l1":[$l1],"l2":[$l1],""" +
+        s""""errors":{},"flaky":{},"load":[0.5,0.7]$extra,"sf":"$sf"}"""
+    val settled = art("1.5,2.0,2.5")
+    // same gates/sf, new run noisier (p10 2.8 > 1.5): keep settled
+    assert(Bench.keepExistingArtifact(settled, sf, 3, 2.8, newWarn = false)
+      .isDefined)
+    // equal p10 also keeps the settled run (no-gain churn)
+    assert(Bench.keepExistingArtifact(settled, sf, 3, 1.5, newWarn = false)
+      .isDefined)
+    // strictly quieter refresh wins
+    assert(Bench.keepExistingArtifact(settled, sf, 3, 1.2, newWarn = false)
+      .isEmpty)
+    // a load_warn-stamped NEW run never replaces a settled artifact,
+    // even with a (necessarily meaningless) lower p10
+    assert(Bench.keepExistingArtifact(settled, sf, 3, 1.2, newWarn = true)
+      .isDefined)
+    // different gate count / different sf = a different measurement,
+    // not a refresh: never blocked
+    assert(Bench.keepExistingArtifact(settled, sf, 4, 9.9, newWarn = false)
+      .isEmpty)
+    assert(Bench.keepExistingArtifact(settled, "/root/testdata/sf0.01", 3,
+      9.9, newWarn = false).isEmpty)
+    // an existing artifact that itself ran contended is disqualified as
+    // a floor — any clean run replaces it
+    val warned = art("2.6,2.7,2.8", extra = ""","load_warn":true""")
+    assert(Bench.keepExistingArtifact(warned, sf, 3, 9.9, newWarn = false)
+      .isEmpty)
+    // junk / truncated / no-l1-evidence existing files never block
+    assert(Bench.keepExistingArtifact("", sf, 3, 1.0, newWarn = false).isEmpty)
+    assert(Bench.keepExistingArtifact("""{"queries":""", sf, 3, 1.0,
+      newWarn = false).isEmpty)
+    val noL1 = settled.replace(""""l1":[1.5,2.0,2.5],""", "")
+    assert(Bench.keepExistingArtifact(noL1, sf, 3, 9.9, newWarn = false)
+      .isEmpty)
+    // an errors string embedding "l1":[ must not shadow the real column:
+    // the parse takes the FIRST occurrence, which precedes errors
+    val errEmbed = settled.replace(""""errors":{}""",
+      """"errors":{"q50":"saw \"l1\":[9.9] in a log"}""")
+    assert(Bench.keepExistingArtifact(errEmbed, sf, 3, 2.8,
+      newWarn = false).isDefined)
+  }
+
   test("oracle column names match spark output column names") {
     // The driver sorts columns by name before hashing — a name mismatch
     // fails the gate even with identical values. Cheap static guard: every
