@@ -424,6 +424,19 @@ object Dedup {
       .withColumn("jaccard",
         round(HashExprs.sorted_jaccard(col("p_shh"), col("c_shh")), 3))
       .filter(col("jaccard") >= threshold)
+      // pair-grain dedup AFTER the verify (ADVICE r16): row-distinct
+      // above assumes every copy of a pair carries identical sketches,
+      // but lshIndexAppend does not guard against re-ingesting an
+      // existing id with different text — the layout then stores TWO
+      // shh versions for that id and the pair survives distinct() once
+      // per version, emitting duplicate rows with different jaccard.
+      // max(jaccard) restores the one-row-per-pair contract ("the best
+      // matching stored version") — a plain double max, so this
+      // HASH-aggregates (no immutable-buffer SortAggregate risk), and
+      // it runs on the already-thresholded pair set, the smallest
+      // frame in the function.
+      .groupBy(col("probe_id"), col("corpus_id"))
+      .agg(max(col("jaccard")).as("jaccard"))
       .select(col("probe_id"), col("corpus_id"), col("jaccard"))
   }
 

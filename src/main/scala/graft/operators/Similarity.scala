@@ -1196,10 +1196,20 @@ object Similarity {
       s"queryIds is the bounded eval batch (got ${queryIds.size})")
     require(k >= 1, s"k must be >= 1, got $k")
     val vq = vqProjected(corpus, idCol, embCol, model.quantScale)
+    // resolve ALL eval vectors in ONE bounded driver action (≤1000 rows
+    // by the batch require) and fail at contract level when any id is
+    // absent — per-id head() calls cost |queryIds| separate driver
+    // actions and surface a missing id as a bare NoSuchElementException
+    // mid-loop (ADVICE r16)
+    val qVecs = corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).cast("long").as("qid"),
+        col(embCol).cast("array<double>").as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val missing = queryIds.filterNot(qVecs.contains)
+    require(missing.isEmpty,
+      s"query ids not present in the corpus: ${missing.mkString(", ")}")
     val perQuery = queryIds.map { qid =>
-      val query = corpus.filter(col(idCol) === qid)
-        .select(col(embCol).cast("array<double>"))
-        .head().getSeq[Double](0)
+      val query = qVecs(qid)
       val qLit = array(query.map(x =>
         lit(math.round(x * model.quantScale))): _*)
       val exact = vq

@@ -671,6 +671,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("lshProbeIndex: divergent re-ingest still yields one row per pair") {
+    import spark.implicits._
+    // lshIndexAppend does not guard against re-ingesting an EXISTING id
+    // with different text — the layout then stores two sketch versions
+    // for that id, and both can collide with a probe. The probe contract
+    // is one row per (probe_id, corpus_id), verified once: the pair-grain
+    // max(jaccard) dedup (ADVICE r16) must collapse the versions to
+    // "the best matching stored version".
+    val docs = Tables(spark, TestSpark.sf, "documents")
+    val base = docs.filter($"doc_id" < 200)
+    val reId = 7L
+    val origText = base.filter($"doc_id" === reId)
+      .select($"text").head().getString(0)
+    val layout = graft.Scratch.dir("spec_lsh_reingest")
+    Dedup.lshIndexWrite(base, "doc_id", "text", layout)
+    // same id, slightly different text: near-identical shingle set, so
+    // the divergent version still lands in the probe's buckets
+    Dedup.lshIndexAppend(
+      Seq((reId, origText + " trailing divergence marker"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", layout)
+    // fixture is NOT vacuous: the layout holds two distinct sketch
+    // versions for the id, and they share at least one (band, bucket) —
+    // i.e. a probe matching one version really does see both
+    val buckets = spark.read.parquet(s"$layout/buckets")
+      .filter($"id" === reId)
+    assert(buckets.select(hash($"shh")).distinct().count() == 2L,
+      "re-ingest did not store a second sketch version")
+    val collide = buckets.alias("x").join(buckets.alias("y"),
+      col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+        hash(col("x.shh")) =!= hash(col("y.shh"))).count()
+    assert(collide > 0,
+      "fixture vacuous: divergent versions never share a band bucket")
+    val probe = Seq((999999L, origText)).toDF("doc_id", "text")
+    val got = Dedup.lshProbeIndex(spark, layout, probe, "doc_id", "text",
+        threshold = 0.8)
+      .as[(Long, Long, Double)].collect().filter(_._2 == reId)
+    assert(got.length == 1,
+      s"expected ONE row for the re-ingested pair, got ${got.toSeq}")
+    // max over the stored versions: the probe text equals the original
+    // version exactly, so the surviving jaccard is 1.0
+    assert(got.head._3 == 1.0, s"expected max jaccard 1.0, got ${got.head._3}")
+    Caches.sweep(spark)
+  }
+
   test("binarySimhashIndex: probe equals pairwise; append equals full build; guards") {
     import spark.implicits._
     import graft.operators.Multimodal
@@ -880,6 +925,14 @@ class PipelineOpsSpec extends AnyFunSuite {
       Similarity.ivfAdcRecallAtK(emb, Seq.empty, k = 10, nProbe = 4,
         centEvery = 25, model)
     }
+    // a query id absent from the corpus is a contract-level error named
+    // in ONE upfront resolve action (ADVICE r16) — not a bare
+    // NoSuchElementException halfway through per-id driver loops
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfAdcRecallAtK(emb, Seq(0L, -12345L), k = 10, nProbe = 4,
+        centEvery = 25, model)
+    }
+    assert(e.getMessage.contains("-12345"), e.getMessage)
     Caches.sweep(spark)
   }
 
