@@ -126,28 +126,46 @@ object Similarity {
     * engines, exact-match verifiable against the same construction in SQL.
     */
   /** Deterministic centroid subset (every `centEvery`-th vector). */
-  private def ivfCentroids(
+  private[graft] def ivfCentroids(
       corpus: DataFrame, centEvery: Int, idCol: String, embCol: String): DataFrame =
     corpus.filter(col(idCol) % centEvery === 0)
       .select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
 
   /** Cell assignment: per-vector argmax over the broadcast centroids via
     * the bounded-heap aggregate ([[graft.functions.TopKAgg]] at k=1 —
-    * same contract: highest score, ties to the smallest id), then ONE
-    * node-grain id join to re-attach the embedding.
+    * same contract: highest score, ties to the smallest id), with the
+    * embedding carried through the SAME aggregate via `first(n_emb)`.
     *
-    * NOT `max(struct(ccos, -c_id)) + first(n_emb)`: struct- and
-    * array-buffered declarative aggregates are immutable buffer types,
-    * so Spark plans a SortAggregate — a FULL SORT of the n·|cells|
-    * scored cross-join rows with the embedding payload carried through
+    * NOT `max(struct(ccos, -c_id)) + first(n_emb)`: an agg list of ONLY
+    * declarative immutable-buffer functions (struct-max, first over an
+    * array) plans a SortAggregate — a FULL SORT of the n·|cells| scored
+    * cross-join rows with the embedding payload carried through
     * (measured round 16 at sf1: 19.7s for the sort-agg formulation vs
     * 0.7s for the hash path on 16M scored rows). The heap buffer is a
-    * TypedImperativeAggregate, so the argmax OBJECT-HASH-aggregates
-    * map-side — only n (id, cell) rows reach the exchange, and the
-    * embedding never rides through the aggregate at all. */
+    * TypedImperativeAggregate, whose presence upgrades the WHOLE
+    * aggregate to ObjectHashAggregate — the argmax partial-aggregates
+    * map-side and the declarative first() rides along hashed (the
+    * ivfProbe mechanism, plan-pinned in ScaleSpec). */
   private def ivfAssign(
       corpus: DataFrame, cent: DataFrame,
-      idCol: String, embCol: String): DataFrame = {
+      idCol: String, embCol: String): DataFrame =
+    // SINGLE-SCAN CARRY is the measured winner (round-17 probe, see
+    // PERF_PROBE "ivfAssign carry vs id-join"): the join variant pays a
+    // second corpus scan plus BOTH-SIDES shuffle of an n-grain id join
+    // just to re-attach the embedding, while first(n_emb) beside the
+    // heap aggregate rides the SAME ObjectHashAggregate the argmax
+    // already forces (a TypedImperativeAggregate in the list upgrades
+    // the whole aggregate — the ivfProbe mechanism note) — so the carry
+    // keeps one scan and one exchange, and at 100 TB the avoided
+    // second scan is the dominant term.
+    ivfAssignVariant(corpus, cent, idCol, embCol, carryEmb = true)
+
+  /** Both formulations of the cell-assignment argmax, kept callable so
+    * the probe (and any future re-measurement) times them against each
+    * other on identical inputs; [[ivfAssign]] pins the winner. */
+  private[graft] def ivfAssignVariant(
+      corpus: DataFrame, cent: DataFrame,
+      idCol: String, embCol: String, carryEmb: Boolean): DataFrame = {
     val src = corpus.select(col(idCol).as("n_id"), col(embCol).as("n_emb"))
     // FANOUT-AWARE PARALLELISM: the |cells|-way broadcast cross join
     // multiplies per-row work by a factor that GROWS with the corpus
@@ -161,16 +179,32 @@ object Similarity {
     val para = corpus.sparkSession.sparkContext.defaultParallelism
     val fanned = if (src.rdd.getNumPartitions < para)
       src.repartition(para) else src
-    val best = fanned
+    val scored = fanned
       .crossJoin(broadcast(cent))
       .withColumn("ccos", round(cosine(col("n_emb"), col("c_emb")), 5))
-      .groupBy(col("n_id"))
-      .agg(graft.functions.TopKAgg.top_k_by(col("ccos"), col("c_id"), 1)
-        .as("tk"))
-      .select(col("n_id"), element_at(col("tk.id"), 1).as("c_id"))
-    corpus.select(col(idCol).as("n_id"), col(embCol).as("n_emb"))
-      .join(best, Seq("n_id"))
-      .select(col("n_id"), col("n_emb"), col("c_id"))
+    if (carryEmb) {
+      // one scan, one exchange: the embedding rides the hash aggregate
+      // beside the heap (safe from the SortAggregate trap — the
+      // TypedImperativeAggregate upgrades the aggregate to
+      // ObjectHashAggregate, plan-pinned in ScaleSpec)
+      scored
+        .groupBy(col("n_id"))
+        .agg(graft.functions.TopKAgg.top_k_by(col("ccos"), col("c_id"), 1)
+          .as("tk"), first(col("n_emb")).as("n_emb"))
+        .select(col("n_id"), col("n_emb"),
+          element_at(col("tk.id"), 1).as("c_id"))
+    } else {
+      // the round-16 formulation: slim argmax, then a second corpus
+      // scan + n-grain id join to re-attach the embedding
+      val best = scored
+        .groupBy(col("n_id"))
+        .agg(graft.functions.TopKAgg.top_k_by(col("ccos"), col("c_id"), 1)
+          .as("tk"))
+        .select(col("n_id"), element_at(col("tk.id"), 1).as("c_id"))
+      corpus.select(col(idCol).as("n_id"), col(embCol).as("n_emb"))
+        .join(best, Seq("n_id"))
+        .select(col("n_id"), col("n_emb"), col("c_id"))
+    }
   }
 
   /** Per-query probe cells: the `nProbe` nearest centroids. */
@@ -475,7 +509,19 @@ object Similarity {
     */
   def ivfCentroidsTrained(
       corpus: DataFrame, centEvery: Int, iters: Int = 3,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    // single-scan carry, the ivfAssign winner (round-17 probe): per
+    // Lloyd iteration the join variant re-scans the (unpersisted)
+    // corpus a second time and shuffles both sides of the n-grain id
+    // join; the carry pays one scan and one exchange
+    ivfCentroidsTrainedVariant(corpus, centEvery, iters, idCol, embCol,
+      carryEmb = true)
+
+  /** Both formulations of the Lloyd assignment step ([[ivfAssignVariant]]
+    * rationale), kept for the probe; the public method pins the winner. */
+  private[graft] def ivfCentroidsTrainedVariant(
+      corpus: DataFrame, centEvery: Int, iters: Int,
+      idCol: String, embCol: String, carryEmb: Boolean): DataFrame = {
     val c0 = corpus.select(col(idCol).as("n_id"),
       col(embCol).cast("array<double>").as("n_emb"))
     // fanout-aware parallelism + heap-aggregate argmax: the ivfAssign
@@ -487,14 +533,21 @@ object Similarity {
     var cent = ivfCentroids(corpus, centEvery, idCol, embCol)
       .select(col("c_id"), col("c_emb").cast("array<double>").as("c_emb"))
     for (_ <- 1 to iters) {
-      val best = c.crossJoin(broadcast(cent))
+      val scored = c.crossJoin(broadcast(cent))
         .withColumn("ccos", cosine(col("n_emb"), col("c_emb")))
-        .groupBy(col("n_id"))
-        .agg(graft.functions.TopKAgg.top_k_by(col("ccos"), col("c_id"), 1)
-          .as("tk"))
-        .select(col("n_id"), element_at(col("tk.id"), 1).as("c_id"))
-      val assigned = c.join(best, Seq("n_id"))
-        .select(col("c_id"), col("n_emb"))
+      val assigned = if (carryEmb)
+        scored.groupBy(col("n_id"))
+          .agg(graft.functions.TopKAgg.top_k_by(col("ccos"), col("c_id"), 1)
+            .as("tk"), first(col("n_emb")).as("n_emb"))
+          .select(element_at(col("tk.id"), 1).as("c_id"), col("n_emb"))
+      else {
+        val best = scored.groupBy(col("n_id"))
+          .agg(graft.functions.TopKAgg.top_k_by(col("ccos"), col("c_id"), 1)
+            .as("tk"))
+          .select(col("n_id"), element_at(col("tk.id"), 1).as("c_id"))
+        c.join(best, Seq("n_id"))
+          .select(col("c_id"), col("n_emb"))
+      }
       // per-(cell, dim) mean — partial-aggregated map-side, so the
       // exchange carries |cent|·d rows, not n·d
       val updated = assigned
@@ -810,7 +863,18 @@ object Similarity {
     */
   def pqTrain(emb: DataFrame, idCol: String = "vec_id",
       embCol: String = "embedding", m: Int = 4, k: Int = 8,
-      iters: Int = 1, quantScale: Long = 1000L): PqModel = {
+      iters: Int = 1, quantScale: Long = 1000L): PqModel =
+    // single-scan carry of the subvector through the argmin aggregate —
+    // the ivfAssign winner (round-17 probe); the join variant re-read
+    // the persisted subs and shuffled both sides at (id, sub) grain
+    pqTrainVariant(emb, idCol, embCol, m, k, iters, quantScale,
+      carryX = true)
+
+  /** Both formulations of the Lloyd assignment step, kept for the probe
+    * ([[ivfAssignVariant]] rationale); [[pqTrain]] pins the winner. */
+  private[graft] def pqTrainVariant(emb: DataFrame, idCol: String,
+      embCol: String, m: Int, k: Int,
+      iters: Int, quantScale: Long, carryX: Boolean): PqModel = {
     require(m >= 1 && k >= 1 && iters >= 0, s"bad pq params m=$m k=$k")
     val vq0 = vqProjected(emb, idCol, embCol, quantScale)
     // fanout-aware parallelism (the ivfAssign rationale): the m-way
@@ -847,20 +911,30 @@ object Similarity {
         // argmin over the broadcast codebook via the bounded-heap
         // aggregate (min ld = max -ld, ties to the smallest code — the
         // exact min(struct(ld, code)) contract; -ld is exact in double,
-        // |ld| << 2^53), then ONE (id, sub)-grain join back to the
-        // persisted subs for the subvector. The struct-min + first(x)
+        // |ld| << 2^53). The PURELY-declarative struct-min + first(x)
         // formulation forced a SortAggregate over the n·m·k scored rows
-        // with the subvector payload carried through (the ivfAssign
-        // finding, round 16).
-        val best = subs.join(broadcast(cents), Seq("sub"))
+        // (the ivfAssign finding, round 16); with the heap
+        // TypedImperativeAggregate in the list the whole aggregate is
+        // ObjectHashAggregate, so carrying first(x) beside it is the
+        // hash path — and skips the (id, sub)-grain join back to subs.
+        val scored = subs.join(broadcast(cents), Seq("sub"))
           .withColumn("ld", sqDist(col("x"), col("c")))
-          .groupBy(col("id"), col("sub"))
-          .agg(graft.functions.TopKAgg.top_k_by(
-            -col("ld").cast("double"), col("code").cast("long"), 1).as("tk"))
-          .select(col("id"), col("sub"),
-            element_at(col("tk.id"), 1).cast("int").as("code"))
-        val assigned = subs.join(best, Seq("id", "sub"))
-          .select(col("sub"), col("code"), col("x"))
+        val assigned = if (carryX)
+          scored.groupBy(col("id"), col("sub"))
+            .agg(graft.functions.TopKAgg.top_k_by(
+              -col("ld").cast("double"), col("code").cast("long"), 1)
+              .as("tk"), first(col("x")).as("x"))
+            .select(col("sub"),
+              element_at(col("tk.id"), 1).cast("int").as("code"), col("x"))
+        else {
+          val best = scored.groupBy(col("id"), col("sub"))
+            .agg(graft.functions.TopKAgg.top_k_by(
+              -col("ld").cast("double"), col("code").cast("long"), 1).as("tk"))
+            .select(col("id"), col("sub"),
+              element_at(col("tk.id"), 1).cast("int").as("code"))
+          subs.join(best, Seq("id", "sub"))
+            .select(col("sub"), col("code"), col("x"))
+        }
         val updated = assigned
           .select(col("sub"), col("code"), posexplode(col("x")).as(Seq("pos", "v")))
           .groupBy(col("sub"), col("code"), col("pos"))

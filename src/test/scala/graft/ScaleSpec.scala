@@ -1313,6 +1313,42 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfAssign carry: one fewer corpus scan, no n-grain re-attach join") {
+    // round-17 pin (verdict #2): the argmax payload rides first(n_emb)
+    // through the ObjectHashAggregate instead of a second corpus scan +
+    // n-grain id join. Measured (PERF_PROBE "ivfAssign carry vs
+    // id-join"): within noise at probe sizes, but the join variant's
+    // extra scan and both-sides shuffle grow with the corpus — and its
+    // probe-scale broadcast re-attach regime ceases to exist at
+    // production n. This pin keeps the structure from regressing.
+    import graft.operators.Similarity
+    val emb = Tables(spark, sf, "embeddings")
+    val cent = Similarity.ivfCentroids(emb, 25, "vec_id", "embedding")
+    def audit(carry: Boolean): (Int, Int) = {
+      val df = Similarity.ivfAssignVariant(
+        emb, cent, "vec_id", "embedding", carryEmb = carry)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val scans = collectAll(plan) { case s: FileSourceScanExec => s }.size
+      // the broadcast crossJoin against the centroid subset is expected;
+      // the n-grain equi-join on n_id is what the carry removes
+      val reattach = collectAll(plan) {
+        case p if p.nodeName.contains("Join") &&
+          !p.nodeName.contains("NestedLoop") => p.nodeName
+      }.size
+      (scans, reattach)
+    }
+    val (carryScans, carryJoins) = audit(carry = true)
+    val (joinScans, joinJoins) = audit(carry = false)
+    // both variants scan the corpus for src + the centroid subset; the
+    // join variant adds a THIRD scan for the re-attach
+    assert(carryScans == joinScans - 1,
+      s"carry=$carryScans join=$joinScans scans")
+    assert(carryJoins == 0, s"carry plan kept a re-attach join")
+    assert(joinJoins >= 1, "join variant lost its join? pin is stale")
+    Caches.sweep(spark)
+  }
+
   test("scc labels leave as self-contained checkpoints: no joins, no exchanges") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
