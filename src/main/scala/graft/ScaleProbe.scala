@@ -182,24 +182,23 @@ object ScaleProbe {
         .filter(col("dist") <= 2)
         .select(col("id_a"), col("id_b"), col("dist"))
     }),
-    "x_s17_fixed_cells" -> ((s: SparkSession, dir: String) => {
-      // s17's gate keeps the oracle-replayable modulo construction
-      // (centEvery=25 ⇒ CELL COUNT GROWS WITH THE CORPUS, so inline
-      // assignment is |corpus|·|cells| = quadratic — measured, see the
-      // notes); this probe applies the production cell-count rule
-      // (FIX the cell count — the FAISS √n-to-constant guidance) by
-      // scaling centEvery with the corpus: ~240 cells at every SF,
-      // assignment back to one linear broadcast pass
+    "x_s17_modulo_cells" -> ((s: SparkSession, dir: String) => {
+      // the RETIRED s17 gate fixture (round-17 re-scope, verdict #3):
+      // centEvery FIXED at 25 ⇒ the cell count grows with the corpus,
+      // so inline assignment is |corpus|·|cells| = quadratic — kept
+      // here as the measured anti-pattern counterexample (the
+      // x_q84_lengthband precedent). The gate now runs the production
+      // pinned-cell-count rule (centEvery = max(25, n/240) — ~240
+      // cells at every SF, assignment one linear broadcast pass),
+      // with its DuckDB oracle computing the same expression.
       val emb = Tables(s, dir, "embeddings")
-      val n = emb.count()
-      val centEvery = math.max(25L, n / 240L).toInt
       val model = graft.operators.Similarity.pqTrain(
         emb, "vec_id", "embedding", m = 4, k = 4, iters = 1)
       val query = emb.filter(col("vec_id") === 0L)
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0)
       graft.operators.Similarity.ivfAdcTopK(emb, "vec_id", "embedding",
-        model, query, kNN = 10, nProbe = 2, centEvery = centEvery)
+        model, query, kNN = 10, nProbe = 2, centEvery = 25)
     }),
     "x_q161_distributed_growing" -> ((s: SparkSession, dir: String) => {
       val edges = Tables(s, dir, "lineitem")
@@ -300,6 +299,31 @@ object ScaleProbe {
       (name, s01, r01, s1, r1, s1 / s01)
     }
 
+    // s19's recall floor as MEASURED EVIDENCE across SFs (round-16
+    // verdict #6): the gate asserts per-query recall@10 >= 0.2 at the
+    // gated SF; this block runs the SAME fraction-pinned config
+    // (m=8 k=16, nProbe = max(4, cells/6), centEvery=25) at every SF so
+    // the floor's margin at the bench and probe scales is a measured
+    // curve in the artifact, not a comment.
+    val recallDirs = (if (new java.io.File("/root/testdata/sf0.01")
+        .isDirectory) Seq("sf0.01" -> "/root/testdata/sf0.01") else Nil) ++
+      Seq("sf0.1" -> srcDir, "sf1" -> outDir)
+    val recallRows = recallDirs.map { case (sf, dir) =>
+      val emb = Tables(spark, dir, "embeddings")
+      val model = graft.operators.Similarity.pqTrain(
+        emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+      val nCells = emb.filter(col("vec_id") % 25 === 0).count()
+      val recalls = graft.operators.Similarity.ivfAdcRecallAtK(
+          emb, Seq(0L, 1L, 2L), k = 10,
+          nProbe = math.max(4L, nCells / 6).toInt, centEvery = 25,
+          model, recallFloor = 0.2)
+        .orderBy(col("q_id")).select(col("recall"))
+        .collect().map(_.getDouble(0)).toSeq
+      Caches.sweep(spark)
+      println(f"[scale] s19 recall@10 $sf%-7s ${recalls.mkString(", ")}")
+      (sf, recalls)
+    }
+
     val sb = new StringBuilder
     sb.append("\n## Scale probe: sf0.1 → sf1 (measured, not extrapolated)\n\n")
     sb.append(s"Generated by `graft.ScaleProbe`: sf1 = 10 key-disjoint\n")
@@ -317,6 +341,22 @@ object ScaleProbe {
     sb.append("|---|---|---|---|---|---|\n")
     rows.foreach { case (n, s01, r01, s1, r1, ratio) =>
       sb.append(f"| $n | $s01%.2f | $r01 | $s1%.2f | $r1 | $ratio%.2fx |\n")
+    }
+    sb.append("\n### s19 recall@10 vs SF (fraction-pinned nProbe, measured)\n\n")
+    sb.append("The gate's 0.2 floor, priced at every scale with the gate's\n")
+    sb.append("own config (m=8 k=16, nProbe = max(4, cells/6), centEvery=25,\n")
+    sb.append("query ids 0/1/2). ADC distractor mass grows with the corpus\n")
+    sb.append("at a fixed code budget, so recall declines with SF — the\n")
+    sb.append("honest fixed-budget behavior; the floor is set at the\n")
+    sb.append("operating point of the LARGEST measured scale, so a config\n")
+    sb.append("change that degrades the stack fails the gate before the\n")
+    sb.append("margin is gone. Production recall levers (exact rerank of\n")
+    sb.append("the shortlist, trained cells) are gated separately.\n\n")
+    sb.append("| sf | per-query recall@10 | min | >= 0.2 floor |\n")
+    sb.append("|---|---|---|---|\n")
+    recallRows.foreach { case (sf, rs) =>
+      sb.append(f"| $sf | ${rs.mkString(", ")} | ${rs.min}%.2f | ${
+        if (rs.min >= 0.2) "yes" else "NO"} |\n")
     }
     sb.append(
       """
@@ -463,26 +503,32 @@ object ScaleProbe {
         |  assignment and pqTrain's Lloyd argmin now ride the
         |  bounded-heap TypedImperativeAggregate (TopKAgg k=1 —
         |  ObjectHashAggregate, identical argmax/argmin + tiebreak
-        |  semantics, every gate hash-identical) with a node-grain id
-        |  join re-attaching the payload. (2) A MB-scale corpus file
+        |  semantics, every gate hash-identical) with the payload
+        |  carried through the same aggregate via first() (round-17:
+        |  the id-join re-attach was measured against the carry and
+        |  retired — see PERF_PROBE "ivfAssign carry vs id-join"). (2) A MB-scale corpus file
         |  arrives as 1-2 parquet splits, and the |cells|-way fanout
         |  multiplied n·|cells| cosine evaluations onto one thread —
         |  ivfAssign/pqTrain now repartition up to the session
         |  parallelism ONLY when the scan is narrower than the core
         |  count (no-op at 100 TB partition counts). Post-fix: s17
-        |  ~4.4s and s03 1.6s at sf1 (from 27s/24s). What REMAINS at
-        |  fixed centEvery is the honest O(n·|cells|) = O(n²/25)
-        |  arithmetic of the modulo cell construction the DuckDB
-        |  oracles replay verbatim across s03/s04/s16-s19 — cheap at
-        |  these SFs once parallel, but quadratic in principle; the
-        |  two production answers are measured in the next two rows.
-        |- **x_s17_fixed_cells is s17 under the production cell-count
-        |  rule** (probe-only): centEvery scales with the corpus so the
-        |  cell count PINS (~240 at every SF — the FAISS guidance), and
-        |  assignment is one linear broadcast pass; with s18 (assignment
-        |  paid once in the persisted layout, serving reads only probed
-        |  code partitions) these are the two ways the quadratic term
-        |  never reaches production.
+        |  ~4.4s and s03 1.6s at sf1 (from 27s/24s).
+        |- **s17's gate now RUNS the production cell-count rule**
+        |  (round-17 re-scope, verdict #3): centEvery = max(25, n/240)
+        |  pins the cell count at ~240 (the FAISS √n-to-constant
+        |  guidance) so inline assignment stays ONE linear broadcast
+        |  pass at every SF, and the DuckDB oracle computes the same
+        |  greatest(25, count/240) expression — gate and replay stay
+        |  locked. At sf0.1 and below the rule floors at centEvery=25,
+        |  so bench numbers are unchanged.
+        |- **x_s17_modulo_cells is the RETIRED fixture kept as the
+        |  measured anti-pattern** (probe-only, the x_q84 precedent):
+        |  centEvery fixed at 25 ⇒ cells = corpus/25 grow with the
+        |  corpus, making inline assignment O(n·|cells|) = O(n²/25) —
+        |  cheap at probe SFs once parallel, quadratic in principle.
+        |  The sibling production answer is s18: assignment paid once
+        |  in the persisted layout, serving reads only probed code
+        |  partitions.
         |- **s18 (persisted IVFADC) serves from the layout**: codes
         |  partitioned by cell + centroids + codebook pre-build
         |  untimed per SF; the timed probe ranks the centroid table
@@ -492,7 +538,7 @@ object ScaleProbe {
         |  2 probed cells hold ~50 codes at every SF); the part that
         |  grows 10x is the centroid table itself (cells = corpus/25)
         |  — still kB-scale here, and pinned too once the cell COUNT
-        |  is pinned (the x_s17_fixed_cells construction). Sub-second
+        |  is pinned (the rule the s17 gate now runs). Sub-second
         |  to ~2s absolute; the build-once contract on the quantized
         |  path, with the growth term named.
         |- **s19 (IVFADC recall) is three brute-force evals plus

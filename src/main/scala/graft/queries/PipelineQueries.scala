@@ -1213,23 +1213,37 @@ object PipelineQueries {
 
     // ---- IVFADC (s17): the COMPOSED billion-scale serving layout
     //      (Jégou et al. TPAMI 2011 §VII — the FAISS IVFADC shape):
-    //      IVF cells prune the corpus to the query's 2 nearest cells
-    //      (s03's modulo-centroid construction), then ADC scores ONLY
-    //      those cells' members through their PQ codes (s12's
-    //      exact-long codebook/LUT). Each parent gate carries one half
-    //      of the trick; production ANN runs both at once. The oracle
-    //      composes both parents' replays: cell assignment + probe, PQ
-    //      train + encode restricted to the probed members, LUT sum. ----
+    //      IVF cells prune the corpus to the query's 2 nearest cells,
+    //      then ADC scores ONLY those cells' members through their PQ
+    //      codes (s12's exact-long codebook/LUT). Each parent gate
+    //      carries one half of the trick; production ANN runs both at
+    //      once. RE-SCOPED round 17 (verdict #3, the q84/m08
+    //      precedent): the gate now runs the PINNED-CELL-COUNT rule —
+    //      centEvery scales with the corpus so the cell count stays
+    //      ~240 (the FAISS sqrt(n)-to-constant guidance), keeping
+    //      inline assignment one linear broadcast pass at every SF.
+    //      The retired fixed-centEvery fixture (cell count grows with
+    //      the corpus ⇒ |corpus|·|cells| quadratic assignment) lives
+    //      on as the x_s17_modulo_cells ScaleProbe anti-pattern row.
+    //      At the gate SF (500 vectors) the rule floors at
+    //      centEvery=25, and the oracle computes the SAME expression
+    //      (greatest(25, count/240)), so gate and replay stay locked
+    //      at every SF. The oracle composes both parents' replays:
+    //      cell assignment + probe, PQ train + encode restricted to
+    //      the probed members, LUT sum. ----
     Q("s17_ivf_adc",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
+        // one bounded driver action prices the production rule (the
+        // s19 nProbe-fraction precedent)
+        val centEvery = math.max(25L, emb.count() / 240L).toInt
         val model = graft.operators.Similarity.pqTrain(
           emb, "vec_id", "embedding", m = 4, k = 4, iters = 1)
         val query = emb.filter(col("vec_id") === 0L)
           .select(col("embedding").cast("array<double>"))
           .head().getSeq[Double](0)
         graft.operators.Similarity.ivfAdcTopK(emb, "vec_id", "embedding",
-            model, query, kNN = 10, nProbe = 2, centEvery = 25)
+            model, query, kNN = 10, nProbe = 2, centEvery = centEvery)
           .select(col("id").as("vec_id"), col("adc"))
       },
       Some("""WITH vq AS (
@@ -1238,7 +1252,9 @@ object PipelineQueries {
              |  FROM embeddings),
              |cent AS (
              |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
-             |  FROM embeddings WHERE vec_id % 25 = 0),
+             |  FROM embeddings
+             |  WHERE vec_id % (SELECT greatest(25, count(*) // 240)
+             |                 FROM embeddings) = 0),
              |assign AS (
              |  SELECT n_id, c_id FROM (
              |    SELECT e.vec_id AS n_id, c_id,
