@@ -408,6 +408,70 @@ object LineageQueries {
              |  ('p_us', 'events', 'ts'),
              |  ('user_id', 'events', 'user_id'))
              |  AS t(out_col, src_table, src_col)
+             |ORDER BY out_col, src_table, src_col""".stripMargin)),
+
+    // lineage for a PERSISTED-LAYOUT BUILD (round-16 verdict #5): the 14
+    // layout builders write parquet through df.write like any sink, but
+    // no gate pinned that a BUILD's report carries (a) the output
+    // directory entity with its scheme (the reference DirectoryDef,
+    // DirectoryDef.scala:3-8) and (b) attribute lineage INTO the
+    // layout's own columns — a write command's `output` is empty, so the
+    // chase must route through the command's query child
+    // (Extract.report). Built here: the LSH layout — its bucket rows'
+    // sketch/band/bucket/partition columns all derive from the corpus
+    // text, the id column from the corpus id; a report that lost the
+    // command-query routing would return NO column rows and fail the
+    // gate loudly (the require).
+    Q("lx16_lineage_layout_build",
+      (s, dir) => {
+        import graft.lineage._
+        val docs = Tables(s, dir, "documents").filter(col("doc_id") < 100)
+        val tmp = graft.Scratch.dir("graft_lx16_layout")
+        // fresh build EVERY call: the layout is ident-keyed, so a repeat
+        // run in the same scratch (bench reps, full-suite sweeps) would
+        // ident-hit, skip the write, and starve the listener — the gate
+        // pins the WRITE's lineage, so the write must happen
+        val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+        val fs = tmpPath.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+        val listener = LineageListener.install(s)
+        val reports = try {
+          graft.operators.Dedup.lshIndexWrite(docs, "doc_id", "text", tmp,
+            k = 8, bands = 2, nParts = 8)
+          val deadline = System.currentTimeMillis() + 15000
+          while (!listener.reports.exists(
+              _._2.outputs.exists(_.contains("graft_lx16"))) &&
+            System.currentTimeMillis() < deadline) Thread.sleep(50)
+          listener.reports
+            .filter(_._2.outputs.exists(_.contains("graft_lx16")))
+        } finally s.listenerManager.unregister(listener)
+        require(reports.nonEmpty, "listener observed no layout-build write")
+        val rep = reports.head._2
+        require(rep.columnLineage.nonEmpty,
+          "layout-build report carried no column lineage")
+        // directory entity: register the observed report, read back the
+        // sink's (name, scheme, isLocal) — the DirectoryDef analog
+        val reg = new MetadataRegistry
+        reg.add(rep)
+        val sinkRows = reg.snapshot.filter(_.format == "sink")
+          .map(m => ("_sink", m.name, m.scheme + "/" + m.isLocal))
+        val colRows = rep.columnLineage.toSeq.flatMap { case (out, refs) =>
+          refs.toSeq.map(r => (out, r.table, r.column))
+        }
+        val inRows = rep.inputs.map(m => ("_input", m.name, ""))
+        s.createDataFrame(colRows ++ inRows ++ sinkRows)
+          .toDF("out_col", "src_table", "src_col")
+          .orderBy("out_col", "src_table", "src_col")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('_input', 'documents', ''),
+             |  ('_sink', 'buckets', 'file/true'),
+             |  ('band', 'documents', 'text'),
+             |  ('bucket', 'documents', 'text'),
+             |  ('id', 'documents', 'doc_id'),
+             |  ('part', 'documents', 'text'),
+             |  ('shh', 'documents', 'text'))
+             |  AS t(out_col, src_table, src_col)
              |ORDER BY out_col, src_table, src_col""".stripMargin))
   )
 }

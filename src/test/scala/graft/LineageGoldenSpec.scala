@@ -26,6 +26,43 @@ class LineageGoldenSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("layout-build write report maps the layout's columns (lx16 twin)") {
+    // round-16 verdict #5: a persisted-layout build is a write command,
+    // whose plan `output` is empty — the extractor must chase column
+    // lineage through the command's QUERY child or the report carries
+    // inputs/outputs but no column mapping. Pins the listener-observed
+    // LSH build: every bucket-row column maps back to the corpus.
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 100)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_lx16_spec").toString + "/layout"
+    val listener = LineageListener.install(spark)
+    try {
+      graft.operators.Dedup.lshIndexWrite(docs, "doc_id", "text", tmp,
+        k = 8, bands = 2, nParts = 8)
+      val deadline = System.currentTimeMillis() + 15000
+      while (!listener.reports.exists(
+          _._2.outputs.exists(_.contains("graft_lx16_spec"))) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val rep = listener.reports
+        .filter(_._2.outputs.exists(_.contains("graft_lx16_spec")))
+        .map(_._2).headOption
+        .getOrElse(fail("listener observed no layout-build write"))
+      // output directory entity (DirectoryDef analog) with its scheme
+      assert(rep.outputs.exists(o =>
+        o.startsWith("file:") && o.endsWith("/buckets")), rep.outputs)
+      val sink = listener.registry.snapshot.filter(_.format == "sink")
+        .find(_.name == "buckets")
+        .getOrElse(fail("registry holds no buckets sink entity"))
+      assert(sink.scheme == "file" && sink.isLocal)
+      // attribute lineage INTO the layout's columns
+      assert(rep.columnLineage("id") == Set(ColumnRef("documents", "doc_id")))
+      for (c <- Seq("band", "bucket", "shh", "part"))
+        assert(rep.columnLineage(c) == Set(ColumnRef("documents", "text")),
+          s"column $c")
+      assert(rep.inputs.map(_.name) == Seq("documents"))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("lineage flows through a Scala UDF generically (SURVEY §2.6)") {
     import spark.implicits._
     val double_it = udf((x: Double) => x * 2)
