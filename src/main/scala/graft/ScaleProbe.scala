@@ -245,6 +245,82 @@ object ScaleProbe {
     * bar reports its one-time build cost as if it were the steady
     * state (m09's sf1 build over the full 10x corpus did exactly
     * that). */
+  /** Streaming STATE ladder (round-16 verdict #4): x_st07_state_10x
+    * proved a 10x state step is absorbed invisibly at probe sizes; this
+    * block measures where state-store cost BECOMES visible and its
+    * slope from there. Design isolates state from scan: one 100-replica
+    * events table (10M rows, built once under ident) is scanned IN FULL
+    * by every rung, while the replica-spanning predicate
+    * `user_id % 10M < thr` admits 1x / 10x / 100x of the gate's state
+    * (thr 5 / 50 / 500 — the same per-replica user slice at every
+    * rung, so per-key window density is constant and only the KEY COUNT
+    * scales). AvailableNow over the single file is one microbatch, so
+    * the interval join's peak state is exactly the admitted rows.
+    * @return (thr, outRows, bestSec) per rung. */
+  private def stateLadder(spark: SparkSession, srcDir: String,
+      outDir: String): Seq[(Long, Long, Double)] = {
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StreamOps
+    val dir = s"$outDir/state100x"
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val ident = "graft-state100x-v1 reps=100 src=" +
+      Tables.contentKey(s"$srcDir/events.parquet")
+    val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
+    val identMatches = fs.exists(identPath) && {
+      val in = fs.open(identPath)
+      try new String(in.readAllBytes(), "UTF-8") == ident
+      finally in.close()
+    }
+    if (!identMatches) {
+      if (fs.exists(path)) fs.delete(path, true)
+      val src = Tables(spark, srcDir, "events")
+      val tmp = s"$dir/_tmp_events"
+      (0 until 100).map { r =>
+        src.withColumn("event_id", col("event_id") + lit(r * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(r * 10000000L))
+      }.reduce(_ unionByName _)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(p => p.getName.startsWith("part-") &&
+          p.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      val out = fs.create(identPath, true)
+      try out.write(ident.getBytes("UTF-8")) finally out.close()
+    }
+    Seq(5L, 50L, 500L).map { thr =>
+      var best = Double.MaxValue
+      var n = 0L
+      for (_ <- 1 to 2) {
+        Caches.sweep(spark)
+        val t0 = System.nanoTime()
+        val ev = StreamOps.readEvents(spark, dir)
+          .filter(pmod(col("user_id"), lit(10000000L)) < thr)
+        val pu = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "2 hours")
+        val cl = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+        val joined = pu.join(cl,
+          pu("user_id") === cl("c_user") &&
+            cl("c_ts") >= pu("p_ts") - expr("INTERVAL 1 HOUR") &&
+            cl("c_ts") <= pu("p_ts"),
+          "left_outer")
+        n = StreamOps.runToMemory(spark, joined, s"x_state_ladder_$thr",
+          OutputMode.Append()).count()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      Caches.sweep(spark)
+      println(f"[scale] state ladder thr=$thr%-4d $best%6.2fs ($n rows)")
+      (thr, n, best)
+    }
+  }
+
   private def timeFn(spark: SparkSession,
       fn: (SparkSession, String) => DataFrame, dir: String,
       preBuild: Boolean): (Double, Long, Int) = {
@@ -324,6 +400,8 @@ object ScaleProbe {
       (sf, recalls)
     }
 
+    val ladder = stateLadder(spark, srcDir, outDir)
+
     val sb = new StringBuilder
     sb.append("\n## Scale probe: sf0.1 → sf1 (measured, not extrapolated)\n\n")
     sb.append(s"Generated by `graft.ScaleProbe`: sf1 = 10 key-disjoint\n")
@@ -357,6 +435,50 @@ object ScaleProbe {
     recallRows.foreach { case (sf, rs) =>
       sb.append(f"| $sf | ${rs.mkString(", ")} | ${rs.min}%.2f | ${
         if (rs.min >= 0.2) "yes" else "NO"} |\n")
+    }
+    sb.append("\n### Streaming state ladder: 1x / 10x / 100x state, constant scan\n\n")
+    sb.append("x_st07_state_10x bounded a 10x state step (invisible at probe\n")
+    sb.append("sizes); this ladder measures where state-store cost becomes\n")
+    sb.append("VISIBLE and its slope. Every rung scans the SAME 100-replica\n")
+    sb.append("events table (10M rows, one microbatch) in full — only the\n")
+    sb.append("replica-spanning predicate changes, so wall differences are\n")
+    sb.append("state cost, not scan cost. Per-key window density is constant\n")
+    sb.append("(the same per-replica user slice at every rung); only the key\n")
+    sb.append("count scales. Peak state = the admitted rows (single batch:\n")
+    sb.append("the watermark advances only at batch end).\n\n")
+    sb.append("| thr (users) | state scale | out rows | best s |\n")
+    sb.append("|---|---|---|---|\n")
+    val scaleNames = Seq("1x (gate-sized)", "10x", "100x")
+    ladder.zip(scaleNames).foreach { case ((thr, n, sec), nm) =>
+      sb.append(f"| $thr (${thr * 100}) | $nm | $n | $sec%.2f |\n")
+    }
+    (ladder.headOption, ladder.lastOption) match {
+      case (Some((_, n1, s1)), Some((_, n100, s100))) if n100 > n1 =>
+        // the VISIBLE point: first rung whose wall exceeds the 1x rung
+        // by >20% (beyond best-of-2 run noise on an identical scan)
+        val visible = ladder.zip(scaleNames)
+          .find { case ((_, _, sec), _) => sec > s1 * 1.2 }
+        sb.append(f"\nMeasured reading: the 100x rung costs ${s100 / s1}%.2fx the\n")
+        sb.append("1x rung on an identical scan. ")
+        visible match {
+          case Some((_, nm)) =>
+            sb.append(f"State-store cost becomes VISIBLE (>1.2x the 1x\n")
+            sb.append(f"rung) at the $nm rung; the growth slope from the 1x rung is\n")
+            sb.append(f"${(s100 - s1) / (n100 - n1) * 1e6}%.1f us per state/output row (join buffering +\n")
+            sb.append("eviction + emit, amortized over the 100x step). On a cluster\n")
+            sb.append("the signal at that point is to raise the stateful operator's\n")
+            sb.append("shuffle partitions (runToMemory pins 4 here) and move the\n")
+            sb.append("state store to RocksDB — the knobs exist precisely because\n")
+            sb.append("this term eventually wins.\n")
+          case None =>
+            sb.append(f"Even 100x state stays within 20%% of the 1x wall —\n")
+            sb.append(f"the marginal cost, ${(s100 - s1) / (n100 - n1) * 1e6}%.1f us per state/output row, is\n")
+            sb.append("still below the microbatch's fixed cost at these absolute\n")
+            sb.append("sizes; the slope is the number to extrapolate, and it says\n")
+            sb.append("state wins roughly another 1-2 orders of magnitude out,\n")
+            sb.append("where the shuffle-partition and RocksDB knobs take over.\n")
+        }
+      case _ => ()
     }
     sb.append(
       """
