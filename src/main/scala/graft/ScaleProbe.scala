@@ -423,13 +423,21 @@ object ScaleProbe {
     sb.append("\n### s19 recall@10 vs SF (fraction-pinned nProbe, measured)\n\n")
     sb.append("The gate's 0.2 floor, priced at every scale with the gate's\n")
     sb.append("own config (m=8 k=16, nProbe = max(4, cells/6), centEvery=25,\n")
-    sb.append("query ids 0/1/2). ADC distractor mass grows with the corpus\n")
-    sb.append("at a fixed code budget, so recall declines with SF — the\n")
-    sb.append("honest fixed-budget behavior; the floor is set at the\n")
-    sb.append("operating point of the LARGEST measured scale, so a config\n")
+    sb.append("query ids 0/1/2). On the ORGANIC corpus (sf0.01 -> sf0.1), ADC\n")
+    sb.append("distractor mass grows with the corpus at a fixed code budget\n")
+    sb.append("and recall declines — the honest fixed-budget behavior; the\n")
+    sb.append("floor sits at the largest ORGANIC operating point, so a config\n")
     sb.append("change that degrades the stack fails the gate before the\n")
-    sb.append("margin is gone. Production recall levers (exact rerank of\n")
-    sb.append("the shortlist, trained cells) are gated separately.\n\n")
+    sb.append("margin is gone. The sf1 row saturating at 1.0 is a REPLICA\n")
+    sb.append("ARTIFACT, read accordingly: sf1 embeddings are 10 jittered\n")
+    sb.append("(+/-0.1) key-disjoint copies, so each query's TRUE quantized-L2\n")
+    sb.append("top-10 becomes its own clone cluster — which shares the\n")
+    sb.append("query's probed cells and outranks every distractor through\n")
+    sb.append("ADC despite code distortion. It measures that the stack\n")
+    sb.append("finds strong true neighbors perfectly when they exist; the\n")
+    sb.append("distractor-regime claim rests on the organic rows.\n")
+    sb.append("Production recall levers (exact rerank of the shortlist,\n")
+    sb.append("trained cells) are gated separately.\n\n")
     sb.append("| sf | per-query recall@10 | min | >= 0.2 floor |\n")
     sb.append("|---|---|---|---|\n")
     recallRows.foreach { case (sf, rs) =>
