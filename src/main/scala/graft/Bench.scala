@@ -204,8 +204,8 @@ object Bench {
     val tailIdx = t.lastIndexOf("\"load\":[")
     val tail = if (tailIdx < 0) "" else t.substring(tailIdx)
     if (!tail.endsWith(s""""sf":"$sfDir"}""")) None // different sf
-    else if (tail.contains("\"load_warn\":true")) None // contended: replace
     else {
+      val existWarn = tail.contains("\"load_warn\":true")
       val qStart = t.indexOf("\"queries\":{")
       val qEnd = if (qStart < 0) -1 else t.indexOf("}", qStart)
       val gates = if (qEnd < 0) -1
@@ -225,15 +225,24 @@ object Bench {
         if (l1.isEmpty) None // no load evidence: replacement is upgrade
         else {
           val oldP10 = l1(l1.size / 10)
-          if (newWarn)
-            Some(f"new run is load_warn-stamped; settled artifact " +
-              f"(l1 p10 $oldP10%.2f) kept")
-          else if (newP10 >= 0 && oldP10 <= newP10)
-            Some(f"existing artifact is at least as quiet " +
-              f"(l1 p10 $oldP10%.2f <= new $newP10%.2f, same $gates " +
-              "gates/sf); keeping the settled run — delete the file to " +
-              "force a rewrite")
-          else None
+          (existWarn, newWarn) match {
+            case (true, false) => None // a clean run always beats warn
+            case (true, true) if newP10 >= 0 && oldP10 <= newP10 =>
+              // warn pair degrades monotonically too (seen round 17: a
+              // 2.62-floor warn run replaced a 2.41-floor warn run)
+              Some(f"both runs load_warn; existing is at least as " +
+                f"quiet (l1 p10 $oldP10%.2f <= new $newP10%.2f)")
+            case (true, true) => None
+            case (false, true) =>
+              Some(f"new run is load_warn-stamped; settled artifact " +
+                f"(l1 p10 $oldP10%.2f) kept")
+            case (false, false) if newP10 >= 0 && oldP10 <= newP10 =>
+              Some(f"existing artifact is at least as quiet " +
+                f"(l1 p10 $oldP10%.2f <= new $newP10%.2f, same $gates " +
+                "gates/sf); keeping the settled run — delete the file " +
+                "to force a rewrite")
+            case _ => None
+          }
         }
       }
     }

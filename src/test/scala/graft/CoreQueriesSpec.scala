@@ -115,6 +115,13 @@ class CoreQueriesSpec extends AnyFunSuite {
     val warned = art("2.6,2.7,2.8", extra = ""","load_warn":true""")
     assert(Bench.keepExistingArtifact(warned, sf, 3, 9.9, newWarn = false)
       .isEmpty)
+    // a warn PAIR degrades monotonically too: a noisier warn run never
+    // replaces a quieter one (round-17 history: 2.62 replaced 2.41),
+    // but a quieter warn run still may
+    assert(Bench.keepExistingArtifact(warned, sf, 3, 9.9, newWarn = true)
+      .isDefined)
+    assert(Bench.keepExistingArtifact(warned, sf, 3, 1.0, newWarn = true)
+      .isEmpty)
     // junk / truncated / no-l1-evidence existing files never block
     assert(Bench.keepExistingArtifact("", sf, 3, 1.0, newWarn = false).isEmpty)
     assert(Bench.keepExistingArtifact("""{"queries":""", sf, 3, 1.0,
