@@ -197,6 +197,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("cosine codegen path: equals interpreted loop, null contract holds") {
+    import spark.implicits._
+    // round 17: CosineSim grew doGenCode (the last hot-path
+    // CodegenFallback); both paths share one static loop so results
+    // must be bit-identical, and the null contract (length mismatch,
+    // zero-norm side) must survive codegen's isNull wiring
+    val rows = (0 until 200).map { i =>
+      val d = 8 + i % 5
+      (i.toLong,
+        Array.tabulate(d)(j => ((i * 31 + j * 17) % 13 - 6) / 3.0f),
+        Array.tabulate(d)(j => ((i * 7 + j * 23) % 11 - 5) / 2.0f))
+    }
+    val df = rows.toDF("id", "a", "b")
+    // codegen (whole-stage) result
+    val gen = df.select($"id", Similarity.cosine($"a", $"b").as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))).toMap
+    // interpreted result through the same shared loop
+    rows.foreach { case (id, a, b) =>
+      val exp = graft.functions.HashExprs.cosineSimEval(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b), 0, 0)
+      assert(gen(id) == exp, s"id=$id got ${gen(id)} expected $exp")
+    }
+    // null contract: zero-norm side and length mismatch are NULL
+    val edge = Seq(
+      (1L, Array(0.0f, 0.0f), Array(1.0f, 2.0f)),   // zero norm -> null
+      (2L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)) // len mismatch -> null
+    ).toDF("id", "a", "b")
+      .select($"id", Similarity.cosine($"a", $"b").as("c")).collect()
+    assert(edge.forall(_.isNullAt(1)), edge.mkString(","))
+    // mixed element types route through the generic loop
+    val mixed = Seq((Array(1.0f, 2.0f), Array(1.0, 2.0)))
+      .toDF("a", "b")
+      .select(Similarity.cosine($"a", $"b")).collect().head.getDouble(0)
+    assert(math.abs(mixed - 1.0) < 1e-12)
+  }
+
   test("brute-force ANN: k rows per query, valid ranks, descending cos") {
     import spark.implicits._
     val emb = Tables(spark, sf, "embeddings")
