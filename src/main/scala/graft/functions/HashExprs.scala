@@ -239,6 +239,163 @@ object HashExprs {
     else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  /** Exact integer squared-L2 between two long arrays — the PQ family's
+    * kernel (Lloyd assignment at n·m·k grain, pqEncode's m·k argmin per
+    * corpus row, the recall gate's exact side), codegen'd like
+    * [[CosineSim]] (round 17; Spark's `aggregate`/`zip_with`
+    * higher-order encoding of the same sum is interpreted per row).
+    * Contract matches the HOF encoding it replaces: NULL on length
+    * mismatch or any null element (zip_with pads/poisons), long
+    * arithmetic with Java wrap semantics, left-to-right accumulation. */
+  case class SqDistLL(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "sq_dist_ll"
+
+    protected override def nullSafeEval(l: Any, r: Any): Any =
+      sqDistLLEval(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |java.lang.Long ${ev.value}_r =
+           |  graft.functions.HashExprs.sqDistLLEval($a, $b);
+           |if (${ev.value}_r == null) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = ${ev.value}_r.longValue();
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistLL =
+      copy(left = l, right = r)
+  }
+
+  /** Shared loop for [[SqDistLL]] — interpreted and codegen paths. */
+  def sqDistLLEval(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  /** Exact long dot product — quantized rescore (pqRerank stage 2), the
+    * PCA projection, and MMR relevance all fold `a*b` over long arrays;
+    * same codegen treatment and HOF-matching contract as [[SqDistLL]]. */
+  case class DotLL(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "dot_ll"
+
+    protected override def nullSafeEval(l: Any, r: Any): Any =
+      dotLLEval(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |java.lang.Long ${ev.value}_r =
+           |  graft.functions.HashExprs.dotLLEval($a, $b);
+           |if (${ev.value}_r == null) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = ${ev.value}_r.longValue();
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotLL =
+      copy(left = l, right = r)
+  }
+
+  /** Shared loop for [[DotLL]]. */
+  def dotLLEval(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  /** Double dot product over numeric arrays (float/double, tags as in
+    * [[CosineSim]]) — the SRP signature's per-plane projection evaluates
+    * this n·nBits times per corpus; the HOF encoding it replaces
+    * (`aggregate(zip_with(emb, plane, x·y), 0.0, +)`) is interpreted.
+    * Left elements cast to double exactly (float→double is exact), same
+    * left-to-right accumulation. */
+  case class DotNum(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "dot_num"
+
+    private lazy val leftTag = numTag(left.dataType.asInstanceOf[ArrayType].elementType)
+    private lazy val rightTag = numTag(right.dataType.asInstanceOf[ArrayType].elementType)
+
+    private def numTag(t: DataType): Int = t match {
+      case FloatType => 0
+      case DoubleType => 1
+      case _ => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+
+    protected override def nullSafeEval(l: Any, r: Any): Any =
+      dotNumEval(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+        leftTag, rightTag)
+
+    override def doGenCode(ctx: CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |java.lang.Double ${ev.value}_r = graft.functions.HashExprs.dotNumEval(
+           |  $a, $b, $leftTag, $rightTag);
+           |if (${ev.value}_r == null) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = ${ev.value}_r.doubleValue();
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotNum =
+      copy(left = l, right = r)
+  }
+
+  /** Shared loop for [[DotNum]]. Tags: 0=float, 1=double. */
+  def dotNumEval(a: ArrayData, b: ArrayData,
+      ta: Int, tb: Int): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (ta == 0) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (tb == 0) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
   /** Tokenize on single spaces, hash each token (FNV-1a 64 over UTF-8),
     * combine each n-token window order-sensitively, and return the SORTED
     * distinct shingle hashes — the whole shingle pipeline in one JVM pass
@@ -464,6 +621,15 @@ object HashExprs {
 
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
+  def sq_dist_ll(a: Column, b: Column): Column =
+    Bridge.column(SqDistLL(Bridge.expression(a), Bridge.expression(b)))
+
+  def dot_ll(a: Column, b: Column): Column =
+    Bridge.column(DotLL(Bridge.expression(a), Bridge.expression(b)))
+
+  def dot_num(a: Column, b: Column): Column =
+    Bridge.column(DotNum(Bridge.expression(a), Bridge.expression(b)))
 
   def minhash_set_agg(c: Column, k: Int): Column =
     Bridge.column(MinHashSetAgg(Bridge.expression(c), k).toAggregateExpression())

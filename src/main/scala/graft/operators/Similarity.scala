@@ -87,8 +87,9 @@ object Similarity {
   def srpSignature(emb: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(emb, planeCol, (x, y) => x.cast("double") * y),
-        lit(0.0), (s, x) => s + x)
+      // codegen'd kernel (round 17) — the HOF aggregate/zip_with
+      // encoding ran interpreted n·nBits times per corpus
+      val dot = graft.functions.HashExprs.dot_num(emb, planeCol)
       when(dot > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }
     bits.reduce(_.bitwiseOR(_))
@@ -806,8 +807,7 @@ object Similarity {
     val wLit = array(w.map(lit): _*)
     vq.withColumn("wq", wLit)
       .select(col("id"),
-        expr("aggregate(zip_with(vq, wq, (a, b) -> a * b), " +
-          "cast(0 as bigint), (acc, x) -> acc + x)").as("proj"))
+        graft.functions.HashExprs.dot_ll(col("vq"), col("wq")).as("proj"))
   }
 
   /** A trained product-quantization codebook: `cents(sub)(code)` is the
@@ -832,10 +832,12 @@ object Similarity {
       expr(s"transform($embCol, x -> " +
         s"cast(round(cast(x as double) * $quantScale.0) as bigint))").as("vq"))
 
-  /** Exact integer squared-L2 between two quantized-long arrays. */
+  /** Exact integer squared-L2 between two quantized-long arrays — the
+    * codegen'd [[graft.functions.HashExprs.SqDistLL]] kernel (round 17:
+    * the HOF `aggregate(zip_with(...))` encoding evaluated interpreted
+    * at the Lloyd loop's n·m·k grain). */
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.HashExprs.sq_dist_ll(a, b)
 
   /** Train a product-quantization codebook (Jégou, Douze & Schmid,
     * TPAMI 2011): split the `d` dims into `m` subspaces of `d/m`, run
@@ -1335,8 +1337,7 @@ object Similarity {
     val vq = vqProjected(emb, idCol, embCol, quantScale)
     val qq = query.map(x => math.round(x * quantScale))
     val qLit = array(qq.map(lit): _*)
-    val dotQ = aggregate(zip_with(col("vq"), qLit, (a, b) => a * b),
-      lit(0L), (acc, v) => acc + v)
+    val dotQ = graft.functions.HashExprs.dot_ll(col("vq"), qLit)
     val pool = vq.select(col("id"), col("vq"), dotQ.as("rel"))
       .orderBy(col("rel").desc, col("id"))
       .limit(poolSize)
@@ -1348,8 +1349,7 @@ object Similarity {
         (acc, id) => acc && col("id") =!= lit(id)
       }
       val sims = selected.map { case (_, sv, _) =>
-        aggregate(zip_with(col("vq"), array(sv.map(lit): _*),
-          (a, b) => a * b), lit(0L), (acc, v) => acc + v)
+        graft.functions.HashExprs.dot_ll(col("vq"), array(sv.map(lit): _*))
       }.toSeq
       // functions.greatest demands >= 2 args; round 2 has one selected
       val maxSim = sims match {
