@@ -235,6 +235,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(mixed - 1.0) < 1e-12)
   }
 
+  test("sq_dist_ll / dot_ll / dot_num equal their HOF encodings") {
+    import spark.implicits._
+    import graft.functions.HashExprs
+    // the codegen'd kernels replaced aggregate(zip_with(...)) folds in
+    // the PQ/SRP/MMR paths — pin value-equality against the HOF
+    // encodings on random data, plus the null contract (length
+    // mismatch; zip_with pads the shorter side with null and poisons)
+    val rows = (0 until 100).map { i =>
+      val d = 8
+      (i.toLong,
+        Array.tabulate(d)(j => ((i * 13 + j * 7) % 19 - 9).toLong),
+        Array.tabulate(d)(j => ((i * 11 + j * 3) % 17 - 8).toLong),
+        Array.tabulate(d)(j => ((i * 5 + j * 29) % 23 - 11) / 4.0f),
+        Array.tabulate(d)(j => ((i * 3 + j * 31) % 13 - 6) / 3.0))
+    }
+    val df = rows.toDF("id", "la", "lb", "fa", "db")
+    val got = df.select($"id",
+        HashExprs.sq_dist_ll($"la", $"lb").as("sq"),
+        HashExprs.dot_ll($"la", $"lb").as("dl"),
+        HashExprs.dot_num($"fa", $"db").as("dn"),
+        aggregate(zip_with($"la", $"lb", (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, v) => a + v).as("sq_hof"),
+        aggregate(zip_with($"la", $"lb", (x, y) => x * y),
+          lit(0L), (a, v) => a + v).as("dl_hof"),
+        aggregate(zip_with($"fa", $"db", (x, y) => x.cast("double") * y),
+          lit(0.0), (a, v) => a + v).as("dn_hof"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(4), s"sq_dist id=${r.getLong(0)}")
+      assert(r.getLong(2) == r.getLong(5), s"dot_ll id=${r.getLong(0)}")
+      assert(r.getDouble(3) == r.getDouble(6), s"dot_num id=${r.getLong(0)}")
+    }
+    // null contract: length mismatch -> null, matching the HOF pad/poison
+    val mism = Seq((Array(1L, 2L, 3L), Array(1L, 2L)))
+      .toDF("a", "b")
+      .select(HashExprs.sq_dist_ll($"a", $"b"), HashExprs.dot_ll($"a", $"b"))
+      .collect().head
+    assert(mism.isNullAt(0) && mism.isNullAt(1))
+  }
+
   test("brute-force ANN: k rows per query, valid ranks, descending cos") {
     import spark.implicits._
     val emb = Tables(spark, sf, "embeddings")
