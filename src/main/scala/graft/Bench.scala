@@ -185,20 +185,29 @@ object Bench {
     * noisier one — four consecutive rounds' final refreshes overwrote a
     * quieter full-suite artifact (r16: 182.3s settled → 191.9s refresh
     * whose l1 p10 passed the contention guard by 0.03, inflating 10
-    * graph rows >0.3s on unchanged code). Decision statistic is the l1
-    * p10 floor — the same calibrated discriminator load_warn uses.
+    * graph rows >0.3s on unchanged code).
+    *
+    * Decision statistic is the TOTAL (sum of per-query mins — exactly
+    * what the floor mechanism consumes), with the l1 p10 floor printed
+    * as evidence. The p10 was the first-cut statistic and round 17
+    * measured its failure mode the same day it landed: a run with l1
+    * p10 2.21 totaled 237.7s while the run it replaced (p10 2.70)
+    * totaled 206.7s on slightly-faster code — guest loadavg cannot see
+    * HOST-level steal, but the totals it inflates can. Between two
+    * same-gate-set runs, lower total = less contention, directly in the
+    * unit that matters.
     *
     * Returns Some(reason) when the EXISTING artifact must be kept
     * (writer refuses and prints the reason), None when overwriting is
     * fine. Never blocks when the existing artifact is a different sf or
-    * gate count (a different measurement, not a refresh), is itself
-    * load_warn-stamped (disqualified as a floor — any clean run beats
-    * it), or carries no parseable l1 evidence (pre-r14 format:
-    * contention unknowable, a measured replacement is an upgrade).
-    * Guards anchor to the top-level tail exactly like [[parseFloor]]
-    * (escaped error strings can embed the raw substrings). */
+    * gate count (a different measurement, not a refresh), has an
+    * unparsable total, or is itself load_warn-stamped while the new run
+    * is clean (a clean run always beats warn); a warn PAIR degrades
+    * monotonically by the same total rule. Guards anchor to the
+    * top-level tail exactly like [[parseFloor]] (escaped error strings
+    * can embed the raw substrings). */
   private[graft] def keepExistingArtifact(existingTxt: String,
-      sfDir: String, newGates: Int, newP10: Double,
+      sfDir: String, newGates: Int, newTotal: Double, newP10: Double,
       newWarn: Boolean): Option[String] = {
     val t = existingTxt.trim
     val tailIdx = t.lastIndexOf("\"load\":[")
@@ -222,27 +231,28 @@ object Bench {
           else t.substring(lIdx + 6, lEnd).split(",")
             .flatMap(v => scala.util.Try(v.toDouble).toOption)
             .filter(_ >= 0).sorted.toSeq
-        if (l1.isEmpty) None // no load evidence: replacement is upgrade
-        else {
-          val oldP10 = l1(l1.size / 10)
-          (existWarn, newWarn) match {
-            case (true, false) => None // a clean run always beats warn
-            case (true, true) if newP10 >= 0 && oldP10 <= newP10 =>
-              // warn pair degrades monotonically too (seen round 17: a
-              // 2.62-floor warn run replaced a 2.41-floor warn run)
-              Some(f"both runs load_warn; existing is at least as " +
-                f"quiet (l1 p10 $oldP10%.2f <= new $newP10%.2f)")
-            case (true, true) => None
-            case (false, true) =>
-              Some(f"new run is load_warn-stamped; settled artifact " +
-                f"(l1 p10 $oldP10%.2f) kept")
-            case (false, false) if newP10 >= 0 && oldP10 <= newP10 =>
-              Some(f"existing artifact is at least as quiet " +
-                f"(l1 p10 $oldP10%.2f <= new $newP10%.2f, same $gates " +
-                "gates/sf); keeping the settled run — delete the file " +
-                "to force a rewrite")
-            case _ => None
-          }
+        val oldP10 = if (l1.isEmpty) -1.0 else l1(l1.size / 10)
+        // the header total: sum of per-query mins, the floor's own unit
+        val totRe = raw"""^\{"metric":"total","value":(-?\d+(?:\.\d+)?)""".r
+        val oldTotal = totRe.findFirstMatchIn(t).map(_.group(1).toDouble)
+        oldTotal match {
+          case None => None // unparsable total: replacement is upgrade
+          case Some(ot) =>
+            (existWarn, newWarn) match {
+              case (true, false) => None // a clean run always beats warn
+              case (false, true) =>
+                Some(f"new run is load_warn-stamped; settled artifact " +
+                  f"(total $ot%.1fs, l1 p10 $oldP10%.2f) kept")
+              case _ if ot <= newTotal =>
+                // clean pair or warn pair: lower total wins (ties keep
+                // the settled run — no-gain churn)
+                Some(f"existing artifact is at least as fast " +
+                  f"(total $ot%.1fs <= new $newTotal%.1fs, same $gates " +
+                  f"gates/sf; l1 p10 $oldP10%.2f vs $newP10%.2f); " +
+                  "keeping the settled run — delete the file to force " +
+                  "a rewrite")
+              case _ => None
+            }
         }
       }
     }
@@ -576,9 +586,11 @@ object Bench {
       // as quiet (lower l1 p10) as the artifact it replaces, else the
       // settled run wins — see keepExistingArtifact
       val target = java.nio.file.Paths.get(p)
+      val newTotal = results.collect {
+        case (_, v, _, _, _, _, _) if v >= 0 => v }.sum
       val blockReason = scala.util.Try(java.nio.file.Files.readString(target))
         .toOption.flatMap(keepExistingArtifact(_, sfDir, results.size,
-          runP10, loadWarn))
+          newTotal, runP10, loadWarn))
       blockReason match {
         case Some(reason) =>
           System.err.println(s"[bench] NOT overwriting $p: $reason")

@@ -83,57 +83,57 @@ class CoreQueriesSpec extends AnyFunSuite {
 
   test("monotone artifact rule: a noisier refresh never wins") {
     val sf = "/root/testdata/sf0.1"
-    // 3-gate artifact with an l1 floor of p10 = 1.5 (sorted: 1.5 @ idx 0)
-    def art(l1: String, extra: String = "") =
-      """{"metric":"total","value":9.9,"unit":"sec","reps":2,""" +
+    // 3-gate artifact, total 9.9s, l1 floor p10 1.5
+    def art(l1: String, extra: String = "", total: String = "9.9") =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":2,""" +
         """"queries":{"q01_a":0.55,"q02_b":1.27,"q03_c":2.0},""" +
         s""""r1":[550,1270,2000],"r2":[560,1280,2010],""" +
         s""""ts1":[1,2,3],"ts2":[4,5,6],"l1":[$l1],"l2":[$l1],""" +
         s""""errors":{},"flaky":{},"load":[0.5,0.7]$extra,"sf":"$sf"}"""
     val settled = art("1.5,2.0,2.5")
-    // same gates/sf, new run noisier (p10 2.8 > 1.5): keep settled
-    assert(Bench.keepExistingArtifact(settled, sf, 3, 2.8, newWarn = false)
-      .isDefined)
-    // equal p10 also keeps the settled run (no-gain churn)
-    assert(Bench.keepExistingArtifact(settled, sf, 3, 1.5, newWarn = false)
-      .isDefined)
-    // strictly quieter refresh wins
-    assert(Bench.keepExistingArtifact(settled, sf, 3, 1.2, newWarn = false)
-      .isEmpty)
+    // same gates/sf, new run SLOWER (total 12.0 > 9.9): keep settled.
+    // The decision statistic is the TOTAL, not the load floor — round
+    // 17 measured a lower-p10 run totaling 31s slower (guest loadavg
+    // cannot see host-level steal; the totals it inflates can)
+    assert(Bench.keepExistingArtifact(settled, sf, 3, 12.0, 1.0,
+      newWarn = false).isDefined)
+    // equal total also keeps the settled run (no-gain churn)
+    assert(Bench.keepExistingArtifact(settled, sf, 3, 9.9, 1.0,
+      newWarn = false).isDefined)
+    // strictly faster refresh wins, even with a higher load floor
+    assert(Bench.keepExistingArtifact(settled, sf, 3, 8.0, 9.9,
+      newWarn = false).isEmpty)
     // a load_warn-stamped NEW run never replaces a settled artifact,
-    // even with a (necessarily meaningless) lower p10
-    assert(Bench.keepExistingArtifact(settled, sf, 3, 1.2, newWarn = true)
-      .isDefined)
+    // even when (meaninglessly) faster
+    assert(Bench.keepExistingArtifact(settled, sf, 3, 1.0, 1.0,
+      newWarn = true).isDefined)
     // different gate count / different sf = a different measurement,
     // not a refresh: never blocked
-    assert(Bench.keepExistingArtifact(settled, sf, 4, 9.9, newWarn = false)
-      .isEmpty)
-    assert(Bench.keepExistingArtifact(settled, "/root/testdata/sf0.01", 3,
-      9.9, newWarn = false).isEmpty)
-    // an existing artifact that itself ran contended is disqualified as
-    // a floor — any clean run replaces it
-    val warned = art("2.6,2.7,2.8", extra = ""","load_warn":true""")
-    assert(Bench.keepExistingArtifact(warned, sf, 3, 9.9, newWarn = false)
-      .isEmpty)
-    // a warn PAIR degrades monotonically too: a noisier warn run never
-    // replaces a quieter one (round-17 history: 2.62 replaced 2.41),
-    // but a quieter warn run still may
-    assert(Bench.keepExistingArtifact(warned, sf, 3, 9.9, newWarn = true)
-      .isDefined)
-    assert(Bench.keepExistingArtifact(warned, sf, 3, 1.0, newWarn = true)
-      .isEmpty)
-    // junk / truncated / no-l1-evidence existing files never block
-    assert(Bench.keepExistingArtifact("", sf, 3, 1.0, newWarn = false).isEmpty)
-    assert(Bench.keepExistingArtifact("""{"queries":""", sf, 3, 1.0,
+    assert(Bench.keepExistingArtifact(settled, sf, 4, 99.0, 9.9,
       newWarn = false).isEmpty)
-    val noL1 = settled.replace(""""l1":[1.5,2.0,2.5],""", "")
-    assert(Bench.keepExistingArtifact(noL1, sf, 3, 9.9, newWarn = false)
-      .isEmpty)
+    assert(Bench.keepExistingArtifact(settled, "/root/testdata/sf0.01", 3,
+      99.0, 9.9, newWarn = false).isEmpty)
+    // an existing artifact that itself ran contended is disqualified as
+    // a floor — any clean run replaces it, even a slower one
+    val warned = art("2.6,2.7,2.8", extra = ""","load_warn":true""")
+    assert(Bench.keepExistingArtifact(warned, sf, 3, 99.0, 9.9,
+      newWarn = false).isEmpty)
+    // a warn PAIR degrades monotonically by the same total rule: a
+    // slower warn run never replaces a faster one, a faster one may
+    assert(Bench.keepExistingArtifact(warned, sf, 3, 99.0, 9.9,
+      newWarn = true).isDefined)
+    assert(Bench.keepExistingArtifact(warned, sf, 3, 5.0, 9.9,
+      newWarn = true).isEmpty)
+    // junk / truncated / total-less existing files never block
+    assert(Bench.keepExistingArtifact("", sf, 3, 1.0, 1.0,
+      newWarn = false).isEmpty)
+    assert(Bench.keepExistingArtifact("""{"queries":""", sf, 3, 1.0, 1.0,
+      newWarn = false).isEmpty)
     // an errors string embedding "l1":[ must not shadow the real column:
     // the parse takes the FIRST occurrence, which precedes errors
     val errEmbed = settled.replace(""""errors":{}""",
       """"errors":{"q50":"saw \"l1\":[9.9] in a log"}""")
-    assert(Bench.keepExistingArtifact(errEmbed, sf, 3, 2.8,
+    assert(Bench.keepExistingArtifact(errEmbed, sf, 3, 12.0, 1.0,
       newWarn = false).isDefined)
   }
 
