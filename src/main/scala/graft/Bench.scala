@@ -533,11 +533,11 @@ object Bench {
       // known-contaminated r16 sample. The in-run floor measures decay
       // WINDOWS between gates, and those shrank as the suite got
       // denser (315 faster gates), so the absolute bar is not portable
-      // across suite shapes. The p10 stays computed and printed as
-      // evidence, and the monotone-overwrite rule below still uses it
-      // RELATIVELY (same gate count, usually same regime) — it is only
-      // the absolute-threshold stamp that moved to the direct post-run
-      // measurement.
+      // across suite shapes. The p10 stays computed, printed, and
+      // recorded as evidence (the monotone-overwrite rule below
+      // arbitrates on the TOTAL and prints the p10 alongside) — it is
+      // only the absolute-threshold stamp that moved to the direct
+      // post-run measurement.
       val repL1 = results.flatMap(_._7.headOption).filter(_ >= 0).sorted
       val runP10 = if (repL1.isEmpty) -1.0 else repL1(repL1.size / 10)
       val decaySec = sys.env.get("SPARK_GRAFT_LOAD_DECAY_SEC")
