@@ -197,18 +197,32 @@ object Bench {
     * same-gate-set runs, lower total = less contention, directly in the
     * unit that matters.
     *
+    * FATAL ERRORS arbitrate exactly like load_warn (ADVICE r17): totals
+    * sum only the gates that SUCCEEDED, so a run where a heavy gate
+    * errored carries an artificially LOW total — by the bare total rule
+    * it would overwrite a fully-clean settled artifact, and conversely
+    * an errored settled artifact's deflated total would permanently
+    * block every honest clean refresh. So a run is DEFECTIVE when it is
+    * load_warn-stamped OR carries any entry in "errors"; a clean run
+    * always beats a defective artifact, a defective run never replaces
+    * a clean artifact, and a defective PAIR degrades monotonically by
+    * the same total rule (both totals are deflated/inflated the same
+    * class of way; both are already unusable as floors).
+    *
     * Returns Some(reason) when the EXISTING artifact must be kept
     * (writer refuses and prints the reason), None when overwriting is
     * fine. Never blocks when the existing artifact is a different sf or
     * gate count (a different measurement, not a refresh), has an
-    * unparsable total, or is itself load_warn-stamped while the new run
-    * is clean (a clean run always beats warn); a warn PAIR degrades
-    * monotonically by the same total rule. Guards anchor to the
-    * top-level tail exactly like [[parseFloor]] (escaped error strings
-    * can embed the raw substrings). */
+    * unparsable total, or is itself defective while the new run is
+    * clean. Guards anchor to the top-level tail exactly like
+    * [[parseFloor]] (escaped error strings can embed the raw
+    * substrings); the errors probe reads the FIRST `"errors":{` — query
+    * names cannot contain quotes and the rep/ts/l columns are numeric,
+    * so nothing precedes the real key, and escaped content inside it
+    * cannot spell the unescaped key. */
   private[graft] def keepExistingArtifact(existingTxt: String,
       sfDir: String, newGates: Int, newTotal: Double, newP10: Double,
-      newWarn: Boolean): Option[String] = {
+      newWarn: Boolean, newErr: Boolean = false): Option[String] = {
     val t = existingTxt.trim
     val tailIdx = t.lastIndexOf("\"load\":[")
     val tail = if (tailIdx < 0) "" else t.substring(tailIdx)
@@ -235,17 +249,28 @@ object Bench {
         // the header total: sum of per-query mins, the floor's own unit
         val totRe = raw"""^\{"metric":"total","value":(-?\d+(?:\.\d+)?)""".r
         val oldTotal = totRe.findFirstMatchIn(t).map(_.group(1).toDouble)
+        // fatal-error probe: an errored gate is excluded from the total
+        // (deflating it), so error status joins load_warn as a DEFECT
+        val eIdx = t.indexOf("\"errors\":{")
+        val existErr = eIdx >= 0 && eIdx + 10 < t.length &&
+          t.charAt(eIdx + 10) != '}'
         oldTotal match {
           case None => None // unparsable total: replacement is upgrade
           case Some(ot) =>
-            (existWarn, newWarn) match {
-              case (true, false) => None // a clean run always beats warn
+            val existDefect = existWarn || existErr
+            val newDefect = newWarn || newErr
+            (existDefect, newDefect) match {
+              case (true, false) => None // clean always beats defective
               case (false, true) =>
-                Some(f"new run is load_warn-stamped; settled artifact " +
+                val what =
+                  if (newWarn && newErr) "load_warn-stamped AND errored"
+                  else if (newWarn) "load_warn-stamped"
+                  else "carrying fatal gate errors (its total omits them)"
+                Some(f"new run is $what; settled clean artifact " +
                   f"(total $ot%.1fs, l1 p10 $oldP10%.2f) kept")
               case _ if ot <= newTotal =>
-                // clean pair or warn pair: lower total wins (ties keep
-                // the settled run — no-gain churn)
+                // clean pair or defective pair: lower total wins (ties
+                // keep the settled run — no-gain churn)
                 Some(f"existing artifact is at least as fast " +
                   f"(total $ot%.1fs <= new $newTotal%.1fs, same $gates " +
                   f"gates/sf; l1 p10 $oldP10%.2f vs $newP10%.2f); " +
@@ -504,8 +529,10 @@ object Bench {
     // round's floor source (the round-14 evidence defect). The write
     // itself is MONOTONE (round-16 verdict #1): refreshing an existing
     // same-sf/same-gate-count artifact only succeeds when the new run
-    // is at least as quiet (strictly lower l1 p10) — otherwise the
-    // settled artifact is kept and the refusal printed.
+    // has a strictly LOWER TOTAL (the l1 p10 is recorded as evidence)
+    // and is no more defective (load_warn / fatal errors) — otherwise
+    // the settled artifact is kept and the refusal printed; see
+    // keepExistingArtifact.
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       val loadEnd = load1m()
       val warnAt = sys.env.get("SPARK_GRAFT_LOAD_WARN")
@@ -544,6 +571,12 @@ object Bench {
         .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(150)
       val postWarnAt = sys.env.get("SPARK_GRAFT_LOAD_WARN_POST")
         .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(2.0)
+      // the pause is intentional (the decayed sample IS the contention
+      // measurement) — announce it so it is never mistaken for a hang,
+      // and name the knob that shortens it for debugging subsets
+      System.err.println(s"[bench] idling ${decaySec}s for the post-run " +
+        "decayed load sample (set SPARK_GRAFT_LOAD_DECAY_SEC to shorten " +
+        "for debugging subsets)...")
       Thread.sleep(decaySec * 1000L)
       val loadPost = load1m()
       val loadWarn = loadStart > warnAt ||
@@ -582,15 +615,17 @@ object Bench {
       val warnPart = if (loadWarn) ""","load_warn":true""" else ""
       val fullLine =
         s"""{"metric":"total","value":$rawTotal,"unit":"sec","reps":$reps,"queries":$fullQs${repCols.mkString(",", ",", "")}${tsCols.mkString(",", ",", "")}${loadCols.mkString(",", ",", "")},"errors":$fullErrs,"flaky":$fullFlaky,"load":[$loadStart,$loadEnd,$loadPost]$warnPart,"sf":"$sfDir"}"""
-      // monotone rule: a refresh of the same gate set must be at least
-      // as quiet (lower l1 p10) as the artifact it replaces, else the
-      // settled run wins — see keepExistingArtifact
+      // monotone rule: a refresh of the same gate set must have a
+      // strictly lower TOTAL (l1 p10 recorded as evidence) and be no
+      // more defective (load_warn / fatal errors) than the artifact it
+      // replaces, else the settled run wins — see keepExistingArtifact
       val target = java.nio.file.Paths.get(p)
       val newTotal = results.collect {
         case (_, v, _, _, _, _, _) if v >= 0 => v }.sum
+      val newErr = results.exists(_._3.isDefined)
       val blockReason = scala.util.Try(java.nio.file.Files.readString(target))
         .toOption.flatMap(keepExistingArtifact(_, sfDir, results.size,
-          newTotal, runP10, loadWarn))
+          newTotal, runP10, loadWarn, newErr))
       blockReason match {
         case Some(reason) =>
           System.err.println(s"[bench] NOT overwriting $p: $reason")

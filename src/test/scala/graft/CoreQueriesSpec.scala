@@ -129,12 +129,46 @@ class CoreQueriesSpec extends AnyFunSuite {
       newWarn = false).isEmpty)
     assert(Bench.keepExistingArtifact("""{"queries":""", sf, 3, 1.0, 1.0,
       newWarn = false).isEmpty)
+    // ---- fatal-error arbitration (ADVICE r17): totals sum only the
+    // gates that SUCCEEDED, so error status must arbitrate like warn —
+    // a deflated errored total must neither displace a clean artifact
+    // nor entrench itself against clean refreshes.
+    val errored = settled.replace(""""errors":{}""",
+      """"errors":{"q03_c":"OOM: heap"}""")
+    // (1) a new run with fatal errors NEVER overwrites a clean settled
+    //     artifact, even with a (deflated) lower total
+    assert(Bench.keepExistingArtifact(settled, sf, 3, 1.0, 1.0,
+      newWarn = false, newErr = true).isDefined)
+    // (2) an existing artifact carrying fatal errors is replaced by ANY
+    //     clean run, even an honestly-slower one (its own total is
+    //     deflated — it must not block clean refreshes forever)
+    assert(Bench.keepExistingArtifact(errored, sf, 3, 99.0, 9.9,
+      newWarn = false).isEmpty)
+    // (3) an errored PAIR degrades monotonically by the same total rule
+    assert(Bench.keepExistingArtifact(errored, sf, 3, 12.0, 1.0,
+      newWarn = false, newErr = true).isDefined)
+    assert(Bench.keepExistingArtifact(errored, sf, 3, 5.0, 9.9,
+      newWarn = false, newErr = true).isEmpty)
+    // (4) warn and error are the same defect class: a warn-stamped
+    //     artifact vs an errored new run is a defective pair → total rule
+    assert(Bench.keepExistingArtifact(warned, sf, 3, 12.0, 1.0,
+      newWarn = false, newErr = true).isDefined)
+    assert(Bench.keepExistingArtifact(warned, sf, 3, 5.0, 9.9,
+      newWarn = false, newErr = true).isEmpty)
     // an errors string embedding "l1":[ must not shadow the real column:
-    // the parse takes the FIRST occurrence, which precedes errors
+    // the parse takes the FIRST occurrence, which precedes errors (the
+    // artifact is errored, so pair it with an errored new run to keep
+    // the comparison on the total path)
     val errEmbed = settled.replace(""""errors":{}""",
       """"errors":{"q50":"saw \"l1\":[9.9] in a log"}""")
     assert(Bench.keepExistingArtifact(errEmbed, sf, 3, 12.0, 1.0,
-      newWarn = false).isDefined)
+      newWarn = false, newErr = true).isDefined)
+    // and an escaped "errors":{} spelled INSIDE an error string cannot
+    // read as clean: the probe takes the FIRST (real, top-level) key
+    val errNested = settled.replace(""""errors":{}""",
+      """"errors":{"q50":"log said \"errors\":{} upstream"}""")
+    assert(Bench.keepExistingArtifact(errNested, sf, 3, 99.0, 9.9,
+      newWarn = false).isEmpty)
   }
 
   test("oracle column names match spark output column names") {
