@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -335,12 +335,15 @@ object HashExprs {
     java.lang.Long.valueOf(acc)
   }
 
-  /** Double dot product over numeric arrays (float/double, tags as in
-    * [[CosineSim]]) — the SRP signature's per-plane projection evaluates
-    * this n·nBits times per corpus; the HOF encoding it replaces
+  /** Double dot product over numeric arrays (float/double/int/long —
+    * the full [[CosineSim]] tag set; ADVICE r17: the HOF this replaced
+    * accepted any castable numeric element, so the kernel must too) —
+    * the SRP signature's per-plane projection evaluates this n·nBits
+    * times per corpus; the HOF encoding it replaces
     * (`aggregate(zip_with(emb, plane, x·y), 0.0, +)`) is interpreted.
-    * Left elements cast to double exactly (float→double is exact), same
-    * left-to-right accumulation. */
+    * Elements widen to double exactly for float/int (and for long the
+    * same double rounding the HOF's cast produced), same left-to-right
+    * accumulation. */
   case class DotNum(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -353,6 +356,8 @@ object HashExprs {
     private def numTag(t: DataType): Int = t match {
       case FloatType => 0
       case DoubleType => 1
+      case IntegerType => 2
+      case LongType => 3
       case _ => throw new IllegalArgumentException(s"unsupported element type $t")
     }
 
@@ -379,21 +384,109 @@ object HashExprs {
       copy(left = l, right = r)
   }
 
-  /** Shared loop for [[DotNum]]. Tags: 0=float, 1=double. */
+  /** Shared loop for [[DotNum]]. Tags: 0=float, 1=double, 2=int,
+    * 3=long (the [[cosineSimEval]] tag set). */
   def dotNumEval(a: ArrayData, b: ArrayData,
       ta: Int, tb: Int): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
+    def get(arr: ArrayData, i: Int, t: Int): Double = t match {
+      case 0 => arr.getFloat(i).toDouble
+      case 1 => arr.getDouble(i)
+      case 2 => arr.getInt(i).toDouble
+      case _ => arr.getLong(i).toDouble
+    }
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (ta == 0) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (tb == 0) b.getFloat(i).toDouble else b.getDouble(i)
-      acc += x * y
+      acc += get(a, i, ta) * get(b, i, tb)
       i += 1
     }
     java.lang.Double.valueOf(acc)
+  }
+
+  /** Count of positionally-EQUAL entries between two long arrays — the
+    * MinHash signature-agreement kernel behind [[minhash_est_jaccard]]
+    * (round 18: the last `aggregate(zip_with(...))` fold swept onto a
+    * codegen'd kernel; signature-grain so cold in practice — done for
+    * the zero-interpreted-array-folds invariant). Contract matches the
+    * HOF it replaces bit-for-bit: positions past the shorter array
+    * count 0 (zip_with pads with null and `when(null === …)` falls to
+    * `otherwise(0)`), null elements count 0, NULL only when a whole
+    * side is NULL. */
+  case class EqCountLL(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "eq_count_ll"
+
+    protected override def nullSafeEval(l: Any, r: Any): Any =
+      eqCountLLEval(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.HashExprs.eqCountLLEval($a, $b)")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): EqCountLL =
+      copy(left = l, right = r)
+  }
+
+  /** Shared loop for [[EqCountLL]] — interpreted and codegen paths. */
+  def eqCountLLEval(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        acc += 1L
+      i += 1
+    }
+    acc
+  }
+
+  /** Per-element `(x − μ)/σ` with `σ == 0 → 0.0` — the standardize map
+    * kernel (round-18 sweep): replaces the nested
+    * `zip_with(zip_with(vq, mu, x − m), sd, when(s === 0, 0).otherwise(t/s))`
+    * pair in `Similarity.standardizeDims`, value-identical INCLUDING
+    * the HOF pad semantics: a padded or null position yields a null
+    * element — except `σ == 0.0`, which yields 0.0 regardless
+    * (`when(s === 0.0, 0.0)` short-circuits the null numerator). `vq`
+    * is the quantized-long projection, `mu`/`sd` literal double arrays. */
+  case class CenterScale(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+    override def prettyName: String = "center_scale"
+
+    protected override def nullSafeEval(v: Any, m: Any, s: Any): Any =
+      centerScaleEval(v.asInstanceOf[ArrayData], m.asInstanceOf[ArrayData],
+        s.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, m, s) =>
+        s"${ev.value} = graft.functions.HashExprs.centerScaleEval($v, $m, $s);")
+
+    override protected def withNewChildrenInternal(f: Expression,
+        s: Expression, t: Expression): CenterScale =
+      copy(first = f, second = s, third = t)
+  }
+
+  /** Shared loop for [[CenterScale]] — interpreted and codegen paths. */
+  def centerScaleEval(vq: ArrayData, mu: ArrayData,
+      sd: ArrayData): ArrayData = {
+    val n = math.max(vq.numElements(),
+      math.max(mu.numElements(), sd.numElements()))
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val sOk = i < sd.numElements() && !sd.isNullAt(i)
+      if (sOk && sd.getDouble(i) == 0.0) out(i) = 0.0
+      else if (sOk && i < vq.numElements() && !vq.isNullAt(i) &&
+          i < mu.numElements() && !mu.isNullAt(i))
+        out(i) = (vq.getLong(i).toDouble - mu.getDouble(i)) / sd.getDouble(i)
+      // else: stays null (pad/poison position, the zip_with contract)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Tokenize on single spaces, hash each token (FNV-1a 64 over UTF-8),
@@ -594,12 +687,13 @@ object HashExprs {
   }
 
   /** Estimated Jaccard between two [[MinHashSetAgg]] signatures: fraction
-    * of equal entries. */
+    * of equal entries — the agreement count through the codegen'd
+    * [[EqCountLL]] kernel (round-18 sweep; the HOF fold it replaces is
+    * interpreted and this was the last one). */
   def minhash_est_jaccard(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions._
-    aggregate(
-      zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (s, x) => s + x).cast("double") / size(a)
+    Bridge.column(EqCountLL(Bridge.expression(a), Bridge.expression(b)))
+      .cast("double") / size(a)
   }
 
   // ------------------------------------------------------- Column surface
@@ -630,6 +724,13 @@ object HashExprs {
 
   def dot_num(a: Column, b: Column): Column =
     Bridge.column(DotNum(Bridge.expression(a), Bridge.expression(b)))
+
+  def eq_count_ll(a: Column, b: Column): Column =
+    Bridge.column(EqCountLL(Bridge.expression(a), Bridge.expression(b)))
+
+  def center_scale(vq: Column, mu: Column, sd: Column): Column =
+    Bridge.column(CenterScale(Bridge.expression(vq), Bridge.expression(mu),
+      Bridge.expression(sd)))
 
   def minhash_set_agg(c: Column, k: Int): Column =
     Bridge.column(MinHashSetAgg(Bridge.expression(c), k).toAggregateExpression())

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 import org.apache.spark.util.sketch.CountMinSketch
@@ -21,17 +20,41 @@ import org.apache.spark.util.sketch.CountMinSketch
   */
 object SketchExprs {
 
+  /** One-slot sketch-deserialization cache shared by [[CmsEstimate]]'s
+    * interpreted AND codegen paths (one instance per expression
+    * instance, shipped to executors through the codegen references
+    * array / expression serialization). Content-compared, NOT
+    * reference-compared: UnsafeRow.getBinary copies into a fresh array
+    * per access, so `eq` would never hit; Arrays.equals is a memcmp —
+    * orders of magnitude cheaper than re-parsing the sketch per probe
+    * row. NOT thread-safe across rows of different sketches in one
+    * task, but a task evaluates one partition sequentially and the
+    * cache is per-task after serialization. */
+  final class CmsCache extends Serializable {
+    @transient private var cachedBytes: Array[Byte] = _
+    @transient private var cachedSketch: CountMinSketch = _
+    def estimate(bytes: Array[Byte], item: Long): Long = {
+      if (cachedBytes == null || !java.util.Arrays.equals(bytes, cachedBytes)) {
+        cachedSketch = CountMinSketch.readFrom(bytes)
+        cachedBytes = bytes
+      }
+      cachedSketch.estimateCount(java.lang.Long.valueOf(item))
+    }
+  }
+
   /** `cms_estimate(sketch BINARY, item BIGINT) -> BIGINT` — the sketch's
     * estimated count of `item`. Guarantees (per CMS): estimate >= true
     * count, and <= true + eps*N with probability >= confidence.
     *
-    * Deserialization is cached per (identical) sketch byte array, so
-    * probing many keys against one broadcast sketch parses it once per
-    * task rather than once per row. Codegen fallback: probe-side rows are
-    * few by construction (the sketch row is a one-row broadcast).
-    */
+    * Deserialization is cached per (identical) sketch byte array
+    * ([[CmsCache]]), so probing many keys against one broadcast sketch
+    * parses it once per task rather than once per row. Codegen'd like
+    * the array kernels (round 18 — this was the repo's last
+    * CodegenFallback; probe-side rows are few by construction, so this
+    * is a consistency close-out, not a perf fix): both paths call the
+    * SAME holder, so results and caching behavior are identical. */
   case class CmsEstimate(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
 
     override def prettyName: String = "cms_estimate"
     override def dataType: DataType = LongType
@@ -48,20 +71,23 @@ object SketchExprs {
       } else TypeCheckResult.TypeCheckSuccess
     }
 
-    // one-slot deserialization cache. Content-compared, NOT reference-
-    // compared: UnsafeRow.getBinary copies into a fresh array per access,
-    // so `eq` would never hit; Arrays.equals is a memcmp — orders of
-    // magnitude cheaper than re-parsing the sketch per probe row.
-    @transient private var cachedBytes: Array[Byte] = _
-    @transient private var cachedSketch: CountMinSketch = _
+    @transient private lazy val cache = new CmsCache
 
-    override def nullSafeEval(sketchBytes: Any, item: Any): Any = {
-      val bytes = sketchBytes.asInstanceOf[Array[Byte]]
-      if (cachedBytes == null || !java.util.Arrays.equals(bytes, cachedBytes)) {
-        cachedSketch = CountMinSketch.readFrom(bytes)
-        cachedBytes = bytes
-      }
-      cachedSketch.estimateCount(java.lang.Long.valueOf(item.asInstanceOf[Long]))
+    override def nullSafeEval(sketchBytes: Any, item: Any): Any =
+      cache.estimate(sketchBytes.asInstanceOf[Array[Byte]],
+        item.asInstanceOf[Long])
+
+    override def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions
+          .codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      // the holder rides the references array — a fresh one per
+      // generated plan, matching the interpreted path's per-instance
+      // cache lifetime
+      val holder = ctx.addReferenceObj("cmsCache", new CmsCache,
+        classOf[CmsCache].getName)
+      nullSafeCodeGen(ctx, ev, (s, i) =>
+        s"${ev.value} = $holder.estimate($s, $i);")
     }
 
     override protected def withNewChildrenInternal(

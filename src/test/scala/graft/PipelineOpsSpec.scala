@@ -273,6 +273,63 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select(HashExprs.sq_dist_ll($"a", $"b"), HashExprs.dot_ll($"a", $"b"))
       .collect().head
     assert(mism.isNullAt(0) && mism.isNullAt(1))
+    // ADVICE r17: dot_num accepts int/long elements like the HOF it
+    // replaced (an integer embedding previously threw at plan time)
+    val intDot = Seq((Array(1, 2, 3), Array(2L, 3L, 4L)))
+      .toDF("ia", "lb")
+      .select(HashExprs.dot_num($"ia", $"lb").as("dn"),
+        aggregate(zip_with($"ia", $"lb",
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (a, v) => a + v).as("hof"))
+      .collect().head
+    assert(intDot.getDouble(0) == 20.0 && intDot.getDouble(1) == 20.0)
+  }
+
+  test("eq_count_ll / center_scale equal their HOF encodings") {
+    import spark.implicits._
+    import graft.functions.HashExprs
+    // round-18 sweep: the LAST interpreted aggregate(zip_with(...)) fold
+    // (minhash_est_jaccard's agreement count) and the standardize map —
+    // pin value-equality vs the HOF encodings, INCLUDING the pad
+    // semantics on mismatched lengths.
+    val sig = Seq(
+      (1L, Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 4L)), // 3 agree
+      (2L, Array(1L, 2L, 3L), Array(1L, 2L, 3L, 4L)),     // pad: min-len
+      (3L, Array.empty[Long], Array.empty[Long]))          // empty -> 0
+      .toDF("id", "a", "b")
+    sig.select($"id", HashExprs.eq_count_ll($"a", $"b").as("k"),
+        aggregate(zip_with($"a", $"b",
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (s, x) => s + x).as("hof"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) == r.getLong(2), s"eq_count id=${r.getLong(0)}")
+      }
+    // center_scale: σ=0 dim -> 0.0; ragged rows exercise the pad paths
+    // (shorter vq -> null element unless σ==0 at that position; longer
+    // vq -> null element past μ/σ)
+    val mu = Array(0.5, -1.25, 3.0, 0.0, 2.5, -0.75)
+    val sd = Array(1.5, 2.0, 0.0, 1.0, 0.25, 3.5)
+    val sdZ = Array(1.5, 2.0, 0.0, 1.0, 0.0, 0.0) // zeros in the pad zone
+    val rows = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(6)(j => ((i * 7 + j * 13) % 21 - 10).toLong))) ++
+      Seq((100L, Array(1L, 2L, 3L, 4L)),             // shorter than d
+        (101L, Array(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))) // longer than d
+    val df = rows.toDF("id", "vq")
+    def hof(sdArr: Array[Double]) =
+      zip_with(
+        zip_with($"vq", array(mu.map(lit): _*), (x, m) => x.cast("double") - m),
+        array(sdArr.map(lit): _*), (t, s) =>
+          when(s === 0.0, lit(0.0)).otherwise(t / s))
+    Seq(sd, sdZ).foreach { sdArr =>
+      df.select($"id",
+          HashExprs.center_scale($"vq", array(mu.map(lit): _*),
+            array(sdArr.map(lit): _*)).as("k"),
+          hof(sdArr).as("hof"))
+        .collect().foreach { r =>
+          assert(r.getSeq[Any](1) == r.getSeq[Any](2),
+            s"center_scale id=${r.getLong(0)}: ${r.getSeq[Any](1)} vs ${r.getSeq[Any](2)}")
+        }
+    }
   }
 
   test("brute-force ANN: k rows per query, valid ranks, descending cos") {

@@ -65,4 +65,30 @@ class SqlFunctionsSpec extends AnyFunSuite {
       assert(est >= cnt && est <= cnt + math.ceil(n * 0.001).toLong, r)
     }
   }
+
+  test("cms_estimate codegen and interpreted paths agree") {
+    // round 18: CmsEstimate dropped its CodegenFallback (the repo's
+    // last) — pin that the generated path returns exactly what direct
+    // expression eval (the interpreted path) and the sketch library
+    // itself return, sharing one CmsCache contract.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, lit}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    import graft.functions.SketchExprs
+    val skBytes = Tables(spark, TestSpark.sf, "orders")
+      .agg(expr("count_min_sketch(o_custkey, 0.001d, 0.99d, 7)"))
+      .head().getAs[Array[Byte]](0)
+    val keys = (1L to 50L).toSeq
+    val interp = keys.map(k => SketchExprs.CmsEstimate(
+      Literal(skBytes, BinaryType), Literal(k)).eval(null).asInstanceOf[Long])
+    val lib = {
+      val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(skBytes)
+      keys.map(k => sk.estimateCount(java.lang.Long.valueOf(k)))
+    }
+    val gen = keys.toDF("k")
+      .select(SketchExprs.cms_estimate(lit(skBytes), $"k"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(gen == interp && gen == lib)
+  }
 }
