@@ -107,6 +107,10 @@ object Bench {
     "q161_distance_distribution",
     // round 16: the IVFADC recall contract (round-15 directive #5)
     "s19_ivf_adc_recall",
+    // round 18: the recall contract WITH the production dials composed
+    // (2x probe fraction + exact rerank of the ADC top-100 — margin
+    // >= 0.4 at the organic operating points, round-17 directive #1)
+    "s20_ivf_adc_rerank_recall",
     // dedup / similarity / text pipeline; d12/d13/s07/t17 rotated out
     // round 9 (sub-0.3s, families covered by d11/d14/s09/t15) to make
     // room for the r1/r2 rep columns inside the tail budget

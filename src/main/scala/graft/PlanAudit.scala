@@ -232,7 +232,12 @@ object PlanAudit {
     // ending in TakeOrderedAndProject (query as literal array, corpus
     // never shuffles), the approx side s17's serving plan; the union is
     // 3 bounded branches
-    "s19_ivf_adc_recall")
+    "s19_ivf_adc_recall",
+    // IVFADC + rerank recall (round 18): same exact side; the approx
+    // side adds ONE broadcast left-semi (the <=100-row ADC shortlist
+    // into the quantized corpus projection) + TakeOrderedAndProject —
+    // the rerank must never shuffle the corpus or re-derive assignment
+    "s20_ivf_adc_rerank_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

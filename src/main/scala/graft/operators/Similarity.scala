@@ -749,12 +749,12 @@ object Similarity {
       val v = s2.toDouble / n - mu(i) * mu(i)
       if (v > 0) math.sqrt(v) else 0.0
     }
+    // codegen'd kernel (round-18 sweep): value-identical to the nested
+    // zip_with pair it replaces, including the σ=0 → 0.0 guard and the
+    // pad/poison null semantics (spec-pinned in PipelineOpsSpec)
     vq.select(col("id"),
-      zip_with(
-        zip_with(col("vq"), array(mu.map(lit): _*), (x, m) =>
-          x.cast("double") - m),
-        array(sd.map(lit): _*), (t, s) =>
-          when(s === 0.0, lit(0.0)).otherwise(t / s)).as("norm"))
+      graft.functions.HashExprs.center_scale(col("vq"),
+        array(mu.map(lit): _*), array(sd.map(lit): _*)).as("norm"))
   }
 
   def topComponentProjection(
@@ -1060,9 +1060,10 @@ object Similarity {
     val vq = vqProjected(emb, idCol, embCol, model.quantScale)
     val qq = query.map(x => math.round(x * model.quantScale))
     val qLit = array(qq.map(lit): _*)
-    val d2 = aggregate(
-      zip_with(col("vq"), qLit, (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, v) => acc + v)
+    // codegen'd kernel (round-18 sweep — the HOF fold is interpreted;
+    // cold here since only the ≤candidates shortlist rows evaluate it,
+    // swept for the zero-interpreted-folds invariant)
+    val d2 = sqDist(col("vq"), qLit)
     vq.join(broadcast(cand), Seq("id"), "left_semi")
       .select(col("id"), d2.as("dist"))
       .orderBy(col("dist"), col("id"))
@@ -1109,6 +1110,47 @@ object Similarity {
       .join(broadcast(cells), Seq("c_id"), "left_semi")
       .select(col("n_id").as(idCol), col("n_emb").as(embCol))
     pqTopKAdc(members, idCol, embCol, model, query, kNN)
+  }
+
+  /** IVFADC + EXACT RERANK — the production recall lever composed into
+    * the full serving stack (Jégou, Douze & Schmid TPAMI 2011 §V's
+    * re-ranking applied to §VII's IVFADC; the FAISS `IndexRefineFlat`
+    * pattern): [[ivfAdcTopK]] produces the `candidates` best CODE-level
+    * (ADC) matches from the probed cells, then ONLY that shortlist is
+    * re-scored with the exact integer squared-L2 on the quantized-long
+    * vectors and the top `kNN` returned. ADC's code-compression error
+    * is undone for the shortlist, so recall is bounded by cell pruning
+    * + shortlist width instead of by code distortion — the round-18
+    * recall-margin lever (the s19 curve sat AT the 0.2 floor at sf0.1;
+    * reranked, the same fraction-pinned config gates at ≥0.4 with
+    * margin, measured in PERF_PROBE.md).
+    *
+    * Scale shape: stage 1 is the [[ivfAdcTopK]] serving plan unchanged
+    * (assignment is the build-time layout at 100 TB; ADC is a pure map
+    * over m-byte codes into one TakeOrderedAndProject). Stage 2
+    * BROADCASTS the ≤`candidates`-row id list into a semi-join and
+    * scores map-side — one extra ≤candidates-row exact pass; with the
+    * id-bucketed layout the float fetch prunes to touched buckets. Ties
+    * break by id at both stages; all arithmetic is exact longs.
+    *
+    * @return (id, dist) — exact integer squared-L2 ascending, ties by
+    *         id, ≤ kNN rows drawn from the ADC shortlist.
+    */
+  def ivfAdcRerankTopK(corpus: DataFrame, idCol: String, embCol: String,
+      model: PqModel, query: Seq[Double], kNN: Int = 10, nProbe: Int = 2,
+      centEvery: Int = 25, candidates: Int = 50): DataFrame = {
+    require(kNN >= 1 && candidates >= kNN,
+      s"need candidates >= kNN >= 1: $candidates, $kNN")
+    val shortlist = ivfAdcTopK(corpus, idCol, embCol, model, query,
+      kNN = candidates, nProbe = nProbe, centEvery = centEvery)
+      .select(col("id"))
+    val vq = vqProjected(corpus, idCol, embCol, model.quantScale)
+    val qq = query.map(x => math.round(x * model.quantScale))
+    val qLit = array(qq.map(lit): _*)
+    vq.join(broadcast(shortlist), Seq("id"), "left_semi")
+      .select(col("id"), sqDist(col("vq"), qLit).as("dist"))
+      .orderBy(col("dist"), col("id"))
+      .limit(kNN)
   }
 
   /** PERSIST the IVFADC serving layout — [[ivfAdcTopK]]'s build side
@@ -1261,13 +1303,18 @@ object Similarity {
     * never moves), and the approx side is the serving path itself.
     * Recall counts ID-SET overlap (the ann-benchmarks definition).
     *
+    * `rerankCandidates > 0` swaps the approx side to
+    * [[ivfAdcRerankTopK]] with that shortlist width — the same eval
+    * harness gating the RERANKED stack (s20), so the recall the
+    * production lever buys is itself contract, not prose.
+    *
     * @return one row per query id: (q_id, n_exact, n_hit, recall,
     *         meets_floor) — recall = round-4 n_hit/n_exact.
     */
   def ivfAdcRecallAtK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
       nProbe: Int, centEvery: Int, model: PqModel,
       idCol: String = "vec_id", embCol: String = "embedding",
-      recallFloor: Double = 0.5): DataFrame = {
+      recallFloor: Double = 0.5, rerankCandidates: Int = 0): DataFrame = {
     require(queryIds.nonEmpty && queryIds.size <= 1000,
       s"queryIds is the bounded eval batch (got ${queryIds.size})")
     require(k >= 1, s"k must be >= 1, got $k")
@@ -1292,8 +1339,12 @@ object Similarity {
         .select(col("id"), sqDist(col("vq"), qLit).as("dist"))
         .orderBy(col("dist"), col("id")).limit(k)
         .select(col("id"))
-      val approx = ivfAdcTopK(corpus, idCol, embCol, model, query,
-          kNN = k, nProbe = nProbe, centEvery = centEvery)
+      val approx = (if (rerankCandidates > 0)
+          ivfAdcRerankTopK(corpus, idCol, embCol, model, query, kNN = k,
+            nProbe = nProbe, centEvery = centEvery,
+            candidates = rerankCandidates)
+        else ivfAdcTopK(corpus, idCol, embCol, model, query,
+          kNN = k, nProbe = nProbe, centEvery = centEvery))
         .select(col("id"), lit(1L).as("hit"))
       exact.join(approx, Seq("id"), "left_outer")
         .agg(count(lit(1)).as("n_exact"),

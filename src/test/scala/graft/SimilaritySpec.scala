@@ -356,6 +356,43 @@ class SimilaritySpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("ivfAdcRerankTopK: exact quantized-L2 over the IVFADC shortlist, " +
+      "ascending with id ties") {
+    // round 18 (the s20 serving path): given stage 1's ADC shortlist,
+    // stage 2 must return exactly the kNN smallest EXACT quantized-L2
+    // distances among the shortlist ids — pinned against a driver-side
+    // replay of both the shortlist membership and the distances.
+    import spark.implicits._
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 4, k = 8, iters = 1)
+    val q = emb.filter($"vec_id" === 2L)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val shortlist = Similarity.ivfAdcTopK(emb, "vec_id", "embedding",
+        model, q, kNN = 20, nProbe = 4, centEvery = 25)
+      .collect().map(_.getLong(0)).toSet
+    val got = Similarity.ivfAdcRerankTopK(emb, "vec_id", "embedding",
+        model, q, kNN = 5, nProbe = 4, centEvery = 25, candidates = 20)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.size == 5 && got.map(_._1).toSet.subsetOf(shortlist))
+    // driver replay: exact quantized-L2 for every shortlist id
+    val raw = emb.filter($"vec_id".isin(shortlist.toSeq: _*))
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val qq = q.map(x => math.round(x * model.quantScale))
+    def sq(id: Long): Long = raw(id)
+      .map(x => math.round(x * model.quantScale)).zip(qq)
+      .map { case (a, b) => (a - b) * (a - b) }.sum
+    val want = shortlist.toSeq.map(id => (id, sq(id)))
+      .sortBy { case (id, d) => (d, id) }.take(5)
+    assert(got == want, s"got $got want $want")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAdcRerankTopK(emb, "vec_id", "embedding", model, q,
+        kNN = 5, nProbe = 4, centEvery = 25, candidates = 3)
+    }
+    Caches.sweep(spark)
+  }
+
   test("mmr: near-duplicate loses to the diverse pick; λ=1 is pure relevance") {
     import spark.implicits._
     val emb = Seq(
