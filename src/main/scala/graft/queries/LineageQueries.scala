@@ -472,6 +472,72 @@ object LineageQueries {
              |  ('part', 'documents', 'text'),
              |  ('shh', 'documents', 'text'))
              |  AS t(out_col, src_table, src_col)
+             |ORDER BY out_col, src_table, src_col""".stripMargin)),
+
+    // lineage for a MULTI-OUTPUT layout build (round-17 verdict #4):
+    // lx16 pins a single-sink build, but nothing proved per-output
+    // attribution when ONE builder call writes SEVERAL sinks. The BM25
+    // index build writes THREE datasets (postings/, termdf/, stats/),
+    // and the interesting edge is that termdf/ rolls up from the
+    // ALREADY-WRITTEN postings parquet (a read-back), so its report's
+    // input must be the intermediate `postings` file entity — NOT
+    // `documents` — while postings/ and stats/ trace to the corpus.
+    // Three write commands → three listener reports, each with its own
+    // output entity, inputs, and column lineage; rows are keyed
+    // `<sink>/<out_col>` so the gate fails loudly if any sink's report
+    // is missing or its columns blur into another's.
+    Q("lx17_lineage_multi_output_build",
+      (s, dir) => {
+        import graft.lineage._
+        val docs = Tables(s, dir, "documents").filter(col("doc_id") < 100)
+        val tmp = graft.Scratch.dir("graft_lx17_bm25")
+        // fresh build EVERY call (the lx16 rule): the layout is
+        // ident-keyed, so a repeat run would ident-hit, skip all three
+        // writes, and starve the listener
+        val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+        val fs = tmpPath.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+        val listener = LineageListener.install(s)
+        val reports = try {
+          graft.operators.Retrieval.bm25IndexWrite(docs, "doc_id", "text",
+            tmp, nBuckets = 4)
+          def seen = listener.reports
+            .filter(_._2.outputs.exists(_.contains("graft_lx17")))
+          val deadline = System.currentTimeMillis() + 15000
+          while (seen.flatMap(_._2.outputs).distinct.size < 3 &&
+            System.currentTimeMillis() < deadline) Thread.sleep(50)
+          seen
+        } finally s.listenerManager.unregister(listener)
+        val sinkNames = reports.flatMap(_._2.outputs).distinct
+          .map(_.stripSuffix("/").split('/').last).sorted
+        require(sinkNames == Seq("postings", "stats", "termdf"),
+          s"expected the 3 layout sinks, listener observed: $sinkNames")
+        val rows = reports.flatMap { case (_, rep) =>
+          val sink = rep.outputs.find(_.contains("graft_lx17")).get
+            .stripSuffix("/").split('/').last
+          val colRows = rep.columnLineage.toSeq.flatMap { case (out, refs) =>
+            refs.toSeq.map(r => (s"$sink/$out", r.table, r.column))
+          }
+          val inRows = rep.inputs.map(m => (s"_input/$sink", m.name, ""))
+          colRows ++ inRows
+        }.distinct
+        s.createDataFrame(rows)
+          .toDF("out_col", "src_table", "src_col")
+          .orderBy("out_col", "src_table", "src_col")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('_input/postings', 'documents', ''),
+             |  ('_input/stats', 'documents', ''),
+             |  ('_input/termdf', 'postings', ''),
+             |  ('postings/bucket', 'documents', 'text'),
+             |  ('postings/dl', 'documents', 'text'),
+             |  ('postings/doc_id', 'documents', 'doc_id'),
+             |  ('postings/term', 'documents', 'text'),
+             |  ('stats/avgdl', 'documents', 'text'),
+             |  ('stats/sumdl', 'documents', 'text'),
+             |  ('termdf/bucket', 'postings', 'bucket'),
+             |  ('termdf/term', 'postings', 'term'))
+             |  AS t(out_col, src_table, src_col)
              |ORDER BY out_col, src_table, src_col""".stripMargin))
   )
 }

@@ -63,6 +63,48 @@ class LineageGoldenSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("multi-output layout build: one report per sink, per-output " +
+      "attribution (lx17 twin)") {
+    // round-17 verdict #4: one builder call, THREE sinks. The listener
+    // must report every output entity separately, and each report's
+    // inputs/columns must be ITS OWN — in particular termdf/ rolls up
+    // from the already-written postings parquet, so its input is the
+    // intermediate `postings` file entity, NOT `documents`.
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id") < 100)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_lx17_spec").toString + "/index"
+    val listener = LineageListener.install(spark)
+    try {
+      graft.operators.Retrieval.bm25IndexWrite(docs, "doc_id", "text", tmp,
+        nBuckets = 4)
+      val deadline = System.currentTimeMillis() + 15000
+      def seen = listener.reports
+        .filter(_._2.outputs.exists(_.contains("graft_lx17_spec")))
+      while (seen.flatMap(_._2.outputs).distinct.size < 3 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val bySink = seen.map(_._2).map { rep =>
+        rep.outputs.head.stripSuffix("/").split('/').last -> rep
+      }.toMap
+      assert(bySink.keySet == Set("postings", "termdf", "stats"), bySink.keys)
+      // per-output inputs: the read-back roll-up traces to the
+      // intermediate file entity, the two corpus passes to documents
+      assert(bySink("postings").inputs.map(_.name) == Seq("documents"))
+      assert(bySink("stats").inputs.map(_.name) == Seq("documents"))
+      assert(bySink("termdf").inputs.map(_.name) == Seq("postings"))
+      // per-output column lineage stays separated (no blur across sinks)
+      assert(bySink("postings").columnLineage("doc_id") ==
+        Set(ColumnRef("documents", "doc_id")))
+      assert(bySink("postings").columnLineage("term") ==
+        Set(ColumnRef("documents", "text")))
+      assert(bySink("termdf").columnLineage("term") ==
+        Set(ColumnRef("postings", "term")))
+      assert(bySink("termdf").columnLineage("bucket") ==
+        Set(ColumnRef("postings", "bucket")))
+      assert(bySink("stats").columnLineage("avgdl") ==
+        Set(ColumnRef("documents", "text")))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("lineage flows through a Scala UDF generically (SURVEY §2.6)") {
     import spark.implicits._
     val double_it = udf((x: Double) => x * 2)
