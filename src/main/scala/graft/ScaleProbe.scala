@@ -291,33 +291,72 @@ object ScaleProbe {
       try out.write(ident.getBytes("UTF-8")) finally out.close()
     }
     Seq(5L, 50L, 500L).map { thr =>
-      var best = Double.MaxValue
-      var n = 0L
-      for (_ <- 1 to 2) {
-        Caches.sweep(spark)
-        val t0 = System.nanoTime()
-        val ev = StreamOps.readEvents(spark, dir)
-          .filter(pmod(col("user_id"), lit(10000000L)) < thr)
-        val pu = ev.filter(col("event_type") === "purchase")
-          .select(col("event_id").as("p_id"), col("user_id"),
-            col("ts").as("p_ts"))
-          .withWatermark("p_ts", "2 hours")
-        val cl = ev.filter(col("event_type") === "click")
-          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-            col("ts").as("c_ts"))
-          .withWatermark("c_ts", "2 hours")
-        val joined = pu.join(cl,
-          pu("user_id") === cl("c_user") &&
-            cl("c_ts") >= pu("p_ts") - expr("INTERVAL 1 HOUR") &&
-            cl("c_ts") <= pu("p_ts"),
-          "left_outer")
-        n = StreamOps.runToMemory(spark, joined, s"x_state_ladder_$thr",
-          OutputMode.Append()).count()
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
-      }
-      Caches.sweep(spark)
-      println(f"[scale] state ladder thr=$thr%-4d $best%6.2fs ($n rows)")
+      val (n, best) = stateLadderRung(spark, dir, thr, 4, None, "base")
       (thr, n, best)
+    }
+  }
+
+  /** One ladder rung: full scan of the 100-replica events table, the
+    * replica-spanning predicate admitting `thr`-scaled state into the
+    * interval join, run under the given shuffle-partition count and
+    * state-store provider (the two production state knobs). Best of 2
+    * cold-cache reps. */
+  private def stateLadderRung(spark: SparkSession, dir: String, thr: Long,
+      parts: Int, provider: Option[String], tag: String): (Long, Double) = {
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StreamOps
+    var best = Double.MaxValue
+    var n = 0L
+    for (_ <- 1 to 2) {
+      Caches.sweep(spark)
+      val t0 = System.nanoTime()
+      val ev = StreamOps.readEvents(spark, dir)
+        .filter(pmod(col("user_id"), lit(10000000L)) < thr)
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val cl = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = pu.join(cl,
+        pu("user_id") === cl("c_user") &&
+          cl("c_ts") >= pu("p_ts") - expr("INTERVAL 1 HOUR") &&
+          cl("c_ts") <= pu("p_ts"),
+        "left_outer")
+      n = StreamOps.runToMemory(spark, joined,
+        s"x_state_ladder_${thr}_$tag", OutputMode.Append(),
+        shufflePartitions = parts, stateProvider = provider).count()
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    Caches.sweep(spark)
+    println(f"[scale] state ladder thr=$thr%-4d parts=$parts%-2d " +
+      f"${provider.map(_ => "rocksdb").getOrElse("memory")}%-7s " +
+      f"$best%6.2fs ($n rows)")
+    (n, best)
+  }
+
+  /** Knob matrix at the state ladder's 100x rung (round-17 verdict #3):
+    * the ladder's reading prescribes "raise shuffle partitions and move
+    * to RocksDB" past the visible point — this prices both levers on
+    * the SAME 100x-state scan so the prescription is measured, not
+    * prose. Returns (label, rows, bestSec); the 4-partition
+    * memory-provider row is the ladder's own 100x rung re-run in-matrix
+    * so all four variants share one session and day. */
+  private def stateKnobMatrix(spark: SparkSession,
+      outDir: String): Seq[(String, Long, Double)] = {
+    val rocks = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    Seq(
+      ("4 parts, memory", 4, None),
+      ("32 parts, memory", 32, None),
+      ("4 parts, rocksdb", 4, Some(rocks)),
+      ("32 parts, rocksdb", 32, Some(rocks))
+    ).map { case (label, parts, prov) =>
+      val (n, best) = stateLadderRung(spark, s"$outDir/state100x", 500L,
+        parts, prov, label.replaceAll("[^a-z0-9]+", "_"))
+      (label, n, best)
     }
   }
 
@@ -395,12 +434,26 @@ object ScaleProbe {
           model, recallFloor = 0.2)
         .orderBy(col("q_id")).select(col("recall"))
         .collect().map(_.getDouble(0)).toSeq
+      // the s20 config: BOTH production dials composed — 2x probe
+      // fraction (cells/3) + exact rerank of the ADC top-100 (round-17
+      // verdict #1; rerank ALONE at the s19 fraction is ceiling-capped
+      // at 0.2 by cell pruning for query 2 at sf0.1 — measured, see the
+      // s20 gate comment) — the margin the lever stack buys, measured
+      // at every SF on the same day/session as the s19 row
+      val reranked = graft.operators.Similarity.ivfAdcRecallAtK(
+          emb, Seq(0L, 1L, 2L), k = 10,
+          nProbe = math.max(8L, nCells / 3).toInt, centEvery = 25,
+          model, recallFloor = 0.4, rerankCandidates = 100)
+        .orderBy(col("q_id")).select(col("recall"))
+        .collect().map(_.getDouble(0)).toSeq
       Caches.sweep(spark)
-      println(f"[scale] s19 recall@10 $sf%-7s ${recalls.mkString(", ")}")
-      (sf, recalls)
+      println(f"[scale] s19 recall@10 $sf%-7s ${recalls.mkString(", ")}" +
+        f"  | s20 reranked ${reranked.mkString(", ")}")
+      (sf, recalls, reranked)
     }
 
     val ladder = stateLadder(spark, srcDir, outDir)
+    val knobs = stateKnobMatrix(spark, outDir)
 
     val sb = new StringBuilder
     sb.append("\n## Scale probe: sf0.1 → sf1 (measured, not extrapolated)\n\n")
@@ -436,13 +489,23 @@ object ScaleProbe {
     sb.append("ADC despite code distortion. It measures that the stack\n")
     sb.append("finds strong true neighbors perfectly when they exist; the\n")
     sb.append("distractor-regime claim rests on the organic rows.\n")
-    sb.append("Production recall levers (exact rerank of the shortlist,\n")
-    sb.append("trained cells) are gated separately.\n\n")
-    sb.append("| sf | per-query recall@10 | min | >= 0.2 floor |\n")
-    sb.append("|---|---|---|---|\n")
-    recallRows.foreach { case (sf, rs) =>
+    sb.append("The s20 columns are the SAME stack with BOTH production\n")
+    sb.append("recall dials composed (round-18): probe fraction doubled to\n")
+    sb.append("cells/3 AND exact rerank of the ADC top-100 (one <=100-row\n")
+    sb.append("broadcast-semi-join pass — shortlist-bounded, corpus-free),\n")
+    sb.append("gated at >= 0.4 per query. Measured decomposition (s20 gate\n")
+    sb.append("comment): rerank alone at the s19 fraction is ceiling-capped\n")
+    sb.append("at 0.2 by CELL PRUNING for query 2 at sf0.1, and the deeper\n")
+    sb.append("probe alone stays ~0.3 under code distortion — only the\n")
+    sb.append("composition clears the floor, the FAISS tuning recipe\n")
+    sb.append("(nprobe up to the cell-recall ceiling, refine under it).\n\n")
+    sb.append("| sf | s19 per-query recall@10 | min | >= 0.2 " +
+      "| s20 reranked per-query | min | >= 0.4 |\n")
+    sb.append("|---|---|---|---|---|---|---|\n")
+    recallRows.foreach { case (sf, rs, rr) =>
       sb.append(f"| $sf | ${rs.mkString(", ")} | ${rs.min}%.2f | ${
-        if (rs.min >= 0.2) "yes" else "NO"} |\n")
+        if (rs.min >= 0.2) "yes" else "NO"} | ${rr.mkString(", ")} | ${
+        rr.min}%.2f | ${if (rr.min >= 0.4) "yes" else "NO"} |\n")
     }
     sb.append("\n### Streaming state ladder: 1x / 10x / 100x state, constant scan\n\n")
     sb.append("x_st07_state_10x bounded a 10x state step (invisible at probe\n")
@@ -486,6 +549,37 @@ object ScaleProbe {
             sb.append("state wins roughly another 1-2 orders of magnitude out,\n")
             sb.append("where the shuffle-partition and RocksDB knobs take over.\n")
         }
+      case _ => ()
+    }
+    sb.append("\n### State knobs priced at the 100x rung (round-18)\n\n")
+    sb.append("The ladder's reading names two production levers past the\n")
+    sb.append("visible point — raise the stateful operator's shuffle\n")
+    sb.append("partitions (the gates pin 4) and move the state store to\n")
+    sb.append("RocksDB. This matrix runs the SAME 100x-state scan (thr=500,\n")
+    sb.append("identical plan and rows) under all four combinations, same\n")
+    sb.append("session and day, best of 2 cold-cache reps — so the\n")
+    sb.append("prescription is a measured price, not prose.\n\n")
+    sb.append("| variant | out rows | best s | vs 4/memory |\n")
+    sb.append("|---|---|---|---|\n")
+    val knobBase = knobs.headOption.map(_._3).getOrElse(1.0)
+    knobs.foreach { case (label, n, sec) =>
+      sb.append(f"| $label | $n | $sec%.2f | ${sec / knobBase}%.2fx |\n")
+    }
+    (knobs.find(_._1 == "32 parts, memory"),
+        knobs.find(_._1 == "4 parts, rocksdb")) match {
+      case (Some((_, _, p32)), Some((_, _, rdb))) =>
+        sb.append(f"\nMeasured reading: at THIS absolute state size, 32\n")
+        sb.append(f"partitions costs ${p32 / knobBase}%.2fx the 4-partition wall and\n")
+        sb.append(f"RocksDB costs ${rdb / knobBase}%.2fx — both knobs price the\n")
+        sb.append("per-instance fixed cost they add (8x more state-store\n")
+        sb.append("commits; JNI + disk persistence vs an in-heap map). They\n")
+        sb.append("pay off only past the memory wall: more partitions when\n")
+        sb.append("per-partition state outgrows an executor's heap share\n")
+        sb.append("(parallelizing eviction/commit), RocksDB when TOTAL state\n")
+        sb.append("outgrows the heap (spilling it off-heap at the measured\n")
+        sb.append("premium instead of OOM). The slope to extrapolate stays\n")
+        sb.append("the ladder's us/state-row; these rows bound what buying\n")
+        sb.append("headroom costs when that slope's term dominates.\n")
       case _ => ()
     }
     sb.append(

@@ -676,14 +676,22 @@ object StreamOps {
     */
   def runToMemory(
       spark: SparkSession, df: DataFrame, name: String,
-      mode: OutputMode): DataFrame = {
+      mode: OutputMode, shufflePartitions: Int = 4,
+      stateProvider: Option[String] = None): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
+    val prevProv = spark.conf.getOption(provKey)
     // state-store instances (and their per-batch commits) scale with the
     // stateful operator's shuffle partition count; 4 is plenty for the
     // replay volumes here and halves the fixed per-batch cost vs 8 — a
-    // real cluster sizes this to state volume, not core count
-    spark.conf.set(key, math.min(4, prev.toInt))
+    // real cluster sizes this to state volume, not core count. The two
+    // production knobs past that point — MORE state partitions and the
+    // RocksDB provider — are parameters so the ScaleProbe state-ladder
+    // knob matrix can PRICE them instead of prescribing them unmeasured
+    // (round-17 verdict #3); gates keep the defaults.
+    spark.conf.set(key, math.min(shufflePartitions, prev.toInt))
+    stateProvider.foreach(spark.conf.set(provKey, _))
     try {
       val q = df.writeStream
         .outputMode(mode)
@@ -692,7 +700,13 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set(key, prev)
+    } finally {
+      spark.conf.set(key, prev)
+      if (stateProvider.isDefined) prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
     spark.table(name)
   }
 }
