@@ -580,6 +580,18 @@ object ScaleProbe {
         sb.append("premium instead of OOM). The slope to extrapolate stays\n")
         sb.append("the ladder's us/state-row; these rows bound what buying\n")
         sb.append("headroom costs when that slope's term dominates.\n")
+        // the knob INTERACTION, when measured: once on RocksDB, more
+        // partitions parallelize the JNI/commit cost that a few big
+        // stores serialize — the combination to reach for at scale
+        (knobs.find(_._1 == "32 parts, rocksdb").map(_._3), Some(rdb)) match {
+          case (Some(r32), Some(r4)) if r32 < r4 =>
+            sb.append(f"Note the interaction: RocksDB at 32 partitions\n")
+            sb.append(f"(${r32 / knobBase}%.2fx) beats RocksDB at 4 (${r4 / knobBase}%.2fx) —\n")
+            sb.append("once the provider's per-commit cost dominates, MORE\n")
+            sb.append("partitions parallelize it, so the two levers are pulled\n")
+            sb.append("TOGETHER at scale, not independently.\n")
+          case _ => ()
+        }
       case _ => ()
     }
     sb.append(
