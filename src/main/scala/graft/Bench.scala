@@ -109,8 +109,10 @@ object Bench {
     "s19_ivf_adc_recall",
     // round 18: the recall contract WITH the production dials composed
     // (2x probe fraction + exact rerank of the ADC top-100 — margin
-    // >= 0.4 at the organic operating points, round-17 directive #1)
-    "s20_ivf_adc_rerank_recall",
+    // >= 0.4 at the organic operating points, round-17 directive #1),
+    // and the rerank composed into the PERSISTED serving tier (build
+    // in warm-up, probe-only reps: codes probe + <=20-row float fetch)
+    "s20_ivf_adc_rerank_recall", "s21_ivf_adc_rerank_layout",
     // dedup / similarity / text pipeline; d12/d13/s07/t17 rotated out
     // round 9 (sub-0.3s, families covered by d11/d14/s09/t15) to make
     // room for the r1/r2 rep columns inside the tail budget
@@ -145,7 +147,8 @@ object Bench {
     "s04_ann_ivf_layout", "s08_ann_ivf_append", "s09_hard_negatives_layout",
     "t23_bm25_index", "t24_bm25_index_append", "t40_bpe_apply",
     "d17_lsh_index", "m08_binary_near_dup", "m09_binary_simhash_index",
-    "m11_binary_dhash_index", "s18_ivf_adc_layout")
+    "m11_binary_dhash_index", "s18_ivf_adc_layout",
+    "s21_ivf_adc_rerank_layout")
 
   /** Parse a full-suite artifact's per-query floors: its "queries" map
     * by FULL query name, kept only when the artifact ran on the SAME

@@ -237,7 +237,12 @@ object PlanAudit {
     // side adds ONE broadcast left-semi (the <=100-row ADC shortlist
     // into the quantized corpus projection) + TakeOrderedAndProject —
     // the rerank must never shuffle the corpus or re-derive assignment
-    "s20_ivf_adc_rerank_recall")
+    "s20_ivf_adc_rerank_recall",
+    // layout-served rerank (round 18): stage 1 must be s18's
+    // partition-pruned codes scan (PartitionFilters on c_id); stage 2
+    // one broadcast left-semi into the corpus scan — the float fetch is
+    // the ONLY corpus touch and it is shortlist-bounded
+    "s21_ivf_adc_rerank_layout")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

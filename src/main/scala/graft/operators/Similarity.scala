@@ -1239,9 +1239,11 @@ object Similarity {
     * @return (id, adc) — integer squared-L2 estimate ascending, ties
     *         by id, ≤ `kNN` rows from the probed cells.
     */
-  def ivfAdcProbeLayout(spark: SparkSession, layoutDir: String,
-      query: Seq[Double], kNN: Int = 10, nProbe: Int = 2): DataFrame = {
-    require(kNN >= 1 && nProbe >= 1, s"bad probe params kNN=$kNN nProbe=$nProbe")
+  /** Read + validate an IVFADC layout's ident and return its
+    * quantScale — shared by the ADC probe and the rerank probe so both
+    * quantize against the EXACT scale the codes were built with. */
+  private def ivfAdcLayoutQuantScale(spark: SparkSession,
+      layoutDir: String): Long = {
     val identPath = new org.apache.hadoop.fs.Path(layoutDir, "_graft_ident")
     val fs = identPath.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(identPath),
@@ -1255,10 +1257,16 @@ object Similarity {
     require(ident.startsWith("graft-ivfadc-v1 ") ||
         ident.startsWith("graft-ivfadc-v2 "),
       s"layout at $layoutDir is not an IVFADC layout ('$ident')")
-    val quantScale = raw"quantScale=(\d+)".r.findFirstMatchIn(ident)
+    raw"quantScale=(\d+)".r.findFirstMatchIn(ident)
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalArgumentException(
         s"malformed IVFADC ident '$ident'"))
+  }
+
+  def ivfAdcProbeLayout(spark: SparkSession, layoutDir: String,
+      query: Seq[Double], kNN: Int = 10, nProbe: Int = 2): DataFrame = {
+    require(kNN >= 1 && nProbe >= 1, s"bad probe params kNN=$kNN nProbe=$nProbe")
+    val quantScale = ivfAdcLayoutQuantScale(spark, layoutDir)
     // rebuild the codebook from the layout — m·k bounded rows
     val mrows = spark.read.parquet(s"$layoutDir/_pqmodel")
       .select(col("sub").cast("int"), col("code").cast("int"), col("c"))
@@ -1280,6 +1288,45 @@ object Similarity {
       .filter(col("c_id").isin(cells: _*))
       .select(col("id"), adcExpr(table, col("codes")).as("adc"))
       .orderBy(col("adc"), col("id"))
+      .limit(kNN)
+  }
+
+  /** LAYOUT-SERVED IVFADC + exact rerank — [[ivfAdcRerankTopK]]'s
+    * recall lever composed into the PERSISTED serving tier
+    * ([[ivfAdcProbeLayout]]), which is how the production path actually
+    * runs: stage 1 serves the `candidates` best ADC matches from the
+    * cell-partitioned CODE layout (partition-pruned, float corpus never
+    * touched), stage 2 fetches ONLY the shortlist's float rows from the
+    * corpus and re-scores them with the exact integer squared-L2 at the
+    * LAYOUT'S OWN quantScale (read from the ident — a drifted scale
+    * would silently mis-rank, so the layout is authoritative).
+    *
+    * Scale shape: the rerank is the one stage that must touch float
+    * vectors at all, and it touches exactly ≤`candidates` of them — the
+    * shortlist BROADCASTS into a semi-join, so with an id-bucketed
+    * corpus layout the fetch prunes to touched buckets; nothing
+    * corpus-grain shuffles. This is the recall-vs-IO dial a serving
+    * tier exposes per query class: codes-only (cheap, s18) vs
+    * codes + ≤candidates float rows (the s20 margin).
+    *
+    * @return (id, dist) — exact integer squared-L2 ascending, ties by
+    *         id, ≤ kNN rows drawn from the layout's ADC shortlist.
+    */
+  def ivfAdcRerankProbeLayout(spark: SparkSession, layoutDir: String,
+      corpus: DataFrame, idCol: String, embCol: String,
+      query: Seq[Double], kNN: Int = 10, nProbe: Int = 2,
+      candidates: Int = 50): DataFrame = {
+    require(kNN >= 1 && candidates >= kNN,
+      s"need candidates >= kNN >= 1: $candidates, $kNN")
+    val shortlist = ivfAdcProbeLayout(spark, layoutDir, query,
+      kNN = candidates, nProbe = nProbe).select(col("id"))
+    val quantScale = ivfAdcLayoutQuantScale(spark, layoutDir)
+    val vq = vqProjected(corpus, idCol, embCol, quantScale)
+    val qq = query.map(x => math.round(x * quantScale))
+    val qLit = array(qq.map(lit): _*)
+    vq.join(broadcast(shortlist), Seq("id"), "left_semi")
+      .select(col("id"), sqDist(col("vq"), qLit).as("dist"))
+      .orderBy(col("dist"), col("id"))
       .limit(kNN)
   }
 

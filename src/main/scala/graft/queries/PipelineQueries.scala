@@ -1423,6 +1423,120 @@ object PipelineQueries {
              |GROUP BY e.id
              |ORDER BY adc, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- LAYOUT-SERVED IVFADC + exact rerank (s21, round 18): s18
+    //      serves codes-only from the persisted layout; s20 gates the
+    //      recall the rerank lever buys on the INLINE path. This gate
+    //      closes the square: the rerank composed into the PERSISTED
+    //      serving tier — stage 1 is s18's partition-pruned code probe
+    //      widened to the top-20 shortlist, stage 2 fetches ONLY those
+    //      20 float rows (broadcast semi-join; at 100 TB an id-bucketed
+    //      corpus layout makes the fetch bucket-pruned) and re-scores
+    //      with the exact integer squared-L2 at the LAYOUT'S OWN
+    //      quantScale (read from the ident — the authoritative scale
+    //      the codes were built with). Build shares s18's ident-keyed
+    //      layout (content-keyed scratch, warm-up pre-built). The
+    //      oracle extends s18's replay with the shortlist + exact
+    //      rerank CTEs. ----
+    Q("s21_ivf_adc_rerank_layout",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val key = Tables.contentKey(s"$dir/embeddings.parquet")
+        val layout = graft.Scratch.dir(s"graft_ivfadc_$key")
+        graft.operators.Similarity.ivfAdcBuildLayout(
+          emb, centEvery = 25, layout, "vec_id", "embedding",
+          m = 4, k = 4, quantScale = 1000L)(
+          graft.operators.Similarity.pqTrain(
+            emb, "vec_id", "embedding", m = 4, k = 4, iters = 1))
+        val query = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        graft.operators.Similarity.ivfAdcRerankProbeLayout(
+            s, layout, emb, "vec_id", "embedding", query,
+            kNN = 10, nProbe = 2, candidates = 20)
+          .select(col("id").as("vec_id"), col("dist"))
+      },
+      Some("""WITH vq AS (
+             |  SELECT vec_id AS id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS vq
+             |  FROM embeddings),
+             |cent AS (
+             |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+             |  FROM embeddings WHERE vec_id % 25 = 0),
+             |assign AS (
+             |  SELECT n_id, c_id FROM (
+             |    SELECT e.vec_id AS n_id, c_id,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |                                     c_emb), 5) DESC, c_id) AS arn
+             |    FROM embeddings e CROSS JOIN cent)
+             |  WHERE arn = 1),
+             |probe AS (
+             |  SELECT c_id FROM (
+             |    SELECT c_id, row_number() OVER (ORDER BY
+             |      round(list_cosine_similarity(
+             |        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+             |         WHERE vec_id = 0), c_emb), 5) DESC, c_id) AS prn
+             |    FROM cent)
+             |  WHERE prn <= 2),
+             |allowed AS (
+             |  SELECT n_id AS id FROM assign JOIN probe USING (c_id)),
+             |sp AS (SELECT unnest(range(4)) AS sub),
+             |subs AS (
+             |  SELECT id, sp.sub, vq[sp.sub*16+1 : sp.sub*16+16] AS x
+             |  FROM vq, sp),
+             |seeds AS (
+             |  SELECT sub, CAST(rn - 1 AS INT) AS code, x AS c FROM (
+             |    SELECT sub, x,
+             |      row_number() OVER (PARTITION BY sub ORDER BY id) AS rn
+             |    FROM subs) WHERE rn <= 4),
+             |a1 AS (
+             |  SELECT id, sub, x, code, row_number() OVER (
+             |      PARTITION BY id, sub ORDER BY ld, code) AS rn
+             |  FROM (SELECT s.id, s.sub, s.x, c.code,
+             |      CAST(list_sum(list_transform(range(1, 17),
+             |        i -> (s.x[i] - c.c[i]) * (s.x[i] - c.c[i]))) AS BIGINT) AS ld
+             |    FROM subs s JOIN seeds c USING (sub))),
+             |asg AS (SELECT id, sub, x, code FROM a1 WHERE rn = 1),
+             |upd AS (
+             |  SELECT sub, code, i.i AS pos,
+             |    CAST(floor(CAST(sum(x[i.i + 1]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+             |  FROM asg, (SELECT unnest(range(16)) AS i) i
+             |  GROUP BY sub, code, i.i),
+             |c1 AS (SELECT sub, code, list(mv ORDER BY pos) AS c
+             |  FROM upd GROUP BY sub, code),
+             |cents AS (
+             |  SELECT s.sub, s.code, coalesce(c1.c, s.c) AS c
+             |  FROM seeds s LEFT JOIN c1 ON s.sub = c1.sub AND s.code = c1.code),
+             |enc AS (
+             |  SELECT id, sub, code FROM (
+             |    SELECT s.id, s.sub, c.code, row_number() OVER (
+             |        PARTITION BY s.id, s.sub ORDER BY
+             |        CAST(list_sum(list_transform(range(1, 17),
+             |          i -> (s.x[i] - c.c[i]) * (s.x[i] - c.c[i]))) AS BIGINT),
+             |        c.code) AS rn
+             |    FROM subs s JOIN cents c USING (sub)
+             |    WHERE s.id IN (SELECT id FROM allowed)) WHERE rn = 1),
+             |qsubs AS (
+             |  SELECT sp.sub, q.vq[sp.sub*16+1 : sp.sub*16+16] AS qx
+             |  FROM (SELECT vq FROM vq WHERE id = 0) q, sp),
+             |tab AS (
+             |  SELECT c.sub, c.code,
+             |    CAST(list_sum(list_transform(range(1, 17),
+             |      i -> (qs.qx[i] - c.c[i]) * (qs.qx[i] - c.c[i]))) AS BIGINT) AS dist
+             |  FROM cents c JOIN qsubs qs USING (sub)),
+             |adc AS (
+             |  SELECT e.id, CAST(sum(t.dist) AS BIGINT) AS adc
+             |  FROM enc e JOIN tab t ON e.sub = t.sub AND e.code = t.code
+             |  GROUP BY e.id),
+             |short AS (SELECT id FROM adc ORDER BY adc, id LIMIT 20)
+             |SELECT v.id AS vec_id,
+             |  CAST(list_sum(list_transform(range(1, 65),
+             |    j -> (v.vq[j] - q.vq[j]) * (v.vq[j] - q.vq[j])))
+             |    AS BIGINT) AS dist
+             |FROM short s JOIN vq v ON v.id = s.id,
+             |     (SELECT vq FROM vq WHERE id = 0) q
+             |ORDER BY dist, vec_id LIMIT 10""".stripMargin)),
+
     // ---- IVFADC end-to-end recall@k (s19): the acceptance gate the
     //      quantized serving path was missing — s16 gates IVF recall,
     //      but IVFADC stacks PQ code distortion ON TOP of cell pruning

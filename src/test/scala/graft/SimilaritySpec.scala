@@ -393,6 +393,33 @@ class SimilaritySpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("ivfAdcRerankProbeLayout serves bit-identical results to the " +
+      "inline rerank path") {
+    // round 18 (s21): the persisted-layout rerank must reproduce
+    // ivfAdcRerankTopK exactly — same shortlist (codes probe == inline
+    // ADC by the s18 contract), same quantScale (read from the ident),
+    // same exact-L2 rerank and tiebreaks.
+    import spark.implicits._
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 4, k = 4, iters = 1)
+    val layout = java.nio.file.Files
+      .createTempDirectory("graft_s21_spec").toString + "/layout"
+    Similarity.ivfAdcBuildLayout(emb, centEvery = 25, layout,
+      "vec_id", "embedding", m = 4, k = 4, quantScale = 1000L)(model)
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val inline = Similarity.ivfAdcRerankTopK(emb, "vec_id", "embedding",
+        model, q, kNN = 10, nProbe = 2, centEvery = 25, candidates = 20)
+      .as[(Long, Long)].collect().toSeq
+    val served = Similarity.ivfAdcRerankProbeLayout(spark, layout, emb,
+        "vec_id", "embedding", q, kNN = 10, nProbe = 2, candidates = 20)
+      .as[(Long, Long)].collect().toSeq
+    assert(served == inline, s"served $served vs inline $inline")
+    assert(served.nonEmpty && served.map(_._2) == served.map(_._2).sorted)
+    Caches.sweep(spark)
+  }
+
   test("mmr: near-duplicate loses to the diverse pick; λ=1 is pure relevance") {
     import spark.implicits._
     val emb = Seq(
