@@ -242,7 +242,12 @@ object PlanAudit {
     // partition-pruned codes scan (PartitionFilters on c_id); stage 2
     // one broadcast left-semi into the corpus scan — the float fetch is
     // the ONLY corpus touch and it is shortlist-bounded
-    "s21_ivf_adc_rerank_layout")
+    "s21_ivf_adc_rerank_layout",
+    // engine-exact trained cells (round 18): one corpus pass through
+    // the broadcast-centroid crossJoin into the ObjectHashAggregate
+    // argmin (no SortAggregate anywhere), then a (cell, dim)-grain
+    // map-combined update — the corpus itself must never shuffle
+    "s22_ivf_trained_cells_exact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

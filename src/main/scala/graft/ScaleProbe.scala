@@ -147,6 +147,10 @@ object ScaleProbe {
     "s17_ivf_adc", // composed IVFADC serving (cells + ADC codes)
     "s18_ivf_adc_layout", // persisted IVFADC probe (build-once layout)
     "s19_ivf_adc_recall", // recall contract: 3 brute-force evals + serving
+    // round 18: the composed-dials recall contract, the layout-served
+    // rerank (build-once layout), and the engine-exact trained cells
+    "s20_ivf_adc_rerank_recall", "s21_ivf_adc_rerank_layout",
+    "s22_ivf_trained_cells_exact",
     "q161_distance_distribution") // exact ANF readout (driver-path gate)
 
   /** PROBE-ONLY measurements — shapes the gates deliberately exclude,

@@ -576,6 +576,83 @@ object Similarity {
     cent
   }
 
+  /** ENGINE-EXACT trained IVF cells (round 18) — the Lloyd-trained
+    * coarse quantizer as an ORACLE-REPLAYABLE computation.
+    * [[ivfCentroidsTrained]] is the production default but trains on
+    * raw double cosine + double means, whose last-ulp freedom an
+    * independent engine cannot replay bit-for-bit — which is why
+    * trained cells stayed spec-gated only. This variant applies the
+    * [[pqTrain]] determinism discipline at the COARSE level: vectors
+    * quantize to longs, assignment is the exact integer squared-L2
+    * (the FAISS IVF default coarse metric) through the codegen'd
+    * [[graft.functions.HashExprs.SqDistLL]] kernel with ties to the
+    * smallest cell id, and the centroid update is `floor(sum/count)`
+    * per dimension over exact integer sums — bit-identical in any
+    * engine and partition order, so the trained table ITSELF is a
+    * DuckDB-gated contract (s22). Seeds are the modulo subset; an
+    * empty cell keeps its previous centroid (the
+    * [[ivfCentroidsTrained]] rule). `c_vq / quantScale` feeds the
+    * cosine serving stack where doubles are wanted.
+    *
+    * Scale shape: per iteration ONE corpus pass — broadcast centroids,
+    * the single-scan `first(vq)` carry through the ObjectHashAggregate
+    * argmin (the ivfAssign winner, round-17 probe) — into a
+    * (cell, dim)-grain map-combined sum whose exchange carries
+    * |cells|·d rows regardless of corpus size; the corpus never
+    * shuffles.
+    *
+    * @return (c_id, members, c_vq) — members = the size of the final
+    *         update's assignment (0 for a cell that attracted none).
+    */
+  def ivfCentroidsTrainedExact(corpus: DataFrame, centEvery: Int,
+      iters: Int = 1, idCol: String = "vec_id",
+      embCol: String = "embedding", quantScale: Long = 1000L): DataFrame = {
+    require(centEvery >= 1 && iters >= 1,
+      s"bad params centEvery=$centEvery iters=$iters (iters >= 1: the " +
+        "members column is defined by the final assignment)")
+    val vq0 = vqProjected(corpus, idCol, embCol, quantScale)
+    // fanout-aware parallelism: the |cells|-way fanout must not
+    // serialize onto a 1-2-split scan (the ivfAssign rationale)
+    val para = corpus.sparkSession.sparkContext.defaultParallelism
+    val vq = if (vq0.rdd.getNumPartitions < para)
+      vq0.repartition(para) else vq0
+    var cent = vq.filter(col("id") % centEvery === 0)
+      .select(col("id").as("c_id"), col("vq").as("c_vq"))
+      .withColumn("members", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val scored = vq.crossJoin(broadcast(cent.select(col("c_id"), col("c_vq"))))
+        .withColumn("ld", sqDist(col("vq"), col("c_vq")))
+      // argmin = max(-ld), ties to the smallest cell id (-ld exact in
+      // double: |ld| << 2^53); vq carried through the hash aggregate
+      val assigned = scored.groupBy(col("id"))
+        .agg(graft.functions.TopKAgg.top_k_by(
+          -col("ld").cast("double"), col("c_id"), 1).as("tk"),
+          first(col("vq")).as("vq"))
+        .select(element_at(col("tk.id"), 1).as("c_id"), col("vq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val updated = assigned
+        .select(col("c_id"), posexplode(col("vq")).as(Seq("pos", "v")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+          .cast("long").as("mv"))
+        .groupBy(col("c_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+        .select(col("c_id"), col("pm.mv").as("new_vq"))
+      val mem = assigned.groupBy(col("c_id"))
+        .agg(count(lit(1)).as("m_new"))
+      cent = cent.select(col("c_id"), col("c_vq").as("old_vq"))
+        .join(updated, Seq("c_id"), "left")
+        .join(mem, Seq("c_id"), "left")
+        .select(col("c_id"),
+          coalesce(col("new_vq"), col("old_vq")).as("c_vq"),
+          coalesce(col("m_new"), lit(0L)).as("members"))
+        .localCheckpoint(true)
+      assigned.unpersist()
+    }
+    cent.select(col("c_id"), col("members"), col("c_vq"))
+  }
+
   /** Symmetric per-vector int8 quantization (max-abs scaling — the
     * standard embedding-storage compression): `q_i = round(x_i / scale)`,
     * `scale = max|x| / 127`. 4× smaller than float32 at ~1e-3 cosine

@@ -1537,6 +1537,62 @@ object PipelineQueries {
              |     (SELECT vq FROM vq WHERE id = 0) q
              |ORDER BY dist, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- ENGINE-EXACT trained IVF cells (s22, round 18): the one
+    //      production recall lever that was never DuckDB-oracled.
+    //      ivfCentroidsTrained (the production default) trains on raw
+    //      double cosine + double means — last-ulp-free in no engine,
+    //      so it stayed spec-gated. ivfCentroidsTrainedExact applies
+    //      the pqTrain determinism discipline at the coarse level:
+    //      quantized-long vectors, exact integer squared-L2 assignment
+    //      (the FAISS IVF default coarse metric, ties to the smallest
+    //      cell id) through the codegen'd sq_dist_ll kernel, and
+    //      floor(sum/count) centroid updates over exact integer sums —
+    //      so the TRAINED TABLE ITSELF is replayable: the oracle runs
+    //      the same Lloyd iteration in SQL (assignment CTE, per-dim
+    //      floor-mean update, empty-cell carry, member counts) and the
+    //      gate hash-compares all |cells|·d centroid components plus
+    //      per-cell membership. One corpus pass per iteration
+    //      (broadcast centroids, ObjectHashAggregate argmin carry);
+    //      the corpus never shuffles. ----
+    Q("s22_ivf_trained_cells_exact",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        graft.operators.Similarity.ivfCentroidsTrainedExact(
+            emb, centEvery = 25, iters = 1)
+          .select(col("c_id"), col("members"),
+            posexplode(col("c_vq")).as(Seq("pos", "cv")))
+          .select(col("c_id"), col("members"),
+            col("pos").cast("long").as("pos"), col("cv"))
+          .orderBy(col("c_id"), col("pos"))
+      },
+      Some("""WITH vq AS (
+             |  SELECT vec_id AS id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS vq
+             |  FROM embeddings),
+             |seeds AS (SELECT id AS c_id, vq AS c FROM vq WHERE id % 25 = 0),
+             |a1 AS (
+             |  SELECT v.id, s.c_id, row_number() OVER (PARTITION BY v.id
+             |    ORDER BY CAST(list_sum(list_transform(range(1, 65),
+             |      j -> (v.vq[j] - s.c[j]) * (v.vq[j] - s.c[j]))) AS BIGINT),
+             |      s.c_id) AS rn
+             |  FROM vq v CROSS JOIN seeds s),
+             |asg AS (SELECT id, c_id FROM a1 WHERE rn = 1),
+             |upd AS (
+             |  SELECT a.c_id, i.i AS pos,
+             |    CAST(floor(CAST(sum(v.vq[i.i + 1]) AS DOUBLE) / count(*))
+             |      AS BIGINT) AS mv
+             |  FROM asg a JOIN vq v USING (id),
+             |       (SELECT unnest(range(64)) AS i) i
+             |  GROUP BY a.c_id, i.i),
+             |mem AS (SELECT c_id, count(*) AS members FROM asg GROUP BY c_id),
+             |pos AS (SELECT unnest(range(64)) AS pos)
+             |SELECT s.c_id, CAST(coalesce(m.members, 0) AS BIGINT) AS members,
+             |  p.pos, coalesce(u.mv, s.c[p.pos + 1]) AS cv
+             |FROM seeds s CROSS JOIN pos p
+             |LEFT JOIN upd u ON u.c_id = s.c_id AND u.pos = p.pos
+             |LEFT JOIN mem m ON m.c_id = s.c_id
+             |ORDER BY s.c_id, p.pos""".stripMargin)),
+
     // ---- IVFADC end-to-end recall@k (s19): the acceptance gate the
     //      quantized serving path was missing — s16 gates IVF recall,
     //      but IVFADC stacks PQ code distortion ON TOP of cell pruning

@@ -1302,7 +1302,11 @@ class ScaleSpec extends AnyFunSuite {
     // pin fails if a refactor reintroduces a sort-forcing aggregate
     // anywhere in these plans.
     for (name <- Seq("s03_ann_ivf", "s17_ivf_adc", "d05_embedding_nn",
-        "q113_label_propagation", "d17_lsh_index")) {
+        "q113_label_propagation", "d17_lsh_index",
+        // round 18: the new rerank/trained paths share the same argmin
+        // machinery and must stay on the hash path
+        "s20_ivf_adc_rerank_recall", "s21_ivf_adc_rerank_layout",
+        "s22_ivf_trained_cells_exact")) {
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect()
       val sorts = collectAll(df.queryExecution.executedPlan) {

@@ -420,6 +420,46 @@ class SimilaritySpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("ivfCentroidsTrainedExact equals a driver-side Lloyd replay " +
+      "(bit-exact, any partition order)") {
+    // round 18 (s22): the engine-exact trained coarse quantizer —
+    // integer squared-L2 assignment (ties to smallest cell id) +
+    // floor(sum/count) updates + empty-cell carry — replayed entirely
+    // on the driver from the collected quantized corpus; the cluster
+    // result must match component-for-component.
+    import spark.implicits._
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    val got = Similarity.ivfCentroidsTrainedExact(emb, centEvery = 25,
+        iters = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toSeq)))
+      .toMap
+    val corpus = emb
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(x => math.round(x * 1000L)).toArray)
+      .toMap
+    val seeds = corpus.keys.filter(_ % 25 == 0).toSeq.sorted
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val assign = corpus.map { case (id, v) =>
+      id -> seeds.minBy(c => (sq(v, corpus(c)), c))
+    }
+    val want = seeds.map { c =>
+      val members = assign.collect { case (id, cc) if cc == c => id }.toSeq
+      val cent =
+        if (members.isEmpty) corpus(c).toSeq
+        else (0 until 64).map { j =>
+          math.floor(members.map(id => corpus(id)(j)).sum.toDouble /
+            members.size).toLong
+        }
+      c -> ((members.size.toLong, cent))
+    }.toMap
+    assert(got == want)
+    Caches.sweep(spark)
+  }
+
   test("mmr: near-duplicate loses to the diverse pick; λ=1 is pure relevance") {
     import spark.implicits._
     val emb = Seq(
