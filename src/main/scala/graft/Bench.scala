@@ -114,7 +114,8 @@ object Bench {
     // in warm-up, probe-only reps: codes probe + <=20-row float fetch)
     "s20_ivf_adc_rerank_recall", "s21_ivf_adc_rerank_layout",
     // round 18: engine-exact trained coarse cells (oracle-gated Lloyd)
-    "s22_ivf_trained_cells_exact",
+    // and the trained-vs-modulo recall contract (what training buys)
+    "s22_ivf_trained_cells_exact", "s23_ivf_trained_vs_modulo_recall",
     // dedup / similarity / text pipeline; d12/d13/s07/t17 rotated out
     // round 9 (sub-0.3s, families covered by d11/d14/s09/t15) to make
     // room for the r1/r2 rep columns inside the tail budget

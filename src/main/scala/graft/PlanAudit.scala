@@ -247,7 +247,11 @@ object PlanAudit {
     // the broadcast-centroid crossJoin into the ObjectHashAggregate
     // argmin (no SortAggregate anywhere), then a (cell, dim)-grain
     // map-combined update — the corpus itself must never shuffle
-    "s22_ivf_trained_cells_exact")
+    "s22_ivf_trained_cells_exact",
+    // trained-vs-modulo recall contract (round 18): six serving
+    // branches + three exact sides, every argmin on the hash path,
+    // probes and shortlists broadcast — no corpus-grain exchange
+    "s23_ivf_trained_vs_modulo_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -150,7 +150,7 @@ object ScaleProbe {
     // round 18: the composed-dials recall contract, the layout-served
     // rerank (build-once layout), and the engine-exact trained cells
     "s20_ivf_adc_rerank_recall", "s21_ivf_adc_rerank_layout",
-    "s22_ivf_trained_cells_exact",
+    "s22_ivf_trained_cells_exact", "s23_ivf_trained_vs_modulo_recall",
     "q161_distance_distribution") // exact ANF readout (driver-path gate)
 
   /** PROBE-ONLY measurements — shapes the gates deliberately exclude,

@@ -653,6 +653,107 @@ object Similarity {
     cent.select(col("c_id"), col("members"), col("c_vq"))
   }
 
+  /** IVF top-k under the EXACT integer squared-L2 metric over an
+    * arbitrary quantized centroid table — the serving counterpart of
+    * [[ivfCentroidsTrainedExact]] (and of modulo seeds quantized the
+    * same way): cells rank by exact L2 of centroid vs query, vectors
+    * assign to their exact-L2-argmin cell (ties to the smallest cell
+    * id), the probed cells' members score exactly. Every comparison is
+    * integer-exact, so the result — and any recall computed from it —
+    * is bit-identical in any engine (the s22 discipline carried through
+    * serving; the cosine stack keeps [[ivfTopK]]).
+    *
+    * Scale shape: one corpus pass for assignment (broadcast centroids,
+    * ObjectHashAggregate argmin carry), probed members ride a broadcast
+    * semi-join, one TakeOrderedAndProject. At 100 TB the assignment is
+    * the persisted layout and serving touches nProbe/|cells| of it.
+    *
+    * @return (id, dist) — exact integer squared-L2 ascending, ties by
+    *         id, ≤ kNN rows from the probed cells.
+    */
+  def ivfTopKL2Exact(corpus: DataFrame, cent: DataFrame,
+      query: Seq[Double], kNN: Int, nProbe: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      quantScale: Long = 1000L): DataFrame = {
+    require(kNN >= 1 && nProbe >= 1, s"bad params kNN=$kNN nProbe=$nProbe")
+    val vq0 = vqProjected(corpus, idCol, embCol, quantScale)
+    val para = corpus.sparkSession.sparkContext.defaultParallelism
+    val vq = if (vq0.rdd.getNumPartitions < para)
+      vq0.repartition(para) else vq0
+    val qq = query.map(x => math.round(x * quantScale))
+    val qLit = array(qq.map(lit): _*)
+    val c = cent.select(col("c_id"), col("c_vq"))
+    val cells = c
+      .select(col("c_id"), sqDist(col("c_vq"), qLit).as("qld"))
+      .orderBy(col("qld"), col("c_id"))
+      .limit(nProbe).select(col("c_id"))
+    val assigned = vq.crossJoin(broadcast(c))
+      .withColumn("ld", sqDist(col("vq"), col("c_vq")))
+      .groupBy(col("id"))
+      .agg(graft.functions.TopKAgg.top_k_by(
+        -col("ld").cast("double"), col("c_id"), 1).as("tk"),
+        first(col("vq")).as("vq"))
+      .select(col("id"), element_at(col("tk.id"), 1).as("c_id"), col("vq"))
+    assigned.join(broadcast(cells), Seq("c_id"), "left_semi")
+      .select(col("id"), sqDist(col("vq"), qLit).as("dist"))
+      .orderBy(col("dist"), col("id"))
+      .limit(kNN)
+  }
+
+  /** Recall@k of [[ivfTopKL2Exact]] under TWO centroid tables on the
+    * same corpus and queries — the oracle-replayable "what does
+    * training BUY" comparison (s23): ground truth is the exact
+    * integer-L2 top-k over the full corpus; both cell sets serve at the
+    * same nProbe. Everything integer-exact end to end, so per-query
+    * recalls are CONTRACT in any engine.
+    *
+    * @return one row per query: (q_id, n_exact, hits_a, hits_b,
+    *         recall_a, recall_b, b_not_worse) for centroid tables a and
+    *         b — `b_not_worse` is the per-query contract that the B
+    *         cells (trained, in s23) never lose recall vs A.
+    */
+  def ivfL2RecallCompare(corpus: DataFrame, centA: DataFrame,
+      centB: DataFrame, queryIds: Seq[Long], k: Int, nProbe: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      quantScale: Long = 1000L): DataFrame = {
+    require(queryIds.nonEmpty && queryIds.size <= 1000,
+      s"queryIds is the bounded eval batch (got ${queryIds.size})")
+    val vq = vqProjected(corpus, idCol, embCol, quantScale)
+    val qVecs = corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).cast("long").as("qid"),
+        col(embCol).cast("array<double>").as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val missing = queryIds.filterNot(qVecs.contains)
+    require(missing.isEmpty,
+      s"query ids not present in the corpus: ${missing.mkString(", ")}")
+    val perQuery = queryIds.map { qid =>
+      val query = qVecs(qid)
+      val qLit = array(query.map(x =>
+        lit(math.round(x * quantScale))): _*)
+      val exact = vq
+        .select(col("id"), sqDist(col("vq"), qLit).as("dist"))
+        .orderBy(col("dist"), col("id")).limit(k)
+        .select(col("id"))
+      def hits(cent: DataFrame, tag: String) =
+        ivfTopKL2Exact(corpus, cent, query, k, nProbe, idCol, embCol,
+          quantScale).select(col("id"), lit(1L).as(tag))
+      exact
+        .join(hits(centA, "ha"), Seq("id"), "left_outer")
+        .join(hits(centB, "hb"), Seq("id"), "left_outer")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("ha"), lit(0L))).as("hits_a"),
+          sum(coalesce(col("hb"), lit(0L))).as("hits_b"))
+        .select(lit(qid).as("q_id"), col("n_exact"), col("hits_a"),
+          col("hits_b"),
+          round(col("hits_a").cast("double") / col("n_exact").cast("double"),
+            4).as("recall_a"),
+          round(col("hits_b").cast("double") / col("n_exact").cast("double"),
+            4).as("recall_b"),
+          (col("hits_b") >= col("hits_a")).as("b_not_worse"))
+    }
+    perQuery.reduce(_ unionByName _)
+  }
+
   /** Symmetric per-vector int8 quantization (max-abs scaling — the
     * standard embedding-storage compression): `q_i = round(x_i / scale)`,
     * `scale = max|x| / 127`. 4× smaller than float32 at ~1e-3 cosine

@@ -1593,6 +1593,130 @@ object PipelineQueries {
              |LEFT JOIN mem m ON m.c_id = s.c_id
              |ORDER BY s.c_id, p.pos""".stripMargin)),
 
+    // ---- What training BUYS, oracle-gated (s23, round 18): recall@10
+    //      of the exact-L2 IVF serving path under MODULO seeds vs the
+    //      s22 TRAINED cells — same corpus, same queries, same
+    //      fraction-pinned nProbe, everything integer-exact end to end,
+    //      so both recall columns are engine-exact CONTRACT, not a
+    //      spec-level aggregate claim. Measured: at sf0.01 one Lloyd
+    //      iteration barely moves the 20 centroids and recall ties
+    //      (.8/.4/.6 both); at sf0.1 training buys +0.2 recall on two
+    //      of three queries (q1 .6->.8, q2 .2->.4) and never loses —
+    //      the per-query `b_not_worse` contract the gate asserts. The
+    //      oracle replays BOTH serving stacks: the s22 Lloyd iteration,
+    //      both assignments, both fraction-pinned probes, both in-cell
+    //      exact top-10s, and the recall join. ----
+    Q("s23_ivf_trained_vs_modulo_recall",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val seeds = emb.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("c_id"),
+            expr("transform(embedding, x -> " +
+              "cast(round(cast(x as double) * 1000.0) as bigint))")
+              .as("c_vq"))
+        val trained = graft.operators.Similarity.ivfCentroidsTrainedExact(
+            emb, centEvery = 25, iters = 1)
+          .select(col("c_id"), col("c_vq"))
+        val nCells = emb.filter(col("vec_id") % 25 === 0).count()
+        graft.operators.Similarity.ivfL2RecallCompare(emb, seeds, trained,
+            Seq(0L, 1L, 2L), k = 10,
+            nProbe = math.max(4L, nCells / 6).toInt)
+          .orderBy(col("q_id"))
+      },
+      Some("""WITH vq AS (
+             |  SELECT vec_id AS id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS vq
+             |  FROM embeddings),
+             |qset AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS q_id),
+             |qvq AS (
+             |  SELECT q.q_id, v.vq AS qv FROM qset q JOIN vq v ON v.id = q.q_id),
+             |seeds AS (SELECT id AS c_id, vq AS c FROM vq WHERE id % 25 = 0),
+             |a1 AS (
+             |  SELECT v.id, s.c_id, row_number() OVER (PARTITION BY v.id
+             |    ORDER BY CAST(list_sum(list_transform(range(1, 65),
+             |      j -> (v.vq[j] - s.c[j]) * (v.vq[j] - s.c[j]))) AS BIGINT),
+             |      s.c_id) AS rn
+             |  FROM vq v CROSS JOIN seeds s),
+             |asg AS (SELECT id, c_id FROM a1 WHERE rn = 1),
+             |upd AS (
+             |  SELECT a.c_id, i.i AS pos,
+             |    CAST(floor(CAST(sum(v.vq[i.i + 1]) AS DOUBLE) / count(*))
+             |      AS BIGINT) AS mv
+             |  FROM asg a JOIN vq v USING (id),
+             |       (SELECT unnest(range(64)) AS i) i
+             |  GROUP BY a.c_id, i.i),
+             |trained AS (
+             |  SELECT s.c_id, coalesce(t.c, s.c) AS c
+             |  FROM seeds s LEFT JOIN (
+             |    SELECT c_id, list(mv ORDER BY pos) AS c
+             |    FROM upd GROUP BY c_id) t USING (c_id)),
+             |np AS (SELECT greatest(4, count(*) // 6) AS n FROM seeds),
+             |probe_a AS (
+             |  SELECT q_id, c_id FROM (
+             |    SELECT qq.q_id, s.c_id, row_number() OVER (PARTITION BY qq.q_id
+             |      ORDER BY CAST(list_sum(list_transform(range(1, 65),
+             |        j -> (qq.qv[j] - s.c[j]) * (qq.qv[j] - s.c[j]))) AS BIGINT),
+             |        s.c_id) AS prn
+             |    FROM qvq qq CROSS JOIN seeds s)
+             |  WHERE prn <= (SELECT n FROM np)),
+             |probe_b AS (
+             |  SELECT q_id, c_id FROM (
+             |    SELECT qq.q_id, t.c_id, row_number() OVER (PARTITION BY qq.q_id
+             |      ORDER BY CAST(list_sum(list_transform(range(1, 65),
+             |        j -> (qq.qv[j] - t.c[j]) * (qq.qv[j] - t.c[j]))) AS BIGINT),
+             |        t.c_id) AS prn
+             |    FROM qvq qq CROSS JOIN trained t)
+             |  WHERE prn <= (SELECT n FROM np)),
+             |asg_b1 AS (
+             |  SELECT v.id, t.c_id, row_number() OVER (PARTITION BY v.id
+             |    ORDER BY CAST(list_sum(list_transform(range(1, 65),
+             |      j -> (v.vq[j] - t.c[j]) * (v.vq[j] - t.c[j]))) AS BIGINT),
+             |      t.c_id) AS rn
+             |  FROM vq v CROSS JOIN trained t),
+             |asg_b AS (SELECT id, c_id FROM asg_b1 WHERE rn = 1),
+             |approx_a AS (
+             |  SELECT q_id, id FROM (
+             |    SELECT p.q_id, a.id, row_number() OVER (PARTITION BY p.q_id
+             |      ORDER BY CAST(list_sum(list_transform(range(1, 65),
+             |        j -> (v.vq[j] - qq.qv[j]) * (v.vq[j] - qq.qv[j])))
+             |        AS BIGINT), a.id) AS rn
+             |    FROM asg a JOIN probe_a p USING (c_id)
+             |    JOIN vq v ON v.id = a.id JOIN qvq qq ON qq.q_id = p.q_id)
+             |  WHERE rn <= 10),
+             |approx_b AS (
+             |  SELECT q_id, id FROM (
+             |    SELECT p.q_id, a.id, row_number() OVER (PARTITION BY p.q_id
+             |      ORDER BY CAST(list_sum(list_transform(range(1, 65),
+             |        j -> (v.vq[j] - qq.qv[j]) * (v.vq[j] - qq.qv[j])))
+             |        AS BIGINT), a.id) AS rn
+             |    FROM asg_b a JOIN probe_b p USING (c_id)
+             |    JOIN vq v ON v.id = a.id JOIN qvq qq ON qq.q_id = p.q_id)
+             |  WHERE rn <= 10),
+             |exact AS (
+             |  SELECT q_id, id FROM (
+             |    SELECT qq.q_id, v.id, row_number() OVER (PARTITION BY qq.q_id
+             |      ORDER BY CAST(list_sum(list_transform(range(1, 65),
+             |        j -> (v.vq[j] - qq.qv[j]) * (v.vq[j] - qq.qv[j]))) AS BIGINT),
+             |      v.id) AS rn
+             |    FROM vq v CROSS JOIN qvq qq)
+             |  WHERE rn <= 10)
+             |SELECT x.q_id, count(*) AS n_exact,
+             |  CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS hits_a,
+             |  CAST(sum(CASE WHEN b.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS hits_b,
+             |  round(CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS recall_a,
+             |  round(CAST(sum(CASE WHEN b.id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS recall_b,
+             |  CAST(sum(CASE WHEN b.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    >= CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS b_not_worse
+             |FROM exact x
+             |LEFT JOIN approx_a a ON x.q_id = a.q_id AND x.id = a.id
+             |LEFT JOIN approx_b b ON x.q_id = b.q_id AND x.id = b.id
+             |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin)),
+
     // ---- IVFADC end-to-end recall@k (s19): the acceptance gate the
     //      quantized serving path was missing — s16 gates IVF recall,
     //      but IVFADC stacks PQ code distortion ON TOP of cell pruning

@@ -1306,7 +1306,8 @@ class ScaleSpec extends AnyFunSuite {
         // round 18: the new rerank/trained paths share the same argmin
         // machinery and must stay on the hash path
         "s20_ivf_adc_rerank_recall", "s21_ivf_adc_rerank_layout",
-        "s22_ivf_trained_cells_exact")) {
+        "s22_ivf_trained_cells_exact",
+        "s23_ivf_trained_vs_modulo_recall")) {
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect()
       val sorts = collectAll(df.queryExecution.executedPlan) {
