@@ -116,6 +116,9 @@ object Bench {
     // round 18: engine-exact trained coarse cells (oracle-gated Lloyd)
     // and the trained-vs-modulo recall contract (what training buys)
     "s22_ivf_trained_cells_exact", "s23_ivf_trained_vs_modulo_recall",
+    // round 18: the ADC layout's ingest path (full maintenance cycle
+    // per rep — build base + append batch + probe, the s08 pattern)
+    "s24_ivf_adc_append",
     // dedup / similarity / text pipeline; d12/d13/s07/t17 rotated out
     // round 9 (sub-0.3s, families covered by d11/d14/s09/t15) to make
     // room for the r1/r2 rep columns inside the tail budget
@@ -151,7 +154,7 @@ object Bench {
     "t23_bm25_index", "t24_bm25_index_append", "t40_bpe_apply",
     "d17_lsh_index", "m08_binary_near_dup", "m09_binary_simhash_index",
     "m11_binary_dhash_index", "s18_ivf_adc_layout",
-    "s21_ivf_adc_rerank_layout")
+    "s21_ivf_adc_rerank_layout", "s24_ivf_adc_append")
 
   /** Parse a full-suite artifact's per-query floors: its "queries" map
     * by FULL query name, kept only when the artifact ran on the SAME

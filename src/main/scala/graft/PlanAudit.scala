@@ -251,7 +251,12 @@ object PlanAudit {
     // trained-vs-modulo recall contract (round 18): six serving
     // branches + three exact sides, every argmin on the hash path,
     // probes and shortlists broadcast — no corpus-grain exchange
-    "s23_ivf_trained_vs_modulo_recall")
+    "s23_ivf_trained_vs_modulo_recall",
+    // ADC layout append (round 18): the PROBE after the maintenance
+    // cycle — partition-pruned codes scan over base+appended cells,
+    // literal-LUT ADC map, one TakeOrderedAndProject; the appended
+    // batch's encode never reads existing codes
+    "s24_ivf_adc_append")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -151,6 +151,7 @@ object ScaleProbe {
     // rerank (build-once layout), and the engine-exact trained cells
     "s20_ivf_adc_rerank_recall", "s21_ivf_adc_rerank_layout",
     "s22_ivf_trained_cells_exact", "s23_ivf_trained_vs_modulo_recall",
+    "s24_ivf_adc_append",
     "q161_distance_distribution") // exact ANF readout (driver-path gate)
 
   /** PROBE-ONLY measurements — shapes the gates deliberately exclude,

@@ -1403,6 +1403,80 @@ object Similarity {
     try out.write(ident.getBytes("UTF-8")) finally out.close()
   }
 
+  private val AdcAppendingSentinel = "graft-ivfadc-appending! "
+
+  /** Append a batch into a persisted IVFADC layout ([[ivfAdcBuildLayout]])
+    * WITHOUT touching the existing corpus — the daily-ingest path the
+    * ADC tier was missing (plain IVF has [[ivfAppendToLayout]]): assign
+    * the batch against the layout's OWN centroid table, encode it with
+    * the layout's FROZEN codebook (read back from `_pqmodel` — the
+    * standard IVFADC append contract: cell geometry AND code geometry
+    * are build-time artifacts, so appended vectors are comparable to
+    * existing codes and recall drifts only as the ingested distribution
+    * drifts from the build-time one), and append the (c_id, id, codes)
+    * rows into the cell partitions. Cost = one pass over the batch +
+    * broadcasts of the kB-sized centroids and codebook; the existing
+    * codes are never read.
+    *
+    * Crash safety / identity / concurrency: the [[ivfAppendToLayout]]
+    * sentinel discipline verbatim — `_graft_ident` holds an
+    * `appending!` sentinel during the append (probe and re-append
+    * refuse it fail-fast; a later build mismatches and rebuilds), and
+    * the extended ident (`+append=<batch plan hash>`) is written only
+    * after the append commits. Single writer; readers wanting
+    * isolation during maintenance snapshot the layout dir first.
+    */
+  def ivfAdcAppendToLayout(newVecs: DataFrame, layoutDir: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val spark = newVecs.sparkSession
+    val path = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
+    require(fs.exists(identPath),
+      s"no valid IVFADC layout at $layoutDir (build before appending)")
+    val ident = {
+      val in = fs.open(identPath)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    require(!ident.startsWith(AdcAppendingSentinel),
+      s"IVFADC layout at $layoutDir has a crashed or in-progress " +
+        "append — rebuild it (ivfAdcBuildLayout) before appending again")
+    require(ident.startsWith("graft-ivfadc-v1 ") ||
+        ident.startsWith("graft-ivfadc-v2 "),
+      s"layout at $layoutDir is not an IVFADC layout ('$ident')")
+    def writeIdent(s: String): Unit = {
+      val out = fs.create(identPath, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    val quantScale = raw"quantScale=(\d+)".r.findFirstMatchIn(ident)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"malformed IVFADC ident '$ident'"))
+    val newIdent =
+      s"$ident +append=${newVecs.queryExecution.analyzed.semanticHash()}"
+    writeIdent(AdcAppendingSentinel + ident)
+    // the layout's frozen geometry: centroids for assignment, codebook
+    // for encoding — both kB-scale reads, broadcast into the batch pass
+    val cent = spark.read.parquet(s"$layoutDir/_centroids")
+    val mrows = spark.read.parquet(s"$layoutDir/_pqmodel")
+      .select(col("sub").cast("int"), col("code").cast("int"), col("c"))
+      .collect()
+    val m = mrows.map(_.getInt(0)).max + 1
+    val k = mrows.map(_.getInt(1)).max + 1
+    val subDim = mrows.head.getSeq[Long](2).length
+    val cents = Array.ofDim[Array[Long]](m, k)
+    mrows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
+    val model = PqModel(m, subDim, k, quantScale, cents)
+    val assign = ivfAssign(newVecs, cent, idCol, embCol)
+      .select(col("n_id").as("id"), col("n_emb"), col("c_id"))
+    val codes = pqEncode(assign, "id", "n_emb", model)
+    assign.select(col("id"), col("c_id")).join(codes, Seq("id"))
+      .select(col("c_id"), col("id"), col("codes"))
+      .write.mode("append").partitionBy("c_id")
+      .parquet(s"$layoutDir/codes")
+    writeIdent(newIdent)
+  }
+
   /** Serve one query from a persisted IVFADC layout
     * ([[ivfAdcBuildLayout]]) — the steady-state path a production ANN
     * tier runs thousands of times per build: rank the layout's OWN

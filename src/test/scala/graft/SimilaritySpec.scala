@@ -420,6 +420,54 @@ class SimilaritySpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("IVFADC append: frozen-geometry codes are probed; crashed " +
+      "append refuses serving, re-append, and is rebuilt") {
+    // round 18 (s24): the ADC layout's ingest path — the appended
+    // batch must be encoded with the BUILD-TIME codebook and become
+    // visible to probes, and the sentinel crash discipline must match
+    // the plain-IVF append's.
+    import spark.implicits._
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    val layout = java.nio.file.Files
+      .createTempDirectory("graft_s24_spec").toString + "/layout"
+    val base = emb.filter($"vec_id" < 400)
+    def build(): Unit = Similarity.ivfAdcBuildLayout(base, centEvery = 25,
+      layout, "vec_id", "embedding", m = 4, k = 4, quantScale = 1000L)(
+      Similarity.pqTrain(base, "vec_id", "embedding", m = 4, k = 4,
+        iters = 1))
+    build()
+    Similarity.ivfAdcAppendToLayout(emb.filter($"vec_id" >= 400), layout)
+    val q = emb.filter($"vec_id" === 450L)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val served = Similarity.ivfAdcProbeLayout(spark, layout, q,
+      kNN = 10, nProbe = 2).collect().map(_.getLong(0))
+    assert(served.contains(450L),
+      s"appended vector invisible to the probe: ${served.mkString(",")}")
+    // simulate a crash mid-append: sentinel ident on disk
+    val identPath = new org.apache.hadoop.fs.Path(layout, "_graft_ident")
+    val fs = identPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val ident = {
+      val in = fs.open(identPath)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val out = fs.create(identPath, true)
+    try out.write(("graft-ivfadc-appending! " + ident).getBytes("UTF-8"))
+    finally out.close()
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAdcProbeLayout(spark, layout, q, kNN = 5, nProbe = 2)
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAdcAppendToLayout(emb.filter($"vec_id" >= 400), layout)
+    }
+    // a rebuild mismatches the sentinel ident and recovers the layout
+    build()
+    val again = Similarity.ivfAdcProbeLayout(spark, layout, q,
+      kNN = 10, nProbe = 2).collect().map(_.getLong(0))
+    assert(!again.contains(450L), "rebuild from base must drop the batch")
+    Caches.sweep(spark)
+  }
+
   test("ivfCentroidsTrainedExact equals a driver-side Lloyd replay " +
       "(bit-exact, any partition order)") {
     // round 18 (s22): the engine-exact trained coarse quantizer —
