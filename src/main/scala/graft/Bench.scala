@@ -119,6 +119,10 @@ object Bench {
     // round 18: the ADC layout's ingest path (full maintenance cycle
     // per rep — build base + append batch + probe, the s08 pattern)
     "s24_ivf_adc_append",
+    // round 19: the trained coarse quantizer composed into the
+    // PERSISTED ADC tier (build in warm-up, probe-only reps) and the
+    // trained stack's recall contract at the s20 operating point
+    "s25_ivf_adc_trained_layout", "s26_ivf_adc_trained_recall",
     // dedup / similarity / text pipeline; d12/d13/s07/t17 rotated out
     // round 9 (sub-0.3s, families covered by d11/d14/s09/t15) to make
     // room for the r1/r2 rep columns inside the tail budget
@@ -154,7 +158,8 @@ object Bench {
     "t23_bm25_index", "t24_bm25_index_append", "t40_bpe_apply",
     "d17_lsh_index", "m08_binary_near_dup", "m09_binary_simhash_index",
     "m11_binary_dhash_index", "s18_ivf_adc_layout",
-    "s21_ivf_adc_rerank_layout", "s24_ivf_adc_append")
+    "s21_ivf_adc_rerank_layout", "s24_ivf_adc_append",
+    "s25_ivf_adc_trained_layout")
 
   /** Parse a full-suite artifact's per-query floors: its "queries" map
     * by FULL query name, kept only when the artifact ran on the SAME

@@ -256,7 +256,15 @@ object PlanAudit {
     // cycle — partition-pruned codes scan over base+appended cells,
     // literal-LUT ADC map, one TakeOrderedAndProject; the appended
     // batch's encode never reads existing codes
-    "s24_ivf_adc_append")
+    "s24_ivf_adc_append",
+    // trained-coarse ADC layout (round 19): the served probe plan must
+    // be BYTE-IDENTICAL in shape to s21's — partition-pruned codes
+    // scan + shortlist-bounded float fetch; where the centroids came
+    // from (Lloyd vs modulo) must be invisible to the serving tier
+    "s25_ivf_adc_trained_layout",
+    // trained-stack recall contract (round 19): the s20 eval harness
+    // on trained cells — same hash-path argmins, broadcast probes
+    "s26_ivf_adc_trained_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

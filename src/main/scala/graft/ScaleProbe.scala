@@ -152,6 +152,8 @@ object ScaleProbe {
     "s20_ivf_adc_rerank_recall", "s21_ivf_adc_rerank_layout",
     "s22_ivf_trained_cells_exact", "s23_ivf_trained_vs_modulo_recall",
     "s24_ivf_adc_append",
+    // round 19: trained-coarse ADC layout + its recall contract
+    "s25_ivf_adc_trained_layout", "s26_ivf_adc_trained_recall",
     "q161_distance_distribution") // exact ANF readout (driver-path gate)
 
   /** PROBE-ONLY measurements — shapes the gates deliberately exclude,

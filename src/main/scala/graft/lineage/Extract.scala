@@ -557,6 +557,35 @@ object LineageExtractor {
       outputs = Nil)
   }
 
+  /** Bridge a `foreachBatch` MICRO-BATCH write report back to the
+    * stream's DEFINITION (round 19, r18 verdict #5): inside
+    * `foreachBatch` the batch DataFrame is backed by the runner's
+    * materialized `LogicalRDD`, so the per-sink reports the listener
+    * captures attribute columns to an opaque `LogicalRDD` leaf and
+    * carry no inputs — per-OUTPUT attribution is right (one report per
+    * sink, each with its own column lineage) but the SOURCE layer is
+    * cut. The stream definition knows that layer
+    * ([[reportStreamingDefinition]]): this stitches each opaque batch
+    * ref through the definition's column lineage by column name (the
+    * runner preserves the definition's output schema on the batch) and
+    * substitutes the definition's inputs when the batch report has
+    * none. Non-opaque refs (a sink report that ALSO read a warm batch
+    * table, e.g. a merge target) pass through untouched.
+    */
+  def stitchMicrobatchReport(batch: LineageReport,
+      definition: LineageReport): LineageReport = {
+    val defCols = definition.columnLineage
+    val stitched = batch.columnLineage.map { case (out, refs) =>
+      out -> refs.flatMap { r =>
+        if (r.table == "LogicalRDD") defCols.getOrElse(r.column, Set(r))
+        else Set(r)
+      }
+    }
+    batch.copy(columnLineage = stitched,
+      inputs = if (batch.inputs.isEmpty) definition.inputs
+        else batch.inputs)
+  }
+
   /** Lineage-graph simplification rules (reference §4.2): same shape as
     * `RemoveOperatorsRule` — match a parent, splice out matching children,
     * preserving the single-input assumption

@@ -403,12 +403,25 @@ object Similarity {
     * contract (one appender at a time; readers get fail-fast, not
     * isolation — a serving tier wanting reads DURING maintenance
     * snapshots the layout dir first).
+    *
+    * Idempotency under retry (round 19): the normal failure mode the
+    * sentinel exists for is an orchestrator RETRYING a batch whose
+    * first attempt died after the commit — without a guard the retry
+    * silently appends the same codes twice and every later probe
+    * returns duplicate ids in its top-k. The ident already records
+    * every committed batch (`+append=<batch plan hash>`), so a batch
+    * whose hash is ALREADY recorded is refused fail-fast; `force =
+    * true` is the explicit escape hatch for the rare legitimate
+    * re-append of an identical plan (e.g. a source whose content
+    * changed under the same path — the plan hash keys the PLAN, not
+    * the bytes).
     */
   private val AppendingSentinel = "graft-ivf-appending! "
 
   def ivfAppendToLayout(
       newVecs: DataFrame, layoutDir: String,
-      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      force: Boolean = false): Unit = {
     val spark = newVecs.sparkSession
     val path = new org.apache.hadoop.fs.Path(layoutDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -426,8 +439,12 @@ object Similarity {
       val out = fs.create(identPath, true)
       try out.write(s.getBytes("UTF-8")) finally out.close()
     }
-    val newIdent =
-      s"$ident +append=${newVecs.queryExecution.analyzed.semanticHash()}"
+    val batchTag = s"+append=${newVecs.queryExecution.analyzed.semanticHash()}"
+    require(force || !ident.split(' ').contains(batchTag),
+      s"batch already appended to $layoutDir ($batchTag recorded in the " +
+        "ident) — a retried append would duplicate its rows in every " +
+        "probe's top-k; pass force = true to append it again anyway")
+    val newIdent = s"$ident $batchTag"
     writeIdent(AppendingSentinel + ident)
     val cent = spark.read.parquet(s"$layoutDir/_centroids")
     ivfAssign(newVecs, cent, idCol, embCol)
@@ -594,6 +611,16 @@ object Similarity {
     * [[ivfCentroidsTrained]] rule). `c_vq / quantScale` feeds the
     * cosine serving stack where doubles are wanted.
     *
+    * Exactness envelope (ADVICE r18): the centroid update relies on
+    * `floor(sum(long) / count)` with the sum cast to double, which is
+    * exact only while every per-(cell,dim) sum satisfies
+    * `|sum| <= members · quantScale · max|x| < 2^53` (and the raw long
+    * sum never wraps 2^63 — Spark's non-ANSI sum wraps silently). The
+    * update raises executor-side the moment a sum crosses 2^53; callers
+    * training beyond that envelope lower `quantScale` or train on a
+    * bounded sample (the 100 TB stance anyway — centroids converge long
+    * before the full corpus is seen).
+    *
     * Scale shape: per iteration ONE corpus pass — broadcast centroids,
     * the single-scan `first(vq)` carry through the ObjectHashAggregate
     * argmin (the ivfAssign winner, round-17 probe) — into a
@@ -621,21 +648,28 @@ object Similarity {
       .withColumn("members", lit(0L))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val scored = vq.crossJoin(broadcast(cent.select(col("c_id"), col("c_vq"))))
-        .withColumn("ld", sqDist(col("vq"), col("c_vq")))
-      // argmin = max(-ld), ties to the smallest cell id (-ld exact in
-      // double: |ld| << 2^53); vq carried through the hash aggregate
-      val assigned = scored.groupBy(col("id"))
-        .agg(graft.functions.TopKAgg.top_k_by(
-          -col("ld").cast("double"), col("c_id"), 1).as("tk"),
-          first(col("vq")).as("vq"))
-        .select(element_at(col("tk.id"), 1).as("c_id"), col("vq"))
+      val assigned = trainedExactAssignment(vq, cent)
+        .select(col("c_id"), col("vq"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val updated = assigned
         .select(col("c_id"), posexplode(col("vq")).as(Seq("pos", "v")))
         .groupBy(col("c_id"), col("pos"))
-        .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
-          .cast("long").as("mv"))
+        // exactness guard (ADVICE r18): floor(sum/count) is exact only
+        // while the per-(cell,dim) long sum stays below 2^53 — the
+        // double cast silently loses ulps past that, and Spark's
+        // non-ANSI long sum would wrap at 2^63 without error, so the
+        // "bit-identical in any engine" contract fails OPEN. Envelope:
+        // |sum| <= members · quantScale · max|x|, checked at runtime
+        // and raised executor-side the moment a sum leaves it.
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+        .select(col("c_id"), col("pos"),
+          when(abs(col("sv")) >= lit(1L << 53), raise_error(concat(
+            lit("ivfCentroidsTrainedExact: per-(cell,dim) integer sum "),
+            col("sv").cast("string"),
+            lit(" exceeds 2^53 — floor(sum/count) is no longer exact; " +
+              "lower quantScale or train on a bounded sample"))))
+            .otherwise(floor(col("sv").cast("double") / col("cnt"))
+              .cast("long")).as("mv"))
         .groupBy(col("c_id"))
         .agg(sort_array(collect_list(struct(col("pos"), col("mv")))).as("pm"))
         .select(col("c_id"), col("pm.mv").as("new_vq"))
@@ -652,6 +686,54 @@ object Similarity {
     }
     cent.select(col("c_id"), col("members"), col("c_vq"))
   }
+
+  /** ONE Lloyd iteration's assignment plan — broadcast centroids into
+    * the codegen'd integer-L2 kernel, argmin = max(-ld) through the
+    * bounded-heap ObjectHashAggregate with the vq payload carried via
+    * first() (ties to the smallest cell id; -ld exact in double:
+    * |ld| << 2^53). Package-private so ScaleSpec pins THIS plan — the
+    * trainer runs it eagerly behind localCheckpoint, so the gate's
+    * executed plan shows only the checkpoint scan and a pin there
+    * would be vacuous (ADVICE r18). */
+  private[graft] def trainedExactAssignment(vq: DataFrame,
+      cent: DataFrame): DataFrame =
+    vq.crossJoin(broadcast(cent.select(col("c_id"), col("c_vq"))))
+      .withColumn("ld", sqDist(col("vq"), col("c_vq")))
+      .groupBy(col("id"))
+      .agg(graft.functions.TopKAgg.top_k_by(
+        -col("ld").cast("double"), col("c_id"), 1).as("tk"),
+        first(col("vq")).as("vq"))
+      .select(col("id"), element_at(col("tk.id"), 1).as("c_id"), col("vq"))
+
+  /** The FIRST training iteration's assignment over a corpus — the
+    * ScaleSpec entry point for pinning [[trainedExactAssignment]]'s
+    * plan with the same vq projection and modulo seeds the trainer
+    * starts from. */
+  private[graft] def trainedExactFirstAssignment(corpus: DataFrame,
+      centEvery: Int, idCol: String = "vec_id",
+      embCol: String = "embedding", quantScale: Long = 1000L): DataFrame = {
+    val vq = vqProjected(corpus, idCol, embCol, quantScale)
+    val cent = vq.filter(col("id") % centEvery === 0)
+      .select(col("id").as("c_id"), col("vq").as("c_vq"))
+    trainedExactAssignment(vq, cent)
+  }
+
+  /** [[ivfCentroidsTrainedExact]]'s cells DEQUANTIZED into the cosine
+    * serving stack's (c_id, c_emb) shape: each component is an exact
+    * integer divided by `quantScale`, so the double table is the SAME
+    * in any engine (`c / 1000.0` is one IEEE op on an exactly-
+    * representable integer) and everything downstream of it — cosine
+    * cell ranking, assignment, ADC — stays oracle-replayable. This is
+    * the bridge that lets the trained quantizer drive the UNCHANGED
+    * IVFADC build/serve machinery (round 19, r18 verdict #1). */
+  def trainedCentroidsExactDequant(corpus: DataFrame, centEvery: Int,
+      iters: Int = 1, idCol: String = "vec_id",
+      embCol: String = "embedding", quantScale: Long = 1000L): DataFrame =
+    ivfCentroidsTrainedExact(corpus, centEvery, iters, idCol, embCol,
+        quantScale)
+      .select(col("c_id"),
+        transform(col("c_vq"), v => v.cast("double") / quantScale.toDouble)
+          .as("c_emb"))
 
   /** IVF top-k under the EXACT integer squared-L2 metric over an
     * arbitrary quantized centroid table — the serving counterpart of
@@ -700,12 +782,54 @@ object Similarity {
       .limit(kNN)
   }
 
+  /** Batch [[ivfTopKL2Exact]]: the SAME serving semantics (exact
+    * integer-L2 probe, assignment, in-cell rank, every tie to the
+    * smallest id) against a bounded (q_id, qv) query table in ONE plan
+    * — probe cells and final rank ride the bounded-heap aggregate per
+    * q_id instead of a per-query `orderBy().limit()` leg, so the plan
+    * is CONSTANT-SIZE in the query count (the s16 `annRecallAtK`
+    * shape; a per-query union of subplans blows plan compilation up
+    * long before the data does — ADVICE-adjacent r18 finding #2).
+    * `-dist` rides the heap as an exact double (|dist| << 2^53).
+    * @return (q_id, id) — each query's k nearest probed members. */
+  private def ivfTopKL2ExactBatch(vq: DataFrame, cent: DataFrame,
+      qdf: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val c = cent.select(col("c_id"), col("c_vq"))
+    val cells = qdf.crossJoin(broadcast(c))
+      .select(col("q_id"), col("c_id"),
+        sqDist(col("qv"), col("c_vq")).as("qld"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.top_k_by(
+        -col("qld").cast("double"), col("c_id"), nProbe).as("tk"))
+      .select(col("q_id"), explode(col("tk.id")).as("c_id"))
+    val assigned = vq.crossJoin(broadcast(c))
+      .withColumn("ld", sqDist(col("vq"), col("c_vq")))
+      .groupBy(col("id"))
+      .agg(graft.functions.TopKAgg.top_k_by(
+        -col("ld").cast("double"), col("c_id"), 1).as("tk"),
+        first(col("vq")).as("vq"))
+      .select(col("id"), element_at(col("tk.id"), 1).as("c_id"), col("vq"))
+    assigned.join(broadcast(cells), Seq("c_id"))
+      .join(broadcast(qdf), Seq("q_id"))
+      .select(col("q_id"), col("id"),
+        sqDist(col("vq"), col("qv")).as("dist"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.top_k_by(
+        -col("dist").cast("double"), col("id"), k).as("tk"))
+      .select(col("q_id"), explode(col("tk.id")).as("id"))
+  }
+
   /** Recall@k of [[ivfTopKL2Exact]] under TWO centroid tables on the
     * same corpus and queries — the oracle-replayable "what does
     * training BUY" comparison (s23): ground truth is the exact
     * integer-L2 top-k over the full corpus; both cell sets serve at the
     * same nProbe. Everything integer-exact end to end, so per-query
-    * recalls are CONTRACT in any engine.
+    * recalls are CONTRACT in any engine. SET-BASED (round 19): the
+    * query batch enters as one bounded literal table joined through
+    * every stage, so the plan holds ONE leg per serving stage — not
+    * one per query; at the 1000-query bound the old per-query-union
+    * shape was a 1000-leg plan that blew up compilation long before
+    * the data did (r18 finding #2).
     *
     * @return one row per query: (q_id, n_exact, hits_a, hits_b,
     *         recall_a, recall_b, b_not_worse) for centroid tables a and
@@ -718,7 +842,15 @@ object Similarity {
       quantScale: Long = 1000L): DataFrame = {
     require(queryIds.nonEmpty && queryIds.size <= 1000,
       s"queryIds is the bounded eval batch (got ${queryIds.size})")
-    val vq = vqProjected(corpus, idCol, embCol, quantScale)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // fanout-aware parallelism (the ivfAssign rationale): the |cells|-
+    // and |queries|-way broadcast cross joins must not serialize onto a
+    // 1-2-split scan
+    val vq0 = vqProjected(corpus, idCol, embCol, quantScale)
+    val para = corpus.sparkSession.sparkContext.defaultParallelism
+    val vq = if (vq0.rdd.getNumPartitions < para)
+      vq0.repartition(para) else vq0
     val qVecs = corpus.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).cast("long").as("qid"),
         col(embCol).cast("array<double>").as("qv"))
@@ -726,32 +858,35 @@ object Similarity {
     val missing = queryIds.filterNot(qVecs.contains)
     require(missing.isEmpty,
       s"query ids not present in the corpus: ${missing.mkString(", ")}")
-    val perQuery = queryIds.map { qid =>
-      val query = qVecs(qid)
-      val qLit = array(query.map(x =>
-        lit(math.round(x * quantScale))): _*)
-      val exact = vq
-        .select(col("id"), sqDist(col("vq"), qLit).as("dist"))
-        .orderBy(col("dist"), col("id")).limit(k)
-        .select(col("id"))
-      def hits(cent: DataFrame, tag: String) =
-        ivfTopKL2Exact(corpus, cent, query, k, nProbe, idCol, embCol,
-          quantScale).select(col("id"), lit(1L).as(tag))
-      exact
-        .join(hits(centA, "ha"), Seq("id"), "left_outer")
-        .join(hits(centB, "hb"), Seq("id"), "left_outer")
-        .agg(count(lit(1)).as("n_exact"),
-          sum(coalesce(col("ha"), lit(0L))).as("hits_a"),
-          sum(coalesce(col("hb"), lit(0L))).as("hits_b"))
-        .select(lit(qid).as("q_id"), col("n_exact"), col("hits_a"),
-          col("hits_b"),
-          round(col("hits_a").cast("double") / col("n_exact").cast("double"),
-            4).as("recall_a"),
-          round(col("hits_b").cast("double") / col("n_exact").cast("double"),
-            4).as("recall_b"),
-          (col("hits_b") >= col("hits_a")).as("b_not_worse"))
-    }
-    perQuery.reduce(_ unionByName _)
+    // the bounded query batch as ONE literal quantized table — joined
+    // (broadcast) through every stage instead of unrolled into legs
+    val qdf = queryIds
+      .map(qid => (qid, qVecs(qid).map(x => math.round(x * quantScale))))
+      .toDF("q_id", "qv")
+    val exact = vq.crossJoin(broadcast(qdf))
+      .select(col("q_id"), col("id"),
+        sqDist(col("vq"), col("qv")).as("dist"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.top_k_by(
+        -col("dist").cast("double"), col("id"), k).as("tk"))
+      .select(col("q_id"), explode(col("tk.id")).as("id"))
+    def hits(cent: DataFrame, tag: String) =
+      ivfTopKL2ExactBatch(vq, cent, qdf, k, nProbe)
+        .select(col("q_id"), col("id"), lit(1L).as(tag))
+    exact
+      .join(hits(centA, "ha"), Seq("q_id", "id"), "left_outer")
+      .join(hits(centB, "hb"), Seq("q_id", "id"), "left_outer")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("ha"), lit(0L))).as("hits_a"),
+        sum(coalesce(col("hb"), lit(0L))).as("hits_b"))
+      .select(col("q_id"), col("n_exact"), col("hits_a"),
+        col("hits_b"),
+        round(col("hits_a").cast("double") / col("n_exact").cast("double"),
+          4).as("recall_a"),
+        round(col("hits_b").cast("double") / col("n_exact").cast("double"),
+          4).as("recall_b"),
+        (col("hits_b") >= col("hits_a")).as("b_not_worse"))
   }
 
   /** Symmetric per-vector int8 quantization (max-abs scaling — the
@@ -1275,10 +1410,15 @@ object Similarity {
     */
   def ivfAdcTopK(corpus: DataFrame, idCol: String, embCol: String,
       model: PqModel, query: Seq[Double], kNN: Int = 10, nProbe: Int = 2,
-      centEvery: Int = 25): DataFrame = {
+      centEvery: Int = 25,
+      centroids: Option[DataFrame] = None): DataFrame = {
     require(kNN >= 1 && nProbe >= 1 && centEvery >= 1,
       s"bad ivfadc params kNN=$kNN nProbe=$nProbe centEvery=$centEvery")
-    val cent = ivfCentroids(corpus, centEvery, idCol, embCol)
+    // `centroids` swaps the coarse quantizer (any (c_id, c_emb) table,
+    // e.g. [[trainedCentroidsExactDequant]]'s Lloyd cells) under the
+    // SAME serving stack; None = the modulo subset
+    val cent = centroids.getOrElse(
+      ivfCentroids(corpus, centEvery, idCol, embCol))
     val qLit = array(query.map(lit): _*)
     val cells = cent
       .withColumn("ccos", round(cosine(qLit, col("c_emb")), 5))
@@ -1316,11 +1456,13 @@ object Similarity {
     */
   def ivfAdcRerankTopK(corpus: DataFrame, idCol: String, embCol: String,
       model: PqModel, query: Seq[Double], kNN: Int = 10, nProbe: Int = 2,
-      centEvery: Int = 25, candidates: Int = 50): DataFrame = {
+      centEvery: Int = 25, candidates: Int = 50,
+      centroids: Option[DataFrame] = None): DataFrame = {
     require(kNN >= 1 && candidates >= kNN,
       s"need candidates >= kNN >= 1: $candidates, $kNN")
     val shortlist = ivfAdcTopK(corpus, idCol, embCol, model, query,
-      kNN = candidates, nProbe = nProbe, centEvery = centEvery)
+      kNN = candidates, nProbe = nProbe, centEvery = centEvery,
+      centroids = centroids)
       .select(col("id"))
     val vq = vqProjected(corpus, idCol, embCol, model.quantScale)
     val qq = query.map(x => math.round(x * model.quantScale))
@@ -1352,7 +1494,8 @@ object Similarity {
   def ivfAdcBuildLayout(corpus: DataFrame, centEvery: Int,
       layoutDir: String, idCol: String = "vec_id",
       embCol: String = "embedding", m: Int = 4, k: Int = 8,
-      quantScale: Long = 1000L)(model: => PqModel): Unit = {
+      quantScale: Long = 1000L, trainedIters: Int = 0)(
+      model: => PqModel): Unit = {
     val spark = corpus.sparkSession
     val path = new org.apache.hadoop.fs.Path(layoutDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1360,9 +1503,15 @@ object Similarity {
     // change which columns the codes were built from even when the
     // corpus PLAN (hence its semanticHash) is unchanged — omitting them
     // would make a column switch a silent ident hit serving stale codes
-    // (ADVICE r15).
+    // (ADVICE r15). The quantizer KIND is stamped the same way
+    // (round 19): `coarse=trainedExact:<iters>` cells place codes in
+    // different partitions than modulo cells, so a kind switch must
+    // rebuild, never ident-hit. trainedIters = 0 keeps the modulo
+    // ident byte-identical to v2 so existing layouts stay warm.
+    val coarseTag =
+      if (trainedIters > 0) s" coarse=trainedExact:$trainedIters" else ""
     val ident = s"graft-ivfadc-v2 centEvery=$centEvery m=$m k=$k " +
-      s"quantScale=$quantScale idCol=$idCol embCol=$embCol " +
+      s"quantScale=$quantScale idCol=$idCol embCol=$embCol$coarseTag " +
       s"corpus=${corpus.queryExecution.analyzed.semanticHash()}"
     val identPath = new org.apache.hadoop.fs.Path(path, "_graft_ident")
     val identMatches = fs.exists(identPath) && {
@@ -1377,7 +1526,16 @@ object Similarity {
       s"model (m=${mdl.m}, k=${mdl.k}, quantScale=${mdl.quantScale}) " +
         s"does not match the layout parameters (m=$m, k=$k, " +
         s"quantScale=$quantScale)")
-    val cent = ivfCentroids(corpus, centEvery, idCol, embCol)
+    // the coarse quantizer: modulo seeds (the v2 default) or the s22
+    // engine-exact Lloyd cells dequantized into (c_id, c_emb) — the
+    // serving tier is geometry-agnostic (it reads _centroids and ranks
+    // by cosine either way), so ONLY the build chooses; training cost
+    // is one corpus pass per iteration, paid once per ident
+    val cent =
+      if (trainedIters > 0)
+        trainedCentroidsExactDequant(corpus, centEvery, trainedIters,
+          idCol, embCol, quantScale).localCheckpoint(true)
+      else ivfCentroids(corpus, centEvery, idCol, embCol)
     // codes come from the EXACT encode path the probe contract is
     // defined against (pqEncode → vqProjected) — re-stating the
     // quantization inline would open a silent-drift channel between
@@ -1425,9 +1583,14 @@ object Similarity {
     * the extended ident (`+append=<batch plan hash>`) is written only
     * after the append commits. Single writer; readers wanting
     * isolation during maintenance snapshot the layout dir first.
+    * A batch whose `+append` hash is already recorded in the ident is
+    * refused fail-fast (a retried append would silently duplicate its
+    * codes in every probe's top-k — the [[ivfAppendToLayout]]
+    * idempotency rule); `force = true` overrides.
     */
   def ivfAdcAppendToLayout(newVecs: DataFrame, layoutDir: String,
-      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      force: Boolean = false): Unit = {
     val spark = newVecs.sparkSession
     val path = new org.apache.hadoop.fs.Path(layoutDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1452,8 +1615,12 @@ object Similarity {
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalArgumentException(
         s"malformed IVFADC ident '$ident'"))
-    val newIdent =
-      s"$ident +append=${newVecs.queryExecution.analyzed.semanticHash()}"
+    val batchTag = s"+append=${newVecs.queryExecution.analyzed.semanticHash()}"
+    require(force || !ident.split(' ').contains(batchTag),
+      s"batch already appended to $layoutDir ($batchTag recorded in the " +
+        "ident) — a retried append would duplicate its codes in every " +
+        "probe's top-k; pass force = true to append it again anyway")
+    val newIdent = s"$ident $batchTag"
     writeIdent(AdcAppendingSentinel + ident)
     // the layout's frozen geometry: centroids for assignment, codebook
     // for encoding — both kB-scale reads, broadcast into the batch pass
@@ -1613,7 +1780,8 @@ object Similarity {
   def ivfAdcRecallAtK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
       nProbe: Int, centEvery: Int, model: PqModel,
       idCol: String = "vec_id", embCol: String = "embedding",
-      recallFloor: Double = 0.5, rerankCandidates: Int = 0): DataFrame = {
+      recallFloor: Double = 0.5, rerankCandidates: Int = 0,
+      centroids: Option[DataFrame] = None): DataFrame = {
     require(queryIds.nonEmpty && queryIds.size <= 1000,
       s"queryIds is the bounded eval batch (got ${queryIds.size})")
     require(k >= 1, s"k must be >= 1, got $k")
@@ -1641,9 +1809,10 @@ object Similarity {
       val approx = (if (rerankCandidates > 0)
           ivfAdcRerankTopK(corpus, idCol, embCol, model, query, kNN = k,
             nProbe = nProbe, centEvery = centEvery,
-            candidates = rerankCandidates)
+            candidates = rerankCandidates, centroids = centroids)
         else ivfAdcTopK(corpus, idCol, embCol, model, query,
-          kNN = k, nProbe = nProbe, centEvery = centEvery))
+          kNN = k, nProbe = nProbe, centEvery = centEvery,
+          centroids = centroids))
         .select(col("id"), lit(1L).as("hit"))
       exact.join(approx, Seq("id"), "left_outer")
         .agg(count(lit(1)).as("n_exact"),

@@ -1649,6 +1649,143 @@ object PipelineQueries {
              |GROUP BY e.id
              |ORDER BY adc, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- TRAINED-COARSE IVFADC LAYOUT (s25, round 19, r18 verdict
+    //      #1): s22 proved the Lloyd-trained coarse quantizer is
+    //      oracle-replayable and s23 proved trained cells never lose
+    //      recall vs modulo — but the production ADC tier still seeded
+    //      its layout with modulo cells. This gate builds the PERSISTED
+    //      IVFADC layout on the s22 trained cells end-to-end
+    //      (trainedIters = 1; ident stamps `coarse=trainedExact:1` so a
+    //      kind switch rebuilds, never ident-hits) and serves the s21
+    //      rerank probe from it. The bridge is exact dequantization:
+    //      each trained component is an exact integer / 1000.0, so the
+    //      double centroid table is engine-identical and the UNCHANGED
+    //      cosine serving stack (cell rank, assignment, ADC, exact
+    //      rerank) stays hash-replayable. The oracle is s21's replay
+    //      with its modulo `cent` CTE swapped for the s22 Lloyd CTEs
+    //      (assignment, floor-mean update, empty-cell carry,
+    //      dequantize). ----
+    Q("s25_ivf_adc_trained_layout",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val key = Tables.contentKey(s"$dir/embeddings.parquet")
+        val layout = graft.Scratch.dir(s"graft_ivfadc_tr_$key")
+        graft.operators.Similarity.ivfAdcBuildLayout(
+          emb, centEvery = 25, layout, "vec_id", "embedding",
+          m = 4, k = 4, quantScale = 1000L, trainedIters = 1)(
+          graft.operators.Similarity.pqTrain(
+            emb, "vec_id", "embedding", m = 4, k = 4, iters = 1))
+        val query = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        graft.operators.Similarity.ivfAdcRerankProbeLayout(
+            s, layout, emb, "vec_id", "embedding", query,
+            kNN = 10, nProbe = 2, candidates = 20)
+          .select(col("id").as("vec_id"), col("dist"))
+      },
+      Some("""WITH vq AS (
+             |  SELECT vec_id AS id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS vq
+             |  FROM embeddings),
+             |seeds0 AS (SELECT id AS c_id, vq AS c FROM vq WHERE id % 25 = 0),
+             |la1 AS (
+             |  SELECT v.id, s.c_id, row_number() OVER (PARTITION BY v.id
+             |    ORDER BY CAST(list_sum(list_transform(range(1, 65),
+             |      j -> (v.vq[j] - s.c[j]) * (v.vq[j] - s.c[j]))) AS BIGINT),
+             |      s.c_id) AS rn
+             |  FROM vq v CROSS JOIN seeds0 s),
+             |lasg AS (SELECT id, c_id FROM la1 WHERE rn = 1),
+             |lupd AS (
+             |  SELECT a.c_id, i.i AS pos,
+             |    CAST(floor(CAST(sum(v.vq[i.i + 1]) AS DOUBLE) / count(*))
+             |      AS BIGINT) AS mv
+             |  FROM lasg a JOIN vq v USING (id),
+             |       (SELECT unnest(range(64)) AS i) i
+             |  GROUP BY a.c_id, i.i),
+             |tcent AS (
+             |  SELECT s.c_id, coalesce(t.c, s.c) AS c
+             |  FROM seeds0 s LEFT JOIN (
+             |    SELECT c_id, list(mv ORDER BY pos) AS c
+             |    FROM lupd GROUP BY c_id) t USING (c_id)),
+             |cent AS (
+             |  SELECT c_id,
+             |    list_transform(c, v -> CAST(v AS DOUBLE) / 1000.0) AS c_emb
+             |  FROM tcent),
+             |assign AS (
+             |  SELECT n_id, c_id FROM (
+             |    SELECT e.vec_id AS n_id, c_id,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |                                     c_emb), 5) DESC, c_id) AS arn
+             |    FROM embeddings e CROSS JOIN cent)
+             |  WHERE arn = 1),
+             |probe AS (
+             |  SELECT c_id FROM (
+             |    SELECT c_id, row_number() OVER (ORDER BY
+             |      round(list_cosine_similarity(
+             |        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+             |         WHERE vec_id = 0), c_emb), 5) DESC, c_id) AS prn
+             |    FROM cent)
+             |  WHERE prn <= 2),
+             |allowed AS (
+             |  SELECT n_id AS id FROM assign JOIN probe USING (c_id)),
+             |sp AS (SELECT unnest(range(4)) AS sub),
+             |subs AS (
+             |  SELECT id, sp.sub, vq[sp.sub*16+1 : sp.sub*16+16] AS x
+             |  FROM vq, sp),
+             |seeds AS (
+             |  SELECT sub, CAST(rn - 1 AS INT) AS code, x AS c FROM (
+             |    SELECT sub, x,
+             |      row_number() OVER (PARTITION BY sub ORDER BY id) AS rn
+             |    FROM subs) WHERE rn <= 4),
+             |a1 AS (
+             |  SELECT id, sub, x, code, row_number() OVER (
+             |      PARTITION BY id, sub ORDER BY ld, code) AS rn
+             |  FROM (SELECT s.id, s.sub, s.x, c.code,
+             |      CAST(list_sum(list_transform(range(1, 17),
+             |        i -> (s.x[i] - c.c[i]) * (s.x[i] - c.c[i]))) AS BIGINT) AS ld
+             |    FROM subs s JOIN seeds c USING (sub))),
+             |asg AS (SELECT id, sub, x, code FROM a1 WHERE rn = 1),
+             |upd AS (
+             |  SELECT sub, code, i.i AS pos,
+             |    CAST(floor(CAST(sum(x[i.i + 1]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+             |  FROM asg, (SELECT unnest(range(16)) AS i) i
+             |  GROUP BY sub, code, i.i),
+             |c1 AS (SELECT sub, code, list(mv ORDER BY pos) AS c
+             |  FROM upd GROUP BY sub, code),
+             |cents AS (
+             |  SELECT s.sub, s.code, coalesce(c1.c, s.c) AS c
+             |  FROM seeds s LEFT JOIN c1 ON s.sub = c1.sub AND s.code = c1.code),
+             |enc AS (
+             |  SELECT id, sub, code FROM (
+             |    SELECT s.id, s.sub, c.code, row_number() OVER (
+             |        PARTITION BY s.id, s.sub ORDER BY
+             |        CAST(list_sum(list_transform(range(1, 17),
+             |          i -> (s.x[i] - c.c[i]) * (s.x[i] - c.c[i]))) AS BIGINT),
+             |        c.code) AS rn
+             |    FROM subs s JOIN cents c USING (sub)
+             |    WHERE s.id IN (SELECT id FROM allowed)) WHERE rn = 1),
+             |qsubs AS (
+             |  SELECT sp.sub, q.vq[sp.sub*16+1 : sp.sub*16+16] AS qx
+             |  FROM (SELECT vq FROM vq WHERE id = 0) q, sp),
+             |tab AS (
+             |  SELECT c.sub, c.code,
+             |    CAST(list_sum(list_transform(range(1, 17),
+             |      i -> (qs.qx[i] - c.c[i]) * (qs.qx[i] - c.c[i]))) AS BIGINT) AS dist
+             |  FROM cents c JOIN qsubs qs USING (sub)),
+             |adc AS (
+             |  SELECT e.id, CAST(sum(t.dist) AS BIGINT) AS adc
+             |  FROM enc e JOIN tab t ON e.sub = t.sub AND e.code = t.code
+             |  GROUP BY e.id),
+             |short AS (SELECT id FROM adc ORDER BY adc, id LIMIT 20)
+             |SELECT v.id AS vec_id,
+             |  CAST(list_sum(list_transform(range(1, 65),
+             |    j -> (v.vq[j] - q.vq[j]) * (v.vq[j] - q.vq[j])))
+             |    AS BIGINT) AS dist
+             |FROM short s JOIN vq v ON v.id = s.id,
+             |     (SELECT vq FROM vq WHERE id = 0) q
+             |ORDER BY dist, vec_id LIMIT 10""".stripMargin)),
+
     // ---- ENGINE-EXACT trained IVF cells (s22, round 18): the one
     //      production recall lever that was never DuckDB-oracled.
     //      ivfCentroidsTrained (the production default) trains on raw
@@ -2022,6 +2159,166 @@ object PipelineQueries {
              |cent AS (
              |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
              |  FROM embeddings WHERE vec_id % 25 = 0),
+             |assign AS (
+             |  SELECT n_id, c_id FROM (
+             |    SELECT e.vec_id AS n_id, c_id,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |                                     c_emb), 5) DESC, c_id) AS arn
+             |    FROM embeddings e CROSS JOIN cent)
+             |  WHERE arn = 1),
+             |qembd AS (
+             |  SELECT q.q_id, CAST(e.embedding AS DOUBLE[]) AS qd
+             |  FROM qset q JOIN embeddings e ON e.vec_id = q.q_id),
+             |qvq AS (
+             |  SELECT q.q_id, v.vq AS qv FROM qset q JOIN vq v ON v.id = q.q_id),
+             |probe AS (
+             |  SELECT q_id, c_id FROM (
+             |    SELECT qe.q_id, c.c_id, row_number() OVER (PARTITION BY qe.q_id
+             |      ORDER BY round(list_cosine_similarity(qe.qd, c.c_emb), 5) DESC,
+             |      c.c_id) AS prn
+             |    FROM qembd qe CROSS JOIN cent c)
+             |  WHERE prn <= greatest(8, (SELECT count(*) FROM cent) // 3)),
+             |allowed AS (
+             |  SELECT p.q_id, a.n_id AS id FROM assign a JOIN probe p USING (c_id)),
+             |sp AS (SELECT unnest(range(8)) AS sub),
+             |subs AS (
+             |  SELECT id, sp.sub, vq[sp.sub*8+1 : sp.sub*8+8] AS x
+             |  FROM vq, sp),
+             |seeds AS (
+             |  SELECT sub, CAST(rn - 1 AS INT) AS code, x AS c FROM (
+             |    SELECT sub, x,
+             |      row_number() OVER (PARTITION BY sub ORDER BY id) AS rn
+             |    FROM subs) WHERE rn <= 16),
+             |a1 AS (
+             |  SELECT id, sub, x, code, row_number() OVER (
+             |      PARTITION BY id, sub ORDER BY ld, code) AS rn
+             |  FROM (SELECT s.id, s.sub, s.x, c.code,
+             |      CAST(list_sum(list_transform(range(1, 9),
+             |        i -> (s.x[i] - c.c[i]) * (s.x[i] - c.c[i]))) AS BIGINT) AS ld
+             |    FROM subs s JOIN seeds c USING (sub))),
+             |asg AS (SELECT id, sub, x, code FROM a1 WHERE rn = 1),
+             |upd AS (
+             |  SELECT sub, code, i.i AS pos,
+             |    CAST(floor(CAST(sum(x[i.i + 1]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+             |  FROM asg, (SELECT unnest(range(8)) AS i) i
+             |  GROUP BY sub, code, i.i),
+             |c1 AS (SELECT sub, code, list(mv ORDER BY pos) AS c
+             |  FROM upd GROUP BY sub, code),
+             |cents AS (
+             |  SELECT s.sub, s.code, coalesce(c1.c, s.c) AS c
+             |  FROM seeds s LEFT JOIN c1 ON s.sub = c1.sub AND s.code = c1.code),
+             |enc AS (
+             |  SELECT id, sub, code FROM (
+             |    SELECT s.id, s.sub, c.code, row_number() OVER (
+             |        PARTITION BY s.id, s.sub ORDER BY
+             |        CAST(list_sum(list_transform(range(1, 9),
+             |          i -> (s.x[i] - c.c[i]) * (s.x[i] - c.c[i]))) AS BIGINT),
+             |        c.code) AS rn
+             |    FROM subs s JOIN cents c USING (sub)) WHERE rn = 1),
+             |qsubs AS (
+             |  SELECT qv.q_id, sp.sub, qv.qv[sp.sub*8+1 : sp.sub*8+8] AS qx
+             |  FROM qvq qv, sp),
+             |tab AS (
+             |  SELECT qs.q_id, c.sub, c.code,
+             |    CAST(list_sum(list_transform(range(1, 9),
+             |      i -> (qs.qx[i] - c.c[i]) * (qs.qx[i] - c.c[i]))) AS BIGINT) AS dist
+             |  FROM cents c JOIN qsubs qs ON c.sub = qs.sub),
+             |adc AS (
+             |  SELECT al.q_id, e.id, CAST(sum(t.dist) AS BIGINT) AS adc
+             |  FROM enc e JOIN allowed al ON e.id = al.id
+             |  JOIN tab t ON t.q_id = al.q_id AND t.sub = e.sub AND t.code = e.code
+             |  GROUP BY al.q_id, e.id),
+             |short AS (
+             |  SELECT q_id, id FROM (
+             |    SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+             |      ORDER BY adc, id) AS rn FROM adc)
+             |  WHERE rn <= 100),
+             |rr AS (
+             |  SELECT s.q_id, s.id,
+             |    CAST(list_sum(list_transform(range(1, 65),
+             |      j -> (v.vq[j] - qv.qv[j]) * (v.vq[j] - qv.qv[j])))
+             |      AS BIGINT) AS dist
+             |  FROM short s JOIN vq v ON v.id = s.id
+             |  JOIN qvq qv ON qv.q_id = s.q_id),
+             |approx AS (
+             |  SELECT q_id, id FROM (
+             |    SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+             |      ORDER BY dist, id) AS rn FROM rr)
+             |  WHERE rn <= 10),
+             |exact AS (
+             |  SELECT q_id, id FROM (
+             |    SELECT qv.q_id, v.id, row_number() OVER (PARTITION BY qv.q_id
+             |      ORDER BY CAST(list_sum(list_transform(range(1, 65),
+             |        j -> (v.vq[j] - qv.qv[j]) * (v.vq[j] - qv.qv[j]))) AS BIGINT),
+             |      v.id) AS rn
+             |    FROM vq v CROSS JOIN qvq qv)
+             |  WHERE rn <= 10)
+             |SELECT x.q_id, count(*) AS n_exact,
+             |  CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_hit,
+             |  round(CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS recall,
+             |  round(CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) >= 0.4 AS meets_floor
+             |FROM exact x LEFT JOIN approx a ON x.q_id = a.q_id AND x.id = a.id
+             |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin)),
+
+    // ---- Trained-coarse IVFADC + rerank RECALL contract (s26, round
+    //      19): s25 hash-gates the trained layout's serving results;
+    //      this gate asserts the trained stack's RECALL at the s20
+    //      operating point (m=8 k=16 codes, fraction-pinned nProbe =
+    //      max(8, cells/3), exact rerank of the ADC top-100, floor
+    //      0.4 per query) with the coarse cells swapped from modulo to
+    //      the s22 trained table — the composed answer to "what does
+    //      the production tier's recall look like ON trained cells".
+    //      Everything stays integer-exact / round-5-cosine, so recall
+    //      is engine contract; the oracle is s20's replay with its
+    //      `cent` CTE swapped for the Lloyd CTEs. ----
+    Q("s26_ivf_adc_trained_recall",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val model = graft.operators.Similarity.pqTrain(
+          emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+        val nCells = emb.filter(col("vec_id") % 25 === 0).count()
+        val trained = graft.operators.Similarity
+          .trainedCentroidsExactDequant(emb, centEvery = 25, iters = 1)
+          .localCheckpoint(true)
+        graft.operators.Similarity.ivfAdcRecallAtK(emb, Seq(0L, 1L, 2L),
+            k = 10, nProbe = math.max(8L, nCells / 3).toInt,
+            centEvery = 25, model, recallFloor = 0.4,
+            rerankCandidates = 100, centroids = Some(trained))
+          .orderBy(col("q_id"))
+      },
+      Some("""WITH vq AS (
+             |  SELECT vec_id AS id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS vq
+             |  FROM embeddings),
+             |qset AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS q_id),
+             |seeds0 AS (SELECT id AS c_id, vq AS c FROM vq WHERE id % 25 = 0),
+             |la1 AS (
+             |  SELECT v.id, s.c_id, row_number() OVER (PARTITION BY v.id
+             |    ORDER BY CAST(list_sum(list_transform(range(1, 65),
+             |      j -> (v.vq[j] - s.c[j]) * (v.vq[j] - s.c[j]))) AS BIGINT),
+             |      s.c_id) AS rn
+             |  FROM vq v CROSS JOIN seeds0 s),
+             |lasg AS (SELECT id, c_id FROM la1 WHERE rn = 1),
+             |lupd AS (
+             |  SELECT a.c_id, i.i AS pos,
+             |    CAST(floor(CAST(sum(v.vq[i.i + 1]) AS DOUBLE) / count(*))
+             |      AS BIGINT) AS mv
+             |  FROM lasg a JOIN vq v USING (id),
+             |       (SELECT unnest(range(64)) AS i) i
+             |  GROUP BY a.c_id, i.i),
+             |tcent AS (
+             |  SELECT s.c_id, coalesce(t.c, s.c) AS c
+             |  FROM seeds0 s LEFT JOIN (
+             |    SELECT c_id, list(mv ORDER BY pos) AS c
+             |    FROM lupd GROUP BY c_id) t USING (c_id)),
+             |cent AS (
+             |  SELECT c_id,
+             |    list_transform(c, v -> CAST(v AS DOUBLE) / 1000.0) AS c_emb
+             |  FROM tcent),
              |assign AS (
              |  SELECT n_id, c_id FROM (
              |    SELECT e.vec_id AS n_id, c_id,

@@ -766,6 +766,89 @@ object StreamQueries {
              |  ('microbatch_events_captured', true),
              |  ('microbatch_replays_definition_under_parent', true))
              |  AS t(chk, ok)
-             |ORDER BY chk""".stripMargin))
+             |ORDER BY chk""".stripMargin)),
+
+    // ---- foreachBatch MULTI-SINK lineage (st21, round 19, r18 verdict
+    //      #5): lx17 pins per-output attribution for a batch builder
+    //      writing 3 sinks; st19 pins microbatch lineage for ONE
+    //      memory sink. This closes the remaining corner: a RUNNING
+    //      stream whose foreachBatch writes TWO parquet sinks per
+    //      micro-batch. The QueryExecutionListener sees one write
+    //      command per sink — each report must carry its OWN output
+    //      entity and column lineage — but the batch DataFrame is the
+    //      runner's materialized LogicalRDD, so the source layer is
+    //      opaque at batch level; stitchMicrobatchReport bridges each
+    //      ref through the stream DEFINITION's column lineage (out col
+    //      → batch col → streaming source col) and substitutes the
+    //      definition's FileSource input — the OpenLineage
+    //      parent-facet composition, gated row-exact. ----
+    Q("st21_foreach_batch_multi_sink_lineage",
+      (s, dir) => {
+        import graft.lineage._
+        import org.apache.spark.sql.streaming.Trigger
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_st21").toString
+        val ev = StreamOps.readEvents(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        val listener = LineageListener.install(s)
+        val reports = try {
+          val q = ev.writeStream
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               _: Long) =>
+                batch.filter(col("event_type") === "purchase")
+                  .select(col("event_id"), col("user_id"), col("value"))
+                  .write.mode("append").parquet(s"$tmp/purchases")
+                batch.groupBy(col("event_type"))
+                  .agg(count(lit(1)).as("n"),
+                    round(sum(col("value")), 2).as("sum_v"))
+                  .write.mode("append").parquet(s"$tmp/by_type")
+                ()
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          def seen = listener.reports
+            .filter(_._2.outputs.exists(_.contains("graft_st21")))
+          val deadline = System.currentTimeMillis() + 15000
+          while (seen.flatMap(_._2.outputs).distinct.size < 2 &&
+            System.currentTimeMillis() < deadline) Thread.sleep(50)
+          seen
+        } finally s.listenerManager.unregister(listener)
+        val sinkNames = reports.flatMap(_._2.outputs).distinct
+          .map(_.stripSuffix("/").split('/').last).sorted
+        require(sinkNames == Seq("by_type", "purchases"),
+          s"expected 2 foreachBatch sinks, listener observed: $sinkNames")
+        val defRep = LineageExtractor.reportStreamingDefinition(ev)
+        val rows = reports.flatMap { case (_, rep) =>
+          val stitched = LineageExtractor.stitchMicrobatchReport(rep, defRep)
+          val sink = stitched.outputs.find(_.contains("graft_st21")).get
+            .stripSuffix("/").split('/').last
+          val colRows = stitched.columnLineage.toSeq.flatMap {
+            case (out, refs) => refs.toSeq.map(r =>
+              (s"$sink/$out", r.table, r.column))
+          }
+          // the stitched input is the stream's FileSource entity; its
+          // name embeds the (sf-dependent) path, so pin kind + format
+          val inRows = stitched.inputs.map(m =>
+            (s"_input/$sink", m.name.takeWhile(_ != '['), m.format))
+          colRows ++ inRows
+        }.distinct
+        s.createDataFrame(rows)
+          .toDF("out_col", "src_table", "src_col")
+          .orderBy("out_col", "src_table", "src_col")
+      },
+      // n = count(1) carries no column refs (the lx05 rule)
+      Some("""SELECT * FROM (VALUES
+             |  ('_input/by_type', 'FileSource', 'streaming'),
+             |  ('_input/purchases', 'FileSource', 'streaming'),
+             |  ('by_type/event_type', 'StreamingRelation', 'event_type'),
+             |  ('by_type/sum_v', 'StreamingRelation', 'value'),
+             |  ('purchases/event_id', 'StreamingRelation', 'event_id'),
+             |  ('purchases/user_id', 'StreamingRelation', 'user_id'),
+             |  ('purchases/value', 'StreamingRelation', 'value'))
+             |  AS t(out_col, src_table, src_col)
+             |ORDER BY out_col, src_table, src_col""".stripMargin))
   )
 }

@@ -689,8 +689,12 @@ object StreamOps {
     // production knobs past that point — MORE state partitions and the
     // RocksDB provider — are parameters so the ScaleProbe state-ladder
     // knob matrix can PRICE them instead of prescribing them unmeasured
-    // (round-17 verdict #3); gates keep the defaults.
-    spark.conf.set(key, math.min(shufflePartitions, prev.toInt))
+    // (round-17 verdict #3); gates keep the defaults. The requested
+    // count is set VERBATIM: clamping to the session's partition count
+    // (a CPU-derived value) would silently run a "32 parts" matrix row
+    // at fewer partitions on a narrow host and mislabel the measured
+    // price (ADVICE r18).
+    spark.conf.set(key, shufflePartitions)
     stateProvider.foreach(spark.conf.set(provKey, _))
     try {
       val q = df.writeStream

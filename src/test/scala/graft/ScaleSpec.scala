@@ -1304,10 +1304,14 @@ class ScaleSpec extends AnyFunSuite {
     for (name <- Seq("s03_ann_ivf", "s17_ivf_adc", "d05_embedding_nn",
         "q113_label_propagation", "d17_lsh_index",
         // round 18: the new rerank/trained paths share the same argmin
-        // machinery and must stay on the hash path
+        // machinery and must stay on the hash path (s22's TRAINING
+        // pass hides behind localCheckpoint and is pinned separately
+        // below — ADVICE r18; its gate plan here is the checkpoint
+        // scan, still a legitimate no-SortAggregate surface)
         "s20_ivf_adc_rerank_recall", "s21_ivf_adc_rerank_layout",
-        "s22_ivf_trained_cells_exact",
-        "s23_ivf_trained_vs_modulo_recall")) {
+        "s23_ivf_trained_vs_modulo_recall",
+        // round 19: trained-coarse ADC layout serving + recall
+        "s25_ivf_adc_trained_layout", "s26_ivf_adc_trained_recall")) {
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect()
       val sorts = collectAll(df.queryExecution.executedPlan) {
@@ -1316,6 +1320,39 @@ class ScaleSpec extends AnyFunSuite {
       assert(sorts.isEmpty, s"$name planned SortAggregate: $sorts")
       Caches.sweep(spark)
     }
+  }
+
+  test("s22 training pass: the PRE-checkpoint Lloyd assignment rides " +
+      "ObjectHashAggregate, no SortAggregate, one corpus scan") {
+    // ADVICE r18: ivfCentroidsTrainedExact runs its Lloyd iteration
+    // eagerly behind localCheckpoint(true), so the GATE's executed plan
+    // is only the checkpoint scan + posexplode — pinning no-SortAgg
+    // there was vacuous. This pins the assignment plan ITSELF via the
+    // package-private hook (same vq projection + modulo seeds the
+    // trainer starts from): the argmin must be the bounded-heap
+    // ObjectHashAggregate (a declarative-only formulation would fall
+    // to SortAggregate — the round-16 19.7s-vs-0.7s trap), and the
+    // corpus must be scanned exactly once (the first(vq) carry, not a
+    // re-attach join).
+    import graft.operators.Similarity
+    val emb = Tables(spark, sf, "embeddings")
+    val df = Similarity.trainedExactFirstAssignment(emb, centEvery = 25)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val sorts = collectAll(plan) {
+      case p if p.nodeName.contains("SortAggregate") => p.nodeName
+    }
+    assert(sorts.isEmpty, s"training assignment planned SortAggregate: $sorts")
+    val objHash = collectAll(plan) {
+      case p if p.nodeName.contains("ObjectHashAggregate") => p.nodeName
+    }
+    assert(objHash.nonEmpty, "argmin must ride ObjectHashAggregate")
+    val scans = collectAll(plan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.size == 2,
+      s"expected corpus scan + broadcast seed scan, got ${scans.size}")
+    Caches.sweep(spark)
   }
 
   test("ivfAssign carry: one fewer corpus scan, no n-grain re-attach join") {

@@ -468,6 +468,133 @@ class SimilaritySpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("trained-coarse ADC layout serves bit-identical results to the " +
+      "inline trained rerank stack; kind switch rebuilds") {
+    // round 19 (r18 verdict #1): the trained quantizer composed into
+    // the persisted tier must serve EXACTLY what the inline path
+    // computes on the same trained cells — and flipping the quantizer
+    // kind on an existing layout dir must rebuild (the ident stamps
+    // coarse=trainedExact:<iters>), never silently ident-hit.
+    import spark.implicits._
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    val layout = java.nio.file.Files
+      .createTempDirectory("graft_s25_spec").toString + "/layout"
+    def model = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 4, k = 4, iters = 1)
+    // modulo build first: the later trained build must MISMATCH it
+    Similarity.ivfAdcBuildLayout(emb, centEvery = 25, layout,
+      "vec_id", "embedding", m = 4, k = 4, quantScale = 1000L)(model)
+    val identPath = new org.apache.hadoop.fs.Path(layout, "_graft_ident")
+    val fs = identPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def ident(): String = {
+      val in = fs.open(identPath)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val moduloIdent = ident()
+    Similarity.ivfAdcBuildLayout(emb, centEvery = 25, layout,
+      "vec_id", "embedding", m = 4, k = 4, quantScale = 1000L,
+      trainedIters = 1)(model)
+    assert(ident() != moduloIdent, "kind switch must rebuild the layout")
+    assert(ident().contains("coarse=trainedExact:1"))
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val served = Similarity.ivfAdcRerankProbeLayout(spark, layout, emb,
+        "vec_id", "embedding", q, kNN = 10, nProbe = 2, candidates = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val trained = Similarity.trainedCentroidsExactDequant(emb,
+      centEvery = 25, iters = 1)
+    val inline = Similarity.ivfAdcRerankTopK(emb, "vec_id", "embedding",
+        model, q, kNN = 10, nProbe = 2, centEvery = 25, candidates = 20,
+        centroids = Some(trained))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == inline,
+      s"layout-served $served != inline trained $inline")
+    Caches.sweep(spark)
+  }
+
+  test("layout append is idempotent under retry: double-append " +
+      "fail-fasts, force is the only way to duplicate") {
+    // round 19 (r18 verdict #2): an orchestrator RETRY of a committed
+    // batch is the normal failure mode — without the ident guard it
+    // silently appends the same rows twice and probes return duplicate
+    // ids. Both append paths must refuse a batch whose +append hash is
+    // already recorded; force = true is the explicit escape hatch.
+    import spark.implicits._
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    val base = emb.filter($"vec_id" < 400)
+    val batch = emb.filter($"vec_id" >= 400)
+    // ADC layout
+    val adcDir = java.nio.file.Files
+      .createTempDirectory("graft_idem_adc").toString + "/layout"
+    Similarity.ivfAdcBuildLayout(base, centEvery = 25, adcDir,
+      "vec_id", "embedding", m = 4, k = 4, quantScale = 1000L)(
+      Similarity.pqTrain(base, "vec_id", "embedding", m = 4, k = 4,
+        iters = 1))
+    Similarity.ivfAdcAppendToLayout(batch, adcDir)
+    val n1 = spark.read.parquet(s"$adcDir/codes").count()
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.ivfAdcAppendToLayout(batch, adcDir)
+    }
+    assert(e1.getMessage.contains("already appended"))
+    assert(spark.read.parquet(s"$adcDir/codes").count() == n1,
+      "refused append must not have written anything")
+    // the layout stays servable after the refusal (no sentinel left)
+    val q = emb.filter($"vec_id" === 450L)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    assert(Similarity.ivfAdcProbeLayout(spark, adcDir, q, kNN = 5,
+      nProbe = 2).count() > 0)
+    // forced re-append is the ONLY way to duplicate — and it does
+    Similarity.ivfAdcAppendToLayout(batch, adcDir, force = true)
+    assert(spark.read.parquet(s"$adcDir/codes").count() ==
+      n1 + batch.count())
+    // plain-IVF layout: same contract
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft_idem_ivf").toString + "/layout"
+    Similarity.ivfBuildLayout(base, centEvery = 25, ivfDir)
+    Similarity.ivfAppendToLayout(batch, ivfDir)
+    val m1 = spark.read.parquet(ivfDir).count()
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfAppendToLayout(batch, ivfDir)
+    }
+    assert(e2.getMessage.contains("already appended"))
+    assert(spark.read.parquet(ivfDir).count() == m1)
+    Similarity.ivfAppendToLayout(batch, ivfDir, force = true)
+    assert(spark.read.parquet(ivfDir).count() == m1 + batch.count())
+    Caches.sweep(spark)
+  }
+
+  test("ivfL2RecallCompare plan is constant-size in the query count " +
+      "(one leg per stage, not per query)") {
+    // round 19 (r18 verdict #4): the eval harness must scale to its
+    // 1000-query bound — the query batch rides ONE literal table
+    // through every serving stage, so the optimized plan has the same
+    // node count for 1 query as for 3 (a per-query union would grow
+    // linearly and blow up compilation at the bound).
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    val seeds = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("c_id"),
+        org.apache.spark.sql.functions.expr(
+          "transform(embedding, x -> " +
+            "cast(round(cast(x as double) * 1000.0) as bigint))")
+          .as("c_vq"))
+    def planSize(ids: Seq[Long]): Int =
+      Similarity.ivfL2RecallCompare(emb, seeds, seeds, ids, k = 5,
+        nProbe = 4).queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planSize(Seq(0L)) == planSize(Seq(0L, 1L, 2L)),
+      "plan node count must not grow with the query batch")
+    // and the set-based result matches the single-query serving API
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val single = Similarity.ivfTopKL2Exact(emb, seeds, q, kNN = 5,
+      nProbe = 4).collect().map(_.getLong(0)).toSet
+    val batch = Similarity.ivfL2RecallCompare(emb, seeds, seeds,
+      Seq(0L), k = 5, nProbe = 4).collect().head
+    assert(batch.getLong(1) == 5 && batch.getLong(2) == batch.getLong(3))
+    assert(single.size == 5)
+    Caches.sweep(spark)
+  }
+
   test("ivfCentroidsTrainedExact equals a driver-side Lloyd replay " +
       "(bit-exact, any partition order)") {
     // round 18 (s22): the engine-exact trained coarse quantizer —
