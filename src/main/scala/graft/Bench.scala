@@ -123,6 +123,9 @@ object Bench {
     // PERSISTED ADC tier (build in warm-up, probe-only reps) and the
     // trained stack's recall contract at the s20 operating point
     "s25_ivf_adc_trained_layout", "s26_ivf_adc_trained_recall",
+    // the s24 x s25 composition: frozen-geometry append into the
+    // TRAINED layout (full maintenance cycle per rep, like s24)
+    "s27_ivf_adc_trained_append",
     // dedup / similarity / text pipeline; d12/d13/s07/t17 rotated out
     // round 9 (sub-0.3s, families covered by d11/d14/s09/t15) to make
     // room for the r1/r2 rep columns inside the tail budget
@@ -159,7 +162,7 @@ object Bench {
     "d17_lsh_index", "m08_binary_near_dup", "m09_binary_simhash_index",
     "m11_binary_dhash_index", "s18_ivf_adc_layout",
     "s21_ivf_adc_rerank_layout", "s24_ivf_adc_append",
-    "s25_ivf_adc_trained_layout")
+    "s25_ivf_adc_trained_layout", "s27_ivf_adc_trained_append")
 
   /** Parse a full-suite artifact's per-query floors: its "queries" map
     * by FULL query name, kept only when the artifact ran on the SAME

@@ -264,7 +264,13 @@ object PlanAudit {
     "s25_ivf_adc_trained_layout",
     // trained-stack recall contract (round 19): the s20 eval harness
     // on trained cells — same hash-path argmins, broadcast probes
-    "s26_ivf_adc_trained_recall")
+    "s26_ivf_adc_trained_recall",
+    // trained layout + frozen-geometry append (round 19): the
+    // post-append probe plan must stay s24's — partition-pruned codes
+    // scan over base+appended cells, literal-LUT ADC projection, one
+    // TakeOrderedAndProject; trained cells change WHERE codes live,
+    // never the serving plan shape
+    "s27_ivf_adc_trained_append")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

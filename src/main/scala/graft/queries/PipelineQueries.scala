@@ -2424,6 +2424,137 @@ object PipelineQueries {
              |FROM exact x LEFT JOIN approx a ON x.q_id = a.q_id AND x.id = a.id
              |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin)),
 
+    // ---- TRAINED LAYOUT + FROZEN-GEOMETRY APPEND (s27, round 19):
+    //      the composition s24 x s25 — the ADC tier's ingest path run
+    //      against a TRAINED-coarse layout. The append contract is
+    //      quantizer-agnostic BY CONSTRUCTION (ivfAdcAppendToLayout
+    //      reads the layout's own _centroids/_pqmodel and never asks
+    //      where they came from), and this gate pins it: build on the
+    //      base slice with trainedIters = 1 (Lloyd cells trained on
+    //      BASE only — frozen geometry means the appended batch must
+    //      not move the cells), append the rest, probe. The oracle is
+    //      s24's replay with its modulo `cent` CTE swapped for the s22
+    //      Lloyd CTEs restricted to the base slice; everything
+    //      downstream (frozen-codebook encode of appended rows, probe,
+    //      ADC) is s24's verbatim. ----
+    Q("s27_ivf_adc_trained_append",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+        val key = Tables.contentKey(s"$dir/embeddings.parquet")
+        val layout = graft.Scratch.dir(s"graft_ivfadc_trapp_$key")
+        val base = emb.filter($"vec_id" < 400)
+        graft.operators.Similarity.ivfAdcBuildLayout(
+          base, centEvery = 25, layout, "vec_id", "embedding",
+          m = 4, k = 4, quantScale = 1000L, trainedIters = 1)(
+          graft.operators.Similarity.pqTrain(
+            base, "vec_id", "embedding", m = 4, k = 4, iters = 1))
+        graft.operators.Similarity.ivfAdcAppendToLayout(
+          emb.filter($"vec_id" >= 400), layout)
+        val query = emb.filter($"vec_id" === 450L)
+          .select($"embedding".cast("array<double>"))
+          .head().getSeq[Double](0)
+        graft.operators.Similarity.ivfAdcProbeLayout(
+            s, layout, query, kNN = 10, nProbe = 2)
+          .select(col("id").as("vec_id"), col("adc"))
+      },
+      Some("""WITH vq AS (
+             |  SELECT vec_id AS id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS vq
+             |  FROM embeddings),
+             |bvq AS (SELECT * FROM vq WHERE id < 400),
+             |seeds0 AS (SELECT id AS c_id, vq AS c FROM bvq WHERE id % 25 = 0),
+             |la1 AS (
+             |  SELECT v.id, s.c_id, row_number() OVER (PARTITION BY v.id
+             |    ORDER BY CAST(list_sum(list_transform(range(1, 65),
+             |      j -> (v.vq[j] - s.c[j]) * (v.vq[j] - s.c[j]))) AS BIGINT),
+             |      s.c_id) AS rn
+             |  FROM bvq v CROSS JOIN seeds0 s),
+             |lasg AS (SELECT id, c_id FROM la1 WHERE rn = 1),
+             |lupd AS (
+             |  SELECT a.c_id, i.i AS pos,
+             |    CAST(floor(CAST(sum(v.vq[i.i + 1]) AS DOUBLE) / count(*))
+             |      AS BIGINT) AS mv
+             |  FROM lasg a JOIN bvq v USING (id),
+             |       (SELECT unnest(range(64)) AS i) i
+             |  GROUP BY a.c_id, i.i),
+             |tcent AS (
+             |  SELECT s.c_id, coalesce(t.c, s.c) AS c
+             |  FROM seeds0 s LEFT JOIN (
+             |    SELECT c_id, list(mv ORDER BY pos) AS c
+             |    FROM lupd GROUP BY c_id) t USING (c_id)),
+             |cent AS (
+             |  SELECT c_id,
+             |    list_transform(c, v -> CAST(v AS DOUBLE) / 1000.0) AS c_emb
+             |  FROM tcent),
+             |assign AS (
+             |  SELECT n_id, c_id FROM (
+             |    SELECT e.vec_id AS n_id, c_id,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |                                     c_emb), 5) DESC, c_id) AS arn
+             |    FROM embeddings e CROSS JOIN cent)
+             |  WHERE arn = 1),
+             |probe AS (
+             |  SELECT c_id FROM (
+             |    SELECT c_id, row_number() OVER (ORDER BY
+             |      round(list_cosine_similarity(
+             |        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+             |         WHERE vec_id = 450), c_emb), 5) DESC, c_id) AS prn
+             |    FROM cent)
+             |  WHERE prn <= 2),
+             |allowed AS (
+             |  SELECT n_id AS id FROM assign JOIN probe USING (c_id)),
+             |sp AS (SELECT unnest(range(4)) AS sub),
+             |subs AS (
+             |  SELECT id, sp.sub, vq[sp.sub*16+1 : sp.sub*16+16] AS x
+             |  FROM vq, sp),
+             |bsubs AS (SELECT * FROM subs WHERE id < 400),
+             |seeds AS (
+             |  SELECT sub, CAST(rn - 1 AS INT) AS code, x AS c FROM (
+             |    SELECT sub, x,
+             |      row_number() OVER (PARTITION BY sub ORDER BY id) AS rn
+             |    FROM bsubs) WHERE rn <= 4),
+             |a1 AS (
+             |  SELECT id, sub, x, code, row_number() OVER (
+             |      PARTITION BY id, sub ORDER BY ld, code) AS rn
+             |  FROM (SELECT s.id, s.sub, s.x, c.code,
+             |      CAST(list_sum(list_transform(range(1, 17),
+             |        i -> (s.x[i] - c.c[i]) * (s.x[i] - c.c[i]))) AS BIGINT) AS ld
+             |    FROM bsubs s JOIN seeds c USING (sub))),
+             |asg AS (SELECT id, sub, x, code FROM a1 WHERE rn = 1),
+             |upd AS (
+             |  SELECT sub, code, i.i AS pos,
+             |    CAST(floor(CAST(sum(x[i.i + 1]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+             |  FROM asg, (SELECT unnest(range(16)) AS i) i
+             |  GROUP BY sub, code, i.i),
+             |c1 AS (SELECT sub, code, list(mv ORDER BY pos) AS c
+             |  FROM upd GROUP BY sub, code),
+             |cents AS (
+             |  SELECT s.sub, s.code, coalesce(c1.c, s.c) AS c
+             |  FROM seeds s LEFT JOIN c1 ON s.sub = c1.sub AND s.code = c1.code),
+             |enc AS (
+             |  SELECT id, sub, code FROM (
+             |    SELECT s.id, s.sub, c.code, row_number() OVER (
+             |        PARTITION BY s.id, s.sub ORDER BY
+             |        CAST(list_sum(list_transform(range(1, 17),
+             |          i -> (s.x[i] - c.c[i]) * (s.x[i] - c.c[i]))) AS BIGINT),
+             |        c.code) AS rn
+             |    FROM subs s JOIN cents c USING (sub)
+             |    WHERE s.id IN (SELECT id FROM allowed)) WHERE rn = 1),
+             |qsubs AS (
+             |  SELECT sp.sub, q.vq[sp.sub*16+1 : sp.sub*16+16] AS qx
+             |  FROM (SELECT vq FROM vq WHERE id = 450) q, sp),
+             |tab AS (
+             |  SELECT c.sub, c.code,
+             |    CAST(list_sum(list_transform(range(1, 17),
+             |      i -> (qs.qx[i] - c.c[i]) * (qs.qx[i] - c.c[i]))) AS BIGINT) AS dist
+             |  FROM cents c JOIN qsubs qs USING (sub))
+             |SELECT e.id AS vec_id, CAST(sum(t.dist) AS BIGINT) AS adc
+             |FROM enc e JOIN tab t ON e.sub = t.sub AND e.code = t.code
+             |GROUP BY e.id
+             |ORDER BY adc, vec_id LIMIT 10""".stripMargin)),
+
     // Maximal-marginal-relevance selection (s13): greedy diversity
     // re-ranking over the top-8 relevance pool, 3 picks at λ=0.5 — the
     // between-retrieval-and-context-window selector. Integer dot

@@ -713,4 +713,40 @@ object StreamOps {
     }
     spark.table(name)
   }
+
+  /** [[runToMemory]] against the no-op sink: returns only the sink's
+    * total output-row count (summed over the run's progress events)
+    * instead of materializing the result table. Exists for probes that
+    * push STATE past the heap deliberately (the ScaleProbe crossover
+    * rung): a memory sink would buffer every output row on-heap and
+    * confound the state-store memory wall with sink memory, so the
+    * variant under test must not pay a sink that scales with output. */
+  def runToNoop(
+      spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode, shufflePartitions: Int = 4,
+      stateProvider: Option[String] = None): Long = {
+    val key = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(key, shufflePartitions)
+    stateProvider.foreach(spark.conf.set(provKey, _))
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("noop")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.map(p => Option(p.sink).map(_.numOutputRows)
+        .getOrElse(0L)).sum
+    } finally {
+      spark.conf.set(key, prev)
+      if (stateProvider.isDefined) prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
 }

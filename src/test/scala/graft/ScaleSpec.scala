@@ -1310,8 +1310,10 @@ class ScaleSpec extends AnyFunSuite {
         // scan, still a legitimate no-SortAggregate surface)
         "s20_ivf_adc_rerank_recall", "s21_ivf_adc_rerank_layout",
         "s23_ivf_trained_vs_modulo_recall",
-        // round 19: trained-coarse ADC layout serving + recall
-        "s25_ivf_adc_trained_layout", "s26_ivf_adc_trained_recall")) {
+        // round 19: trained-coarse ADC layout serving + recall, and the
+        // trained layout's frozen-geometry append cycle
+        "s25_ivf_adc_trained_layout", "s26_ivf_adc_trained_recall",
+        "s27_ivf_adc_trained_append")) {
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect()
       val sorts = collectAll(df.queryExecution.executedPlan) {

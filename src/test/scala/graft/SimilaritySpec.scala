@@ -563,6 +563,56 @@ class SimilaritySpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("frozen-geometry append composes with the trained-coarse layout " +
+      "(quantizer-agnostic ingest, ident carries both stamps)") {
+    // round 19 (s27): ivfAdcAppendToLayout reads the layout's own
+    // _centroids/_pqmodel without asking where the cells came from, so
+    // the ingest path must work unchanged on a trainedExact layout —
+    // and the ident must keep BOTH the quantizer-kind stamp (so a kind
+    // switch still rebuilds) and the append hash (so a retry still
+    // refuses).
+    import spark.implicits._
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    val base = emb.filter($"vec_id" < 400)
+    val batch = emb.filter($"vec_id" >= 400)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_trapp").toString + "/layout"
+    Similarity.ivfAdcBuildLayout(base, centEvery = 25, dir,
+      "vec_id", "embedding", m = 4, k = 4, quantScale = 1000L,
+      trainedIters = 1)(
+      Similarity.pqTrain(base, "vec_id", "embedding", m = 4, k = 4,
+        iters = 1))
+    val nBase = spark.read.parquet(s"$dir/codes").count()
+    Similarity.ivfAdcAppendToLayout(batch, dir)
+    assert(spark.read.parquet(s"$dir/codes").count() ==
+      nBase + batch.count())
+    val ident = {
+      val p = new org.apache.hadoop.fs.Path(dir, "_graft_ident")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    assert(ident.contains("coarse=trainedExact:1"),
+      s"append must preserve the quantizer-kind stamp: '$ident'")
+    assert(ident.contains("+append="),
+      s"append must record its batch hash: '$ident'")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfAdcAppendToLayout(batch, dir)
+    }
+    assert(e.getMessage.contains("already appended"))
+    // served results over base+appended match the oracle shape: k rows,
+    // ascending adc, and the probe stays partition-pruned (PlanAudit
+    // pins the plan; here we pin servability + row contract)
+    val q = emb.filter($"vec_id" === 450L)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val served = Similarity.ivfAdcProbeLayout(spark, dir, q, kNN = 10,
+      nProbe = 2).collect()
+    assert(served.length == 10)
+    assert(served.map(_.getLong(1)).toSeq ==
+      served.map(_.getLong(1)).sorted.toSeq, "adc must ascend")
+    Caches.sweep(spark)
+  }
+
   test("ivfL2RecallCompare plan is constant-size in the query count " +
       "(one leg per stage, not per query)") {
     // round 19 (r18 verdict #4): the eval harness must scale to its
