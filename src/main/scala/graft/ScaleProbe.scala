@@ -639,13 +639,30 @@ object ScaleProbe {
       sb.append("heap bound.\n\n")
       sb.append("| heap | thr | variant | out rows | s | status |\n")
       sb.append("|---|---|---|---|---|---|\n")
-      xoverFiles.foreach { f =>
-        scala.io.Source.fromFile(f).getLines().foreach { ln =>
-          val c = ln.split("\t", -1)
-          if (c.length >= 7)
-            sb.append(s"| ${c(1)} MB | ${c(2)} | ${c(3)} | ${c(4)} " +
-              s"| ${c(5)} | ${c(6)} |\n")
-        }
+      val xrows = xoverFiles.flatMap(f =>
+        scala.io.Source.fromFile(f).getLines().map(_.split("\t", -1))
+          .filter(_.length >= 7).toSeq)
+      xrows.foreach { c =>
+        sb.append(s"| ${c(1)} MB | ${c(2)} | ${c(3)} | ${c(4)} " +
+          s"| ${c(5)} | ${c(6)} |\n")
+      }
+      // the crossover, when the runs demonstrate it: a heap where the
+      // memory provider failed while rocksdb completed
+      val crossed = xrows.groupBy(_(1)).toSeq.sortBy(_._1.toLong).find {
+        case (_, rs) =>
+          rs.exists(c => c(3).contains("memory") && c(6) != "ok") &&
+            rs.exists(c => c(3).contains("rocksdb") && c(6) == "ok")
+      }
+      crossed.foreach { case (heap, rs) =>
+        val rocksSec = rs.find(c => c(3).contains("rocksdb")).map(_(5))
+          .getOrElse("?")
+        sb.append(f"\nMeasured reading: at a $heap MB heap the memory\n")
+        sb.append(f"provider hits the wall (the failed row above) while\n")
+        sb.append(f"RocksDB/32-parts completes the identical scan in\n")
+        sb.append(f"$rocksSec s under the SAME bound — the knob premium the\n")
+        sb.append("matrix prices is the cost of surviving past this point,\n")
+        sb.append("and the crossover heap bounds where TOTAL state outgrows\n")
+        sb.append("the executor's share at this state size.\n")
       }
     }
     sb.append(
