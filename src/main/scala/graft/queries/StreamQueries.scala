@@ -717,21 +717,23 @@ object StreamQueries {
           // progress events arrive on the listener bus asynchronously
           // and PER MICROBATCH: stopping at the first match would
           // snapshot before later batches' events land (a regression in
-          // batch 2+ would then pass on listener-bus timing) — wait
-          // until the matching-event count has been stable for a quiet
-          // period, bounded by the deadline
+          // batch 2+ would then pass on listener-bus timing). The run
+          // is TERMINATED (AvailableNow), so the exact per-batch event
+          // count is known from the query handle — recentProgress is
+          // appended synchronously inside the stream thread, complete
+          // once awaitTermination returns — and the listener renders
+          // exactly ONE RunEvent per progress for a tracked plan: wait
+          // for that exact count, deadline-bounded. (This replaced a
+          // 2-second count-stability quiet period that idled every
+          // invocation AFTER the last event had landed — round 19 —
+          // and is strictly stronger: it waits for ALL batches'
+          // events, not for a heuristic silence window.)
           def matching() = listener.openLineageEvents
             .count(_.contains("\"name\":\"st19_out\""))
+          val expected = math.max(1, q.recentProgress.length)
           val deadline = System.currentTimeMillis() + 15000
-          var seen = matching()
-          var stableSince = System.currentTimeMillis()
-          while ((seen == 0 ||
-              System.currentTimeMillis() - stableSince < 2000) &&
-            System.currentTimeMillis() < deadline) {
-            Thread.sleep(50)
-            val now = matching()
-            if (now != seen) { seen = now; stableSince = System.currentTimeMillis() }
-          }
+          while (matching() < expected &&
+            System.currentTimeMillis() < deadline) Thread.sleep(20)
           val evs = listener.openLineageEvents
             .filter(_.contains("\"name\":\"st19_out\""))
           val defRep = graft.lineage.LineageExtractor
