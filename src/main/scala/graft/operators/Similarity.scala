@@ -1825,12 +1825,12 @@ object Similarity {
     * Scale shape: the eval batch is bounded by construction (`queryIds`
     * is a driver-side list — the s13/s16 eval stance). The
     * query-INDEPENDENT state — cell assignment, quantized projection,
-    * centroid table — is derived ONCE and localCheckpointed (round 19:
-    * the legs used to re-derive the corpus-grain assignment per query,
-    * |queryIds| identical passes); each query leg is then a map pass
-    * over the materialized vq into a TakeOrderedAndProject (exact
-    * side) plus the serving tail over the materialized assignment
-    * (approx side) — no shuffle, the corpus parquet is read once.
+    * centroid table — is built once as shared LAZY frames that every
+    * leg references (NOT checkpointed: materialize+rescan measured
+    * 1.5–2.1x slower than per-leg fused re-derivation at sf1 — see the
+    * body comment); each query leg is a map pass over vq into a
+    * TakeOrderedAndProject (exact side) plus the serving tail over the
+    * assignment (approx side), all legs unioned into one eval plan.
     * Recall counts ID-SET overlap (the ann-benchmarks definition).
     *
     * `rerankCandidates > 0` swaps the approx side to
@@ -1849,29 +1849,29 @@ object Similarity {
     require(queryIds.nonEmpty && queryIds.size <= 1000,
       s"queryIds is the bounded eval batch (got ${queryIds.size})")
     require(k >= 1, s"k must be >= 1, got $k")
-    // SHARED EVAL STATE, derived once (round 19): every per-query leg
-    // used to re-derive the corpus-grain cell assignment (a |cells|-way
-    // broadcast crossJoin + ObjectHashAggregate argmax) and re-scan the
-    // quantized projection — |queryIds| full assignment passes for a
-    // query-INDEPENDENT table. One localCheckpoint each of the
-    // assignment, the vq projection and the centroid table now feeds
-    // every exact/approx leg; per-rep recomputation semantics are
-    // unchanged (blocks are swept between bench reps — the
-    // IterativeLoop/s22 discipline), and results are bit-identical
-    // because the legs consume the same frames they used to derive.
-    // EAGER checkpoints, deliberately (measured round 19): lazy
-    // (eager=false) lets the per-query legs' stages race the first
-    // computation of the shared RDD inside one job — each leg computes
-    // the assignment again before blocks land (s19 3.2→5.3 s at
-    // sf0.1); eager pays one barrier job per shared frame and every
-    // leg then reads blocks.
+    // SHARED LAZY FRAMES, not checkpoints (round 19, measured twice):
+    // the query-independent state — cell assignment, quantized
+    // projection, centroid table — is built once HERE and referenced by
+    // every exact/approx leg, but deliberately NOT materialized.
+    //  - localCheckpoint(true) (tried first): one barrier job per
+    //    frame, then every leg reads deserialized blocks instead of a
+    //    codegen-fused parquet pass. Interleaved A/B vs the lazy shape:
+    //    1.15–1.25x slower at sf0.1/8 cores and 1.5–2.1x slower at
+    //    sf1/8 cores (s19 12.3 vs 6.3 s, s20 10.4 vs 4.8 s, s26 19.5
+    //    vs 10.7 s) — materialize+rescan of corpus-grain rows loses to
+    //    re-deriving them inside each leg's fused pipeline, and the
+    //    single unioned eval plan lets ReuseExchange share what IS
+    //    worth sharing.
+    //  - localCheckpoint(false) (lazy checkpoint): worst of both — the
+    //    legs' stages race the first computation of the shared RDD
+    //    inside one job (s19 3.2→5.3 s at sf0.1).
+    // Plain lazy frames keep results bit-identical (the legs consume
+    // the same expressions either way) and restore the duplicated-leg
+    // plan, whose exchanges are per-leg bounded aggregates.
     val cent = centroids.getOrElse(
-        ivfCentroids(corpus, centEvery, idCol, embCol))
-      .localCheckpoint(true)
+      ivfCentroids(corpus, centEvery, idCol, embCol))
     val assign = ivfAssign(corpus, cent, idCol, embCol)
-      .localCheckpoint(true)
     val vq = vqProjected(corpus, idCol, embCol, model.quantScale)
-      .localCheckpoint(true)
     // resolve ALL eval vectors in ONE bounded driver action (≤1000 rows
     // by the batch require) and fail at contract level when any id is
     // absent — per-id head() calls cost |queryIds| separate driver
