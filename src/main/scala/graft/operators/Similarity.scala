@@ -1176,23 +1176,88 @@ object Similarity {
     * [[ivfCentroidsTrained]] rule).
     *
     * Scale shape: per Lloyd step, ONE corpus pass — subvectors explode
-    * map-side (m rows per vector), assignment joins the BROADCAST m·k
-    * codebook, and the update is a (sub, code, pos)-grain map-combined
-    * sum: the exchange carries m·k·subDim rows regardless of corpus
-    * size. The corpus itself never shuffles. The returned model is
-    * driver metadata (see [[PqModel]]).
+    * map-side (m rows per vector), each subvector's assignment is the
+    * LITERAL-codebook argmin ([[codeExpr]] — pqEncode's own expression,
+    * so training's assignment and serving's encode cannot drift), and
+    * the update is a (sub, code, pos)-grain map-combined sum: the
+    * exchange carries m·k·subDim rows regardless of corpus size. The
+    * corpus itself never shuffles. The codebook is BOUNDED DRIVER
+    * METADATA by the [[PqModel]] contract (m·k rows — pqTrain always
+    * collected it at the end), so each iteration's update is ONE
+    * bounded collect and the next iteration's codebook rides back in
+    * as literals: no broadcast join, no per-iteration localCheckpoint
+    * chain (round 20 — the checkpointed carry cost ~18 driver jobs per
+    * train call, ~1.5 s of fixed overhead at bench scale, for a table
+    * that is driver metadata by construction; [[pqTrainVariant]] keeps
+    * the DataFrame-carried formulation for the probe, and a spec pins
+    * the two bit-identical).
     */
   def pqTrain(emb: DataFrame, idCol: String = "vec_id",
       embCol: String = "embedding", m: Int = 4, k: Int = 8,
-      iters: Int = 1, quantScale: Long = 1000L): PqModel =
-    // single-scan carry of the subvector through the argmin aggregate —
-    // the ivfAssign winner (round-17 probe); the join variant re-read
-    // the persisted subs and shuffled both sides at (id, sub) grain
-    pqTrainVariant(emb, idCol, embCol, m, k, iters, quantScale,
-      carryX = true)
+      iters: Int = 1, quantScale: Long = 1000L): PqModel = {
+    require(m >= 1 && k >= 1 && iters >= 0, s"bad pq params m=$m k=$k")
+    val vq0 = vqProjected(emb, idCol, embCol, quantScale)
+    // fanout-aware parallelism (the ivfAssign rationale): the m-way
+    // subvector explode and the k-way literal-argmin multiply per-row
+    // work, so an under-partitioned corpus scan would serialize the
+    // Lloyd step onto one or two threads; no-op at real partition counts
+    val para = emb.sparkSession.sparkContext.defaultParallelism
+    val vq = if (vq0.rdd.getNumPartitions < para)
+      vq0.repartition(para) else vq0
+    // seeds + dimension from ONE bounded TakeOrdered collect: the k
+    // lowest-id vectors' quantized rows (k rows of d longs — driver
+    // metadata). Replaces the d-probe head(), the eager seed
+    // checkpoint and the seed-count require job of the DataFrame-
+    // carried formulation; same seed rule (code c = the c-th lowest
+    // id's subvector, per sub).
+    val seedRows = vq.orderBy(col("id")).limit(k).collect()
+    require(seedRows.length == k,
+      s"not enough vectors to seed $k centroids per subspace")
+    val d = seedRows.head.getSeq[Long](1).length
+    require(d % m == 0, s"m=$m must divide dim d=$d")
+    val subDim = d / m
+    val cents: Array[Array[Array[Long]]] = Array.tabulate(m, k) { (s, c) =>
+      seedRows(c).getSeq[Long](1)
+        .slice(s * subDim, (s + 1) * subDim).toArray
+    }
+    for (_ <- 1 to iters) {
+      val model = PqModel(m, subDim, k, quantScale, cents.map(_.clone()))
+      // one corpus pass: slice + literal-argmin assignment map-side
+      // (same sqDist kernel, same first-min = smallest-code tie rule
+      // as the heap-aggregate formulation), then the floor(sum/count)
+      // update at (sub, code, pos) grain — m·k·subDim result rows,
+      // collected straight back to the driver
+      val subStructs = array((0 until m).map { s =>
+        val x = slice(col("vq"), s * subDim + 1, subDim)
+        struct(lit(s).as("sub"), codeExpr(model, s, x).as("code"),
+          x.as("x"))
+      }: _*)
+      val upd = vq
+        .select(explode(subStructs).as("t"))
+        .select(col("t.sub").as("sub"), col("t.code").as("code"),
+          posexplode(col("t.x")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+          .cast("long").as("mv"))
+        .collect()
+      // empty cells keep their previous centroid (the
+      // ivfCentroidsTrained rule): only observed (sub, code) pairs
+      // overwrite
+      val fresh = upd.groupBy(r => (r.getInt(0), r.getInt(1)))
+      fresh.foreach { case ((s, c), rows) =>
+        val arr = cents(s)(c).clone()
+        rows.foreach(r => arr(r.getInt(2)) = r.getLong(3))
+        cents(s)(c) = arr
+      }
+    }
+    PqModel(m, subDim, k, quantScale, cents)
+  }
 
-  /** Both formulations of the Lloyd assignment step, kept for the probe
-    * ([[ivfAssignVariant]] rationale); [[pqTrain]] pins the winner. */
+  /** The DataFrame-carried Lloyd formulations (heap-aggregate argmin
+    * with carried subvector, or the id-join re-attach), kept callable
+    * for the probe ([[ivfAssignVariant]] rationale) and as the parity
+    * reference for [[pqTrain]]'s driver-carried codebook (round 20):
+    * a spec pins pqTrain ≡ pqTrainVariant(carryX = true) bit-identical. */
   private[graft] def pqTrainVariant(emb: DataFrame, idCol: String,
       embCol: String, m: Int, k: Int,
       iters: Int, quantScale: Long, carryX: Boolean): PqModel = {
@@ -1439,9 +1504,10 @@ object Similarity {
   /** [[ivfAdcTopK]]'s probe/ADC tail over an ALREADY-DERIVED cell
     * assignment — the single definition both the inline single-query
     * path and the recall eval harness serve from ([[ivfAdcRecallAtK]]
-    * materializes ONE assignment and runs every query leg against it;
-    * re-deriving the corpus-grain assignment per leg was the harness's
-    * dominant cost — round 19). */
+    * shares ONE LAZY assignment frame across its query legs, so the
+    * legs share expression IDs and ReuseExchange dedups the identical
+    * subtrees inside the unioned eval plan; an eager-checkpoint version
+    * measured 1.5–2.1x slower at sf1 and was reverted — round 19). */
   private def ivfAdcTopKFromAssign(assign: DataFrame, cent: DataFrame,
       model: PqModel, query: Seq[Double], kNN: Int, nProbe: Int,
       idCol: String, embCol: String): DataFrame = {
@@ -1497,7 +1563,8 @@ object Similarity {
   /** [[ivfAdcRerankTopK]]'s two stages over an already-derived
     * assignment and quantized projection — the [[ivfAdcTopKFromAssign]]
     * sharing rule extended to the reranked stack (the recall harness's
-    * exact legs read the SAME materialized vq). */
+    * exact legs reference the SAME shared lazy vq frame, deduped by
+    * ReuseExchange inside the one unioned eval plan). */
   private def ivfAdcRerankTopKFromAssign(assign: DataFrame,
       cent: DataFrame, vq: DataFrame, model: PqModel, query: Seq[Double],
       kNN: Int, nProbe: Int, candidates: Int,

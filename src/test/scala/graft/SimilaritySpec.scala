@@ -325,6 +325,35 @@ class SimilaritySpec extends AnyFunSuite {
     Caches.sweep(spark)
   }
 
+  test("pqTrain: driver-carried codebook bit-identical to the DataFrame-carried formulations") {
+    import spark.implicits._
+    // includes near-tie pairs (exercises the first-min = smallest-code
+    // rule) and k=4 over 6 vectors so late iterations can leave a cell
+    // empty (exercises the keep-previous-centroid rule)
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f, 8.0f, 8.0f)),
+      (1L, Array(0.002f, 0.002f, 8.002f, 8.002f)),
+      (2L, Array(8.0f, 8.0f, 0.0f, 0.0f)),
+      (3L, Array(8.002f, 8.002f, 0.002f, 0.002f)),
+      (4L, Array(4.0f, 4.0f, 4.0f, 4.0f)),
+      (5L, Array(1.0f, 7.0f, 3.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    for (iters <- Seq(0, 1, 3)) {
+      val got = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 2, k = 4, iters = iters)
+      for (carry <- Seq(true, false)) {
+        val ref = Similarity.pqTrainVariant(emb, "vec_id", "embedding",
+          m = 2, k = 4, iters = iters, quantScale = 1000L, carryX = carry)
+        assert(got.m == ref.m && got.k == ref.k && got.subDim == ref.subDim
+          && got.quantScale == ref.quantScale)
+        assert(got.cents.flatten.map(_.toSeq).toSeq ==
+          ref.cents.flatten.map(_.toSeq).toSeq,
+          s"codebooks diverge at iters=$iters carryX=$carry")
+      }
+    }
+    Caches.sweep(spark)
+  }
+
   test("pqRerank: exact distances overturn ADC's code-level ties") {
     import spark.implicits._
     val emb = Seq(
