@@ -650,7 +650,6 @@ object Similarity {
     for (_ <- 1 to iters) {
       val assigned = trainedExactAssignment(vq, cent)
         .select(col("c_id"), col("vq"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val updated = assigned
         .select(col("c_id"), posexplode(col("vq")).as(Seq("pos", "v")))
         .groupBy(col("c_id"), col("pos"))
@@ -669,20 +668,23 @@ object Similarity {
             lit(" exceeds 2^53 — floor(sum/count) is no longer exact; " +
               "lower quantScale or train on a bounded sample"))))
             .otherwise(floor(col("sv").cast("double") / col("cnt"))
-              .cast("long")).as("mv"))
+              .cast("long")).as("mv"),
+          col("cnt"))
+        // members ride the SAME aggregate: cnt at every (cell, pos) IS
+        // the cell's member count (each member contributes each of its
+        // d positions), so a second count-per-cell pass over a
+        // persisted assignment — one persist, one aggregate, one join
+        // per iteration — bought nothing (round 20)
         .groupBy(col("c_id"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("mv")))).as("pm"))
-        .select(col("c_id"), col("pm.mv").as("new_vq"))
-      val mem = assigned.groupBy(col("c_id"))
-        .agg(count(lit(1)).as("m_new"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("mv")))).as("pm"),
+          max(col("cnt")).as("m_new"))
+        .select(col("c_id"), col("pm.mv").as("new_vq"), col("m_new"))
       cent = cent.select(col("c_id"), col("c_vq").as("old_vq"))
         .join(updated, Seq("c_id"), "left")
-        .join(mem, Seq("c_id"), "left")
         .select(col("c_id"),
           coalesce(col("new_vq"), col("old_vq")).as("c_vq"),
           coalesce(col("m_new"), lit(0L)).as("members"))
         .localCheckpoint(true)
-      assigned.unpersist()
     }
     cent.select(col("c_id"), col("members"), col("c_vq"))
   }
@@ -1640,8 +1642,14 @@ object Similarity {
     // is one corpus pass per iteration, paid once per ident
     val cent =
       if (trainedIters > 0)
+        // no extra checkpoint: the trainer's final iteration is already
+        // a localCheckpoint, and the dequant on top is a cheap map over
+        // |cells| rows — both consumers (the assignment broadcast and
+        // the _centroids write) re-run only that map over the
+        // checkpointed blocks (round 20; the outer eager checkpoint
+        // paid one more materialization job per build)
         trainedCentroidsExactDequant(corpus, centEvery, trainedIters,
-          idCol, embCol, quantScale).localCheckpoint(true)
+          idCol, embCol, quantScale)
       else ivfCentroids(corpus, centEvery, idCol, embCol)
     // codes are the EXACT encode expression the probe contract is
     // defined against ([[codesFromVq]] over [[vqExpr]] — the single
