@@ -281,7 +281,13 @@ object StreamQueries {
         s.conf.set(key,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
-          val mins = StreamOps.nearDupBucketMins(StreamOps.readDocuments(s, dir))
+          // fanout-aware parallelism (the st20 rationale): the batch
+          // arrives as one parquet split, and the per-doc simhash
+          // (tokenize + per-token hash + bit majority) is the heavy
+          // map — one doc-grain exchange spreads it across the cores
+          val mins = StreamOps.nearDupBucketMins(
+            StreamOps.readDocuments(s, dir)
+              .repartition(s.sparkContext.defaultParallelism))
           StreamOps.runToMemory(s, mins.toDF(), "st11_out", OutputMode.Update())
             .groupBy($"doc_id")
             .agg(min($"min_id").as("mnb"))
@@ -654,7 +660,18 @@ object StreamQueries {
       (s, dir) => {
         import s.implicits._
         import graft.operators.TextOps
+        // fanout-aware parallelism (the ivfAssignVariant rationale, in
+        // a microbatch): the batch's file splits can be far fewer than
+        // the cores (one parquet split here), and the n-gram explode
+        // multiplies per-row work by the shingle count — without the
+        // repartition the WHOLE shingle+join fanout ran in a single
+        // 2.2s task (round-20 stage profile). One doc-grain exchange
+        // of the batch's text unlocks the fanout's parallelism; the
+        // fanout factor (hundreds of grams per doc) dwarfs the one
+        // extra copy of the text at any scale.
+        val para = s.sparkContext.defaultParallelism
         val stream = StreamOps.readDocuments(s, dir).filter($"doc_id" >= 400)
+          .repartition(para)
         val refGrams = Tables(s, dir, "documents").filter($"doc_id" < 400)
           .select(explode(TextOps.shingles($"text", 3)).as("g")).distinct()
         val grams = stream.select($"doc_id",
@@ -664,7 +681,14 @@ object StreamQueries {
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_grams"),
             sum(coalesce($"hit", lit(0L))).as("n_known"))
-        StreamOps.runToMemory(s, scored, "st20_out", OutputMode.Complete())
+        // the stateful aggregate's state is doc-grain (two longs per
+        // doc) while the batch work is corpus-grain text: partitions
+        // here buy fanout parallelism, not state-store cost (the
+        // runToMemory default prices the state-heavy gates, which this
+        // one is not) — derived from the session's core count, never a
+        // constant
+        StreamOps.runToMemory(s, scored, "st20_out", OutputMode.Complete(),
+          shufflePartitions = para)
           .select($"doc_id", $"n_grams", $"n_known",
             round(lit(1.0) - $"n_known".cast("double")
               / $"n_grams".cast("double"), 4).as("novelty"))
