@@ -49,6 +49,22 @@ object Dedup {
   private[operators] def materializeOnce(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Fanout-aware parallelism (the Similarity.ivfAssignVariant
+    * rationale, round 20): the k-permutation MinHash signature pass
+    * multiplies per-row work by k, so an MB-scale corpus file arriving
+    * as 1-2 parquet splits serializes the whole pass onto one or two
+    * threads. One doc-grain round-robin exchange spreads it; at real
+    * partition counts (any 100 TB scan) this is a no-op. Applied ONLY
+    * where the A/B showed a win (minhashLsh: d02 1.37 → 1.02 s): the
+    * same exchange measured a WASH on the simhash/prefix-jaccard passes
+    * (cheaper per-row kernels) and a 0.5 s LOSS on the d17 probe batch
+    * (the exchange outweighs a ≤batch-grain signature pass), so those
+    * keep the scan's own split count. */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val para = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < para) df.repartition(para) else df
+  }
+
   /** Exact duplicate marking: rows flagged canonical iff they carry the
     * lowest id for their normalized-text fingerprint. One shuffle. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -221,7 +237,7 @@ object Dedup {
     // reuse of this subtree); signatures, banding and exact verification
     // all run on the long arrays (hash collisions perturb Jaccard with
     // p≈2^-64)
-    val sh = materializeOnce(docs
+    val sh = materializeOnce(fanOut(docs)
       .select(col(idCol).as("id"),
         HashExprs.shingle_hashes(col(textCol), shingleSize).as("shh"))
       .filter(size(col("shh")) > 0))
