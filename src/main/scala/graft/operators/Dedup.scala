@@ -886,7 +886,12 @@ object Dedup {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val d = maxDist
     val k = d + 1
-    val recs = materializeOnce(records
+    // fanOut: the A/B'd MinHash rationale holds here too — the probe
+    // side explodes O((2d+1)²·(d+1)) position-anchored keys per string
+    // and the verify runs full levenshtein per candidate, all downstream
+    // of this cache's partitioning (measured round 20: every heavy q128
+    // stage ran 1-2 tasks at 32 cores)
+    val recs = materializeOnce(fanOut(records)
       .select(col(idCol).as("id"), col(strCol).as("s"))
       .withColumn("len", length(col("s"))))
     // canonical even split of length L into k segments, SHORT first:
@@ -941,6 +946,14 @@ object Dedup {
       .select(least(col("sid"), col("pid")).as("id_a"),
         greatest(col("sid"), col("pid")).as("id_b"))
     segCands.unionByName(shortCands).distinct()
+      // the pair rows are a few bytes each, so AQE coalesces the
+      // distinct's read side to one partition — but every surviving
+      // pair pays a full levenshtein in the verify, a per-row cost the
+      // byte-based coalescing cannot see (measured round 20: two
+      // 0.8s single-task verify stages at 32 cores). An explicit
+      // pair-grain spread keeps the verify parallel; AQE leaves
+      // user-specified repartitions alone.
+      .repartition(records.sparkSession.sparkContext.defaultParallelism)
       .join(recs.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
       .join(recs.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
