@@ -112,23 +112,35 @@ final class IterativeLoop(
 
   /** [[advance]] + the new state's row count (convergence tests, traces).
     * The count IS the materializing action on BOTH paths — the
-    * checkpoint is taken LAZILY (`eager = false` marks the RDD; the
-    * count's job computes it, writes the blocks, and truncates lineage
-    * in one pass — Spark backfills any partition a partial first action
-    * skipped), so a round costs ONE job, never a
-    * materialize-then-count pair. */
+    * checkpoint is taken LAZILY (`eager = false` marks the RDD) and the
+    * count runs DIRECTLY on the checkpoint RDD ([[rddCount]]): one
+    * runJob that computes the partitions, writes the blocks, truncates
+    * lineage and returns the row count. A Dataset-level `.count()` here
+    * costs a second job — it plans partial-agg → single-partition
+    * exchange → final-agg, and under AQE the final aggregate is its own
+    * job on every round of every loop (round 20; the RDD count is the
+    * same number by construction — one InternalRow per output row). */
   def advanceCounted(
       next: DataFrame, forceCheckpoint: Boolean = false): (DataFrame, Long) = {
     require(!closed, "IterativeLoop already finished/aborted")
     round += 1
     val ckpt = forceCheckpoint || round % checkpointEvery == 0
     val (cur, n) =
-      if (ckpt) { val c = next.localCheckpoint(eager = false); (c, c.count()) }
+      if (ckpt) { val c = next.localCheckpoint(eager = false); (c, rddCount(c)) }
       else { val c = next.persist(level); (c, c.count()) }
     state.foreach { case (df, wasCkpt) => release(df, wasCkpt) }
     state = Some((cur, ckpt))
     (cur, n)
   }
+
+  /** Count a lazily-localCheckpointed frame by running its backing RDD:
+    * materializes the blocks and counts in ONE job. Falls back to the
+    * Dataset count if the plan is not the expected bare LogicalRDD. */
+  private def rddCount(c: DataFrame): Long =
+    Bridge.checkpointRdds(c) match {
+      case Seq(rdd) => rdd.count()
+      case _ => c.count()
+    }
 
   /** [[advance]] + the exact long SUM of `sumCol` over the new state
     * (None on an empty/all-null column), fused so the 1-row aggregate
@@ -162,13 +174,13 @@ final class IterativeLoop(
     * explainString before this was a checkpoint). */
   def keep(df: DataFrame): (DataFrame, Long) = {
     require(!closed, "IterativeLoop already finished/aborted")
-    // lazy checkpoint: the count below is the materializing action
-    // (one job, not a checkpoint-then-count pair — the advanceCounted
-    // discipline); registered for release BEFORE counting so an abort
-    // on a failed count still frees whatever partially materialized
+    // lazy checkpoint + RDD-level count: one job materializes and
+    // counts (the advanceCounted discipline); registered for release
+    // BEFORE counting so an abort on a failed count still frees
+    // whatever partially materialized
     val c = df.localCheckpoint(eager = false)
     pins += ((c, true))
-    (c, c.count())
+    (c, rddCount(c))
   }
 
   /** Materialize `result` as a self-contained localCheckpoint, release
