@@ -59,6 +59,9 @@ final class IterativeLoop(
     level: StorageLevel = StorageLevel.MEMORY_AND_DISK) {
   require(checkpointEvery >= 1, s"checkpointEvery must be >= 1")
 
+  private def notifyHook(next: DataFrame): Unit =
+    IterativeLoop.planHook.foreach(_(round, next))
+
   // (frame, isCheckpoint): persisted frames release via unpersist (they
   // live in CacheManager), checkpointed frames via their backing RDDs
   // (CacheManager never sees them — the round-9 lesson)
@@ -124,6 +127,7 @@ final class IterativeLoop(
       next: DataFrame, forceCheckpoint: Boolean = false): (DataFrame, Long) = {
     require(!closed, "IterativeLoop already finished/aborted")
     round += 1
+    notifyHook(next)
     val ckpt = forceCheckpoint || round % checkpointEvery == 0
     val (cur, n) =
       if (ckpt) { val c = next.localCheckpoint(eager = false); (c, rddCount(c)) }
@@ -152,6 +156,7 @@ final class IterativeLoop(
       forceCheckpoint: Boolean = false): (DataFrame, Option[Long]) = {
     require(!closed, "IterativeLoop already finished/aborted")
     round += 1
+    notifyHook(next)
     val ckpt = forceCheckpoint || round % checkpointEvery == 0
     val cur =
       if (ckpt) next.localCheckpoint(eager = false) else next.persist(level)
@@ -211,4 +216,16 @@ final class IterativeLoop(
   /** Release everything without producing a result (error paths,
     * driver-side-result loops like bpeTrain). Idempotent. */
   def abort(): Unit = if (!closed) releaseAll()
+}
+
+object IterativeLoop {
+  /** Diagnostics-only observation point: when set, called with
+    * `(round, next)` as each round is materialized — the ONLY way to
+    * see a sweep-body plan, because `.explain` on the loop RESULT shows
+    * a bare localCheckpoint scan (the sweeps are consumed inside the
+    * loop) and the per-round action is an RDD-level count that no
+    * QueryExecutionListener observes. Used by [[graft.SweepPlanDump]]
+    * for the plans/ optimization evidence; never set in query paths,
+    * and a hook must not mutate or execute the frame it is handed. */
+  @volatile var planHook: Option[(Int, DataFrame) => Unit] = None
 }
