@@ -105,6 +105,61 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().nonEmpty)
   }
 
+  test("append recomputes df only for the buckets the batch's postings " +
+      "touch; untouched termdf buckets keep their files") {
+    import spark.implicits._
+    val dir = graft.Scratch.dir("retr_spec_bm25_touch")
+    val docs = Tables(spark, sf, "documents").filter($"doc_id" < 80)
+    Retrieval.bm25IndexWrite(
+      docs.filter($"doc_id" % 4 =!= 0), "doc_id", "text", dir)
+    // batch with ONE distinct term: exactly one bucket may be touched.
+    // The touched set is derived from the batch's exploded terms (not
+    // from a recompute of the (term, doc) aggregate) — this pins that
+    // the cheap derivation still covers every bucket the batch's
+    // postings landed in, and no more.
+    val batch = Seq((1000L, "vector"), (1001L, "vector vector"))
+      .toDF("doc_id", "text")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def termdfFiles: Map[String, Long] = {
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$dir/termdf"), true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          b += f.getPath.toString -> f.getModificationTime
+      }
+      b.result()
+    }
+    val before = termdfFiles
+    Retrieval.bm25IndexAppend(batch, "doc_id", "text", dir)
+    val after = termdfFiles
+    val touchedBucket = spark.range(1).select(
+      pmod(xxhash64(lit("vector")), lit(64L))).as[Long].collect().head
+    // every pre-append file outside the touched bucket survives untouched
+    val untouchedLost = before.keys.filter(p =>
+      !p.contains(s"bucket=$touchedBucket") && !after.contains(p))
+    assert(untouchedLost.isEmpty,
+      s"append rewrote untouched termdf buckets: $untouchedLost")
+    // the touched bucket WAS rewritten (its old files are gone)
+    assert(before.keys.filter(_.contains(s"bucket=$touchedBucket"))
+      .forall(p => !after.contains(p)),
+      "touched bucket's termdf was not recomputed")
+    // and df for the appended term reflects the batch: serving equality
+    // over the union corpus (would fail if the touched set missed the
+    // bucket and served a stale df)
+    val union = docs.filter($"doc_id" % 4 =!= 0)
+      .select($"doc_id", $"text").unionByName(batch)
+    val viaIndex = Retrieval.bm25TopKFromIndex(spark, dir, Seq("vector"), k = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mapSide = Retrieval.bm25TopK(union, "doc_id", "text", Seq("vector"), k = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    spark.catalog.clearCache()
+    assert(viaIndex == mapSide,
+      s"post-append df stale: ${viaIndex.diff(mapSide)} vs ${mapSide.diff(viaIndex)}")
+  }
+
   test("phrase index: 3-term and repeated-term phrases match a direct scan") {
     import spark.implicits._
     val docs = Seq(
