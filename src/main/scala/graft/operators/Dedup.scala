@@ -322,7 +322,8 @@ object Dedup {
         val keep = banded.groupBy(col("band"), col("bucket"))
           .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucket)
           .select(col("band"), col("bucket"))
-        banded.join(keep, Seq("band", "bucket"), "left_semi")
+        Layout.clusterForWrite(
+            banded.join(keep, Seq("band", "bucket"), "left_semi"), "part")
           .write.mode("overwrite").partitionBy("part")
           .parquet(s"$layoutDir/buckets")
       } finally banded.unpersist()
@@ -377,7 +378,9 @@ object Dedup {
       try out.write(s.getBytes("UTF-8")) finally out.close()
     }
     writeIdent("APPENDING " + prevIdent)
-    lshBandRows(newDocs, idCol, textCol, shingleSize, k, bands, nParts)
+    Layout.clusterForWrite(
+        lshBandRows(newDocs, idCol, textCol, shingleSize, k, bands, nParts),
+        "part")
       .write.mode("append").partitionBy("part").parquet(s"$layoutDir/buckets")
     writeIdent(prevIdent +
       s" +append=${newDocs.queryExecution.analyzed.semanticHash()}")

@@ -16,6 +16,32 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Cluster a layout write by its partition column before
+    * `partitionBy` (optimization guide §6, hash distribution before the
+    * write): a `partitionBy(p)` write emits one file per
+    * (task, partition value) pair, so at cluster scale an upstream
+    * exchange of T tasks writes T·|p| tiny files — 1e5 tasks × 4096
+    * cells is 4e8 files for codes that pack into ~one file per cell.
+    * Clustering by `p` first bounds output at one file per partition
+    * value per holding task (hash partitioning puts each value's rows
+    * in exactly one task, so in practice: one file per value).
+    *
+    * Conf-gated OFF by default (`spark.graft.layout.clusterWrites`):
+    * at local bench scale AQE already coalesces the feeding exchanges
+    * to 1-2 tasks, file counts are already minimal, and the added
+    * exchange is pure cost — measured as the only visible effect in a
+    * local A/B (round 20) — so the knob belongs to the cluster
+    * profile, not the local default. Row CONTENT is identical either
+    * way; only file layout moves (LayoutWriteSpec pins bit-identical
+    * serving results and the one-file-per-partition-value invariant).
+    */
+  def clusterForWrite(df: DataFrame, partCol: String): DataFrame =
+    if (df.sparkSession.conf
+          .getOption("spark.graft.layout.clusterWrites")
+          .exists(_.toBoolean))
+      df.repartition(col(partCol))
+    else df
+
   /** Morton z-value of two non-negative int columns: interleaves the low
     * `bits` bits of each (a in even positions, b in odd) — the 2-dim
     * case of [[zValueN]], sharing its bit-budget guard.

@@ -568,7 +568,8 @@ object Multimodal {
       val keep = banded.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucket)
         .select(col("band"), col("bucket"))
-      banded.join(keep, Seq("band", "bucket"), "left_semi")
+      Layout.clusterForWrite(
+          banded.join(keep, Seq("band", "bucket"), "left_semi"), "part")
         .write.mode("overwrite").partitionBy("part")
         .parquet(s"$layoutDir/buckets")
     } finally banded.unpersist()
@@ -594,7 +595,7 @@ object Multimodal {
       try out.write(s.getBytes("UTF-8")) finally out.close()
     }
     writeIdent("APPENDING " + prevIdent)
-    sigBandRows(sigs, nParts)
+    Layout.clusterForWrite(sigBandRows(sigs, nParts), "part")
       .write.mode("append").partitionBy("part").parquet(s"$layoutDir/buckets")
     writeIdent(prevIdent + s" +append=$batchHash")
   }

@@ -473,14 +473,17 @@ object Retrieval {
           .groupBy(col("term"), col("doc_id"))
           .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
           .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-        postings.write.mode("overwrite").partitionBy("bucket")
+        Layout.clusterForWrite(postings, "bucket")
+          .write.mode("overwrite").partitionBy("bucket")
           .parquet(s"$layoutDir/postings")
         // df rolls up from the WRITTEN postings — no second corpus pass,
         // and the read-back guarantees df counts exactly what serving
         // will scan
-        spark.read.parquet(s"$layoutDir/postings")
-          .groupBy(col("bucket"), col("term"))
-          .agg(count(lit(1)).cast("double").as("df"))
+        Layout.clusterForWrite(
+            spark.read.parquet(s"$layoutDir/postings")
+              .groupBy(col("bucket"), col("term"))
+              .agg(count(lit(1)).cast("double").as("df")),
+            "bucket")
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(s"$layoutDir/termdf")
         // sumdl rides along (integer-valued double, exact in any sum
@@ -593,15 +596,18 @@ object Retrieval {
         .groupBy(col("term"), col("doc_id"))
         .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
         .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-      newPost.write.mode("append").partitionBy("bucket")
+      Layout.clusterForWrite(newPost, "bucket")
+        .write.mode("append").partitionBy("bucket")
         .parquet(s"$layoutDir/postings")
       // touched buckets: batch-term-grain, bounded by nBuckets
       val touched = newPost.select(col("bucket")).distinct()
         .collect().map(_.getLong(0)).toSeq
-      spark.read.parquet(s"$layoutDir/postings")
-        .filter(col("bucket").isin(touched: _*))
-        .groupBy(col("bucket"), col("term"))
-        .agg(count(lit(1)).cast("double").as("df"))
+      Layout.clusterForWrite(
+          spark.read.parquet(s"$layoutDir/postings")
+            .filter(col("bucket").isin(touched: _*))
+            .groupBy(col("bucket"), col("term"))
+            .agg(count(lit(1)).cast("double").as("df")),
+          "bucket")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket").parquet(s"$layoutDir/termdf")
@@ -717,12 +723,14 @@ object Retrieval {
       }
     if (!identMatches) {
       if (fs.exists(path)) fs.delete(path, true)
-      docs
-        .select(col(idCol).as("doc_id"),
-          posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
-        .groupBy(col("term"), col("doc_id"))
-        .agg(sort_array(collect_list(col("pos").cast("long"))).as("pos"))
-        .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      Layout.clusterForWrite(docs
+          .select(col(idCol).as("doc_id"),
+            posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(sort_array(collect_list(col("pos").cast("long"))).as("pos"))
+          .withColumn("bucket",
+            pmod(xxhash64(col("term")), lit(nBuckets.toLong))),
+          "bucket")
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$layoutDir/postings")
       val out = fs.create(identPath, true)

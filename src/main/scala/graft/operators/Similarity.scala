@@ -341,7 +341,7 @@ object Similarity {
         !identMatches) {
       val cent = centroids.getOrElse(
         ivfCentroids(corpus, centEvery, idCol, embCol))
-      ivfAssign(corpus, cent, idCol, embCol)
+      Layout.clusterForWrite(ivfAssign(corpus, cent, idCol, embCol), "c_id")
         .write.mode("overwrite").partitionBy("c_id").parquet(layoutDir)
       // centroids AFTER the assignment (overwrite above recreates the
       // dir), ident marker last — a crash mid-build leaves no valid ident
@@ -447,7 +447,7 @@ object Similarity {
     val newIdent = s"$ident $batchTag"
     writeIdent(AppendingSentinel + ident)
     val cent = spark.read.parquet(s"$layoutDir/_centroids")
-    ivfAssign(newVecs, cent, idCol, embCol)
+    Layout.clusterForWrite(ivfAssign(newVecs, cent, idCol, embCol), "c_id")
       .write.mode("append").partitionBy("c_id").parquet(layoutDir)
     writeIdent(newIdent)
   }
@@ -1661,9 +1661,10 @@ object Similarity {
     // projections over it, so no exchange reuse) and paid a both-sides
     // corpus-grain shuffle — one scan, one exchange, one write now
     // (round 19; before/after in OPTIMIZATION_r19.md)
-    ivfAssign(corpus, cent, idCol, embCol)
+    Layout.clusterForWrite(ivfAssign(corpus, cent, idCol, embCol)
       .select(col("c_id"), col("n_id").as("id"),
-        codesFromVq(mdl, vqExpr("n_emb", mdl.quantScale)).as("codes"))
+        codesFromVq(mdl, vqExpr("n_emb", mdl.quantScale)).as("codes")),
+      "c_id")
       .write.mode("overwrite").partitionBy("c_id")
       .parquet(s"$layoutDir/codes")
     cent.coalesce(1).write.mode("overwrite")
@@ -1755,9 +1756,10 @@ object Similarity {
     // rule: [[codesFromVq]] over [[vqExpr]] is pqEncode's own
     // expression, and the former id-join re-evaluated the assignment
     // aggregate twice) — one batch pass, one exchange, one append
-    ivfAssign(newVecs, cent, idCol, embCol)
+    Layout.clusterForWrite(ivfAssign(newVecs, cent, idCol, embCol)
       .select(col("c_id"), col("n_id").as("id"),
-        codesFromVq(model, vqExpr("n_emb", model.quantScale)).as("codes"))
+        codesFromVq(model, vqExpr("n_emb", model.quantScale)).as("codes")),
+      "c_id")
       .write.mode("append").partitionBy("c_id")
       .parquet(s"$layoutDir/codes")
     writeIdent(newIdent)

@@ -349,18 +349,22 @@ object TextOps {
       val base = docs.select(tokens(col(textCol)).as("toks"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        base.filter(size(col("toks")) >= 2)
-          .select(
-            slice(col("toks"), lit(1), size(col("toks")) - 1).as("h"),
-            slice(col("toks"), lit(2), size(col("toks")) - 1).as("t"))
-          .select(explode(arrays_zip(col("h"), col("t"))).as("bg"))
-          .select(col("bg.h").as("w1"), col("bg.t").as("w2"))
-          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-          .withColumn("bucket", pmod(xxhash64(col("w1")), lit(nBuckets.toLong)))
+        Layout.clusterForWrite(base.filter(size(col("toks")) >= 2)
+            .select(
+              slice(col("toks"), lit(1), size(col("toks")) - 1).as("h"),
+              slice(col("toks"), lit(2), size(col("toks")) - 1).as("t"))
+            .select(explode(arrays_zip(col("h"), col("t"))).as("bg"))
+            .select(col("bg.h").as("w1"), col("bg.t").as("w2"))
+            .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+            .withColumn("bucket",
+              pmod(xxhash64(col("w1")), lit(nBuckets.toLong))),
+            "bucket")
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(s"$layoutDir/bigrams")
-        spark.read.parquet(s"$layoutDir/bigrams")
-          .groupBy(col("bucket"), col("w1")).agg(sum(col("c")).as("c1"))
+        Layout.clusterForWrite(
+            spark.read.parquet(s"$layoutDir/bigrams")
+              .groupBy(col("bucket"), col("w1")).agg(sum(col("c")).as("c1")),
+            "bucket")
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(s"$layoutDir/heads")
         base.select(explode(col("toks")).as("t"))
