@@ -344,9 +344,13 @@ object Bench {
     // probes, which is what production serving looks like: layouts build
     // once per corpus version, queries run thousands of times.
     names.filter(layoutBuilders.contains).foreach { n =>
+      spark.sparkContext.setJobDescription(s"bench: $n layout prebuild")
       try all(n)(spark, sfDir).count()
       catch { case _: Throwable => () } // the timed rep will report it
-      finally Caches.sweep(spark)
+      finally {
+        spark.sparkContext.setJobDescription(null)
+        Caches.sweep(spark)
+      }
     }
     // Best-of-N (default 2): a single pass confounds plan cost with
     // JIT/codegen/classloading position effects — round-3's "regressions"
@@ -369,7 +373,7 @@ object Bench {
       val repStarts = scala.collection.mutable.ArrayBuffer.empty[Long]
       val repLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
-      for (_ <- 1 to reps if err.isEmpty) {
+      for (rep <- 1 to reps if err.isEmpty) {
         // CacheManager isolation: queries that persist internally
         // (minhash/simhash signature stages, semantic dedup) would
         // otherwise (a) hand rep 2 a cache HIT — the min would measure a
@@ -388,6 +392,11 @@ object Bench {
         Caches.sweep(spark)
         repStarts += System.currentTimeMillis()
         repLoads += load1m()
+        // label the rep's jobs (guide §1.5) so the UI / event log
+        // attributes every job and stage to its gate without relying on
+        // SQL-execution ordering; thread-local driver property, no cost
+        // inside the timed window worth naming
+        spark.sparkContext.setJobDescription(s"bench: $name rep$rep")
         val t0 = System.nanoTime()
         try { all(name)(spark, sfDir).count() }
         catch { case e: Throwable =>
@@ -399,6 +408,7 @@ object Bench {
           best = math.min(best, t)
         }
       }
+      spark.sparkContext.setJobDescription(null)
       // a query that succeeded on an earlier rep but failed on a later one
       // (flaky I/O) still has a valid measurement: keep the best time and
       // report the rep failure separately instead of flagging the whole
