@@ -671,5 +671,15 @@ object Bench {
     spark.stop()
     println(out)
     System.out.flush()
+    // A COMPLETED run must exit 0. One full-session run this round
+    // printed the JSON line, then died 134 inside a JVM-shutdown hook
+    // (native `std::bad_alloc` → abort; RocksDB state-store teardown is
+    // the suspect — the flake never reproduced on streaming-only
+    // subsets). Nothing observable remains after this point: the
+    // artifact (if any) is written, the JSON line is flushed. Run our
+    // own temp cleanup, then halt before native teardown can veto an
+    // already-complete measurement.
+    Scratch.cleanup()
+    Runtime.getRuntime.halt(0)
   }
 }

@@ -16,14 +16,21 @@ object Scratch {
     val p = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft-p${ProcessHandle.current().pid()}")
     java.nio.file.Files.createDirectories(p)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import scala.jdk.CollectionConverters._
-      try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
-          catch { case _: java.io.IOException => () })
-      catch { case _: java.io.IOException => () }
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => cleanup()))
     p.toString
+  }
+
+  /** Delete the scratch tree. Idempotent; also callable directly by
+    * entry points that halt() before JVM shutdown hooks run (see
+    * Bench/Verify: a completed run must not let a native teardown abort
+    * overwrite its exit status). */
+  def cleanup(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(root)
+    try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+        catch { case _: java.io.IOException => () })
+    catch { case _: java.io.IOException => () }
   }
 
   def dir(name: String): String = s"$root/$name"

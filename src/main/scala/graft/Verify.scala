@@ -42,5 +42,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Same exit-status hardening as Bench: every output above is on
+    // disk, so a shutdown-hook native abort (observed once post-output
+    // in a full bench session: std::bad_alloc → exit 134) must not be
+    // able to fail a completed dump.
+    Scratch.cleanup()
+    Runtime.getRuntime.halt(0)
   }
 }
